@@ -1,0 +1,69 @@
+"""Keyed upsert — the reference's fact MERGE (J6), Spark-native.
+
+Reference: after the delta fact load lands in a staging table, a
+BigQuery `MERGE ... WHEN MATCHED THEN UPDATE ... WHEN NOT MATCHED THEN
+INSERT` reconciles it into `T_FACT_Events`
+(`Delta Load Scripts/dw2_delta_load2.py:101-131,398-404`).
+
+Spark-native rendering without any lakehouse dependency: a full-outer
+join on the key with per-column `coalesce(updates.c, base.c)` — updates
+win on match, inserts pass through, unmatched base rows survive. On a
+cluster with Delta Lake/Iceberg available, swap `merge_upsert` for
+`MERGE INTO` behind the same signature; semantics here are identical
+for whole-row updates.
+
+Scale note: this is a shuffle join on the merge key — the same cost
+MERGE INTO pays. For 100 TB facts, partition the stored fact by a
+stable key prefix (e.g. ID_date_ID) so the rewrite touches only
+affected partitions; `merge_upsert_partitioned` narrows the rewrite to
+partitions present in the updates (classic dynamic-partition-overwrite
+upsert).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """UPDATE matched (updates win, whole row), INSERT not-matched."""
+    if set(base.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert requires identical columns; base-only="
+            f"{set(base.columns) - set(updates.columns)} "
+            f"updates-only={set(updates.columns) - set(base.columns)}"
+        )
+    b, u = base.alias("b"), updates.alias("u")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = b.join(u, cond, "full_outer")
+    matched = F.col(f"u.{keys[0]}").isNotNull()
+    out_cols = []
+    for c in base.columns:
+        out_cols.append(
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
+        )
+    return joined.select(*out_cols)
+
+
+def merge_upsert_partitioned(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+) -> DataFrame:
+    """Upsert where only base partitions present in `updates` are rewritten.
+
+    Returns rows for the AFFECTED partitions only (write them with
+    dynamic partitionOverwriteMode); untouched partitions stay on disk.
+    The partition filter is a broadcast semi join on the (small)
+    distinct partition list, so the base scan prunes at the source.
+    """
+    parts = updates.select(partition_col).distinct()
+    scoped = base.join(F.broadcast(parts), [partition_col], "left_semi")
+    return merge_upsert(scoped, updates, keys)

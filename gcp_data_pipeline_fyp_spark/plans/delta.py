@@ -1,0 +1,81 @@
+"""DW delta-load stage (reference dw2_delta_load2.py, the most complex job).
+
+Per dimension: snapshot MAX(id) (A4) -> distinct new values anti-joined
+against the existing dim (J4) -> enumerate from max+1 (A3 offset) ->
+append (S8) -> union existing∪new as the fact's lookup (A5). Fact rows
+are enriched (P18/J5) into a transient staging frame, then MERGE-upserted
+into T_FACT_Events by ID_Event (J6) — here a pure-Spark full-outer
+rewrite (operators/merge.py) instead of BigQuery MERGE SQL; the
+reference's explicit staging table + post-pipeline MERGE + drop
+(`dw2_delta_load2.py:75-84,398-404`) collapses into one linear flow.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+from gcp_data_pipeline_fyp_spark.functions.cleaning import audit_columns
+from gcp_data_pipeline_fyp_spark.operators.keys import incremental_surrogate_keys
+from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+from gcp_data_pipeline_fyp_spark.plans.dw import (
+    DIM_SPECS,
+    _finalize_dim,
+    build_date_dim,
+    enrich_fact,
+)
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+_DIM_NATURAL_RENAMES = {
+    "T_DIM_Network": {"LB_NetworkSymbol": "LB_net"},
+    "T_DIM_magCategory": {"LB_magCategoryName": "LB_magCategory"},
+    "T_DIM_depthCategory": {"LB_depthCategoryName": "LB_depthCategory"},
+}
+
+
+def stage_dw_delta(
+    new_ods: DataFrame,
+    wh: Warehouse,
+    job_id: str,
+    data_source: str,
+    run_ts: _dt.datetime,
+) -> dict[str, DataFrame]:
+    ods = new_ods.persist(StorageLevel.MEMORY_AND_DISK)
+    audit = audit_columns(job_id, data_source, run_ts)
+    dims: dict[str, DataFrame] = {}
+    for table, (nat_keys, id_col) in DIM_SPECS.items():
+        existing_full = wh.read(table)
+        renames = _DIM_NATURAL_RENAMES.get(table, {})
+        existing = existing_full
+        for dw_name, ods_name in renames.items():
+            existing = existing.withColumnRenamed(dw_name, ods_name)
+        existing = existing.select(id_col, *nat_keys)
+        new_rows, _full = incremental_surrogate_keys(ods, existing, nat_keys, id_col)
+        wh.append(_finalize_dim(table, new_rows), table)
+        dims[table] = wh.read(table)
+    # date dim: append only dates not already present
+    new_dates = build_date_dim(ods)
+    existing_dates = wh.read("T_DIM_date").select("ID_date_ID")
+    wh.append(new_dates.join(existing_dates, "ID_date_ID", "left_anti"), "T_DIM_date")
+    dims["T_DIM_date"] = wh.read("T_DIM_date")
+
+    staged_fact = enrich_fact(ods, dims).withColumns(
+        {
+            "_DT_insertion_date": audit["_DT_insertion_date"],
+            "_LB_job_execution_id": audit["_LB_job_execution_id"],
+        }
+    )
+    base_fact = wh.read("T_FACT_Events")
+    merged = merge_upsert(base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"])
+    # parquet has no in-place MERGE: land the merged fact in a staging
+    # table first (the reference's staging-table lifecycle, S12), then
+    # swap — avoids reading and overwriting the same files in one job.
+    wh.overwrite(merged, "T_FACT_Events_staging")
+    wh.overwrite(wh.read("T_FACT_Events_staging"), "T_FACT_Events")
+    wh.drop("T_FACT_Events_staging")
+    ods.unpersist()
+    out = dict(dims)
+    out["T_FACT_Events"] = wh.read("T_FACT_Events")
+    return out

@@ -1,0 +1,161 @@
+"""DW full-load stage: T_ODS -> 6 dims + fact (reference dw_full_load2.py).
+
+The reference reads ODS once and fans out to 7 sinks
+(`dw_full_load2.py:97-238`); Beam shares the PCollection, Spark must
+persist — the ODS frame is cached across the 7 actions. Surrogate keys
+are dense `row_number` ids over the tiny post-distinct dim values
+(operators/keys.py); fact enrichment is 5 broadcast left joins (J5) —
+never a shuffle of the fact side — plus the derived yyyymmdd date FK.
+
+Category-default quirk preserved: the fact's lookup key coalesces a
+NULL band to 'Shallow' / 'Not Felt' (`dw_full_load2.py:195-218`), while
+the dims themselves are built from raw distinct values.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.banding import (
+    depth_band_description,
+    mag_band_description,
+)
+from gcp_data_pipeline_fyp_spark.functions.cleaning import audit_columns
+from gcp_data_pipeline_fyp_spark.functions.timeops import date_dim_columns
+from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+DIM_SPECS = {
+    # table -> (natural keys in ODS, surrogate id column)
+    "T_DIM_Network": (["LB_net"], "ID_Network_ID"),
+    "T_DIM_RegionCountry": (["LB_Region", "LB_Country"], "ID_RegionCountry_ID"),
+    "T_DIM_Seismic_Activity_Type": (["LB_type"], "ID_type_ID"),
+    "T_DIM_magCategory": (["LB_magCategory"], "ID_magCategory_ID"),
+    "T_DIM_depthCategory": (["LB_depthCategory"], "ID_depthCategory_ID"),
+}
+
+
+def _finalize_dim(table: str, dim: DataFrame) -> DataFrame:
+    """Rename natural keys to their DW names + add static descriptions (P17)."""
+    if table == "T_DIM_Network":
+        return dim.withColumnRenamed("LB_net", "LB_NetworkSymbol")
+    if table == "T_DIM_magCategory":
+        return dim.select(
+            "ID_magCategory_ID",
+            F.col("LB_magCategory").alias("LB_magCategoryName"),
+            mag_band_description("LB_magCategory").alias("LB_magCategoryDescription"),
+        )
+    if table == "T_DIM_depthCategory":
+        return dim.select(
+            "ID_depthCategory_ID",
+            F.col("LB_depthCategory").alias("LB_depthCategoryName"),
+            depth_band_description("LB_depthCategory").alias(
+                "LB_depthCategoryDescription"
+            ),
+        )
+    return dim
+
+
+def build_date_dim(ods: DataFrame, time_col: str = "DT_time") -> DataFrame:
+    dates = ods.select(F.col(time_col).cast("date").alias("d")).distinct()
+    cols = date_dim_columns("d")
+    return dates.select(*[expr.alias(name) for name, expr in cols.items()]).where(
+        F.col("ID_date_ID").isNotNull()
+    )
+
+
+def enrich_fact(ods: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
+    """ODS + 5 broadcast dim joins + derived date FK -> fact rows (P18/J5)."""
+    f = ods.withColumn(
+        "__magCat_key", F.coalesce(F.col("LB_magCategory"), F.lit("Not Felt"))
+    ).withColumn(
+        "__depthCat_key", F.coalesce(F.col("LB_depthCategory"), F.lit("Shallow"))
+    )
+    net = dims["T_DIM_Network"].select(
+        "ID_Network_ID", F.col("LB_NetworkSymbol").alias("__k_net")
+    )
+    f = f.join(F.broadcast(net), F.col("LB_net").eqNullSafe(F.col("__k_net")), "left")
+    rc = dims["T_DIM_RegionCountry"].select(
+        "ID_RegionCountry_ID",
+        F.col("LB_Region").alias("__k_region"),
+        F.col("LB_Country").alias("__k_country"),
+    )
+    f = f.join(
+        F.broadcast(rc),
+        F.col("LB_Region").eqNullSafe(F.col("__k_region"))
+        & F.col("LB_Country").eqNullSafe(F.col("__k_country")),
+        "left",
+    )
+    typ = dims["T_DIM_Seismic_Activity_Type"].select(
+        "ID_type_ID", F.col("LB_type").alias("__k_type")
+    )
+    f = f.join(F.broadcast(typ), F.col("LB_type").eqNullSafe(F.col("__k_type")), "left")
+    mc = dims["T_DIM_magCategory"].select(
+        "ID_magCategory_ID", F.col("LB_magCategoryName").alias("__k_mag")
+    )
+    f = f.join(F.broadcast(mc), F.col("__magCat_key") == F.col("__k_mag"), "left")
+    dc = dims["T_DIM_depthCategory"].select(
+        "ID_depthCategory_ID", F.col("LB_depthCategoryName").alias("__k_depth")
+    )
+    f = f.join(F.broadcast(dc), F.col("__depthCat_key") == F.col("__k_depth"), "left")
+    return f.select(
+        "ID_Event",
+        "ID_Network_ID",
+        "ID_RegionCountry_ID",
+        "ID_type_ID",
+        "ID_magCategory_ID",
+        "ID_depthCategory_ID",
+        F.date_format(F.col("DT_time").cast("date"), "yyyyMMdd")
+        .cast("int")
+        .alias("ID_date_ID"),
+        "VL_n_mag",
+        "VL_n_depth",
+        "VL_latitude",
+        "VL_longitude",
+        "ID_nst",
+        "ID_gap",
+        "VL_dmin",
+        "VL_horizontalError",
+        "ID_magNst",
+        "LB_status",
+        "DT_time",
+        "_DT_insertion_date",
+        "_DT_updated_date",
+        "_LB_job_execution_id",
+        "_LB_data_source",
+    )
+
+
+def stage_dw_full(
+    t_ods: DataFrame,
+    wh: Warehouse,
+    job_id: str,
+    data_source: str,
+    run_ts: _dt.datetime,
+) -> dict[str, DataFrame]:
+    ods = t_ods.persist(StorageLevel.MEMORY_AND_DISK)
+    audit = audit_columns(job_id, data_source, run_ts)
+    dims: dict[str, DataFrame] = {}
+    for table, (nat_keys, id_col) in DIM_SPECS.items():
+        dim = assign_surrogate_keys(ods, nat_keys, id_col)
+        dim = _finalize_dim(table, dim)
+        wh.overwrite(dim, table)
+        dims[table] = wh.read(table)
+    date_dim = build_date_dim(ods)
+    wh.overwrite(date_dim, "T_DIM_date")
+    dims["T_DIM_date"] = wh.read("T_DIM_date")
+    fact = enrich_fact(ods, dims).withColumns(
+        {
+            "_DT_insertion_date": audit["_DT_insertion_date"],
+            "_LB_job_execution_id": audit["_LB_job_execution_id"],
+        }
+    )
+    wh.overwrite(fact, "T_FACT_Events")
+    ods.unpersist()
+    out = dict(dims)
+    out["T_FACT_Events"] = wh.read("T_FACT_Events")
+    return out

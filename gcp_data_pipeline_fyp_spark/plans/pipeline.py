@@ -1,0 +1,93 @@
+"""Orchestration (reference O1-O5): one driver, one SparkSession.
+
+The reference needs a Cloud Function + Airflow DAG + five Dataflow
+submissions per run; here the control plane is ordinary Python —
+`choose_mode` is the calendar trigger (`cloud_function.py:12-31`),
+`branch_for_filename` the DAG's filename-prefix branch
+(`load_controller_DAG.py:6-13`), `run_pipeline` the five-stage chain
+(`:187-188`). The 120s eventual-consistency sleep (O5) has no Spark
+equivalent and is dropped.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gcp_data_pipeline_fyp_spark.plans.delta import stage_dw_delta
+from gcp_data_pipeline_fyp_spark.plans.dw import stage_dw_full
+from gcp_data_pipeline_fyp_spark.plans.geo_stage import stage_geo
+from gcp_data_pipeline_fyp_spark.plans.ods import stage_ods
+from gcp_data_pipeline_fyp_spark.plans.staging import stage_staging
+from gcp_data_pipeline_fyp_spark.sources.files import (
+    archive_file,
+    latest_matching_file,
+    read_raw_csv,
+)
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+
+def choose_mode(run_date: _dt.date) -> str:
+    """Day 1 of month -> full (previous month), else daily delta (O1)."""
+    return "full" if run_date.day == 1 else "delta"
+
+
+def branch_for_filename(filename: str) -> str:
+    """whole_month_* -> full, all_day_* -> delta, else error (O2)."""
+    base = os.path.basename(filename)
+    if base.startswith("whole_month_"):
+        return "full"
+    if base.startswith("all_day_"):
+        return "delta"
+    raise ValueError(f"unrecognized raw filename pattern: {filename}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    raw_path: str,
+    states: DataFrame,
+    warehouse_root: str,
+    mode: str | None = None,
+    run_ts: _dt.datetime | None = None,
+    archive: bool = False,
+) -> dict[str, DataFrame]:
+    """Full 5-stage chain: stg -> ods -> geo -> dw -> (archive)."""
+    mode = mode or branch_for_filename(raw_path)
+    run_ts = run_ts or _dt.datetime.now()
+    job_id = f"spark-{uuid.uuid4().hex[:12]}"
+    data_source = os.path.basename(raw_path)
+    wh = Warehouse(spark, warehouse_root)
+
+    raw = read_raw_csv(spark, raw_path)
+    staged = stage_staging(
+        raw, wh, mode, job_id, data_source, run_ts, rejected_root=warehouse_root
+    )
+    if mode == "full":
+        ods = stage_ods(staged, wh, mode, job_id, data_source, run_ts)
+        t_ods = stage_geo(ods, states, wh, mode)
+        tables = stage_dw_full(t_ods, wh, job_id, data_source, run_ts)
+    else:
+        before_ids = None
+        ods_table = "ODS_earthquake"
+        if wh.exists(ods_table):
+            before_ids = wh.read(ods_table).select("ID_Event")
+        ods = stage_ods(staged, wh, mode, job_id, data_source, run_ts)
+        # only newly-landed ODS rows flow into geo + dw (delta scope)
+        new_ods = ods if before_ids is None else ods.join(
+            before_ids, "ID_Event", "left_anti"
+        )
+        stage_geo(new_ods, states, wh, mode)
+        t_ods = wh.read("T_ODS_earthquake")
+        new_t_ods = t_ods if before_ids is None else t_ods.join(
+            before_ids, "ID_Event", "left_anti"
+        )
+        if wh.exists("T_FACT_Events"):
+            tables = stage_dw_delta(new_t_ods, wh, job_id, data_source, run_ts)
+        else:
+            tables = stage_dw_full(t_ods, wh, job_id, data_source, run_ts)
+    if archive:
+        archive_file(raw_path, warehouse_root, mode)
+    return tables

@@ -1,0 +1,72 @@
+"""Parquet-backed warehouse replacing BigQuery tables (reference S5-S9, S12).
+
+Each reference `ReadFromBigQuery`/`WriteToBigQuery` becomes a parquet
+table under a root directory:
+
+- full-refresh writes (WRITE_TRUNCATE) -> `mode("overwrite")`;
+- appends (WRITE_APPEND) -> `mode("append")`;
+- projection-pushdown query reads (S6) are just `.select(...)` — the
+  parquet reader prunes columns and pushes filters at the I/O layer,
+  which is what the reference hand-coded with SQL-shaped source reads;
+- the staging-table lifecycle (S12) is a plain table dir create/drop.
+
+Fact-sized tables are written partitioned (`partition_cols`) so a
+1000-executor cluster gets partition pruning on date-scoped queries and
+the partitioned upsert only rewrites affected partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def overwrite(
+        self, df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
+    ) -> None:
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self.path(table))
+
+    def append(
+        self, df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
+    ) -> None:
+        w = df.write.mode("append")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(self.path(table))
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_cols: Sequence[str]
+    ) -> None:
+        """Dynamic partition overwrite: only partitions present in df are replaced."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(self.path(table))
+        )
+
+    def drop(self, table: str) -> None:
+        p = self.path(table)
+        if os.path.exists(p):
+            shutil.rmtree(p)
