@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship star-schema build + measure rollup on
+sf0.001; `queries()` exposes every implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline operators);
+`oracle_sql()` gives the DuckDB-equivalent SQL for each.
 """
 
 from __future__ import annotations
@@ -13,26 +12,30 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gcp_data_pipeline_fyp_spark.queries_pipeline import PIPELINE_QUERIES
+
+_REGISTRIES = [PIPELINE_QUERIES]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: measure rollup by type over events at sf0.001."""
+    from gcp_data_pipeline_fyp_spark.queries_pipeline import q_measure_totals_by_type
+
+    return q_measure_totals_by_type(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for reg in _REGISTRIES:
+        for name, (fn, _sql) in reg.items():
+            out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for reg in _REGISTRIES:
+        for name, (_fn, sql) in reg.items():
+            if sql is not None:
+                out[name] = sql
+    return out

@@ -1,0 +1,68 @@
+"""Shared helpers for the driver-facing query registry.
+
+Two cross-engine parity rules used throughout (Spark result must
+hash-match the DuckDB oracle value-for-value):
+
+- **Nanosecond parquet timestamps**: the testdata stores
+  TIMESTAMP(NANOS) which Spark cannot read natively; `load` flips
+  `spark.sql.legacy.parquet.nanosAsLong` and rewrites those columns as
+  `timestamp_micros(col div 1000)` — integer division, matching
+  DuckDB's ns->us truncation bit-for-bit.
+- **Deterministic float aggregation**: double sums depend on partial-
+  aggregation order, so any SUM/AVG over doubles goes through
+  `decimal(18,2)` (exact, order-independent) and is cast back/divided
+  afterwards. MIN/MAX/CONT are order-independent and stay native.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# nanosecond-timestamp columns per table (stored as INT64 TIMESTAMP(NANOS))
+NS_TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    for c in NS_TS_COLUMNS.get(table, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def dec_sum(col: Column | str, alias: str) -> Column:
+    """Order-independent double sum: exact decimal(18,2) sum cast back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Deterministic average: exact decimal sum / count, rounded."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c), scale
+    ).alias(alias)
+
+
+def dec_sum_sql(expr: str, alias: str) -> str:
+    return f"cast(sum(cast({expr} as decimal(18,2))) as double) as {alias}"
+
+
+def dec_avg_sql(expr: str, alias: str, scale: int = 6) -> str:
+    return (
+        f"round(cast(sum(cast({expr} as decimal(18,2))) as double)"
+        f" / count({expr}), {scale}) as {alias}"
+    )
