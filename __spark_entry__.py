@@ -12,16 +12,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gcp_data_pipeline_fyp_spark.queries_analytics import ANALYTICS_QUERIES
 from gcp_data_pipeline_fyp_spark.queries_pipeline import PIPELINE_QUERIES
 
-_REGISTRIES = [PIPELINE_QUERIES]
+_REGISTRIES = [PIPELINE_QUERIES, ANALYTICS_QUERIES]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: measure rollup by type over events at sf0.001."""
-    from gcp_data_pipeline_fyp_spark.queries_pipeline import q_measure_totals_by_type
+    """Flagship: full star-schema build (dims + fact) over events at sf0.001."""
+    from gcp_data_pipeline_fyp_spark.queries_analytics import q_star_schema_fact
 
-    return q_measure_totals_by_type(spark, "/root/testdata/sf0.001")
+    return q_star_schema_fact(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,381 @@
+"""Star-schema + general analytics queries (SURVEY.md §2.3-§2.4, §3 E3).
+
+The reference's analytical surface is 12 DAX measures over a star
+schema plus the implicit Power BI slicing; these queries prove the
+engine answers that class of workload — and the general shuffled-join
+/ windowed-aggregation class around it — on the driver's TPC-H-ish
+tables, each hash-checked against DuckDB.
+
+Scale notes baked into the plans:
+- dimension sides of star joins are broadcast (`F.broadcast`);
+- double sums go through exact decimal so results are partial-agg-
+  order independent (a 1000-executor run returns the identical bytes);
+- top-k queries order by an exact measure + unique tie-break, so
+  LIMIT is deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.banding import depth_band, mag_band
+from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
+from gcp_data_pipeline_fyp_spark.queries_util import (
+    dec_avg,
+    dec_avg_sql,
+    load,
+)
+
+
+# --------------------------------------------------- E2E star build (E1+E3)
+def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
+    """events -> ODS analog -> 4 dims + date FK -> fact (the flagship plan)."""
+    ev = load(spark, sf, "events")
+    ods = ev.select(
+        F.col("event_id").alias("ID_Event"),
+        F.col("event_type").alias("LB_type"),
+        (F.col("user_id") % 10).cast("string").alias("LB_net"),
+        (F.col("value") / 20.0).alias("VL_n_mag"),
+        mag_band(F.col("value") / 20.0).alias("LB_magCategory"),
+        F.col("value").alias("VL_n_depth"),
+        depth_band(F.col("value")).alias("LB_depthCategory"),
+        F.col("ts").alias("DT_time"),
+    )
+    dim_type = assign_surrogate_keys(ods, ["LB_type"], "ID_type_ID")
+    dim_net = assign_surrogate_keys(ods, ["LB_net"], "ID_Network_ID")
+    dim_mag = assign_surrogate_keys(ods, ["LB_magCategory"], "ID_magCategory_ID")
+    dim_depth = assign_surrogate_keys(ods, ["LB_depthCategory"], "ID_depthCategory_ID")
+    fact = (
+        ods.join(F.broadcast(dim_type), "LB_type")
+        .join(F.broadcast(dim_net), "LB_net")
+        .join(F.broadcast(dim_mag), "LB_magCategory")
+        .join(F.broadcast(dim_depth), "LB_depthCategory")
+    )
+    return fact.select(
+        "ID_Event",
+        "ID_type_ID",
+        "ID_Network_ID",
+        "ID_magCategory_ID",
+        "ID_depthCategory_ID",
+        F.date_format(F.col("DT_time").cast("date"), "yyyyMMdd")
+        .cast("int")
+        .alias("ID_date_ID"),
+        "VL_n_mag",
+        "VL_n_depth",
+    )
+
+
+SQL_STAR_SCHEMA_FACT = """
+WITH ods AS (
+  SELECT event_id AS id_event, event_type AS lb_type,
+    cast(user_id % 10 AS varchar) AS lb_net,
+    value / 20.0 AS vl_n_mag,
+    CASE WHEN value / 20.0 IS NULL THEN NULL
+         WHEN value / 20.0 < 3 THEN 'Not Felt'
+         WHEN value / 20.0 < 4 THEN 'Minor'
+         WHEN value / 20.0 < 5 THEN 'Light'
+         WHEN value / 20.0 < 6 THEN 'Moderate'
+         WHEN value / 20.0 < 7 THEN 'Strong'
+         WHEN value / 20.0 < 8 THEN 'Major'
+         ELSE 'Great' END AS lb_magcategory,
+    value AS vl_n_depth,
+    CASE WHEN value IS NULL THEN NULL
+         WHEN value <= 70 THEN 'Shallow'
+         WHEN value <= 300 THEN 'Intermediate'
+         ELSE 'Deep' END AS lb_depthcategory,
+    ts AS dt_time
+  FROM events),
+dim_type AS (SELECT row_number() OVER (ORDER BY lb_type) AS id_type_id, lb_type
+             FROM (SELECT DISTINCT lb_type FROM ods)),
+dim_net AS (SELECT row_number() OVER (ORDER BY lb_net) AS id_network_id, lb_net
+            FROM (SELECT DISTINCT lb_net FROM ods)),
+dim_mag AS (SELECT row_number() OVER (ORDER BY lb_magcategory) AS id_magcategory_id,
+                   lb_magcategory FROM (SELECT DISTINCT lb_magcategory FROM ods)),
+dim_depth AS (SELECT row_number() OVER (ORDER BY lb_depthcategory)
+                     AS id_depthcategory_id, lb_depthcategory
+              FROM (SELECT DISTINCT lb_depthcategory FROM ods))
+SELECT id_event, id_type_id, id_network_id, id_magcategory_id, id_depthcategory_id,
+  cast(strftime(cast(dt_time AS date), '%Y%m%d') AS int) AS id_date_id,
+  vl_n_mag, vl_n_depth
+FROM ods
+  JOIN dim_type USING (lb_type)
+  JOIN dim_net USING (lb_net)
+  JOIN dim_mag USING (lb_magcategory)
+  JOIN dim_depth USING (lb_depthcategory)
+"""
+
+
+# ----------------------------------------------------- TPC-H Q1 shape
+def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_extendedprice", "avg_price"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = f"""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+  cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS sum_disc_price,
+  {dec_avg_sql("l_quantity", "avg_qty")},
+  {dec_avg_sql("l_extendedprice", "avg_price")},
+  {dec_avg_sql("l_discount", "avg_disc")},
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ----------------------------------------------------- TPC-H Q3 shape
+def q_top_revenue_orders(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-06-01").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-06-01").cast("timestamp")
+    )
+    joined = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS revenue
+FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < timestamp '1999-06-01 00:00:00'
+  AND l_shipdate > timestamp '1999-06-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------- TPC-H Q5 shape
+def q_region_nation_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    region = load(spark, sf, "region")
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+SQL_REGION_NATION_REVENUE = """
+SELECT r_name, n_name,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ----------------------------------------------------- TPC-H Q4 shape (semi join)
+def q_order_priority_count(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    has_late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return has_late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+SQL_ORDER_PRIORITY_COUNT = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ----------------------------------------------------- part/supplier coverage
+def q_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    part = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS revenue,
+  count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name",
+                F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+        .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_SUPPLIERS = """
+SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+ORDER BY round(s_acctbal, 2) DESC, s_suppkey
+LIMIT 10
+"""
+
+
+# ----------------------------------------------------- window functions
+def q_running_customer_spend(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+SQL_RUNNING_CUSTOMER_SPEND = """
+SELECT o_custkey, o_orderkey,
+  cast(sum(cast(o_totalprice AS decimal(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend
+FROM orders
+"""
+
+
+def q_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — lag + cumulative sum windows."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    new_session = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > 1_800_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    ev2 = ev.withColumn("__new_session", new_session)
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev2.select(
+        "event_id",
+        "user_id",
+        F.sum("__new_session").over(w2).cast("long").alias("session_id"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+  cast(sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_id
+FROM flagged
+"""
+
+
+# ----------------------------------------------------- rollup (implicit slicers)
+def q_rollup_type_day(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load(spark, sf, "events")
+    return (
+        ev.rollup(F.col("event_type").alias("lb_type"),
+                  F.date_trunc("DAY", "ts").alias("dt_date"))
+        .agg(F.count("*").alias("total_events"))
+    )
+
+
+SQL_ROLLUP_TYPE_DAY = """
+SELECT event_type AS lb_type, date_trunc('day', ts) AS dt_date,
+       count(*) AS total_events
+FROM events
+GROUP BY ROLLUP (lb_type, dt_date)
+"""
+
+
+ANALYTICS_QUERIES: dict[str, tuple] = {
+    "star_schema_fact": (q_star_schema_fact, SQL_STAR_SCHEMA_FACT),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "region_nation_revenue": (q_region_nation_revenue, SQL_REGION_NATION_REVENUE),
+    "order_priority_count": (q_order_priority_count, SQL_ORDER_PRIORITY_COUNT),
+    "brand_revenue": (q_brand_revenue, SQL_BRAND_REVENUE),
+    "top_suppliers": (q_top_suppliers, SQL_TOP_SUPPLIERS),
+    "running_customer_spend": (q_running_customer_spend, SQL_RUNNING_CUSTOMER_SPEND),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
+    "rollup_type_day": (q_rollup_type_day, SQL_ROLLUP_TYPE_DAY),
+}
