@@ -1,0 +1,153 @@
+"""Text-analysis column builders for training-data pipelines.
+
+All pure Catalyst expressions (array lambdas, no Python UDFs) so they
+run inside codegen at 100 TB scan speed: tokenization, shingling,
+quality metrics, n-gram-profile language id, rolling-hash
+fingerprinting, MinHash signatures, SimHash.
+
+Cross-engine determinism: every hash is md5-hex based; MinHash minima
+are taken over fixed-width lowercase hex strings, whose lexicographic
+order equals numeric order — so a DuckDB oracle reproduces signatures
+byte-for-byte (no xxhash/murmur, which other engines don't ship).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(_c(text)), r"\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: alpha runs + digit runs + lone symbols."""
+    return F.regexp_count(_c(text), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.regexp_count(_c(text), F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def stopword_hits(toks: Column, words: list[str]) -> Column:
+    """How many tokens are in `words` (multiset count)."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+# tiny per-language stopword profiles (public-knowledge function words)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "y", "en", "que", "los"],
+    "fr": ["le", "la", "de", "et", "un", "les", "des"],
+    "de": ["der", "die", "das", "und", "ein", "nicht", "ist"],
+}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax of stopword-profile hits; ties break en > es > fr > de."""
+    toks = tokens(text)
+    h = {lang: stopword_hits(toks, words) for lang, words in LANG_PROFILES.items()}
+    return (
+        F.when(
+            (h["en"] >= h["es"]) & (h["en"] >= h["fr"]) & (h["en"] >= h["de"]), "en"
+        )
+        .when((h["es"] >= h["fr"]) & (h["es"] >= h["de"]), "es")
+        .when(h["fr"] >= h["de"], "fr")
+        .otherwise("de")
+    )
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle strings; empty array when fewer than n tokens."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+
+
+def rolling_fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over token hash values, mod `modulus`.
+
+    Token value = first 8 md5 hex chars as int (cross-engine stable);
+    accumulator stays < modulus so `acc*31 + v` never overflows int64
+    (ANSI-mode safe).
+    """
+    vals = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 31 + v) % F.lit(modulus),
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
+    """Array of `num_hashes` MinHash values as 15-char hex strings.
+
+    hash_j(s) = md5(j || ':' || s)[:15]; the minimum over shingles of a
+    fixed-width hex string is the numeric MinHash. Empty shingle sets
+    produce NULL elements (doc shorter than the shingle width).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingle_arr,
+                lambda s: F.substring(F.md5(F.concat_ws(":", j.cast("string"), s)), 1, 15),
+            )
+        ),
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Group a MinHash signature into band signatures: array of (band, sig) structs."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.array_join(
+                F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+            ).alias("sig"),
+        ),
+    )
+
+
+def simhash16(toks: Column) -> Column:
+    """16-bit SimHash: per bit, majority vote of tokens' md5 hex digits.
+
+    Bit p is 1 iff sum over tokens of (+1 if md5(token)[p] >= '8' else
+    -1) is positive ('8'..'f' sort above '0'..'7' in every engine).
+    """
+    bit = lambda p: F.when(  # noqa: E731
+        F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.substring(F.md5(t), p + F.lit(1), F.lit(1)) >= "8", 1).otherwise(-1),
+        )
+        > 0,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), bit)
+    powers = F.transform(
+        F.sequence(F.lit(0), F.lit(15)), lambda p: F.pow(F.lit(2.0), p).cast("long")
+    )
+    return F.aggregate(
+        F.zip_with(bits, powers, lambda b, w: b.cast("long") * w),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,61 @@
+"""Vector-similarity column builders (embedding columns, ANN support).
+
+Native array-lambda expressions — `zip_with` + `aggregate` compile to
+codegen'd loops over the array, no Python in the hot path. Folds run
+in index order, so double results are bit-identical across engines
+(DuckDB's list functions fold the same way); a final `round` makes the
+hash-compare immune to any residual last-bit noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def as_double_vec(col: Column | str) -> Column:
+    return _c(col).cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL when either norm is 0 (try_divide)."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
+
+
+def scale(a: Column, s: Column | float) -> Column:
+    sc = F.lit(s) if isinstance(s, (int, float)) else s
+    return F.transform(a, lambda x: x * sc)
+
+
+def add(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def lsh_sign_bucket(a: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket id: one bit per hyperplane.
+
+    `planes` are driver-provided deterministic hyperplanes (see
+    operators/similarity.py — derived from a seeded RNG, broadcast as
+    literals into the plan).
+    """
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(a, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket + F.when(d >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0))
+    return bucket

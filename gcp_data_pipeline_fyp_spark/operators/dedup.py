@@ -1,0 +1,160 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all shuffle-conscious:
+
+- `exact_dedup`: hash-groupBy on the content key; one shuffle, then a
+  per-key `row_number` keeps the smallest tie-break id. At 100 TB this
+  is the same shuffle a GROUP BY pays — AQE handles skewed keys.
+- `minhash_lsh_candidates`: shingle -> MinHash -> band -> bucket join.
+  Explodes each doc into `bands` bucket rows (linear blow-up), groups
+  by (band, band-signature), and emits intra-bucket pairs — never an
+  O(n²) cross join; the only quadratic term is within a bucket, which
+  LSH keeps small by construction.
+- `simhash_groups`: 16-bit SimHash per doc; identical hashes are
+  near-dup candidates (single shuffle on the hash).
+- `ngram_jaccard_pairs`: exact Jaccard verification over candidate
+  pairs *within explicit blocks* — the verification step you run after
+  LSH, not a standalone O(n²) scan.
+- `embedding_neardup_pairs`: cosine-threshold pairs within blocks
+  (a blocking column, e.g. an LSH sign-bucket from
+  operators/similarity.py).
+
+All hashing is md5-hex based for cross-engine reproducibility
+(functions/text.py); swap to xxhash64 inside a closed Spark deployment
+for ~3-5x cheaper signatures.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import (
+    lsh_bands,
+    minhash_signature,
+    shingles,
+    simhash16,
+    tokens,
+)
+from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], tiebreak_col: str
+) -> DataFrame:
+    """Keep exactly one row per key (the one with the smallest tie-break)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(tiebreak_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dup_stats(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
+    """Per duplicate-group stats: keeper id + group size."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
+    banded = df.select(
+        F.col(id_col), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b")
+    ).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+    ).filter(F.col("sig") != "")  # docs shorter than the shingle width
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(simhash, ids...) groups with >1 member — near-dup candidates."""
+    hashed = df.select(F.col(id_col), simhash16(tokens(text_col)).alias("simhash"))
+    return (
+        hashed.groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every intra-block pair (id_a < id_b)."""
+    g = df.select(
+        *block_cols, F.col(id_col), shingles(tokens(text_col), n).alias("__grams")
+    )
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__grams"), F.col("b.__grams")))
+    union = F.size(F.array_union(F.col("a.__grams"), F.col("b.__grams")))
+    jac = F.round(F.try_divide(inter.cast("double"), union.cast("double")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_cols: Sequence[str],
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine >= threshold pairs within blocks (id_a < id_b)."""
+    g = df.select(*block_cols, F.col(id_col), as_double_vec(vec_col).alias("__v"))
+    a, b = g.alias("a"), g.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

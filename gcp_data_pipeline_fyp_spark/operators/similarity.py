@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns.
+
+- `brute_force_topk`: exact top-k — the correctness baseline. The
+  (small) query set is broadcast against the corpus, cosine computed
+  with native array lambdas, per-query `row_number` keeps k. Cost is
+  O(|Q|·|corpus|) but fully scan-parallel: on a 1000-executor cluster
+  this is one pass over the corpus with no shuffle except the final
+  per-query top-k (tiny).
+- `lsh_topk`: the scale path — sign-random-projection buckets; each
+  query probes only its own bucket (plus optional multi-probe
+  neighbors at Hamming distance 1), then exact rerank inside. Bucket
+  assignment is a narrow map; the probe join shuffles only on the
+  bucket id.
+- `ivf_topk`: inverted-file variant — corpus assigned to the nearest
+  of C centroids (seeded deterministic init + one Lloyd refinement,
+  computed with posexplode/groupBy, no MLlib dependency); queries
+  probe the `nprobe` nearest centroids and rerank exactly.
+
+Hyperplanes/centroid seeds derive from Python's seeded `random`, so
+plans are rerun-stable.
+"""
+
+from __future__ import annotations
+
+import random as _random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.vectors import (
+    as_double_vec,
+    cosine,
+    dot,
+    lsh_sign_bucket,
+)
+
+
+def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("corpus_id")
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of corpus rows per query row (ids must not overlap roles)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    return _topk_per_query(pairs, k)
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = _random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: probe the query's sign bucket (+ Hamming-1 neighbors)."""
+    planes = make_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    ).withColumn("__bucket", lsh_sign_bucket(F.col("__cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    ).withColumn("__qbucket", lsh_sign_bucket(F.col("__qv"), planes))
+    if multiprobe:
+        # probe own bucket + all Hamming-distance-1 buckets
+        probes = F.array(
+            F.col("__qbucket"),
+            *[
+                F.col("__qbucket").bitwiseXOR(F.lit(1 << i)).cast("long")
+                for i in range(n_planes)
+            ],
+        )
+        q = q.withColumn("__probe", F.explode(probes))
+    else:
+        q = q.withColumn("__probe", F.col("__qbucket"))
+    pairs = q.join(c, q["__probe"] == c["__bucket"]).select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    ).dropDuplicates(["query_id", "corpus_id"])
+    return _topk_per_query(pairs, k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    # deterministic init: the n_centroids corpus vectors with smallest ids
+    cent = (
+        c.orderBy("corpus_id")
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy("corpus_id")).alias("centroid_id"),
+            F.col("__cv").alias("__centroid"),
+        )
+    )
+    for _ in range(refine_iters):
+        assigned = _assign(c, cent)
+        cent = (
+            assigned.select(
+                "centroid_id", F.posexplode("__cv").alias("__pos", "__x")
+            )
+            .groupBy("centroid_id", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+                    ),
+                    lambda s: s["__m"],
+                ).alias("__centroid")
+            )
+        )
+    assigned = _assign(c, cent)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "__qv",
+        "centroid_id",
+        dot(F.col("__qv"), F.col("__centroid")).alias("__score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    probes = qc.withColumn("__rn", F.row_number().over(wq)).filter(
+        F.col("__rn") <= nprobe
+    ).select("query_id", "__qv", "centroid_id")
+    pairs = probes.join(assigned, "centroid_id").select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+    )
+    return _topk_per_query(pairs, k)
+
+
+def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "corpus_id",
+        "__cv",
+        "centroid_id",
+        dot(F.col("__cv"), F.col("__centroid")).alias("__score"),
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("corpus_id", "__cv", "centroid_id")
+    )

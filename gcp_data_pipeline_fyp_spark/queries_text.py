@@ -1,0 +1,317 @@
+"""Driver-facing probes for the text-analysis + dedup operator families.
+
+The synthetic `documents` table has no natural duplicates, so the
+dedup probes synthesize controlled ones — a deterministic union of the
+corpus with mutated copies (same construction in the oracle SQL), which
+keeps the probe end-to-end honest: the operator must find exactly the
+planted pairs (plus any real ones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import (
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    lang_id,
+    punct_count,
+    rolling_fingerprint,
+    stopword_hits,
+    token_count,
+    tokens,
+)
+from gcp_data_pipeline_fyp_spark.operators.dedup import (
+    exact_dedup,
+    exact_dup_stats,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from gcp_data_pipeline_fyp_spark.functions.text import minhash_signature, shingles, simhash16
+from gcp_data_pipeline_fyp_spark.queries_util import load
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "documents")
+
+
+def _docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ exact copies of every 10th doc (id shifted by 1e6)."""
+    d = _docs(spark, sf)
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    return d.unionByName(dups)
+
+
+_SQL_DOCS_WITH_DUPS = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_neardups(spark: SparkSession, sf: str) -> DataFrame:
+    """documents ∪ near-copies (every 10th doc + a 3-token tail)."""
+    d = _docs(spark, sf)
+    dups = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq zr zs")))
+    )
+    return d.unionByName(dups)
+
+
+_SQL_DOCS_WITH_NEARDUPS = """
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zq zr zs' AS text, lang, source,
+         n_chars
+  FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+def q_dedup_exact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return exact_dup_stats(_docs_with_dups(spark, sf), ["text"], "doc_id").select(
+        "keep_id", "n_dupes"
+    )
+
+
+SQL_DEDUP_EXACT_STATS = f"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_dupes
+FROM ({_SQL_DOCS_WITH_DUPS}) GROUP BY text
+"""
+
+
+def q_dedup_exact_rows(spark: SparkSession, sf: str) -> DataFrame:
+    kept = exact_dedup(_docs_with_dups(spark, sf), ["text"], "doc_id")
+    return kept.select("doc_id", "lang", "source")
+
+
+SQL_DEDUP_EXACT_ROWS = f"""
+WITH u AS ({_SQL_DOCS_WITH_DUPS})
+SELECT doc_id, lang, source FROM u
+WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)
+"""
+
+
+# ------------------------------------------------------------ quality metrics
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    toks = tokens("text")
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    total_len = F.aggregate(tok_lens, F.lit(0), lambda a, b: a + b)
+    en = LANG_PROFILES["en"]
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        punct_count("text").alias("n_punct"),
+        F.round(total_len.cast("double") / F.size(toks), 6).alias("avg_token_len"),
+        F.round(
+            stopword_hits(toks, en).cast("double") / F.size(toks), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_EN = "('" + "','".join(LANG_PROFILES["en"]) + "')"
+# regexp_count has no direct DuckDB twin; count matches via extract_all
+SQL_TEXT_QUALITY = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  cast(len(toks) AS int) AS n_tokens,
+  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+       AS int) AS n_bpe_tokens,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS int) AS n_punct,
+  round(cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+        / len(toks), 6) AS avg_token_len,
+  round(cast(len(list_filter(toks, t -> t IN {_SQL_EN})) AS double)
+        / len(toks), 6) AS stopword_ratio
+FROM t
+"""
+
+
+# ------------------------------------------------------------ language id
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    return _docs(spark, sf).select("doc_id", lang_id("text").alias("lang_pred"))
+
+
+def _hits_sql(lang: str) -> str:
+    words = "('" + "','".join(LANG_PROFILES[lang]) + "')"
+    return f"len(list_filter(toks, t -> t IN {words}))"
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_hits_sql('en')} AS h_en, {_hits_sql('es')} AS h_es,
+             {_hits_sql('fr')} AS h_fr, {_hits_sql('de')} AS h_de FROM t)
+SELECT doc_id,
+  CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+       WHEN h_es >= h_fr AND h_es >= h_de THEN 'es'
+       WHEN h_fr >= h_de THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM h
+"""
+
+
+# ------------------------------------------------------------ fingerprinting
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.md5(F.trim(F.col("text"))).alias("content_md5"),
+        rolling_fingerprint(tokens("text")).alias("rolling_hash"),
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id, md5(trim(text)) AS content_md5,
+  cast(list_reduce(
+    list_prepend(cast(0 AS bigint),
+      list_transform(toks,
+        t -> cast(cast(concat('0x', substr(md5(t), 1, 8)) AS bigint) % 1000000007
+                  AS bigint))),
+    (a, b) -> (a * 31 + b) % 1000000007) AS bigint) AS rolling_hash
+FROM t
+"""
+
+
+# ------------------------------------------------------------ MinHash / LSH
+_NUM_HASHES, _BANDS = 8, 4
+
+
+def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    sig = minhash_signature(shingles(tokens("text"), 3), _NUM_HASHES)
+    return d.select("doc_id", F.array_join(sig, "|").alias("signature"))
+
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
+    " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
+)
+_SQL_SIG = (
+    "list_transform(generate_series(0, 7), j -> "
+    "list_min(list_transform(sh, s -> substr(md5(concat_ws(':', cast(j AS varchar), s)), 1, 15))))"
+)
+SQL_MINHASH_SIGNATURE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
+SELECT doc_id, array_to_string({_SQL_SIG}, '|') AS signature FROM s
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_neardups(spark, sf)
+    return minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM s),
+bands AS (
+  SELECT doc_id, b,
+    concat_ws('|', sig[b*2+1], sig[b*2+2]) AS bsig
+  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
+nz AS (SELECT * FROM bands WHERE bsig <> '')
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM nz a JOIN nz b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+
+# ------------------------------------------------------------ SimHash
+def q_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    return d.select("doc_id", simhash16(tokens("text")).alias("simhash"))
+
+
+SQL_SIMHASH = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id,
+  list_transform(generate_series(0, 15), p ->
+    CASE WHEN list_sum(list_transform(toks,
+        t -> CASE WHEN substr(md5(t), p + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+    THEN 1 ELSE 0 END) AS bits
+  FROM t)
+SELECT doc_id,
+  cast(list_sum(list_transform(generate_series(0, 15),
+    p -> bits[p+1] * cast(pow(2, p) AS bigint))) AS bigint) AS simhash
+FROM b
+"""
+
+
+def q_simhash_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_dups(spark, sf)
+    return simhash_groups(d, "doc_id", "text").select(
+        "simhash", "n_docs", F.array_join(F.col("doc_ids").cast("array<string>"), ",").alias("doc_ids")
+    )
+
+
+SQL_SIMHASH_DUP_GROUPS = f"""
+WITH u AS ({_SQL_DOCS_WITH_DUPS}),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+b AS (SELECT doc_id,
+  list_transform(generate_series(0, 15), p ->
+    CASE WHEN list_sum(list_transform(toks,
+        t -> CASE WHEN substr(md5(t), p + 1, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+    THEN 1 ELSE 0 END) AS bits
+  FROM t),
+h AS (SELECT doc_id,
+  cast(list_sum(list_transform(generate_series(0, 15),
+    p -> bits[p+1] * cast(pow(2, p) AS bigint))) AS bigint) AS simhash
+  FROM b)
+SELECT simhash, count(*) AS n_docs,
+  array_to_string(list_transform(list_sort(list(doc_id)), x -> cast(x AS varchar)), ',') AS doc_ids
+FROM h GROUP BY simhash HAVING count(*) > 1
+"""
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs_with_neardups(spark, sf).filter(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") >= 1_000_000)
+    )
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", ["lang", "source"], n=3, threshold=0.2
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH u AS (
+  SELECT * FROM ({_SQL_DOCS_WITH_NEARDUPS})
+  WHERE doc_id % 7 = 0 OR doc_id >= 1000000),
+t AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM u),
+g AS (SELECT doc_id, lang, source, {_SQL_SHINGLES} AS grams FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(cast(len(list_intersect(a.grams, b.grams)) AS double)
+        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0), 6)
+    AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(cast(len(list_intersect(a.grams, b.grams)) AS double)
+        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0), 6) >= 0.2
+"""
+
+
+TEXT_QUERIES: dict[str, tuple] = {
+    "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
+    "dedup_exact_rows": (q_dedup_exact_rows, SQL_DEDUP_EXACT_ROWS),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_signature": (q_minhash_signature, SQL_MINHASH_SIGNATURE),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_dup_groups": (q_simhash_dup_groups, SQL_SIMHASH_DUP_GROUPS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+}
