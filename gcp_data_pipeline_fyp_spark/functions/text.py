@@ -95,32 +95,74 @@ def rolling_fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     )
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
-    """Array of `num_hashes` MinHash values as 15-char hex strings.
+_MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
-    hash_j(s) = md5(j || ':' || s)[:15]; the minimum over shingles of a
-    fixed-width hex string is the numeric MinHash. Empty shingle sets
-    produce NULL elements (doc shorter than the shingle width).
-    """
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic affine-permutation coefficients (a_j odd, b_j)."""
+    return [
+        (((2 * j + 1) * 2_654_435_761) % 2_147_483_647 | 1, (j * 40_503 + 12_289))
+        for j in range(num_hashes)
+    ]
+
+
+def shingle_base_hash(shingle_arr: Column) -> Column:
+    """One md5 per shingle -> 32-bit int base hash (cross-engine stable)."""
     return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                shingle_arr,
-                lambda s: F.substring(F.md5(F.concat_ws(":", j.cast("string"), s)), 1, 15),
-            )
+        shingle_arr, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 8) -> Column:
+    """Array of `num_hashes` MinHash values (classic affine permutations).
+
+    hash_j(x) = (a_j * x + b_j) mod p over the per-shingle base hash —
+    ONE md5 per shingle, then pure int64 arithmetic per hash function
+    (a_j < 2^31, x < 2^32, so a_j*x < 2^63: no overflow, ANSI-safe).
+    Empty shingle sets produce NULL elements (doc shorter than the
+    shingle width).
+    """
+    base = shingle_base_hash(shingle_arr)
+    params = minhash_params(num_hashes)
+    consts = F.array(
+        *[
+            F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+            for a, b in params
+        ]
+    )
+    # ONE fold over the shingles updating all num_hashes minima at once:
+    # Catalyst inlines duplicated subtrees on projection collapse, so
+    # `num_hashes` separate array_min(transform(base, ...)) calls would
+    # recompute the md5 base per hash function — this shape evaluates
+    # each shingle hash exactly once.
+    init = F.array(*[F.lit(_MINHASH_PRIME).cast("long")] * num_hashes)
+    folded = F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            consts,
+            lambda m, p: F.least(m, (x * p["a"] + p["b"]) % F.lit(_MINHASH_PRIME)),
         ),
+    )
+    # empty shingle set leaves the init sentinel (== prime, which no
+    # real hash can reach since results are mod prime) -> NULL, matching
+    # list_min-over-empty semantics without re-evaluating `base`
+    return F.transform(
+        folded,
+        lambda m: F.when(m == F.lit(_MINHASH_PRIME), F.lit(None).cast("long")).otherwise(m),
     )
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Group a MinHash signature into band signatures: array of (band, sig) structs."""
+    sig_str = signature.cast("array<string>")
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
             b.alias("band"),
             F.array_join(
-                F.slice(signature, b * rows_per_band + 1, rows_per_band), "|"
+                F.slice(sig_str, b * rows_per_band + 1, rows_per_band), "|"
             ).alias("sig"),
         ),
     )

@@ -70,15 +70,24 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band."""
     rows_per_band = num_hashes // bands
+    # signatures are CPU-bound per row; a compressed text parquet often
+    # yields far fewer input splits than cores (15 MB of parquet can be
+    # one split holding 50k docs) — spread the compute first
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
-    banded = df.select(
-        F.col(id_col), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b")
+    # persist the signatures BEFORE banding: the band explode and the
+    # self-join would otherwise each re-inline (and recompute) the full
+    # signature expression — signatures are the expensive part of LSH
+    sig_df = df.select(F.col(id_col), sig.alias("__sig")).persist()
+    banded = sig_df.select(
+        F.col(id_col),
+        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("b"),
     ).select(
         id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
     ).filter(F.col("sig") != "")  # docs shorter than the shingle width
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -90,6 +99,7 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    return out
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -189,21 +189,29 @@ _NUM_HASHES, _BANDS = 8, 4
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     sig = minhash_signature(shingles(tokens("text"), 3), _NUM_HASHES)
-    return d.select("doc_id", F.array_join(sig, "|").alias("signature"))
+    return d.select(
+        "doc_id", F.array_join(sig.cast("array<string>"), "|").alias("signature")
+    )
 
 
 _SQL_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),"
     " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"
 )
-_SQL_SIG = (
-    "list_transform(generate_series(0, 7), j -> "
-    "list_min(list_transform(sh, s -> substr(md5(concat_ws(':', cast(j AS varchar), s)), 1, 15))))"
+from gcp_data_pipeline_fyp_spark.functions.text import minhash_params  # noqa: E402
+
+_SQL_BASE = (
+    "list_transform(sh, s -> cast(concat('0x', substr(md5(s), 1, 8)) AS bigint))"
 )
+_SQL_SIG = "[" + ", ".join(
+    f"list_min(list_transform(base, x -> (x * {a} + {b}) % 4294967311))"
+    for a, b in minhash_params(_NUM_HASHES)
+) + "]"
 SQL_MINHASH_SIGNATURE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
-s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t)
-SELECT doc_id, array_to_string({_SQL_SIG}, '|') AS signature FROM s
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+b AS (SELECT doc_id, {_SQL_BASE} AS base FROM s)
+SELECT doc_id, array_to_string({_SQL_SIG}, '|') AS signature FROM b
 """
 
 
@@ -218,7 +226,8 @@ SQL_MINHASH_LSH_PAIRS = f"""
 WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
 t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
 s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
-sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM s),
+bb AS (SELECT doc_id, {_SQL_BASE} AS base FROM s),
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM bb),
 bands AS (
   SELECT doc_id, b,
     concat_ws('|', sig[b*2+1], sig[b*2+2]) AS bsig
