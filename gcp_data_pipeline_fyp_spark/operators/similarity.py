@@ -54,18 +54,37 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k of corpus rows per query row (ids must not overlap roles)."""
+    # pre-normalize both sides: cosine of unit vectors is a bare dot
+    # product, so the O(|Q|·|corpus|) pair stage does 1/3 of the work
+    # (norms are computed once per row, not once per pair)
     q = queries.select(
-        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"), _unit(as_double_vec(vec_col)).alias("__qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+        F.col(id_col).alias("corpus_id"), _unit(as_double_vec(vec_col)).alias("__cv")
     )
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(_fast_dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
     )
     return _topk_per_query(pairs, k)
+
+
+def _fast_dot(a, b):
+    from gcp_data_pipeline_fyp_spark.functions import vectors as _v
+
+    if _v.HAVE_VECTORIZED:
+        return _v.dot_vectorized(a, b)
+    return dot(a, b)
+
+
+def _unit(v):
+    from gcp_data_pipeline_fyp_spark.functions.vectors import norm, scale
+
+    n = norm(v)
+    # zero vector -> NULL unit vector -> NULL cosine (try_divide parity)
+    return F.when(n > 0, scale(v, 1.0 / n))
 
 
 def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -34,7 +34,7 @@ from gcp_data_pipeline_fyp_spark.queries_util import load
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "documents")
+    return load(spark, sf, "documents", spread=True)
 
 
 def _docs_with_dups(spark: SparkSession, sf: str) -> DataFrame:

@@ -34,12 +34,23 @@ NS_TS_COLUMNS = {
 }
 
 
-def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, table: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table.
+
+    `spread=True` repartitions to defaultParallelism — for CPU-bound
+    per-row work (hashing, vector math) over small compressed parquet,
+    where one ~15 MB input split would otherwise serialize 50k rows of
+    compute on a single core.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     for c in NS_TS_COLUMNS.get(table, []):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

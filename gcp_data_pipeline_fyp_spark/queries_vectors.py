@@ -32,7 +32,7 @@ _SQL_COS = """
 
 
 def _emb(spark: SparkSession, sf: str) -> DataFrame:
-    return load(spark, sf, "embeddings")
+    return load(spark, sf, "embeddings", spread=True)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:

@@ -1,0 +1,112 @@
+"""Unit tests for the scalar surface — the reference's quirk cases.
+
+Each case is cited to the reference behavior it pins down (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.banding import (
+    depth_band,
+    mag_band,
+    null_fallback_adjust,
+)
+from gcp_data_pipeline_fyp_spark.functions.cleaning import (
+    null_coerce,
+    safe_double,
+    safe_long,
+)
+from gcp_data_pipeline_fyp_spark.functions.ids import stable_event_id
+from gcp_data_pipeline_fyp_spark.functions.timeops import (
+    date_dim_columns,
+    utc_to_local_string,
+)
+
+
+def _vals(spark, expr, rows, schema="v string"):
+    df = spark.createDataFrame(rows, schema)
+    return [r[0] for r in df.select(expr).collect()]
+
+
+def test_null_coerce_zero_and_empty(spark):
+    # stg_full_load.py:78-83 — '' and '0' (even a legit zero) -> NULL
+    out = _vals(spark, null_coerce("v"), [("0",), ("",), (" 0 ",), ("0.0",), ("x",)])
+    assert out == [None, None, None, "0.0", "x"]
+
+
+def test_safe_casts(spark):
+    # ods_full_load2.py:51-64 — 'null'/''/garbage -> NULL; int(float(v))
+    assert _vals(spark, safe_double("v"), [("1.5",), ("null",), ("",), ("abc",)]) == [
+        1.5, None, None, None,
+    ]
+    assert _vals(spark, safe_long("v"), [("3.9",), ("-2.7",), ("7",), ("x",)]) == [
+        3, -2, 7, None,
+    ]  # truncation toward zero, like Python int(float(v))
+
+
+def test_null_fallback_adjust(spark):
+    # ods_full_load2.py:75-76 — a + 0.5*b ONLY when both non-null, else a
+    df = spark.createDataFrame(
+        [(10.0, 2.0), (10.0, None), (None, 2.0), (None, None)], "a double, b double"
+    )
+    out = [r[0] for r in df.select(null_fallback_adjust("a", "b")).collect()]
+    assert out == [11.0, 10.0, None, None]
+
+
+def test_depth_band_boundaries(spark):
+    # ods_full_load2.py:79-86 — <=70 Shallow, (70,300] Intermediate, >300 Deep
+    df = spark.createDataFrame(
+        [(0.0,), (70.0,), (70.0001,), (300.0,), (300.1,), (None,)], "v double"
+    )
+    out = [r[0] for r in df.select(depth_band("v")).collect()]
+    assert out == ["Shallow", "Shallow", "Intermediate", "Intermediate", "Deep", None]
+
+
+def test_mag_band_boundaries(spark):
+    # ods_full_load2.py:88-103 — half-open bands at 3,4,5,6,7,8
+    df = spark.createDataFrame(
+        [(2.9,), (3.0,), (4.0,), (5.0,), (6.0,), (7.0,), (8.0,), (9.5,), (None,)],
+        "v double",
+    )
+    out = [r[0] for r in df.select(mag_band("v")).collect()]
+    assert out == [
+        "Not Felt", "Minor", "Light", "Moderate", "Strong", "Major", "Great",
+        "Great", None,
+    ]
+
+
+def test_stable_event_id_deterministic(spark):
+    # P12 — same key -> same 60-bit id, across DataFrames and runs
+    df = spark.createDataFrame([("2024-01-01 10:00:00", 1.5, 2.5)], "t string, a double, b double")
+    id1 = df.select(stable_event_id("t", "a", "b").alias("i")).first()["i"]
+    id2 = df.select(stable_event_id("t", "a", "b").alias("i")).first()["i"]
+    assert id1 == id2
+    assert 0 <= id1 < 2**60
+
+
+def test_utc_to_local_dst(spark):
+    # P11 — Europe/Bucharest is EET (+2) in winter, EEST (+3) in summer;
+    # the reference's fixed +3h full-load variant is intentionally NOT
+    # replicated (SURVEY.md §7 timezones)
+    df = spark.createDataFrame(
+        [("2024-01-15T12:00:00Z",), ("2024-07-15T12:00:00.000Z",)], "t string"
+    )
+    out = [r[0] for r in df.select(utc_to_local_string("t")).collect()]
+    assert out == ["2024-01-15 14:00:00", "2024-07-15 15:00:00"]
+
+
+def test_date_dim_iso_fields(spark):
+    # P16 — ISO weekday (Mon=1, Sun=7) and ISO week (2024-01-01 is week 1)
+    df = spark.createDataFrame([("2024-01-01",), ("2023-01-01",)], "d string")
+    cols = date_dim_columns("d")
+    rows = df.select(
+        cols["ID_date_ID"].alias("id"),
+        cols["ID_DayOfWeekNb"].alias("dow"),
+        cols["ID_WeekNb"].alias("week"),
+        cols["LB_DayOfWeek"].alias("day"),
+        cols["ID_Quarter"].alias("q"),
+    ).collect()
+    assert rows[0].asDict() == {"id": 20240101, "dow": 1, "week": 1, "day": "Monday", "q": 1}
+    # 2023-01-01 was a Sunday -> ISO week 52 of 2022
+    assert rows[1].asDict() == {"id": 20230101, "dow": 7, "week": 52, "day": "Sunday", "q": 1}

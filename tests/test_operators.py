@@ -1,0 +1,154 @@
+"""Operator-level tests: place parse, keys, merge, quality gate, dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.geo import build_states_lookup, parse_place
+from gcp_data_pipeline_fyp_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_groups,
+)
+from gcp_data_pipeline_fyp_spark.operators.keys import (
+    assign_surrogate_keys,
+    incremental_surrogate_keys,
+)
+from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+from gcp_data_pipeline_fyp_spark.operators.quality import quality_split, reject_predicate
+from gcp_data_pipeline_fyp_spark.sources.states import states_df
+
+
+def _place(spark, place):
+    df = spark.createDataFrame([(place,)], "LB_place string")
+    out = parse_place(df, build_states_lookup(states_df(spark)))
+    r = out.first()
+    return (r["LB_Region"], r["LB_Country"])
+
+
+def test_place_no_comma(spark):
+    # parse_country_ods_full_load2.py:36-76 case grid
+    assert _place(spark, "southern Mid-Atlantic Ridge") == (
+        "southern Mid-Atlantic Ridge", None,
+    )
+
+
+def test_place_state_full_name(spark):
+    assert _place(spark, "12km SW of Ridgecrest, California") == ("California", "USA")
+
+
+def test_place_state_abbreviation(spark):
+    assert _place(spark, "5km N of Anza, CA") == ("California", "USA")
+
+
+def test_place_of_capture_foreign(spark):
+    assert _place(spark, "80km NE of Hihifo, Tonga") == ("Hihifo", "Tonga")
+
+
+def test_place_no_of_foreign(spark):
+    assert _place(spark, "Kermadec Islands, New Zealand") == (
+        "Kermadec Islands", "New Zealand",
+    )
+
+
+def test_place_multiple_of(spark):
+    # rightmost `of` capture: regex `of\s+(.+)$` is greedy from the FIRST
+    # `of` — the reference searches, matching the first 'of' then taking
+    # everything after it
+    region, country = _place(spark, "north of east of Somewhere, Fiji")
+    assert country == "Fiji"
+    assert region == "east of Somewhere"
+
+
+def test_surrogate_keys_dense_and_ordered(spark):
+    df = spark.createDataFrame([("b",), ("a",), ("c",), ("a",), (None,)], "k string")
+    dim = assign_surrogate_keys(df, ["k"], "id").collect()
+    got = {r["k"]: r["id"] for r in dim}
+    # NULLS FIRST pinned (SURVEY.md §7): None=1, then a,b,c
+    assert got == {None: 1, "a": 2, "b": 3, "c": 4}
+
+
+def test_incremental_surrogate_keys(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    new = spark.createDataFrame([("b",), ("c",), ("d",)], "k string")
+    new_rows, full = incremental_surrogate_keys(new, existing, ["k"], "id")
+    assert {(r["id"], r["k"]) for r in new_rows.collect()} == {(3, "c"), (4, "d")}
+    assert full.count() == 4
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame([(1, "old"), (2, "keep")], "id long, v string")
+    updates = spark.createDataFrame([(1, "new"), (3, "ins")], "id long, v string")
+    out = {r["id"]: r["v"] for r in merge_upsert(base, updates, ["id"]).collect()}
+    assert out == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_quality_gate_type_conjunct(spark):
+    # stg_full_load.py:85-93 — non-earthquake rows bypass the gate even
+    # with gate-tripping numerics
+    df = spark.createDataFrame(
+        [
+            ("earthquake", "0.5", "5.0", "0.1", "10"),   # depth<1 -> reject
+            ("earthquake", "10", "0.5", "0.1", "10"),    # mag<1 -> reject
+            ("earthquake", "10", "5.0", "0.7", "10"),    # magError>0.5 -> reject
+            ("earthquake", "10", "5.0", "0.1", "40"),    # depthError>30 -> reject
+            ("explosion", "0.5", "0.5", "0.9", "99"),    # bypasses: not earthquake
+            ("earthquake", "10", "5.0", "0.1", "10"),    # clean
+            ("earthquake", "", "", "", ""),              # missing -> coalesce 0 -> reject
+        ],
+        "type string, depth string, mag string, magError string, depthError string",
+    )
+    accepted, rejected = quality_split(df, reject_predicate())
+    assert accepted.count() == 2
+    assert rejected.count() == 5
+    types = [r["type"] for r in accepted.collect()]
+    assert "explosion" in types
+
+
+def test_exact_dedup_keeps_min(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id long, text string"
+    )
+    kept = exact_dedup(df, ["text"], "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    texts = [(i, base.replace("dog", w)) for i, w in enumerate(["dog", "cat", "cow"])]
+    # doc 100 = doc 0 with a tiny tail -> near-dup pair (0, 100)
+    texts.append((100, base + " again"))
+    # doc 200 shares nothing
+    texts.append((200, "completely different words in this one entirely unrelated text stream"))
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_candidates(df, "doc_id", "text").collect()
+    }
+    assert (0, 100) in pairs
+    assert all(200 not in p for p in pairs)
+
+
+def test_simhash_groups_exact_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    groups = simhash_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1
+    assert list(groups[0]["doc_ids"]) == [1, 2]
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "s", "w1 w2 w3 w4 w5"), (2, "a", "s", "w1 w2 w3 w4 w5"),
+         (3, "a", "s", "q1 q2 q3 q4 q5")],
+        "doc_id long, lang string, source string, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", ["lang", "source"]).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.0

@@ -1,0 +1,71 @@
+"""ANN recall tests: the approximate paths against the exact baseline."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+def _vectors(spark, n=300, seed=7):
+    rng = random.Random(seed)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(DIM)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _recall(exact, approx):
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    return len(e & a) / len(e)
+
+
+def test_brute_force_is_exact_and_ranked(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter(F.col("vec_id") >= 3)
+    out = brute_force_topk(q, c, "vec_id", "embedding", k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+    for scores in by_q.values():
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_recall_reasonable(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, "vec_id", "embedding", k=5)
+    approx = lsh_topk(q, c, "vec_id", "embedding", k=5, dim=DIM, n_planes=6)
+    # multiprobe LSH on random gaussians: expect to recover a majority
+    assert _recall(exact, approx) >= 0.5
+
+
+def test_ivf_recall_reasonable(spark):
+    df = _vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, "vec_id", "embedding", k=5)
+    approx = ivf_topk(q, c, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4)
+    assert _recall(exact, approx) >= 0.5
+
+
+def test_lsh_exact_self_match(spark):
+    # a query vector identical to a corpus vector must land in the same
+    # bucket (deterministic hyperplanes) and rank first
+    df = _vectors(spark, n=50)
+    q = df.filter(F.col("vec_id") == 0)
+    c = df.withColumn("vec_id", F.col("vec_id") + 1000)  # includes copy of 0
+    out = lsh_topk(q, c, "vec_id", "embedding", k=1, dim=DIM, n_planes=6).collect()
+    assert out[0]["corpus_id"] == 1000
+    assert out[0]["cosine"] == 1.0
