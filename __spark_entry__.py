@@ -15,9 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 from gcp_data_pipeline_fyp_spark.queries_analytics import ANALYTICS_QUERIES
 from gcp_data_pipeline_fyp_spark.queries_pipeline import PIPELINE_QUERIES
 from gcp_data_pipeline_fyp_spark.queries_text import TEXT_QUERIES
+from gcp_data_pipeline_fyp_spark.queries_misc import MISC_QUERIES
 from gcp_data_pipeline_fyp_spark.queries_vectors import VECTOR_QUERIES
 
-_REGISTRIES = [PIPELINE_QUERIES, ANALYTICS_QUERIES, TEXT_QUERIES, VECTOR_QUERIES]
+_REGISTRIES = [
+    PIPELINE_QUERIES,
+    ANALYTICS_QUERIES,
+    TEXT_QUERIES,
+    VECTOR_QUERIES,
+    MISC_QUERIES,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

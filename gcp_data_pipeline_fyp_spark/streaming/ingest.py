@@ -1,0 +1,107 @@
+"""Streaming ingest + windowed aggregation.
+
+`stream_ingest_available_now` is the Structured Streaming rendering of
+the reference's delta chain (SURVEY.md §2.5): CSV files landing in a
+directory are discovered by the file source, deduplicated by event id
+within the watermark, and merged into the warehouse table via
+`foreachBatch` -> `merge_upsert` — exactly the anti-join + MERGE
+semantics of `Delta Load Scripts/ods_delta_load2.py:140-190` /
+`dw2_delta_load2.py:101-131`, but incremental per micro-batch and
+restartable from the checkpoint.
+
+`windowed_event_counts` is the watermarked tumbling-window aggregation
+(the streaming measure layer); in batch mode the same function body
+answers the DuckDB-checked `windowed_counts` probe — one definition,
+two execution modes, which is the point of Structured Streaming.
+
+Scale notes: the file source scales by listing (use
+`maxFilesPerTrigger` to bound batch size); dedup state is bounded by
+the watermark horizon; `foreachBatch` runs the merge as a normal batch
+join so all the batch-side partitioning applies.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+
+def stream_ingest_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    event_id_cols: list[str],
+    ts_col: str,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+) -> StreamingQuery:
+    """CSV directory -> watermarked dedup -> foreachBatch merge into `table`.
+
+    Processes everything currently available, then stops (the
+    `Trigger.AvailableNow` rendering of the daily delta job); re-running
+    resumes from the checkpoint and picks up only new files.
+    """
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    if transform is not None:
+        raw = transform(raw)
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(event_id_cols)
+    )
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(event_id_cols)
+        if wh.exists(table):
+            base = wh.read(table)
+            merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
+            wh.overwrite(merged, f"{table}__staging")
+            wh.overwrite(wh.read(f"{table}__staging"), table)
+            wh.drop(f"{table}__staging")
+        else:
+            wh.overwrite(batch, table)
+
+    return (
+        deduped.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per key; watermark applies on streaming input."""
+    df = events
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(key_col).alias("lb_type"),
+        )
+        .agg(F.count("*").alias("total_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "lb_type",
+            "total_events",
+        )
+    )

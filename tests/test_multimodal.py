@@ -1,0 +1,51 @@
+"""Multimodal binary-column plumbing tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
+    byte_features,
+    decode_image,
+    plan_frame_offsets,
+    with_media_column,
+)
+
+
+def test_byte_features_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "a b c")], "doc_id long, text string"
+    )
+    media = with_media_column(df, "text", "doc_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    out = {r["media_id"]: r for r in byte_features(media).collect()}
+    assert out[1]["n_bytes"] == 11
+    assert out[1]["n_space_bytes"] == 1
+    assert out[1]["content_md5"] == hashlib.md5(b"hello world").hexdigest()
+    assert out[2]["n_space_bytes"] == 2
+
+
+def test_decode_image_is_gated(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = with_media_column(df, "text", "doc_id")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow present; decode path live")
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            decode_image(media)
+
+
+def test_frame_offset_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "video", None, None, None, 4000, bytearray(b"vv"))],
+        "media_id long, media_type string, mime string, width int, height int,"
+        " duration_ms int, payload binary",
+    )
+    out = plan_frame_offsets(df, every_ms=1000, max_frames=16).collect()
+    assert list(out[0]["frame_offsets_ms"]) == [0, 1000, 2000, 3000]
