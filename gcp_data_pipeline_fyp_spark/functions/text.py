@@ -174,22 +174,29 @@ def simhash16(toks: Column) -> Column:
     Bit p is 1 iff sum over tokens of (+1 if md5(token)[p] >= '8' else
     -1) is positive ('8'..'f' sort above '0'..'7' in every engine).
     """
-    bit = lambda p: F.when(  # noqa: E731
-        F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.substring(F.md5(t), p + F.lit(1), F.lit(1)) >= "8", 1).otherwise(-1),
-        )
-        > 0,
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    bits = F.transform(F.sequence(F.lit(0), F.lit(15)), bit)
-    powers = F.transform(
-        F.sequence(F.lit(0), F.lit(15)), lambda p: F.pow(F.lit(2.0), p).cast("long")
+    # one md5 per token, then a single fold updating all 16 bit-counters
+    # at once (16 separate per-bit aggregates would re-inline — and
+    # recompute — the md5 per bit on projection collapse)
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    positions = F.sequence(F.lit(0), F.lit(15))
+    init = F.array(*[F.lit(0)] * 16)
+    votes = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            lambda a, p: a
+            + F.when(F.substring(h, p + F.lit(1), F.lit(1)) >= "8", 1).otherwise(-1),
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        positions,
+        lambda v, p: F.when(v > 0, F.pow(F.lit(2.0), p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
     )
     return F.aggregate(
-        F.zip_with(bits, powers, lambda b, w: b.cast("long") * w),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+        weighted, F.lit(0).cast("long"), lambda acc, v: acc + v
     )

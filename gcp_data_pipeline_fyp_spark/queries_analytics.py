@@ -379,3 +379,113 @@ ANALYTICS_QUERIES: dict[str, tuple] = {
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE_EVENTS),
     "rollup_type_day": (q_rollup_type_day, SQL_ROLLUP_TYPE_DAY),
 }
+
+
+# ----------------------------------------------------- outer join + count distinct
+def q_customer_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer join + count distinct (customers with zero orders kept)."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+SQL_CUSTOMER_ORDER_STATS = """
+SELECT c_custkey, c_mktsegment,
+  count(o_orderkey) AS n_orders,
+  count(DISTINCT o_orderpriority) AS n_priorities
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# ----------------------------------------------------- TPC-H Q18 shape (HAVING)
+def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold (post-agg filter)."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey", F.col("__q").cast("double").alias("total_qty"))
+    )
+    orders = load(spark, sf, "orders")
+    return big.join(orders, big.l_orderkey == orders.o_orderkey).select(
+        "o_orderkey", "o_orderstatus", "total_qty",
+        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+    )
+
+
+SQL_LARGE_ORDERS = """
+WITH big AS (
+  SELECT l_orderkey,
+    cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(cast(l_quantity AS decimal(18,2))) > 150)
+SELECT o_orderkey, o_orderstatus, total_qty, round(o_totalprice, 2) AS o_totalprice
+FROM big JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# ----------------------------------------------------- intersect/except set ops
+def q_setops_buyers(spark: SparkSession, sf: str) -> DataFrame:
+    """Users who clicked AND purchased minus users who errored (set algebra)."""
+    ev = load(spark, sf, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    errored = ev.filter(F.col("event_type") == "error").select("user_id")
+    return clickers.intersect(buyers).exceptAll(errored.distinct())
+
+
+SQL_SETOPS_BUYERS = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ----------------------------------------------------- approximate aggregates
+def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL approx distinct — no SQL oracle (engine-specific sketches);
+    tests assert <5% error vs exact."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+
+
+def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact discrete percentiles via percentile_disc semantics
+    (median + p90 of value per event type)."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy(F.col("event_type").alias("lb_type")).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+SELECT event_type AS lb_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.9), 6) AS p90
+FROM events GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "customer_order_stats": (q_customer_order_stats, SQL_CUSTOMER_ORDER_STATS),
+        "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
+        "setops_buyers": (q_setops_buyers, SQL_SETOPS_BUYERS),
+        "approx_distinct_users": (q_approx_distinct_users, None),
+        "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
+    }
+)
