@@ -42,6 +42,91 @@ HEADLINE = [
 ]
 
 
+def _usgs_csv_from_events(spark, sf_dir: str, out_path: str) -> None:
+    """Deterministically shape the events table into the 22-col USGS feed
+    so the faithful five-stage pipeline can be benchmarked at sf scale
+    (the reference's whole-month loads are 10^4-10^5 rows; sf0.1 events
+    is 10^5)."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+
+    ev = load(spark, sf_dir, "events")
+    places = [
+        "southern Mid-Atlantic Ridge",
+        "12km SW of Ridgecrest, California",
+        "5km N of Anza, CA",
+        "80km NE of Hihifo, Tonga",
+        "Kermadec Islands, New Zealand",
+        "",
+    ]
+    place = F.element_at(
+        F.array(*[F.lit(p) for p in places]), (F.col("user_id") % 6 + 1).cast("int")
+    )
+    typ = F.when(F.col("event_type") == "purchase", "explosion").when(
+        F.col("event_type") == "error", "ice quake"
+    ).otherwise("earthquake")
+    k = F.regexp_extract("props", "[0-9]+", 0).try_cast("double")
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("time"),
+        (F.col("user_id") % 180 - 90).cast("double").alias("latitude"),
+        (F.col("event_id") % 360 - 180).cast("double").alias("longitude"),
+        F.col("value").alias("depth"),
+        (F.col("value") / 20.0).alias("mag"),
+        F.lit("ml").alias("magType"),
+        (F.col("event_id") % 200).alias("nst"),
+        (k % 360).alias("gap"),
+        (k / 10).alias("dmin"),
+        F.lit(1.1).alias("rms"),
+        F.element_at(
+            F.array(F.lit("us"), F.lit("ak"), F.lit("ci")),
+            (F.col("user_id") % 3 + 1).cast("int"),
+        ).alias("net"),
+        F.concat(F.lit("ev"), F.col("event_id")).alias("id"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'").alias("updated"),
+        place.alias("place"),
+        typ.alias("type"),
+        (k / 20).alias("horizontalError"),
+        (k % 60).alias("depthError"),
+        (k / 100).alias("magError"),
+        (F.col("event_id") % 300).alias("magNst"),
+        F.lit("reviewed").alias("status"),
+        F.lit("us").alias("locationSource"),
+        F.lit("us").alias("magSource"),
+    )
+    tmp = out_path + ".dir"
+    raw.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.csv"))[0]
+    shutil.move(part, out_path)
+    shutil.rmtree(tmp)
+
+
+def _bench_pipeline(spark, sf_dir: str, timings: dict) -> None:
+    import datetime
+    import shutil
+    import tempfile
+
+    from gcp_data_pipeline_fyp_spark.plans.pipeline import run_pipeline
+    from gcp_data_pipeline_fyp_spark.sources.states import states_df
+
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        full_csv = os.path.join(work, "whole_month_202401.csv")
+        _usgs_csv_from_events(spark, sf_dir, full_csv)
+        states = states_df(spark)
+        t0 = time.perf_counter()
+        run_pipeline(
+            spark, full_csv, states, os.path.join(work, "wh"),
+            run_ts=datetime.datetime(2024, 2, 1, 3, 0),
+        )
+        timings["pipeline_full_load"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -60,6 +145,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    _bench_pipeline(spark, sf_dir, timings)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

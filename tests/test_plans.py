@@ -1,0 +1,48 @@
+"""Plan-shape regression guards: the properties that matter at 100 TB.
+
+These assert on the optimized physical plan, not results — a change
+that silently turns a broadcast join into a sort-merge join or breaks
+scan pushdown should fail CI even though results stay correct.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_mod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_joins_broadcast(spark):
+    p = _plan(spark, "star_schema_fact")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # dims are tiny; fact side must not shuffle
+
+
+def test_tpch_filters_pushed_to_scan(spark):
+    p = _plan(spark, "top_revenue_orders")
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    # column pruning: lineitem scan reads only the 4 needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double," in p
+
+
+def test_measure_filter_pushed(spark):
+    p = _plan(spark, "measure_avg_magnitude")
+    assert "EqualTo(event_type,purchase)" in p
+
+
+def test_semi_join_not_inner(spark):
+    p = _plan(spark, "order_priority_count")
+    assert "LeftSemi" in p
