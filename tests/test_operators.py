@@ -152,3 +152,29 @@ def test_ngram_jaccard_identical_is_one(spark):
     }
     assert pairs[(1, 2)] == 1.0
     assert pairs[(1, 3)] == 0.0
+
+
+def test_observe_counters(spark):
+    # A6 — rows_in / rows_flagged ride the consuming action (one pass)
+    from pyspark.sql import Observation
+
+    from gcp_data_pipeline_fyp_spark.operators.quality import with_counters
+
+    df = spark.createDataFrame(
+        [("earthquake", "0.5"), ("earthquake", "10"), ("explosion", "0.5")],
+        "type string, depth string",
+    )
+    pred = (F.col("type") == "earthquake") & (
+        F.coalesce(F.col("depth").try_cast("double"), F.lit(0.0)) < 1
+    )
+    obs = Observation("gate")
+    out = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.coalesce(pred, F.lit(False)).cast("long")).alias("rows_flagged"),
+    )
+    out.collect()
+    assert obs.get == {"rows_in": 3, "rows_flagged": 1}
+    # the operator helper builds the same observation by name
+    named = with_counters(df, "gate2", pred)
+    named.collect()
