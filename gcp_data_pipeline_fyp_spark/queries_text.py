@@ -324,3 +324,100 @@ TEXT_QUERIES: dict[str, tuple] = {
     "simhash_dup_groups": (q_simhash_dup_groups, SQL_SIMHASH_DUP_GROUPS),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
 }
+
+
+# ------------------------------------------------------------ vocabulary
+def q_vocabulary_top(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: token explode -> count -> deterministic top 20."""
+    d = _docs(spark, sf)
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+SQL_VOCABULARY_TOP = f"""
+SELECT token, count(*) AS n_occurrences
+FROM (SELECT unnest({_SQL_TOKS}) AS token FROM documents)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 20
+"""
+
+
+# ------------------------------------------------------------ chunking
+_CHUNK = 32
+
+
+def q_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Split each doc into fixed 32-token chunks (posexplode over slices)."""
+    d = _docs(spark, sf)
+    toks = tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK)).cast("int")
+    with_toks = d.select("doc_id", toks.alias("__toks"), n_chunks.alias("__n"))
+    return with_toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("chunk_id"),
+        F.col("__toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.array_join(
+            F.slice(F.col("__toks"), F.col("chunk_id") * _CHUNK + 1, _CHUNK), " "
+        ).alias("chunk_text"),
+        F.size(
+            F.slice(F.col("__toks"), F.col("chunk_id") * _CHUNK + 1, _CHUNK)
+        ).alias("n_tokens"),
+    )
+
+
+SQL_CHUNK_DOCUMENTS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks, cast(ceil(len(toks) / {_CHUNK}.0) AS int) AS n_chunks
+      FROM t)
+SELECT doc_id, cast(g.ci AS int) AS chunk_id,
+  array_to_string(list_slice(toks, ci * {_CHUNK} + 1, ci * {_CHUNK} + {_CHUNK}), ' ')
+    AS chunk_text,
+  cast(len(list_slice(toks, ci * {_CHUNK} + 1, ci * {_CHUNK} + {_CHUNK})) AS int)
+    AS n_tokens
+FROM n, unnest(generate_series(0, n_chunks - 1)) AS g(ci)
+"""
+
+
+# ------------------------------------------------------------ PII redaction
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Plant an email per doc, then regex-redact it (training-data scrub)."""
+    d = _docs(spark, sf)
+    planted = F.concat(
+        F.col("text"), F.lit(" contact: user"), F.col("doc_id"), F.lit("@example.com")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(planted, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_replace(planted, _EMAIL_RE, "<EMAIL>").alias("redacted"),
+    )
+
+
+SQL_REDACT_PII = f"""
+SELECT doc_id,
+  cast(len(regexp_extract_all(text || ' contact: user' || doc_id || '@example.com',
+       '{_EMAIL_RE}')) AS int) AS n_emails,
+  regexp_replace(text || ' contact: user' || doc_id || '@example.com',
+       '{_EMAIL_RE}', '<EMAIL>', 'g') AS redacted
+FROM documents
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        "vocabulary_top": (q_vocabulary_top, SQL_VOCABULARY_TOP),
+        "chunk_documents": (q_chunk_documents, SQL_CHUNK_DOCUMENTS),
+        "redact_pii": (q_redact_pii, SQL_REDACT_PII),
+    }
+)

@@ -1,0 +1,69 @@
+"""Skew salting equivalence + bucketed-table shuffle elimination."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.skew import salted_agg, salted_join
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+
+def _skewed(spark):
+    # 90% of rows share key 'hot'
+    rows = [(i, "hot" if i % 10 else f"k{i}", float(i % 7)) for i in range(2000)]
+    return spark.createDataFrame(rows, "id long, k string, v double")
+
+
+def test_salted_agg_equals_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("*").alias("n")).collect()
+    }
+    salted = {
+        (r["k"]): (r["sum_v"], r["n_rows"])
+        for r in salted_agg(df, ["k"], ["v"], salt_from="id", buckets=8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    left = _skewed(spark)
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k11", 3), ("zz", 9)], "k string, dim long"
+    )
+    plain = sorted(
+        (r["id"], r["dim"]) for r in left.join(right, "k", "left").collect()
+    )
+    salted = sorted(
+        (r["id"], r["dim"])
+        for r in salted_join(left, right, ["k"], salt_from="id", buckets=8, how="left").collect()
+    )
+    assert salted == plain
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+    )
+    wh.overwrite_bucketed(a, "bk_a", ["k"], n_buckets=8, sort_cols=["k"])
+    wh.overwrite_bucketed(b, "bk_b", ["k"], n_buckets=8, sort_cols=["k"])
+    try:
+        joined = wh.read_table("bk_a").join(wh.read_table("bk_b"), "k")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # co-located: no shuffle exchange on either side of the join
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 1000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_a")
+        spark.sql("DROP TABLE IF EXISTS bk_b")
