@@ -117,12 +117,38 @@ def _bench_pipeline(spark, sf_dir: str, timings: dict) -> None:
         full_csv = os.path.join(work, "whole_month_202401.csv")
         _usgs_csv_from_events(spark, sf_dir, full_csv)
         states = states_df(spark)
+        wh_root = os.path.join(work, "wh")
         t0 = time.perf_counter()
         run_pipeline(
-            spark, full_csv, states, os.path.join(work, "wh"),
+            spark, full_csv, states, wh_root,
             run_ts=datetime.datetime(2024, 2, 1, 3, 0),
         )
         timings["pipeline_full_load"] = round(time.perf_counter() - t0, 3)
+
+        # delta: ~20% of the full file re-delivered (dedup path) plus the
+        # same rows time-shifted +400 days (new ids -> incremental dims,
+        # appended fact rows, MERGE upsert)
+        import csv as _csv
+
+        delta_csv = os.path.join(work, "all_day_20240215_120000.csv")
+        with open(full_csv) as fin, open(delta_csv, "w", newline="") as fout:
+            r = _csv.reader(fin)
+            w = _csv.writer(fout)
+            header = next(r)
+            w.writerow(header)
+            for i, row in enumerate(r):
+                if i % 5 == 0:
+                    w.writerow(row)  # duplicate re-delivery
+                    shifted = list(row)
+                    shifted[0] = "2025-" + shifted[0][5:]  # new year -> new id
+                    shifted[12] = shifted[0]
+                    w.writerow(shifted)
+        t0 = time.perf_counter()
+        run_pipeline(
+            spark, delta_csv, states, wh_root,
+            run_ts=datetime.datetime(2024, 2, 16, 3, 0),
+        )
+        timings["pipeline_delta_load"] = round(time.perf_counter() - t0, 3)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -168,3 +168,45 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def embedding_neardup_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: LSH sign-buckets as the block.
+
+    No natural blocking column needed — vectors are bucketed by
+    sign-random-projection (deterministic hyperplanes), then exact
+    cosine verification runs only within buckets. Near-identical
+    vectors land in the same bucket with high probability; increase
+    recall with more verification passes at different seeds (each pass
+    is linear + intra-bucket quadratic, never global O(n^2)).
+    """
+    from gcp_data_pipeline_fyp_spark.functions.vectors import lsh_sign_bucket
+    from gcp_data_pipeline_fyp_spark.operators.similarity import make_hyperplanes
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col), as_double_vec(vec_col).alias("__v")
+    ).withColumn("__bucket", lsh_sign_bucket(F.col("__v"), planes))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -102,3 +102,19 @@ VECTOR_QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
 }
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-blocked near-dup (no blocking column needed) — rows-only check;
+    recall vs the blocked-exact variant is asserted in pytest."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import embedding_neardup_lsh
+
+    e = _emb(spark, sf)
+    planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    u = e.unionByName(planted)
+    return embedding_neardup_lsh(u, "vec_id", "embedding", threshold=0.99)
+
+
+VECTOR_QUERIES["embedding_neardup_lsh"] = (q_embedding_neardup_lsh, None)

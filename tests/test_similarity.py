@@ -69,3 +69,22 @@ def test_lsh_exact_self_match(spark):
     out = lsh_topk(q, c, "vec_id", "embedding", k=1, dim=DIM, n_planes=6).collect()
     assert out[0]["corpus_id"] == 1000
     assert out[0]["cosine"] == 1.0
+
+
+def test_lsh_neardup_finds_planted_copies(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import embedding_neardup_lsh
+
+    df = _vectors(spark, n=120)
+    copies = df.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    u = df.unionByName(copies)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_lsh(
+            u, "vec_id", "embedding", threshold=0.999, dim=DIM, n_planes=6
+        ).collect()
+    }
+    planted = {(i, i + 1000) for i in range(0, 120, 10)}
+    # identical vectors always share a sign bucket -> 100% recall on exact copies
+    assert planted <= pairs
