@@ -71,10 +71,9 @@ def stage_dw_delta(
     merged = merge_upsert(base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"])
     # parquet has no in-place MERGE: land the merged fact in a staging
     # table first (the reference's staging-table lifecycle, S12), then
-    # swap — avoids reading and overwriting the same files in one job.
+    # promote by rename — one write of the merged fact, not two.
     wh.overwrite(merged, "T_FACT_Events_staging")
-    wh.overwrite(wh.read("T_FACT_Events_staging"), "T_FACT_Events")
-    wh.drop("T_FACT_Events_staging")
+    wh.swap("T_FACT_Events_staging", "T_FACT_Events")
     ods.unpersist()
     out = dict(dims)
     out["T_FACT_Events"] = wh.read("T_FACT_Events")

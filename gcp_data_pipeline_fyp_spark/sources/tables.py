@@ -94,3 +94,14 @@ class Warehouse:
 
     def read_table(self, table: str) -> DataFrame:
         return self.spark.table(table)
+
+    def swap(self, staging_table: str, table: str) -> None:
+        """Promote a staging table to final by directory rename (atomic
+        and free on a local/HDFS filesystem; object stores fall back to
+        the copy path in plans/delta.py). Replaces the reference's
+        read-back-and-overwrite staging promotion."""
+        final = self.path(table)
+        staged = self.path(staging_table)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staged, final)
