@@ -50,3 +50,134 @@ MISC_QUERIES: dict[str, tuple] = {
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
     "multimodal_byte_features": (q_multimodal_byte_features, SQL_MULTIMODAL_BYTE_FEATURES),
 }
+
+
+# ---------------------------------------------------------------- measures
+def _analog_star(spark: SparkSession, sf: str) -> DataFrame:
+    """A star view with the DW column names so the REAL measure layer
+    (plans/measures.py Q1-Q12) runs unmodified over the events analog:
+    LB_type=event_type, VL_n_mag=value/20, VL_n_depth=value,
+    _DT_insertion_date=ts."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf, "events")
+    return ev.select(
+        F.col("event_id").alias("ID_Event"),
+        F.col("event_type").alias("LB_type"),
+        (F.col("value") / 20.0).alias("VL_n_mag"),
+        F.col("value").alias("VL_n_depth"),
+        F.col("ts").alias("_DT_insertion_date"),
+    )
+
+
+def q_dax_q1_latest_update(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    return measures.latest_daily_update(_analog_star(spark, sf))
+
+
+def q_dax_q2_avg_mag(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    out = measures.avg_earthquake_magnitude(
+        _analog_star(spark, sf).withColumn(
+            "LB_type",
+            F.when(F.col("LB_type") == "click", "earthquake").otherwise(
+                F.col("LB_type")
+            ),
+        )
+    )
+    # deterministic float: round the streamed double avg
+    return out.select(F.round("avg_earthquake_magnitude", 6).alias("avg_earthquake_magnitude"))
+
+
+def q_dax_q3_max_depth(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    star = _analog_star(spark, sf).withColumn(
+        "LB_type",
+        F.when(F.col("LB_type") == "click", "earthquake").otherwise(F.col("LB_type")),
+    )
+    return measures.max_earthquake_depth(star)
+
+
+def q_dax_q5_11_totals(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    star = _analog_star(spark, sf).withColumn(
+        "LB_type",
+        F.when(F.col("LB_type") == "click", "earthquake")
+        .when(F.col("LB_type") == "purchase", "explosion")
+        .when(F.col("LB_type") == "error", "ice quake")
+        .when(F.col("LB_type") == "view", "quarry blast")
+        .otherwise("sonic boom"),
+    )
+    return measures.totals_by_type(star)
+
+
+def q_dax_q12_total(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    return measures.total_seismic_events(_analog_star(spark, sf))
+
+
+SQL_DAX_Q1 = "SELECT max(ts) AS latest_daily_update FROM events"
+SQL_DAX_Q2 = """
+SELECT round(avg(value / 20.0), 6) AS avg_earthquake_magnitude
+FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
+                   ELSE event_type END) = 'earthquake'
+"""
+SQL_DAX_Q3 = """
+SELECT max(value) AS max_earthquake_depth
+FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
+                   ELSE event_type END) = 'earthquake'
+"""
+SQL_DAX_Q5_11 = """
+SELECT t AS lb_type, count(*) AS total_events FROM (
+  SELECT CASE WHEN event_type = 'click' THEN 'earthquake'
+              WHEN event_type = 'purchase' THEN 'explosion'
+              WHEN event_type = 'error' THEN 'ice quake'
+              WHEN event_type = 'view' THEN 'quarry blast'
+              ELSE 'sonic boom' END AS t
+  FROM events)
+WHERE t IN ('earthquake','explosion','ice quake','landslide','quarry blast',
+            'sonic boom','volcanic eruption')
+GROUP BY t
+"""
+SQL_DAX_Q12 = "SELECT count(*) AS total_seismic_events FROM events"
+
+
+# ---------------------------------------------------------------- JSON
+def q_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON scalar extraction from the props column (get_json_object)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_value"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id, try_cast(json_extract_string(props, '$.k') AS bigint) AS k_value
+FROM events
+"""
+
+
+MISC_QUERIES.update(
+    {
+        "dax_q1_latest_update": (q_dax_q1_latest_update, SQL_DAX_Q1),
+        "dax_q2_avg_mag": (q_dax_q2_avg_mag, SQL_DAX_Q2),
+        "dax_q3_max_depth": (q_dax_q3_max_depth, SQL_DAX_Q3),
+        "dax_q5_11_totals": (q_dax_q5_11_totals, SQL_DAX_Q5_11),
+        "dax_q12_total": (q_dax_q12_total, SQL_DAX_Q12),
+        "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    }
+)

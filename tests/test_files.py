@@ -1,0 +1,43 @@
+"""File-utility units: glob+latest pick, archive naming (S3, S11, P19)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+from gcp_data_pipeline_fyp_spark.sources.files import (
+    archive_date_from_filename,
+    archive_file,
+    latest_matching_file,
+)
+
+
+def test_latest_matching_file(tmp_path):
+    a = tmp_path / "whole_month_202401.csv"
+    b = tmp_path / "whole_month_202402.csv"
+    a.write_text("x")
+    time.sleep(0.05)
+    b.write_text("y")
+    assert latest_matching_file(str(tmp_path / "whole_month_*.csv")) == str(b)
+    assert latest_matching_file(str(tmp_path / "all_day_*.csv")) is None
+
+
+def test_archive_date_extract():
+    # move_to_archive_*.py:21-27 patterns. NB the reference's ordered
+    # alternation (\d{2}|\d{6}) takes the FIRST branch, so a 6-digit
+    # token yields its first two digits — replicated as observable
+    # behavior (move_to_archive_full_load.py:20).
+    assert archive_date_from_filename("whole_month_202403.csv") == "20"
+    assert archive_date_from_filename("whole_month_03.csv") == "03"
+    assert archive_date_from_filename("all_day_20240401_120000.csv") == "20240401"
+    assert archive_date_from_filename("all_day_20240401-120000.csv") == "20240401"
+    assert archive_date_from_filename("random.csv") is None
+
+
+def test_archive_file_moves(tmp_path):
+    src = tmp_path / "all_day_20240401_120000.csv"
+    src.write_text("data")
+    dest = archive_file(str(src), str(tmp_path), "delta")
+    assert not src.exists()
+    assert os.path.exists(dest)
+    assert "ARCHIVE/DELTA_LOAD/20240401/archive_all_day_20240401_120000.csv" in dest
