@@ -1,0 +1,96 @@
+"""As-of and range (interval) joins — operators Spark lacks natively.
+
+Both are built as compositions of existing DataFrame ops (the
+preferred strategy for custom operators): no Pandas UDF, no
+mapPartitions, fully shuffle-planned by Catalyst.
+
+- `asof_join`: for every left row, the most recent right row with
+  `right.ts <= left.ts` per key. Implemented with the union+window
+  technique: tag both sides, sort within key by (ts, side, tie), carry
+  right values forward with `last(ignorenulls=True)`, keep left rows.
+  One shuffle on the key — same cost as a regular join — instead of a
+  per-row correlated lookup. Ties: the right row with the greatest
+  (ts, tie_col) wins, so results are deterministic.
+- `range_join_points`: point-in-interval join. A naive theta join is a
+  cross product; here intervals are exploded into coarse buckets
+  (`bucket = floor(x / width)`), points join on their bucket
+  (equi-join, shuffle-friendly), then the exact predicate filters.
+  Choose `bucket_width` near the typical interval length: each
+  interval lands in O(len/width + 1) buckets and the join stays
+  linear-ish. This is the standard bucketed range-join strategy (what
+  Databricks' range-join hints do under the hood).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    tie_col: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows + the latest right `value_cols` as of each left ts."""
+    lt = left.withColumn("__side", F.lit(1))
+    rt_cols = [*on, ts_col, *value_cols]
+    rt = right.select(*rt_cols).withColumn("__side", F.lit(0))
+    for c in value_cols:
+        rt = rt.withColumnRenamed(c, f"{c}{suffix}")
+        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(rt.dtypes)[f"{c}{suffix}"]))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    # right rows (side 0) sort before left rows at equal ts -> `<=`
+    # inclusivity; among right rows with equal ts the greatest tie wins
+    # (ascending + last). The tie expr is NULL for left rows, ordered
+    # last within their (ts, side) group, which cannot affect fills.
+    order = [F.col(ts_col).asc(), F.col("__side").asc()]
+    if tie_col is not None:
+        order.append(
+            F.when(F.col("__side") == 0, F.col(tie_col)).asc_nulls_last()
+        )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned
+    for c in value_cols:
+        filled = filled.withColumn(
+            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
+        )
+    return filled.filter(F.col("__side") == 1).drop("__side")
+
+
+def range_join_points(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Pairs (point row × interval row) with start <= point < end.
+
+    `extra_keys` optionally restricts matches to equal keys on both
+    sides (making the bucket join even narrower).
+    """
+    p_bucket = F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    i_from = F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long")
+    i_to = F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long")
+    p = points.withColumn("__bucket", p_bucket)
+    i = intervals.withColumn(
+        "__bucket", F.explode(F.sequence(i_from, i_to))
+    )
+    join_keys = ["__bucket", *extra_keys]
+    out = p.join(i, join_keys).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return out.drop("__bucket")

@@ -181,3 +181,75 @@ MISC_QUERIES.update(
         "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     }
 )
+
+
+# ---------------------------------------------------------------- as-of join
+def q_asof_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    """For each purchase, the user's most recent click at-or-before it."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.asof import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        value_cols=["click_id"], tie_col="click_id_asof",
+    )
+    return out.select("event_id", "user_id", F.col("click_id_asof").alias("last_click_id"))
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT p.event_id, p.user_id,
+  (SELECT c.event_id FROM events c
+   WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS last_click_id
+FROM events p WHERE p.event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------- range join
+def q_range_join_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval: sampled shipdates inside sampled order-week windows."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.asof import range_join_points
+
+    week = 7 * 86400
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") % 211 == 0)
+    points = li.select(
+        "l_orderkey", "l_linenumber",
+        F.unix_timestamp("l_shipdate").cast("double").alias("p"),
+    )
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") % 199 == 0)
+    intervals = orders.select(
+        F.col("o_orderkey").alias("win_orderkey"),
+        F.unix_timestamp("o_orderdate").cast("double").alias("start"),
+        (F.unix_timestamp("o_orderdate") + week).cast("double").alias("end"),
+    )
+    out = range_join_points(points, intervals, "p", "start", "end", bucket_width=week)
+    return out.select("l_orderkey", "l_linenumber", "win_orderkey")
+
+
+SQL_RANGE_JOIN_SHIPMENTS = """
+SELECT l_orderkey, l_linenumber, o_orderkey AS win_orderkey
+FROM (SELECT l_orderkey, l_linenumber, epoch(l_shipdate) AS p
+      FROM lineitem WHERE l_orderkey % 211 = 0) pts
+JOIN (SELECT o_orderkey, epoch(o_orderdate) AS s,
+             epoch(o_orderdate) + 7*86400 AS e
+      FROM orders WHERE o_orderkey % 199 = 0) win
+  ON pts.p >= win.s AND pts.p < win.e
+"""
+
+
+MISC_QUERIES.update(
+    {
+        "asof_last_click": (q_asof_last_click, SQL_ASOF_LAST_CLICK),
+        "range_join_shipments": (q_range_join_shipments, SQL_RANGE_JOIN_SHIPMENTS),
+    }
+)

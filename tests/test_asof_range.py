@@ -1,0 +1,57 @@
+"""As-of join and bucketed range join unit tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.asof import asof_join, range_join_points
+
+
+def test_asof_basic_and_ties(spark):
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"),
+         (2, "u", "2024-01-01 12:00:00"),
+         (3, "v", "2024-01-01 09:00:00")],
+        "id long, k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:30:00", 100),
+         ("u", "2024-01-01 10:00:00", 200),   # tie with left id=1 ts -> inclusive
+         ("u", "2024-01-01 10:00:00", 300),   # same ts: greatest value-row wins
+         ("u", "2024-01-01 11:00:00", 400)],
+        "k string, ts string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["id"]: r["v_asof"]
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", value_cols=["v"], tie_col="v_asof"
+        ).collect()
+    }
+    assert out[1] == 300  # ts-equal rows included, greatest tie wins
+    assert out[2] == 400  # latest before 12:00
+    assert out[3] is None  # no right rows for key v
+
+
+def test_range_join_matches_naive(spark):
+    import random
+
+    rng = random.Random(3)
+    points = spark.createDataFrame(
+        [(i, rng.uniform(0, 1000.0)) for i in range(300)], "pid long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s := rng.uniform(0, 950.0), s + rng.uniform(1, 60.0)) for j in range(50)],
+        "iid long, start double, end double",
+    )
+    fast = {
+        (r["pid"], r["iid"])
+        for r in range_join_points(points, intervals, "p", "start", "end", 50.0).collect()
+    }
+    naive = {
+        (r["pid"], r["iid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("p") >= F.col("start")) & (F.col("p") < F.col("end")))
+        .collect()
+    }
+    assert fast == naive
+    assert len(naive) > 0

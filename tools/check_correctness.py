@@ -40,9 +40,19 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype == object:
             df[c] = s.map(_norm_cell)
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.map(lambda v: None if v is None or (isinstance(v, float) and math.isnan(v)) else round(float(v), 9))
+            # astype(object) first: .map on a float64 Series coerces the
+            # returned None back to NaN, and NaN != NaN breaks compare
+            df[c] = s.astype(object).map(
+                lambda v: None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else round(float(v), 9)
+            )
         else:
             df[c] = s.astype(object).where(pd.notna(s), None)
+    # column assignment can silently coerce back to float64 (NaN for
+    # None) — force the whole frame to object and NaN -> None at the end
+    df = df.astype(object)
+    df = df.where(pd.notna(df), None)
     return df.sort_values(by=list(df.columns), key=lambda col: col.map(repr)).reset_index(drop=True)
 
 
