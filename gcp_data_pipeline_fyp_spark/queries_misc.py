@@ -253,3 +253,32 @@ MISC_QUERIES.update(
         "range_join_shipments": (q_range_join_shipments, SQL_RANGE_JOIN_SHIPMENTS),
     }
 )
+
+
+# ---------------------------------------------------------------- SQL API
+def q_sql_interface(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's SQL entry point: temp view + spark.sql text (the same
+    Catalyst plan as the DataFrame API — proven by the shared oracle)."""
+    load(spark, sf, "events").createOrReplaceTempView("events_v")
+    load(spark, sf, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT e.event_type AS lb_type,
+               count(*) AS total_events,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events_v e
+        WHERE e.value > 50
+        GROUP BY e.event_type
+        """
+    )
+
+
+SQL_SQL_INTERFACE = """
+SELECT event_type AS lb_type, count(*) AS total_events,
+       count(DISTINCT user_id) AS n_users
+FROM events WHERE value > 50
+GROUP BY event_type
+"""
+
+
+MISC_QUERIES["sql_interface"] = (q_sql_interface, SQL_SQL_INTERFACE)

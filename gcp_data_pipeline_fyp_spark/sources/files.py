@@ -83,3 +83,51 @@ def archive_file(src_path: str, archive_root: str, mode: str) -> str:
     dest = os.path.join(dest_dir, f"archive_{name}")
     shutil.move(src_path, dest)
     return dest
+
+
+def feed_request_for(now: "datetime.datetime") -> tuple[str, str, str]:
+    """(url, filename, mode) for the scheduled ingest (reference S1/O1,
+    `cloud_function.py:20-31`).
+
+    Day 1 of month (EEST clock): full load of the previous calendar
+    month via the USGS query API, filename `whole_month_<MM>.csv`;
+    any other day: the public all-day summary feed, filename
+    `all_day_<YYYYmmdd-HHMMSS>.csv`. The actual HTTP GET + upload stays
+    driver-side (see `fetch_feed`).
+    """
+    import datetime as _dt
+
+    if now.day == 1:
+        first_day_this_month = now.replace(day=1)
+        last_month = first_day_this_month - _dt.timedelta(days=1)
+        start_date = last_month.replace(day=1).strftime("%Y-%m-%d")
+        url = (
+            "https://earthquake.usgs.gov/fdsnws/event/1/query"
+            f"?format=csv&starttime={start_date}"
+        )
+        return url, f"whole_month_{last_month.strftime('%m')}.csv", "full"
+    url = "https://earthquake.usgs.gov/earthquakes/feed/v1.0/summary/all_day.csv"
+    return url, f"all_day_{now.strftime('%Y%m%d-%H%M%S')}.csv", "delta"
+
+
+def fetch_feed(now: "datetime.datetime", rawdata_dir: str) -> str:
+    """Download the scheduled feed into RAWDATA/ (driver-side ingest).
+
+    Gated on `requests` being importable and the network reachable —
+    in offline environments use pre-landed files (the pipeline's file
+    branch logic is independent of how files arrive).
+    """
+    import os as _os
+
+    try:
+        import requests
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError("feed fetch needs the requests package") from e
+    url, filename, _mode = feed_request_for(now)
+    resp = requests.get(url, timeout=60)
+    resp.raise_for_status()
+    _os.makedirs(_os.path.join(rawdata_dir, "RAWDATA"), exist_ok=True)
+    dest = _os.path.join(rawdata_dir, "RAWDATA", filename)
+    with open(dest, "w") as f:
+        f.write(resp.text)
+    return dest

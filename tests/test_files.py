@@ -41,3 +41,19 @@ def test_archive_file_moves(tmp_path):
     assert not src.exists()
     assert os.path.exists(dest)
     assert "ARCHIVE/DELTA_LOAD/20240401/archive_all_day_20240401_120000.csv" in dest
+
+
+def test_feed_request_calendar():
+    # cloud_function.py:20-31 — day 1 -> previous-month full, else daily
+    import datetime
+
+    from gcp_data_pipeline_fyp_spark.sources.files import feed_request_for
+
+    url, name, mode = feed_request_for(datetime.datetime(2024, 4, 1, 3, 0))
+    assert mode == "full"
+    assert name == "whole_month_03.csv"
+    assert "starttime=2024-03-01" in url
+    url, name, mode = feed_request_for(datetime.datetime(2024, 4, 15, 13, 30, 45))
+    assert mode == "delta"
+    assert name == "all_day_20240415-133045.csv"
+    assert url.endswith("all_day.csv")

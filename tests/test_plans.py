@@ -46,3 +46,26 @@ def test_measure_filter_pushed(spark):
 def test_semi_join_not_inner(spark):
     p = _plan(spark, "order_priority_count")
     assert "LeftSemi" in p
+
+
+def test_partition_pruning(spark, tmp_path):
+    # a date-partitioned fact prunes untouched partitions at the source
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = load(spark, SF, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyyMMdd").cast("int")
+    )
+    wh.overwrite(ev, "fact_part", partition_cols=["event_date"])
+    scoped = wh.read("fact_part").filter(F.col("event_date") == 20240105)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scoped.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "20240105" in plan
+    n_days = ev.select("event_date").distinct().count()
+    assert scoped.count() == ev.filter(F.col("event_date") == 20240105).count()
+    assert n_days > 1
