@@ -200,3 +200,36 @@ def simhash16(toks: Column) -> Column:
     return F.aggregate(
         weighted, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
+
+
+def gopher_quality_flags(text: Column | str) -> dict[str, Column]:
+    """Gopher-style document-quality rules (public heuristics from the
+    Gopher/MassiveText papers), each as a boolean column expression:
+    word-count bounds, mean-word-length bounds, symbol ratio, and a
+    minimum stopword signal. Combine with `gopher_keep`.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.try_divide(
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+        ).cast("double"),
+        n.cast("double"),
+    )
+    symbols = punct_count(text)
+    stop_hits = stopword_hits(toks, LANG_PROFILES["en"])
+    return {
+        "ok_word_count": (n >= 50) & (n <= 100_000),
+        "ok_mean_word_len": (mean_len >= 3) & (mean_len <= 10),
+        "ok_symbol_ratio": F.try_divide(symbols.cast("double"), n.cast("double"))
+        < 0.1,
+        "ok_stopwords": stop_hits >= 2,
+    }
+
+
+def gopher_keep(text: Column | str) -> Column:
+    flags = gopher_quality_flags(text)
+    out = F.lit(True)
+    for c in flags.values():
+        out = out & c
+    return F.coalesce(out, F.lit(False))

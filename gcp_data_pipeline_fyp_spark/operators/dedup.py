@@ -210,3 +210,46 @@ def embedding_neardup_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedupe_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Composed dedup pipeline: exact -> LSH candidates -> Jaccard verify.
+
+    Returns the KEPT rows. Greedy keep-smallest semantics: a doc is
+    dropped if (a) an identical text with a smaller id exists, or (b)
+    it is the larger id of a verified near-dup pair. (Greedy pairwise,
+    not transitive closure — deterministic and one pass; run again to
+    collapse chains if needed.)
+    """
+    exact_kept = exact_dedup(df, [text_col], id_col)
+    candidates = minhash_lsh_candidates(
+        exact_kept, id_col, text_col, num_hashes=num_hashes, bands=bands
+    )
+    # verify candidates with exact n-gram Jaccard (join texts back in)
+    t = exact_kept.select(F.col(id_col), F.col(text_col))
+    a = candidates.join(
+        t.withColumnRenamed(id_col, "id_a").withColumnRenamed(text_col, "__ta"),
+        "id_a",
+    ).join(
+        t.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"),
+        "id_b",
+    )
+    ga = F.array_distinct(shingles(tokens(F.col("__ta")), 3))
+    gb = F.array_distinct(shingles(tokens(F.col("__tb")), 3))
+    jac = F.try_divide(
+        F.size(F.array_intersect(ga, gb)).cast("double"),
+        F.size(F.array_union(ga, gb)).cast("double"),
+    )
+    dropped = (
+        a.filter(F.round(jac, 6) >= jaccard_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return exact_kept.join(dropped, id_col, "left_anti")

@@ -421,3 +421,82 @@ TEXT_QUERIES.update(
         "redact_pii": (q_redact_pii, SQL_REDACT_PII),
     }
 )
+
+
+# ------------------------------------------------------------ quality filter
+def q_gopher_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep, gopher_quality_flags
+
+    d = _docs(spark, sf)
+    flags = gopher_quality_flags(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[expr.alias(name) for name, expr in flags.items()],
+        gopher_keep(F.col("text")).alias("keep"),
+    )
+
+
+_SQL_EN_LIST = _SQL_EN
+SQL_GOPHER_FILTER = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+  len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN_LIST})) AS stop_hits
+  FROM t)
+SELECT doc_id,
+  n >= 50 AND n <= 100000 AS ok_word_count,
+  mean_len >= 3 AND mean_len <= 10 AS ok_mean_word_len,
+  symbols / nullif(n, 0) < 0.1 AS ok_symbol_ratio,
+  stop_hits >= 2 AS ok_stopwords,
+  coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false) AS keep
+FROM m
+"""
+
+
+# ------------------------------------------------------------ composed dedup
+def q_dedupe_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Full dedup pipeline (exact -> LSH -> Jaccard-verified drop)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import dedupe_corpus
+
+    d = _docs_with_neardups(spark, sf)
+    kept = dedupe_corpus(d, "doc_id", "text", jaccard_threshold=0.8)
+    return kept.select("doc_id", "lang", "source")
+
+
+SQL_DEDUPE_CORPUS = f"""
+WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+ek AS (SELECT * FROM u
+       WHERE doc_id IN (SELECT min(doc_id) FROM u GROUP BY text)),
+t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM ek),
+s AS (SELECT doc_id, text, {_SQL_SHINGLES} AS sh FROM t),
+bb AS (SELECT doc_id, sh, {_SQL_BASE} AS base FROM s),
+sig AS (SELECT doc_id, sh, {_SQL_SIG} AS sig FROM bb),
+bands AS (
+  SELECT doc_id, sh, b, concat_ws('|', sig[b*2+1], sig[b*2+2]) AS bsig
+  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
+nz AS (SELECT * FROM bands WHERE bsig <> ''),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sh AS sha, b.sh AS shb
+  FROM nz a JOIN nz b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+verified AS (
+  SELECT id_b FROM cand
+  WHERE round(cast(len(list_intersect(sha, shb)) AS double)
+        / nullif(len(list_distinct(list_concat(sha, shb))), 0), 6) >= 0.8)
+SELECT doc_id, lang, source FROM ek
+WHERE doc_id NOT IN (SELECT id_b FROM verified)
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        "gopher_filter": (q_gopher_filter, SQL_GOPHER_FILTER),
+        "dedupe_corpus": (q_dedupe_corpus, SQL_DEDUPE_CORPUS),
+    }
+)
