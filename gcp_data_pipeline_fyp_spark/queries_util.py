@@ -45,6 +45,11 @@ def load(
     compute on a single core.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # pin the session timezone: the driver's session tz is not ours to
+    # assume, and LTZ<->NTZ casts, unix_timestamp on NTZ columns, and
+    # pandas collection of LTZ timestamps all shift with it — UTC makes
+    # them identities and matches the DuckDB oracle's naive timestamps
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     for c in NS_TS_COLUMNS.get(table, []):
         if dict(df.dtypes).get(c) == "bigint":
