@@ -489,3 +489,86 @@ ANALYTICS_QUERIES.update(
         "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     }
 )
+
+
+# ----------------------------------------------------- TPC-H Q7 shape
+def q_nation_volume_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue flow between two customer nations per ship year."""
+    nation = load(spark, sf, "nation")
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name").isin("NATION_1", "NATION_7", "NATION_19"))
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+SQL_NATION_VOLUME_BY_YEAR = """
+SELECT n_name AS cust_nation, cast(year(l_shipdate) AS int) AS l_year,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_7', 'NATION_19')
+GROUP BY n_name, year(l_shipdate)
+"""
+
+
+# ----------------------------------------------------- TPC-H Q10 shape
+def q_top_returning_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue lost to returned items per customer, top 20."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TOP_RETURNING_CUSTOMERS = """
+SELECT c_custkey, c_name, n_name,
+  cast(sum(cast(l_extendedprice * (1 - l_discount) AS decimal(18,4))) AS double)
+    AS revenue
+FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "nation_volume_by_year": (q_nation_volume_by_year, SQL_NATION_VOLUME_BY_YEAR),
+        "top_returning_customers": (
+            q_top_returning_customers,
+            SQL_TOP_RETURNING_CUSTOMERS,
+        ),
+    }
+)
