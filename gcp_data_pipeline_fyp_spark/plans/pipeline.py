@@ -61,6 +61,19 @@ def run_pipeline(
     data_source = os.path.basename(raw_path)
     wh = Warehouse(spark, warehouse_root)
 
+    # size scan splits to the input so a single raw CSV still parses on
+    # every core: one whole-month file (~tens of MB) is below the 128 MB
+    # default split size, which would serialize the parse — and the
+    # parse feeds every downstream stage. For inputs >= cores*128 MB
+    # the clamp leaves the default in place.
+    try:
+        file_bytes = os.path.getsize(raw_path)
+        cores = spark.sparkContext.defaultParallelism
+        split = min(max(file_bytes // max(cores, 1), 1 << 20), 128 << 20)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+    except OSError:
+        pass
+
     raw = read_raw_csv(spark, raw_path)
     staged = stage_staging(
         raw, wh, mode, job_id, data_source, run_ts, rejected_root=warehouse_root
