@@ -63,8 +63,22 @@ try:  # Arrow-vectorized fast path for the O(pairs) hot loop
         order differs from the sequential fold by ~1e-15 relative,
         which the callers' round(·, 6) absorbs.
         """
-        am = _np.stack(a.to_numpy())
-        bm = _np.stack(b.to_numpy())
+        av, bv = a.to_numpy(), b.to_numpy()
+        # NULL vectors (e.g. zero-norm inputs nulled by _unit) must yield
+        # NULL, matching the native fold's semantics — np.stack would
+        # crash on None entries
+        mask = _np.array([x is None for x in av]) | _np.array(
+            [x is None for x in bv]
+        )
+        if mask.any():
+            out = _np.full(len(av), _np.nan)
+            if (~mask).any():
+                am = _np.stack(av[~mask])
+                bm = _np.stack(bv[~mask])
+                out[~mask] = _np.einsum("ij,ij->i", am, bm)
+            return _pd.Series(out)
+        am = _np.stack(av)
+        bm = _np.stack(bv)
         return _pd.Series(_np.einsum("ij,ij->i", am, bm))
 
     HAVE_VECTORIZED = True

@@ -41,10 +41,16 @@ def asof_join(
     """Left rows + the latest right `value_cols` as of each left ts."""
     lt = left.withColumn("__side", F.lit(1))
     rt_cols = [*on, ts_col, *value_cols]
+    # all value columns (and the tie) travel in ONE struct: filling a
+    # single column with last(ignorenulls) can never stitch values from
+    # different right rows, and a NULL inside the struct is preserved
+    # (the struct itself is non-null for every right row)
     rt = right.select(*rt_cols).withColumn("__side", F.lit(0))
-    for c in value_cols:
-        rt = rt.withColumnRenamed(c, f"{c}{suffix}")
-        lt = lt.withColumn(f"{c}{suffix}", F.lit(None).cast(dict(rt.dtypes)[f"{c}{suffix}"]))
+    rt = rt.withColumn("__vals", F.struct(*[F.col(c) for c in value_cols])).drop(
+        *value_cols
+    )
+    struct_type = dict(rt.dtypes)["__vals"]
+    lt = lt.withColumn("__vals", F.lit(None).cast(struct_type))
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # right rows (side 0) sort before left rows at equal ts -> `<=`
     # inclusivity; among right rows with equal ts the greatest tie wins
@@ -52,20 +58,22 @@ def asof_join(
     # last within their (ts, side) group, which cannot affect fills.
     order = [F.col(ts_col).asc(), F.col("__side").asc()]
     if tie_col is not None:
+        tie_base = tie_col.removesuffix(suffix)
         order.append(
-            F.when(F.col("__side") == 0, F.col(tie_col)).asc_nulls_last()
+            F.when(F.col("__side") == 0, F.col("__vals")[tie_base]).asc_nulls_last()
         )
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "__vals_filled", F.last("__vals", ignorenulls=True).over(w)
+    )
+    out = filled.filter(F.col("__side") == 1)
     for c in value_cols:
-        filled = filled.withColumn(
-            f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-        )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+        out = out.withColumn(f"{c}{suffix}", F.col("__vals_filled")[c])
+    return out.drop("__side", "__vals", "__vals_filled")
 
 
 def range_join_points(

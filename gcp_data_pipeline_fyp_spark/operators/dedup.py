@@ -68,7 +68,16 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band."""
+    """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
+
+    The returned (small) pair set is materialized eagerly so the large
+    intermediate signature cache can be released before returning.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "trailing hash functions would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     # signatures are CPU-bound per row; a compressed text parquet often
     # yields far fewer input splits than cores (15 MB of parquet can be
@@ -99,6 +108,11 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+    # materialize the (small) pair set, then drop the signature cache —
+    # persists would otherwise accumulate across calls in a session
+    out = out.persist()
+    out.count()
+    sig_df.unpersist()
     return out
 
 

@@ -36,13 +36,17 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> Da
             f"{set(base.columns) - set(updates.columns)} "
             f"updates-only={set(updates.columns) - set(base.columns)}"
         )
-    b, u = base.alias("b"), updates.alias("u")
+    # presence markers instead of key null-checks: the join is null-safe
+    # (eqNullSafe), so a NULL key is a legitimate matchable value and
+    # u.<key>.isNotNull() would misclassify it
+    b = base.withColumn("__b_present", F.lit(True)).alias("b")
+    u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = None
     for k in keys:
         c = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
         cond = c if cond is None else (cond & c)
     joined = b.join(u, cond, "full_outer")
-    matched = F.col(f"u.{keys[0]}").isNotNull()
+    matched = F.col("u.__u_present").isNotNull()
     out_cols = []
     for c in base.columns:
         out_cols.append(

@@ -38,9 +38,19 @@ def salted_agg(
     salt_from: str | None = None,
     buckets: int = 16,
 ) -> DataFrame:
-    """Two-phase sum/count per key, hot keys spread over `buckets` reducers."""
-    salt_src = salt_from or keys[-1]
-    salted = df.withColumn("__salt", _salt(salt_src, buckets))
+    """Two-phase sum/count per key, hot keys spread over `buckets` reducers.
+
+    `salt_from` must be a NON-key column (ideally high-cardinality, e.g.
+    a row id): salting by a grouping key is a constant per group and
+    spreads nothing — that misuse is rejected loudly.
+    """
+    if salt_from is None or salt_from in keys:
+        raise ValueError(
+            "salted_agg needs salt_from set to a non-grouping column; "
+            "a salt derived from a grouping key is constant per group "
+            "and cannot spread a hot key"
+        )
+    salted = df.withColumn("__salt", _salt(salt_from, buckets))
     partial_aggs = []
     for c in sum_cols:
         partial_aggs.append(F.sum(c).alias(f"__sum_{c}"))

@@ -66,6 +66,7 @@ def run_pipeline(
     # default split size, which would serialize the parse — and the
     # parse feeds every downstream stage. For inputs >= cores*128 MB
     # the clamp leaves the default in place.
+    prior_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
     try:
         file_bytes = os.path.getsize(raw_path)
         cores = spark.sparkContext.defaultParallelism
@@ -74,6 +75,33 @@ def run_pipeline(
     except OSError:
         pass
 
+    try:
+        return _run_pipeline_stages(
+            spark, raw_path, states, wh, mode, job_id, data_source, run_ts,
+            warehouse_root, archive,
+        )
+    finally:
+        # restore the session-wide split size — leaving a CSV-sized
+        # split active would fragment every later parquet scan in the
+        # caller's session into thousands of tiny tasks
+        if prior_split is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prior_split)
+
+
+def _run_pipeline_stages(
+    spark: SparkSession,
+    raw_path: str,
+    states: DataFrame,
+    wh: Warehouse,
+    mode: str,
+    job_id: str,
+    data_source: str,
+    run_ts: _dt.datetime,
+    warehouse_root: str,
+    archive: bool,
+) -> dict[str, DataFrame]:
     raw = read_raw_csv(spark, raw_path)
     staged = stage_staging(
         raw, wh, mode, job_id, data_source, run_ts, rejected_root=warehouse_root

@@ -48,9 +48,12 @@ def read_raw_csv(
     """
     schema = StructType([StructField(c, StringType(), True) for c in columns])
     df = spark.read.options(header=True, mode="PERMISSIVE").schema(schema).csv(path)
+    # reconstructed (not byte-identical) line for the dead-letter sink:
+    # to_csv applies proper quoting so comma-bearing fields (USGS place
+    # strings) survive a replay parse; NULLs serialize as empty fields,
+    # so short-row padding is not distinguishable from real empties.
     return df.withColumn(
-        "original_csv_line",
-        F.concat_ws(",", *[F.coalesce(F.col(c), F.lit("")) for c in columns]),
+        "original_csv_line", F.to_csv(F.struct(*[F.col(c) for c in columns]))
     )
 
 

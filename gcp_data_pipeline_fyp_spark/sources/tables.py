@@ -96,12 +96,27 @@ class Warehouse:
         return self.spark.table(table)
 
     def swap(self, staging_table: str, table: str) -> None:
-        """Promote a staging table to final by directory rename (atomic
-        and free on a local/HDFS filesystem; object stores fall back to
-        the copy path in plans/delta.py). Replaces the reference's
-        read-back-and-overwrite staging promotion."""
+        """Promote a staging table to final via rename-with-backup.
+
+        The old table is renamed aside BEFORE the staging table moves
+        into place, so a crash at any point leaves either the old or
+        the new data recoverable on disk — never a window with no
+        table (each os.rename is atomic on local/HDFS filesystems;
+        object stores should use the copy path instead).
+        """
         final = self.path(table)
         staged = self.path(staging_table)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.rename(staged, final)
+        backup = final + ".__backup"
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+        had_old = os.path.exists(final)
+        if had_old:
+            os.rename(final, backup)
+        try:
+            os.rename(staged, final)
+        except OSError:
+            if had_old:
+                os.rename(backup, final)  # roll back
+            raise
+        if had_old:
+            shutil.rmtree(backup)

@@ -39,10 +39,18 @@ def _sessionize_group(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        state.remove()
+        # close the open session but KEEP the counter: removing state
+        # would restart later events at session_id 1, colliding with
+        # already-emitted ids. last_ts=-1 marks "no open session".
+        if state.exists:
+            _lt, sid = state.get
+            state.update((-1.0, int(sid)))
+            state.setTimeoutDuration(24 * 3600 * 1000)
         return
     if state.exists:
         last_ts, session_id = state.get
+        if last_ts is not None and last_ts < 0:
+            last_ts = None  # timed out earlier: next event opens a new session
     else:
         last_ts, session_id = None, 0
     frames = []

@@ -55,3 +55,30 @@ def test_range_join_matches_naive(spark):
     }
     assert fast == naive
     assert len(naive) > 0
+
+
+def test_asof_null_value_not_skipped(spark):
+    # the most recent right row's NULL must be returned, not an older
+    # row's value bleeding forward
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 12:00:00")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 5), ("u", "2024-01-01 11:00:00", None)],
+        "k string, ts string, v int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof_join(left, right, on=["k"], ts_col="ts", value_cols=["v"]).collect()
+    assert out[0]["v_asof"] is None
+
+
+def test_asof_multicolumn_no_stitching(spark):
+    # both value columns must come from the SAME (most recent) right row
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 12:00:00")], "id long, k string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", 1, None), ("u", "2024-01-01 11:00:00", None, 9)],
+        "k string, ts string, a int, b int",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = asof_join(left, right, on=["k"], ts_col="ts", value_cols=["a", "b"]).collect()[0]
+    assert (r["a_asof"], r["b_asof"]) == (None, 9)  # the 11:00 row, whole

@@ -178,3 +178,12 @@ def test_observe_counters(spark):
     # the operator helper builds the same observation by name
     named = with_counters(df, "gate2", pred)
     named.collect()
+
+
+def test_merge_upsert_null_keys(spark):
+    # NULL is a legitimate matchable key (null-safe join): the update
+    # for a NULL-key row must win, not be dropped
+    base = spark.createDataFrame([(None, "old"), (2, "keep")], "id long, v string")
+    updates = spark.createDataFrame([(None, "new")], "id long, v string")
+    out = {r["id"]: r["v"] for r in merge_upsert(base, updates, ["id"]).collect()}
+    assert out == {None: "new", 2: "keep"}

@@ -88,3 +88,16 @@ def test_lsh_neardup_finds_planted_copies(spark):
     planted = {(i, i + 1000) for i in range(0, 120, 10)}
     # identical vectors always share a sign bucket -> 100% recall on exact copies
     assert planted <= pairs
+
+
+def test_brute_force_null_and_zero_vectors(spark):
+    # zero-norm corpus vector -> NULL cosine, ranked last, no crash in
+    # the Arrow-vectorized pair stage
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 1.0]), (2, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    c = df.filter(F.col("vec_id") > 0)
+    out = brute_force_topk(q, c, "vec_id", "embedding", k=2).collect()
+    scores = {r["corpus_id"]: r["cosine"] for r in out}
+    assert scores[2] is None
+    assert abs(scores[1] - 0.707107) < 1e-5

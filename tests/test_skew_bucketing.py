@@ -67,3 +67,13 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_salted_agg_rejects_key_salt(spark):
+    import pytest
+
+    df = _skewed(spark)
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], ["v"])  # no salt_from
+    with pytest.raises(ValueError):
+        salted_agg(df, ["k"], ["v"], salt_from="k")  # key-derived salt
