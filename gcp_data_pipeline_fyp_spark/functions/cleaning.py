@@ -37,6 +37,12 @@ def _cleaned(col: Column | str) -> Column:
     return F.when(c.isin("", "null"), F.lit(None)).otherwise(c)
 
 
+def clean_str(col: Column | str) -> Column:
+    """ODS `clean()`: None/''/'null' -> NULL for label columns
+    (ods_full_load2.py:63-64)."""
+    return _cleaned(col)
+
+
 def safe_double(col: Column | str) -> Column:
     """'' / 'null' / unparseable -> NULL else double (ods_full_load2.py:51-58)."""
     return _cleaned(col).try_cast("double")

@@ -37,8 +37,30 @@ def reject_predicate(
     )
 
 
-def quality_split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
-    """(accepted, rejected). Caller should persist `df` before two sinks."""
+def malformed_predicate(
+    depth_col: str = "depth",
+    mag_col: str = "mag",
+    mag_error_col: str = "magError",
+    depth_error_col: str = "depthError",
+) -> Column:
+    """Rows the reference silently drops: a gate numeric is present but
+    unparseable, so its float() raised and the except-branch swallowed
+    the row (stg_full_load.py:106-107) — neither accepted nor rejected."""
+    bad = F.lit(False)
+    for c in (depth_col, mag_col, mag_error_col, depth_error_col):
+        bad = bad | (F.col(c).isNotNull() & F.col(c).try_cast("double").isNull())
+    return bad
+
+
+def quality_split(
+    df: DataFrame, predicate: Column, malformed: Column | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(accepted, rejected). Caller should persist `df` before two sinks.
+
+    Rows matching `malformed` are dropped from BOTH outputs (the
+    reference's except-and-skip behavior)."""
+    if malformed is not None:
+        df = df.filter(~F.coalesce(malformed, F.lit(False)))
     rejected = df.filter(predicate)
     accepted = df.filter(~F.coalesce(predicate, F.lit(False)))
     return accepted, rejected

@@ -24,6 +24,7 @@ from gcp_data_pipeline_fyp_spark.functions.banding import (
 )
 from gcp_data_pipeline_fyp_spark.functions.cleaning import (
     audit_columns,
+    clean_str,
     safe_double,
     safe_long,
 )
@@ -51,20 +52,20 @@ def ods_projection(staged: DataFrame, job_id: str, data_source: str, run_ts: _dt
         depth_band(n_depth).alias("LB_depthCategory"),
         F.lit(None).cast("string").alias("LB_Region"),
         F.lit(None).cast("string").alias("LB_Country"),
-        F.col("place").alias("LB_place"),
+        clean_str("place").alias("LB_place"),
         F.to_timestamp(dt_local).alias("DT_time"),
         safe_double("latitude").alias("VL_latitude"),
         safe_double("longitude").alias("VL_longitude"),
         safe_long("nst").alias("ID_nst"),
         safe_long("gap").alias("ID_gap"),
         safe_double("dmin").alias("VL_dmin"),
-        F.col("net").alias("LB_net"),
-        F.col("type").alias("LB_type"),
+        clean_str("net").alias("LB_net"),
+        clean_str("type").alias("LB_type"),
         safe_double("horizontalError").alias("VL_horizontalError"),
         safe_long("magNst").alias("ID_magNst"),
-        F.col("status").alias("LB_status"),
-        F.col("locationSource").alias("LB_locationSource"),
-        F.col("magSource").alias("LB_magSource"),
+        clean_str("status").alias("LB_status"),
+        clean_str("locationSource").alias("LB_locationSource"),
+        clean_str("magSource").alias("LB_magSource"),
         audit["_DT_insertion_date"].alias("_DT_insertion_date"),
         audit["_DT_updated_date"].alias("_DT_updated_date"),
         audit["_LB_job_execution_id"].alias("_LB_job_execution_id"),

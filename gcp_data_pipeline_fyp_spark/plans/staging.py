@@ -15,7 +15,11 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from gcp_data_pipeline_fyp_spark.functions.cleaning import audit_columns, null_coerce
-from gcp_data_pipeline_fyp_spark.operators.quality import quality_split, reject_predicate
+from gcp_data_pipeline_fyp_spark.operators.quality import (
+    malformed_predicate,
+    quality_split,
+    reject_predicate,
+)
 from gcp_data_pipeline_fyp_spark.sources.files import RAW_EVENT_COLUMNS, write_rejected
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
@@ -35,7 +39,9 @@ def stage_staging(
         *[null_coerce(c).alias(c) for c in RAW_EVENT_COLUMNS], "original_csv_line"
     )
     coerced = coerced.persist(StorageLevel.MEMORY_AND_DISK)
-    accepted, rejected = quality_split(coerced, reject_predicate())
+    accepted, rejected = quality_split(
+        coerced, reject_predicate(), malformed=malformed_predicate()
+    )
     audit = audit_columns(job_id, data_source, run_ts)
     # staging keeps the raw 22 columns (already strings) + audit columns
     staged = accepted.select(*RAW_EVENT_COLUMNS).withColumns(

@@ -187,3 +187,23 @@ def test_merge_upsert_null_keys(spark):
     updates = spark.createDataFrame([(None, "new")], "id long, v string")
     out = {r["id"]: r["v"] for r in merge_upsert(base, updates, ["id"]).collect()}
     assert out == {None: "new", 2: "keep"}
+
+
+def test_malformed_rows_silently_dropped(spark):
+    # stg_full_load.py:106-107 — float('abc') raises inside the DoFn and
+    # the row lands in NEITHER output
+    from gcp_data_pipeline_fyp_spark.operators.quality import malformed_predicate
+
+    df = spark.createDataFrame(
+        [
+            ("earthquake", "abc", "5.0", "0.1", "10"),   # malformed depth
+            ("earthquake", "10", "5.0", "0.1", "10"),    # clean
+            ("earthquake", "0.5", "5.0", "0.1", "10"),   # rejected
+        ],
+        "type string, depth string, mag string, magError string, depthError string",
+    )
+    accepted, rejected = quality_split(
+        df, reject_predicate(), malformed=malformed_predicate()
+    )
+    assert accepted.count() == 1
+    assert rejected.count() == 1
