@@ -37,20 +37,23 @@ def depth_band(depth: Column | str) -> Column:
     )
 
 
+# exact reference texts (dw_full_load2.py:59-64); unknown/NULL categories
+# fall back to the reference's f-string (Python renders None as 'None')
 DEPTH_BAND_DESCRIPTIONS = {
-    "Shallow": "Shallow earthquakes are between 0 and 70 km deep",
-    "Intermediate": "Intermediate earthquakes are between 70 and 300 km deep",
-    "Deep": "Deep earthquakes are between 300 and 700 km deep",
+    "Shallow": "less than 70km",
+    "Intermediate": "between 70km and 300km",
+    "Deep": "more than 300km",
 }
 
 
 def depth_band_description(cat: Column | str) -> Column:
     c = _c(cat)
-    expr = F.lit(None).cast("string")
-    out = F.when(F.lit(False), expr)
+    out = F.when(F.lit(False), F.lit(None).cast("string"))
     for k, v in DEPTH_BAND_DESCRIPTIONS.items():
         out = out.when(c == k, v)
-    return out.otherwise(F.lit(None).cast("string"))
+    return out.otherwise(
+        F.concat(F.lit("Depth category: "), F.coalesce(c, F.lit("None")))
+    )
 
 
 def mag_band(mag: Column | str) -> Column:
@@ -67,14 +70,15 @@ def mag_band(mag: Column | str) -> Column:
     )
 
 
+# exact reference texts (dw_full_load2.py:66-75)
 MAG_BAND_DESCRIPTIONS = {
-    "Not Felt": "Not felt, or felt rarely. Recorded by seismographs",
-    "Minor": "Felt weakly by some people. No damage to buildings",
-    "Light": "Felt by many people. Minor breakage of objects",
-    "Moderate": "Felt by all. Slight damage to buildings",
-    "Strong": "Damage to a moderate number of well-built structures",
-    "Major": "Causes damage to most buildings",
-    "Great": "Major damage to buildings. Total destruction possible",
+    "Not Felt": "<3",
+    "Minor": "3 <=mag < 4",
+    "Light": "4 <=mag < 5",
+    "Moderate": "5 <=mag < 6",
+    "Strong": "6 <= mag < 7",
+    "Major": "7 <=mag < 8",
+    "Great": "8 <= mag",
 }
 
 
@@ -83,4 +87,6 @@ def mag_band_description(cat: Column | str) -> Column:
     out = F.when(F.lit(False), F.lit(None).cast("string"))
     for k, v in MAG_BAND_DESCRIPTIONS.items():
         out = out.when(c == k, v)
-    return out.otherwise(F.lit(None).cast("string"))
+    return out.otherwise(
+        F.concat(F.lit("Magnitude category: "), F.coalesce(c, F.lit("None")))
+    )

@@ -102,6 +102,8 @@ def enrich_fact(ods: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
         "ID_depthCategory_ID", F.col("LB_depthCategoryName").alias("__k_depth")
     )
     f = f.join(F.broadcast(dc), F.col("__depthCat_key") == F.col("__k_depth"), "left")
+    # fact column set mirrors dw_full_load2.py:195-218: degenerate
+    # dimension LB_place rides the fact; LB_status does NOT
     return f.select(
         "ID_Event",
         "ID_Network_ID",
@@ -114,6 +116,8 @@ def enrich_fact(ods: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
         .alias("ID_date_ID"),
         "VL_n_mag",
         "VL_n_depth",
+        "LB_place",
+        "DT_time",
         "VL_latitude",
         "VL_longitude",
         "ID_nst",
@@ -121,8 +125,6 @@ def enrich_fact(ods: DataFrame, dims: dict[str, DataFrame]) -> DataFrame:
         "VL_dmin",
         "VL_horizontalError",
         "ID_magNst",
-        "LB_status",
-        "DT_time",
         "_DT_insertion_date",
         "_DT_updated_date",
         "_LB_job_execution_id",
