@@ -99,3 +99,24 @@ def test_delta_dedup_and_upsert(warehouse, spark):
         run_ts=datetime.datetime(2024, 4, 3, 3, 0),
     )
     assert t3["T_FACT_Events"].count() == 3
+
+
+def test_view_layer_answers_dax_sql(warehouse, spark):
+    # E3: the V_* view indirection answers the DAX measures as spark.sql
+    from gcp_data_pipeline_fyp_spark.plans.views import register_views
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    _, wh_root, tables = warehouse
+    created = register_views(spark, Warehouse(spark, wh_root))
+    assert "V_FACT_Event" in created
+    total = spark.sql("SELECT COUNT(*) AS n FROM V_FACT_Event").first()["n"]
+    assert total == tables["T_FACT_Events"].count()
+    avg_mag = spark.sql(
+        """
+        SELECT AVG(f.VL_n_mag) AS m
+        FROM V_FACT_Event f
+        JOIN V_DIM_Seismic_Activity_Type t ON f.ID_type_ID = t.ID_type_ID
+        WHERE t.LB_type = 'earthquake'
+        """
+    ).first()["m"]
+    assert abs(avg_mag - 4.3) < 0.001  # (3.55 + 5.05) / 2
