@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Scaling-behavior probe: run key plans at 1x/4x/16x synthetic data.
+
+The correctness gate runs at small SF; this probe is the evidence that
+the plans scale the way the architecture claims: near-linear wall-clock
+growth (scan-bound operators), no blow-up from shuffles or O(n^2)
+stages. Synthetic scaling = union of id-shifted copies of the base
+tables, so key cardinalities grow with the data (worst case for
+dedup/joins).
+
+Usage: python3 tools/scale_probe.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gcp_data_pipeline_fyp_spark.session import get_spark  # noqa: E402
+from gcp_data_pipeline_fyp_spark.operators.dedup import (  # noqa: E402
+    exact_dup_stats,
+    minhash_lsh_candidates,
+)
+from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys  # noqa: E402
+from gcp_data_pipeline_fyp_spark.queries_util import load  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def scaled(df, copies: int, id_col: str):
+    parts = [
+        df.withColumn(id_col, F.col(id_col) + F.lit(i * 10_000_000)) for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    results: dict[str, dict[str, float]] = {}
+    for copies in (1, 4, 16):
+        ev = scaled(load(spark, SF_DIR, "events"), copies, "event_id")
+        docs = scaled(load(spark, SF_DIR, "documents", spread=True), copies, "doc_id")
+        t: dict[str, float] = {}
+
+        t0 = time.perf_counter()
+        (
+            ev.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("s"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        t["groupby_agg"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        dim = assign_surrogate_keys(ev, ["event_type"], "id_type")
+        ev.join(F.broadcast(dim), "event_type").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["star_join"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        exact_dup_stats(docs, ["text"], "doc_id").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["exact_dedup"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        minhash_lsh_candidates(docs, "doc_id", "text").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["minhash_lsh"] = round(time.perf_counter() - t0, 2)
+
+        results[f"{copies}x"] = t
+    print(json.dumps({"sf_dir": SF_DIR, "scales": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
