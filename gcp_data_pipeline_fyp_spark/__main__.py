@@ -1,0 +1,96 @@
+"""CLI entry point — the operational surface of the engine.
+
+A user of the reference runs: Cloud Function trigger -> Airflow DAG ->
+five Dataflow jobs. The equivalent here:
+
+    python3 -m gcp_data_pipeline_fyp_spark run \
+        --raw /data/RAWDATA/whole_month_03.csv --warehouse /data/wh
+
+    python3 -m gcp_data_pipeline_fyp_spark measures --warehouse /data/wh
+
+    python3 -m gcp_data_pipeline_fyp_spark ingest --rawdata /data  # needs network
+
+Mode (full/delta) is inferred from the filename exactly like the DAG's
+branch; `--mode` overrides.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gcp_data_pipeline_fyp_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run the 5-stage ELT pipeline on a raw CSV")
+    run_p.add_argument("--raw", required=True, help="raw CSV path (whole_month_* or all_day_*)")
+    run_p.add_argument("--warehouse", required=True, help="warehouse root directory")
+    run_p.add_argument("--mode", choices=["full", "delta"], default=None)
+    run_p.add_argument("--archive", action="store_true", help="archive the raw file after load")
+    run_p.add_argument("--cpus", type=int, default=None)
+
+    m_p = sub.add_parser("measures", help="evaluate the 12 DAX measures over the warehouse")
+    m_p.add_argument("--warehouse", required=True)
+    m_p.add_argument("--cpus", type=int, default=None)
+
+    i_p = sub.add_parser("ingest", help="download the scheduled USGS feed into RAWDATA/")
+    i_p.add_argument("--rawdata", required=True, help="directory receiving RAWDATA/<file>")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "ingest":
+        from gcp_data_pipeline_fyp_spark.sources.files import fetch_feed
+
+        dest = fetch_feed(datetime.datetime.now(), args.rawdata)
+        print(dest)
+        return 0
+
+    from gcp_data_pipeline_fyp_spark.session import get_spark
+
+    spark = get_spark(cpus=args.cpus)
+    try:
+        if args.cmd == "run":
+            from gcp_data_pipeline_fyp_spark.plans.pipeline import run_pipeline
+            from gcp_data_pipeline_fyp_spark.sources.states import states_df
+
+            tables = run_pipeline(
+                spark, args.raw, states_df(spark), args.warehouse,
+                mode=args.mode, archive=args.archive,
+            )
+            print(json.dumps({name: df.count() for name, df in tables.items()}))
+            return 0
+
+        if args.cmd == "measures":
+            from gcp_data_pipeline_fyp_spark.plans import measures
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            star = measures.star_events(
+                wh.read("T_FACT_Events"), wh.read("T_DIM_Seismic_Activity_Type")
+            )
+            out = {
+                "latest_daily_update": str(
+                    measures.latest_daily_update(star).first()[0]
+                ),
+                "avg_earthquake_magnitude": measures.avg_earthquake_magnitude(star).first()[0],
+                "max_earthquake_depth": measures.max_earthquake_depth(star).first()[0],
+                "max_earthquake_magnitude": measures.max_earthquake_magnitude(star).first()[0],
+                "totals_by_type": {
+                    r["LB_type"]: r["total_events"]
+                    for r in measures.totals_by_type(star).collect()
+                },
+                "total_seismic_events": measures.total_seismic_events(star).first()[0],
+            }
+            print(json.dumps(out))
+            return 0
+    finally:
+        spark.stop()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

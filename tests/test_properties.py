@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for pure helpers and a
+cross-engine fuzz of merge semantics against DuckDB."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from gcp_data_pipeline_fyp_spark.functions.text import minhash_params
+from gcp_data_pipeline_fyp_spark.operators.similarity import make_hyperplanes
+from gcp_data_pipeline_fyp_spark.sources.files import archive_date_from_filename
+from gcp_data_pipeline_fyp_spark.plans.pipeline import branch_for_filename, choose_mode
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_params_properties(n):
+    params = minhash_params(n)
+    assert len(params) == n
+    assert len(set(params)) == n  # distinct permutations
+    for a, b in params:
+        assert a % 2 == 1  # odd multiplier (bijective mod 2^k concerns)
+        assert 0 < a < 2**31
+        assert 0 <= b < 2**31
+
+
+@given(st.integers(min_value=1, max_value=16), st.integers(min_value=1, max_value=128))
+def test_hyperplanes_deterministic(planes, dim):
+    a = make_hyperplanes(dim, planes, seed=7)
+    b = make_hyperplanes(dim, planes, seed=7)
+    assert a == b
+    assert len(a) == planes and len(a[0]) == dim
+
+
+@given(st.dates(min_value=datetime.date(2000, 1, 2), max_value=datetime.date(2030, 12, 31)))
+def test_choose_mode_total(d):
+    mode = choose_mode(d)
+    assert mode == ("full" if d.day == 1 else "delta")
+    # branch_for_filename agrees with the filenames the ingest produces
+    if mode == "delta":
+        assert branch_for_filename(f"all_day_{d:%Y%m%d}-120000.csv") == "delta"
+
+
+@given(st.text(alphabet="abcdefghij_0123456789.", max_size=30))
+def test_archive_date_never_raises(name):
+    # total function over arbitrary filenames
+    out = archive_date_from_filename(name)
+    assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 6) | st.none(), st.integers(0, 100)),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    upd=st.lists(
+        st.tuples(st.integers(0, 6) | st.none(), st.integers(0, 100)),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_upsert_fuzz_vs_duckdb(spark, base, upd):
+    """merge_upsert == dict-update semantics (NULL keys included),
+    cross-checked against a DuckDB full-outer rendering."""
+    from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+
+    schema = "k int, v int"
+    bdf = spark.createDataFrame(base, schema) if base else spark.createDataFrame([], schema)
+    udf = spark.createDataFrame(upd, schema) if upd else spark.createDataFrame([], schema)
+    got = {r["k"]: r["v"] for r in merge_upsert(bdf, udf, ["k"]).collect()}
+    expected = dict(base)
+    expected.update(dict(upd))
+    assert got == expected
+    # duckdb oracle of the same shape
+    con = duckdb.connect()
+    con.register("b", pd.DataFrame(base, columns=["k", "v"]))
+    con.register("u", pd.DataFrame(upd, columns=["k", "v"]))
+    odf = con.execute(
+        """
+        SELECT coalesce(u.k, b.k) AS k,
+               CASE WHEN u.present THEN u.v ELSE b.v END AS v
+        FROM (SELECT *, true AS present FROM b) b
+        FULL OUTER JOIN (SELECT *, true AS present FROM u) u
+          ON b.k IS NOT DISTINCT FROM u.k
+        """
+    ).df()
+    oracle = {
+        (None if pd.isna(r.k) else int(r.k)): (None if pd.isna(r.v) else int(r.v))
+        for r in odf.itertuples()
+    }
+    assert got == oracle
