@@ -1,0 +1,71 @@
+"""Deterministic sampling & dataset splitting for training-data pipelines.
+
+`df.sample()` is RNG-seeded per partition: results change with
+partitioning, retries, and engines. At 100 TB you want CONTENT-keyed
+sampling — a row is in or out as a pure function of its key — so
+samples are reproducible across runs, engines, and cluster layouts,
+and a document keeps its split assignment when the corpus is
+reprocessed. Hash basis is md5 (cross-engine verifiable, like
+functions/text.py); the key is bucketed into [0, 10^6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key_cols: Sequence[Column | str], seed: int = 0) -> Column:
+    """Deterministic bucket in [0, 1e6) from the md5 of the keys + seed."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    joined = F.concat_ws("|", F.lit(str(seed)), *[c.cast("string") for c in cols])
+    return (
+        F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long") % _BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: Sequence[str], fraction: float, seed: int = 0
+) -> DataFrame:
+    """Keep ~fraction of rows, keyed on content — reproducible anywhere."""
+    return df.filter(hash_bucket(key_cols, seed) < int(fraction * _BUCKETS))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a split label ('train'/'val'/'test'/...) by weight.
+
+    Assignment is stable under reprocessing: the same key lands in the
+    same split forever (critical to avoid train/test contamination when
+    a corpus is regenerated or extended).
+    """
+    total = sum(weights.values())
+    bucket = hash_bucket(key_cols, seed)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cond = bucket < int(acc * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_bucket_sql(key_sql: Sequence[str], seed: int = 0) -> str:
+    """DuckDB-equivalent SQL text for `hash_bucket` (oracle parity)."""
+    joined = ", ".join(f"cast({k} AS varchar)" for k in key_sql)
+    return (
+        f"cast(concat('0x', substr(md5(concat_ws('|', '{seed}', {joined})), 1, 12)) "
+        f"AS bigint) % {_BUCKETS}"
+    )

@@ -500,3 +500,50 @@ TEXT_QUERIES.update(
         "dedupe_corpus": (q_dedupe_corpus, SQL_DEDUPE_CORPUS),
     }
 )
+
+
+# ------------------------------------------------------------ sampling/splits
+def q_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-keyed deterministic 10% sample (reproducible across engines)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_sample
+
+    d = _docs(spark, sf)
+    return hash_sample(d, ["doc_id"], 0.1, seed=42).select("doc_id", "lang")
+
+
+def q_train_val_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Stable 80/10/10 split keyed on doc_id (no contamination on reprocess)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf)
+    out = hash_split(
+        d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+from gcp_data_pipeline_fyp_spark.operators.sampling import hash_bucket_sql  # noqa: E402
+
+_B42 = hash_bucket_sql(["doc_id"], seed=42)
+_B7 = hash_bucket_sql(["doc_id"], seed=7)
+SQL_HASH_SAMPLE = f"""
+SELECT doc_id, lang FROM documents WHERE {_B42} < 100000
+"""
+SQL_TRAIN_VAL_TEST_SPLIT = f"""
+WITH s AS (
+  SELECT doc_id,
+    CASE WHEN {_B7} < 800000 THEN 'train'
+         WHEN {_B7} < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_id FROM s GROUP BY split
+"""
+
+TEXT_QUERIES.update(
+    {
+        "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+        "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
+    }
+)
