@@ -22,11 +22,7 @@ from gcp_data_pipeline_fyp_spark.plans.dw import stage_dw_full
 from gcp_data_pipeline_fyp_spark.plans.geo_stage import stage_geo
 from gcp_data_pipeline_fyp_spark.plans.ods import stage_ods
 from gcp_data_pipeline_fyp_spark.plans.staging import stage_staging
-from gcp_data_pipeline_fyp_spark.sources.files import (
-    archive_file,
-    latest_matching_file,
-    read_raw_csv,
-)
+from gcp_data_pipeline_fyp_spark.sources.files import archive_file, read_raw_csv
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
 
