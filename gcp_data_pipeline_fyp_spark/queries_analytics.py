@@ -572,3 +572,64 @@ ANALYTICS_QUERIES.update(
         ),
     }
 )
+
+
+# ----------------------------------------------------- date scaffold + pivot
+def q_date_scaffold(spark: SparkSession, sf: str) -> DataFrame:
+    """Complete calendar scaffold for the events span (the reference's
+    date dim only has observed dates; a complete scaffold is what a BI
+    star usually wants). explode(sequence(min, max, 1 day))."""
+    ev = load(spark, sf, "events")
+    bounds = ev.select(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    return days.select(
+        F.col("d").cast("timestamp").alias("dt_date"),
+        F.date_format("d", "yyyyMMdd").cast("int").alias("id_date_id"),
+        F.weekofyear("d").cast("int").alias("id_weeknb"),
+    )
+
+
+SQL_DATE_SCAFFOLD = """
+WITH b AS (SELECT min(cast(ts AS date)) AS d0, max(cast(ts AS date)) AS d1
+           FROM events)
+SELECT cast(d AS timestamp) AS dt_date,
+       cast(strftime(d, '%Y%m%d') AS int) AS id_date_id,
+       cast(weekofyear(d) AS int) AS id_weeknb
+FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS d FROM b)
+"""
+
+
+def q_pivot_type_by_day(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivoted measure matrix: one row per day, one column per type."""
+    ev = load(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.date_trunc("DAY", "ts").alias("dt_date"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_PIVOT_TYPE_BY_DAY = """
+SELECT date_trunc('day', ts) AS dt_date,
+  cast(count(*) FILTER (event_type = 'click') AS bigint) AS click,
+  cast(count(*) FILTER (event_type = 'error') AS bigint) AS error,
+  cast(count(*) FILTER (event_type = 'purchase') AS bigint) AS purchase,
+  cast(count(*) FILTER (event_type = 'signup') AS bigint) AS signup,
+  cast(count(*) FILTER (event_type = 'view') AS bigint) AS view
+FROM events GROUP BY 1
+"""
+
+
+ANALYTICS_QUERIES.update(
+    {
+        "date_scaffold": (q_date_scaffold, SQL_DATE_SCAFFOLD),
+        "pivot_type_by_day": (q_pivot_type_by_day, SQL_PIVOT_TYPE_BY_DAY),
+    }
+)
