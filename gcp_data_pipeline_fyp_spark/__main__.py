@@ -71,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
             wh = Warehouse(spark, args.warehouse)
             star = measures.star_events(
                 wh.read("T_FACT_Events"), wh.read("T_DIM_Seismic_Activity_Type")
-            )
+            ).persist()
             out = {
                 "latest_daily_update": str(
                     measures.latest_daily_update(star).first()[0]

@@ -71,7 +71,9 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) sharing any LSH band.
 
     The returned (small) pair set is materialized eagerly so the large
-    intermediate signature cache can be released before returning.
+    intermediate signature cache can be released before returning; the
+    result itself stays persisted — callers running many invocations in
+    one session should `.unpersist()` it when done.
     """
     if num_hashes % bands != 0:
         raise ValueError(
@@ -242,7 +244,7 @@ def dedupe_corpus(
     not transitive closure — deterministic and one pass; run again to
     collapse chains if needed.)
     """
-    exact_kept = exact_dedup(df, [text_col], id_col)
+    exact_kept = exact_dedup(df, [text_col], id_col).persist()
     candidates = minhash_lsh_candidates(
         exact_kept, id_col, text_col, num_hashes=num_hashes, bands=bands
     )
@@ -266,4 +268,5 @@ def dedupe_corpus(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return exact_kept.join(dropped, id_col, "left_anti")
+    out = exact_kept.join(dropped, id_col, "left_anti")
+    return out

@@ -36,10 +36,10 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: Sequence[str]) -> Da
             f"{set(base.columns) - set(updates.columns)} "
             f"updates-only={set(updates.columns) - set(base.columns)}"
         )
-    # presence markers instead of key null-checks: the join is null-safe
+    # presence marker instead of key null-checks: the join is null-safe
     # (eqNullSafe), so a NULL key is a legitimate matchable value and
     # u.<key>.isNotNull() would misclassify it
-    b = base.withColumn("__b_present", F.lit(True)).alias("b")
+    b = base.alias("b")
     u = updates.withColumn("__u_present", F.lit(True)).alias("u")
     cond = None
     for k in keys:

@@ -19,10 +19,23 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def _key_token(c: Column) -> Column:
+    """Unambiguous key encoding: length-prefixed value, NULL -> '-1:'.
+
+    Plain concat_ws would (a) silently skip NULLs and (b) make
+    ('a|b','x') collide with ('a','b|x') — both break the stability
+    guarantees this module exists for.
+    """
+    s = c.cast("string")
+    return F.when(s.isNull(), F.lit("-1:")).otherwise(
+        F.concat(F.length(s).cast("string"), F.lit(":"), s)
+    )
+
+
 def hash_bucket(key_cols: Sequence[Column | str], seed: int = 0) -> Column:
     """Deterministic bucket in [0, 1e6) from the md5 of the keys + seed."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    joined = F.concat_ws("|", F.lit(str(seed)), *[c.cast("string") for c in cols])
+    joined = F.concat(F.lit(f"{seed}|"), *[_key_token(c) for c in cols])
     return (
         F.conv(F.substring(F.md5(joined), 1, 12), 16, 10).cast("long") % _BUCKETS
     )
@@ -64,8 +77,13 @@ def hash_split(
 
 def hash_bucket_sql(key_sql: Sequence[str], seed: int = 0) -> str:
     """DuckDB-equivalent SQL text for `hash_bucket` (oracle parity)."""
-    joined = ", ".join(f"cast({k} AS varchar)" for k in key_sql)
+    tokens = " || ".join(
+        f"(CASE WHEN {k} IS NULL THEN '-1:' ELSE "
+        f"concat(cast(length(cast({k} AS varchar)) AS varchar), ':', "
+        f"cast({k} AS varchar)) END)"
+        for k in key_sql
+    )
     return (
-        f"cast(concat('0x', substr(md5(concat_ws('|', '{seed}', {joined})), 1, 12)) "
+        f"cast(concat('0x', substr(md5('{seed}|' || {tokens}), 1, 12)) "
         f"AS bigint) % {_BUCKETS}"
     )

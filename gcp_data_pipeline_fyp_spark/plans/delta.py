@@ -68,6 +68,14 @@ def stage_dw_delta(
         }
     )
     base_fact = wh.read("T_FACT_Events")
+    if set(base_fact.columns) != set(staged_fact.columns):
+        raise ValueError(
+            "T_FACT_Events schema drift: warehouse has "
+            f"{sorted(set(base_fact.columns) - set(staged_fact.columns))} extra / "
+            f"{sorted(set(staged_fact.columns) - set(base_fact.columns))} missing "
+            "vs this engine version — migrate the fact table (full reload or "
+            "column migration) before delta-loading"
+        )
     merged = merge_upsert(base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"])
     # parquet has no in-place MERGE: land the merged fact in a staging
     # table first (the reference's staging-table lifecycle, S12), then
