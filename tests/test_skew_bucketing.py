@@ -77,3 +77,24 @@ def test_salted_agg_rejects_key_salt(spark):
         salted_agg(df, ["k"], ["v"])  # no salt_from
     with pytest.raises(ValueError):
         salted_agg(df, ["k"], ["v"], salt_from="k")  # key-derived salt
+
+
+def test_range_layout_files_are_disjoint(spark, tmp_path):
+    import glob
+
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    wh.overwrite_range_layout(ev, "ev_ranged", ["ts"], n_files=4)
+    ranges = []
+    for f in glob.glob(str(tmp_path / "wh" / "ev_ranged" / "part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        if pdf["lo"] is not None:
+            ranges.append((pdf["lo"], pdf["hi"]))
+    ranges.sort()
+    assert len(ranges) >= 2
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 <= l2  # disjoint key ranges -> min/max skipping works
