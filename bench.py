@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "corpus_prep",
 ]
 
 

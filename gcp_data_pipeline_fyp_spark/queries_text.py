@@ -547,3 +547,49 @@ TEXT_QUERIES.update(
         "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
     }
 )
+
+
+# ------------------------------------------------ end-to-end corpus prep
+def q_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data preparation flow in one plan:
+    quality-filter (Gopher rules) -> exact dedup -> stable train/val/test
+    split. One pass over the corpus + one dedup shuffle; the shape a
+    100 TB pretraining-data job actually runs."""
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dedup
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    d = _docs_with_dups(spark, sf)
+    kept = exact_dedup(d.filter(gopher_keep(F.col("text"))), ["text"], "doc_id")
+    split = hash_split(kept, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return split.select("doc_id", "lang", "split")
+
+
+from gcp_data_pipeline_fyp_spark.functions.text import LANG_PROFILES as _LP  # noqa: E402
+from gcp_data_pipeline_fyp_spark.operators.sampling import hash_bucket_sql as _hbs  # noqa: E402
+
+_B7P = _hbs(["doc_id"], seed=7)
+SQL_CORPUS_PREP = f"""
+WITH u AS ({_SQL_DOCS_WITH_DUPS}),
+t AS (SELECT *, {_SQL_TOKS} AS toks FROM u),
+m AS (SELECT *, len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN})) AS stop_hits
+  FROM t),
+q AS (SELECT doc_id, lang, text FROM m
+  WHERE coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false)),
+kept AS (SELECT * FROM q
+  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text))
+SELECT doc_id, lang,
+  CASE WHEN {_B7P} < 800000 THEN 'train'
+       WHEN {_B7P} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM kept
+"""
+
+TEXT_QUERIES["corpus_prep"] = (q_corpus_prep, SQL_CORPUS_PREP)
