@@ -351,6 +351,9 @@ FROM flagged
 
 # ----------------------------------------------------- rollup (implicit slicers)
 def q_rollup_type_day(spark: SparkSession, sf: str) -> DataFrame:
+    # known cross-engine edge (empty input only): SQL-standard ROLLUP
+    # emits the grand-total row over zero input rows (DuckDB does);
+    # Spark emits nothing. Identical on any non-empty input.
     ev = load(spark, sf, "events")
     return (
         ev.rollup(F.col("event_type").alias("lb_type"),

@@ -52,8 +52,14 @@ def load(
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
     for c in NS_TS_COLUMNS.get(table, []):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dt == "timestamp_ntz":
+            # micros-encoded parquet reads as NTZ; normalize to TIMESTAMP
+            # so downstream unix_micros/window functions always see one
+            # type (UTC session pinned above makes this cast an identity)
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
