@@ -68,11 +68,19 @@ def lang_id(text: Column | str) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram shingle strings; empty array when fewer than n tokens."""
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    """Distinct n-gram shingle strings; empty array when fewer than n
+    tokens. NULL token arrays (NULL text) shingle to [] — matching the
+    SQL rendering where generate_series over a NULL bound is empty."""
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    count = F.size(toks) - F.lit(n - 1)
+    # NB Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — a doc
+    # shorter than the shingle width must short-circuit to [] explicitly
+    positions = F.when(count < 1, F.array().cast("array<int>")).otherwise(
+        F.sequence(F.lit(1), count)
+    )
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), count),
+            positions,
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
     )
@@ -83,8 +91,9 @@ def rolling_fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
 
     Token value = first 8 md5 hex chars as int (cross-engine stable);
     accumulator stays < modulus so `acc*31 + v` never overflows int64
-    (ANSI-mode safe).
+    (ANSI-mode safe). NULL token arrays hash like empty ones (0).
     """
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     vals = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
@@ -176,7 +185,9 @@ def simhash16(toks: Column) -> Column:
     """
     # one md5 per token, then a single fold updating all 16 bit-counters
     # at once (16 separate per-bit aggregates would re-inline — and
-    # recompute — the md5 per bit on projection collapse)
+    # recompute — the md5 per bit on projection collapse). NULL token
+    # arrays (NULL text) hash like empty ones -> simhash 0.
+    toks = F.coalesce(toks, F.array().cast("array<string>"))
     hashes = F.transform(toks, lambda t: F.md5(t))
     positions = F.sequence(F.lit(0), F.lit(15))
     init = F.array(*[F.lit(0)] * 16)

@@ -75,15 +75,19 @@ def byte_features(df: DataFrame) -> DataFrame:
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (e.g. NULL source text) yield NULL features,
+            # matching SQL semantics — never crash the batch
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
+                    "n_bytes": payloads.map(
+                        lambda b: None if b is None else len(b)
+                    ).astype("object"),
                     "n_space_bytes": payloads.map(
-                        lambda b: bytes(b).count(b" ")
-                    ).astype("int64"),
+                        lambda b: None if b is None else bytes(b).count(b" ")
+                    ).astype("object"),
                     "content_md5": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                        lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
                     ),
                 }
             )

@@ -189,8 +189,12 @@ _NUM_HASHES, _BANDS = 8, 4
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     sig = minhash_signature(shingles(tokens("text"), 3), _NUM_HASHES)
+    # degenerate docs (shorter than the shingle width / NULL text) have
+    # an all-NULL signature: surface as NULL, matching DuckDB's
+    # array_to_string semantics (Spark's array_join would give '')
+    joined = F.array_join(sig.cast("array<string>"), "|")
     return d.select(
-        "doc_id", F.array_join(sig.cast("array<string>"), "|").alias("signature")
+        "doc_id", F.nullif(joined, F.lit("")).alias("signature")
     )
 
 

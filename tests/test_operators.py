@@ -207,3 +207,33 @@ def test_malformed_rows_silently_dropped(spark):
     )
     assert accepted.count() == 1
     assert rejected.count() == 1
+
+
+def test_text_hashing_degenerate_docs(spark):
+    # docs shorter than the shingle width / NULL / whitespace-only text
+    # must not crash (Spark's sequence(1,0) is DESCENDING, not empty!)
+    # and must hash like empty docs
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        minhash_signature,
+        rolling_fingerprint,
+        shingles,
+        simhash16,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, "   "), (4, "one two three four five")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        F.size(shingles(tokens("text"), 3)).alias("n_shingles"),
+        simhash16(tokens("text")).alias("sh"),
+        rolling_fingerprint(tokens("text")).alias("rh"),
+        minhash_signature(shingles(tokens("text"), 3)).alias("sig"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_shingles"] == 0 and by_id[1]["sh"] is not None
+    assert by_id[2]["sh"] == 0 and by_id[2]["rh"] == 0
+    assert list(by_id[2]["sig"]) == [None] * 8
+    assert by_id[4]["n_shingles"] == 3
