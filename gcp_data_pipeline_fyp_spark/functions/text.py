@@ -26,6 +26,13 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(_c(text)), r"\s+")
 
 
+def _coalesce_toks(toks: Column) -> Column:
+    """The engine's NULL convention for token arrays: NULL text hashes
+    like an empty document (matches the SQL oracles' NULL propagation
+    through generate_series/list_transform)."""
+    return F.coalesce(toks, F.array().cast("array<string>"))
+
+
 def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
@@ -71,7 +78,7 @@ def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingle strings; empty array when fewer than n
     tokens. NULL token arrays (NULL text) shingle to [] — matching the
     SQL rendering where generate_series over a NULL bound is empty."""
-    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    toks = _coalesce_toks(toks)
     count = F.size(toks) - F.lit(n - 1)
     # NB Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — a doc
     # shorter than the shingle width must short-circuit to [] explicitly
@@ -93,7 +100,7 @@ def rolling_fingerprint(toks: Column, modulus: int = 1_000_000_007) -> Column:
     accumulator stays < modulus so `acc*31 + v` never overflows int64
     (ANSI-mode safe). NULL token arrays hash like empty ones (0).
     """
-    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    toks = _coalesce_toks(toks)
     vals = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
@@ -187,7 +194,7 @@ def simhash16(toks: Column) -> Column:
     # at once (16 separate per-bit aggregates would re-inline — and
     # recompute — the md5 per bit on projection collapse). NULL token
     # arrays (NULL text) hash like empty ones -> simhash 0.
-    toks = F.coalesce(toks, F.array().cast("array<string>"))
+    toks = _coalesce_toks(toks)
     hashes = F.transform(toks, lambda t: F.md5(t))
     positions = F.sequence(F.lit(0), F.lit(15))
     init = F.array(*[F.lit(0)] * 16)

@@ -80,12 +80,15 @@ def byte_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
+                    # no astype: map yields int64 for null-free batches
+                    # (vectorized Arrow long) and object with NULLs —
+                    # Arrow accepts both for the long output column
                     "n_bytes": payloads.map(
                         lambda b: None if b is None else len(b)
-                    ).astype("object"),
+                    ),
                     "n_space_bytes": payloads.map(
                         lambda b: None if b is None else bytes(b).count(b" ")
-                    ).astype("object"),
+                    ),
                     "content_md5": payloads.map(
                         lambda b: None if b is None else hashlib.md5(bytes(b)).hexdigest()
                     ),
