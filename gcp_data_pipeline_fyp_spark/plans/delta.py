@@ -4,10 +4,17 @@ Per dimension: snapshot MAX(id) (A4) -> distinct new values anti-joined
 against the existing dim (J4) -> enumerate from max+1 (A3 offset) ->
 append (S8) -> union existing∪new as the fact's lookup (A5). Fact rows
 are enriched (P18/J5) into a transient staging frame, then MERGE-upserted
-into T_FACT_Events by ID_Event (J6) — here a pure-Spark full-outer
-rewrite (operators/merge.py) instead of BigQuery MERGE SQL; the
-reference's explicit staging table + post-pipeline MERGE + drop
-(`dw2_delta_load2.py:75-84,398-404`) collapses into one linear flow.
+into T_FACT_Events by ID_Event (J6) — the reference's staging table +
+post-pipeline MERGE + drop (`dw2_delta_load2.py:75-84,398-404`).
+
+The MERGE is partition-scoped: the fact is stored hive-partitioned by
+month (plans/dw.py FACT_PARTITION_COL), the base side is pruned to the
+months present in the delta (broadcast semi join -> dynamic partition
+pruning at the scan), and only those months are rewritten via a staged
+write + per-partition-directory swap. A daily delta against a 100 TB
+fact therefore shuffles and rewrites 1-2 monthly partitions, never the
+full table. Safe because ID_Event hashes (time, lat, lon): a merge key
+can never move between month partitions.
 """
 
 from __future__ import annotations
@@ -19,12 +26,14 @@ from pyspark.sql import DataFrame
 
 from gcp_data_pipeline_fyp_spark.functions.cleaning import audit_columns
 from gcp_data_pipeline_fyp_spark.operators.keys import incremental_surrogate_keys
-from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert_partitioned
 from gcp_data_pipeline_fyp_spark.plans.dw import (
     DIM_SPECS,
+    FACT_PARTITION_COL,
     _finalize_dim,
     build_date_dim,
     enrich_fact,
+    with_fact_partition,
 )
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
@@ -61,11 +70,13 @@ def stage_dw_delta(
     wh.append(new_dates.join(existing_dates, "ID_date_ID", "left_anti"), "T_DIM_date")
     dims["T_DIM_date"] = wh.read("T_DIM_date")
 
-    staged_fact = enrich_fact(ods, dims).withColumns(
-        {
-            "_DT_insertion_date": audit["_DT_insertion_date"],
-            "_LB_job_execution_id": audit["_LB_job_execution_id"],
-        }
+    staged_fact = with_fact_partition(
+        enrich_fact(ods, dims).withColumns(
+            {
+                "_DT_insertion_date": audit["_DT_insertion_date"],
+                "_LB_job_execution_id": audit["_LB_job_execution_id"],
+            }
+        )
     )
     base_fact = wh.read("T_FACT_Events")
     if set(base_fact.columns) != set(staged_fact.columns):
@@ -76,12 +87,17 @@ def stage_dw_delta(
             "vs this engine version — migrate the fact table (full reload or "
             "column migration) before delta-loading"
         )
-    merged = merge_upsert(base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"])
-    # parquet has no in-place MERGE: land the merged fact in a staging
-    # table first (the reference's staging-table lifecycle, S12), then
-    # promote by rename — one write of the merged fact, not two.
-    wh.overwrite(merged, "T_FACT_Events_staging")
-    wh.swap("T_FACT_Events_staging", "T_FACT_Events")
+    # partition-scoped MERGE: only the month partitions present in the
+    # delta are joined and rewritten; the base scan prunes the rest.
+    merged = merge_upsert_partitioned(
+        base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"], FACT_PARTITION_COL
+    )
+    # parquet has no in-place MERGE: land the affected partitions in a
+    # staging table first (the reference's staging-table lifecycle, S12),
+    # then promote each partition directory by rename — untouched
+    # partitions' files are never read, shuffled, or rewritten.
+    wh.overwrite(merged, "T_FACT_Events_staging", partition_cols=[FACT_PARTITION_COL])
+    wh.swap_partitions("T_FACT_Events_staging", "T_FACT_Events", FACT_PARTITION_COL)
     ods.unpersist()
     out = dict(dims)
     out["T_FACT_Events"] = wh.read("T_FACT_Events")

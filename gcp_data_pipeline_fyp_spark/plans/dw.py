@@ -29,6 +29,24 @@ from gcp_data_pipeline_fyp_spark.functions.timeops import date_dim_columns
 from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
+# T_FACT_Events is stored hive-partitioned by month (ID_date_ID div 100,
+# i.e. yyyymm). At 100 TB this gives date-scoped queries partition
+# pruning at the scan and lets the delta MERGE rewrite only the months
+# present in the delta instead of the whole fact. Monthly granularity
+# caps the partition count (12/year) while a daily delta touches 1-2.
+FACT_PARTITION_COL = "_PT_month"
+
+
+def with_fact_partition(fact: DataFrame) -> DataFrame:
+    """Derive the storage-partition column from the date FK.
+
+    Valid because ID_Event is a content hash of (time, lat, lon) — an
+    event's date, hence its month partition, can never change across
+    loads, so a MERGE by ID_Event is always partition-local.
+    """
+    return fact.withColumn(FACT_PARTITION_COL, F.expr("ID_date_ID div 100").cast("int"))
+
+
 DIM_SPECS = {
     # table -> (natural keys in ODS, surrogate id column)
     "T_DIM_Network": (["LB_net"], "ID_Network_ID"),
@@ -150,13 +168,15 @@ def stage_dw_full(
     date_dim = build_date_dim(ods)
     wh.overwrite(date_dim, "T_DIM_date")
     dims["T_DIM_date"] = wh.read("T_DIM_date")
-    fact = enrich_fact(ods, dims).withColumns(
-        {
-            "_DT_insertion_date": audit["_DT_insertion_date"],
-            "_LB_job_execution_id": audit["_LB_job_execution_id"],
-        }
+    fact = with_fact_partition(
+        enrich_fact(ods, dims).withColumns(
+            {
+                "_DT_insertion_date": audit["_DT_insertion_date"],
+                "_LB_job_execution_id": audit["_LB_job_execution_id"],
+            }
+        )
     )
-    wh.overwrite(fact, "T_FACT_Events")
+    wh.overwrite(fact, "T_FACT_Events", partition_cols=[FACT_PARTITION_COL])
     ods.unpersist()
     out = dict(dims)
     out["T_FACT_Events"] = wh.read("T_FACT_Events")

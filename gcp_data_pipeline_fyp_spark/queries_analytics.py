@@ -36,9 +36,11 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("ID_Event"),
         F.col("event_type").alias("LB_type"),
         (F.col("user_id") % 10).cast("string").alias("LB_net"),
-        (F.col("value") / 20.0).alias("VL_n_mag"),
+        # rounded to 6dp like every other double on the query surface so
+        # the driver's float canonicalization matches the oracle's hash
+        F.round(F.col("value") / 20.0, 6).alias("VL_n_mag"),
         mag_band(F.col("value") / 20.0).alias("LB_magCategory"),
-        F.col("value").alias("VL_n_depth"),
+        F.round(F.col("value"), 6).alias("VL_n_depth"),
         depth_band(F.col("value")).alias("LB_depthCategory"),
         F.col("ts").alias("DT_time"),
     )
@@ -70,7 +72,7 @@ SQL_STAR_SCHEMA_FACT = """
 WITH ods AS (
   SELECT event_id AS id_event, event_type AS lb_type,
     cast(user_id % 10 AS varchar) AS lb_net,
-    value / 20.0 AS vl_n_mag,
+    round(value / 20.0, 6) AS vl_n_mag,
     CASE WHEN value / 20.0 IS NULL THEN NULL
          WHEN value / 20.0 < 3 THEN 'Not Felt'
          WHEN value / 20.0 < 4 THEN 'Minor'
@@ -79,7 +81,7 @@ WITH ods AS (
          WHEN value / 20.0 < 7 THEN 'Strong'
          WHEN value / 20.0 < 8 THEN 'Major'
          ELSE 'Great' END AS lb_magcategory,
-    value AS vl_n_depth,
+    round(value, 6) AS vl_n_depth,
     CASE WHEN value IS NULL THEN NULL
          WHEN value <= 70 THEN 'Shallow'
          WHEN value <= 300 THEN 'Intermediate'

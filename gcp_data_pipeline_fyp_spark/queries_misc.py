@@ -105,6 +105,20 @@ def q_dax_q3_max_depth(spark: SparkSession, sf: str) -> DataFrame:
     return measures.max_earthquake_depth(star)
 
 
+def q_dax_q4_max_mag(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.plans import measures
+
+    star = _analog_star(spark, sf).withColumn(
+        "LB_type",
+        F.when(F.col("LB_type") == "click", "earthquake").otherwise(F.col("LB_type")),
+    )
+    out = measures.max_earthquake_magnitude(star)
+    # MAX is order-independent; round only for float canonicalization parity
+    return out.select(F.round("max_earthquake_magnitude", 6).alias("max_earthquake_magnitude"))
+
+
 def q_dax_q5_11_totals(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -135,6 +149,11 @@ FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
 """
 SQL_DAX_Q3 = """
 SELECT max(value) AS max_earthquake_depth
+FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
+                   ELSE event_type END) = 'earthquake'
+"""
+SQL_DAX_Q4 = """
+SELECT round(max(value / 20.0), 6) AS max_earthquake_magnitude
 FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
@@ -176,6 +195,7 @@ MISC_QUERIES.update(
         "dax_q1_latest_update": (q_dax_q1_latest_update, SQL_DAX_Q1),
         "dax_q2_avg_mag": (q_dax_q2_avg_mag, SQL_DAX_Q2),
         "dax_q3_max_depth": (q_dax_q3_max_depth, SQL_DAX_Q3),
+        "dax_q4_max_mag": (q_dax_q4_max_mag, SQL_DAX_Q4),
         "dax_q5_11_totals": (q_dax_q5_11_totals, SQL_DAX_Q5_11),
         "dax_q12_total": (q_dax_q12_total, SQL_DAX_Q12),
         "json_extract": (q_json_extract, SQL_JSON_EXTRACT),

@@ -121,6 +121,39 @@ class Warehouse:
         if had_old:
             shutil.rmtree(backup)
 
+    def swap_partitions(self, staging_table: str, table: str, partition_col: str) -> None:
+        """Promote only the partition dirs present in staging into `table`.
+
+        The partitioned analog of `swap`: each `col=value` directory in
+        the staging table replaces its counterpart in the final table
+        via the same rename-with-backup discipline; partitions absent
+        from staging are never touched (their files keep their inodes —
+        asserted by tests). The staging dir is dropped afterwards.
+        """
+        staged_root = self.path(staging_table)
+        final_root = self.path(table)
+        prefix = partition_col + "="
+        for entry in sorted(os.listdir(staged_root)):
+            staged = os.path.join(staged_root, entry)
+            if not entry.startswith(prefix) or not os.path.isdir(staged):
+                continue  # _SUCCESS and friends
+            final = os.path.join(final_root, entry)
+            backup = final + ".__backup"
+            if os.path.exists(backup):
+                shutil.rmtree(backup)
+            had_old = os.path.exists(final)
+            if had_old:
+                os.rename(final, backup)
+            try:
+                os.rename(staged, final)
+            except OSError:
+                if had_old:
+                    os.rename(backup, final)  # roll back
+                raise
+            if had_old:
+                shutil.rmtree(backup)
+        self.drop(staging_table)
+
     def overwrite_range_layout(
         self,
         df: DataFrame,

@@ -101,6 +101,44 @@ def test_delta_dedup_and_upsert(warehouse, spark):
     assert t3["T_FACT_Events"].count() == 3
 
 
+def test_delta_merge_rewrites_only_affected_partitions(warehouse, spark):
+    """The partition-scoped MERGE must leave untouched months' files alone."""
+    import os
+
+    tmp_path, wh_root, tables = warehouse
+    fact_root = os.path.join(wh_root, "T_FACT_Events")
+    # full load wrote month 202403; snapshot its file identities (inode+mtime)
+    part_202403 = os.path.join(fact_root, "_PT_month=202403")
+    assert os.path.isdir(part_202403), sorted(os.listdir(fact_root))
+
+    def _snapshot(d):
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+
+    before = _snapshot(part_202403)
+    delta = tmp_path / "raw" / "all_day_20240401_130000.csv"
+    delta.write_text(
+        COLS + "\n"
+        + _row("2024-04-02T09:30:00.000Z", 41.0, 21.0, 150.0, 6.0,
+               place="Crete, Greece") + "\n"
+    )
+    t2 = run_pipeline(
+        spark, str(delta), states_df(spark), wh_root,
+        run_ts=datetime.datetime(2024, 4, 3, 3, 0),
+    )
+    assert t2["T_FACT_Events"].count() == 3
+    # the April delta must not have rewritten (or even re-listed into
+    # existence) any March file — same inodes, same mtimes
+    assert _snapshot(part_202403) == before
+    assert os.path.isdir(os.path.join(fact_root, "_PT_month=202404"))
+    # partition pruning works on the stored layout
+    march = t2["T_FACT_Events"].filter("_PT_month = 202403")
+    assert march.count() == 2
+
+
 def test_view_layer_answers_dax_sql(warehouse, spark):
     # E3: the V_* view indirection answers the DAX measures as spark.sql
     from gcp_data_pipeline_fyp_spark.plans.views import register_views
