@@ -39,6 +39,10 @@ HEADLINE = [
     "simhash",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    # the approximate variants — what a 100 TB job would actually run —
+    # get tracked numbers, not just recall tests
+    "ann_lsh_topk",
+    "embedding_neardup_lsh",
     "corpus_prep",
 ]
 

@@ -3,8 +3,12 @@
 Five families, all shuffle-conscious:
 
 - `exact_dedup`: hash-groupBy on the content key; one shuffle, then a
-  per-key `row_number` keeps the smallest tie-break id. At 100 TB this
-  is the same shuffle a GROUP BY pays — AQE handles skewed keys.
+  per-key `row_number` keeps the smallest tie-break id. The shuffle is
+  keyed on a 128-bit md5 DIGEST of the key columns, never the raw
+  values — at 100 TB partitioning/sorting on full document bodies
+  would make shuffle-compare cost ~ corpus size; the digest keeps the
+  key 32 bytes regardless of document length (md5 collisions are
+  ~2^-64 at any realistic corpus size). AQE handles skewed keys.
 - `minhash_lsh_candidates`: shingle -> MinHash -> band -> bucket join.
   Explodes each doc into `bands` bucket rows (linear blow-up), groups
   by (band, band-signature), and emits intra-bucket pairs — never an
@@ -39,13 +43,32 @@ from gcp_data_pipeline_fyp_spark.functions.text import (
     tokens,
 )
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
+from gcp_data_pipeline_fyp_spark.operators.sampling import _key_token
+
+
+def _content_digest(key_cols: Sequence[str]):
+    """128-bit md5 digest of the key columns (length-prefixed, NULL-tagged).
+
+    The digest — not the raw values — is the shuffle key for exact
+    dedup, so shuffle sort/compare cost is independent of document
+    length. Uses the same unambiguous encoding as hash sampling
+    (operators/sampling.py) so multi-column keys can't collide by
+    concatenation.
+    """
+    return F.md5(F.concat(*[_key_token(F.col(c)) for c in key_cols]))
 
 
 def exact_dedup(
     df: DataFrame, key_cols: Sequence[str], tiebreak_col: str
 ) -> DataFrame:
-    """Keep exactly one row per key (the one with the smallest tie-break)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(tiebreak_col).asc())
+    """Keep exactly one row per key (the one with the smallest tie-break).
+
+    Shuffles on the md5 digest of the key, not the raw key values —
+    see `_content_digest`.
+    """
+    w = Window.partitionBy(_content_digest(key_cols)).orderBy(
+        F.col(tiebreak_col).asc()
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -54,9 +77,21 @@ def exact_dedup(
 
 
 def exact_dup_stats(df: DataFrame, key_cols: Sequence[str], id_col: str) -> DataFrame:
-    """Per duplicate-group stats: keeper id + group size."""
-    return df.groupBy(*key_cols).agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dupes")
+    """Per duplicate-group stats: key values + keeper id + group size.
+
+    Groups on the md5 digest of the key; the key values ride along as
+    `min(...)` payload aggregates (identical within a group), so the
+    shuffle key stays 32 bytes while the output contract — key columns
+    present — is unchanged.
+    """
+    return (
+        df.groupBy(_content_digest(key_cols).alias("__key_digest"))
+        .agg(
+            *[F.min(c).alias(c) for c in key_cols],
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_dupes"),
+        )
+        .drop("__key_digest")
     )
 
 
@@ -83,8 +118,12 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # signatures are CPU-bound per row; a compressed text parquet often
     # yields far fewer input splits than cores (15 MB of parquet can be
-    # one split holding 50k docs) — spread the compute first
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # one split holding 50k docs) — spread the compute first, but only
+    # when the input is actually under-split: repartitioning an
+    # already-spread frame would be a pure extra shuffle
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
     # persist the signatures BEFORE banding: the band explode and the
     # self-join would otherwise each re-inline (and recompute) the full
@@ -269,4 +308,12 @@ def dedupe_corpus(
         .distinct()
     )
     out = exact_kept.join(dropped, id_col, "left_anti")
+    # materialize the result, then release the intermediates — same
+    # discipline as minhash_lsh_candidates; without this, repeated
+    # invocations in one session accumulate cached full-corpus copies.
+    # `out` itself stays persisted for the caller (unpersist when done).
+    out = out.persist()
+    out.count()
+    exact_kept.unpersist()
+    candidates.unpersist()
     return out
