@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from gcp_data_pipeline_fyp_spark.functions.geo import build_states_lookup, parse_place
 from gcp_data_pipeline_fyp_spark.operators.dedup import (
     exact_dedup,
+    exact_dup_stats,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_groups,
@@ -112,6 +113,30 @@ def test_exact_dedup_keeps_min(spark):
     )
     kept = exact_dedup(df, ["text"], "doc_id")
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+
+def test_exact_dedup_digest_key_no_false_merges(spark):
+    """The digest shuffle key must not merge distinct keys.
+
+    Guards the two classic concat-hash bugs: NULL vs empty string, and
+    multi-column boundary ambiguity ('a|b','x') vs ('a','b|x') — the
+    length-prefixed NULL-tagged encoding keeps all of these distinct.
+    """
+    df = spark.createDataFrame(
+        [
+            (1, None, "x"),
+            (2, "", "x"),
+            (3, "a|b", "x"),
+            (4, "a", "b|x"),
+            (5, "a", "b|x"),  # true duplicate of 4
+        ],
+        "doc_id long, c1 string, c2 string",
+    )
+    kept = exact_dedup(df, ["c1", "c2"], "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3, 4}
+    stats = exact_dup_stats(df, ["c1", "c2"], "doc_id")
+    got = {(r["c1"], r["c2"]): r["n_dupes"] for r in stats.collect()}
+    assert got == {(None, "x"): 1, ("", "x"): 1, ("a|b", "x"): 1, ("a", "b|x"): 2}
 
 
 def test_minhash_finds_planted_near_dups(spark):
