@@ -33,6 +33,10 @@ _REGISTRIES = [
 # rotate to the back. Rotate this list each round until every
 # oracle-backed query has a driver-certified row.
 _CHECK_FIRST = [
+    # new this round — never driver-checked
+    "decontaminate_corpus",
+    "pack_sequences",
+    "repetition_metrics",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

@@ -1,0 +1,76 @@
+"""Benchmark decontamination — remove eval-set overlap from a corpus.
+
+The standard pretraining-data hygiene step (n-gram overlap
+decontamination as described in the GPT-3 and PaLM dataset papers): a
+corpus document is contaminated if it shares any length-n token n-gram
+with a benchmark/eval document, and contaminated documents are dropped
+(or flagged) before training.
+
+Scale shape, by construction:
+
+- The benchmark side is TINY relative to the corpus (MBs of eval sets
+  vs 100 TB of corpus), so its distinct n-gram set is broadcast —
+  the corpus side is a scan + per-row shingle explode + broadcast
+  semi join: NO shuffle of corpus data at all.
+- The only shuffle is the `.distinct()` on the matched doc-id set,
+  which is bounded by the number of contaminated documents (small).
+- The final anti join keys on the id column, not text.
+
+Set `broadcast=False` only if the benchmark n-gram set genuinely does
+not fit in executor memory; the join then falls back to a shuffled
+semi join on the n-gram string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import shingles, tokens
+
+
+def benchmark_ngrams(benchmark: DataFrame, text_col: str, n: int = 13) -> DataFrame:
+    """Distinct token n-grams of the benchmark set (one `ngram` column)."""
+    return (
+        benchmark.select(F.explode(shingles(tokens(text_col), n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def contaminated_ids(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_grams: DataFrame,
+    n: int = 13,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Distinct ids of corpus docs sharing any n-gram with the benchmark."""
+    grams = bench_grams
+    if broadcast:
+        grams = F.broadcast(grams)
+    exploded = corpus.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("ngram")
+    )
+    return exploded.join(grams, "ngram", "left_semi").select(id_col).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 13,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Corpus minus documents overlapping the benchmark by any n-gram."""
+    bad = contaminated_ids(
+        corpus,
+        id_col,
+        text_col,
+        benchmark_ngrams(benchmark, bench_text_col, n),
+        n=n,
+        broadcast=broadcast,
+    )
+    return corpus.join(bad, id_col, "left_anti")

@@ -1,0 +1,78 @@
+"""Sequence packing — concatenate-and-chunk documents into token bins.
+
+Training pipelines concatenate tokenized documents in a deterministic
+order and slice the stream into fixed-length examples (`max_tokens`).
+The assignment each document needs is its global START OFFSET in the
+concatenated token stream; `pack_id = start_offset div max_tokens` is
+then the training example its first token lands in (documents may span
+pack boundaries — that is the concatenate-then-chunk semantics, the
+splitting itself happens at tokenization time).
+
+A global cumulative sum is the textbook scale trap: a single
+`Window.orderBy(id)` moves the whole corpus to ONE partition. This
+implementation is a two-level distributed prefix sum instead:
+
+1. rows are bucketed by `id div bucket_span` (order-preserving);
+2. an intra-bucket cumulative sum runs partitioned by bucket — fully
+   parallel, no global shuffle to one node;
+3. per-bucket totals (one row per bucket) get a cumulative offset via
+   a window over the tiny bucket table — the only single-partition
+   step, sized corpus_rows / bucket_span (1B docs @ span 4096 ->
+   ~250k bucket rows);
+4. offsets broadcast-join back and add to the intra-bucket sums.
+
+Rows with NULL token counts keep NULL offsets (they contribute nothing
+to the stream) — coalesce counts to 0 upstream if they should pack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_BUCKET = "__pack_bucket"
+_BTOTAL = "__pack_btotal"
+_BOFFSET = "__pack_boffset"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    max_tokens: int,
+    bucket_span: int = 4096,
+) -> DataFrame:
+    """Add `start_offset` and `pack_id` columns (ordered by `id_col`).
+
+    Deterministic: the pack layout is a pure function of the
+    (id, n_tokens) pairs — stable across partitioning, retries, and
+    engines, like everything else keyed in this package.
+    """
+    # integral `div`, not float division + floor: exact for any int64 id
+    bucketed = df.withColumn(_BUCKET, F.expr(f"{id_col} div {bucket_span}"))
+    w_intra = (
+        Window.partitionBy(_BUCKET)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # inclusive cumsum within the bucket; subtract the row's own count
+    # afterwards to get its start offset
+    intra = F.sum(F.col(n_tokens_col)).over(w_intra)
+    totals = bucketed.groupBy(_BUCKET).agg(F.sum(n_tokens_col).alias(_BTOTAL))
+    # tiny table (one row per bucket): the single-partition window is
+    # bounded by corpus_rows / bucket_span, not corpus_rows
+    w_bucket = (
+        Window.orderBy(F.col(_BUCKET).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        F.col(_BUCKET),
+        F.coalesce(F.sum(_BTOTAL).over(w_bucket), F.lit(0)).alias(_BOFFSET),
+    )
+    out = bucketed.join(F.broadcast(offsets), _BUCKET)
+    start = (F.col(_BOFFSET) + intra - F.col(n_tokens_col)).alias("start_offset")
+    return (
+        out.select("*", start)
+        .withColumn("pack_id", F.expr(f"start_offset div {max_tokens}"))
+        .drop(_BUCKET, _BOFFSET)
+    )

@@ -597,3 +597,134 @@ FROM kept
 """
 
 TEXT_QUERIES["corpus_prep"] = (q_corpus_prep, SQL_CORPUS_PREP)
+
+
+# ------------------------------------------ benchmark decontamination
+def _sql_shingles_n(n: int) -> str:
+    """DuckDB rendering of functions.text.shingles for width `n`."""
+    terms = ", ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len(toks) - {n - 1}, 0)),"
+        f" i -> concat_ws(' ', {terms})))"
+    )
+
+
+def q_decontaminate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set overlap removal: drop any doc sharing a 5-gram with the
+    benchmark slice (doc_id % 97 == 0 stands in for a held-out eval
+    set). Corpus side never shuffles — the benchmark n-gram set is
+    broadcast (operators/decontaminate.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import decontaminate
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    kept = decontaminate(d, "doc_id", "text", bench, "text", n=5)
+    return kept.select("doc_id", "lang", "source")
+
+
+SQL_DECONTAMINATE_CORPUS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, unnest({_sql_shingles_n(5)}) AS ngram FROM t),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ngram))
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+# ------------------------------------------------- sequence packing
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concatenate-and-chunk packing into 2048-token examples via the
+    distributed two-level prefix sum (operators/packing.py); the oracle
+    is the plain global cumulative sum."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import pack_sequences
+
+    d = _docs(spark, sf).select(
+        "doc_id", F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens")
+    )
+    out = pack_sequences(d, "doc_id", "n_tokens", max_tokens=2048, bucket_span=64)
+    return out.select("doc_id", "n_tokens", "start_offset", "pack_id")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (SELECT doc_id,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens FROM documents),
+s AS (SELECT doc_id, n_tokens,
+  cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+    AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+  cast(start_offset // 2048 AS bigint) AS pack_id
+FROM s
+"""
+
+
+# ---------------------------------------------- repetition metrics
+def q_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals: most-frequent-token fraction
+    (explode + two keyed aggs — the scan-shaped plan) and duplicate-line
+    fraction (pure array expressions, no shuffle)."""
+    d = _docs(spark, sf)
+    toks = tokens("text")
+    lines = F.split(F.col("text"), "\n")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.try_divide(
+                F.size(F.array_distinct(lines)).cast("double"),
+                F.size(lines).cast("double"),
+            ),
+            6,
+        ).alias("dup_line_frac"),
+    )
+    counts = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("top_cnt"))
+    )
+    return (
+        base.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.try_divide(
+                    F.col("top_cnt").cast("double"), F.col("n_tokens").cast("double")
+                ),
+                6,
+            ).alias("top_token_frac"),
+            "dup_line_frac",
+        )
+    )
+
+
+SQL_REPETITION_METRICS = f"""
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT doc_id, tok, count(*) AS n FROM e GROUP BY doc_id, tok),
+m AS (SELECT doc_id, max(n) AS top_cnt FROM c GROUP BY doc_id),
+lines AS (SELECT doc_id, regexp_split_to_array(text, '\\n') AS l FROM t)
+SELECT t.doc_id,
+  cast(len(t.toks) AS int) AS n_tokens,
+  round(cast(m.top_cnt AS double) / nullif(len(t.toks), 0), 6)
+    AS top_token_frac,
+  round(1.0 - cast(len(list_distinct(lines.l)) AS double)
+        / nullif(len(lines.l), 0), 6) AS dup_line_frac
+FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+JOIN lines ON t.doc_id = lines.doc_id
+"""
+
+
+TEXT_QUERIES.update(
+    {
+        "decontaminate_corpus": (q_decontaminate_corpus, SQL_DECONTAMINATE_CORPUS),
+        "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+        "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
+    }
+)

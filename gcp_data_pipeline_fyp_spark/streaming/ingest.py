@@ -28,7 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from gcp_data_pipeline_fyp_spark.operators.merge import merge_upsert
+from gcp_data_pipeline_fyp_spark.operators.merge import (
+    merge_upsert,
+    merge_upsert_partitioned,
+)
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
 
@@ -43,12 +46,20 @@ def stream_ingest_available_now(
     checkpoint_dir: str,
     watermark: str = "1 day",
     transform: Callable[[DataFrame], DataFrame] | None = None,
+    partition_col: str | None = None,
 ) -> StreamingQuery:
     """CSV directory -> watermarked dedup -> foreachBatch merge into `table`.
 
     Processes everything currently available, then stops (the
     `Trigger.AvailableNow` rendering of the daily delta job); re-running
     resumes from the checkpoint and picks up only new files.
+
+    With `partition_col` set (and the merge key stable within a
+    partition — e.g. a date bucket derived from an immutable event
+    field), each micro-batch merge is partition-scoped: only base
+    partitions present in the batch are joined and promoted, so a small
+    batch against a large table never rewrites the whole table — same
+    discipline as the batch delta path (plans/delta.py).
     """
     raw = (
         spark.readStream.schema(schema_ddl)
@@ -62,16 +73,28 @@ def stream_ingest_available_now(
         .dropDuplicatesWithinWatermark(event_id_cols)
     )
 
+    part_cols = [partition_col] if partition_col else None
+
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         batch = batch.dropDuplicates(event_id_cols)
+        staging = f"{table}__staging"
         if wh.exists(table):
+            # land the merge in a staging dir, then promote by RENAME —
+            # never a read-back-rewrite of the base (which would double
+            # the write volume and race the lazy base scan)
             base = wh.read(table)
-            merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
-            wh.overwrite(merged, f"{table}__staging")
-            wh.overwrite(wh.read(f"{table}__staging"), table)
-            wh.drop(f"{table}__staging")
+            if partition_col:
+                merged = merge_upsert_partitioned(
+                    base, batch.select(*base.columns), event_id_cols, partition_col
+                )
+                wh.overwrite(merged, staging, partition_cols=part_cols)
+                wh.swap_partitions(staging, table, partition_col)
+            else:
+                merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
+                wh.overwrite(merged, staging)
+                wh.swap(staging, table)
         else:
-            wh.overwrite(batch, table)
+            wh.overwrite(batch, table, partition_cols=part_cols)
 
     return (
         deduped.writeStream.foreachBatch(_merge_batch)

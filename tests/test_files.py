@@ -57,3 +57,33 @@ def test_feed_request_calendar():
     assert mode == "delta"
     assert name == "all_day_20240415-133045.csv"
     assert url.endswith("all_day.csv")
+
+
+def test_training_shard_export_deterministic(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.sources.export import write_training_shards
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("t"), F.col("id")).alias("text")
+    )
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(df, p1, ["doc_id"], n_shards=4, max_records_per_file=20)
+    # different input partitioning -> identical shard membership + order
+    write_training_shards(df.repartition(7), p2, ["doc_id"], n_shards=4)
+    r1 = spark.read.parquet(p1)
+    r2 = spark.read.parquet(p2)
+    assert r1.count() == 300
+    shards = sorted(
+        r["shard"] for r in r1.select("shard").distinct().collect()
+    )
+    assert shards == [0, 1, 2, 3]
+    a = {(r["shard"], r["doc_id"]) for r in r1.collect()}
+    b = {(r["shard"], r["doc_id"]) for r in r2.collect()}
+    assert a == b
+    # record cap respected: every file holds <= 20 rows
+    for f in glob.glob(p1 + "/shard=*/part-*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 20, f

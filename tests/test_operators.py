@@ -139,6 +139,40 @@ def test_exact_dedup_digest_key_no_false_merges(spark):
     assert got == {(None, "x"): 1, ("", "x"): 1, ("a|b", "x"): 1, ("a", "b|x"): 2}
 
 
+def test_decontaminate_drops_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "totally unrelated words right here"),
+            (3, "prefix alpha beta gamma suffix tail"),  # shares 3-gram with 1
+            (4, None),  # NULL text is never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "bid long, text string"
+    )
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import decontaminate
+
+    kept = decontaminate(corpus, "doc_id", "text", bench, "text", n=3)
+    assert {r["doc_id"] for r in kept.collect()} == {2, 4}
+
+
+def test_pack_sequences_matches_global_cumsum(spark):
+    rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    from gcp_data_pipeline_fyp_spark.operators.packing import pack_sequences
+
+    # bucket_span=4 forces many buckets -> exercises the two-level sum
+    out = pack_sequences(df, "doc_id", "n_tokens", max_tokens=16, bucket_span=4)
+    got = {r["doc_id"]: (r["start_offset"], r["pack_id"]) for r in out.collect()}
+    acc = 0
+    for i, n in rows:
+        assert got[i] == (acc, acc // 16), f"doc {i}"
+        acc += n
+    assert len(got) == 50
+
+
 def test_minhash_finds_planted_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog near the old river bank today"
     texts = [(i, base.replace("dog", w)) for i, w in enumerate(["dog", "cat", "cow"])]

@@ -106,3 +106,63 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
         for r in windowed_event_counts(batch, window="1 hour").collect()
     }
     assert bgot == got
+
+
+def test_available_now_ingest_partition_scoped_merge(spark, tmp_path):
+    """With partition_col set, a micro-batch merge only promotes the
+    partitions present in the batch; untouched partition dirs keep
+    their files byte-identical (same inode, same mtime)."""
+    import os
+
+    in_dir = tmp_path / "pin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "pwh"))
+    ckpt = str(tmp_path / "pckpt")
+
+    def add_pt(df):
+        return df.withColumn(
+            "pt", F.date_format("ts", "yyyyMMdd").cast("int")
+        )
+
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (2, "2024-01-02 11:00:00", "view", 2.0),
+        ],
+    )
+    q = stream_ingest_available_now(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev_pt", ckpt,
+        transform=add_pt, partition_col="pt",
+    )
+    q.awaitTermination(120)
+    root = wh.path("ev_pt")
+    assert sorted(
+        d for d in os.listdir(root) if d.startswith("pt=")
+    ) == ["pt=20240101", "pt=20240102"]
+
+    def snapshot(day):
+        d = os.path.join(root, f"pt={day}")
+        return {
+            f: (os.stat(os.path.join(d, f)).st_ino, os.stat(os.path.join(d, f)).st_mtime_ns)
+            for f in os.listdir(d)
+        }
+
+    before = snapshot("20240101")
+    # second batch touches only 2024-01-02 (update) + 2024-01-03 (insert)
+    _write_csv(
+        in_dir / "b2.csv",
+        [
+            (2, "2024-01-02 11:00:00", "view", 99.0),  # redelivery: dropped
+            (3, "2024-01-02 12:00:00", "click", 3.0),
+            (4, "2024-01-03 09:00:00", "view", 4.0),
+        ],
+    )
+    q = stream_ingest_available_now(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev_pt", ckpt,
+        transform=add_pt, partition_col="pt",
+    )
+    q.awaitTermination(120)
+    out = {r["event_id"]: r["value"] for r in wh.read("ev_pt").collect()}
+    assert out == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
+    assert snapshot("20240101") == before
