@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Shuffle-byte evidence for the digest-keyed exact dedup.
+
+Measures (via the Spark UI REST API) the shuffle WRITE bytes of the
+duplicate-stats aggregation in two shapes over the same documents
+table:
+
+- raw-key:    groupBy(text)            — the text column IS the
+              shuffle key, so every document body crosses the wire;
+- digest-key: groupBy(md5-digest)      — the key is 32 bytes; when the
+              caller doesn't select the text column Catalyst prunes it
+              from the aggregate entirely, so shuffled bytes collapse
+              to digest + id + count.
+
+At 100 TB the raw-key shape shuffles ~corpus-size bytes; the
+digest-key shape shuffles a small constant per document. This probe
+prints both byte counts and the ratio as one JSON line.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] python3 tools/shuffle_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dup_stats  # noqa: E402
+from gcp_data_pipeline_fyp_spark.queries_util import load  # noqa: E402
+from gcp_data_pipeline_fyp_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _stages(spark) -> list[dict]:
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/stages") as r:
+        return json.load(r)
+
+
+def shuffle_write_bytes(spark, run) -> int:
+    before = {s["stageId"] for s in _stages(spark)}
+    run()
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in _stages(spark)
+        if s["stageId"] not in before
+    )
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="shuffle-probe",
+        cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    docs = load(spark, SF_DIR, "documents", spread=True)
+
+    def raw_key():
+        (
+            docs.groupBy("text")
+            .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dupes"))
+            .select("keep_id", "n_dupes")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def digest_key():
+        (
+            exact_dup_stats(docs, ["text"], "doc_id")
+            .select("keep_id", "n_dupes")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    raw = shuffle_write_bytes(spark, raw_key)
+    dig = shuffle_write_bytes(spark, digest_key)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_stats_shuffle_write_bytes",
+                "raw_text_key": raw,
+                "digest_key": dig,
+                "ratio": round(raw / dig, 2) if dig else None,
+                "sf_dir": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
