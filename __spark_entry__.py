@@ -37,6 +37,7 @@ _CHECK_FIRST = [
     "decontaminate_corpus",
     "pack_sequences",
     "repetition_metrics",
+    "stratified_sample",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

@@ -150,3 +150,70 @@ def plan_frame_offsets(
             lambda i: (i * F.col("duration_ms") / n).cast("int"),
         ).alias("frame_offsets_ms"),
     )
+
+
+def resize_dims(
+    df: DataFrame, max_dim: int = 256
+) -> DataFrame:
+    """Aspect-preserving resize targets — pure column arithmetic, no codec.
+
+    The Spark-side half of a resize stage: given (width, height)
+    metadata, compute the target box so the longer side is `max_dim`
+    (never upscale). The pixel resample itself is the only
+    codec-dependent step (`resize_image`); everything a planner or
+    shard-size estimator needs is computable at scan speed here.
+    """
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_dim)
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    tw = F.greatest(F.round(F.col("width") * scale).cast("int"), F.lit(1))
+    th = F.greatest(F.round(F.col("height") * scale).cast("int"), F.lit(1))
+    return df.select(
+        "media_id",
+        "width",
+        "height",
+        F.when(F.col("width").isNotNull() & F.col("height").isNotNull(), tw)
+        .alias("target_width"),
+        F.when(F.col("width").isNotNull() & F.col("height").isNotNull(), th)
+        .alias("target_height"),
+    )
+
+
+def resize_image(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Decode + aspect-preserving resample to `max_dim` — requires PIL.
+
+    Same Arrow-batched mapInPandas shape as `decode_image`; the
+    environment gate covers only the codec."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover - PIL absent in this container
+        raise NotImplementedError(
+            "image resize needs pillow; this environment ships no codecs. "
+            "Target-box arithmetic is exercised codec-free via resize_dims()."
+        ) from e
+
+    import io
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
+        from PIL import Image
+
+        def one(b):
+            im = Image.open(io.BytesIO(bytes(b)))
+            im.thumbnail((max_dim, max_dim))  # aspect-preserving, no upscale
+            out = io.BytesIO()
+            im.save(out, format=im.format or "PNG")
+            return out.getvalue()
+
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: None if b is None else one(b))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": resized,
+                    "n_bytes": resized.map(lambda b: None if b is None else len(b)),
+                }
+            )
+
+    return df.mapInPandas(resample, schema="media_id long, payload binary, n_bytes long")

@@ -48,6 +48,38 @@ def hash_sample(
     return df.filter(hash_bucket(key_cols, seed) < int(fraction * _BUCKETS))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum content-keyed sampling — the data-mix rebalancer.
+
+    Training corpora are rebalanced by domain/source/language: keep
+    e.g. 100% of books, 30% of web, 5% of logs. Each row's fate is a
+    pure function of (key, seed) exactly like `hash_sample`, so the
+    mix is reproducible across runs and engines, and a stratum's kept
+    set is a SUBSET of its kept set at any higher fraction (nested
+    samples — raising a fraction only adds rows, never swaps them).
+
+    Strata not listed in `fractions` get `default_fraction`. This is a
+    pure filter — no shuffle, no per-stratum scan: one pass, with the
+    threshold looked up via a CASE over `strata_col`.
+    """
+    bucket = hash_bucket(key_cols, seed)
+    expr = None
+    for value, frac in fractions.items():
+        thresh = F.lit(int(frac * _BUCKETS))
+        cond = F.col(strata_col) == value
+        expr = F.when(cond, thresh) if expr is None else expr.when(cond, thresh)
+    default = F.lit(int(default_fraction * _BUCKETS))
+    expr = default if expr is None else expr.otherwise(default)
+    return df.filter(bucket < expr)
+
+
 def hash_split(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -728,3 +728,35 @@ TEXT_QUERIES.update(
         "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     }
 )
+
+
+# ------------------------------------------- stratified mix rebalance
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mix rebalancing: keep all English, 30% Spanish, 5% of every
+    other language — one content-keyed filter pass, no shuffle
+    (operators/sampling.py:stratified_hash_sample)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    d = _docs(spark, sf)
+    out = stratified_hash_sample(
+        d, ["doc_id"], "lang", {"en": 1.0, "es": 0.3},
+        default_fraction=0.05, seed=11,
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+from gcp_data_pipeline_fyp_spark.operators.sampling import (  # noqa: E402
+    hash_bucket_sql as _hbs11,
+)
+
+_B11 = _hbs11(["doc_id"], seed=11)
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_B11} < (CASE lang WHEN 'en' THEN 1000000
+                          WHEN 'es' THEN 300000
+                          ELSE 50000 END)
+"""
+
+TEXT_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)

@@ -49,3 +49,51 @@ def test_frame_offset_plan(spark):
     )
     out = plan_frame_offsets(df, every_ms=1000, max_frames=16).collect()
     assert list(out[0]["frame_offsets_ms"]) == [0, 1000, 2000, 3000]
+
+
+def test_resize_dims_plan(spark):
+    from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import resize_dims
+
+    df = spark.createDataFrame(
+        [
+            (1, 1024, 768),     # downscale, landscape
+            (2, 100, 200),      # no upscale needed? 200 < 256 -> keep
+            (3, 256, 256),      # exactly max -> keep
+            (4, None, None),    # no metadata -> NULL targets
+            (5, 4000, 1000),    # extreme aspect
+        ],
+        "media_id long, width int, height int",
+    )
+    got = {
+        r["media_id"]: (r["target_width"], r["target_height"])
+        for r in resize_dims(df, max_dim=256).collect()
+    }
+    assert got[1] == (256, 192)
+    assert got[2] == (100, 200)  # never upscale
+    assert got[3] == (256, 256)
+    assert got[4] == (None, None)
+    assert got[5] == (256, 64)
+
+
+def test_resize_image_is_gated(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
+        resize_image,
+        with_media_column,
+    )
+
+    df = with_media_column(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+        "text",
+        "doc_id",
+    )
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            resize_image(df)

@@ -173,6 +173,31 @@ def test_pack_sequences_matches_global_cumsum(spark):
     assert len(got) == 50
 
 
+def test_stratified_sample_nested_and_stratum_scoped(spark):
+    """Raising a stratum's fraction only ADDS rows (nested samples),
+    and changing one stratum's fraction never touches another."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    rows = [(i, "web" if i % 2 else "books") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    def kept(fracs):
+        out = stratified_hash_sample(df, ["doc_id"], "src", fracs, seed=3)
+        return {r["doc_id"] for r in out.collect()}
+
+    small = kept({"web": 0.2, "books": 1.0})
+    big = kept({"web": 0.6, "books": 1.0})
+    assert small <= big  # nested
+    assert {i for i in small if i % 2 == 0} == {i for i in range(400) if i % 2 == 0}
+    # web fraction change leaves books untouched
+    assert {i for i in big if i % 2 == 0} == {i for i in small if i % 2 == 0}
+    # default_fraction=0 drops unlisted strata
+    none_listed = kept({"books": 1.0})
+    assert all(i % 2 == 0 for i in none_listed)
+
+
 def test_minhash_finds_planted_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog near the old river bank today"
     texts = [(i, base.replace("dog", w)) for i, w in enumerate(["dog", "cat", "cow"])]
