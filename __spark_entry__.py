@@ -38,6 +38,8 @@ _CHECK_FIRST = [
     "pack_sequences",
     "repetition_metrics",
     "stratified_sample",
+    "numeric_profile",
+    "outlier_events",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

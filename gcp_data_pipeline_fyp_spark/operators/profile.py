@@ -1,0 +1,81 @@
+"""Data-quality profiling + statistical anomaly detection.
+
+Operational layer for a large-scale pipeline: before training on (or
+loading) a table you profile it — null fractions, cardinalities,
+moments, ranges — and you flag statistical outliers per group. Both
+are single-pass aggregations:
+
+- `profile_numeric` computes every column's metrics in ONE `agg`
+  (one scan, one reduce) and reshapes to a row-per-column via an
+  explode of struct literals — never one job per column.
+- `zscore_outliers` is the classic per-key anomaly gate: group stats
+  (one shuffle over the key), broadcast back, filter. The stats side
+  is |keys|-sized, so the join is a broadcast at any corpus scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One row per column: counts, distincts, moments, range.
+
+    Moments are rounded to 6 decimals (the package's float
+    canonicalization convention) so results are reproducible across
+    engines and partition orders.
+    """
+    aggs: list = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}__std"),
+            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nonnull").alias("n_nonnull"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__mean").alias("mean"),
+                F.col(f"{c}__std").alias("std"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def zscore_outliers(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Rows whose value exceeds mean + z*std of their key group.
+
+    The threshold is rounded to 6 decimals before comparison so the
+    outlier set is stable across engines and aggregation orders
+    (double summation order perturbs moments at ~1e-12 — far below
+    the rounding grain).
+    """
+    stats = df.groupBy(*key_cols).agg(
+        F.avg(value_col).alias("__mean"), F.stddev_samp(value_col).alias("__std")
+    )
+    thresh = F.round(F.col("__mean") + F.lit(z) * F.col("__std"), 6)
+    return (
+        df.join(F.broadcast(stats), list(key_cols))
+        .filter(F.col(value_col) > thresh)
+        .drop("__mean", "__std")
+    )

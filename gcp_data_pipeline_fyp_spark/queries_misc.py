@@ -302,3 +302,61 @@ GROUP BY event_type
 
 
 MISC_QUERIES["sql_interface"] = (q_sql_interface, SQL_SQL_INTERFACE)
+
+
+# -------------------------------------- data-quality profiling + anomalies
+def q_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Table profile (nulls, cardinality, moments, range) for two numeric
+    columns in ONE scan + ONE reduce (operators/profile.py) — never a
+    job per column."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import profile_numeric
+
+    ev = load(spark, sf, "events")
+    return profile_numeric(ev, ["value", "user_id"])
+
+
+def _profile_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS col_name, count(*) AS n_rows, count({col}) AS n_nonnull,
+  count(DISTINCT {col}) AS n_distinct, round(avg({col}), 6) AS mean,
+  round(stddev_samp({col}), 6) AS std,
+  round(cast(min({col}) AS double), 6) AS min,
+  round(cast(max({col}) AS double), 6) AS max
+FROM events"""
+
+
+SQL_NUMERIC_PROFILE = (
+    _profile_sql("value") + "\nUNION ALL" + _profile_sql("user_id")
+)
+
+
+def q_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type z-score anomaly gate: events whose value exceeds
+    mean + 2*std of their own event_type (stats shuffle is |keys|-sized,
+    broadcast back)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import zscore_outliers
+
+    ev = load(spark, sf, "events")
+    out = zscore_outliers(ev, ["event_type"], "value", z=2.0)
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+SQL_OUTLIER_EVENTS = """
+WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+FROM events e JOIN s USING (event_type)
+WHERE e.value > round(m + 2.0 * sd, 6)
+"""
+
+
+MISC_QUERIES.update(
+    {
+        "numeric_profile": (q_numeric_profile, SQL_NUMERIC_PROFILE),
+        "outlier_events": (q_outlier_events, SQL_OUTLIER_EVENTS),
+    }
+)
