@@ -40,6 +40,8 @@ _CHECK_FIRST = [
     "stratified_sample",
     "numeric_profile",
     "outlier_events",
+    "dup_clusters",
+    "bm25_search",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

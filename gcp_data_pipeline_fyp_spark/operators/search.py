@@ -1,0 +1,76 @@
+"""BM25 lexical ranking over a document corpus.
+
+Classic Okapi BM25 (public formula; Robertson & Spärck Jones line of
+work): for query term t and document d,
+
+    idf(t)      = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+    score(q, d) = sum_t idf(t) * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl_d/avgdl))
+
+Scale shape — everything is sized by the QUERY, not the vocabulary:
+
+- tokens are exploded once and immediately filtered to the query's
+  terms, so the per-term frequency aggregation shuffles only rows
+  that mention a query term;
+- df stats are per-query-term (a handful of rows) and the corpus
+  scalars (N, avgdl) are a single row — both broadcast;
+- the final ranking is an orderBy+limit, which Spark executes as
+  TakeOrdered (per-partition top-k, then a k-sized driver merge),
+  never a global sort.
+
+Scores are rounded to 6 decimals and tie-broken by id so the top-k is
+deterministic across engines and partition orders.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import tokens
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for `query_terms` by BM25: (id, score desc)."""
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    scalars = F.broadcast(
+        base.agg(
+            F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+        )
+    )
+    hits = base.select(
+        id_col, "__dl", F.explode("__toks").alias("__term")
+    ).filter(F.col("__term").isin(*query_terms))
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.count("*").alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    )
+    joined = tf.join(dfreq, "__term").crossJoin(scalars)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + k1 * (
+        1.0 - b + b * F.col("__dl") / F.col("__avgdl")
+    )
+    term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
+    return (
+        joined.groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

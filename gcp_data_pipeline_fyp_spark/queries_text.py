@@ -760,3 +760,70 @@ WHERE {_B11} < (CASE lang WHEN 'en' THEN 1000000
 """
 
 TEXT_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
+
+
+# --------------------------------------- dup clusters (transitive closure)
+def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH candidate pairs -> connected components -> every doc labeled
+    with its duplicate-cluster id (min reachable doc_id). Chains
+    A~B~C collapse to one cluster — the closure the greedy pairwise
+    pass can miss (operators/components.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = dup_clusters(d, pairs, "doc_id").select("doc_id", "cluster_id")
+    return out
+
+
+SQL_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+u2 AS ({_SQL_DOCS_WITH_NEARDUPS}),
+ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT e.a, r.l FROM ed e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v)
+SELECT u2.doc_id, coalesce(comp.component, u2.doc_id) AS cluster_id
+FROM u2 LEFT JOIN comp ON u2.doc_id = comp.v
+"""
+
+TEXT_QUERIES["dup_clusters"] = (q_dup_clusters, SQL_DUP_CLUSTERS)
+
+
+# ------------------------------------------------- BM25 text search
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 top-10 for a fixed 3-term query; shuffles only rows
+    mentioning a query term; top-k is TakeOrdered, never a global sort
+    (operators/search.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+
+    d = _docs(spark, sf)
+    return bm25_topk(d, "doc_id", "text", ["spark", "table", "join"], k=10)
+
+
+SQL_BM25_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+g AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT e.doc_id, e.term, count(*) AS tf
+       FROM e WHERE e.term IN ('spark', 'table', 'join')
+       GROUP BY e.doc_id, e.term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+    sum(ln(1.0 + (g.n - df.df + 0.5) / (df.df + 0.5))
+        * tf.tf * (1.2 + 1.0)
+        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS raw
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, g
+  GROUP BY tf.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM s
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+TEXT_QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)

@@ -198,6 +198,58 @@ def test_stratified_sample_nested_and_stratum_scoped(spark):
     assert all(i % 2 == 0 for i in none_listed)
 
 
+def test_connected_components_collapses_chains(spark):
+    """A~B~C must land in ONE cluster even though (A,C) was never a
+    candidate pair — the closure greedy pairwise dedup misses."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        connected_components,
+        dup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 50]],
+        "doc_id long, text string",
+    )
+    labeled = dup_clusters(docs, edges, "doc_id")
+    got = {r["doc_id"]: r["cluster_id"] for r in labeled.collect()}
+    assert got[50] == 50  # isolated doc is its own cluster
+    assert got[4] == 1
+    # keep-one-per-cluster filter keeps exactly the min ids
+    kept = {r["doc_id"] for r in labeled.filter("doc_id = cluster_id").collect()}
+    assert kept == {1, 10, 50}
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark runs fast"),
+            (2, "spark runs on a cluster"),
+            (3, "nothing relevant here at all"),
+            (4, "rareword appears once only"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    top = bm25_topk(docs, "doc_id", "text", ["spark", "rareword"], k=3).collect()
+    ids = [r["doc_id"] for r in top]
+    assert set(ids) <= {1, 2, 4}
+    # rareword (df=1) outscores common spark (df=2) at tf=1; and doc 1
+    # (tf=3) outranks doc 2 (tf=1)
+    assert ids.index(4) < ids.index(2)
+    assert ids.index(1) < ids.index(2)
+
+
 def test_minhash_finds_planted_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog near the old river bank today"
     texts = [(i, base.replace("dog", w)) for i, w in enumerate(["dog", "cat", "cow"])]
