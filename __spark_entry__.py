@@ -42,6 +42,10 @@ _CHECK_FIRST = [
     "outlier_events",
     "dup_clusters",
     "bm25_search",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "corpus_mix_report",
+    "rollup_incremental",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -105,6 +105,39 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def token_budget_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    strata_col: str,
+    budget: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a token-budgeted prefix of each stratum, in hash order.
+
+    Training mixes are usually specified as token BUDGETS per source
+    ("50 B tokens of web, 5 B of code"), not fractions. Rows are
+    ordered inside each stratum by their content-hash bucket (an
+    unbiased, reproducible shuffle — same basis as `hash_sample`) and
+    kept while the running token total stays within the budget, so the
+    selection is deterministic and nested: raising a budget only
+    appends rows.
+
+    One shuffle (partition by stratum) + per-stratum sort. Strata are
+    sorted independently, but a single giant stratum serializes into
+    one partition's sort — for that shape use the two-level prefix sum
+    in operators/packing.py over pre-bucketed hash ranges instead.
+    """
+    bucket = hash_bucket(key_cols, seed)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(bucket.asc(), *[F.col(c).asc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(weight_col).cast("long")).over(w)
+    return df.withColumn("cum_weight", cum).filter(F.col("cum_weight") <= budget)
 
 
 def hash_bucket_sql(key_sql: Sequence[str], seed: int = 0) -> str:

@@ -25,10 +25,56 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.text import tokens
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    idf(t) = ln(N / df_t); score = tf * idf. The (doc, term) frequency
+    table joins the vocabulary-sized document-frequency table on term —
+    a plain shuffled equi-join (the vocabulary is NOT broadcastable at
+    corpus scale); the corpus-size scalar is broadcast. Per-doc top-k
+    is a row_number window over the doc key — partitioned, never
+    global. Scores round to 6 dp and tie-break on the term so the kept
+    set is deterministic across engines and partition orders.
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    pairs = df.select(F.col(id_col), F.explode(toks).alias("__term"))
+    tf = pairs.groupBy(id_col, "__term").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    scalars = F.broadcast(df.select(F.count("*").alias("__n")))
+    scored = (
+        tf.join(dfreq, "__term")
+        .crossJoin(scalars)
+        .withColumn(
+            "score",
+            F.round(
+                F.col("__tf") * F.log(F.col("__n") / F.col("__df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("__term").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            id_col,
+            F.col("__term").alias("term"),
+            F.col("__rk").alias("rank"),
+            "score",
+        )
+    )
 
 
 def bm25_topk(

@@ -638,3 +638,50 @@ ANALYTICS_QUERIES.update(
         "pivot_type_by_day": (q_pivot_type_by_day, SQL_PIVOT_TYPE_BY_DAY),
     }
 )
+
+
+# -------------------------------- incremental rollup (partial-state merge)
+def q_rollup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized-rollup maintenance: aggregate the pre-1997 orders
+    into partial states, aggregate the 1997+ delta separately, MERGE
+    the states (operators/rollup.py) — proving the incremental path
+    returns byte-identical results to a from-scratch rebuild (the
+    oracle aggregates the full table directly)."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        finalize_state,
+        merge_states,
+        rollup_state,
+    )
+
+    o = load(spark, sf, "orders").select(
+        F.date_format("o_orderdate", "yyyyMM").cast("int").alias("month"),
+        "o_orderdate",
+        "o_totalprice",
+    )
+    split = F.lit("1997-01-01").cast("timestamp")
+    base = rollup_state(
+        o.filter(F.col("o_orderdate") < split), ["month"], ["o_totalprice"]
+    )
+    delta = rollup_state(
+        o.filter(F.col("o_orderdate") >= split), ["month"], ["o_totalprice"]
+    )
+    merged = merge_states([base, delta], ["month"])
+    out = finalize_state(merged, ["o_totalprice"], avg_cols=["o_totalprice"])
+    return out.select(
+        "month",
+        F.col("n").alias("n_orders"),
+        F.col("sum_o_totalprice").alias("total_price"),
+        F.col("avg_o_totalprice").alias("avg_price"),
+    )
+
+
+SQL_ROLLUP_INCREMENTAL = """
+SELECT cast(strftime(o_orderdate, '%Y%m') AS int) AS month,
+  count(*) AS n_orders,
+  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
+  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+        / count(*), 6) AS avg_price
+FROM orders GROUP BY 1
+"""
+
+ANALYTICS_QUERIES["rollup_incremental"] = (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL)

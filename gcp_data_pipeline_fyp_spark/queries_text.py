@@ -827,3 +827,119 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 TEXT_QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
+
+
+# ------------------------------------------------- TF-IDF top terms
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 characteristic terms per doc; vocabulary-sized df join is
+    shuffled (not broadcast), per-doc top-k is a doc-partitioned window
+    (operators/search.py:tfidf_top_terms)."""
+    from gcp_data_pipeline_fyp_spark.operators.search import tfidf_top_terms
+
+    d = _docs(spark, sf)
+    return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id, tf.term,
+        round(tf.tf * ln(cast(n.n AS double) / df.df), 6) AS score
+      FROM tf JOIN df USING (term), n),
+r AS (SELECT doc_id, term, score,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+      FROM s)
+SELECT doc_id, term, cast(rank AS int) AS rank, score FROM r WHERE rank <= 3
+"""
+
+TEXT_QUERIES["tfidf_top_terms"] = (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS)
+
+
+# -------------------------------------------- token-budget sampling
+_BUDGET = 20_000
+
+
+def q_token_budget_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language token-budget prefix in content-hash order — the
+    "N tokens of each source" mix spec
+    (operators/sampling.py:token_budget_sample)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang",
+        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+    )
+    out = token_budget_sample(
+        d, ["doc_id"], "n_tokens", "lang", budget=_BUDGET, seed=3
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_weight")
+
+
+from gcp_data_pipeline_fyp_spark.operators.sampling import (  # noqa: E402
+    hash_bucket_sql as _hbs3,
+)
+
+_B3 = _hbs3(["doc_id"], seed=3)
+SQL_TOKEN_BUDGET_SAMPLE = f"""
+WITH t AS (SELECT doc_id, lang,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens,
+  {_B3} AS bucket FROM documents),
+s AS (SELECT doc_id, lang, n_tokens,
+  cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+    AS cum_weight
+  FROM t)
+SELECT doc_id, lang, n_tokens, cum_weight FROM s
+WHERE cum_weight <= {_BUDGET}
+"""
+
+TEXT_QUERIES["token_budget_sample"] = (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE)
+
+
+# -------------------------------------------------- corpus mix report
+def q_corpus_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture dashboard: per (lang, length bucket) doc count, token
+    total, and token share of the corpus. Tiny group-by + one broadcast
+    scalar — a single scan at any corpus size."""
+    d = _docs(spark, sf)
+    n_tok = F.coalesce(token_count("text"), F.lit(0))
+    base = d.select(
+        "lang",
+        F.when(n_tok < 40, "short")
+        .when(n_tok < 80, "medium")
+        .otherwise("long")
+        .alias("len_bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    grouped = base.groupBy("lang", "len_bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    total = F.broadcast(base.agg(F.sum("n_tokens").alias("__total")))
+    return grouped.crossJoin(total).select(
+        "lang", "len_bucket", "n_docs", "tokens",
+        F.round(F.col("tokens") / F.col("__total"), 6).alias("token_share"),
+    )
+
+
+SQL_CORPUS_MIX_REPORT = f"""
+WITH t AS (SELECT lang,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens FROM documents),
+b AS (SELECT lang,
+  CASE WHEN n_tokens < 40 THEN 'short'
+       WHEN n_tokens < 80 THEN 'medium' ELSE 'long' END AS len_bucket,
+  n_tokens FROM t),
+g AS (SELECT lang, len_bucket, count(*) AS n_docs,
+             sum(n_tokens) AS tokens FROM b GROUP BY lang, len_bucket),
+tot AS (SELECT sum(n_tokens) AS total FROM b)
+SELECT lang, len_bucket, n_docs, cast(tokens AS bigint) AS tokens,
+  round(cast(tokens AS double) / tot.total, 6) AS token_share
+FROM g, tot
+"""
+
+TEXT_QUERIES["corpus_mix_report"] = (q_corpus_mix_report, SQL_CORPUS_MIX_REPORT)

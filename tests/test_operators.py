@@ -373,3 +373,73 @@ def test_text_hashing_degenerate_docs(spark):
     assert by_id[2]["sh"] == 0 and by_id[2]["rh"] == 0
     assert list(by_id[2]["sig"]) == [None] * 8
     assert by_id[4]["n_shingles"] == 3
+
+
+def test_rollup_state_merge_equals_rebuild(spark):
+    """Merging (base + delta1 + delta2) partial states must be
+    byte-identical to aggregating everything from scratch."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        finalize_state,
+        merge_states,
+        rollup_state,
+    )
+
+    rows = [(i % 3, float(i) + 0.25) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = finalize_state(
+        rollup_state(df, ["k"], ["v"]), ["v"], avg_cols=["v"]
+    )
+    parts = [
+        rollup_state(df.filter(f"id_mod = {i}"), ["k"], ["v"])
+        for df, i in [
+            (df.withColumn("id_mod", (F.col("v") * 4).cast("int") % 3), i)
+            for i in range(3)
+        ]
+    ]
+    merged = finalize_state(
+        merge_states(parts, ["k"]), ["v"], avg_cols=["v"]
+    )
+    assert sorted(full.collect()) == sorted(merged.collect())
+
+
+def test_token_budget_sample_prefix_and_nesting(spark):
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    rows = [(i, "a" if i % 2 else "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    small = token_budget_sample(df, ["doc_id"], "w", "lang", budget=100, seed=3)
+    big = token_budget_sample(df, ["doc_id"], "w", "lang", budget=200, seed=3)
+    s_ids = {r["doc_id"] for r in small.collect()}
+    b_ids = {r["doc_id"] for r in big.collect()}
+    # per-stratum budget respected exactly (weights are uniform 10s)
+    assert len(s_ids) == 20 and len(b_ids) == 40
+    per_lang = small.groupBy("lang").count().collect()
+    assert {r["count"] for r in per_lang} == {10}
+    # nested: raising the budget only adds rows
+    assert s_ids <= b_ids
+    # budget boundary: every kept cum_weight <= budget
+    assert small.filter("cum_weight > 100").count() == 0
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    from gcp_data_pipeline_fyp_spark.operators.search import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common zebra common common"),
+            (2, "common words here"),
+            (3, "common words there"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, "doc_id", "text", k=2)
+    d1 = {r["rank"]: r["term"] for r in out.filter("doc_id = 1").collect()}
+    # zebra (df=1) beats common (df=3) even at tf=3 vs tf=1:
+    # 1*ln(4/1)=1.386 > 3*ln(4/3)=0.863
+    assert d1[1] == "zebra"
+    assert d1[2] == "common"
+    # NULL text yields no rows for that doc
+    assert out.filter("doc_id = 4").count() == 0
