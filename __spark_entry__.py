@@ -46,6 +46,8 @@ _CHECK_FIRST = [
     "token_budget_sample",
     "corpus_mix_report",
     "rollup_incremental",
+    "kmeans_embeddings",
+    "semantic_neardup_kmeans",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

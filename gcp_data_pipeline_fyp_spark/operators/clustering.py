@@ -1,0 +1,158 @@
+"""K-means clustering over embedding columns + cluster-blocked
+semantic near-dup.
+
+Lloyd's algorithm expressed as DataFrame ops — no MLlib dependency, so
+the operator composes with the rest of the engine's plans:
+
+- assignment: corpus × broadcast(centroids) scored per pair, per-row
+  argmin via a row_number window over the (tiny) centroid set;
+- update: posexplode the assigned vectors to (cluster, dim_pos, x) and
+  average per (cluster, pos) — a corpus-sized but narrow shuffle;
+- convergence: count of rows whose assignment changed — one scalar per
+  iteration (the A4 MAX-snapshot pattern, not a data collect);
+- per-iteration `localCheckpoint` truncates the self-referential
+  lineage, exactly like operators/components.py.
+
+Determinism: init is the k lowest-id corpus vectors; ties in the
+argmin break on centroid id; centroid means use exact decimal sums so
+they don't depend on partial-aggregation order. Reruns on any cluster
+layout produce identical clusterings.
+
+`semantic_neardup_kmeans` uses the clustering as a BLOCKING stage:
+pairwise cosine runs only inside a cluster, never across the corpus —
+cost sum(|c_i|^2) instead of n^2. The LSH variant
+(operators/dedup.py:embedding_neardup_lsh) is the fixed-cost scale
+path; k-means blocking trades a clustering pass for better recall on
+elongated clusters that sign-buckets split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
+
+
+def _sq_dist(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_nearest(points: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, __v, cluster_id): each point labeled with its nearest centroid."""
+    scored = points.crossJoin(F.broadcast(cent)).select(
+        "__id",
+        "__v",
+        "cluster_id",
+        _sq_dist(F.col("__v"), F.col("__centroid")).alias("__d"),
+    )
+    w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cluster_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__id", "__v", "cluster_id")
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+) -> tuple[DataFrame, DataFrame]:
+    """Cluster rows by embedding; returns (assignments, centroids).
+
+    assignments: (id_col, cluster_id); centroids: (cluster_id,
+    centroid array<double>). Stops early when no assignment changes.
+    """
+    pts = df.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    )
+    cent = (
+        pts.orderBy("__id")
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy("__id")).alias("cluster_id"),
+            F.col("__v").alias("__centroid"),
+        )
+    ).localCheckpoint()
+    assigned = _assign_nearest(pts, cent).localCheckpoint()
+    for _ in range(max_iter):
+        # decimal-exact per-dimension mean: partial-agg order independent
+        cent = (
+            assigned.select(
+                "cluster_id", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("cluster_id", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                    / F.count("__x")
+                ).alias("__m")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+                    ),
+                    lambda s: s["__m"],
+                ).alias("__centroid")
+            )
+        ).localCheckpoint()
+        new_assigned = _assign_nearest(pts, cent).localCheckpoint()
+        changed = (
+            new_assigned.alias("n")
+            .join(assigned.alias("o"), "__id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        assigned = new_assigned
+        if changed == 0:
+            break
+    return (
+        assigned.select(F.col("__id").alias(id_col), "cluster_id"),
+        cent.select("cluster_id", F.col("__centroid").alias("centroid")),
+    )
+
+
+def semantic_neardup_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    k: int = 16,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, cosine >= threshold), blocked by
+    k-means cluster — pairwise cost is per-cluster, never corpus-wide."""
+    assigned, _ = kmeans(df, id_col, vec_col, k=k, max_iter=max_iter)
+    v = df.select(F.col(id_col), as_double_vec(vec_col).alias("__v")).join(
+        assigned, id_col
+    )
+    a = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+    )
+    b = v.select(
+        F.col("cluster_id"),
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -118,3 +118,36 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 
 VECTOR_QUERIES["embedding_neardup_lsh"] = (q_embedding_neardup_lsh, None)
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embedding column
+    (operators/clustering.py) — iterative, so rows-only in the driver;
+    cluster recovery on planted blobs is asserted in pytest."""
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+
+    e = _emb(spark, sf)
+    assigned, _cent = kmeans(e, "vec_id", "embedding", k=8, max_iter=5)
+    return assigned.select("vec_id", "cluster_id")
+
+
+VECTOR_QUERIES["kmeans_embeddings"] = (q_kmeans_embeddings, None)
+
+
+def q_semantic_neardup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-blocked semantic near-dup: pairwise cosine only inside a
+    k-means cell — rows-only (iterative blocking); recall vs the
+    blocked-exact variant asserted in pytest."""
+    from gcp_data_pipeline_fyp_spark.operators.clustering import (
+        semantic_neardup_kmeans,
+    )
+
+    e = _emb(spark, sf)
+    planted = e.filter(F.col("vec_id") % 20 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    u = e.unionByName(planted)
+    return semantic_neardup_kmeans(u, "vec_id", "embedding", threshold=0.99, k=8)
+
+
+VECTOR_QUERIES["semantic_neardup_kmeans"] = (q_semantic_neardup_kmeans, None)

@@ -101,3 +101,56 @@ def test_brute_force_null_and_zero_vectors(spark):
     scores = {r["corpus_id"]: r["cosine"] for r in out}
     assert scores[2] is None
     assert abs(scores[1] - 0.707107) < 1e-5
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+
+    rng = random.Random(5)
+    centers = [[10.0 * (c + 1)] * DIM for c in range(3)]
+    rows = [
+        (i, [centers[i % 3][d] + rng.gauss(0, 0.1) for d in range(DIM)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cent = kmeans(df, "vec_id", "embedding", k=3, max_iter=10)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    # every point in blob b must share blob-mates' label (perfect separation)
+    for b in range(3):
+        labels = {got[i] for i in range(90) if i % 3 == b}
+        assert len(labels) == 1, f"blob {b} split across {labels}"
+    assert len({got[b] for b in range(3)}) == 3  # blobs not merged
+    # centroids converged near the true centers
+    cents = sorted(r["centroid"][0] for r in cent.collect())
+    for got_c, want_c in zip(cents, [10.0, 20.0, 30.0]):
+        assert abs(got_c - want_c) < 1.0
+
+
+def test_kmeans_deterministic_across_partitioning(spark):
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+
+    df = _vectors(spark, n=60)
+    a1, _ = kmeans(df.repartition(1), "vec_id", "embedding", k=4, max_iter=4)
+    a2, _ = kmeans(df.repartition(13), "vec_id", "embedding", k=4, max_iter=4)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_semantic_neardup_kmeans_finds_planted_copies(spark):
+    from gcp_data_pipeline_fyp_spark.operators.clustering import (
+        semantic_neardup_kmeans,
+    )
+
+    df = _vectors(spark, n=100)
+    copies = df.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    )
+    u = df.unionByName(copies)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_neardup_kmeans(
+            u, "vec_id", "embedding", threshold=0.999, k=4, max_iter=3
+        ).collect()
+    }
+    planted = {(i, i + 1000) for i in range(0, 100, 10)}
+    # identical vectors always land in the same cluster -> full recall
+    assert planted <= pairs
