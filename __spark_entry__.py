@@ -48,6 +48,7 @@ _CHECK_FIRST = [
     "rollup_incremental",
     "kmeans_embeddings",
     "semantic_neardup_kmeans",
+    "pagerank_sim_graph",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

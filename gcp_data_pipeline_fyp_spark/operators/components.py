@@ -78,6 +78,84 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge list.
+
+    (node, rank) after `iters` rounds of
+    r(v) <- (1-d)/N + d * sum_{u~v} r(u)/deg(u), r0 = 1/N.
+
+    Each iteration is one edge-sized join + one node-keyed aggregation.
+    Contribution sums go through exact decimal so the result is
+    partial-aggregation-order independent (identical bytes on any
+    cluster layout — and to a single-threaded oracle running the same
+    algebra). Ranks carry 14 dp between iterations; round to 6 for
+    display. N is one driver-side scalar (the A4 snapshot pattern).
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    deg = und.groupBy("a").agg(F.count("*").alias("__deg"))
+    ed = und.join(deg, "a").persist()
+    nodes = und.select(F.col("a").alias("v")).distinct().localCheckpoint()
+    n = nodes.count()
+    base = 1.0 / n
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(base))
+    for _ in range(iters):
+        sums = (
+            ed.join(ranks, ed.a == ranks.v)
+            .select(
+                F.col("b"),
+                (F.col("rank") / F.col("__deg"))
+                .cast("decimal(28,14)")
+                .alias("__c"),
+            )
+            .groupBy("b")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        ranks = (
+            nodes.join(sums, nodes.v == sums.b, "left")
+            .select(
+                "v",
+                F.round(
+                    F.lit(teleport)
+                    + damping * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
+                    14,
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    und.unpersist()
+    ed.unpersist()
+    return ranks.select(F.col("v").alias("node"), "rank")
+
+
+def pagerank_iteration_sql(
+    prev: str, iters_done: int, damping: float = 0.85
+) -> str:
+    """One DuckDB CTE pair mirroring a `pagerank` iteration (oracle helper)."""
+    i = iters_done
+    return (
+        f"s{i} AS (SELECT ed.b AS v, "
+        f"sum(cast(r{i - 1}.rank / ed.deg AS decimal(28,14))) AS s "
+        f"FROM ed JOIN r{i - 1} ON ed.a = r{i - 1}.v GROUP BY ed.b), "
+        f"r{i} AS (SELECT nodes.v, "
+        f"round(cast({1.0 - damping} AS double) / n.n "
+        f"+ cast({damping} AS double) * cast(coalesce(s{i}.s, 0) AS double), 14)"
+        f" AS rank "
+        f"FROM nodes CROSS JOIN n LEFT JOIN s{i} ON nodes.v = s{i}.v)"
+    )
+
+
 def dup_clusters(
     df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b"
 ) -> DataFrame:

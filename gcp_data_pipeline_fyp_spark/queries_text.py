@@ -943,3 +943,42 @@ FROM g, tot
 """
 
 TEXT_QUERIES["corpus_mix_report"] = (q_corpus_mix_report, SQL_CORPUS_MIX_REPORT)
+
+
+# --------------------------------------- PageRank over similarity graph
+def q_pagerank_sim_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed 5-iteration PageRank over the LSH candidate-pair graph —
+    centrality inside duplicate neighborhoods (a canonical-doc picker
+    smarter than min-id). Decimal contribution sums make ranks
+    byte-identical on any partitioning (operators/components.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.components import pagerank
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = pagerank(pairs, iters=5)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
+from gcp_data_pipeline_fyp_spark.operators.components import (  # noqa: E402
+    pagerank_iteration_sql as _pr_iter,
+)
+
+_PR_ITERS = " ,".join(_pr_iter(f"r{i-1}", i) for i in range(1, 6))
+SQL_PAGERANK_SIM_GRAPH = f"""
+WITH pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+degs AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a),
+ed AS (SELECT e0.a, e0.b, degs.deg FROM e0 JOIN degs USING (a)),
+nodes AS (SELECT DISTINCT a AS v FROM e0),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT v, cast(1 AS double) / n.n AS rank FROM nodes CROSS JOIN n),
+{_PR_ITERS}
+SELECT v AS doc_id, round(rank, 6) AS rank FROM r5
+"""
+
+TEXT_QUERIES["pagerank_sim_graph"] = (q_pagerank_sim_graph, SQL_PAGERANK_SIM_GRAPH)

@@ -443,3 +443,33 @@ def test_tfidf_ranks_rare_terms_first(spark):
     assert d1[2] == "common"
     # NULL text yields no rows for that doc
     assert out.filter("doc_id = 4").count() == 0
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    from gcp_data_pipeline_fyp_spark.operators.components import pagerank
+
+    # star: 0 connected to 1..5; plus an isolated pair (10, 11)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(10, 11)], "id_a long, id_b long"
+    )
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=10).collect()}
+    leaves = [r[i] for i in range(1, 6)]
+    assert r[0] > max(leaves) * 2  # hub dominates
+    assert len({round(v, 9) for v in leaves}) == 1  # leaves symmetric
+    assert abs(r[10] - r[11]) < 1e-9  # isolated pair symmetric
+    assert abs(sum(r.values()) - 1.0) < 1e-3  # ranks ~sum to 1
+
+
+def test_pagerank_partitioning_invariant(spark):
+    from gcp_data_pipeline_fyp_spark.operators.components import pagerank
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(40), rng.randrange(40)) for _ in range(120)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in rows if a != b], "id_a long, id_b long"
+    )
+    r1 = sorted(map(tuple, pagerank(edges.repartition(1), iters=5).collect()))
+    r2 = sorted(map(tuple, pagerank(edges.repartition(17), iters=5).collect()))
+    assert r1 == r2
