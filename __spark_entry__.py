@@ -49,6 +49,7 @@ _CHECK_FIRST = [
     "kmeans_embeddings",
     "semantic_neardup_kmeans",
     "pagerank_sim_graph",
+    "interval_attribution",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

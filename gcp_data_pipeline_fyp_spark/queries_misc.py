@@ -360,3 +360,41 @@ MISC_QUERIES.update(
         "outlier_events": (q_outlier_events, SQL_OUTLIER_EVENTS),
     }
 )
+
+
+# -------------------------------------------------- interval attribution
+def q_interval_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Every (click -> purchase-within-30min) pair per user — the batch
+    mode of the dual-mode stream-stream interval join
+    (streaming/joins.py); the streaming mode of the SAME body is
+    equivalence-tested in tests/test_streaming.py."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.streaming.joins import interval_join
+
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        clicks, purchases, ["user_id"], "ts", "ts", max_delay_secs=1800
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("r_event_id").alias("purchase_id"),
+    )
+
+
+SQL_INTERVAL_ATTRIBUTION = """
+SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS
+"""
+
+MISC_QUERIES["interval_attribution"] = (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION)

@@ -166,3 +166,61 @@ def test_available_now_ingest_partition_scoped_merge(spark, tmp_path):
     out = {r["event_id"]: r["value"] for r in wh.read("ev_pt").collect()}
     assert out == {1: 1.0, 2: 2.0, 3: 3.0, 4: 4.0}
     assert snapshot("20240101") == before
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Same rows through the SAME interval_join body in streaming mode
+    (two file-source streams, watermarked state) and batch mode."""
+    from gcp_data_pipeline_fyp_spark.streaming.joins import interval_join
+
+    click_rows = [
+        (1, "2024-01-01 10:00:00", "click", 0.0, 7),
+        (2, "2024-01-01 10:40:00", "click", 0.0, 7),
+        (3, "2024-01-01 10:00:00", "click", 0.0, 8),
+    ]
+    buy_rows = [
+        (11, "2024-01-01 10:20:00", "purchase", 5.0, 7),  # joins click 1
+        (12, "2024-01-01 10:50:00", "purchase", 5.0, 7),  # joins click 2
+        (13, "2024-01-01 12:00:00", "purchase", 5.0, 8),  # outside bound
+    ]
+    schema = "event_id long, ts timestamp, event_type string, value double, user_id long"
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        d.joinpath("a.csv").write_text(
+            "event_id,ts,event_type,value,user_id\n"
+            + "\n".join(",".join(map(str, r)) for r in rows)
+        )
+        return str(d)
+
+    cdir, pdir = write("clicks", click_rows), write("buys", buy_rows)
+
+    def run(left, right):
+        return interval_join(
+            left.select("event_id", "user_id", "ts"),
+            right.select("event_id", "user_id", "ts"),
+            ["user_id"], "ts", "ts", max_delay_secs=1800,
+            left_watermark="1 hour", right_watermark="1 hour",
+        ).select("event_id", "user_id", F.col("r_event_id"))
+
+    batch = run(
+        spark.read.schema(schema).option("header", True).csv(cdir),
+        spark.read.schema(schema).option("header", True).csv(pdir),
+    )
+    stream_out = run(
+        spark.readStream.schema(schema).option("header", True).csv(cdir),
+        spark.readStream.schema(schema).option("header", True).csv(pdir),
+    )
+    q = (
+        stream_out.writeStream.format("memory")
+        .queryName("ij_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_stream = sorted(map(tuple, spark.table("ij_out").collect()))
+    got_batch = sorted(map(tuple, batch.collect()))
+    assert got_stream == got_batch
+    assert [(r[0], r[2]) for r in got_batch] == [(1, 11), (2, 12)]
