@@ -50,6 +50,8 @@ _CHECK_FIRST = [
     "semantic_neardup_kmeans",
     "pagerank_sim_graph",
     "interval_attribution",
+    "heavy_hitter_tokens",
+    "cdc_snapshot",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

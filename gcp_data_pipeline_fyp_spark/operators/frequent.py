@@ -1,0 +1,75 @@
+"""Exact heavy hitters via sketch-then-verify.
+
+Finding items above a frequency threshold with a plain
+`groupBy(item).count()` shuffles the FULL item universe — at 100 TB
+the vocabulary-sized shuffle dominates. The classic two-pass fix:
+
+1. SKETCH: a per-partition frequent-items pass proposes a candidate
+   superset (Karp-Schenker-Papadimitriou via `DataFrame.freqItems`,
+   whose guarantee is no false NEGATIVES at support `s`). Output is a
+   handful of items — driver-safe by construction (≤ 1/s items).
+2. VERIFY: exact counts for the candidates only — the corpus scan
+   filters to candidate rows (broadcast `isin`), so the shuffle
+   carries candidate keys only, not the universe.
+
+The final output is EXACT and partitioning-independent (the sketch
+only affects which non-hitters get discarded early), so it
+oracle-checks against a plain GROUP BY ... HAVING in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_fraction: float
+) -> DataFrame:
+    """Items of `col` appearing in > min_fraction of rows, with exact
+    counts: (item, cnt), deterministic regardless of partitioning."""
+    # sketch pass: candidate superset (no false negatives at this support)
+    candidates = df.freqItems([col], support=min_fraction).collect()[0][0]
+    if not candidates:
+        return df.select(
+            F.col(col).alias("item"), F.lit(0).cast("long").alias("cnt")
+        ).limit(0)
+    total = df.count()
+    floor = int(min_fraction * total)
+    # verify pass: exact counts for candidates only; the filter prunes
+    # the scan before any shuffle
+    return (
+        df.filter(F.col(col).isin(candidates))
+        .groupBy(F.col(col).alias("item"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > floor)
+    )
+
+
+def cdc_snapshot(
+    log: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Latest-state snapshot of a change log: last writer wins per key,
+    keys whose latest op is a delete are dropped.
+
+    The standard CDC-compaction operator (Debezium-style `I`/`U`/`D`
+    logs -> queryable table): one shuffle on the key, a per-key
+    `row_number` over event time (ties broken by op so a same-instant
+    delete beats the paired insert), keep rank 1, drop deletes.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(),
+        # at identical timestamps the delete is ordered first (wins)
+        F.when(F.col(op_col) == delete_op, 0).otherwise(1).asc(),
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )

@@ -398,3 +398,86 @@ FROM events c JOIN events p
 """
 
 MISC_QUERIES["interval_attribution"] = (q_interval_attribution, SQL_INTERVAL_ATTRIBUTION)
+
+
+# ------------------------------------------------ exact heavy hitters
+def q_heavy_hitter_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokens above 0.5% corpus frequency — sketch pass proposes a
+    bounded candidate set, exact verify pass counts only candidates
+    (operators/frequent.py); output is exact, so it oracle-checks
+    against plain GROUP BY ... HAVING."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens
+    from gcp_data_pipeline_fyp_spark.operators.frequent import heavy_hitters
+
+    d = load(spark, sf, "documents", spread=True)
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return heavy_hitters(toks, "tok", min_fraction=0.005)
+
+
+SQL_HEAVY_HITTER_TOKENS = r"""
+WITH e AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+tot AS (SELECT count(*) AS n FROM e)
+SELECT tok AS item, count(*) AS cnt FROM e, tot
+GROUP BY tok, tot.n
+HAVING count(*) > cast(floor(0.005 * tot.n) AS bigint)
+"""
+
+MISC_QUERIES["heavy_hitter_tokens"] = (q_heavy_hitter_tokens, SQL_HEAVY_HITTER_TOKENS)
+
+
+# ---------------------------------------------------- CDC snapshot
+def q_cdc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-writer-wins compaction of a synthetic I/U/D change log over
+    orders (operators/frequent.py:cdc_snapshot): updates win over the
+    insert, a later delete removes the key entirely."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.frequent import cdc_snapshot
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ins = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ts"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 DAY")).alias("ts"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") * 2).alias("price"),
+    )
+    dels = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")).alias("ts"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+    )
+    log = ins.unionByName(upd).unionByName(dels)
+    out = cdc_snapshot(log, ["o_orderkey"], "ts", "op")
+    return out.select("o_orderkey", "ts", "op", F.round("price", 2).alias("price"))
+
+
+SQL_CDC_SNAPSHOT = """
+WITH log AS (
+  SELECT o_orderkey, o_orderdate AS ts, 'I' AS op, o_totalprice AS price
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 1 DAY, 'U', o_totalprice * 2
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 2 DAY, 'D', NULL
+  FROM orders WHERE o_orderkey % 7 = 0),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        ORDER BY ts DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC) AS rn
+      FROM log)
+SELECT o_orderkey, ts, op, round(price, 2) AS price
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+MISC_QUERIES["cdc_snapshot"] = (q_cdc_snapshot, SQL_CDC_SNAPSHOT)

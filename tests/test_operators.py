@@ -473,3 +473,43 @@ def test_pagerank_partitioning_invariant(spark):
     r1 = sorted(map(tuple, pagerank(edges.repartition(1), iters=5).collect()))
     r2 = sorted(map(tuple, pagerank(edges.repartition(17), iters=5).collect()))
     assert r1 == r2
+
+
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    from gcp_data_pipeline_fyp_spark.operators.frequent import heavy_hitters
+
+    # 1000 rows: 'a' x 300, 'b' x 150, tail of 550 singletons
+    rows = [("a",)] * 300 + [("b",)] * 150 + [(f"t{i}",) for i in range(550)]
+    df = spark.createDataFrame(rows, "item string")
+    got = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df.repartition(7), "item", 0.1).collect()
+    }
+    assert got == {"a": 300, "b": 150}
+    got1 = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df.repartition(1), "item", 0.1).collect()
+    }
+    assert got1 == got
+    # nothing above 50% -> empty, schema intact
+    empty = heavy_hitters(df, "item", 0.5)
+    assert empty.count() == 0 and empty.columns == ["item", "cnt"]
+
+
+def test_cdc_snapshot_semantics(spark):
+    from gcp_data_pipeline_fyp_spark.operators.frequent import cdc_snapshot
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "I", 10.0),
+        (1, "2024-01-02 00:00:00", "U", 20.0),   # latest -> wins
+        (2, "2024-01-01 00:00:00", "I", 30.0),
+        (2, "2024-01-03 00:00:00", "D", None),   # deleted -> gone
+        (3, "2024-01-01 00:00:00", "I", 40.0),   # untouched
+        (4, "2024-01-01 00:00:00", "I", 50.0),
+        (4, "2024-01-01 00:00:00", "D", None),   # same-instant delete wins
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, ts string, op string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["k"]: r["v"] for r in cdc_snapshot(log, ["k"], "ts", "op").collect()}
+    assert out == {1: 20.0, 3: 40.0}
