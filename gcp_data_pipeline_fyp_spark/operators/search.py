@@ -49,7 +49,14 @@ def tfidf_top_terms(
     """
     toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     pairs = df.select(F.col(id_col), F.explode(toks).alias("__term"))
-    tf = pairs.groupBy(id_col, "__term").agg(F.count("*").alias("__tf"))
+    # tf feeds BOTH the score and the document-frequency aggregation;
+    # without an explicit persist Catalyst inlines the subtree twice and
+    # the corpus is scanned + exploded once per use (verified: no
+    # ReusedExchange in the adaptive plan). Same persist->materialize->
+    # release contract as minhash_lsh_candidates.
+    tf = (
+        pairs.groupBy(id_col, "__term").agg(F.count("*").alias("__tf")).persist()
+    )
     dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
     scalars = F.broadcast(df.select(F.count("*").alias("__n")))
     scored = (
@@ -65,7 +72,7 @@ def tfidf_top_terms(
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("__term").asc()
     )
-    return (
+    out = (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .select(
@@ -75,6 +82,13 @@ def tfidf_top_terms(
             "score",
         )
     )
+    # eager: materialize the result, then release the tf cache (the
+    # result itself stays persisted — callers running many invocations
+    # in one session should .unpersist() it when done)
+    out = out.persist()
+    out.count()
+    tf.unpersist()
+    return out
 
 
 def bm25_topk(
@@ -99,9 +113,12 @@ def bm25_topk(
     hits = base.select(
         id_col, "__dl", F.explode("__toks").alias("__term")
     ).filter(F.col("__term").isin(*query_terms))
+    # tf is tiny (docs mentioning a query term) but feeds both the score
+    # and the df aggregation — persist so the corpus explode runs once,
+    # not once per use (released below; result comes back persisted)
     tf = hits.groupBy(id_col, "__term").agg(
         F.count("*").alias("__tf"), F.first("__dl").alias("__dl")
-    )
+    ).persist()
     dfreq = F.broadcast(
         tf.groupBy("__term").agg(F.count("*").alias("__df"))
     )
@@ -114,9 +131,13 @@ def bm25_topk(
         1.0 - b + b * F.col("__dl") / F.col("__avgdl")
     )
     term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
-    return (
+    out = (
         joined.groupBy(id_col)
         .agg(F.round(F.sum(term_score), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+    out = out.persist()
+    out.count()
+    tf.unpersist()
+    return out

@@ -123,3 +123,76 @@ def test_stateful_matches_batch_windows(spark, tmp_path):
         .collect()
     }
     assert stateful == expected
+
+
+def _have_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not _have_protobuf(),
+    reason="transformWithState driver worker requires google.protobuf "
+    "(state-server protocol); not shipped in this container",
+)
+def test_state_v2_sessionizer_matches_v1(spark, tmp_path):
+    """transformWithStateInPandas rendering: same rows across two
+    micro-batches produce the same sessions as the v1 operator,
+    continuity preserved through the RocksDB-backed ValueStates."""
+    from gcp_data_pipeline_fyp_spark.streaming.sessionize_v2 import (
+        sessionize_stream_v2,
+    )
+
+    in_dir = tmp_path / "s2_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "s2_ckpt")
+    out_dir = str(tmp_path / "s2_out")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        def run():
+            stream = (
+                spark.readStream.schema(SCHEMA)
+                .option("header", True)
+                .csv(str(in_dir))
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+            )
+            q = (
+                sessionize_stream_v2(stream, gap_seconds=1800.0)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        _write(in_dir / "b1.csv", ROWS_B1)
+        run()
+        _write(in_dir / "b2.csv", ROWS_B2)
+        run()
+        got = {
+            r["event_id"]: r["session_id"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+        # identical session assignment to the v1 test's expectation:
+        # user 7: (1,2) session 1, (3,5) session 2; user 8: 4 -> 1, 6 -> 2
+        assert got == {1: 1, 2: 1, 3: 2, 4: 1, 5: 2, 6: 2}
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -104,6 +104,44 @@ def main() -> None:
         ).format("noop").save()
         t["pack_sequences"] = round(time.perf_counter() - t0, 2)
 
+        # round-2b ops: tf-idf (vocab-sized shuffled join), heavy
+        # hitters (candidate-only shuffle — should grow sublinearly vs
+        # the full-vocab agg), pagerank (edge-sized iterations over the
+        # LSH pair graph), connected components (same graph)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.search import tfidf_top_terms
+
+        tfidf_top_terms(docs, "doc_id", "text", k=3).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["tfidf"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.functions.text import tokens
+        from gcp_data_pipeline_fyp_spark.operators.frequent import heavy_hitters
+
+        toks = docs.select(F.explode(tokens("text")).alias("tok"))
+        heavy_hitters(toks, "tok", 0.005).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["heavy_hitters"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.components import (
+            connected_components,
+            pagerank,
+        )
+
+        pairs2 = minhash_lsh_candidates(docs, "doc_id", "text")
+        pagerank(pairs2, iters=3).write.mode("overwrite").format("noop").save()
+        t["pagerank"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        connected_components(pairs2).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["connected_components"] = round(time.perf_counter() - t0, 2)
+        pairs2.unpersist()
+
         results[f"{copies}x"] = t
     print(json.dumps({"sf_dir": SF_DIR, "scales": results}))
     spark.stop()
