@@ -52,6 +52,8 @@ _CHECK_FIRST = [
     "interval_attribution",
     "heavy_hitter_tokens",
     "cdc_snapshot",
+    "canonical_docs",
+    "distinct_users_rollup",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

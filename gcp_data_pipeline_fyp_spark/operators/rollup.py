@@ -66,3 +66,46 @@ def finalize_state(
             F.round(F.col(f"__sum_{c}").cast("double") / F.col("n"), 6),
         )
     return out.drop(*[f"__sum_{c}" for c in sum_cols])
+
+
+# ---------------------------------------------------------------- HLL states
+def hll_state(
+    df: DataFrame, keys: Sequence[str], distinct_cols: Sequence[str]
+) -> DataFrame:
+    """Distinct-count partial state per group: one Datasketches HLL
+    sketch (binary) per column.
+
+    COUNT DISTINCT is the aggregate that breaks naive rollup
+    maintenance — distinct sets don't add. HLL sketches DO merge
+    (union), so a distinct-count rollup over 100 TB is maintainable
+    from per-delta sketch states a few KB per group, never by
+    re-scanning the base or storing key sets.
+    """
+    aggs = [
+        F.hll_sketch_agg(F.col(c)).alias(f"__hll_{c}") for c in distinct_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_hll_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Union HLL states across increments (sketch union, group-key-sized)."""
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    hll_cols = [c for c in u.columns if c.startswith("__hll_")]
+    aggs = [F.hll_union_agg(F.col(c)).alias(c) for c in hll_cols]
+    return u.groupBy(*keys).agg(*aggs)
+
+
+def finalize_hll_state(state: DataFrame) -> DataFrame:
+    """Sketch states -> approx distinct counts (`n_distinct_<col>`)."""
+    out = state
+    for c in [c for c in state.columns if c.startswith("__hll_")]:
+        out = out.withColumn(
+            f"n_distinct_{c[len('__hll_'):]}",
+            F.hll_sketch_estimate(F.col(c)).cast("long"),
+        )
+    return out.drop(*[c for c in state.columns if c.startswith("__hll_")])

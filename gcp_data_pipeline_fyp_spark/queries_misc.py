@@ -481,3 +481,28 @@ FROM r WHERE rn = 1 AND op <> 'D'
 """
 
 MISC_QUERIES["cdc_snapshot"] = (q_cdc_snapshot, SQL_CDC_SNAPSHOT)
+
+
+# -------------------------------------- mergeable distinct-count rollup
+def q_distinct_users_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT DISTINCT maintained incrementally: per-type HLL sketch
+    states built separately for two halves of events, sketch-UNIONed,
+    then estimated (operators/rollup.py) — approximate by design, so
+    rows-only in the driver; merge==direct equality is pytest-asserted."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        finalize_hll_state,
+        hll_state,
+        merge_hll_states,
+    )
+
+    ev = load(spark, sf, "events")
+    split = F.col("event_id") % 2 == 0
+    s1 = hll_state(ev.filter(split), ["event_type"], ["user_id"])
+    s2 = hll_state(ev.filter(~split), ["event_type"], ["user_id"])
+    merged = merge_hll_states([s1, s2], ["event_type"])
+    return finalize_hll_state(merged)
+
+
+MISC_QUERIES["distinct_users_rollup"] = (q_distinct_users_rollup, None)

@@ -9,7 +9,7 @@ planted pairs (plus any real ones).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.text import (
@@ -775,6 +775,10 @@ def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
     out = dup_clusters(d, pairs, "doc_id").select("doc_id", "cluster_id")
+    # component labels are localCheckpointed inside dup_clusters, so the
+    # candidate cache (returned persisted per the operator contract) can
+    # be released here instead of leaking into the driver session
+    pairs.unpersist()
     return out
 
 
@@ -958,6 +962,7 @@ def q_pagerank_sim_graph(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
     out = pagerank(pairs, iters=5)
+    pairs.unpersist()  # ranks are localCheckpointed; release the cache
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     )
@@ -982,3 +987,65 @@ SELECT v AS doc_id, round(rank, 6) AS rank FROM r5
 """
 
 TEXT_QUERIES["pagerank_sim_graph"] = (q_pagerank_sim_graph, SQL_PAGERANK_SIM_GRAPH)
+
+
+# --------------------------------- canonical doc per duplicate cluster
+def q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup keep-policy upgrade: per duplicate cluster keep the
+    highest-PageRank member (most-central copy) instead of min-id —
+    closure + centrality composed from the same candidate-pair graph;
+    isolated docs keep themselves with rank 0."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        dup_clusters,
+        pagerank,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    labeled = dup_clusters(d, pairs, "doc_id")
+    ranks = pagerank(pairs, iters=5).withColumnRenamed("node", "doc_id")
+    pairs.unpersist()
+    j = labeled.join(ranks, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce(F.round("rank", 6), F.lit(0.0)).alias("rank"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("rank").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "cluster_id", "rank")
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+u2 AS ({_SQL_DOCS_WITH_NEARDUPS}),
+e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM e0
+  UNION
+  SELECT e.a, r.l FROM e0 e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+degs AS (SELECT a, count(*) AS deg FROM e0 GROUP BY a),
+ed AS (SELECT e0.a, e0.b, degs.deg FROM e0 JOIN degs USING (a)),
+nodes AS (SELECT DISTINCT a AS v FROM e0),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT v, cast(1 AS double) / n.n AS rank FROM nodes CROSS JOIN n),
+{_PR_ITERS},
+cl AS (SELECT u2.doc_id, coalesce(comp.component, u2.doc_id) AS cluster_id
+       FROM u2 LEFT JOIN comp ON u2.doc_id = comp.v),
+rk AS (SELECT cl.doc_id, cl.cluster_id,
+              coalesce(round(r5.rank, 6), 0.0) AS rank
+       FROM cl LEFT JOIN r5 ON cl.doc_id = r5.v),
+sel AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY rank DESC, doc_id ASC) AS rn FROM rk)
+SELECT doc_id, cluster_id, rank FROM sel WHERE rn = 1
+"""
+
+TEXT_QUERIES["canonical_docs"] = (q_canonical_docs, SQL_CANONICAL_DOCS)
