@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "cdc_snapshot",
     "canonical_docs",
     "distinct_users_rollup",
+    "unigram_logprob_score",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

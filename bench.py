@@ -44,6 +44,11 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_neardup_lsh",
     "corpus_prep",
+    # round-2b families: lexical ranking, sketch-verified heavy
+    # hitters, graph centrality over the LSH pair graph
+    "tfidf_top_terms",
+    "heavy_hitter_tokens",
+    "pagerank_sim_graph",
 ]
 
 

@@ -101,6 +101,8 @@ def bm25_topk(
     b: float = 0.75,
 ) -> DataFrame:
     """Top-k documents for `query_terms` by BM25: (id, score desc)."""
+    if not query_terms:
+        raise ValueError("bm25_topk requires at least one query term")
     toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
     base = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__dl", F.size("__toks")

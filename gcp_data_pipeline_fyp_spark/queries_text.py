@@ -1049,3 +1049,66 @@ SELECT doc_id, cluster_id, rank FROM sel WHERE rn = 1
 """
 
 TEXT_QUERIES["canonical_docs"] = (q_canonical_docs, SQL_CANONICAL_DOCS)
+
+
+# ------------------------------------- unigram-LM quality scoring
+def q_unigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
+    """LM-based quality score (CCNet-style filtering, public method):
+    train a unigram LM on the corpus itself (add-one smoothed), score
+    each doc by mean -log2 p(token) — high perplexity flags gibberish.
+    Two aggregations over one explode: vocab probs (persisted — feeds
+    every doc's score), then a token->prob join + per-doc mean. The
+    vocab join shuffles on the term like tfidf; the corpus scalars are
+    broadcast."""
+    d = _docs(spark, sf)
+    pairs = d.select(
+        "doc_id", F.explode(F.coalesce(tokens("text"), F.array())).alias("tok")
+    )
+    counts = pairs.groupBy("tok").agg(F.count("*").alias("c")).persist()
+    scalars = F.broadcast(
+        counts.agg(
+            F.sum("c").alias("total"), F.count("*").alias("vocab")
+        )
+    )
+    scored = (
+        pairs.join(counts, "tok")
+        .crossJoin(scalars)
+        .select(
+            "doc_id",
+            (
+                -F.log2(
+                    (F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))
+                )
+            ).alias("nll"),
+        )
+    )
+    out = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                    / F.count("*"), 6).alias("mean_nll"),
+            F.count("*").alias("n_scored")
+        )
+    )
+    out = out.persist()
+    out.count()
+    counts.unpersist()
+    return out
+
+
+SQL_UNIGRAM_LOGPROB = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+s AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+n AS (SELECT e.doc_id,
+        -log2((c.c + 1.0) / (s.total + s.vocab)) AS nll
+      FROM e JOIN c USING (tok) CROSS JOIN s)
+SELECT doc_id,
+  round(cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*), 6)
+    AS mean_nll,
+  count(*) AS n_scored
+FROM n GROUP BY doc_id
+"""
+
+TEXT_QUERIES["unigram_logprob_score"] = (q_unigram_logprob_score, SQL_UNIGRAM_LOGPROB)

@@ -538,3 +538,13 @@ def test_hll_state_merge_equals_direct_sketch(spark):
     # estimates are near-exact at this cardinality (97 distinct)
     for r in direct.collect():
         assert abs(r["n_distinct_u"] - 97) <= 3
+
+
+def test_bm25_rejects_empty_query(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="query term"):
+        bm25_topk(df, "doc_id", "text", [], k=3)
