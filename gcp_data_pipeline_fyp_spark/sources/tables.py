@@ -154,6 +154,57 @@ class Warehouse:
                 shutil.rmtree(backup)
         self.drop(staging_table)
 
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 << 20,
+        partition_col: str | None = None,
+    ) -> int:
+        """Small-file compaction: rewrite `table` into ~target-sized files.
+
+        Append-heavy tables (delta loads, streaming foreachBatch) decay
+        into thousands of tiny files; at 100 TB the scan's task-per-file
+        overhead and the NameNode/listing pressure dominate. Compaction
+        coalesces to ceil(bytes/target) files — per partition directory
+        when `partition_col` is given (each month compacts
+        independently; the job can run partition-at-a-time forever) —
+        and promotes via the same crash-safe rename used by the delta
+        path. Returns the file count after compaction.
+        """
+        import math
+
+        root = self.path(table)
+        staging = table + "__compacting"
+
+        def _bytes(d: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dns, fns in os.walk(d)
+                for f in fns
+                if f.endswith(".parquet")
+            )
+
+        n_out = max(1, math.ceil(_bytes(root) / target_file_bytes))
+        df = self.read(table)
+        if partition_col is None:
+            self.overwrite(df.coalesce(n_out), staging)
+            self.swap(staging, table)
+        else:
+            # repartition by the partition column so each directory gets
+            # its own ~target-sized output files
+            self.overwrite(
+                df.repartition(n_out, partition_col),
+                staging,
+                partition_cols=[partition_col],
+            )
+            self.swap_partitions(staging, table, partition_col)
+        return sum(
+            1
+            for _dp, _dns, fns in os.walk(root)
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
     def overwrite_range_layout(
         self,
         df: DataFrame,

@@ -98,3 +98,48 @@ def test_range_layout_files_are_disjoint(spark, tmp_path):
     assert len(ranges) >= 2
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 <= l2  # disjoint key ranges -> min/max skipping works
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 2000).withColumn("v", F.col("id") * 2)
+    # simulate append decay: 10 tiny appends -> many small files
+    for i in range(10):
+        wh.append(df.filter((F.col("id") % 10) == i).repartition(8), "t")
+    import os
+
+    def nfiles():
+        return sum(
+            1 for _dp, _d, fns in os.walk(wh.path("t"))
+            for f in fns if f.endswith(".parquet")
+        )
+
+    before = nfiles()
+    assert before >= 50
+    got = wh.compact("t", target_file_bytes=1 << 30)
+    assert got == nfiles() and got <= 2
+    out = wh.read("t")
+    assert out.count() == 2000
+    assert out.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(2000))
+
+
+def test_compact_partitioned_keeps_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    df = spark.range(0, 1000).withColumn("p", (F.col("id") % 3).cast("int"))
+    for _ in range(5):
+        wh.append(df.repartition(6), "t", partition_cols=["p"])
+    got = wh.compact("t", target_file_bytes=1 << 30, partition_col="p")
+    import os
+
+    dirs = [d for d in os.listdir(wh.path("t")) if d.startswith("p=")]
+    assert sorted(dirs) == ["p=0", "p=1", "p=2"]
+    assert wh.read("t").count() == 5000
+    assert got <= 6  # at most a couple files per partition dir
