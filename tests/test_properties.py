@@ -93,3 +93,59 @@ def test_merge_upsert_fuzz_vs_duckdb(spark, base, upd):
         for r in odf.itertuples()
     }
     assert got == oracle
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(1, 1000), st.sampled_from("IUD")),
+        max_size=12,
+        unique_by=lambda t: (t[0], t[1]),  # one op per (key, ts): total order
+    )
+)
+def test_cdc_snapshot_fuzz(spark, rows):
+    """cdc_snapshot == per-key last-writer-wins dict semantics."""
+    import datetime as dt
+
+    from gcp_data_pipeline_fyp_spark.operators.frequent import cdc_snapshot
+
+    data = [
+        (k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), op, float(i))
+        for i, (k, ts, op) in enumerate(rows)
+    ]
+    schema = "k int, ts timestamp, op string, v double"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    got = {r["k"]: r["v"] for r in cdc_snapshot(df, ["k"], "ts", "op").collect()}
+    expected = {}
+    for k, ts, op, v in sorted(data, key=lambda r: (r[0], r[1])):
+        expected[k] = None if op == "D" else v
+    expected = {k: v for k, v in expected.items() if v is not None}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50), st.integers(0, 2)),
+        max_size=20,
+    )
+)
+def test_rollup_merge_fuzz_equals_rebuild(spark, rows):
+    """merge_states over ANY split of the data == one-shot rollup."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        finalize_state,
+        merge_states,
+        rollup_state,
+    )
+
+    schema = "k int, v double, part int"
+    data = [(k, float(v) + 0.5, p) for k, v, p in rows]
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    direct = finalize_state(rollup_state(df, ["k"], ["v"]), ["v"], ["v"])
+    parts = [
+        rollup_state(df.filter(f"part = {i}"), ["k"], ["v"]) for i in range(3)
+    ]
+    merged = finalize_state(merge_states(parts, ["k"]), ["v"], ["v"])
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
