@@ -20,8 +20,46 @@ from __future__ import annotations
 import os
 import shutil
 from collections.abc import Sequence
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_value(
+    x: Column,
+    y: Column,
+    x_min: float,
+    x_max: float,
+    y_min: float,
+    y_max: float,
+    bits: int = 16,
+) -> Column:
+    """Bit-interleaved (Morton / Z-order) key over two numeric columns.
+
+    Each coordinate is normalized into a `bits`-bit bucket over its
+    stated domain, then the bits are interleaved — points close in BOTH
+    dimensions get close z-values, so a z-sorted file layout gives
+    parquet min/max skipping for 2-D box predicates (lat AND lon, x AND
+    y), which a single-column range layout cannot: there every file
+    spans the full domain of the second column. Pure integer Catalyst
+    expressions — codegen-friendly at scan speed.
+    """
+    scale = (1 << bits) - 1
+
+    def bucket(c: Column, lo: float, hi: float) -> Column:
+        norm = (c.cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        clamped = F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))
+        return F.round(clamped * scale).cast("long")
+
+    bx, by = bucket(x, x_min, x_max), bucket(y, y_min, y_max)
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(
+            F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)
 
 
 class Warehouse:
@@ -203,6 +241,31 @@ class Warehouse:
             for _dp, _dns, fns in os.walk(root)
             for f in fns
             if f.endswith(".parquet")
+        )
+
+    def overwrite_zorder_layout(
+        self,
+        df: DataFrame,
+        table: str,
+        zcol: Column,
+        n_files: int | None = None,
+    ) -> None:
+        """Z-ordered layout: range-partition + sort on a `zorder_value`.
+
+        The 2-D analog of `overwrite_range_layout`: every output file
+        covers a compact REGION of the (x, y) plane instead of a slab
+        of one dimension, so box predicates on both columns skip whole
+        files by min/max stats. The z column itself is dropped from the
+        stored table (stats on the data columns do the skipping).
+        """
+        n = n_files or df.sparkSession.sparkContext.defaultParallelism
+        tmp = df.withColumn("__z", zcol)
+        (
+            tmp.repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(self.path(table))
         )
 
     def overwrite_range_layout(

@@ -143,3 +143,46 @@ def test_compact_partitioned_keeps_layout(spark, tmp_path):
     assert sorted(dirs) == ["p=0", "p=1", "p=2"]
     assert wh.read("t").count() == 5000
     assert got <= 6  # at most a couple files per partition dir
+
+
+def test_zorder_layout_compact_2d_regions(spark, tmp_path):
+    """Every z-ordered file must cover a compact region of BOTH
+    dimensions; an x-range layout leaves y spanning the full domain in
+    every file — the difference that buys 2-D min/max skipping."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.sources.tables import (
+        Warehouse,
+        zorder_value,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    # uniform 64x64 grid
+    df = (
+        spark.range(0, 4096)
+        .withColumn("x", (F.col("id") % 64).cast("double"))
+        .withColumn("y", (F.col("id") / 64).cast("long").cast("double"))
+    )
+    z = zorder_value(F.col("x"), F.col("y"), 0, 63, 0, 63, bits=6)
+    wh.overwrite_zorder_layout(df, "tz", z, n_files=16)
+    wh.overwrite_range_layout(df, "tx", ["x"], n_files=16)
+
+    def extents(table):
+        out = []
+        for f in sorted(glob.glob(str(tmp_path / "wh" / table / "*.parquet"))):
+            p = spark.read.parquet(f).agg(
+                F.max("x") - F.min("x"), F.max("y") - F.min("y")
+            ).first()
+            out.append((p[0], p[1]))
+        return out
+
+    zx = extents("tz")
+    rx = extents("tx")
+    # x-range layout: every file spans (nearly) the full y domain
+    assert all(ey >= 60 for _ex, ey in rx)
+    # z-order: files cover compact boxes in BOTH dims (quadrant-sized)
+    assert all(ex <= 32 and ey <= 32 for ex, ey in zx), zx
+    # and the data round-trips
+    assert spark.read.parquet(str(tmp_path / "wh" / "tz")).count() == 4096
