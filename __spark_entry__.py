@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "canonical_docs",
     "distinct_users_rollup",
     "unigram_logprob_score",
+    "corpus_prep_full",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

@@ -49,6 +49,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "heavy_hitter_tokens",
     "pagerank_sim_graph",
+    # the flagship composition: quality -> decontaminate -> exact dedup
+    # -> LSH closure -> split, one plan
+    "corpus_prep_full",
 ]
 
 

@@ -1112,3 +1112,95 @@ FROM n GROUP BY doc_id
 """
 
 TEXT_QUERIES["unigram_logprob_score"] = (q_unigram_logprob_score, SQL_UNIGRAM_LOGPROB)
+
+
+# ----------------------- full training-corpus pipeline (flagship compose)
+def q_corpus_prep_full(spark: SparkSession, sf: str) -> DataFrame:
+    """The complete pretraining-corpus pipeline in one plan:
+    Gopher quality filter -> benchmark decontamination (5-gram) ->
+    digest-keyed exact dedup -> MinHash-LSH near-dup closure (keep the
+    min-id member of each duplicate cluster) -> stable train/val/test
+    split. Every stage is the production operator, composed; the whole
+    chain hash-matches one DuckDB SQL statement."""
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import decontaminate
+    from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dedup
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    d = _docs_with_neardups(spark, sf)
+    q = d.filter(gopher_keep(F.col("text")))
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    q2 = decontaminate(q, "doc_id", "text", bench, "text", n=5)
+    kept = exact_dedup(q2, ["text"], "doc_id")
+    pairs = minhash_lsh_candidates(
+        kept, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    labeled = dup_clusters(kept, pairs, "doc_id")
+    pairs.unpersist()
+    canon = labeled.filter(F.col("doc_id") == F.col("cluster_id"))
+    split = hash_split(
+        canon, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return split.select("doc_id", "lang", "split")
+
+
+def _sql_lsh_pairs_ctes(src: str) -> str:
+    """The LSH candidate-pair CTE chain over an arbitrary source CTE
+    (mirrors SQL_MINHASH_LSH_PAIRS, which is hard-wired to u)."""
+    return f"""
+t2 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}),
+s2 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t2),
+bb2 AS (SELECT doc_id, {_SQL_BASE} AS base FROM s2),
+sig2 AS (SELECT doc_id, {_SQL_SIG} AS sig FROM bb2),
+bands2 AS (
+  SELECT doc_id, b,
+    concat_ws('|', sig2.sig[b*2+1], sig2.sig[b*2+2]) AS bsig
+  FROM sig2, unnest(generate_series(0, 3)) AS g(b)),
+nz2 AS (SELECT * FROM bands2 WHERE bsig <> ''),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nz2 a JOIN nz2 b
+    ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id)"""
+
+
+SQL_CORPUS_PREP_FULL = f"""
+WITH RECURSIVE u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+t AS (SELECT *, {_SQL_TOKS} AS toks FROM u),
+m AS (SELECT *, len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN})) AS stop_hits
+  FROM t),
+q AS (SELECT doc_id, lang, text FROM m
+  WHERE coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false)),
+tg AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+g AS (SELECT doc_id, unnest({_sql_shingles_n(5)}) AS ngram FROM tg),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0),
+bad AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (ngram)),
+q2 AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+kept AS (SELECT * FROM q2
+  WHERE doc_id IN (SELECT min(doc_id) FROM q2 GROUP BY text)),
+{_sql_lsh_pairs_ctes("kept")},
+ed2 AS (SELECT id_a AS a, id_b AS b FROM pairs2
+        UNION SELECT id_b, id_a FROM pairs2),
+reach(v, l) AS (
+  SELECT a, a FROM ed2
+  UNION
+  SELECT e.a, r.l FROM ed2 e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+canon AS (SELECT kept.doc_id, kept.lang FROM kept
+  LEFT JOIN comp ON kept.doc_id = comp.v
+  WHERE coalesce(comp.component, kept.doc_id) = kept.doc_id)
+SELECT doc_id, lang,
+  CASE WHEN {_B7P} < 800000 THEN 'train'
+       WHEN {_B7P} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM canon
+"""
+
+TEXT_QUERIES["corpus_prep_full"] = (q_corpus_prep_full, SQL_CORPUS_PREP_FULL)
