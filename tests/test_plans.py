@@ -69,3 +69,31 @@ def test_partition_pruning(spark, tmp_path):
     n_days = ev.select("event_date").distinct().count()
     assert scoped.count() == ev.filter(F.col("event_date") == 20240105).count()
     assert n_days > 1
+
+
+def test_tfidf_topk_uses_window_group_limit(spark):
+    """Per-doc top-k must run as WindowGroupLimit (per-partition rank
+    pruning before the final window), never a full global sort."""
+    p = _plan(spark, "tfidf_top_terms")
+    assert "WindowGroupLimit" in p
+    assert "SortMergeJoin" not in p  # df join broadcast at this scale
+
+
+def test_bm25_stats_broadcast_and_takeordered(spark):
+    p = _plan(spark, "bm25_search")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-k never a global sort
+
+
+def test_interval_attribution_no_cartesian(spark):
+    """The range predicate must ride on the user_id equi-join, not
+    degrade to a cartesian product."""
+    p = _plan(spark, "interval_attribution")
+    assert "CartesianProduct" not in p
+
+
+def test_cdc_snapshot_single_shuffle(spark):
+    p = _plan(spark, "cdc_snapshot")
+    # one hash exchange for the per-key window; no join in the plan
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "WindowGroupLimit" in p  # rn==1 pruned per partition
