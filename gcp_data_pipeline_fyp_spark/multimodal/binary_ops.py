@@ -152,6 +152,39 @@ def plan_frame_offsets(
     )
 
 
+def plan_audio_chunks(
+    df: DataFrame,
+    chunk_ms: int = 30_000,
+    overlap_ms: int = 1_000,
+) -> DataFrame:
+    """Chunking plan for audio rows: (start_ms, end_ms) windows with
+    overlap — the audio analog of `plan_frame_offsets`. Pure column
+    arithmetic over duration metadata (real, not stubbed); only the
+    waveform decode inside each chunk is codec-dependent. Overlapping
+    windows are the standard ASR/feature-extraction shape so no speech
+    is lost at chunk boundaries.
+    """
+    stride = chunk_ms - overlap_ms
+    n = F.greatest(
+        F.ceil((F.col("duration_ms") - F.lit(overlap_ms)) / F.lit(stride)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    return df.filter(F.col("media_type") == "audio").select(
+        "media_id",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                (i * stride).cast("int").alias("start_ms"),
+                F.least(
+                    i * stride + chunk_ms, F.col("duration_ms")
+                ).cast("int").alias("end_ms"),
+            ),
+        ).alias("chunks"),
+    )
+
+
 def resize_dims(
     df: DataFrame, max_dim: int = 256
 ) -> DataFrame:

@@ -97,3 +97,28 @@ def test_resize_image_is_gated(spark):
     if not has_pil:
         with pytest.raises(NotImplementedError):
             resize_image(df)
+
+
+def test_audio_chunk_plan(spark):
+    from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
+        plan_audio_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", None, None, None, 65_000, bytearray(b"aa")),
+            (2, "audio", None, None, None, 10_000, bytearray(b"bb")),  # < 1 chunk
+            (3, "video", None, None, None, 65_000, bytearray(b"vv")),  # filtered
+        ],
+        "media_id long, media_type string, mime string, width int, height int,"
+        " duration_ms int, payload binary",
+    )
+    out = {
+        r["media_id"]: [(c["start_ms"], c["end_ms"]) for c in r["chunks"]]
+        for r in plan_audio_chunks(df, chunk_ms=30_000, overlap_ms=1_000).collect()
+    }
+    # 65s: stride 29s -> 3 chunks, overlapping by 1s, last clipped to end
+    assert out[1] == [(0, 30_000), (29_000, 59_000), (58_000, 65_000)]
+    # shorter than one chunk -> single clipped window
+    assert out[2] == [(0, 10_000)]
+    assert 3 not in out  # video rows not in the audio plan
