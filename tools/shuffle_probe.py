@@ -84,6 +84,32 @@ def main() -> None:
 
     raw = shuffle_write_bytes(spark, raw_key)
     dig = shuffle_write_bytes(spark, digest_key)
+
+    # heavy hitters: full-vocabulary groupBy vs sketch->candidate-only
+    # verify over the SAME exploded token stream — the verify pass's
+    # shuffle should carry candidate keys only, not the vocabulary
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens  # noqa: E402
+    from gcp_data_pipeline_fyp_spark.operators.frequent import heavy_hitters  # noqa: E402
+
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+
+    def full_vocab():
+        (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > 1000)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def sketch_verify():
+        heavy_hitters(toks, "tok", 0.005).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    hh_full = shuffle_write_bytes(spark, full_vocab)
+    hh_sketch = shuffle_write_bytes(spark, sketch_verify)
     print(
         json.dumps(
             {
@@ -91,6 +117,9 @@ def main() -> None:
                 "raw_text_key": raw,
                 "digest_key": dig,
                 "ratio": round(raw / dig, 2) if dig else None,
+                "heavy_hitters_full_vocab_groupby": hh_full,
+                "heavy_hitters_sketch_verify": hh_sketch,
+                "hh_ratio": round(hh_full / hh_sketch, 2) if hh_sketch else None,
                 "sf_dir": SF_DIR,
             }
         )
