@@ -64,6 +64,7 @@ _CHECK_FIRST = [
     "distinct_users_rollup",
     "unigram_logprob_score",
     "corpus_prep_full",
+    "daily_p95_sliding",
     # no CORRECTNESS row in r01 (fell outside the 50-query window)
     "gopher_filter",
     "dedupe_corpus",

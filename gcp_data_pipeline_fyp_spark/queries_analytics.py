@@ -685,3 +685,49 @@ FROM orders GROUP BY 1
 """
 
 ANALYTICS_QUERIES["rollup_incremental"] = (q_rollup_incremental, SQL_ROLLUP_INCREMENTAL)
+
+
+# ------------------------------------ sliding daily p95 (SLA-style measure)
+def q_daily_p95_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-day p95 of value plus a 7-day trailing-window p95 — the
+    SLA-dashboard shape: the trailing window re-aggregates from the raw
+    rows of the last 7 days via a self-join on the date scaffold
+    (exact; at 100 TB swap the exact percentile for approx_percentile
+    and the self-join for a partition-pruned scan of 7 partitions)."""
+    ev = load(spark, sf, "events").select(
+        F.date_trunc("DAY", "ts").alias("d"), "value"
+    )
+    daily = ev.groupBy("d").agg(
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95")
+    )
+    days = daily.select("d")
+    trailing = (
+        days.alias("a")
+        .join(
+            ev.alias("e"),
+            (F.col("e.d") <= F.col("a.d"))
+            & (F.col("e.d") > F.col("a.d") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("a.d").alias("d"))
+        .agg(F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_7d"))
+    )
+    return (
+        daily.join(trailing, "d")
+        .select(F.col("d").alias("day"), "p95", "p95_7d")
+    )
+
+
+SQL_DAILY_P95_SLIDING = """
+WITH e AS (SELECT date_trunc('day', ts) AS d, value FROM events),
+daily AS (SELECT d, round(quantile_cont(value, 0.95), 6) AS p95
+          FROM e GROUP BY d),
+trail7 AS (
+  SELECT a.d, round(quantile_cont(e.value, 0.95), 6) AS p95_7d
+  FROM (SELECT DISTINCT d FROM e) a
+  JOIN e ON e.d <= a.d AND e.d > a.d - INTERVAL 7 DAY
+  GROUP BY a.d)
+SELECT daily.d AS day, daily.p95, trail7.p95_7d
+FROM daily JOIN trail7 ON daily.d = trail7.d
+"""
+
+ANALYTICS_QUERIES["daily_p95_sliding"] = (q_daily_p95_sliding, SQL_DAILY_P95_SLIDING)

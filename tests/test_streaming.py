@@ -224,3 +224,60 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     got_batch = sorted(map(tuple, batch.collect()))
     assert got_stream == got_batch
     assert [(r[0], r[2]) for r in got_batch] == [(1, 11), (2, 12)]
+
+
+def test_windowed_counts_drop_late_data_past_watermark(spark, tmp_path):
+    """An event arriving in a later micro-batch with an event time older
+    than (max seen - watermark) must NOT reopen its closed window; an
+    event inside the horizon must still be counted. Append mode only
+    emits windows the watermark has finalized."""
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA).option("header", True).csv(str(in_dir))
+        )
+        q = (
+            windowed_event_counts(stream, window="1 hour", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: events at 10:05 and 14:05 -> max event time 14:05,
+    # watermark after this batch = 13:05; the 10:00 window is final
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:05:00", "click", 1.0),
+            (2, "2024-01-01 14:05:00", "click", 1.0),
+        ],
+    )
+    run()
+    # batch 2: one event at 10:10 (older than 13:05: must be DROPPED),
+    # one at 13:30 (inside horizon: counted when its window finalizes)
+    _write_csv(
+        in_dir / "b2.csv",
+        [
+            (3, "2024-01-01 10:10:00", "click", 1.0),
+            (4, "2024-01-01 13:30:00", "click", 1.0),
+        ],
+    )
+    run()
+    # batch 3: advance event time so 13:00 and 14:00 windows finalize
+    _write_csv(in_dir / "b3.csv", [(5, "2024-01-01 16:30:00", "click", 1.0)])
+    run()
+    got = {
+        r["window_start"].hour: r["total_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get(10) == 1, f"late event must not reopen 10:00 window: {got}"
+    assert got.get(13) == 1, f"in-horizon event must be counted: {got}"
+    assert got.get(14) == 1, got
