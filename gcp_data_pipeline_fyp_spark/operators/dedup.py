@@ -317,3 +317,60 @@ def dedupe_corpus(
     exact_kept.unpersist()
     candidates.unpersist()
     return out
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Span-level (paragraph) dedup: drop every repeated paragraph
+    corpus-WIDE, keeping only its first occurrence (smallest
+    `(id, position)`), then reassemble each document from its surviving
+    paragraphs in original order.
+
+    This is the C4-style boilerplate scrub (public method: Raffel et
+    al. 2020 deduplicated repeated three-sentence spans corpus-wide):
+    doc-level dedup cannot remove the navigation footer that appears
+    once inside a million otherwise-unique pages; span-level dedup
+    removes all but one copy while leaving the unique prose intact.
+
+    Scale shape: the global first-occurrence decision shuffles on the
+    32-byte md5 DIGEST of the paragraph (never the paragraph text as a
+    sort key — same rule as `exact_dedup`); paragraph text rides once
+    as payload, which is unavoidable since surviving spans must be
+    reassembled. Reassembly is one further shuffle keyed on the doc id.
+    Paragraphs shorter than `min_chars` are dropped outright (empty
+    strings from doubled separators). Documents whose every paragraph
+    is dropped disappear from the output — consistent with doc-level
+    dedup semantics.
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(F.length("__para") >= min_chars)
+    w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    kept = (
+        parts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+            ).alias("__ps")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                sep, F.transform(F.col("__ps"), lambda s: s["__para"])
+            ).alias(text_col),
+            F.size("__ps").alias("n_paras"),
+        )
+    )

@@ -1204,3 +1204,62 @@ FROM canon
 """
 
 TEXT_QUERIES["corpus_prep_full"] = (q_corpus_prep_full, SQL_CORPUS_PREP_FULL)
+
+
+# ---------------------------------------------------------- paragraph dedup
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style span-level dedup: a shared footer (and a 3-variant promo
+    line) is planted in every document; corpus-wide paragraph dedup must
+    keep each repeated span only at its first (doc_id, position) and
+    reassemble the docs — doc-level dedup would remove nothing here."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import paragraph_dedup
+
+    footer = "Subscribe to our newsletter for the latest updates."
+    promo = F.concat(
+        F.lit("Follow us on social media - channel "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws("\n\n", F.col("text"), F.lit(footer), promo).alias("text"),
+    )
+    out = paragraph_dedup(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+    ).orderBy("doc_id")
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10)
+              || 'Subscribe to our newsletter for the latest updates.'
+              || chr(10) || chr(10)
+              || 'Follow us on social media - channel '
+              || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM docs
+),
+parts AS (
+  SELECT doc_id, unnest(l) AS para, generate_subscripts(l, 1) AS pos
+  FROM split_docs
+),
+kept AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) AS rn
+  FROM parts WHERE length(para) >= 1
+)
+SELECT doc_id,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5,
+       count(*) AS n_paras
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["paragraph_dedup"] = (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP)

@@ -548,3 +548,32 @@ def test_bm25_rejects_empty_query(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError, match="query term"):
         bm25_topk(df, "doc_id", "text", [], k=3)
+
+
+def test_paragraph_dedup_drops_repeated_spans_keeps_first(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "unique alpha\n\nSHARED FOOTER"),
+            (2, "unique beta\n\nSHARED FOOTER"),
+            (3, "SHARED FOOTER"),  # every span duplicated -> doc vanishes
+            (4, "unique gamma\n\n\n\nunique delta"),  # doubled sep -> empty span
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r for r in paragraph_dedup(df, "id", "text").collect()}
+    assert out[1]["text"] == "unique alpha\n\nSHARED FOOTER"  # first keeps it
+    assert out[2]["text"] == "unique beta"  # later copy scrubbed
+    assert 3 not in out  # fully-duplicated doc dropped entirely
+    assert out[4]["text"] == "unique gamma\n\nunique delta"  # empties removed
+    assert out[4]["n_paras"] == 2
+
+
+def test_paragraph_dedup_preserves_span_order(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import paragraph_dedup
+
+    text = "\n\n".join(f"para number {i}" for i in range(20))
+    df = spark.createDataFrame([(1, text)], ["id", "text"]).repartition(4)
+    out = paragraph_dedup(df, "id", "text").collect()[0]
+    assert out["text"] == text and out["n_paras"] == 20
