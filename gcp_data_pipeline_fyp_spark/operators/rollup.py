@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,3 +109,111 @@ def finalize_hll_state(state: DataFrame) -> DataFrame:
             F.hll_sketch_estimate(F.col(c)).cast("long"),
         )
     return out.drop(*[c for c in state.columns if c.startswith("__hll_")])
+
+
+# ----------------------------------------------------------- quantile states
+# Log-bucket histogram sketch: bucket(v) = floor(ln v / ln g)+1 (sign-
+# mirrored for negatives, 0 for zero), so every bucket spans a fixed
+# RELATIVE width g and any quantile read back from the histogram is
+# within a factor sqrt(g) of the true value. Unlike percentile_approx
+# (whose KLL-like state Spark does not expose for persistence), these
+# states are plain (key, bucket, count) rows: exactly mergeable across
+# deltas by re-summing, storable in any warehouse table, and identical
+# no matter how the input was partitioned or how many increments were
+# merged — the quantile analog of rollup_state above. Public technique:
+# log-width histogram quantiles as in HdrHistogram / DDSketch
+# (Masson et al., VLDB 2019).
+
+QUANTILE_GROWTH = 1.02  # ~1% relative error per bucket boundary
+
+
+def quantile_bucket(col, growth: float = QUANTILE_GROWTH):
+    """Deterministic log-bucket index for a double column."""
+    import math
+
+    v = F.col(col) if isinstance(col, str) else col
+    v = v.cast("double")
+    lng = F.lit(math.log(growth))
+    return (
+        F.when(v > 0, F.floor(F.log(v) / lng) + 1)
+        .when(v < 0, -(F.floor(F.log(-v) / lng) + 1))
+        .otherwise(0)
+        .cast("long")
+    )
+
+
+def quantile_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    growth: float = QUANTILE_GROWTH,
+) -> DataFrame:
+    """Quantile partial state per key group: `keys..., __qb, __qn` rows.
+
+    One shuffle, group-key x O(log range) rows out — a few hundred
+    buckets cover 12 orders of magnitude at g=1.02, so per-delta states
+    stay tiny regardless of fact size.
+    """
+    v = F.col(col).cast("double")
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, quantile_bucket(v, growth).alias("__qb"))
+        .agg(F.count(F.lit(1)).alias("__qn"))
+    )
+
+
+def merge_quantile_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Merge quantile states across increments (histograms add)."""
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy(*keys, "__qb").agg(F.sum("__qn").alias("__qn"))
+
+
+def quantiles_from_state(
+    state: DataFrame,
+    keys: Sequence[str],
+    ps: Sequence[float] = (0.5, 0.95, 0.99),
+    growth: float = QUANTILE_GROWTH,
+) -> DataFrame:
+    """Read quantiles off a state: `keys..., n, p<pp>...` (rounded).
+
+    Picks the first bucket whose cumulative count reaches ceil(p*n) and
+    returns the bucket's geometric midpoint — deterministic on any
+    partitioning (cumsum is over the total bucket order per key).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__qb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = state.withColumn("__cum", F.sum("__qn").over(w)).withColumn(
+        "__tot", F.sum("__qn").over(Window.partitionBy(*keys))
+    )
+
+    def _label(p: float) -> str:
+        return "p" + str(p * 100 if p * 100 % 1 else int(p * 100)).replace(".", "_")
+
+    aggs = [F.max("__tot").alias("n")]
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.ceil(F.lit(p) * F.col("__tot")),
+                    F.col("__qb"),
+                )
+            ).alias(f"__b_{_label(p)}")
+        )
+    out = cum.groupBy(*keys).agg(*aggs)
+    for p in ps:
+        b = F.col(f"__b_{_label(p)}")
+        val = (
+            F.when(b > 0, F.pow(F.lit(growth), b.cast("double") - 0.5))
+            .when(b < 0, -F.pow(F.lit(growth), (-b).cast("double") - 0.5))
+            .otherwise(F.lit(0.0))
+        )
+        out = out.withColumn(_label(p), F.round(val, 6)).drop(f"__b_{_label(p)}")
+    return out

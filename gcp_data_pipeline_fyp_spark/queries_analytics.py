@@ -731,3 +731,64 @@ FROM daily JOIN trail7 ON daily.d = trail7.d
 """
 
 ANALYTICS_QUERIES["daily_p95_sliding"] = (q_daily_p95_sliding, SQL_DAILY_P95_SLIDING)
+
+
+# ------------------------------ mergeable quantile-sketch rollup states
+def q_quantile_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Percentile rollup maintenance: log-bucket histogram states
+    (operators/rollup.py, DDSketch-style) built on two disjoint halves
+    of events (user_id parity), MERGED, then read back as p50/p95/p99
+    per event_type. The oracle computes the same bucketing over the
+    full table directly — the comparison proves merge == rebuild AND
+    the cross-engine determinism of the bucket math."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        merge_quantile_states,
+        quantile_state,
+        quantiles_from_state,
+    )
+
+    ev = load(spark, sf, "events").select("event_type", "user_id", "value")
+    a = quantile_state(ev.filter(F.col("user_id") % 2 == 0), ["event_type"], "value")
+    b = quantile_state(ev.filter(F.col("user_id") % 2 == 1), ["event_type"], "value")
+    merged = merge_quantile_states([a, b], ["event_type"])
+    return quantiles_from_state(merged, ["event_type"], (0.5, 0.95, 0.99))
+
+
+SQL_QUANTILE_ROLLUP = """
+WITH src AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+),
+b AS (
+  SELECT event_type,
+         CASE WHEN v > 0 THEN CAST(floor(ln(v) / ln(1.02)) AS BIGINT) + 1
+              WHEN v < 0 THEN -(CAST(floor(ln(-v) / ln(1.02)) AS BIGINT) + 1)
+              ELSE 0 END AS qb
+  FROM src
+),
+st AS (SELECT event_type, qb, count(*) AS qn FROM b GROUP BY 1, 2),
+c AS (
+  SELECT event_type, qb, qn,
+         sum(qn) OVER (PARTITION BY event_type ORDER BY qb) AS cum,
+         sum(qn) OVER (PARTITION BY event_type) AS tot
+  FROM st
+),
+pick AS (
+  SELECT event_type,
+         max(tot) AS n,
+         min(CASE WHEN cum >= ceil(0.5 * tot) THEN qb END) AS b50,
+         min(CASE WHEN cum >= ceil(0.95 * tot) THEN qb END) AS b95,
+         min(CASE WHEN cum >= ceil(0.99 * tot) THEN qb END) AS b99
+  FROM c GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN b50 > 0 THEN power(1.02, b50 - 0.5)
+             WHEN b50 < 0 THEN -power(1.02, -b50 - 0.5) ELSE 0 END, 6) AS p50,
+  round(CASE WHEN b95 > 0 THEN power(1.02, b95 - 0.5)
+             WHEN b95 < 0 THEN -power(1.02, -b95 - 0.5) ELSE 0 END, 6) AS p95,
+  round(CASE WHEN b99 > 0 THEN power(1.02, b99 - 0.5)
+             WHEN b99 < 0 THEN -power(1.02, -b99 - 0.5) ELSE 0 END, 6) AS p99
+FROM pick
+"""
+
+ANALYTICS_QUERIES["quantile_rollup"] = (q_quantile_rollup, SQL_QUANTILE_ROLLUP)

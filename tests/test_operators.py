@@ -577,3 +577,40 @@ def test_paragraph_dedup_preserves_span_order(spark):
     df = spark.createDataFrame([(1, text)], ["id", "text"]).repartition(4)
     out = paragraph_dedup(df, "id", "text").collect()[0]
     assert out["text"] == text and out["n_paras"] == 20
+
+
+def test_quantile_state_merge_equals_rebuild_and_bounds_error(spark):
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        merge_quantile_states,
+        quantile_state,
+        quantiles_from_state,
+    )
+
+    rng = random.Random(7)
+    rows = [(i % 3, rng.lognormvariate(3.0, 1.5)) for i in range(6000)]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(5)
+
+    rebuilt = quantile_state(df, ["k"], "v")
+    merged = merge_quantile_states(
+        [
+            quantile_state(df.filter("v < 20"), ["k"], "v"),
+            quantile_state(df.filter("v >= 20"), ["k"], "v"),
+        ],
+        ["k"],
+    )
+    assert sorted(map(tuple, rebuilt.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    got = {r["k"]: r for r in quantiles_from_state(merged, ["k"]).collect()}
+    import statistics
+
+    for k in range(3):
+        vals = sorted(v for kk, v in rows if kk == k)
+        exact_p95 = vals[int(0.95 * len(vals)) - 1]
+        # bucket geometric midpoint is within sqrt(growth) of the true
+        # value; allow 3% for the discrete-rank offset
+        assert abs(got[k]["p95"] / exact_p95 - 1) < 0.03, (k, got[k]["p95"], exact_p95)
+        assert got[k]["n"] == len(vals)
