@@ -251,3 +251,48 @@ def gopher_keep(text: Column | str) -> Column:
     for c in flags.values():
         out = out & c
     return F.coalesce(out, F.lit(False))
+
+
+# ------------------------------------------------------- web-scrape cleanup
+# HTML stripping + URL handling for web-crawl corpora. All regexes are
+# kept inside the RE2 subset (no backreferences, no lookaround) so the
+# DuckDB oracles can run the identical patterns; everything is pure
+# Catalyst regexp_* — no UDFs.
+
+_HTML_TAG = "<[^>]*>"
+_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+URL_PATTERN = "(?i)https?://[^\\s\"'<>]+"
+
+
+def strip_html(text: Column | str) -> Column:
+    """Visible text of an HTML fragment: drop tags, decode the common
+    entities, collapse whitespace runs, trim."""
+    c = _c(text)
+    c = F.regexp_replace(c, _HTML_TAG, " ")
+    for ent, rep in _ENTITIES:
+        c = F.regexp_replace(c, ent, rep)
+    return F.trim(F.regexp_replace(c, "\\s+", " "))
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All http(s) URLs in a document, in order (array<string>)."""
+    return F.regexp_extract_all(_c(text), F.lit(URL_PATTERN), 0)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL for dedup/joins: scheme+host lowercased, fragment
+    dropped, trailing slashes on the path stripped. The query string is
+    preserved as-is (semantics-bearing)."""
+    u = F.regexp_replace(_c(url), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    path = F.regexp_extract(rest, "^([^?]*)", 1)
+    query = F.regexp_extract(rest, "(\\?.*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, query)
+    )

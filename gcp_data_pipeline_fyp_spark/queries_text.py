@@ -1263,3 +1263,87 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["paragraph_dedup"] = (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP)
+
+
+# ---------------------------------------------------- web-scrape cleanup
+def q_clean_html_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-crawl ingestion shape: every doc is wrapped in an HTML page
+    with entities and two links (one with uppercase scheme/host, a
+    trailing-slash path, and a fragment). Strip to visible text,
+    extract the URLs, canonicalize the first — all pure Catalyst
+    regexp ops (functions/text.py), RE2-subset patterns so the oracle
+    runs the identical regexes."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        extract_urls,
+        normalize_url,
+        strip_html,
+    )
+
+    html = F.concat(
+        F.lit(
+            "<html><head><title>Doc</title><style>p {color: red}</style>"
+            "</head><body><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            '</p>&nbsp;&amp; more &lt;tags&gt;'
+            '<a href="HTTPS://Example.COM/Path/A/?q=1&utm=x#frag">x</a>'
+            '<a href="http://host-'
+        ),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.org/p/">y</a></body></html>'),
+    )
+    docs = _docs(spark, sf).select("doc_id", html.alias("html"))
+    urls = extract_urls(F.col("html"))
+    return docs.select(
+        "doc_id",
+        F.md5(strip_html(F.col("html"))).alias("clean_md5"),
+        F.size(urls).cast("long").alias("n_urls"),
+        normalize_url(F.try_element_at(urls, F.lit(1))).alias("first_url"),
+    ).orderBy("doc_id")
+
+
+SQL_CLEAN_HTML_DOCS = """
+WITH docs AS (
+  SELECT doc_id,
+    '<html><head><title>Doc</title><style>p {color: red}</style></head><body><p>'
+    || text ||
+    '</p>&nbsp;&amp; more &lt;tags&gt;<a href="HTTPS://Example.COM/Path/A/?q=1&utm=x#frag">x</a><a href="http://host-'
+    || CAST(doc_id % 7 AS VARCHAR) ||
+    '.org/p/">y</a></body></html>' AS html
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+    md5(trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(html, '<[^>]*>', ' ', 'g'),
+        '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+        '&quot;', '"'), '&#39;', ''''),
+      '\\s+', ' ', 'g'))) AS clean_md5,
+    regexp_extract_all(html, '(?i)https?://[^\\s"''<>]+') AS us
+  FROM docs
+),
+firsts AS (
+  SELECT doc_id, clean_md5, len(us) AS n_urls,
+         regexp_replace(us[1], '#.*$', '') AS u
+  FROM base
+),
+parts AS (
+  SELECT doc_id, clean_md5, n_urls, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest
+  FROM firsts
+)
+SELECT doc_id, clean_md5, CAST(n_urls AS BIGINT) AS n_urls,
+  CASE WHEN scheme = '' THEN u
+       ELSE scheme || '://' || host ||
+            regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '', 'g') ||
+            regexp_extract(rest, '(\\?.*)', 1)
+  END AS first_url
+FROM parts
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["clean_html_docs"] = (q_clean_html_docs, SQL_CLEAN_HTML_DOCS)

@@ -110,3 +110,38 @@ def test_date_dim_iso_fields(spark):
     assert rows[0].asDict() == {"id": 20240101, "dow": 1, "week": 1, "day": "Monday", "q": 1}
     # 2023-01-01 was a Sunday -> ISO week 52 of 2022
     assert rows[1].asDict() == {"id": 20230101, "dow": 7, "week": 52, "day": "Sunday", "q": 1}
+
+
+def test_strip_html_and_entities(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import strip_html
+
+    df = spark.createDataFrame(
+        [("<p>a&amp;b</p>  <br/>c &lt;d&gt;",), (None,)], ["t"]
+    )
+    got = [r[0] for r in df.select(strip_html("t")).collect()]
+    assert got == ["a&b c <d>", None]
+
+
+def test_extract_and_normalize_urls(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        extract_urls,
+        normalize_url,
+    )
+
+    df = spark.createDataFrame(
+        [("see HTTPS://Ex.COM/A/B/?x=1#f and http://a.org plus ftp://skip",)],
+        ["t"],
+    )
+    urls = df.select(extract_urls("t").alias("u")).collect()[0]["u"]
+    assert urls == ["HTTPS://Ex.COM/A/B/?x=1#f", "http://a.org"]
+    norm = [
+        r[0]
+        for r in spark.createDataFrame([(u,) for u in urls], ["u"])
+        .select(normalize_url("u"))
+        .collect()
+    ]
+    # scheme+host lowered, fragment gone, trailing path slash gone,
+    # query kept; path case preserved
+    assert norm == ["https://ex.com/A/B?x=1", "http://a.org"]
