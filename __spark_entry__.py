@@ -42,6 +42,9 @@ _REGISTRIES = [
 # a rolling cadence.
 _CHECK_FIRST = [
     # new this round — never driver-checked
+    "paragraph_dedup",
+    "quantile_rollup",
+    "clean_html_docs",
     "decontaminate_corpus",
     "pack_sequences",
     "repetition_metrics",
@@ -88,12 +91,13 @@ _CHECK_FIRST = [
     "asof_last_click",
     "range_join_shipments",
     "sql_interface",
-    # plans changed this round — re-certify
+    # plans changed this round — re-certify. (dedup_exact_rows,
+    # minhash_lsh_pairs and merge_upsert rotated out to make room for
+    # the three new probes: r01-green, and their r02 plan changes are
+    # mirror-verified; dedup_exact_stats certifies the shared digest-
+    # keying change for the exact-dedup family.)
     "star_schema_fact",
     "dedup_exact_stats",
-    "dedup_exact_rows",
-    "minhash_lsh_pairs",
-    "merge_upsert",
 ]
 
 

@@ -49,6 +49,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "heavy_hitter_tokens",
     "pagerank_sim_graph",
+    # round-2c: span-level boilerplate scrub + mergeable percentile states
+    "paragraph_dedup",
+    "quantile_rollup",
     # the flagship composition: quality -> decontaminate -> exact dedup
     # -> LSH closure -> split, one plan
     "corpus_prep_full",
