@@ -131,21 +131,13 @@ def lsh_topk(
     return _topk_per_query(pairs, k)
 
 
-def ivf_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    id_col: str,
-    vec_col: str,
-    k: int = 10,
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    refine_iters: int = 1,
+def fit_ivf_centroids(
+    c: DataFrame, n_centroids: int, refine_iters: int
 ) -> DataFrame:
-    """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank."""
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
-    )
-    # deterministic init: the n_centroids corpus vectors with smallest ids
+    """Deterministic IVF centroids: seeded with the `n_centroids`
+    smallest-id corpus vectors, refined with Lloyd iterations
+    (posexplode/groupBy means — no MLlib dependency, partitioning-
+    invariant). `c` must carry (`corpus_id`, `__cv`)."""
     cent = (
         c.orderBy("corpus_id")
         .limit(n_centroids)
@@ -172,6 +164,24 @@ def ivf_topk(
                 ).alias("__centroid")
             )
         )
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+) -> DataFrame:
+    """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cent = fit_ivf_centroids(c, n_centroids, refine_iters)
     assigned = _assign(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
@@ -211,3 +221,86 @@ def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("corpus_id", "__cv", "centroid_id")
     )
+
+
+# ------------------------------------------------- persisted IVF index
+def build_ivf_index(
+    wh,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+) -> None:
+    """Build-once IVF index: centroids + a postings table PARTITIONED
+    BY centroid_id in the warehouse.
+
+    At 100 TB the index build (one Lloyd fit + one assignment pass) is
+    amortized across every subsequent query batch: `ivf_topk_indexed`
+    reads only the probed centroid partitions (partition pruning at the
+    parquet scan), i.e. ~nprobe/n_centroids of the corpus per batch,
+    instead of re-fitting and re-scanning everything per query set.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cent = fit_ivf_centroids(c, n_centroids, refine_iters)
+    assigned = _assign(c, cent)
+    wh.overwrite(
+        cent.select("centroid_id", F.col("__centroid").alias("centroid")),
+        f"{name}__centroids",
+    )
+    wh.overwrite(
+        assigned.select("corpus_id", F.col("__cv").alias("vec"), "centroid_id"),
+        f"{name}__postings",
+        partition_cols=["centroid_id"],
+    )
+
+
+def ivf_topk_indexed(
+    wh,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (`build_ivf_index`).
+
+    The distinct probed centroid ids are collected driver-side (bounded
+    by n_centroids — a scalar snapshot, not a data collect) and pushed
+    into the postings scan as a static `IN` filter, so partition
+    pruning skips every unprobed centroid directory.
+    """
+    cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
+    )
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "__qv",
+        "centroid_id",
+        dot(F.col("__qv"), F.col("__centroid")).alias("__score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    probed = [r[0] for r in probes.select("centroid_id").distinct().collect()]
+    postings = wh.read(f"{name}__postings").filter(
+        F.col("centroid_id").isin(probed)
+    )
+    pairs = probes.join(postings, "centroid_id").select(
+        "query_id",
+        "corpus_id",
+        F.round(cosine(F.col("__qv"), F.col("vec")), 6).alias("cosine"),
+    )
+    return _topk_per_query(pairs, k)

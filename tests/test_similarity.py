@@ -154,3 +154,27 @@ def test_semantic_neardup_kmeans_finds_planted_copies(spark):
     planted = {(i, i + 1000) for i in range(0, 100, 10)}
     # identical vectors always land in the same cluster -> full recall
     assert planted <= pairs
+
+
+def test_ivf_index_persist_matches_direct_and_prunes(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _vectors(spark, n=400)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter(F.col("vec_id") >= 3)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivf_index(wh, c, "vec_id", "embedding", "emb", n_centroids=8)
+
+    direct = ivf_topk(q, c, "vec_id", "embedding", k=5, n_centroids=8, nprobe=3)
+    indexed = ivf_topk_indexed(wh, q, "vec_id", "embedding", "emb", k=5, nprobe=3)
+    key = lambda r: (r["query_id"], r["corpus_id"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, indexed.collect()))
+
+    # the probed-centroid IN filter must prune the postings scan
+    probed = ivf_topk_indexed(wh, q, "vec_id", "embedding", "emb", k=5, nprobe=3)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan, plan
