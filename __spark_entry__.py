@@ -33,11 +33,13 @@ _REGISTRIES = [
 # rotate to the back. Rotate this list each round until every
 # oracle-backed query has a driver-certified row.
 #
-# ROUND-3 ROTATION NOTE: this r02 list holds 49 entries (all new/
-# unproven/changed as of r02), so the window is full. After the r02
-# CORRECTNESS lands, rebuild this list as: (queries added in r03) +
-# (any red r02 rows) + (r01-green queries that have rotated out of the
-# window for two rounds — the tail of queries() below, starting at
+# ROUND-3 ROTATION NOTE: this r02 list holds 50 entries (all new/
+# unproven/changed as of r02), so the window is full; `boilerplate_docs`
+# (added after the window filled; mirror- and pytest-verified) waits
+# just outside it. After the r02 CORRECTNESS lands, rebuild this list
+# as: (queries added in r03) + boilerplate_docs + (any red r02 rows) +
+# (r01-green queries that have rotated out of the window for two
+# rounds — the tail of queries() below, starting at
 # measure_total_events/pricing_summary) so every query re-certifies on
 # a rolling cadence.
 _CHECK_FIRST = [

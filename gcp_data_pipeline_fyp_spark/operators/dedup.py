@@ -347,10 +347,7 @@ def paragraph_dedup(
     is dropped disappear from the output — consistent with doc-level
     dedup semantics.
     """
-    parts = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
-    ).filter(F.length("__para") >= min_chars)
+    parts = _explode_spans(df, id_col, text_col, sep, min_chars)
     w = Window.partitionBy(F.md5(F.col("__para"))).orderBy(
         F.col(id_col).asc(), F.col("__pos").asc()
     )
@@ -359,6 +356,21 @@ def paragraph_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return _reassemble_spans(kept, id_col, text_col, sep)
+
+
+def _explode_spans(
+    df: DataFrame, id_col: str, text_col: str, sep: str, min_chars: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).filter(F.length("__para") >= min_chars)
+
+
+def _reassemble_spans(
+    kept: DataFrame, id_col: str, text_col: str, sep: str
+) -> DataFrame:
     return (
         kept.groupBy(id_col)
         .agg(
@@ -374,3 +386,45 @@ def paragraph_dedup(
             F.size("__ps").alias("n_paras"),
         )
     )
+
+
+def boilerplate_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_doc_frac: float = 0.01,
+    min_docs: int = 2,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Drop EVERY copy of any span that occurs in more than
+    `max(min_docs, ceil(max_doc_frac * n_docs))` distinct documents —
+    the CCNet-style line-frequency boilerplate scrub (Wenzek et al.
+    2020 removed lines duplicated across a shard). Complements
+    `paragraph_dedup`: that keeps a span's first occurrence; a span
+    frequent enough to be boilerplate (cookie banners, nav footers)
+    should keep zero.
+
+    Scale shape: the doc-frequency count shuffles (digest, id) only —
+    no span text. The boilerplate digest set is provably small (spans
+    with df > t number at most total_spans/t), so the removal join
+    broadcasts it; span text never shuffles for the decision, only for
+    the final per-doc reassembly.
+    """
+    import math
+
+    n_docs = df.count()  # scalar snapshot, A4 pattern
+    threshold = max(min_docs, math.ceil(max_doc_frac * n_docs))
+    parts = _explode_spans(df, id_col, text_col, sep, min_chars)
+    boiler = (
+        parts.groupBy(F.md5("__para").alias("__digest"))
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > threshold)
+        .select("__digest")
+    )
+    kept = parts.join(
+        F.broadcast(boiler),
+        F.md5(parts["__para"]) == boiler["__digest"],
+        "left_anti",
+    )
+    return _reassemble_spans(kept, id_col, text_col, sep)

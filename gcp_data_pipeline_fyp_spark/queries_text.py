@@ -1347,3 +1347,69 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["clean_html_docs"] = (q_clean_html_docs, SQL_CLEAN_HTML_DOCS)
+
+
+# ------------------------------------------- boilerplate line filtering
+def q_boilerplate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style high-document-frequency span scrub: a footer planted
+    in EVERY doc (df = n) and a promo line with 3 variants (df ≈ n/3)
+    both exceed the 1%-of-corpus threshold and must vanish from every
+    document; each doc's own paragraphs (df ≤ a handful of exact-dup
+    copies) survive. Complements `paragraph_dedup`, which would keep
+    one copy of the footer — boilerplate filtering keeps zero."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import boilerplate_line_filter
+
+    footer = "Subscribe to our newsletter for the latest updates."
+    promo = F.concat(
+        F.lit("Follow us on social media - channel "),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat_ws("\n\n", F.col("text"), F.lit(footer), promo).alias("text"),
+    )
+    out = boilerplate_line_filter(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+    ).orderBy("doc_id")
+
+
+SQL_BOILERPLATE_DOCS = """
+WITH docs AS (
+  SELECT doc_id,
+         text || chr(10) || chr(10)
+              || 'Subscribe to our newsletter for the latest updates.'
+              || chr(10) || chr(10)
+              || 'Follow us on social media - channel '
+              || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM docs
+),
+parts AS (
+  SELECT doc_id, unnest(l) AS para, generate_subscripts(l, 1) AS pos
+  FROM split_docs
+),
+thresh AS (
+  SELECT greatest(2, CAST(ceil(0.01 * count(*)) AS BIGINT)) AS t FROM docs
+),
+boiler AS (
+  SELECT md5(para) AS d
+  FROM parts WHERE length(para) >= 1
+  GROUP BY md5(para)
+  HAVING count(DISTINCT doc_id) > (SELECT t FROM thresh)
+)
+SELECT doc_id,
+       md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS text_md5,
+       count(*) AS n_paras
+FROM parts
+WHERE length(para) >= 1
+  AND md5(para) NOT IN (SELECT d FROM boiler)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["boilerplate_docs"] = (q_boilerplate_docs, SQL_BOILERPLATE_DOCS)

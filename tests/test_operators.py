@@ -579,6 +579,41 @@ def test_paragraph_dedup_preserves_span_order(spark):
     assert out["text"] == text and out["n_paras"] == 20
 
 
+def test_boilerplate_filter_removes_all_copies_of_high_df_spans(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import boilerplate_line_filter
+
+    # footer in all 10 docs (df=10 > threshold 2); body paras unique (df=1)
+    rows = [(i, f"body text {i}\n\nCOOKIE BANNER") for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {r["id"]: r for r in boilerplate_line_filter(df, "id", "text").collect()}
+    assert len(out) == 10
+    for i in range(10):
+        # unlike paragraph_dedup, even the FIRST copy of the banner goes
+        assert out[i]["text"] == f"body text {i}" and out[i]["n_paras"] == 1
+
+
+def test_boilerplate_filter_threshold_spares_low_df_spans(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import boilerplate_line_filter
+
+    # span in 3 of 100 docs; threshold = max(2, ceil(0.05*100)) = 5 -> kept
+    rows = [(i, f"body {i}" + ("\n\nRARE NOTE" if i < 3 else "")) for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in boilerplate_line_filter(
+            df, "id", "text", max_doc_frac=0.05
+        ).collect()
+    }
+    assert out[0]["text"] == "body 0\n\nRARE NOTE"  # below threshold: survives
+    # all-boilerplate doc disappears entirely when threshold crossed
+    out2 = boilerplate_line_filter(
+        spark.createDataFrame([(i, "ONLY BANNER") for i in range(10)], ["id", "text"]),
+        "id",
+        "text",
+    )
+    assert out2.count() == 0
+
+
 def test_quantile_state_merge_equals_rebuild_and_bounds_error(spark):
     import random
 
