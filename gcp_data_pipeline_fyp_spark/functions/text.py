@@ -296,3 +296,61 @@ def normalize_url(url: Column | str) -> Column:
     return F.when(scheme == "", u).otherwise(
         F.concat(scheme, F.lit("://"), host, path, query)
     )
+
+
+# --------------------------------------------------------- encoding repair
+# The classic web-crawl corruption: UTF-8 bytes decoded once as
+# cp1252/latin-1 ("mojibake" — ftfy's bread and butter). A full ftfy is
+# iterative and heuristic; training-data pipelines overwhelmingly need
+# only the high-frequency two/three-char sequences below, which are
+# unambiguous (no legitimate text contains "â€™"). Pairs are data, not
+# code, so the DuckDB oracle derives its replace-chain from the same
+# table (queries_text.q_clean_text_docs) — single source of truth.
+MOJIBAKE_PAIRS: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> right single quote
+    ("â€˜", "‘"),  # â€˜ -> left single quote
+    ("â€œ", "“"),  # â€œ -> left double quote
+    ("â€" + "\u009d", "”"),  # + right-dquote tail byte (U+9D, kept out of source text)
+    ("â€“", "–"),  # â€“ -> en dash
+    ("â€”", "—"),  # â€” -> em dash
+    ("â€¦", "…"),  # â€¦ -> ellipsis
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã­", "í"),  # Ã­ -> í
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Â ", " "),  # Â + nbsp -> plain space
+]
+
+# strip ASCII controls but keep \t and \n (visible-structure whitespace)
+CONTROL_CHARS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+
+def fix_mojibake(text: Column | str) -> Column:
+    """Repair the unambiguous UTF-8-as-cp1252 sequences (ftfy-lite)."""
+    c = _c(text)
+    for bad, good in MOJIBAKE_PAIRS:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def clean_text(text: Column | str) -> Column:
+    """Standard corpus normalization pass, pure Catalyst:
+    mojibake repair -> CRLF/CR -> LF -> control-char strip ->
+    horizontal-whitespace collapse (newlines preserved — paragraph
+    structure is load-bearing for span dedup) -> >=3 blank-line runs
+    collapsed to one blank line -> trim.
+    """
+    c = fix_mojibake(text)
+    c = F.regexp_replace(c, "\\r\\n?", "\n")
+    c = F.regexp_replace(c, CONTROL_CHARS, "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")  # strip spaces hugging newlines
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.trim(c)

@@ -1413,3 +1413,95 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["boilerplate_docs"] = (q_boilerplate_docs, SQL_BOILERPLATE_DOCS)
+
+
+# --------------------------------------------------- encoding repair pass
+def _mojibake(s: str) -> str:
+    """Corrupt `s` the classic way: UTF-8 bytes mis-decoded as cp1252
+    (undefined cp1252 bytes fall back to their Latin-1 codepoint, which
+    is exactly what lenient decoders emit). The probe plants corruption
+    with this helper and repairs it with functions.text.clean_text, so
+    the round-trip is honest by construction."""
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+_CLEAN_SENTENCE = "It’s école “quote” — done"
+# mojibake'd sentence + CRLF + tab/double-space + BEL control + newline run
+DIRTY_PREFIX = (
+    _mojibake(_CLEAN_SENTENCE) + "\r\ntab\tand  double space\x07\n\n\n\n"
+)
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB string expression; control and
+    other non-printable chars become chr(n) pieces."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 0x7F or ord(ch) == 0x9D:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _sql_clean_text(expr: str) -> str:
+    """DuckDB rendering of functions.text.clean_text, step for step."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        CONTROL_CHARS,
+        MOJIBAKE_PAIRS,
+    )
+
+    e = expr
+    for bad, good in MOJIBAKE_PAIRS:
+        e = f"replace({e}, {_sql_str(bad)}, {_sql_str(good)})"
+    e = f"regexp_replace({e}, '\\r\\n?', chr(10), 'g')"
+    e = f"regexp_replace({e}, '{CONTROL_CHARS}', '', 'g')"
+    e = f"regexp_replace({e}, '[ \\t]+', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\\n ?', chr(10), 'g')"
+    e = f"regexp_replace({e}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"trim({e})"
+
+
+def q_clean_text_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """ftfy-lite normalization over mojibake-corrupted docs: repair the
+    cp1252 sequences, normalize line endings, strip controls, collapse
+    runs — one pure-Catalyst projection (functions/text.py:clean_text),
+    no shuffle at all: the whole pass runs at parquet scan speed."""
+    from gcp_data_pipeline_fyp_spark.functions.text import clean_text
+
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(F.lit(DIRTY_PREFIX), F.col("text")).alias("text"),
+    )
+    cleaned = clean_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("text_md5"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    ).orderBy("doc_id")
+
+
+SQL_CLEAN_TEXT_DOCS = f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         {_sql_clean_text(f"{_sql_str(DIRTY_PREFIX)} || text")} AS t
+  FROM documents
+)
+SELECT doc_id, md5(t) AS text_md5, CAST(length(t) AS BIGINT) AS n_chars_clean
+FROM cleaned
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["clean_text_docs"] = (q_clean_text_docs, SQL_CLEAN_TEXT_DOCS)

@@ -145,3 +145,23 @@ def test_extract_and_normalize_urls(spark):
     # scheme+host lowered, fragment gone, trailing path slash gone,
     # query kept; path case preserved
     assert norm == ["https://ex.com/A/B?x=1", "http://a.org"]
+
+
+def test_fix_mojibake_repairs_cp1252_sequences(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import fix_mojibake
+    from gcp_data_pipeline_fyp_spark.queries_text import _mojibake
+
+    clean = "It’s école “quote” — done… señor"
+    df = spark.createDataFrame([(_mojibake(clean),)], ["t"])
+    assert df.select(fix_mojibake("t")).collect()[0][0] == clean
+
+
+def test_clean_text_normalizes_whitespace_and_controls(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import clean_text
+
+    dirty = "a\tb  c\x07\x00d\r\ne\r f\n\n\n\n\ng \n h"
+    df = spark.createDataFrame([(dirty,)], ["t"])
+    got = df.select(clean_text("t")).collect()[0][0]
+    # tabs/spaces collapse, controls vanish, CR/CRLF -> LF, newline runs
+    # cap at one blank line, spaces hugging newlines stripped
+    assert got == "a b cd\ne\nf\n\ng\nh"
