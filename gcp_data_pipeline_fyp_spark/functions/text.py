@@ -354,3 +354,18 @@ def clean_text(text: Column | str) -> Column:
     c = F.regexp_replace(c, " ?\\n ?", "\n")  # strip spaces hugging newlines
     c = F.regexp_replace(c, "\\n{3,}", "\n\n")
     return F.trim(c)
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host of an absolute URL ('' when not an absolute URL)."""
+    return F.lower(F.regexp_extract(_c(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+
+
+def registered_domain(host: Column | str) -> Column:
+    """Last-two-labels registered-domain heuristic (crawl curation rolls
+    stats up to the registrant). A public-suffix list would catch
+    co.uk-style suffixes; that table is an easy drop-in, but the
+    heuristic keeps the hot path join-free and is what C4's own
+    badwords-domain filtering used."""
+    h = F.regexp_replace(_c(host), ":[0-9]+$", "")  # strip port
+    return F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1)

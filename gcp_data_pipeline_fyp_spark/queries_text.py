@@ -1505,3 +1505,78 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["clean_text_docs"] = (q_clean_text_docs, SQL_CLEAN_TEXT_DOCS)
+
+
+# ------------------------------------------------ per-domain crawl stats
+def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-curation rollup: docs carry a source URL (planted here —
+    5 subdomains x 7 sites so subdomains must collapse into registered
+    domains); per domain, doc count, distinct hosts, mean doc length,
+    and corpus share. At 100 TB this is one partial-agg shuffle on a
+    low-cardinality key; the corpus-share denominator comes from a
+    post-agg window over the handful of domain rows, not a second scan."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        registered_domain,
+        url_host,
+    )
+
+    url = F.concat(
+        F.lit("https://sub"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(".site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    docs = _docs(spark, sf).select(
+        "doc_id", "n_chars", url_host(url).alias("host")
+    )
+    agg = (
+        docs.groupBy(registered_domain("host").alias("domain"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.round(
+                F.avg(F.col("n_chars").cast("decimal(18,6)")), 6
+            ).alias("avg_chars"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.col("avg_chars").cast("double").alias("avg_chars"),
+        F.round(F.col("n_docs") / total, 6).alias("doc_share"),
+    ).orderBy("domain")
+
+
+SQL_DOMAIN_STATS = """
+WITH docs AS (
+  SELECT doc_id, n_chars,
+    lower(regexp_extract(
+      'https://sub' || CAST(doc_id % 5 AS VARCHAR) || '.site'
+        || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+        || CAST(doc_id AS VARCHAR),
+      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host
+  FROM documents
+),
+agg AS (
+  SELECT regexp_extract(regexp_replace(host, ':[0-9]+$', ''),
+                        '([^.]+\\.[^.]+)$', 1) AS domain,
+         count(*) AS n_docs,
+         count(DISTINCT host) AS n_hosts,
+         round(avg(CAST(n_chars AS DECIMAL(18,6))), 6) AS avg_chars
+  FROM docs
+  GROUP BY 1
+)
+SELECT domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_hosts AS BIGINT) AS n_hosts,
+       CAST(avg_chars AS DOUBLE) AS avg_chars,
+       round(n_docs / sum(n_docs) OVER (), 6) AS doc_share
+FROM agg
+ORDER BY domain
+"""
+
+TEXT_QUERIES["domain_stats"] = (q_domain_stats, SQL_DOMAIN_STATS)

@@ -165,3 +165,22 @@ def test_clean_text_normalizes_whitespace_and_controls(spark):
     # tabs/spaces collapse, controls vanish, CR/CRLF -> LF, newline runs
     # cap at one blank line, spaces hugging newlines stripped
     assert got == "a b cd\ne\nf\n\ng\nh"
+
+
+def test_registered_domain_collapses_subdomains_and_ports(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        registered_domain,
+        url_host,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://a.b.news.example.org/x", "example.org"),
+        ("http://Example.COM:8080/", "example.com"),
+        ("https://localhost/x", ""),  # single label: no registered domain
+        ("not a url", ""),
+    ]
+    df = spark.createDataFrame(rows, ["u", "want"])
+    got = df.select(registered_domain(url_host(F.col("u"))).alias("d"), "want").collect()
+    for r in got:
+        assert r["d"] == r["want"], r
