@@ -38,7 +38,7 @@ _REGISTRIES = [
 # (added after the window filled; mirror- and pytest-verified) waits
 # just outside it. After the r02 CORRECTNESS lands, rebuild this list
 # as: (queries added in r03) + boilerplate_docs + clean_text_docs +
-# domain_stats + (any red r02 rows) +
+# domain_stats + temperature_mix + (any red r02 rows) +
 # (r01-green queries that have rotated out of the window for two
 # rounds — the tail of queries() below, starting at
 # measure_total_events/pricing_summary) so every query re-certifies on

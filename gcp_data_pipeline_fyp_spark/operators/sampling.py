@@ -152,3 +152,48 @@ def hash_bucket_sql(key_sql: Sequence[str], seed: int = 0) -> str:
         f"cast(concat('0x', substr(md5('{seed}|' || {tokens}), 1, 12)) "
         f"AS bigint) % {_BUCKETS}"
     )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    strata_col: str,
+    alpha: float,
+    target_frac: float,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled corpus rebalancing (multilingual-pretraining
+    standard): per-stratum sampling rate from share^alpha.
+
+    With share p_s = n_s / N, the target mix is q_s = p_s^a / sum_t
+    p_t^a; each stratum keeps min(1, target_frac * N * q_s / n_s) of
+    its rows, content-keyed like every sampler here. a=1 is a uniform
+    downsample; a=0 equalizes stratum counts; 0<a<1 upweights rare
+    strata (the T=1/a convention from multilingual-model training).
+    Rates are capped at 1 — upsampling-with-replacement is an epochs
+    knob for the training loader, not a corpus transform.
+
+    Scale shape: one partial-agg over strata (tiny output), a window
+    over those few rows for the normalizer, and a broadcast join back —
+    the corpus itself is scanned once and never shuffled. Rates are
+    rounded to whole buckets (6dp) so the kept set is engine-
+    reproducible; the share^alpha weights pass through a 12dp decimal
+    so the normalizing sum is exact — a raw double sum over an
+    unordered window would vary with addition order.
+    """
+    n_total = Window.partitionBy()
+    stats = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    big_n = F.sum("__n").over(n_total)  # long sum: exact
+    p = F.col("__n") / big_n
+    qr = F.round(F.pow(p, F.lit(float(alpha))), 12).cast("decimal(20,12)")
+    q = qr.cast("double") / F.sum(qr).over(n_total).cast("double")
+    keep = F.lit(float(target_frac)) * big_n * q
+    rate = F.least(F.lit(1.0), keep / F.col("__n"))
+    thresh = F.round(rate * _BUCKETS, 0).cast("long")
+    rates = stats.select(strata_col, thresh.alias("__thresh"))
+    bucket = hash_bucket(key_cols, seed)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__thresh")
+    )

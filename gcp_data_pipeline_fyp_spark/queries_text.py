@@ -1580,3 +1580,55 @@ ORDER BY domain
 """
 
 TEXT_QUERIES["domain_stats"] = (q_domain_stats, SQL_DOMAIN_STATS)
+
+
+# --------------------------------------------- temperature-scaled mixing
+def q_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (alpha=0.5, half the
+    corpus): rare languages keep a larger fraction of their docs than
+    common ones — the multilingual-pretraining mix — with every kept
+    row a pure function of (doc_id, seed)
+    (operators/sampling.py:temperature_mix_sample)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    d = _docs(spark, sf)
+    out = temperature_mix_sample(
+        d, ["doc_id"], "lang", alpha=0.5, target_frac=0.5, seed=13
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+from gcp_data_pipeline_fyp_spark.operators.sampling import (  # noqa: E402
+    hash_bucket_sql as _hbs13,
+)
+
+_B13 = _hbs13(["doc_id"], seed=13)
+SQL_TEMPERATURE_MIX = f"""
+WITH stats AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+),
+qr AS (
+  SELECT lang, n,
+         CAST(round(pow(n * 1.0 / (SELECT sum(n) FROM stats), 0.5), 12)
+              AS DECIMAL(20,12)) AS w
+  FROM stats
+),
+th AS (
+  SELECT lang,
+         CAST(round(least(
+           1.0,
+           0.5 * (SELECT sum(n) FROM stats)
+               * (CAST(w AS DOUBLE) / CAST((SELECT sum(w) FROM qr) AS DOUBLE))
+               / n
+         ) * 1000000, 0) AS BIGINT) AS thresh
+  FROM qr
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th USING (lang)
+WHERE {_B13} < th.thresh
+ORDER BY d.doc_id
+"""
+
+TEXT_QUERIES["temperature_mix"] = (q_temperature_mix, SQL_TEMPERATURE_MIX)

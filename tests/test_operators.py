@@ -649,3 +649,43 @@ def test_quantile_state_merge_equals_rebuild_and_bounds_error(spark):
         # value; allow 3% for the discrete-rank offset
         assert abs(got[k]["p95"] / exact_p95 - 1) < 0.03, (k, got[k]["p95"], exact_p95)
         assert got[k]["n"] == len(vals)
+
+
+def test_temperature_mix_alpha_extremes_and_nesting(spark):
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        temperature_mix_sample,
+    )
+
+    # skewed corpus: 900 'web', 100 'code'
+    rows = [(i, "web" if i < 900 else "code") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+
+    def counts(out):
+        return {
+            r["src"]: r["n"]
+            for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+        }
+
+    # alpha=1: uniform downsample — each stratum keeps ~target_frac
+    c1 = counts(temperature_mix_sample(df, ["id"], "src", 1.0, 0.5))
+    assert abs(c1["web"] - 450) < 60 and abs(c1["code"] - 50) < 25
+
+    # alpha=0: equalized mix — rare stratum capped at 100% keep
+    c0 = counts(temperature_mix_sample(df, ["id"], "src", 0.0, 0.4))
+    assert c0["code"] == 100  # rate capped at 1.0, never upsampled
+    # web's allocation is target*q = 400*0.5 = 200 (rate ~0.22 of 900);
+    # the rare stratum's unused surplus is NOT redistributed
+    assert abs(c0["web"] - 200) < 60
+
+    # nested: raising target_frac only adds rows, never swaps
+    small = {
+        r["id"]
+        for r in temperature_mix_sample(df, ["id"], "src", 0.5, 0.3).collect()
+    }
+    large = {
+        r["id"]
+        for r in temperature_mix_sample(df, ["id"], "src", 0.5, 0.6).collect()
+    }
+    assert small <= large
