@@ -95,6 +95,36 @@ def exact_dup_stats(df: DataFrame, key_cols: Sequence[str], id_col: str) -> Data
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str | None = None,
+) -> DataFrame:
+    """New-batch rows whose content is absent from a historical corpus.
+
+    The daily-ingest shape of exact dedup: the historical side reduces
+    to DISTINCT 128-bit digests (16-byte rows) before a left-anti join,
+    so at 100 TB the base corpus never ships document bodies through
+    the shuffle — only its digest set, which AQE will broadcast when
+    the batch is small relative to it (or shuffle-join both digest
+    streams when it is not). With `id_col` set, the batch is also
+    deduplicated against itself (keep the smallest id per key), making
+    the output safe to append to the base.
+    """
+    base_digests = base.select(
+        _content_digest(key_cols).alias("__digest")
+    ).distinct()
+    out = (
+        batch.withColumn("__digest", _content_digest(key_cols))
+        .join(base_digests, "__digest", "left_anti")
+        .drop("__digest")
+    )
+    if id_col is not None:
+        out = exact_dedup(out, key_cols, id_col)
+    return out
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
