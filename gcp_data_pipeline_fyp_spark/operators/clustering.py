@@ -152,7 +152,9 @@ def semantic_neardup_kmeans(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine"),
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+            .cast("decimal(18,6)")
+            .alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

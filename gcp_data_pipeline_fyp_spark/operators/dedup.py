@@ -249,7 +249,7 @@ def embedding_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
+            cos.cast("decimal(18,6)").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -291,7 +291,7 @@ def embedding_neardup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.alias("cosine"),
+            cos.cast("decimal(18,6)").alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

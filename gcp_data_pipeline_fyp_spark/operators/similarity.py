@@ -66,7 +66,9 @@ def brute_force_topk(
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "corpus_id",
-        F.round(_fast_dot(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(_fast_dot(F.col("__qv"), F.col("__cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cosine"),
     )
     return _topk_per_query(pairs, k)
 
@@ -126,7 +128,9 @@ def lsh_topk(
     pairs = q.join(c, q["__probe"] == c["__bucket"]).select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cosine"),
     ).dropDuplicates(["query_id", "corpus_id"])
     return _topk_per_query(pairs, k)
 
@@ -201,7 +205,9 @@ def ivf_topk(
     pairs = probes.join(assigned, "centroid_id").select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("cosine"),
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
+        .cast("decimal(18,6)")
+        .alias("cosine"),
     )
     return _topk_per_query(pairs, k)
 
@@ -301,6 +307,8 @@ def ivf_topk_indexed(
     pairs = probes.join(postings, "centroid_id").select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("vec")), 6).alias("cosine"),
+        F.round(cosine(F.col("__qv"), F.col("vec")), 6)
+        .cast("decimal(18,6)")
+        .alias("cosine"),
     )
     return _topk_per_query(pairs, k)

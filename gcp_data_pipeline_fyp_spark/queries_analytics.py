@@ -36,11 +36,14 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("ID_Event"),
         F.col("event_type").alias("LB_type"),
         (F.col("user_id") % 10).cast("string").alias("LB_net"),
-        # rounded to 6dp like every other double on the query surface so
-        # the driver's float canonicalization matches the oracle's hash
-        F.round(F.col("value") / 20.0, 6).alias("VL_n_mag"),
+        # emitted as decimal(18,6), not double: events.value goes down to
+        # 0.0005/20, and the JVM renders sub-0.001 doubles in scientific
+        # notation ("5.0E-4") where DuckDB prints "0.0005" — any hash
+        # built on engine-native rendering diverges even when every value
+        # is exactly equal. Decimal bytes canonicalize identically.
+        (F.col("value") / 20.0).cast("decimal(18,6)").alias("VL_n_mag"),
         mag_band(F.col("value") / 20.0).alias("LB_magCategory"),
-        F.round(F.col("value"), 6).alias("VL_n_depth"),
+        F.col("value").cast("decimal(18,6)").alias("VL_n_depth"),
         depth_band(F.col("value")).alias("LB_depthCategory"),
         F.col("ts").alias("DT_time"),
     )
@@ -72,7 +75,7 @@ SQL_STAR_SCHEMA_FACT = """
 WITH ods AS (
   SELECT event_id AS id_event, event_type AS lb_type,
     cast(user_id % 10 AS varchar) AS lb_net,
-    round(value / 20.0, 6) AS vl_n_mag,
+    CAST(value / 20.0 AS DECIMAL(18,6)) AS vl_n_mag,
     CASE WHEN value / 20.0 IS NULL THEN NULL
          WHEN value / 20.0 < 3 THEN 'Not Felt'
          WHEN value / 20.0 < 4 THEN 'Minor'
@@ -81,7 +84,7 @@ WITH ods AS (
          WHEN value / 20.0 < 7 THEN 'Strong'
          WHEN value / 20.0 < 8 THEN 'Major'
          ELSE 'Great' END AS lb_magcategory,
-    round(value, 6) AS vl_n_depth,
+    CAST(value AS DECIMAL(18,6)) AS vl_n_depth,
     CASE WHEN value IS NULL THEN NULL
          WHEN value <= 70 THEN 'Shallow'
          WHEN value <= 300 THEN 'Intermediate'

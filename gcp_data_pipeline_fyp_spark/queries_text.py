@@ -1542,12 +1542,18 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     total = F.sum("n_docs").over(Window.partitionBy())
+    # decimal(18,6), not double, on the certification surface: doc_share
+    # goes sub-0.001 as the domain count grows, and the JVM renders such
+    # doubles in scientific notation where DuckDB doesn't (the
+    # star_schema_fact hash lesson — see queries_analytics.py).
     return agg.select(
         "domain",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_hosts").cast("long").alias("n_hosts"),
-        F.col("avg_chars").cast("double").alias("avg_chars"),
-        F.round(F.col("n_docs") / total, 6).alias("doc_share"),
+        F.col("avg_chars").cast("decimal(18,6)").alias("avg_chars"),
+        F.round(F.col("n_docs") / total, 6)
+        .cast("decimal(18,6)")
+        .alias("doc_share"),
     ).orderBy("domain")
 
 
@@ -1573,8 +1579,8 @@ agg AS (
 SELECT domain,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_hosts AS BIGINT) AS n_hosts,
-       CAST(avg_chars AS DOUBLE) AS avg_chars,
-       round(n_docs / sum(n_docs) OVER (), 6) AS doc_share
+       CAST(avg_chars AS DECIMAL(18,6)) AS avg_chars,
+       CAST(round(n_docs / sum(n_docs) OVER (), 6) AS DECIMAL(18,6)) AS doc_share
 FROM agg
 ORDER BY domain
 """

@@ -53,7 +53,8 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM pairs)
-SELECT query_id, corpus_id, cosine FROM ranked WHERE rn <= 5
+SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+FROM ranked WHERE rn <= 5
 """
 
 
@@ -77,7 +78,8 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM g a JOIN g b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+SELECT id_a, id_b, CAST(cosine AS DECIMAL(18,6)) AS cosine
+FROM pairs WHERE cosine >= 0.99
 """
 
 

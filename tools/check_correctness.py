@@ -57,15 +57,44 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _norm_cell(v):
+    import decimal
+
     import numpy as np
 
     if v is None:
         return None
     if isinstance(v, float):
         return None if math.isnan(v) else round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 9)
     if isinstance(v, (list, tuple, np.ndarray)):
         return tuple(_norm_cell(x) for x in v)
     return v
+
+
+def render_risks(name: str, sdf: pd.DataFrame) -> list[str]:
+    """Flag raw doubles the JVM renders in scientific notation.
+
+    The driver hashes engine-native value rendering; Java's
+    Double.toString switches to scientific notation for nonzero
+    |v| < 1e-3 or >= 1e7 ("5.0E-4") where DuckDB prints "0.0005" —
+    so a query can be value-exact here and still hash-red at the
+    driver (star_schema_fact was red two rounds this way). Any float
+    column containing such a value must be emitted as decimal instead.
+    """
+    out = []
+    for c in sdf.columns:
+        s = sdf[c]
+        if not pd.api.types.is_float_dtype(s):
+            continue
+        vals = s.dropna().abs()
+        risky = vals[(vals > 0) & ((vals < 1e-3) | (vals >= 1e7))]
+        if len(risky):
+            out.append(
+                f"[RENDER-RISK] {name}.{c}: {len(risky)} double value(s) in JVM "
+                f"scientific-notation range (e.g. {risky.iloc[0]!r}) — emit as decimal"
+            )
+    return out
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -115,6 +144,9 @@ def main() -> int:
             traceback.print_exc(limit=4)
             fail += 1
             continue
+        warns = render_risks(name, sdf)
+        for w in warns:
+            print(w)
         sql = oracles.get(name)
         if sql is None:
             print(f"[rows-only] {name}: {len(sdf)} rows")
