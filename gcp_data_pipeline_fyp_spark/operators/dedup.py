@@ -6,9 +6,10 @@ Five families, all shuffle-conscious:
   per-key `row_number` keeps the smallest tie-break id. The shuffle is
   keyed on a 128-bit md5 DIGEST of the key columns, never the raw
   values — at 100 TB partitioning/sorting on full document bodies
-  would make shuffle-compare cost ~ corpus size; the digest keeps the
-  key 32 bytes regardless of document length (md5 collisions are
-  ~2^-64 at any realistic corpus size). AQE handles skewed keys.
+  would make shuffle-compare cost ~ corpus size; the digest (unhex'd
+  to 16 raw bytes) keeps the key fixed-width regardless of document
+  length (md5 collisions are ~2^-64 at any realistic corpus size).
+  AQE handles skewed keys.
 - `minhash_lsh_candidates`: shingle -> MinHash -> band -> bucket join.
   Explodes each doc into `bands` bucket rows (linear blow-up), groups
   by (band, band-signature), and emits intra-bucket pairs — never an
@@ -51,11 +52,12 @@ def _content_digest(key_cols: Sequence[str]):
 
     The digest — not the raw values — is the shuffle key for exact
     dedup, so shuffle sort/compare cost is independent of document
-    length. Uses the same unambiguous encoding as hash sampling
-    (operators/sampling.py) so multi-column keys can't collide by
-    concatenation.
+    length. `unhex` packs the 32-char md5 hex string into 16 raw bytes,
+    halving shuffle-key bytes again. Uses the same unambiguous encoding
+    as hash sampling (operators/sampling.py) so multi-column keys can't
+    collide by concatenation.
     """
-    return F.md5(F.concat(*[_key_token(F.col(c)) for c in key_cols]))
+    return F.unhex(F.md5(F.concat(*[_key_token(F.col(c)) for c in key_cols])))
 
 
 def exact_dedup(
@@ -104,21 +106,25 @@ def incremental_exact_dedup(
     """New-batch rows whose content is absent from a historical corpus.
 
     The daily-ingest shape of exact dedup: the historical side reduces
-    to DISTINCT 128-bit digests (16-byte rows) before a left-anti join,
-    so at 100 TB the base corpus never ships document bodies through
-    the shuffle — only its digest set, which AQE will broadcast when
-    the batch is small relative to it (or shuffle-join both digest
-    streams when it is not). With `id_col` set, the batch is also
-    deduplicated against itself (keep the smallest id per key), making
-    the output safe to append to the base.
+    to DISTINCT 16-byte binary digests before a left-anti join, so at
+    100 TB the base corpus never ships document bodies through the
+    shuffle — only its digest set. In a LEFT ANTI join only the right
+    side (the base digest set) can broadcast: that happens when the
+    distinct-digest set is small; otherwise both digest streams
+    shuffle-join, still at 16 bytes per key. With `id_col` set, the
+    batch is also deduplicated against itself (keep the smallest id per
+    key), making the output safe to append to the base.
+
+    The join matches on a computed expression, not a temp column, so a
+    pre-existing ``__digest`` column on the batch is never clobbered.
     """
     base_digests = base.select(
         _content_digest(key_cols).alias("__digest")
     ).distinct()
-    out = (
-        batch.withColumn("__digest", _content_digest(key_cols))
-        .join(base_digests, "__digest", "left_anti")
-        .drop("__digest")
+    out = batch.join(
+        base_digests,
+        _content_digest(key_cols) == base_digests["__digest"],
+        "left_anti",
     )
     if id_col is not None:
         out = exact_dedup(out, key_cols, id_col)

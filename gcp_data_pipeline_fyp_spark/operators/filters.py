@@ -40,14 +40,29 @@ def _safe(pred: Column) -> Column:
     return F.coalesce(pred, F.lit(False))
 
 
+def _validate(filters: FilterChain) -> None:
+    """Names must be unique and must not shadow the ``_kept`` bucket —
+    a duplicate name fans out the report's scaffold join and double-
+    counts; a filter named ``_kept`` silently merges with the kept row.
+    """
+    names = [name for name, _ in filters]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(f"duplicate filter names: {sorted(dupes)}")
+    if KEPT_LABEL in names:
+        raise ValueError(f"filter name {KEPT_LABEL!r} is reserved for the kept bucket")
+
+
 def apply_filter_chain(df: DataFrame, filters: FilterChain) -> DataFrame:
-    """Rows passing every predicate in the chain."""
-    keep = reduce(lambda a, b: a & b, [_safe(p) for _, p in filters])
+    """Rows passing every predicate in the chain (empty chain keeps all)."""
+    _validate(filters)
+    keep = reduce(lambda a, b: a & b, [_safe(p) for _, p in filters], F.lit(True))
     return df.filter(keep)
 
 
 def first_fail_label(filters: FilterChain) -> Column:
     """Name of the first failing filter, or ``_kept`` if all pass."""
+    _validate(filters)
     branches = [F.when(~_safe(p), F.lit(name)) for name, p in filters]
     return F.coalesce(*branches, F.lit(KEPT_LABEL))
 
@@ -56,6 +71,7 @@ def filter_chain_report(df: DataFrame, filters: FilterChain) -> DataFrame:
     """``(filter, n_rows)`` — first-fail attribution counts plus the
     ``_kept`` row. Filters that drop nothing still appear (count 0) so
     the report schema is stable across corpora."""
+    _validate(filters)
     counted = (
         df.groupBy(first_fail_label(filters).alias("filter"))
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -73,6 +89,7 @@ def filter_chain_report(df: DataFrame, filters: FilterChain) -> DataFrame:
 def filter_fail_matrix(df: DataFrame, filters: FilterChain) -> DataFrame:
     """One row: independent failure count per filter (order-blind) plus
     ``n_total`` — shows overlap between filters that first-fail hides."""
+    _validate(filters)
     aggs = [
         F.sum(F.when(~_safe(p), 1).otherwise(0)).alias(f"fail_{name}")
         for name, p in filters

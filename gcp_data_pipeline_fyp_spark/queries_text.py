@@ -1638,3 +1638,126 @@ ORDER BY d.doc_id
 """
 
 TEXT_QUERIES["temperature_mix"] = (q_temperature_mix, SQL_TEMPERATURE_MIX)
+
+
+# -------------------------------------------- filter chains + attribution
+def _doc_filter_chain():
+    """Gopher-lite keep-predicates over documents — shared by the
+    filter-chain probes (operators/filters.py)."""
+    return [
+        ("min_chars", F.col("n_chars") >= 50),
+        ("max_chars", F.col("n_chars") <= 5000),
+        ("has_vowels", F.col("text").rlike("[aeiou]")),
+        ("en_only", F.col("lang") == "en"),
+    ]
+
+
+_SQL_FIRST_FAIL = """
+    CASE WHEN NOT coalesce(n_chars >= 50, FALSE) THEN 'min_chars'
+         WHEN NOT coalesce(n_chars <= 5000, FALSE) THEN 'max_chars'
+         WHEN NOT coalesce(regexp_matches(text, '[aeiou]'), FALSE)
+           THEN 'has_vowels'
+         WHEN NOT coalesce(lang = 'en', FALSE) THEN 'en_only'
+         ELSE '_kept' END
+"""
+
+
+def q_filter_chain_report(spark: SparkSession, sf: str) -> DataFrame:
+    """First-fail drop attribution for a 4-filter curation cascade —
+    one corpus scan, |chain|+1 output rows (operators/filters.py:
+    filter_chain_report), the table every curation paper publishes."""
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        filter_chain_report,
+    )
+
+    d = _docs(spark, sf)
+    return filter_chain_report(d, _doc_filter_chain()).orderBy("filter")
+
+
+SQL_FILTER_CHAIN_REPORT = f"""
+WITH labeled AS (
+  SELECT {_SQL_FIRST_FAIL} AS filter FROM documents),
+counts AS (SELECT filter, count(*) AS n_rows FROM labeled GROUP BY 1),
+names(filter) AS (VALUES ('min_chars'), ('max_chars'), ('has_vowels'),
+                         ('en_only'), ('_kept'))
+SELECT names.filter, coalesce(n_rows, 0) AS n_rows
+FROM names LEFT JOIN counts USING (filter)
+ORDER BY filter
+"""
+
+TEXT_QUERIES["filter_chain_report"] = (q_filter_chain_report, SQL_FILTER_CHAIN_REPORT)
+
+
+def q_filter_fail_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-blind per-filter failure counts in one aggregate row
+    (operators/filters.py:filter_fail_matrix) — shows the overlap that
+    first-fail attribution hides."""
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        filter_fail_matrix,
+    )
+
+    d = _docs(spark, sf)
+    return filter_fail_matrix(d, _doc_filter_chain())
+
+
+SQL_FILTER_FAIL_MATRIX = """
+SELECT
+  sum(CASE WHEN NOT coalesce(n_chars >= 50, FALSE) THEN 1 ELSE 0 END)
+    AS fail_min_chars,
+  sum(CASE WHEN NOT coalesce(n_chars <= 5000, FALSE) THEN 1 ELSE 0 END)
+    AS fail_max_chars,
+  sum(CASE WHEN NOT coalesce(regexp_matches(text, '[aeiou]'), FALSE) THEN 1
+      ELSE 0 END) AS fail_has_vowels,
+  sum(CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END)
+    AS fail_en_only,
+  count(*) AS n_total
+FROM documents
+"""
+
+TEXT_QUERIES["filter_fail_matrix"] = (q_filter_fail_matrix, SQL_FILTER_FAIL_MATRIX)
+
+
+# ---------------------------------------------- incremental exact dedup
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest exact dedup (operators/dedup.py:
+    incremental_exact_dedup): base corpus = doc_id < 250; the batch
+    carries (a) genuinely new docs, (b) planted copies of base texts
+    (must drop via the digest anti-join), and (c) planted in-batch
+    copies (must collapse via the id_col self-dedup)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    d = _docs(spark, sf)
+    base = d.filter(F.col("doc_id") < 250)
+    fresh = d.filter(F.col("doc_id") >= 250)
+    copies_of_any = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    in_batch_copies = fresh.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 2_000_000
+    )
+    batch = fresh.unionByName(copies_of_any).unionByName(in_batch_copies)
+    out = incremental_exact_dedup(batch, base, ["text"], id_col="doc_id")
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_INCREMENTAL_DEDUP = """
+WITH base AS (SELECT * FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text, lang
+  FROM documents WHERE doc_id >= 250 AND doc_id % 7 = 0),
+novel AS (
+  SELECT * FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.text = b.text))
+SELECT doc_id, lang FROM novel
+WHERE doc_id IN (SELECT min(doc_id) FROM novel GROUP BY text)
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["incremental_dedup"] = (q_incremental_dedup, SQL_INCREMENTAL_DEDUP)

@@ -689,3 +689,108 @@ def test_temperature_mix_alpha_extremes_and_nesting(spark):
         for r in temperature_mix_sample(df, ["id"], "src", 0.5, 0.6).collect()
     }
     assert small <= large
+
+
+# ------------------------------------------ filter chains (operators/filters.py)
+def _fc_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good english text", 100, "en"),
+            (2, "x", 3, "en"),            # fails min_chars
+            (3, "aussi bon texte", 120, "fr"),   # fails en_only
+            (4, None, None, "en"),        # NULL predicate -> first fail
+        ],
+        "doc_id long, text string, n_chars int, lang string",
+    )
+
+
+def _fc_chain():
+    return [
+        ("min_chars", F.col("n_chars") >= 50),
+        ("en_only", F.col("lang") == "en"),
+    ]
+
+
+def test_filter_chain_keeps_passing_rows_and_null_fails(spark):
+    from gcp_data_pipeline_fyp_spark.operators.filters import apply_filter_chain
+
+    kept = apply_filter_chain(_fc_docs(spark), _fc_chain())
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+
+
+def test_filter_chain_empty_chain_keeps_everything(spark):
+    from gcp_data_pipeline_fyp_spark.operators.filters import apply_filter_chain
+
+    assert apply_filter_chain(_fc_docs(spark), []).count() == 4
+
+
+def test_filter_chain_report_first_fail_and_zero_rows(spark):
+    from gcp_data_pipeline_fyp_spark.operators.filters import filter_chain_report
+
+    chain = _fc_chain() + [("never_fails", F.lit(True))]
+    rows = {
+        r["filter"]: r["n_rows"]
+        for r in filter_chain_report(_fc_docs(spark), chain).collect()
+    }
+    # doc 4's NULL n_chars attributes to min_chars (first failing filter)
+    assert rows == {
+        "min_chars": 2, "en_only": 1, "never_fails": 0, "_kept": 1,
+    }
+
+
+def test_filter_fail_matrix_counts_independent_failures(spark):
+    from gcp_data_pipeline_fyp_spark.operators.filters import filter_fail_matrix
+
+    r = filter_fail_matrix(_fc_docs(spark), _fc_chain()).first()
+    assert (r["fail_min_chars"], r["fail_en_only"], r["n_total"]) == (2, 1, 4)
+
+
+def test_filter_chain_rejects_duplicate_and_reserved_names(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        KEPT_LABEL,
+        apply_filter_chain,
+        filter_chain_report,
+    )
+
+    dup = [("a", F.lit(True)), ("a", F.lit(False))]
+    with pytest.raises(ValueError, match="duplicate"):
+        filter_chain_report(_fc_docs(spark), dup)
+    with pytest.raises(ValueError, match="reserved"):
+        apply_filter_chain(_fc_docs(spark), [(KEPT_LABEL, F.lit(True))])
+
+
+# ---------------------------- incremental exact dedup (operators/dedup.py)
+def test_incremental_dedup_drops_base_and_batch_dups(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import incremental_exact_dedup
+
+    base = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "brand new"),
+            (11, "seen before"),   # dup of base -> dropped
+            (12, "brand new"),     # in-batch dup -> keep smallest id (10)
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_exact_dedup(batch, base, ["text"], id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [10, 13]
+    # without id_col: base-dups drop but in-batch dups survive
+    out2 = incremental_exact_dedup(batch, base, ["text"])
+    assert sorted(r["doc_id"] for r in out2.collect()) == [10, 12, 13]
+
+
+def test_incremental_dedup_preserves_user_digest_column(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import incremental_exact_dedup
+
+    base = spark.createDataFrame([(1, "old")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(5, "fresh", "user-data")], "doc_id long, text string, __digest string"
+    )
+    out = incremental_exact_dedup(batch, base, ["text"])
+    assert out.columns == ["doc_id", "text", "__digest"]
+    assert out.first()["__digest"] == "user-data"
