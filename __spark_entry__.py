@@ -29,78 +29,82 @@ _REGISTRIES = [
 # The driver's correctness gate checks a 50-query prefix of `queries()`
 # (CORRECTNESS_r01 covered exactly the first 50 of 71). Order the dict so
 # queries without a green driver row yet — plus any whose plan changed
-# this round — land inside that window; the r01-green, untouched queries
-# rotate to the back. Rotate this list each round until every
-# oracle-backed query has a driver-certified row.
+# this round — land inside that window; green, untouched queries rotate
+# to the back and re-certify on a rolling cadence. Rotate this list
+# each round.
 #
-# ROUND-3 ROTATION NOTE: this r02 list holds 50 entries (all new/
-# unproven/changed as of r02), so the window is full; `boilerplate_docs`
-# (added after the window filled; mirror- and pytest-verified) waits
-# just outside it. After the r02 CORRECTNESS lands, rebuild this list
-# as: (queries added in r03) + boilerplate_docs + clean_text_docs +
-# domain_stats + temperature_mix + (any red r02 rows) +
-# (r01-green queries that have rotated out of the window for two
-# rounds — the tail of queries() below, starting at
-# measure_total_events/pricing_summary) so every query re-certifies on
-# a rolling cadence.
+# ROUND-3 WINDOW, in priority order:
+#   1. red in r02 (star_schema_fact — decimal(18,6) fix applied)
+#   2. plan changed since last green row: the decimal(18,6) emission
+#      change (domain_stats, ann/embedding cosine outputs, kmeans) and
+#      the exact-dedup digest-unhex change (everything built on
+#      exact_dedup), plus CC rewrite (dup_clusters, canonical_docs) and
+#      the r02 merge/minhash changes that yielded their slots last round
+#   3. never driver-checked (added after the r02 window filled)
+#   4. r01-green queries unchecked since r01 — rolling re-certification
 _CHECK_FIRST = [
-    # new this round — never driver-checked
-    "paragraph_dedup",
-    "quantile_rollup",
-    "clean_html_docs",
-    "decontaminate_corpus",
-    "pack_sequences",
-    "repetition_metrics",
-    "stratified_sample",
-    "numeric_profile",
-    "outlier_events",
-    "dup_clusters",
-    "bm25_search",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "corpus_mix_report",
-    "rollup_incremental",
-    "kmeans_embeddings",
-    "semantic_neardup_kmeans",
-    "pagerank_sim_graph",
-    "interval_attribution",
-    "heavy_hitter_tokens",
-    "cdc_snapshot",
-    "canonical_docs",
-    "distinct_users_rollup",
-    "unigram_logprob_score",
-    "corpus_prep_full",
-    "daily_p95_sliding",
-    # no CORRECTNESS row in r01 (fell outside the 50-query window)
-    "gopher_filter",
-    "dedupe_corpus",
-    "hash_sample",
-    "train_val_test_split",
-    "corpus_prep",
+    # -- red in r02, fixed this round
+    "star_schema_fact",
+    # -- never driver-checked (new probes + post-window r02 additions)
+    "filter_chain_report",
+    "filter_fail_matrix",
+    "incremental_dedup",
+    "merge_upsert_partitioned",
+    "boilerplate_docs",
+    "clean_text_docs",
+    "temperature_mix",
+    "domain_stats",
+    # -- plan changed since last green row: decimal(18,6) emission
     "ann_cosine_topk",
     "embedding_neardup",
+    "embedding_neardup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "embedding_neardup_lsh",
-    "windowed_counts",
-    "multimodal_byte_features",
-    "dax_q1_latest_update",
-    "dax_q2_avg_mag",
-    "dax_q3_max_depth",
-    "dax_q4_max_mag",
-    "dax_q5_11_totals",
-    "dax_q12_total",
-    "json_extract",
-    "asof_last_click",
-    "range_join_shipments",
-    "sql_interface",
-    # plans changed this round — re-certify. (dedup_exact_rows,
-    # minhash_lsh_pairs and merge_upsert rotated out to make room for
-    # the three new probes: r01-green, and their r02 plan changes are
-    # mirror-verified; dedup_exact_stats certifies the shared digest-
-    # keying change for the exact-dedup family.)
-    "star_schema_fact",
+    "kmeans_embeddings",
+    "semantic_neardup_kmeans",
+    # -- plan changed: exact-dedup digest unhex (16-byte binary keys)
     "dedup_exact_stats",
+    "dedup_exact_rows",
+    "paragraph_dedup",
+    "gopher_filter",
+    "dedupe_corpus",
+    "corpus_prep",
+    "corpus_prep_full",
+    # -- plan changed: connected-components two-phase star contraction
+    "dup_clusters",
+    "canonical_docs",
+    # -- r02 plan changes that never got a driver row (rotated out)
+    "merge_upsert",
+    "minhash_lsh_pairs",
+    # -- rolling re-certification: r01-green, unchecked since r01
+    "stg_null_coerce",
+    "ods_typed_banding",
+    "event_id_hash",
+    "tz_convert",
+    "date_dim",
+    "place_parse",
+    "surrogate_keys",
+    "surrogate_keys_incremental",
+    "anti_join_dedup",
+    "quality_gate_accepted",
+    "quality_gate_rejected",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "order_priority_count",
+    "brand_revenue",
+    "top_suppliers",
+    "running_customer_spend",
+    "sessionize_events",
+    "rollup_type_day",
+    "customer_order_stats",
+    "large_orders",
+    "setops_buyers",
+    # next round: value_percentiles, nation_volume_by_year,
+    # top_returning_customers, date_scaffold, pivot_type_by_day,
+    # approx_distinct_users, measure_*, text_quality, lang_id,
+    # doc_fingerprint, minhash_signature, simhash*, ngram_jaccard,
+    # vocabulary_top, chunk_documents, redact_pii + r02-green batch
 ]
 
 

@@ -228,6 +228,25 @@ def test_connected_components_collapses_chains(spark):
     assert kept == {1, 10, 50}
 
 
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 200-node path has diameter 199: naive min-label propagation
+    needs ~200 rounds (and would blow the 25-round cap); star
+    contraction must close it well inside the cap — the 100 TB
+    mirror-of-mirror chain case."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    comp = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert len(comp) == 201
+    assert set(comp.values()) == {0}
+
+
 def test_bm25_ranks_term_frequency_and_rarity(spark):
     from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
 
