@@ -122,10 +122,67 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
 VECTOR_QUERIES["embedding_neardup_lsh"] = (q_embedding_neardup_lsh, None)
 
 
+def _kmeans_ctes(pts_sql: str, k: int, iters: int, dim: int = 64) -> str:
+    """Chained CTEs mirroring operators/clustering.py:kmeans exactly.
+
+    Lloyd's with seeded init (k lowest ids) is deterministic, so a
+    FIXED-iteration unroll certifies the iterative operator — the same
+    pattern as the PageRank oracle. Spark's early stop is a fixpoint
+    (assignments unchanged => centroids recompute identically), so
+    running the full `iters` rounds in the oracle converges to the same
+    assignment. The algebra matches step for step: squared-distance
+    fold in index order, argmin ties broken on cluster id, per-
+    dimension means as decimal(28,12) sums cast to double.
+    """
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i__ -> (p.v[i__] - c.cv[i__]) * (p.v[i__] - c.cv[i__])))"
+    )
+
+    def assign(j: int) -> str:
+        return (
+            f"a{j} AS (SELECT id, v, cid FROM ("
+            f"SELECT p.id, p.v, c.cid, row_number() OVER ("
+            f"PARTITION BY p.id ORDER BY {dist} ASC, c.cid) AS rn "
+            f"FROM pts p CROSS JOIN c{j} c) s WHERE rn = 1)"
+        )
+
+    def update(j: int) -> str:
+        return (
+            f"c{j} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ("
+            f"SELECT cid, idx.pos, "
+            f"CAST(sum(CAST(v[idx.pos] AS DECIMAL(28,12))) AS DOUBLE) "
+            f"/ count(*) AS m FROM a{j - 1} CROSS JOIN "
+            f"(SELECT unnest(generate_series(1, {dim})) AS pos) idx "
+            f"GROUP BY cid, idx.pos) s GROUP BY cid)"
+        )
+
+    parts = [
+        f"pts AS ({pts_sql})",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv "
+        f"FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}) s)",
+        assign(0),
+    ]
+    for j in range(1, iters + 1):
+        parts.append(update(j))
+        parts.append(assign(j))
+    return ",\n".join(parts)
+
+
+_PTS_PLAIN = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings"
+_PTS_PLANTED = """
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
 def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic Lloyd's k-means over the embedding column
-    (operators/clustering.py) — iterative, so rows-only in the driver;
-    cluster recovery on planted blobs is asserted in pytest."""
+    (operators/clustering.py) — seeded init + decimal-exact centroid
+    means make it oracle-checkable via a fixed-iteration CTE unroll;
+    planted-blob recovery is additionally asserted in pytest."""
     from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
 
     e = _emb(spark, sf)
@@ -133,13 +190,19 @@ def q_kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return assigned.select("vec_id", "cluster_id")
 
 
-VECTOR_QUERIES["kmeans_embeddings"] = (q_kmeans_embeddings, None)
+SQL_KMEANS_EMBEDDINGS = f"""
+WITH {_kmeans_ctes(_PTS_PLAIN, k=8, iters=5)}
+SELECT id AS vec_id, cid AS cluster_id FROM a5
+"""
+
+VECTOR_QUERIES["kmeans_embeddings"] = (q_kmeans_embeddings, SQL_KMEANS_EMBEDDINGS)
 
 
 def q_semantic_neardup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-blocked semantic near-dup: pairwise cosine only inside a
-    k-means cell — rows-only (iterative blocking); recall vs the
-    blocked-exact variant asserted in pytest."""
+    k-means cell — oracle-checked end to end (fixed-iteration k-means
+    CTE + in-cluster pair scan); recall vs the blocked-exact variant is
+    additionally asserted in pytest."""
     from gcp_data_pipeline_fyp_spark.operators.clustering import (
         semantic_neardup_kmeans,
     )
@@ -152,4 +215,17 @@ def q_semantic_neardup_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_neardup_kmeans(u, "vec_id", "embedding", threshold=0.99, k=8)
 
 
-VECTOR_QUERIES["semantic_neardup_kmeans"] = (q_semantic_neardup_kmeans, None)
+SQL_SEMANTIC_NEARDUP_KMEANS = f"""
+WITH {_kmeans_ctes(_PTS_PLANTED, k=8, iters=5)},
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    CAST({_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')}
+         AS DECIMAL(18,6)) AS cosine
+  FROM a5 a JOIN a5 b ON a.cid = b.cid AND a.id < b.id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+VECTOR_QUERIES["semantic_neardup_kmeans"] = (
+    q_semantic_neardup_kmeans,
+    SQL_SEMANTIC_NEARDUP_KMEANS,
+)
