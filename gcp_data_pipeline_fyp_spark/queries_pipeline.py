@@ -322,6 +322,56 @@ FROM base b FULL OUTER JOIN updates u ON b.event_id = u.event_id
 """
 
 
+def q_merge_upsert_partitioned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-scoped MERGE (operators/merge.py:merge_upsert_partitioned)
+    — the daily 100 TB fact reconciliation: only base partitions present
+    in the update batch are rewritten (broadcast semi join prunes the
+    base scan); returns the affected partitions' post-merge rows for a
+    dynamic-partition-overwrite write. Updates here touch the month's
+    first 3 days: matched rows take the doubled value, new ids insert,
+    untouched rows in those days survive."""
+    from gcp_data_pipeline_fyp_spark.operators.merge import (
+        merge_upsert_partitioned,
+    )
+
+    ev = _events(spark, sf).select(
+        "event_id",
+        F.to_date("ts").alias("p_day"),
+        "event_type",
+        "value",
+    )
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    updates = ev.filter(
+        (F.col("event_id") % 3 == 0) & (F.dayofmonth("p_day") <= 3)
+    ).withColumn("value", F.col("value") * 2)
+    merged = merge_upsert_partitioned(base, updates, ["event_id"], "p_day")
+    # date -> string on the cert surface (Spark hands pandas
+    # datetime.date objects, DuckDB datetime64 — same day, different
+    # canonical form)
+    return merged.withColumn("p_day", F.date_format("p_day", "yyyy-MM-dd"))
+
+
+SQL_MERGE_UPSERT_PARTITIONED = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS DATE) AS p_day, event_type, value FROM events),
+base AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+updates AS (
+  SELECT event_id, p_day, event_type, value * 2 AS value FROM ev
+  WHERE event_id % 3 = 0 AND day(p_day) <= 3),
+scoped AS (
+  SELECT b.* FROM base b
+  WHERE b.p_day IN (SELECT DISTINCT p_day FROM updates))
+SELECT
+  coalesce(u.event_id, b.event_id) AS event_id,
+  strftime(CASE WHEN u.event_id IS NOT NULL THEN u.p_day ELSE b.p_day END,
+           '%Y-%m-%d') AS p_day,
+  CASE WHEN u.event_id IS NOT NULL THEN u.event_type ELSE b.event_type END
+    AS event_type,
+  CASE WHEN u.event_id IS NOT NULL THEN u.value ELSE b.value END AS value
+FROM scoped b FULL OUTER JOIN updates u ON b.event_id = u.event_id
+"""
+
+
 # ------------------------------------------------------------------- P3
 def _gate_predicate() -> F.Column:
     k = safe_double(null_coerce(_K()))
@@ -450,6 +500,10 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     ),
     "anti_join_dedup": (q_anti_join_dedup, SQL_ANTI_JOIN_DEDUP),
     "merge_upsert": (q_merge_upsert, SQL_MERGE_UPSERT),
+    "merge_upsert_partitioned": (
+        q_merge_upsert_partitioned,
+        SQL_MERGE_UPSERT_PARTITIONED,
+    ),
     "quality_gate_accepted": (q_quality_gate_accepted, SQL_QUALITY_GATE_ACCEPTED),
     "quality_gate_rejected": (q_quality_gate_rejected, SQL_QUALITY_GATE_REJECTED),
     "measure_latest_update": (q_measure_latest_update, SQL_MEASURE_LATEST_UPDATE),
