@@ -34,10 +34,27 @@ from pyspark.sql import functions as F
 
 
 def heavy_hitters(
-    df: DataFrame, col: str, min_fraction: float
+    df: DataFrame, col: str, min_fraction: float, strategy: str = "sketch"
 ) -> DataFrame:
     """Items of `col` appearing in > min_fraction of rows, with exact
-    counts: (item, cnt), deterministic regardless of partitioning."""
+    counts: (item, cnt), deterministic regardless of partitioning.
+
+    `strategy="sketch"` (default) is the two-pass sketch-then-verify —
+    right when the item universe dwarfs the hitter set (web-scale token
+    streams). `strategy="direct"` is a plain groupBy+HAVING — fewer
+    bytes when the universe is known-small (enums, country codes; see
+    the measured crossover note above). Identical output either way.
+    """
+    if strategy == "direct":
+        total = df.count()
+        floor = int(min_fraction * total)
+        return (
+            df.groupBy(F.col(col).alias("item"))
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > floor)
+        )
+    if strategy != "sketch":
+        raise ValueError(f"unknown strategy {strategy!r}: use 'sketch' or 'direct'")
     # sketch pass: candidate superset (no false negatives at this support)
     candidates = df.freqItems([col], support=min_fraction).collect()[0][0]
     if not candidates:

@@ -513,6 +513,16 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
     # nothing above 50% -> empty, schema intact
     empty = heavy_hitters(df, "item", 0.5)
     assert empty.count() == 0 and empty.columns == ["item", "cnt"]
+    # the small-universe direct path returns identical output
+    direct = {
+        r["item"]: r["cnt"]
+        for r in heavy_hitters(df, "item", 0.1, strategy="direct").collect()
+    }
+    assert direct == got
+    import pytest
+
+    with pytest.raises(ValueError, match="strategy"):
+        heavy_hitters(df, "item", 0.1, strategy="bogus")
 
 
 def test_cdc_snapshot_semantics(spark):
