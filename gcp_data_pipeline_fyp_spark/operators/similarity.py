@@ -157,7 +157,15 @@ def fit_ivf_centroids(
                 "centroid_id", F.posexplode("__cv").alias("__pos", "__x")
             )
             .groupBy("centroid_id", "__pos")
-            .agg(F.avg("__x").alias("__m"))
+            # decimal-exact mean (not F.avg on double): partial-agg
+            # order independent, so centroids are bit-identical on any
+            # partitioning — and to the DuckDB oracle's same algebra
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                    / F.count("__x")
+                ).alias("__m")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.transform(

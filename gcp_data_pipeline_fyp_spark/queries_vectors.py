@@ -1,12 +1,14 @@
 """Driver-facing probes for similarity search over embedding columns.
 
-`ann_cosine_topk` (brute force) and `embedding_neardup` are fully
-oracle-checked — the DuckDB SQL recomputes cosine with the same
-index-order fold, and scores are rounded to 6 decimals before ranking
-so both engines rank identically. The LSH and IVF variants are the
-scale path: approximate by design, so they carry no SQL oracle (the
-driver records a rows-only check) — their recall against brute force
-is asserted in tests/test_similarity.py instead.
+Every probe here is oracle-checked hash-exact, including the
+approximate ones: LSH and IVF are approximate ALGORITHMS but
+deterministic computations (seeded hyperplanes / seeded centroid init
++ decimal-exact means), so the DuckDB oracle replays the identical
+algorithm — the literal plane values are embedded into the SQL at
+module import, bucket bits and probe sets reproduce bit-for-bit, and
+the reranked cosines round to 6 decimals before ranking so both
+engines rank identically. Recall quality against brute force is
+separately asserted in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -83,12 +85,107 @@ FROM pairs WHERE cosine >= 0.99
 """
 
 
-# scale-path variants: approximate, no SQL oracle (recall tested in pytest)
+# -------------------------------------------------- approximate paths
+# LSH and IVF are approximate by DESIGN but deterministic by
+# construction (seeded hyperplanes / seeded centroid init), so the
+# oracle replays the exact same algorithm: the literal plane values are
+# embedded into the SQL at module import. This certifies the chosen
+# buckets/probes and the reranked scores hash-exact — approximation is
+# a property of the algorithm, not an excuse for an unverifiable one.
+def _planes_literal(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        make_hyperplanes,
+    )
+
+    planes = make_hyperplanes(dim, n_planes, seed)
+    rows = ", ".join(
+        "[" + ", ".join(repr(x) for x in plane) + "]" for plane in planes
+    )
+    return f"SELECT [{rows}]::DOUBLE[][] AS pl"
+
+
+def _bucket_sql(vec: str, dim: int = 64, n_planes: int = 8) -> str:
+    """Sign-random-projection bucket id over `vec` (needs `pl` in scope):
+    bit i set when dot(vec, plane_i) >= 0 — same fold as
+    functions/vectors.py:lsh_sign_bucket."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {n_planes}), i__ -> "
+        f"CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+        f"j__ -> {vec}[j__] * pl[i__][j__])) >= 0 "
+        f"THEN (CAST(1 AS BIGINT) << (i__ - 1)) ELSE 0 END))"
+    )
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     e = _emb(spark, sf)
     queries = e.filter(F.col("vec_id") < 8)
     corpus = e.filter(F.col("vec_id") >= 8)
     return lsh_topk(queries, corpus, "vec_id", "embedding", k=5, dim=64)
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH planes AS ({_planes_literal()}),
+q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 8),
+c0 AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+       FROM embeddings WHERE vec_id >= 8),
+cb AS (SELECT corpus_id, cv, {_bucket_sql('cv')} AS bucket
+       FROM c0 CROSS JOIN planes),
+qb AS (SELECT query_id, qv, {_bucket_sql('qv')} AS qbucket
+       FROM q0 CROSS JOIN planes),
+qp AS (SELECT query_id, qv, xor(qbucket, f.flip) AS probe
+       FROM qb CROSS JOIN (
+         SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS flip) f),
+pairs AS (
+  SELECT DISTINCT query_id, corpus_id, {_SQL_COS} AS cosine
+  FROM qp JOIN cb ON qp.probe = cb.bucket),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM pairs)
+SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+def _ivf_ctes(
+    corpus_sql: str, n_centroids: int, dim: int = 64
+) -> str:
+    """CTE chain mirroring operators/similarity.py:fit_ivf_centroids +
+    _assign with refine_iters=1: seeded init (n smallest ids), one
+    Lloyd refinement with decimal-exact means, assignment by max dot
+    (ties to the lower centroid id)."""
+    return f"""
+c0 AS ({corpus_sql}),
+init AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,
+                cv AS centroid
+         FROM (SELECT corpus_id, cv FROM c0
+               ORDER BY corpus_id LIMIT {n_centroids}) s),
+asg0 AS (
+  SELECT corpus_id, cv, centroid_id FROM (
+    SELECT c.corpus_id, c.cv, i.centroid_id, row_number() OVER (
+      PARTITION BY c.corpus_id ORDER BY
+        list_sum(list_transform(generate_series(1, {dim}),
+                 j__ -> c.cv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM c0 c CROSS JOIN init i) s WHERE rn = 1),
+cent AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS centroid FROM (
+    SELECT centroid_id, idx.pos,
+      CAST(sum(CAST(cv[idx.pos] AS DECIMAL(28,12))) AS DOUBLE)
+      / count(*) AS m
+    FROM asg0 CROSS JOIN
+      (SELECT unnest(generate_series(1, {dim})) AS pos) idx
+    GROUP BY centroid_id, idx.pos) s GROUP BY centroid_id),
+assigned AS (
+  SELECT corpus_id, cv, centroid_id FROM (
+    SELECT c.corpus_id, c.cv, i.centroid_id, row_number() OVER (
+      PARTITION BY c.corpus_id ORDER BY
+        list_sum(list_transform(generate_series(1, {dim}),
+                 j__ -> c.cv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM c0 c CROSS JOIN cent i) s WHERE rn = 1)
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -98,17 +195,46 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(queries, corpus, "vec_id", "embedding", k=5)
 
 
+SQL_ANN_IVF_TOPK = f"""
+WITH {_ivf_ctes(
+    "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+    " FROM embeddings WHERE vec_id >= 8",
+    n_centroids=16,
+)},
+q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < 8),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, i.centroid_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+                 j__ -> q.qv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM q0 q CROSS JOIN cent i) s WHERE rn <= 4),
+pairs AS (
+  SELECT query_id, corpus_id, {_SQL_COS} AS cosine
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM pairs)
+SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
 VECTOR_QUERIES: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
 }
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-blocked near-dup (no blocking column needed) — rows-only check;
-    recall vs the blocked-exact variant is asserted in pytest."""
+    """LSH-blocked near-dup (no blocking column needed) — oracle replays
+    the deterministic sign-bucket blocking; recall vs the blocked-exact
+    variant is additionally asserted in pytest."""
     from gcp_data_pipeline_fyp_spark.operators.dedup import embedding_neardup_lsh
 
     e = _emb(spark, sf)
@@ -119,7 +245,28 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_neardup_lsh(u, "vec_id", "embedding", threshold=0.99)
 
 
-VECTOR_QUERIES["embedding_neardup_lsh"] = (q_embedding_neardup_lsh, None)
+SQL_EMBEDDING_NEARDUP_LSH = f"""
+WITH planes AS ({_planes_literal()}),
+u AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 20 = 0),
+g AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM u),
+gb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket
+       FROM g CROSS JOIN planes),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    CAST({_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')}
+         AS DECIMAL(18,6)) AS cosine
+  FROM gb a JOIN gb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+"""
+
+VECTOR_QUERIES["embedding_neardup_lsh"] = (
+    q_embedding_neardup_lsh,
+    SQL_EMBEDDING_NEARDUP_LSH,
+)
 
 
 def _kmeans_ctes(pts_sql: str, k: int, iters: int, dim: int = 64) -> str:
