@@ -50,6 +50,7 @@ _CHECK_FIRST = [
     "filter_fail_matrix",
     "incremental_dedup",
     "merge_upsert_partitioned",
+    "substring_dup_report",
     "boilerplate_docs",
     "clean_text_docs",
     "temperature_mix",
@@ -99,8 +100,7 @@ _CHECK_FIRST = [
     "rollup_type_day",
     "customer_order_stats",
     "large_orders",
-    "setops_buyers",
-    # next round: value_percentiles, nation_volume_by_year,
+    # next round: setops_buyers, value_percentiles, nation_volume_by_year,
     # top_returning_customers, date_scaffold, pivot_type_by_day,
     # approx_distinct_users, measure_*, text_quality, lang_id,
     # doc_fingerprint, minhash_signature, simhash*, ngram_jaccard,

@@ -464,3 +464,87 @@ def boilerplate_line_filter(
         "left_anti",
     )
     return _reassemble_spans(kept, id_col, text_col, sep)
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-window statistics — the measurement half
+    of exact-substring dedup (public method: Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    deduplicates repeated >=50-token substrings corpus-wide; the
+    reference pipeline has no analog, this is LLM-data surface).
+
+    Every document is decomposed into its overlapping `n_tokens`-token
+    windows (whitespace tokens); a window occurrence is DUPLICATED when
+    an identical window occurs earlier in the corpus order
+    (smaller (doc id, position)). Output per doc with >= 1 window:
+
+        (id_col, n_windows, n_dup_windows, dup_ratio)
+
+    `dup_ratio` is the fraction of the doc covered by text repeated
+    elsewhere — the score `exact_substring_filter` thresholds on.
+
+    Scale shape: windows shuffle as 16-byte md5 digests (window TEXT is
+    hashed in the map stage and never shuffles — at 100 TB the window
+    blow-up is ~n_tokens x corpus tokens, so shipping text would be
+    n_tokens x corpus bytes); the first-occurrence decision is one
+    digest-keyed window function, the per-doc rollup one id-keyed
+    aggregation. Same digest-shuffle discipline as `exact_dedup`.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    wins = t.filter(F.col("__n") >= n_tokens).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - n_tokens + 1),
+                lambda i: F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            "\x1f", F.slice(F.col("__toks"), i, n_tokens)
+                        )
+                    )
+                ),
+            )
+        ).alias("__pos", "__whash"),
+    )
+    w = Window.partitionBy("__whash").orderBy(
+        F.col(id_col).asc(), F.col("__pos").asc()
+    )
+    flagged = wins.withColumn("__dup", F.row_number().over(w) > 1)
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dup_windows"),
+        F.round(
+            F.sum(F.col("__dup").cast("long")) / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("dup_ratio"),
+    )
+
+
+def exact_substring_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    max_dup_ratio: float = 0.5,
+) -> DataFrame:
+    """Drop documents whose duplicated-window fraction exceeds
+    `max_dup_ratio` (RefinedWeb-style doc-level consequence of the Lee
+    et al. substring measurement; docs shorter than one window carry
+    ratio 0 and are kept)."""
+    stats = substring_dup_stats(df, id_col, text_col, n_tokens)
+    keep = stats.filter(
+        F.col("dup_ratio") <= max_dup_ratio
+    ).select(id_col)
+    short = df.select(id_col, F.col(text_col)).filter(
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) < n_tokens
+    ).select(id_col)
+    return df.join(keep.union(short).distinct(), id_col, "left_semi")

@@ -1761,3 +1761,47 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["incremental_dedup"] = (q_incremental_dedup, SQL_INCREMENTAL_DEDUP)
+
+
+# ---------------------------------------------- exact-substring dedup
+def q_substring_dup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc duplicated-window stats (operators/dedup.py:
+    substring_dup_stats) — the Lee et al. 2022 exact-substring dedup
+    measurement at window width 8 over the documents corpus."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    d = _docs(spark, sf)
+    return substring_dup_stats(d, "doc_id", "text", n_tokens=8).orderBy(
+        "doc_id"
+    )
+
+
+SQL_SUBSTRING_DUP_REPORT = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+wins AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i : u.i + 7], chr(31))) AS whash
+  FROM tt CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, tt.n - 7)) AS i) u),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) > 1
+           AS is_dup
+  FROM wins)
+SELECT doc_id,
+       count(*) AS n_windows,
+       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows,
+       CAST(round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DECIMAL(18,6)) AS dup_ratio
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXT_QUERIES["substring_dup_report"] = (
+    q_substring_dup_report,
+    SQL_SUBSTRING_DUP_REPORT,
+)

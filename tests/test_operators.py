@@ -823,3 +823,70 @@ def test_incremental_dedup_preserves_user_digest_column(spark):
     out = incremental_exact_dedup(batch, base, ["text"])
     assert out.columns == ["doc_id", "text", "__digest"]
     assert out.first()["__digest"] == "user-data"
+
+
+# ---------------------- exact-substring dedup stats (operators/dedup.py)
+def test_substring_dup_stats_planted_overlap(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    shared = "one two three four"  # 4 tokens, window width 4 -> 1 window
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} alpha beta"),          # owns the shared window
+            (2, f"gamma delta {shared}"),         # repeats it -> 1 dup
+            (3, "all unique tokens here ok"),
+            (4, "tiny"),                          # < 4 tokens: no windows
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], float(r["dup_ratio"]))
+        for r in substring_dup_stats(docs, "doc_id", "text", n_tokens=4).collect()
+    }
+    assert 4 not in got  # too short for a single window
+    # doc1: 3 windows, all first occurrences
+    assert got[1] == (3, 0, 0.0)
+    # doc2: windows starting at gamma/delta/one; the 'one two three four'
+    # window is owned by doc1 -> exactly 1 duplicated
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (2, 0, 0.0)
+
+
+def test_substring_dup_stats_position_order_within_doc(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    # the same window twice INSIDE one doc: first occurrence owns it
+    docs = spark.createDataFrame(
+        [(7, "a b a b a b")], "doc_id long, text string"
+    )
+    r = substring_dup_stats(docs, "doc_id", "text", n_tokens=2).first()
+    # windows: (a b)(b a)(a b)(b a)(a b) -> 2 owned + 3 dups
+    assert (r["n_windows"], r["n_dup_windows"]) == (5, 3)
+
+
+def test_exact_substring_filter_drops_heavy_dups_keeps_short(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        exact_substring_filter,
+    )
+
+    boiler = "click here to subscribe now please"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} original essay content follows"),
+            (2, boiler),                     # 100% duplicated windows
+            (3, "completely original text with many words"),
+            (4, "tiny"),                     # shorter than one window
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in exact_substring_filter(
+            docs, "doc_id", "text", n_tokens=4, max_dup_ratio=0.5
+        ).collect()
+    }
+    assert kept == {1, 3, 4}
