@@ -149,3 +149,109 @@ def test_rollup_merge_fuzz_equals_rebuild(spark, rows):
     assert sorted(map(tuple, direct.collect())) == sorted(
         map(tuple, merged.collect())
     )
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        max_size=14,
+    )
+)
+def test_connected_components_fuzz_vs_union_find(spark, edges):
+    """Star-contraction CC == classic union-find on arbitrary small
+    graphs (self-loops, duplicate edges, both orientations)."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        connected_components,
+    )
+
+    clean = [(a, b) for a, b in edges if a != b]
+    if not clean:
+        return
+    df = spark.createDataFrame(clean, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in clean:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=24), max_size=6
+    ),
+    n_tokens=st.integers(2, 3),
+)
+def test_substring_dup_stats_fuzz_invariants(spark, texts, n_tokens):
+    """Corpus-wide: sum(n_dup_windows) == total windows - distinct
+    windows; per-doc window count == max(token_count - n + 1, 0)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        substring_dup_stats,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = substring_dup_stats(df, "doc_id", "text", n_tokens).collect()
+    # python-side window model (whitespace split of trimmed text)
+    wins = {}
+    for i, t in docs:
+        toks = t.strip().split()
+        for p in range(max(len(toks) - n_tokens + 1, 0)):
+            wins.setdefault(i, []).append(tuple(toks[p : p + n_tokens]))
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"]) for r in rows}
+    assert set(got) == set(wins)
+    all_w = [w for ws in wins.values() for w in ws]
+    assert sum(n for n, _ in got.values()) == len(all_w)
+    assert sum(d for _, d in got.values()) == len(all_w) - len(set(all_w))
+    for i, ws in wins.items():
+        assert got[i][0] == len(ws)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.lists(st.text(alphabet="xy", min_size=1, max_size=3), max_size=6),
+    batch=st.lists(st.text(alphabet="xy", min_size=1, max_size=3), max_size=6),
+)
+def test_incremental_dedup_fuzz_vs_set_semantics(spark, base, batch):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    bdf = (
+        spark.createDataFrame(list(enumerate(base)), "doc_id long, text string")
+        if base
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    udf = (
+        spark.createDataFrame(
+            [(i + 100, t) for i, t in enumerate(batch)],
+            "doc_id long, text string",
+        )
+        if batch
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    out = incremental_exact_dedup(udf, bdf, ["text"], id_col="doc_id")
+    got = sorted((r["doc_id"], r["text"]) for r in out.collect())
+    seen, want = set(base), []
+    for i, t in enumerate(batch):
+        if t not in seen:
+            want.append((i + 100, t))
+            seen.add(t)
+    assert got == sorted(want)
