@@ -142,6 +142,46 @@ def main() -> None:
         t["connected_components"] = round(time.perf_counter() - t0, 2)
         pairs2.unpersist()
 
+        # round-3 ops: exact-substring windows (n_tokens x token-count
+        # row blow-up, digest-keyed — the heaviest per-byte dedup op),
+        # incremental dedup (distinct-digest anti-join; base = corpus,
+        # batch = 1 base copy re-delivered + fresh ids), filter chain
+        # report (must stay scan-bound: one pass, pure Catalyst)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.dedup import (
+            incremental_exact_dedup,
+            substring_dup_stats,
+        )
+
+        substring_dup_stats(docs, "doc_id", "text", n_tokens=8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["substring_dedup"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        batch = docs.limit(0).unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 500_000_000)
+        )
+        incremental_exact_dedup(batch, docs, ["text"], id_col="doc_id").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["incremental_dedup"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.filters import (
+            filter_chain_report,
+        )
+
+        chain = [
+            ("min_chars", F.length("text") >= 50),
+            ("has_vowels", F.col("text").rlike("[aeiou]")),
+            ("en_only", F.col("lang") == "en"),
+        ]
+        filter_chain_report(docs, chain).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["filter_chain"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
     print(json.dumps({"sf_dir": SF_DIR, "scales": results}))
     spark.stop()
