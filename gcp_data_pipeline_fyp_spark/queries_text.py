@@ -1805,3 +1805,53 @@ TEXT_QUERIES["substring_dup_report"] = (
     q_substring_dup_report,
     SQL_SUBSTRING_DUP_REPORT,
 )
+
+
+def q_substring_filtered_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-level consequence of the substring measurement
+    (operators/dedup.py:exact_substring_filter): corpus after dropping
+    docs whose 8-token-window dup ratio exceeds 0.2; sub-window-length
+    docs are kept. Window is r4-queue (r3 window full)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        exact_substring_filter,
+    )
+
+    d = _docs(spark, sf)
+    out = exact_substring_filter(
+        d, "doc_id", "text", n_tokens=8, max_dup_ratio=0.2
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_SUBSTRING_FILTERED_DOCS = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
+wins AS (
+  SELECT doc_id, u.i AS pos,
+         md5(array_to_string(toks[u.i : u.i + 7], chr(31))) AS whash
+  FROM tt CROSS JOIN LATERAL
+    (SELECT unnest(generate_series(1, tt.n - 7)) AS i) u),
+flagged AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) > 1
+           AS is_dup
+  FROM wins),
+ratios AS (
+  SELECT doc_id,
+         CAST(round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS DECIMAL(18,6)) AS dup_ratio
+  FROM flagged GROUP BY doc_id),
+keep AS (
+  SELECT doc_id FROM ratios WHERE dup_ratio <= 0.2
+  UNION
+  SELECT doc_id FROM t WHERE len(toks) < 8)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN keep USING (doc_id) ORDER BY d.doc_id
+"""
+
+TEXT_QUERIES["substring_filtered_docs"] = (
+    q_substring_filtered_docs,
+    SQL_SUBSTRING_FILTERED_DOCS,
+)
