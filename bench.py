@@ -52,6 +52,9 @@ HEADLINE = [
     # round-2c: span-level boilerplate scrub + mergeable percentile states
     "paragraph_dedup",
     "quantile_rollup",
+    # round-3: exact-substring window dedup (the heaviest per-byte
+    # dedup measurement — n_tokens x token-count digest rows)
+    "substring_dup_report",
     # the flagship composition: quality -> decontaminate -> exact dedup
     # -> LSH closure -> split, one plan
     "corpus_prep_full",
