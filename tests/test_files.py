@@ -87,3 +87,60 @@ def test_training_shard_export_deterministic(spark, tmp_path):
     for f in glob.glob(p1 + "/shard=*/part-*.parquet"):
         n = spark.read.parquet(f).count()
         assert n <= 20, f
+
+
+# ------------------------------------------------ JSONL source/sink
+def test_jsonl_roundtrip_with_corrupt_quarantine(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
+    )
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "part0.jsonl").write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr"}\n'
+        "{torn json line\n"
+        '{"doc_id": 3, "text": null, "lang": "en"}\n'
+    )
+    df = read_jsonl(spark, str(src), "doc_id long, text string, lang string")
+    valid, corrupt = split_corrupt(df)
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in valid.collect()}
+    assert rows == {
+        1: ("hello world", "en"),
+        2: ("bonjour", "fr"),
+        3: (None, "en"),
+    }
+    assert [r["raw"] for r in corrupt.collect()] == ["{torn json line"]
+    assert "_corrupt_record" not in valid.columns
+
+    # write back compressed and re-read — content survives the roundtrip
+    out = tmp_path / "out"
+    write_jsonl(valid, str(out), compression="gzip", max_records_per_file=2)
+    back = read_jsonl(
+        spark, str(out), "doc_id long, text string, lang string",
+        keep_corrupt=False,
+    )
+    assert {
+        r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()
+    } == rows
+    import glob
+
+    assert glob.glob(str(out / "*.gz")), "expected gzip-compressed parts"
+
+
+def test_jsonl_read_is_single_pass_no_inference(spark, tmp_path):
+    """Schema-pinned read must not run an inference scan: reading a
+    path whose data would be expensive to infer is plan-only until an
+    action, and the scan schema equals the pinned DDL exactly."""
+    src = tmp_path / "c2"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"doc_id": 9, "text": "t"}\n')
+    from gcp_data_pipeline_fyp_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(
+        spark, str(src), "doc_id long, text string", keep_corrupt=False
+    )
+    assert df.schema.simpleString() == "struct<doc_id:bigint,text:string>"
