@@ -369,3 +369,16 @@ def registered_domain(host: Column | str) -> Column:
     badwords-domain filtering used."""
     h = F.regexp_replace(_c(host), ":[0-9]+$", "")  # strip port
     return F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+
+
+def dedup_normalize(text: Column | str) -> Column:
+    """Canonical form for DEDUP KEYS (C4's dedup normalized text before
+    hashing: lowercase, punctuation removed, whitespace collapsed):
+    'Hello, World!' and 'hello world' hash identically while the stored
+    document text stays untouched. Feed this to `exact_dedup`/
+    `incremental_exact_dedup` key columns, never to the text payload.
+    """
+    c = F.lower(_c(text))
+    c = F.regexp_replace(c, "[^\\p{L}\\p{N}\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)

@@ -1855,3 +1855,46 @@ TEXT_QUERIES["substring_filtered_docs"] = (
     q_substring_filtered_docs,
     SQL_SUBSTRING_FILTERED_DOCS,
 )
+
+
+def q_dedup_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keyed on the C4-style canonical form
+    (functions/text.py:dedup_normalize): case/punctuation/whitespace
+    variants of the same text collapse to one kept doc while the stored
+    text stays untouched. Batch includes planted shouting-case copies.
+    Window is r4-queue (r3 window full)."""
+    from gcp_data_pipeline_fyp_spark.functions.text import dedup_normalize
+    from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dedup
+
+    d = _docs(spark, sf)
+    planted = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!")).alias("text"),
+        "lang",
+    )
+    u = d.select("doc_id", "text", "lang").unionByName(planted)
+    kept = exact_dedup(
+        u.withColumn("__key", dedup_normalize(F.col("text"))),
+        ["__key"],
+        "doc_id",
+    )
+    return kept.select("doc_id", "lang").orderBy("doc_id")
+
+
+SQL_DEDUP_NORMALIZED = """
+WITH u AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id, upper(text) || '!!' AS text, lang
+  FROM documents WHERE doc_id % 25 = 0),
+k AS (
+  SELECT doc_id, lang,
+    trim(regexp_replace(regexp_replace(lower(text),
+         '[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS key
+  FROM u)
+SELECT doc_id, lang FROM k
+WHERE doc_id IN (SELECT min(doc_id) FROM k GROUP BY key)
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["dedup_normalized"] = (q_dedup_normalized, SQL_DEDUP_NORMALIZED)

@@ -184,3 +184,22 @@ def test_registered_domain_collapses_subdomains_and_ports(spark):
     got = df.select(registered_domain(url_host(F.col("u"))).alias("d"), "want").collect()
     for r in got:
         assert r["d"] == r["want"], r
+
+
+def test_dedup_normalize_canonicalizes_variants(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import dedup_normalize
+
+    df = spark.createDataFrame(
+        [
+            ("Hello,   World!",),
+            ("hello world",),
+            ("HELLO-WORLD",),
+            ("naïve café",),   # unicode letters survive
+            (None,),
+        ],
+        "t string",
+    )
+    got = [r["k"] for r in df.select(dedup_normalize("t").alias("k")).collect()]
+    assert got[0] == got[1] == got[2] == "hello world"
+    assert got[3] == "naïve café"
+    assert got[4] is None
