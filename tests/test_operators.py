@@ -890,3 +890,58 @@ def test_exact_substring_filter_drops_heavy_dups_keeps_short(spark):
         ).collect()
     }
     assert kept == {1, 3, 4}
+
+
+# ------------------- persisted digest index (indexed incremental dedup)
+def test_digest_index_three_batch_parity(spark, tmp_path):
+    """Three daily batches through the persisted index == re-running
+    plain incremental_exact_dedup against the accumulated corpus."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        incremental_dedup_indexed,
+        incremental_exact_dedup,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    build_digest_index(wh, base, ["text"], "corpus")
+
+    batches = [
+        [(10, "alpha"), (11, "gamma"), (12, "gamma")],   # dup-of-base, new, in-batch dup
+        [(20, "gamma"), (21, "delta")],                  # dup of batch-1 survivor, new
+        [(30, "delta"), (31, "epsilon"), (32, "beta")],  # dups of batch-2/base, new
+    ]
+    acc = base
+    for i, rows in enumerate(batches):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        got = incremental_dedup_indexed(wh, b, ["text"], "corpus", id_col="doc_id")
+        want = incremental_exact_dedup(b, acc, ["text"], id_col="doc_id")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), f"batch {i}"
+        acc = acc.unionByName(want)
+
+    # the index holds exactly the accumulated distinct digests
+    n_index = wh.read("corpus__digests").distinct().count()
+    assert n_index == acc.select("text").distinct().count()
+
+
+def test_digest_index_no_update_leaves_index_unchanged(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        incremental_dedup_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    build_digest_index(wh, base, ["text"], "c2")
+    b = spark.createDataFrame([(5, "b")], "doc_id long, text string")
+    out = incremental_dedup_indexed(
+        wh, b, ["text"], "c2", update_index=False
+    )
+    assert out.count() == 1
+    assert wh.read("c2__digests").count() == 1  # untouched
