@@ -602,3 +602,114 @@ def incremental_dedup_indexed(
             f"{name}__digests",
         )
     return out
+
+
+def _lsh_band_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+) -> DataFrame:
+    """(id, band, sig) rows — the joinable form of a doc's LSH bands
+    (empty-signature rows for sub-shingle-width docs dropped)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b"),
+        )
+        .select(
+            id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")
+        )
+        .filter(F.col("sig") != "")
+    )
+
+
+def build_lsh_index(
+    wh,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> None:
+    """Materialize the corpus's LSH band rows as a warehouse table —
+    the build-once half of INCREMENTAL near-dup detection.
+
+    At 100 TB, signatures are the expensive half of MinHash LSH (CPU
+    over every corpus byte); persisting the band rows means a daily
+    batch only signs ITSELF and joins the (band, sig)-keyed table —
+    the corpus is never re-tokenized. Partitioned by band so the
+    candidate join prunes to matching band directories.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    wh.overwrite(
+        _lsh_band_rows(corpus, id_col, text_col, num_hashes, bands, shingle_n),
+        f"{name}__bands",
+        partition_cols=["band"],
+    )
+
+
+def incremental_neardup_indexed(
+    wh,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    update_index: bool = True,
+) -> DataFrame:
+    """Candidate near-dup pairs INVOLVING the batch: batch-vs-corpus
+    (via the persisted band index) plus batch-vs-batch, as
+    (id_a < id_b) pairs. With `update_index`, the batch's band rows
+    fold into the index so tomorrow's batch sees today's docs.
+
+    The pair set is materialized before the index append: the append
+    would otherwise change the files behind the lazily-read index scan
+    and pair batch docs with themselves.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    nb = _lsh_band_rows(
+        batch, id_col, text_col, num_hashes, bands, shingle_n
+    ).persist()
+    old = wh.read(f"{name}__bands")
+    vs_old = (
+        nb.alias("n")
+        .join(
+            old.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.sig") == F.col("o.sig")),
+        )
+        .select(
+            F.least(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"n.{id_col}"), F.col(f"o.{id_col}")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    vs_new = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    )
+    pairs = vs_old.unionByName(vs_new).distinct().localCheckpoint()
+    if update_index:
+        wh.append(nb, f"{name}__bands", partition_cols=["band"])
+    nb.unpersist()
+    return pairs

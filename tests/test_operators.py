@@ -945,3 +945,56 @@ def test_digest_index_no_update_leaves_index_unchanged(spark, tmp_path):
     )
     assert out.count() == 1
     assert wh.read("c2__digests").count() == 1  # untouched
+
+
+def test_lsh_index_incremental_parity_with_full_rerun(spark, tmp_path):
+    """Indexed incremental near-dup == full-corpus LSH candidates
+    restricted to pairs touching the batch, across two daily batches."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_neardup_indexed,
+        minhash_lsh_candidates,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    def doc(i, text):
+        return (i, text)
+
+    base_rows = [
+        doc(1, "the quick brown fox jumps over the lazy dog today"),
+        doc(2, "completely different sentence about distributed query engines"),
+        doc(3, "a third document with its own unrelated content entirely"),
+    ]
+    b1_rows = [
+        doc(10, "the quick brown fox jumps over the lazy dog today"),  # ~ 1
+        doc(11, "brand new text that matches nothing else in the corpus"),
+    ]
+    b2_rows = [
+        doc(20, "brand new text that matches nothing else in the corpus"),  # ~ 11
+        doc(21, "the quick brown fox jumps over the lazy dog today"),       # ~ 1,10
+    ]
+    schema = "doc_id long, text string"
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(base_rows, schema)
+    build_lsh_index(wh, base, "doc_id", "text", "corpus")
+
+    acc_rows = list(base_rows)
+    for batch_rows in (b1_rows, b2_rows):
+        batch = spark.createDataFrame(batch_rows, schema)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in incremental_neardup_indexed(
+                wh, batch, "doc_id", "text", "corpus"
+            ).collect()
+        }
+        full = spark.createDataFrame(acc_rows + batch_rows, schema)
+        pairs_full = minhash_lsh_candidates(full, "doc_id", "text")
+        batch_ids = {i for i, _ in batch_rows}
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in pairs_full.collect()
+            if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+        }
+        pairs_full.unpersist()
+        assert got == want
+        acc_rows += batch_rows
