@@ -506,3 +506,70 @@ def q_distinct_users_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 MISC_QUERIES["distinct_users_rollup"] = (q_distinct_users_rollup, None)
+
+
+# ------------------------------------------------- skew mitigation ops
+def q_salted_agg_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py:salted_agg) must
+    equal the plain GROUP BY — the oracle IS the plain form, certifying
+    output-invariance of the hot-key spreading. Decimal sums so partial
+    order can't perturb the hash. Window is r4-queue."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    out = salted_agg(
+        ev, ["event_type"], sum_cols=["value"], salt_from="event_id"
+    )
+    return out.select(
+        F.col("event_type").alias("lb_type"), "sum_value", "n_rows"
+    ).orderBy("lb_type")
+
+
+SQL_SALTED_AGG_EVENTS = """
+SELECT event_type AS lb_type,
+       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       count(*) AS n_rows
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+MISC_QUERIES["salted_agg_events"] = (q_salted_agg_events, SQL_SALTED_AGG_EVENTS)
+
+
+def q_salted_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted replicate-join (operators/skew.py:salted_join) must equal
+    the plain join; certified through a post-join rollup against the
+    plain-SQL rendering. Window is r4-queue."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.keys import (
+        assign_surrogate_keys,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.skew import salted_join
+
+    ev = load(spark, sf, "events").select("event_id", "event_type")
+    dim = assign_surrogate_keys(ev, ["event_type"], "id_type")
+    joined = salted_join(ev, dim, ["event_type"], salt_from="event_id")
+    return (
+        joined.groupBy("id_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("id_type")
+    )
+
+
+SQL_SALTED_JOIN_EVENTS = """
+WITH dim AS (
+  SELECT event_type,
+         row_number() OVER (ORDER BY event_type NULLS FIRST) AS id_type
+  FROM (SELECT DISTINCT event_type FROM events) d)
+SELECT dim.id_type, count(*) AS n_rows
+FROM events e JOIN dim USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+MISC_QUERIES["salted_join_events"] = (q_salted_join_events, SQL_SALTED_JOIN_EVENTS)
