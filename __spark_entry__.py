@@ -100,11 +100,14 @@ _CHECK_FIRST = [
     "rollup_type_day",
     "customer_order_stats",
     "large_orders",
-    # next round: setops_buyers, value_percentiles, nation_volume_by_year,
-    # top_returning_customers, date_scaffold, pivot_type_by_day,
-    # approx_distinct_users, measure_*, text_quality, lang_id,
-    # doc_fingerprint, minhash_signature, simhash*, ngram_jaccard,
-    # vocabulary_top, chunk_documents, redact_pii + r02-green batch
+    # next round, in priority order: (1) new r3 probes never checked —
+    # substring_filtered_docs, dedup_normalized, salted_agg_events,
+    # salted_join_events; (2) rolling r01 tail — setops_buyers,
+    # value_percentiles, nation_volume_by_year, top_returning_customers,
+    # date_scaffold, pivot_type_by_day, approx_distinct_users,
+    # measure_*, text_quality, lang_id, doc_fingerprint,
+    # minhash_signature, simhash*, ngram_jaccard, vocabulary_top,
+    # chunk_documents, redact_pii; (3) r02-green batch on rotation
 ]
 
 
