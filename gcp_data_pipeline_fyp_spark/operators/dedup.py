@@ -538,16 +538,19 @@ def exact_substring_filter(
 ) -> DataFrame:
     """Drop documents whose duplicated-window fraction exceeds
     `max_dup_ratio` (RefinedWeb-style doc-level consequence of the Lee
-    et al. substring measurement; docs shorter than one window carry
-    ratio 0 and are kept)."""
+    et al. substring measurement). Docs with no windows at all — shorter
+    than one window, or NULL text — carry ratio 0 and are kept: they are
+    identified as the anti-join against the stats (a size(split(...))
+    re-derivation would lose NULL-text docs, whose size is NULL under
+    ANSI semantics and falls out of both filter branches)."""
     stats = substring_dup_stats(df, id_col, text_col, n_tokens)
     keep = stats.filter(
         F.col("dup_ratio") <= max_dup_ratio
     ).select(id_col)
-    short = df.select(id_col, F.col(text_col)).filter(
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) < n_tokens
-    ).select(id_col)
-    return df.join(keep.union(short).distinct(), id_col, "left_semi")
+    no_windows = df.select(id_col).join(
+        stats.select(id_col), id_col, "left_anti"
+    )
+    return df.join(keep.union(no_windows).distinct(), id_col, "left_semi")
 
 
 # ------------------------------------------------ persisted digest index

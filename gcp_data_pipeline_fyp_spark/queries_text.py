@@ -1846,7 +1846,10 @@ ratios AS (
 keep AS (
   SELECT doc_id FROM ratios WHERE dup_ratio <= 0.2
   UNION
-  SELECT doc_id FROM t WHERE len(toks) < 8)
+  -- no-windows docs (short or NULL text): anti-join, not len(toks)<8 —
+  -- len of a NULL token list is NULL and would drop NULL-text docs
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM ratios))
 SELECT d.doc_id, d.lang FROM documents d
 JOIN keep USING (doc_id) ORDER BY d.doc_id
 """

@@ -892,6 +892,27 @@ def test_exact_substring_filter_drops_heavy_dups_keeps_short(spark):
     assert kept == {1, 3, 4}
 
 
+def test_exact_substring_filter_keeps_null_text_docs(spark):
+    """NULL text has no windows -> ratio 0 -> kept. (size(split(NULL))
+    is NULL under ANSI semantics; a naive short-doc re-derivation drops
+    such docs from BOTH branches — regression guard.)"""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        exact_substring_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "plenty of fine original words here"), (2, None), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in exact_substring_filter(
+            docs, "doc_id", "text", n_tokens=4, max_dup_ratio=0.5
+        ).collect()
+    }
+    assert kept == {1, 2, 3}
+
+
 # ------------------- persisted digest index (indexed incremental dedup)
 def test_digest_index_three_batch_parity(spark, tmp_path):
     """Three daily batches through the persisted index == re-running
