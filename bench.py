@@ -225,7 +225,11 @@ def main() -> None:
             if q in timings
         }
         if ratios:
-            med = sorted(ratios.values())[len(ratios) // 2]
+            s = sorted(ratios.values())
+            mid = len(s) // 2
+            med = round(
+                s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
+            )
             out["drift_vs_r01"] = {"ratios": ratios, "median": med}
     print(json.dumps(out))
     spark.stop()

@@ -84,6 +84,16 @@ def connected_components(
     realistic round count (2^25 nodes of pathological structure), and
     the function raises rather than return a partial closure.
     """
+    # all endpoint nodes, BEFORE self-loops drop: a node whose only
+    # edge is a self-loop is a singleton component and must still
+    # appear in the output (parity with min-label propagation, which
+    # labeled every endpoint)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     cur = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -105,12 +115,10 @@ def connected_components(
             children = cur.select(
                 F.col("u").alias("node"), F.col("v").alias("component")
             )
-            roots = (
-                cur.select(F.col("v").alias("node"))
-                .distinct()
-                .withColumn("component", F.col("node"))
-            )
-            return children.union(roots)
+            singletons = nodes.join(
+                cur.select(F.col("u").alias("node")), "node", "left_anti"
+            ).withColumn("component", F.col("node"))
+            return children.union(singletons)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

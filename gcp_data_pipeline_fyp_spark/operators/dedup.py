@@ -499,6 +499,10 @@ def substring_dup_stats(
     t = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
         "__n", F.size("__toks")
     )
+    # length-prefixed token encoding before hashing: a bare separator
+    # would let tokens containing the separator char collide across
+    # window boundaries (same rationale as _key_token above); the
+    # length prefix makes the concatenation uniquely decodable
     wins = t.filter(F.col("__n") >= n_tokens).select(
         F.col(id_col),
         F.posexplode(
@@ -507,7 +511,13 @@ def substring_dup_stats(
                 lambda i: F.unhex(
                     F.md5(
                         F.concat_ws(
-                            "\x1f", F.slice(F.col("__toks"), i, n_tokens)
+                            "",
+                            F.transform(
+                                F.slice(F.col("__toks"), i, n_tokens),
+                                lambda tok: F.concat_ws(
+                                    ":", F.length(tok), tok
+                                ),
+                            ),
                         )
                     )
                 ),
@@ -543,7 +553,10 @@ def exact_substring_filter(
     identified as the anti-join against the stats (a size(split(...))
     re-derivation would lose NULL-text docs, whose size is NULL under
     ANSI semantics and falls out of both filter branches)."""
-    stats = substring_dup_stats(df, id_col, text_col, n_tokens)
+    # persist: stats feeds BOTH the ratio filter and the no-windows
+    # anti-join — unpersisted, the window-explode pipeline (the heavy
+    # part) would run twice
+    stats = substring_dup_stats(df, id_col, text_col, n_tokens).persist()
     keep = stats.filter(
         F.col("dup_ratio") <= max_dup_ratio
     ).select(id_col)

@@ -44,12 +44,19 @@ def heavy_hitters(
     streams). `strategy="direct"` is a plain groupBy+HAVING — fewer
     bytes when the universe is known-small (enums, country codes; see
     the measured crossover note above). Identical output either way.
+
+    NULL items are excluded under BOTH strategies (the sketch pass
+    cannot propose NULL as a candidate — `isin` is NULL-blind — so the
+    direct path filters NULLs explicitly to keep the strategies
+    interchangeable; a NULL-heavy column is a data-quality problem for
+    the quality gate, not a hitter).
     """
     if strategy == "direct":
         total = df.count()
         floor = int(min_fraction * total)
         return (
-            df.groupBy(F.col(col).alias("item"))
+            df.filter(F.col(col).isNotNull())
+            .groupBy(F.col(col).alias("item"))
             .agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") > floor)
         )

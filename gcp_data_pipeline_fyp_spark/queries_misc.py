@@ -535,7 +535,7 @@ SQL_SALTED_AGG_EVENTS = """
 SELECT event_type AS lb_type,
        sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
        count(*) AS n_rows
-FROM events GROUP BY 1 ORDER BY 1
+FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST
 """
 
 MISC_QUERIES["salted_agg_events"] = (q_salted_agg_events, SQL_SALTED_AGG_EVENTS)

@@ -1753,8 +1753,11 @@ batch AS (
   SELECT doc_id + 2000000 AS doc_id, text, lang
   FROM documents WHERE doc_id >= 250 AND doc_id % 7 = 0),
 novel AS (
+  -- IS NOT DISTINCT FROM: the Spark side matches on a NULL-tagged
+  -- digest, so NULL text in base must suppress NULL text in the batch
   SELECT * FROM batch b
-  WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.text = b.text))
+  WHERE NOT EXISTS (
+    SELECT 1 FROM base WHERE base.text IS NOT DISTINCT FROM b.text))
 SELECT doc_id, lang FROM novel
 WHERE doc_id IN (SELECT min(doc_id) FROM novel GROUP BY text)
 ORDER BY doc_id
@@ -1785,7 +1788,9 @@ WITH t AS (
 tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
 wins AS (
   SELECT doc_id, u.i AS pos,
-         md5(array_to_string(toks[u.i : u.i + 7], chr(31))) AS whash
+         md5(array_to_string(list_transform(toks[u.i : u.i + 7],
+             t -> concat(CAST(length(t) AS VARCHAR), ':', t)), ''))
+           AS whash
   FROM tt CROSS JOIN LATERAL
     (SELECT unnest(generate_series(1, tt.n - 7)) AS i) u),
 flagged AS (
@@ -1830,7 +1835,9 @@ WITH t AS (
 tt AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 8),
 wins AS (
   SELECT doc_id, u.i AS pos,
-         md5(array_to_string(toks[u.i : u.i + 7], chr(31))) AS whash
+         md5(array_to_string(list_transform(toks[u.i : u.i + 7],
+             t -> concat(CAST(length(t) AS VARCHAR), ':', t)), ''))
+           AS whash
   FROM tt CROSS JOIN LATERAL
     (SELECT unnest(generate_series(1, tt.n - 7)) AS i) u),
 flagged AS (

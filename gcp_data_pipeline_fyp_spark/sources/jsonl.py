@@ -58,7 +58,11 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     the split caches once and both sides reuse it.
     """
     if CORRUPT_COL not in df.columns:
-        return df, df.limit(0).select(F.col(df.columns[0]).alias("raw")).limit(0)
+        # empty corrupt frame, raw typed STRING so it unions cleanly
+        # with real corrupt frames in a shared dead-letter sink
+        return df, df.limit(0).select(
+            F.lit(None).cast("string").alias("raw")
+        )
     df = df.cache()
     valid = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     corrupt = df.filter(F.col(CORRUPT_COL).isNotNull()).select(

@@ -519,6 +519,19 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
         for r in heavy_hitters(df, "item", 0.1, strategy="direct").collect()
     }
     assert direct == got
+    # NULL items excluded under BOTH strategies (isin is NULL-blind in
+    # the sketch path; direct filters explicitly to stay interchangeable)
+    with_nulls = df.unionByName(
+        spark.createDataFrame([(None,)] * 300, "item string")
+    )
+    for strat in ("sketch", "direct"):
+        out = {
+            r["item"]
+            for r in heavy_hitters(
+                with_nulls, "item", 0.2, strategy=strat
+            ).collect()
+        }
+        assert None not in out, strat
     import pytest
 
     with pytest.raises(ValueError, match="strategy"):

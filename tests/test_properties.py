@@ -160,19 +160,19 @@ def test_rollup_merge_fuzz_equals_rebuild(spark, rows):
 )
 def test_connected_components_fuzz_vs_union_find(spark, edges):
     """Star-contraction CC == classic union-find on arbitrary small
-    graphs (self-loops, duplicate edges, both orientations)."""
+    graphs — self-loops INCLUDED (a node whose only edge is a self-loop
+    is a singleton component and must appear in the output)."""
     from gcp_data_pipeline_fyp_spark.operators.components import (
         connected_components,
     )
 
-    clean = [(a, b) for a, b in edges if a != b]
-    if not clean:
+    if not edges:
         return
-    df = spark.createDataFrame(clean, "id_a long, id_b long")
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
-    # union-find oracle
+    # union-find oracle over every endpoint (self-loops register the node)
     parent = {}
 
     def find(x):
@@ -182,7 +182,7 @@ def test_connected_components_fuzz_vs_union_find(spark, edges):
             x = parent[x]
         return x
 
-    for a, b in clean:
+    for a, b in edges:
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

@@ -159,9 +159,9 @@ def main() -> None:
         t["substring_dedup"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
-        batch = docs.limit(0).unionByName(
-            docs.withColumn("doc_id", F.col("doc_id") + 500_000_000)
-        )
+        # batch = the whole base re-delivered under fresh ids (worst
+        # case: every row must be anti-joined away)
+        batch = docs.withColumn("doc_id", F.col("doc_id") + 500_000_000)
         incremental_exact_dedup(batch, docs, ["text"], id_col="doc_id").write.mode(
             "overwrite"
         ).format("noop").save()
