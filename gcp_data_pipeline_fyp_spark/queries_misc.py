@@ -573,3 +573,106 @@ GROUP BY 1 ORDER BY 1
 """
 
 MISC_QUERIES["salted_join_events"] = (q_salted_join_events, SQL_SALTED_JOIN_EVENTS)
+
+
+# ------------------------------------------- ingest-gap monitoring
+def q_missing_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar days inside the events span with NO events for one of
+    the tracked event types — the ops-monitoring anti-join every daily
+    feed needs (a silent one-day ingest gap is invisible to totals).
+    Scaffold × types is tiny (days × |types|) and broadcasts against
+    the observed (day, type) pairs. Window is r4-queue."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf, "events")
+    # plant a feed outage (clicks silently absent on every 7th-ish
+    # day) so the probe certifies nonzero gap rows, not just the shape
+    feed = ev.filter(
+        ~((F.col("event_type") == "click") & (F.dayofmonth("ts") % 7 == 3))
+    )
+    bounds = ev.select(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("d"))
+    types = ev.select("event_type").distinct()
+    expected = days.crossJoin(types)
+    observed = feed.select(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).distinct()
+    return (
+        expected.join(observed, ["d", "event_type"], "left_anti")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("lb_type"),
+        )
+        .orderBy("day", "lb_type")
+    )
+
+
+SQL_MISSING_DAYS = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+           FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+         FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+observed AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, event_type FROM events
+  WHERE NOT (event_type = 'click' AND day(CAST(ts AS DATE)) % 7 = 3))
+SELECT strftime(e.d, '%Y-%m-%d') AS day, e.event_type AS lb_type
+FROM (SELECT * FROM days CROSS JOIN types) e
+LEFT JOIN observed o ON e.d = o.d AND e.event_type = o.event_type
+WHERE o.d IS NULL
+ORDER BY day, lb_type
+"""
+
+MISC_QUERIES["missing_days"] = (q_missing_days, SQL_MISSING_DAYS)
+
+
+# --------------------------------------- char-entropy quality score
+def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy (bits) of each document's character distribution
+    — the gibberish/boilerplate detector CCNet-class pipelines use:
+    compressed spam and repeated-char padding score low, natural prose
+    ~4 bits. Pure aggregation shape: explode chars -> (doc, char)
+    counts -> -sum p log2 p keyed per doc; one corpus-linear shuffle of
+    (doc_id, char) pairs. Window is r4-queue."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.log2("n")).alias("sum_nlogn"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            F.round(
+                F.log2("total") - F.col("sum_nlogn") / F.col("total"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents),
+f AS (SELECT doc_id, ch, count(*) AS n FROM chars WHERE ch <> ''
+      GROUP BY doc_id, ch),
+p AS (SELECT doc_id, sum(n) AS total, sum(n * log2(n)) AS sum_nlogn
+      FROM f GROUP BY doc_id)
+SELECT doc_id,
+       CAST(round(log2(total) - sum_nlogn / total, 6) AS DECIMAL(18,6))
+         AS entropy_bits
+FROM p ORDER BY doc_id
+"""
+
+MISC_QUERIES["char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)
