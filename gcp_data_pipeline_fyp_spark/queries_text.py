@@ -1908,3 +1908,67 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["dedup_normalized"] = (q_dedup_normalized, SQL_DEDUP_NORMALIZED)
+
+
+# ------------------------------- quality-weighted sampling (score mix)
+def q_quality_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-bucketed keep rates (DCLM/FineWeb-Edu-style mixing,
+    public method): score every doc with the self-trained unigram LM
+    (mean -log2 p per token), band by static thresholds, then keep
+    100% of high / 50% of mid / 10% of low via the content-keyed
+    stratified sampler — score once, sample deterministically; the
+    thresholds come from offline calibration exactly as production
+    mixes do. Window is r4-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    scores = q_unigram_logprob_score(spark, sf)
+    banded = scores.withColumn(
+        "quality",
+        F.when(F.col("mean_nll") <= 4.905, "high")
+        .when(F.col("mean_nll") <= 4.92, "mid")
+        .otherwise("low"),
+    )
+    out = stratified_hash_sample(
+        banded, ["doc_id"], "quality",
+        {"high": 1.0, "mid": 0.5, "low": 0.1}, seed=23,
+    )
+    return out.select("doc_id", "quality", "mean_nll").orderBy("doc_id")
+
+
+from gcp_data_pipeline_fyp_spark.operators.sampling import (  # noqa: E402
+    hash_bucket_sql as _hbs23,
+)
+
+_B23 = _hbs23(["doc_id"], seed=23)
+SQL_QUALITY_WEIGHTED_SAMPLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+c AS (SELECT tok, count(*) AS c FROM e GROUP BY tok),
+s AS (SELECT sum(c) AS total, count(*) AS vocab FROM c),
+n AS (SELECT e.doc_id,
+        -log2((c.c + 1.0) / (s.total + s.vocab)) AS nll
+      FROM e JOIN c USING (tok) CROSS JOIN s),
+scored AS (
+  SELECT doc_id,
+    round(cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*), 6)
+      AS mean_nll
+  FROM n GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, mean_nll,
+    CASE WHEN mean_nll <= 4.905 THEN 'high'
+         WHEN mean_nll <= 4.92 THEN 'mid'
+         ELSE 'low' END AS quality
+  FROM scored)
+SELECT doc_id, quality, mean_nll FROM banded
+WHERE {_B23} < (CASE quality WHEN 'high' THEN 1000000
+                             WHEN 'mid' THEN 500000
+                             ELSE 100000 END)
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["quality_weighted_sample"] = (
+    q_quality_weighted_sample,
+    SQL_QUALITY_WEIGHTED_SAMPLE,
+)
