@@ -1972,3 +1972,65 @@ TEXT_QUERIES["quality_weighted_sample"] = (
     q_quality_weighted_sample,
     SQL_QUALITY_WEIGHTED_SAMPLE,
 )
+
+
+# ------------------------------------------- sentence-level span dedup
+def q_sentence_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-level span dedup — the unit C4's repeated-span scrub
+    actually used. Sentence boundaries are marked by rewriting
+    '[.!?] +' to a control separator (no lookbehind: RE2 oracles can't
+    express one), then the paragraph-dedup machinery runs with that
+    separator: planted boilerplate sentences collapse to their first
+    (doc, position) while each doc's unique body survives. Window is
+    r4-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import paragraph_dedup
+
+    boiler = "All rights reserved."
+    promo = "Click here to sign up now."
+    docs = _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(". "), F.lit(boiler), F.lit(" "), F.lit(promo)
+        ).alias("text"),
+    )
+    marked = docs.withColumn(
+        "text", F.regexp_replace("text", "([.!?])\\s+", "$1\x1e")
+    )
+    out = paragraph_dedup(marked, "doc_id", "text", sep="\x1e")
+    return out.select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", "\x1e", " ")).alias("text_md5"),
+        F.col("n_paras").cast("long").alias("n_sentences"),
+    ).orderBy("doc_id")
+
+
+SQL_SENTENCE_DEDUP = r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || '. ' || 'All rights reserved.' || ' '
+              || 'Click here to sign up now.' AS text
+  FROM documents),
+marked AS (
+  SELECT doc_id,
+         regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g') AS text
+  FROM docs),
+split_docs AS (
+  SELECT doc_id, string_split(text, chr(30)) AS l FROM marked),
+parts AS (
+  SELECT doc_id, unnest(l) AS para, generate_subscripts(l, 1) AS pos
+  FROM split_docs),
+kept AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) AS rn
+  FROM parts WHERE length(para) >= 1)
+SELECT doc_id,
+       md5(replace(string_agg(para, chr(30) ORDER BY pos), chr(30), ' '))
+         AS text_md5,
+       count(*) AS n_sentences
+FROM kept WHERE rn = 1
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["sentence_dedup"] = (q_sentence_dedup, SQL_SENTENCE_DEDUP)
