@@ -2034,3 +2034,110 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["sentence_dedup"] = (q_sentence_dedup, SQL_SENTENCE_DEDUP)
+
+
+# ----------------------------------------------- corpus length histogram
+def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Log2-bucketed document length histogram with per-bucket token
+    mass — the first chart of every corpus datasheet; one scan, one
+    tiny aggregation. Window is r4-queue."""
+    d = _docs(spark, sf)
+    return (
+        d.select(
+            F.floor(F.log2(F.greatest(F.length("text"), F.lit(1))))
+            .cast("int")
+            .alias("log2_chars"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        )
+        .groupBy("log2_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .orderBy("log2_chars")
+    )
+
+
+SQL_LENGTH_HISTOGRAM = r"""
+SELECT CAST(floor(log2(greatest(length(text), 1))) AS INT) AS log2_chars,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+FROM documents
+GROUP BY 1 ORDER BY 1
+"""
+
+TEXT_QUERIES["length_histogram"] = (q_length_histogram, SQL_LENGTH_HISTOGRAM)
+
+
+# ------------------------------------------------ batch n-gram novelty
+def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc n-gram novelty of a batch against a base corpus: the
+    fraction of a batch doc's distinct 3-gram shingles unseen anywhere
+    in the base — the freshness metric a corpus-update pipeline tracks
+    (a batch full of 0-novelty docs is a re-crawl, not new data).
+    Base = doc_id < 400, batch = the rest. The base side reduces to
+    DISTINCT shingle digests before the join — at 100 TB the base
+    never ships shingle text, same discipline as incremental dedup.
+    Window is r4-queue."""
+    from gcp_data_pipeline_fyp_spark.functions.text import shingles, tokens
+
+    d = _docs(spark, sf)
+    base = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    base_digests = (
+        base.select(
+            F.explode(shingles(tokens("text"), 3)).alias("sh")
+        )
+        .select(F.unhex(F.md5("sh")).alias("digest"))
+        .distinct()
+    )
+    batch_sh = batch.select(
+        "doc_id",
+        F.explode(shingles(tokens("text"), 3)).alias("sh"),
+    ).select("doc_id", F.unhex(F.md5("sh")).alias("digest"))
+    flagged = batch_sh.join(
+        base_digests.withColumn("__seen", F.lit(1)), "digest", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+            F.round(
+                F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_NGRAM_NOVELTY = f"""
+WITH base_t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+                WHERE doc_id < 400),
+base_sh AS (
+  SELECT DISTINCT md5(sh) AS digest
+  FROM (SELECT unnest({_SQL_SHINGLES.replace("toks", "toks")}) AS sh
+        FROM (SELECT {_SQL_TOKS} AS toks FROM documents WHERE doc_id < 400) s)),
+batch_t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id >= 400),
+batch_sh AS (
+  SELECT doc_id, md5(sh) AS digest
+  FROM (SELECT doc_id, unnest({_SQL_SHINGLES}) AS sh FROM batch_t) s),
+flagged AS (
+  SELECT b.doc_id, (base_sh.digest IS NOT NULL) AS seen
+  FROM batch_sh b LEFT JOIN base_sh ON b.digest = base_sh.digest)
+SELECT doc_id,
+       count(*) AS n_shingles,
+       sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS n_novel,
+       CAST(round(CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS DECIMAL(18,6)) AS novelty
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+TEXT_QUERIES["ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
