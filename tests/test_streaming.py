@@ -281,3 +281,59 @@ def test_windowed_counts_drop_late_data_past_watermark(spark, tmp_path):
     assert got.get(10) == 1, f"late event must not reopen 10:00 window: {got}"
     assert got.get(13) == 1, f"in-horizon event must be counted: {got}"
     assert got.get(14) == 1, got
+
+
+def test_streaming_corpus_ingest_with_digest_index(spark, tmp_path):
+    """Streaming corpus ingest with content dedup via the persisted
+    digest index: each micro-batch anti-joins the index (never the
+    corpus), appends only novel docs, and folds their digests forward —
+    across RESTARTS of the stream (second file, same checkpoint)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        incremental_dedup_indexed,
+    )
+
+    in_dir = tmp_path / "docs_in"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt_docs")
+
+    base = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    wh.overwrite(base, "corpus")
+    build_digest_index(wh, base, ["text"], "corpus")
+
+    def ingest(batch, batch_id):
+        novel = incremental_dedup_indexed(
+            wh, batch, ["text"], "corpus", id_col="doc_id"
+        )
+        wh.append(novel, "corpus")
+
+    def run_stream():
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("header", True)
+            .csv(str(in_dir))
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (in_dir / "f1.csv").write_text(
+        "doc_id,text\n10,seen before\n11,fresh one\n12,fresh one\n"
+    )
+    run_stream()
+    got1 = {r["doc_id"] for r in wh.read("corpus").collect()}
+    assert got1 == {1, 2, 11}  # 10 dup-of-base, 12 in-batch dup of 11
+
+    # restart with a second file: dups of the previous batch's survivor
+    # must now be suppressed by the folded-forward index
+    (in_dir / "f2.csv").write_text(
+        "doc_id,text\n20,fresh one\n21,genuinely new\n"
+    )
+    run_stream()
+    got2 = {r["doc_id"] for r in wh.read("corpus").collect()}
+    assert got2 == {1, 2, 11, 21}
