@@ -33,81 +33,83 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-3 WINDOW, in priority order:
-#   1. red in r02 (star_schema_fact — decimal(18,6) fix applied)
-#   2. plan changed since last green row: the decimal(18,6) emission
-#      change (domain_stats, ann/embedding cosine outputs, kmeans) and
-#      the exact-dedup digest-unhex change (everything built on
-#      exact_dedup), plus CC rewrite (dup_clusters, canonical_docs) and
-#      the r02 merge/minhash changes that yielded their slots last round
-#   3. never driver-checked (added after the r02 window filled)
-#   4. r01-green queries unchecked since r01 — rolling re-certification
+# ROUND-4 WINDOW, in priority order:
+#   1. retyped this round: the 9 decimal(18,6) reds of r03 moved to
+#      scaled-BIGINT micro-units on BOTH engines (DuckDB returns
+#      DECIMAL to the driver as float64, so decimal can never
+#      hash-match), filter_fail_matrix's oracle sums CAST AS BIGINT,
+#      and the two HLL probes now emit an exact+error-bound shape with
+#      a real oracle (previously rows-only)
+#   2. never driver-checked (r3 additions, queued from the r3 comment)
+#   3. the reference's real workload: 6 measure_* shapes, r01-green but
+#      untouched through two rounds of engine churn
+#   4. r01-tail rolling re-certification (oldest rows in the registry)
 _CHECK_FIRST = [
-    # -- red in r02, fixed this round
+    # -- retyped to micro-unit BIGINT emission (r03 hash-reds)
     "star_schema_fact",
-    # -- never driver-checked (new probes + post-window r02 additions)
-    "filter_chain_report",
     "filter_fail_matrix",
-    "incremental_dedup",
-    "merge_upsert_partitioned",
     "substring_dup_report",
-    "boilerplate_docs",
-    "clean_text_docs",
-    "temperature_mix",
     "domain_stats",
-    # -- plan changed since last green row: decimal(18,6) emission
     "ann_cosine_topk",
     "embedding_neardup",
     "embedding_neardup_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
-    "kmeans_embeddings",
     "semantic_neardup_kmeans",
-    # -- plan changed: exact-dedup digest unhex (16-byte binary keys)
-    "dedup_exact_stats",
-    "dedup_exact_rows",
-    "paragraph_dedup",
-    "gopher_filter",
-    "dedupe_corpus",
-    "corpus_prep",
-    "corpus_prep_full",
-    # -- plan changed: connected-components two-phase star contraction
-    "dup_clusters",
-    "canonical_docs",
-    # -- r02 plan changes that never got a driver row (rotated out)
-    "merge_upsert",
-    "minhash_lsh_pairs",
-    # -- rolling re-certification: r01-green, unchecked since r01
-    "stg_null_coerce",
-    "ods_typed_banding",
-    "event_id_hash",
-    "tz_convert",
-    "date_dim",
-    "place_parse",
-    "surrogate_keys",
-    "surrogate_keys_incremental",
-    "anti_join_dedup",
-    "quality_gate_accepted",
-    "quality_gate_rejected",
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_nation_revenue",
-    "order_priority_count",
-    "brand_revenue",
-    "top_suppliers",
-    "running_customer_spend",
-    "sessionize_events",
-    "rollup_type_day",
-    "customer_order_stats",
-    "large_orders",
-    # next round, in priority order: (1) new r3 probes never checked —
-    # substring_filtered_docs, dedup_normalized, salted_agg_events,
-    # salted_join_events; (2) rolling r01 tail — setops_buyers,
-    # value_percentiles, nation_volume_by_year, top_returning_customers,
-    # date_scaffold, pivot_type_by_day, approx_distinct_users,
-    # measure_*, text_quality, lang_id, doc_fingerprint,
-    # minhash_signature, simhash*, ngram_jaccard, vocabulary_top,
-    # chunk_documents, redact_pii; (3) r02-green batch on rotation
+    # -- rows-only -> oracle-able (exact distinct + within_5pct verdict)
+    "approx_distinct_users",
+    "distinct_users_rollup",
+    # -- never driver-checked (r3 additions)
+    "substring_filtered_docs",
+    "dedup_normalized",
+    "salted_agg_events",
+    "salted_join_events",
+    "missing_days",
+    "char_entropy",
+    "quality_weighted_sample",
+    "length_histogram",
+    "ngram_novelty",
+    "sentence_dedup",
+    # -- reference workload re-cert (r01-green, 2 rounds untouched)
+    "measure_latest_update",
+    "measure_avg_magnitude",
+    "measure_max_depth",
+    "measure_totals_by_type",
+    "measure_total_events",
+    "measure_sliced_by_day",
+    # -- rolling re-certification: oldest driver rows (r01 tail)
+    "setops_buyers",
+    "value_percentiles",
+    "pivot_type_by_day",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signature",
+    "simhash",
+    "simhash_dup_groups",
+    "ngram_jaccard",
+    "vocabulary_top",
+    "chunk_documents",
+    "redact_pii",
+    "nation_volume_by_year",
+    "top_returning_customers",
+    "date_scaffold",
+    "windowed_counts",
+    "multimodal_byte_features",
+    "hash_sample",
+    "json_extract",
+    "asof_last_click",
+    "range_join_shipments",
+    # next round (r05), in priority order: (1) anything red in r04;
+    # (2) rolling re-cert of the r02/r03-green batch now aging —
+    # train_val_test_split, decontaminate_corpus, pack_sequences,
+    # repetition_metrics, stratified_sample, bm25_search,
+    # tfidf_top_terms, token_budget_sample, corpus_mix_report,
+    # pagerank_sim_graph, unigram_logprob_score, clean_html_docs,
+    # rollup_incremental, daily_p95_sliding, quantile_rollup,
+    # dax_q*, sql_interface, numeric_profile, outlier_events,
+    # interval_attribution, heavy_hitter_tokens, cdc_snapshot;
+    # (3) the r03-green dedup/corpus family on rotation
 ]
 
 

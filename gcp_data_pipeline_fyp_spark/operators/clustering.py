@@ -10,8 +10,10 @@ the operator composes with the rest of the engine's plans:
   average per (cluster, pos) — a corpus-sized but narrow shuffle;
 - convergence: count of rows whose assignment changed — one scalar per
   iteration (the A4 MAX-snapshot pattern, not a data collect);
-- per-iteration `localCheckpoint` truncates the self-referential
-  lineage, exactly like operators/components.py.
+- per-iteration materialization truncates the self-referential
+  lineage, exactly like operators/components.py (executor-local by
+  default; reliable `checkpoint_dir` for fault-exposed cluster runs —
+  operators/iterate.py).
 
 Determinism: init is the k lowest-id corpus vectors; ties in the
 argmin break on centroid id; centroid means use exact decimal sums so
@@ -32,6 +34,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
+from gcp_data_pipeline_fyp_spark.operators.iterate import materialize
+from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
 
 def _sq_dist(a, b) -> F.Column:
@@ -64,11 +68,16 @@ def kmeans(
     vec_col: str,
     k: int = 8,
     max_iter: int = 10,
+    checkpoint_dir: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster rows by embedding; returns (assignments, centroids).
 
     assignments: (id_col, cluster_id); centroids: (cluster_id,
     centroid array<double>). Stops early when no assignment changes.
+
+    `checkpoint_dir`: per-iteration lineage truncation is executor-
+    local by default (right for local mode); pass a reliable directory
+    for fault-tolerant cluster runs (operators/iterate.py, DEPLOY.md).
     """
     pts = df.select(
         F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
@@ -80,8 +89,9 @@ def kmeans(
             F.row_number().over(Window.orderBy("__id")).alias("cluster_id"),
             F.col("__v").alias("__centroid"),
         )
-    ).localCheckpoint()
-    assigned = _assign_nearest(pts, cent).localCheckpoint()
+    )
+    cent = materialize(cent, checkpoint_dir)
+    assigned = materialize(_assign_nearest(pts, cent), checkpoint_dir)
     for _ in range(max_iter):
         # decimal-exact per-dimension mean: partial-agg order independent
         cent = (
@@ -104,8 +114,9 @@ def kmeans(
                     lambda s: s["__m"],
                 ).alias("__centroid")
             )
-        ).localCheckpoint()
-        new_assigned = _assign_nearest(pts, cent).localCheckpoint()
+        )
+        cent = materialize(cent, checkpoint_dir)
+        new_assigned = materialize(_assign_nearest(pts, cent), checkpoint_dir)
         changed = (
             new_assigned.alias("n")
             .join(assigned.alias("o"), "__id")
@@ -152,9 +163,7 @@ def semantic_neardup_kmeans(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("__va"), F.col("__vb")), 6)
-            .cast("decimal(18,6)")
-            .alias("cosine"),
+            micro6(cosine(F.col("__va"), F.col("__vb"))).alias("cosine_micro"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine_micro") >= int(round(threshold * 1_000_000)))
     )

@@ -18,10 +18,12 @@ is the classic scale killer, star contraction is the published fix.
 
 Per round: two groupBy+join passes over the CANDIDATE PAIR set —
 orders of magnitude smaller than the corpus (LSH keeps it
-near-linear) — never a corpus-scale shuffle. Every round
-localCheckpoints the edge frame: without it the lineage doubles per
-round and the plan blows up by round ~15. The convergence test
-(edge-set stability) is two small probe jobs per round, not a
+near-linear) — never a corpus-scale shuffle. Every round materializes
+the edge frame (operators/iterate.py): without it the lineage doubles
+per round and the plan blows up by round ~15. Truncation is
+executor-local by default; pass `checkpoint_dir` for reliable
+checkpointing on fault-exposed multi-executor runs. The convergence
+test (edge-set stability) is two small probe jobs per round, not a
 `.collect()` of data.
 """
 
@@ -29,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.iterate import materialize
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -75,6 +79,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
@@ -83,16 +88,20 @@ def connected_components(
     regardless of diameter; `max_iter` is a safety net far above any
     realistic round count (2^25 nodes of pathological structure), and
     the function raises rather than return a partial closure.
+
+    `checkpoint_dir`: per-round lineage truncation is executor-local by
+    default (fast; right for local mode) — pass a reliable directory for
+    fault-tolerant multi-executor runs (operators/iterate.py, DEPLOY.md).
     """
     # all endpoint nodes, BEFORE self-loops drop: a node whose only
     # edge is a self-loop is a singleton component and must still
     # appear in the output (parity with min-label propagation, which
     # labeled every endpoint)
-    nodes = (
+    nodes = materialize(
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint_dir,
     )
     cur = (
         edges.select(
@@ -101,10 +110,10 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
+    cur = materialize(cur, checkpoint_dir)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint()
+        nxt = materialize(_small_star(_large_star(cur)), checkpoint_dir)
         stable = (
             nxt.count() == cur.count()
             and nxt.subtract(cur).limit(1).count() == 0
@@ -130,6 +139,7 @@ def pagerank(
     dst: str = "id_b",
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list.
 
@@ -151,7 +161,9 @@ def pagerank(
     )
     deg = und.groupBy("a").agg(F.count("*").alias("__deg"))
     ed = und.join(deg, "a").persist()
-    nodes = und.select(F.col("a").alias("v")).distinct().localCheckpoint()
+    nodes = materialize(
+        und.select(F.col("a").alias("v")).distinct(), checkpoint_dir
+    )
     n = nodes.count()
     base = 1.0 / n
     teleport = (1.0 - damping) / n
@@ -178,8 +190,8 @@ def pagerank(
                     14,
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        ranks = materialize(ranks, checkpoint_dir)
     und.unpersist()
     ed.unpersist()
     return ranks.select(F.col("v").alias("node"), "rank")
@@ -203,14 +215,15 @@ def pagerank_iteration_sql(
 
 
 def dup_clusters(
-    df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b"
+    df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Attach `cluster_id` (transitive closure) to every row of `df`.
 
     Rows not in any pair get their own id as cluster — so
     `filter(id_col == cluster_id)` keeps exactly one doc per cluster.
     """
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
     return df.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(

@@ -45,6 +45,7 @@ from gcp_data_pipeline_fyp_spark.functions.text import (
 )
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
 from gcp_data_pipeline_fyp_spark.operators.sampling import _key_token
+from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
 
 def _content_digest(key_cols: Sequence[str]):
@@ -249,15 +250,15 @@ def embedding_neardup_pairs(
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    cos = cosine(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.cast("decimal(18,6)").alias("cosine"),
+            micro6(cos).alias("cosine_micro"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine_micro") >= int(round(threshold * 1_000_000)))
     )
 
 
@@ -287,7 +288,7 @@ def embedding_neardup_lsh(
         F.col(id_col), as_double_vec(vec_col).alias("__v")
     ).withColumn("__bucket", lsh_sign_bucket(F.col("__v"), planes))
     a, b = bucketed.alias("a"), bucketed.alias("b")
-    cos = F.round(cosine(F.col("a.__v"), F.col("b.__v")), 6)
+    cos = cosine(F.col("a.__v"), F.col("b.__v"))
     return (
         a.join(
             b,
@@ -297,9 +298,9 @@ def embedding_neardup_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cos.cast("decimal(18,6)").alias("cosine"),
+            micro6(cos).alias("cosine_micro"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .filter(F.col("cosine_micro") >= int(round(threshold * 1_000_000)))
     )
 
 
@@ -483,10 +484,11 @@ def substring_dup_stats(
     an identical window occurs earlier in the corpus order
     (smaller (doc id, position)). Output per doc with >= 1 window:
 
-        (id_col, n_windows, n_dup_windows, dup_ratio)
+        (id_col, n_windows, n_dup_windows, dup_ratio_micro)
 
-    `dup_ratio` is the fraction of the doc covered by text repeated
-    elsewhere — the score `exact_substring_filter` thresholds on.
+    `dup_ratio_micro` is the fraction of the doc covered by text
+    repeated elsewhere, in integer micro-units (1e6 = all windows
+    duplicated) — the score `exact_substring_filter` thresholds on.
 
     Scale shape: windows shuffle as 16-byte md5 digests (window TEXT is
     hashed in the map stage and never shuffles — at 100 TB the window
@@ -531,11 +533,9 @@ def substring_dup_stats(
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_windows"),
         F.sum(F.col("__dup").cast("long")).alias("n_dup_windows"),
-        F.round(
-            F.sum(F.col("__dup").cast("long")) / F.count(F.lit(1)), 6
-        )
-        .cast("decimal(18,6)")
-        .alias("dup_ratio"),
+        micro6(
+            F.sum(F.col("__dup").cast("long")) / F.count(F.lit(1))
+        ).alias("dup_ratio_micro"),
     )
 
 
@@ -553,12 +553,15 @@ def exact_substring_filter(
     identified as the anti-join against the stats (a size(split(...))
     re-derivation would lose NULL-text docs, whose size is NULL under
     ANSI semantics and falls out of both filter branches)."""
-    # persist: stats feeds BOTH the ratio filter and the no-windows
-    # anti-join — unpersisted, the window-explode pipeline (the heavy
-    # part) would run twice
-    stats = substring_dup_stats(df, id_col, text_col, n_tokens).persist()
+    # localCheckpoint (eager): stats feeds BOTH the ratio filter and the
+    # no-windows anti-join — unmaterialized, the window-explode pipeline
+    # (the heavy part) would run twice. Unlike persist(), the blocks are
+    # released by the ContextCleaner once the frame is unreachable, so a
+    # long-running pipeline doesn't pin executor storage after this
+    # returns.
+    stats = substring_dup_stats(df, id_col, text_col, n_tokens).localCheckpoint()
     keep = stats.filter(
-        F.col("dup_ratio") <= max_dup_ratio
+        F.col("dup_ratio_micro") <= int(round(max_dup_ratio * 1_000_000))
     ).select(id_col)
     no_windows = df.select(id_col).join(
         stats.select(id_col), id_col, "left_anti"

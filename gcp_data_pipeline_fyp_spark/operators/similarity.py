@@ -33,11 +33,15 @@ from gcp_data_pipeline_fyp_spark.functions.vectors import (
     dot,
     lsh_sign_bucket,
 )
+from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
 
 def _topk_per_query(pairs: DataFrame, k: int) -> DataFrame:
+    # rank on the integer micro-cosine: same order as the 6-dp value
+    # it encodes, and the emission type is certification-hash-safe
+    # (see queries_util.micro6)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("corpus_id")
+        F.col("cosine_micro").desc(), F.col("corpus_id")
     )
     return (
         pairs.withColumn("__rn", F.row_number().over(w))
@@ -66,9 +70,7 @@ def brute_force_topk(
     pairs = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "corpus_id",
-        F.round(_fast_dot(F.col("__qv"), F.col("__cv")), 6)
-        .cast("decimal(18,6)")
-        .alias("cosine"),
+        micro6(_fast_dot(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
     )
     return _topk_per_query(pairs, k)
 
@@ -128,9 +130,7 @@ def lsh_topk(
     pairs = q.join(c, q["__probe"] == c["__bucket"]).select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
-        .cast("decimal(18,6)")
-        .alias("cosine"),
+        micro6(cosine(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
     ).dropDuplicates(["query_id", "corpus_id"])
     return _topk_per_query(pairs, k)
 
@@ -213,9 +213,7 @@ def ivf_topk(
     pairs = probes.join(assigned, "centroid_id").select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("__cv")), 6)
-        .cast("decimal(18,6)")
-        .alias("cosine"),
+        micro6(cosine(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
     )
     return _topk_per_query(pairs, k)
 
@@ -315,8 +313,6 @@ def ivf_topk_indexed(
     pairs = probes.join(postings, "centroid_id").select(
         "query_id",
         "corpus_id",
-        F.round(cosine(F.col("__qv"), F.col("vec")), 6)
-        .cast("decimal(18,6)")
-        .alias("cosine"),
+        micro6(cosine(F.col("__qv"), F.col("vec"))).alias("cosine_micro"),
     )
     return _topk_per_query(pairs, k)

@@ -25,6 +25,8 @@ from gcp_data_pipeline_fyp_spark.queries_util import (
     dec_avg,
     dec_avg_sql,
     load,
+    micro6,
+    micro6_sql,
 )
 
 
@@ -36,14 +38,14 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         F.col("event_id").alias("ID_Event"),
         F.col("event_type").alias("LB_type"),
         (F.col("user_id") % 10).cast("string").alias("LB_net"),
-        # emitted as decimal(18,6), not double: events.value goes down to
-        # 0.0005/20, and the JVM renders sub-0.001 doubles in scientific
-        # notation ("5.0E-4") where DuckDB prints "0.0005" — any hash
-        # built on engine-native rendering diverges even when every value
-        # is exactly equal. Decimal bytes canonicalize identically.
-        (F.col("value") / 20.0).cast("decimal(18,6)").alias("VL_n_mag"),
+        # measures emitted as integer micro-units (queries_util.micro6):
+        # events.value goes down to 0.0005/20, where raw doubles hit JVM
+        # scientific notation and decimals reach the driver as
+        # Decimal('1.500000') vs DuckDB's float64 '1.5' — int64 is the
+        # only numeric type whose engine-native rendering always agrees.
+        micro6(F.col("value") / 20.0).alias("VL_n_mag_micro"),
         mag_band(F.col("value") / 20.0).alias("LB_magCategory"),
-        F.col("value").cast("decimal(18,6)").alias("VL_n_depth"),
+        micro6(F.col("value")).alias("VL_n_depth_micro"),
         depth_band(F.col("value")).alias("LB_depthCategory"),
         F.col("ts").alias("DT_time"),
     )
@@ -66,16 +68,16 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         F.date_format(F.col("DT_time").cast("date"), "yyyyMMdd")
         .cast("int")
         .alias("ID_date_ID"),
-        "VL_n_mag",
-        "VL_n_depth",
+        "VL_n_mag_micro",
+        "VL_n_depth_micro",
     )
 
 
-SQL_STAR_SCHEMA_FACT = """
+SQL_STAR_SCHEMA_FACT = f"""
 WITH ods AS (
   SELECT event_id AS id_event, event_type AS lb_type,
     cast(user_id % 10 AS varchar) AS lb_net,
-    CAST(value / 20.0 AS DECIMAL(18,6)) AS vl_n_mag,
+    {micro6_sql('value / 20.0')} AS vl_n_mag_micro,
     CASE WHEN value / 20.0 IS NULL THEN NULL
          WHEN value / 20.0 < 3 THEN 'Not Felt'
          WHEN value / 20.0 < 4 THEN 'Minor'
@@ -84,7 +86,7 @@ WITH ods AS (
          WHEN value / 20.0 < 7 THEN 'Strong'
          WHEN value / 20.0 < 8 THEN 'Major'
          ELSE 'Great' END AS lb_magcategory,
-    CAST(value AS DECIMAL(18,6)) AS vl_n_depth,
+    {micro6_sql('value')} AS vl_n_depth_micro,
     CASE WHEN value IS NULL THEN NULL
          WHEN value <= 70 THEN 'Shallow'
          WHEN value <= 300 THEN 'Intermediate'
@@ -102,7 +104,7 @@ dim_depth AS (SELECT row_number() OVER (ORDER BY lb_depthcategory)
               FROM (SELECT DISTINCT lb_depthcategory FROM ods))
 SELECT id_event, id_type_id, id_network_id, id_magcategory_id, id_depthcategory_id,
   cast(strftime(cast(dt_time AS date), '%Y%m%d') AS int) AS id_date_id,
-  vl_n_mag, vl_n_depth
+  vl_n_mag_micro, vl_n_depth_micro
 FROM ods
   JOIN dim_type USING (lb_type)
   JOIN dim_net USING (lb_net)
@@ -462,12 +464,34 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
 
 # ----------------------------------------------------- approximate aggregates
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL approx distinct — no SQL oracle (engine-specific sketches);
-    tests assert <5% error vs exact."""
+    """HLL approx distinct, certified without hashing the estimate
+    itself (engine-specific sketch): emit the EXACT per-group distinct
+    (oracle-checkable in SQL) plus `within_5pct` — the error-bound
+    verdict on Spark's deterministic fixed-rsd estimate. The oracle
+    asserts TRUE per group, so an estimator drifting out of its bound
+    hash-fails. At 100 TB you'd emit only the approx column; the exact
+    companion here is the certification harness."""
     ev = load(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("__approx") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
+SQL_APPROX_DISTINCT_USERS = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
@@ -493,7 +517,7 @@ ANALYTICS_QUERIES.update(
         "customer_order_stats": (q_customer_order_stats, SQL_CUSTOMER_ORDER_STATS),
         "large_orders": (q_large_orders, SQL_LARGE_ORDERS),
         "setops_buyers": (q_setops_buyers, SQL_SETOPS_BUYERS),
-        "approx_distinct_users": (q_approx_distinct_users, None),
+        "approx_distinct_users": (q_approx_distinct_users, SQL_APPROX_DISTINCT_USERS),
         "value_percentiles": (q_value_percentiles, SQL_VALUE_PERCENTILES),
     }
 )

@@ -8,7 +8,7 @@ from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
     byte_features,
     with_media_column,
 )
-from gcp_data_pipeline_fyp_spark.queries_util import load
+from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql
 from gcp_data_pipeline_fyp_spark.streaming.ingest import windowed_event_counts
 
 
@@ -487,8 +487,12 @@ MISC_QUERIES["cdc_snapshot"] = (q_cdc_snapshot, SQL_CDC_SNAPSHOT)
 def q_distinct_users_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """COUNT DISTINCT maintained incrementally: per-type HLL sketch
     states built separately for two halves of events, sketch-UNIONed,
-    then estimated (operators/rollup.py) — approximate by design, so
-    rows-only in the driver; merge==direct equality is pytest-asserted."""
+    then estimated (operators/rollup.py). Certified like
+    `approx_distinct_users`: emit the exact distinct (SQL-checkable)
+    plus a `within_5pct` error-bound verdict on the merged-sketch
+    estimate — the oracle asserts TRUE per group, so both a broken
+    merge and a drifting estimator hash-fail. Merge==direct equality is
+    additionally pytest-asserted."""
     from pyspark.sql import functions as F
 
     from gcp_data_pipeline_fyp_spark.operators.rollup import (
@@ -502,10 +506,31 @@ def q_distinct_users_rollup(spark: SparkSession, sf: str) -> DataFrame:
     s1 = hll_state(ev.filter(split), ["event_type"], ["user_id"])
     s2 = hll_state(ev.filter(~split), ["event_type"], ["user_id"])
     merged = merge_hll_states([s1, s2], ["event_type"])
-    return finalize_hll_state(merged)
+    est = finalize_hll_state(merged)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("n_distinct_user_id") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
 
 
-MISC_QUERIES["distinct_users_rollup"] = (q_distinct_users_rollup, None)
+SQL_DISTINCT_USERS_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+MISC_QUERIES["distinct_users_rollup"] = (
+    q_distinct_users_rollup,
+    SQL_DISTINCT_USERS_ROLLUP,
+)
 
 
 # ------------------------------------------------- skew mitigation ops
@@ -526,14 +551,20 @@ def q_salted_agg_events(spark: SparkSession, sf: str) -> DataFrame:
     out = salted_agg(
         ev, ["event_type"], sum_cols=["value"], salt_from="event_id"
     )
+    # emit the exact decimal(.,2) sum as centi-unit BIGINT: decimal
+    # keeps the two-phase partial sums order-invariant, int64 keeps the
+    # emission hash-safe across engines (queries_util.micro6 rationale)
     return out.select(
-        F.col("event_type").alias("lb_type"), "sum_value", "n_rows"
+        F.col("event_type").alias("lb_type"),
+        (F.col("sum_value") * 100).cast("bigint").alias("sum_value_centi"),
+        "n_rows",
     ).orderBy("lb_type")
 
 
 SQL_SALTED_AGG_EVENTS = """
 SELECT event_type AS lb_type,
-       sum(CAST(value AS DECIMAL(18,2))) AS sum_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+         AS sum_value_centi,
        count(*) AS n_rows
 FROM events GROUP BY 1 ORDER BY 1 NULLS FIRST
 """
@@ -623,7 +654,9 @@ SELECT strftime(e.d, '%Y-%m-%d') AS day, e.event_type AS lb_type
 FROM (SELECT * FROM days CROSS JOIN types) e
 LEFT JOIN observed o ON e.d = o.d AND e.event_type = o.event_type
 WHERE o.d IS NULL
-ORDER BY day, lb_type
+-- NULLS FIRST: Spark's ascending sort default; DuckDB defaults to
+-- NULLS LAST, which would diverge if an event_type were ever NULL
+ORDER BY day NULLS FIRST, lb_type NULLS FIRST
 """
 
 MISC_QUERIES["missing_days"] = (q_missing_days, SQL_MISSING_DAYS)
@@ -651,17 +684,15 @@ def q_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return (
         per_doc.select(
             "doc_id",
-            F.round(
-                F.log2("total") - F.col("sum_nlogn") / F.col("total"), 6
-            )
-            .cast("decimal(18,6)")
-            .alias("entropy_bits"),
+            micro6(
+                F.log2("total") - F.col("sum_nlogn") / F.col("total")
+            ).alias("entropy_micro_bits"),
         )
         .orderBy("doc_id")
     )
 
 
-SQL_CHAR_ENTROPY = """
+SQL_CHAR_ENTROPY = f"""
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch
   FROM documents),
@@ -670,8 +701,7 @@ f AS (SELECT doc_id, ch, count(*) AS n FROM chars WHERE ch <> ''
 p AS (SELECT doc_id, sum(n) AS total, sum(n * log2(n)) AS sum_nlogn
       FROM f GROUP BY doc_id)
 SELECT doc_id,
-       CAST(round(log2(total) - sum_nlogn / total, 6) AS DECIMAL(18,6))
-         AS entropy_bits
+       {micro6_sql('log2(total) - sum_nlogn / total')} AS entropy_micro_bits
 FROM p ORDER BY doc_id
 """
 

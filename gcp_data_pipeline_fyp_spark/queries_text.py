@@ -30,7 +30,7 @@ from gcp_data_pipeline_fyp_spark.operators.dedup import (
     simhash_groups,
 )
 from gcp_data_pipeline_fyp_spark.functions.text import minhash_signature, shingles, simhash16
-from gcp_data_pipeline_fyp_spark.queries_util import load
+from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1542,22 +1542,20 @@ def q_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     total = F.sum("n_docs").over(Window.partitionBy())
-    # decimal(18,6), not double, on the certification surface: doc_share
-    # goes sub-0.001 as the domain count grows, and the JVM renders such
-    # doubles in scientific notation where DuckDB doesn't (the
-    # star_schema_fact hash lesson — see queries_analytics.py).
+    # integer micro-units on the certification surface: doc_share goes
+    # sub-0.001 as the domain count grows (JVM scientific notation) and
+    # decimal reaches the driver as Decimal vs DuckDB's float64 — only
+    # int64 renders identically in both engines (queries_util.micro6).
     return agg.select(
         "domain",
         F.col("n_docs").cast("long").alias("n_docs"),
         F.col("n_hosts").cast("long").alias("n_hosts"),
-        F.col("avg_chars").cast("decimal(18,6)").alias("avg_chars"),
-        F.round(F.col("n_docs") / total, 6)
-        .cast("decimal(18,6)")
-        .alias("doc_share"),
+        micro6(F.col("avg_chars")).alias("avg_chars_micro"),
+        micro6(F.col("n_docs") / total).alias("doc_share_micro"),
     ).orderBy("domain")
 
 
-SQL_DOMAIN_STATS = """
+SQL_DOMAIN_STATS = f"""
 WITH docs AS (
   SELECT doc_id, n_chars,
     lower(regexp_extract(
@@ -1579,8 +1577,8 @@ agg AS (
 SELECT domain,
        CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_hosts AS BIGINT) AS n_hosts,
-       CAST(avg_chars AS DECIMAL(18,6)) AS avg_chars,
-       CAST(round(n_docs / sum(n_docs) OVER (), 6) AS DECIMAL(18,6)) AS doc_share
+       {micro6_sql('avg_chars')} AS avg_chars_micro,
+       {micro6_sql('n_docs / sum(n_docs) OVER ()')} AS doc_share_micro
 FROM agg
 ORDER BY domain
 """
@@ -1702,14 +1700,17 @@ def q_filter_fail_matrix(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_FILTER_FAIL_MATRIX = """
 SELECT
-  sum(CASE WHEN NOT coalesce(n_chars >= 50, FALSE) THEN 1 ELSE 0 END)
-    AS fail_min_chars,
-  sum(CASE WHEN NOT coalesce(n_chars <= 5000, FALSE) THEN 1 ELSE 0 END)
-    AS fail_max_chars,
-  sum(CASE WHEN NOT coalesce(regexp_matches(text, '[aeiou]'), FALSE) THEN 1
-      ELSE 0 END) AS fail_has_vowels,
-  sum(CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END)
-    AS fail_en_only,
+  -- CAST ... AS BIGINT on every bare sum: DuckDB's sum() returns
+  -- HUGEINT, which reaches the driver as float64 ('3.0') and can never
+  -- hash-match Spark's bigint ('3')
+  CAST(sum(CASE WHEN NOT coalesce(n_chars >= 50, FALSE) THEN 1 ELSE 0 END)
+       AS BIGINT) AS fail_min_chars,
+  CAST(sum(CASE WHEN NOT coalesce(n_chars <= 5000, FALSE) THEN 1 ELSE 0 END)
+       AS BIGINT) AS fail_max_chars,
+  CAST(sum(CASE WHEN NOT coalesce(regexp_matches(text, '[aeiou]'), FALSE)
+           THEN 1 ELSE 0 END) AS BIGINT) AS fail_has_vowels,
+  CAST(sum(CASE WHEN NOT coalesce(lang = 'en', FALSE) THEN 1 ELSE 0 END)
+       AS BIGINT) AS fail_en_only,
   count(*) AS n_total
 FROM documents
 """
@@ -1781,7 +1782,11 @@ def q_substring_dup_report(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_SUBSTRING_DUP_REPORT = """
+_DUP_RATIO_MICRO = micro6_sql(
+    "CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+)
+
+SQL_SUBSTRING_DUP_REPORT = f"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
   FROM documents),
@@ -1800,9 +1805,9 @@ flagged AS (
   FROM wins)
 SELECT doc_id,
        count(*) AS n_windows,
-       sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_windows,
-       CAST(round(CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*), 6) AS DECIMAL(18,6)) AS dup_ratio
+       CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       {_DUP_RATIO_MICRO} AS dup_ratio_micro
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
@@ -2061,7 +2066,8 @@ def q_length_histogram(spark: SparkSession, sf: str) -> DataFrame:
 SQL_LENGTH_HISTOGRAM = r"""
 SELECT CAST(floor(log2(greatest(length(text), 1))) AS INT) AS log2_chars,
        count(*) AS n_docs,
-       sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens
+       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         AS total_tokens
 FROM documents
 GROUP BY 1 ORDER BY 1
 """
@@ -2105,17 +2111,18 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias(
                 "n_novel"
             ),
-            F.round(
+            micro6(
                 F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
-                / F.count(F.lit(1)),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("novelty"),
+                / F.count(F.lit(1))
+            ).alias("novelty_micro"),
         )
         .orderBy("doc_id")
     )
 
+
+_NOVELTY_MICRO = micro6_sql(
+    "CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+)
 
 SQL_NGRAM_NOVELTY = f"""
 WITH base_t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
@@ -2134,9 +2141,8 @@ flagged AS (
   FROM batch_sh b LEFT JOIN base_sh ON b.digest = base_sh.digest)
 SELECT doc_id,
        count(*) AS n_shingles,
-       sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS n_novel,
-       CAST(round(CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS DOUBLE)
-                  / count(*), 6) AS DECIMAL(18,6)) AS novelty
+       CAST(sum(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       {_NOVELTY_MICRO} AS novelty_micro
 FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 

@@ -79,6 +79,27 @@ def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
     ).alias(alias)
 
 
+def micro6(col: Column | str) -> Column:
+    """Integer micro-units of a 6-dp-rounded value (bigint).
+
+    The only always-hash-safe numeric emission on the certification
+    surface besides strings: DuckDB hands DECIMAL columns back to the
+    driver as float64 (`1.5`) while Spark returns `Decimal('1.500000')`,
+    so decimal output can never hash-equal across engines; raw doubles
+    diverge on JVM scientific notation for |v| < 1e-3. Scaled int64
+    renders identically everywhere. Pair with `micro6_sql` — identical
+    algebra (round to 6 dp, exact decimal scale-up, integer cast) on
+    both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.round(c, 6).cast("decimal(18,6)") * 1_000_000).cast("bigint")
+
+
+def micro6_sql(expr: str) -> str:
+    """DuckDB mirror of `micro6` (same round -> decimal -> scale chain)."""
+    return f"CAST(CAST(round({expr}, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+
+
 def dec_sum_sql(expr: str, alias: str) -> str:
     return f"cast(sum(cast({expr} as decimal(18,2))) as double) as {alias}"
 

@@ -7,8 +7,10 @@ deterministic computations (seeded hyperplanes / seeded centroid init
 algorithm — the literal plane values are embedded into the SQL at
 module import, bucket bits and probe sets reproduce bit-for-bit, and
 the reranked cosines round to 6 decimals before ranking so both
-engines rank identically. Recall quality against brute force is
-separately asserted in tests/test_similarity.py.
+engines rank identically. Scores are emitted as integer micro-units
+(`cosine_micro`, queries_util.micro6) — the certification-hash-safe
+type. Recall quality against brute force is separately asserted in
+tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -22,7 +24,9 @@ from gcp_data_pipeline_fyp_spark.operators.similarity import (
     ivf_topk,
     lsh_topk,
 )
-from gcp_data_pipeline_fyp_spark.queries_util import load
+from gcp_data_pipeline_fyp_spark.queries_util import load, micro6_sql
+
+_MICRO_COS = micro6_sql("cosine")
 
 _SQL_COS = """
   round(
@@ -55,7 +59,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM pairs)
-SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
 """
 
@@ -80,7 +84,7 @@ pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM g a JOIN g b ON a.label = b.label AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, CAST(cosine AS DECIMAL(18,6)) AS cosine
+SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
 FROM pairs WHERE cosine >= 0.99
 """
 
@@ -143,7 +147,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM pairs)
-SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
 """
 
@@ -218,7 +222,7 @@ ranked AS (
   SELECT *, row_number() OVER (
     PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
   FROM pairs)
-SELECT query_id, corpus_id, CAST(cosine AS DECIMAL(18,6)) AS cosine
+SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
 """
 
@@ -257,10 +261,10 @@ gb AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket
        FROM g CROSS JOIN planes),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    CAST({_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')}
-         AS DECIMAL(18,6)) AS cosine
+    {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM gb a JOIN gb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
+FROM pairs WHERE cosine >= 0.99
 """
 
 VECTOR_QUERIES["embedding_neardup_lsh"] = (
@@ -366,10 +370,10 @@ SQL_SEMANTIC_NEARDUP_KMEANS = f"""
 WITH {_kmeans_ctes(_PTS_PLANTED, k=8, iters=5)},
 pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
-    CAST({_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')}
-         AS DECIMAL(18,6)) AS cosine
+    {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM a5 a JOIN a5 b ON a.cid = b.cid AND a.id < b.id)
-SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99
+SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
+FROM pairs WHERE cosine >= 0.99
 """
 
 VECTOR_QUERIES["semantic_neardup_kmeans"] = (

@@ -39,3 +39,39 @@ def test_entry_returns_flagship_dataframe(spark):
     df = entry.entry(spark)
     assert df.columns[:2] == ["ID_Event", "ID_type_ID"]
     assert df.count() > 0
+
+
+def test_type_parity_gate_flags_cross_engine_render_divergence():
+    """tools/check_correctness.py must red-flag columns whose engine-
+    native types differ (Decimal vs float, int vs float) even when the
+    normalized values are equal — the exact class of hash-red that cost
+    rounds 1-3 (star_schema_fact et al.)."""
+    import decimal
+
+    import pandas as pd
+
+    import tools.check_correctness as cc
+
+    spark_df = pd.DataFrame(
+        {
+            "d": [decimal.Decimal("1.500000")],  # Spark DECIMAL emission
+            "i": [3],                            # Spark bigint
+            "ok": [7],
+        }
+    )
+    oracle_df = pd.DataFrame(
+        {
+            "d": [1.5],    # DuckDB returns DECIMAL as float64
+            "i": [3.0],    # DuckDB HUGEINT sum arrives as float64
+            "ok": [7],
+        }
+    )
+    problems = cc.type_parity(spark_df, oracle_df)
+    flagged = {p.split()[2].rstrip(":") for p in problems}
+    assert flagged == {"d", "i"}, problems
+    # value-normalized compare alone would NOT catch these
+    assert all("type parity" in p for p in problems)
+    # clean int column on both sides stays silent
+    assert not cc.type_parity(
+        pd.DataFrame({"x": [1]}), pd.DataFrame({"x": [2]})
+    )

@@ -855,16 +855,16 @@ def test_substring_dup_stats_planted_overlap(spark):
         "doc_id long, text string",
     )
     got = {
-        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], float(r["dup_ratio"]))
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio_micro"])
         for r in substring_dup_stats(docs, "doc_id", "text", n_tokens=4).collect()
     }
     assert 4 not in got  # too short for a single window
     # doc1: 3 windows, all first occurrences
-    assert got[1] == (3, 0, 0.0)
+    assert got[1] == (3, 0, 0)
     # doc2: windows starting at gamma/delta/one; the 'one two three four'
-    # window is owned by doc1 -> exactly 1 duplicated
-    assert got[2] == (3, 1, round(1 / 3, 6))
-    assert got[3] == (2, 0, 0.0)
+    # window is owned by doc1 -> exactly 1 duplicated (ratio 1/3 -> 333333 micro)
+    assert got[2] == (3, 1, 333333)
+    assert got[3] == (2, 0, 0)
 
 
 def test_substring_dup_stats_position_order_within_doc(spark):
@@ -1032,3 +1032,52 @@ def test_lsh_index_incremental_parity_with_full_rerun(spark, tmp_path):
         pairs_full.unpersist()
         assert got == want
         acc_rows += batch_rows
+
+
+# -------------------- reliable checkpoint path (operators/iterate.py)
+def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
+    """`checkpoint_dir` switches the per-iteration lineage truncation
+    from executor-local blocks to reliable checkpoints (the 100 TB
+    fault-tolerance path, DEPLOY.md): results must be identical to the
+    default, and checkpoint data must actually land in the directory."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        connected_components,
+        pagerank,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    local_cc = sorted(map(tuple, connected_components(edges).collect()))
+    reliable_cc = sorted(
+        map(tuple, connected_components(edges, checkpoint_dir=ckpt).collect())
+    )
+    assert reliable_cc == local_cc
+    # reliable checkpoints were really written (dir exists and is non-empty)
+    written = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no reliable checkpoint files written"
+
+    local_pr = sorted(map(tuple, pagerank(edges, iters=3).collect()))
+    reliable_pr = sorted(
+        map(tuple, pagerank(edges, iters=3, checkpoint_dir=ckpt).collect())
+    )
+    assert reliable_pr == local_pr
+
+    pts = spark.createDataFrame(
+        [(i, [float(i % 3) * 10 + 0.01 * i, 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    a_local, _ = kmeans(pts, "vec_id", "embedding", k=3, max_iter=3)
+    a_rel, _ = kmeans(
+        pts, "vec_id", "embedding", k=3, max_iter=3, checkpoint_dir=ckpt
+    )
+    assert sorted(map(tuple, a_local.collect())) == sorted(
+        map(tuple, a_rel.collect())
+    )

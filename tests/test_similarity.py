@@ -53,16 +53,21 @@ def _exact_cosine(va, vb):
 
 
 def _assert_scores_exact(df, approx_rows, k):
-    """Every returned (query, corpus, cosine) must carry the EXACT
-    cosine of that pair (recomputed independently), be grouped ≤ k per
-    query, and rank descending — approximation may drop pairs, it may
-    never misscore them."""
+    """Every returned (query, corpus, cosine_micro) must carry the EXACT
+    cosine of that pair (recomputed independently, in micro-units), be
+    grouped ≤ k per query, and rank descending — approximation may drop
+    pairs, it may never misscore them."""
     vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
     by_q = {}
     for r in approx_rows:
-        got = float(r["cosine"])
-        want = round(_exact_cosine(vecs[r["query_id"]], vecs[r["corpus_id"]]), 6)
-        assert abs(got - want) <= 1e-6, (r["query_id"], r["corpus_id"], got, want)
+        got = int(r["cosine_micro"])
+        want = int(
+            round(
+                round(_exact_cosine(vecs[r["query_id"]], vecs[r["corpus_id"]]), 6)
+                * 1_000_000
+            )
+        )
+        assert abs(got - want) <= 1, (r["query_id"], r["corpus_id"], got, want)
         by_q.setdefault(r["query_id"], []).append(got)
     for scores in by_q.values():
         assert len(scores) <= k
@@ -78,7 +83,7 @@ def test_brute_force_is_exact_and_ranked(spark):
     assert len(rows) == 15
     by_q = {}
     for r in rows:
-        by_q.setdefault(r["query_id"], []).append(r["cosine"])
+        by_q.setdefault(r["query_id"], []).append(r["cosine_micro"])
     for scores in by_q.values():
         assert scores == sorted(scores, reverse=True)
 
@@ -140,7 +145,7 @@ def test_lsh_exact_self_match(spark):
     c = df.withColumn("vec_id", F.col("vec_id") + 1000)  # includes copy of 0
     out = lsh_topk(q, c, "vec_id", "embedding", k=1, dim=DIM, n_planes=6).collect()
     assert out[0]["corpus_id"] == 1000
-    assert out[0]["cosine"] == 1.0
+    assert out[0]["cosine_micro"] == 1_000_000
 
 
 def test_lsh_neardup_finds_planted_copies(spark):
@@ -173,9 +178,9 @@ def test_brute_force_null_and_zero_vectors(spark):
     q = df.filter(F.col("vec_id") == 0)
     c = df.filter(F.col("vec_id") > 0)
     out = brute_force_topk(q, c, "vec_id", "embedding", k=2).collect()
-    scores = {r["corpus_id"]: r["cosine"] for r in out}
+    scores = {r["corpus_id"]: r["cosine_micro"] for r in out}
     assert scores[2] is None
-    assert abs(float(scores[1]) - 0.707107) < 1e-5
+    assert abs(scores[1] - 707107) <= 1
 
 
 def test_kmeans_recovers_planted_blobs(spark):

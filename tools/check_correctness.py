@@ -73,14 +73,14 @@ def _norm_cell(v):
 
 
 def render_risks(name: str, sdf: pd.DataFrame) -> list[str]:
-    """Flag raw doubles the JVM renders in scientific notation.
+    """Flag raw doubles in the sub-milli scientific-notation range.
 
-    The driver hashes engine-native value rendering; Java's
-    Double.toString switches to scientific notation for nonzero
-    |v| < 1e-3 or >= 1e7 ("5.0E-4") where DuckDB prints "0.0005" —
-    so a query can be value-exact here and still hash-red at the
-    driver (star_schema_fact was red two rounds this way). Any float
-    column containing such a value must be emitted as decimal instead.
+    The driver hashes engine-native value rendering; nonzero |v| < 1e-3
+    doubles rendered "5.0E-4"-style cost star_schema_fact its r01/r02
+    rows. (The >= 1e7 half of the old heuristic is empirically FALSE:
+    pricing_summary/region_nation_revenue/brand_revenue carry 1e8-range
+    doubles and were hash-green at the r03 driver.) Emit flagged
+    columns as micro-unit BIGINT (queries_util.micro6) instead.
     """
     out = []
     for c in sdf.columns:
@@ -88,13 +88,78 @@ def render_risks(name: str, sdf: pd.DataFrame) -> list[str]:
         if not pd.api.types.is_float_dtype(s):
             continue
         vals = s.dropna().abs()
-        risky = vals[(vals > 0) & ((vals < 1e-3) | (vals >= 1e7))]
+        risky = vals[(vals > 0) & (vals < 1e-3)]
         if len(risky):
             out.append(
                 f"[RENDER-RISK] {name}.{c}: {len(risky)} double value(s) in JVM "
-                f"scientific-notation range (e.g. {risky.iloc[0]!r}) — emit as decimal"
+                f"scientific-notation range (e.g. {risky.iloc[0]!r}) — emit "
+                f"micro-unit BIGINT"
             )
     return out
+
+
+def _type_class(series: pd.Series) -> str | None:
+    """Engine-native type class of a column (None if all-NULL).
+
+    The driver hashes engine-native value renderings, so two columns
+    can be value-equal after normalization yet hash-red: Spark returns
+    DECIMAL as decimal.Decimal ('1.500000') where DuckDB's .df() gives
+    float64 ('1.5'), and DuckDB's HUGEINT sums arrive as float64
+    ('3.0') vs Spark's int ('3'). Classing every cell type catches the
+    whole family before the driver does.
+    """
+    import decimal
+
+    import numpy as np
+
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    for v in series:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        return type(v).__name__
+    return None
+
+
+def type_parity(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Fail on any column whose engine-native type class differs across
+    engines (Decimal vs float, int vs float, ...) — rendering can never
+    hash-equal even when values are exact. Also flags Spark-side Decimal
+    outright: DuckDB's .df() always converts DECIMAL to float64, so a
+    decimal emission is unconditionally hash-unsafe."""
+    problems = []
+    smap = {c.lower(): sdf[c] for c in sdf.columns}
+    omap = {c.lower(): odf[c] for c in odf.columns}
+    for c in sorted(set(smap) & set(omap)):
+        sc, oc = _type_class(smap[c]), _type_class(omap[c])
+        if sc == "decimal":
+            problems.append(
+                f"type parity {c}: spark emits decimal.Decimal — DuckDB "
+                f"returns DECIMAL as float64; emit micro-unit BIGINT instead"
+            )
+        elif sc is not None and oc is not None and sc != oc:
+            problems.append(f"type parity {c}: spark={sc} oracle={oc}")
+    return problems
 
 
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
@@ -106,6 +171,7 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if scols != ocols:
         problems.append(f"columns: spark={scols} oracle={ocols}")
         return problems
+    problems.extend(type_parity(sdf, odf))
     s, o = normalize(sdf), normalize(odf)
     if len(s) == len(o):
         neq = (s.values != o.values)
