@@ -16,21 +16,29 @@ web-dup graph, near-dup chains (mirrors of mirrors, template families)
 routinely produce diameters in the hundreds; diameter-bound iteration
 is the classic scale killer, star contraction is the published fix.
 
-Per round: two groupBy+join passes over the CANDIDATE PAIR set —
-orders of magnitude smaller than the corpus (LSH keeps it
-near-linear) — never a corpus-scale shuffle. Every round materializes
+Adaptive execution: when the deduplicated edge set fits the driver
+(default gate 1M edges ≈ 16 MB), a single-pass union-find replaces the
+shuffle rounds entirely — the same runtime small-side strategy switch
+AQE applies to joins, applied to an iterative algorithm Catalyst can't
+see into. The distributed path takes over above the gate.
+
+Per round (distributed path): two groupBy+join passes over the
+CANDIDATE PAIR set — orders of magnitude smaller than the corpus (LSH
+keeps it near-linear) — never a corpus-scale shuffle. Every round materializes
 the edge frame (operators/iterate.py): without it the lineage doubles
 per round and the plan blows up by round ~15. Truncation is
 executor-local by default; pass `checkpoint_dir` for reliable
 checkpointing on fault-exposed multi-executor runs. The convergence
-test (edge-set stability) is two small probe jobs per round, not a
-`.collect()` of data.
+test (edge-set stability) is one (count, hash-sum) aggregate per round;
+the exact subtract check runs once, at the detected fixpoint, to rule
+out a hash collision.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gcp_data_pipeline_fyp_spark.operators.iterate import materialize
 
@@ -74,12 +82,49 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _driver_components(nodes: DataFrame, dedup_edges: DataFrame) -> DataFrame:
+    """Union-find fast path for candidate-pair graphs that fit the driver.
+
+    Semantics identical to star contraction (component = min reachable
+    id). The label frame is tiny (≤ 2·|edges| rows), so the downstream
+    join against the corpus broadcasts instead of shuffling it.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in dedup_edges.collect():
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # attach max root under min root: find() then yields the
+            # component minimum directly
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    node_rows = [r[0] for r in nodes.collect()]
+    labels = [(x, find(x) if x in parent else x) for x in node_rows]
+    node_type = nodes.schema[0].dataType
+    spark = nodes.sparkSession
+    schema = T.StructType(
+        [T.StructField("node", node_type), T.StructField("component", node_type)]
+    )
+    return spark.createDataFrame(labels, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
     checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
 
@@ -88,6 +133,15 @@ def connected_components(
     regardless of diameter; `max_iter` is a safety net far above any
     realistic round count (2^25 nodes of pathological structure), and
     the function raises rather than return a partial closure.
+
+    Adaptive strategy (the AQE pattern, applied where Catalyst can't
+    see): LSH/blocking keeps the candidate-pair graph orders of
+    magnitude smaller than the corpus, so it often fits the driver even
+    when the corpus is 100 TB. Below `driver_threshold` deduplicated
+    edges (~16 MB at the default), a single-pass union-find on the
+    driver replaces O(log n) shuffle rounds; above it, the distributed
+    star contraction runs. Set `driver_threshold=0` to force the
+    distributed path.
 
     `checkpoint_dir`: per-round lineage truncation is executor-local by
     default (fast; right for local mode) — pass a reliable directory for
@@ -112,13 +166,29 @@ def connected_components(
         .distinct()
     )
     cur = materialize(cur, checkpoint_dir)
+    n_edges = cur.count()
+    if n_edges <= driver_threshold:
+        return _driver_components(nodes, cur)
+    prev_sig = tuple(
+        cur.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+        ).first()
+    )
     for _ in range(max_iter):
         nxt = materialize(_small_star(_large_star(cur)), checkpoint_dir)
-        stable = (
-            nxt.count() == cur.count()
-            and nxt.subtract(cur).limit(1).count() == 0
+        # cheap per-round fixpoint probe: (count, order-independent hash
+        # sum) over the materialized edge set — one aggregate job instead
+        # of a subtract shuffle every round. On a signature match the
+        # exact subtract check runs ONCE to rule out a hash collision.
+        sig = tuple(
+            nxt.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
+            ).first()
         )
-        cur = nxt
+        stable = sig == prev_sig and nxt.subtract(cur).limit(1).count() == 0
+        cur, prev_sig = nxt, sig
         if stable:
             # fixpoint is a star forest: u = child, v = component root
             children = cur.select(
@@ -140,6 +210,7 @@ def pagerank(
     iters: int = 5,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge list.
 
@@ -152,6 +223,13 @@ def pagerank(
     cluster layout — and to a single-threaded oracle running the same
     algebra). Ranks carry 14 dp between iterations; round to 6 for
     display. N is one driver-side scalar (the A4 snapshot pattern).
+
+    Lineage is truncated every `checkpoint_every` iterations (+ the
+    final one), not every round: each round adds a fixed 2-join/1-agg
+    layer, so a few un-truncated rounds keep the plan shallow while
+    skipping most of the per-round materialization jobs. Truncation
+    cadence never changes values — only where recomputation boundaries
+    fall.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = (
@@ -168,7 +246,7 @@ def pagerank(
     base = 1.0 / n
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(base))
-    for _ in range(iters):
+    for it in range(iters):
         sums = (
             ed.join(ranks, ed.a == ranks.v)
             .select(
@@ -191,7 +269,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = materialize(ranks, checkpoint_dir)
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it == iters - 1:
+            ranks = materialize(ranks, checkpoint_dir)
     und.unpersist()
     ed.unpersist()
     return ranks.select(F.col("v").alias("node"), "rank")

@@ -214,6 +214,13 @@ def test_connected_components_collapses_chains(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # the distributed star-contraction path (forced past the driver
+    # union-find gate) must produce the identical labeling
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert dist == comp
 
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in [1, 2, 3, 4, 10, 11, 50]],
@@ -240,8 +247,11 @@ def test_connected_components_long_chain_converges_in_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
+    # driver_threshold=0 forces the distributed path — the round-count
+    # property under test belongs to star contraction, not union-find
     comp = {
-        r["node"]: r["component"] for r in connected_components(edges).collect()
+        r["node"]: r["component"]
+        for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert len(comp) == 201
     assert set(comp.values()) == {0}
@@ -1053,9 +1063,18 @@ def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
         "id_a long, id_b long",
     )
-    local_cc = sorted(map(tuple, connected_components(edges).collect()))
+    # driver_threshold=0: exercise the distributed loop, whose
+    # per-round truncation is what checkpoint_dir switches
+    local_cc = sorted(
+        map(tuple, connected_components(edges, driver_threshold=0).collect())
+    )
     reliable_cc = sorted(
-        map(tuple, connected_components(edges, checkpoint_dir=ckpt).collect())
+        map(
+            tuple,
+            connected_components(
+                edges, checkpoint_dir=ckpt, driver_threshold=0
+            ).collect(),
+        )
     )
     assert reliable_cc == local_cc
     # reliable checkpoints were really written (dir exists and is non-empty)
