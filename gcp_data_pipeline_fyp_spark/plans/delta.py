@@ -51,24 +51,37 @@ def stage_dw_delta(
     data_source: str,
     run_ts: _dt.datetime,
 ) -> dict[str, DataFrame]:
+    from concurrent.futures import ThreadPoolExecutor
+
     ods = new_ods.persist(StorageLevel.MEMORY_AND_DISK)
+    # populate the cache before the concurrent dim updates fan out
+    ods.count()
     audit = audit_columns(job_id, data_source, run_ts)
-    dims: dict[str, DataFrame] = {}
-    for table, (nat_keys, id_col) in DIM_SPECS.items():
-        existing_full = wh.read(table)
-        renames = _DIM_NATURAL_RENAMES.get(table, {})
-        existing = existing_full
-        for dw_name, ods_name in renames.items():
+
+    def _update_dim(table: str) -> tuple[str, DataFrame]:
+        if table == "T_DIM_date":
+            # date dim: append only dates not already present
+            new_dates = build_date_dim(ods)
+            existing_dates = wh.read("T_DIM_date").select("ID_date_ID")
+            wh.append(
+                new_dates.join(existing_dates, "ID_date_ID", "left_anti"),
+                "T_DIM_date",
+            )
+            return table, wh.read("T_DIM_date")
+        nat_keys, id_col = DIM_SPECS[table]
+        existing = wh.read(table)
+        for dw_name, ods_name in _DIM_NATURAL_RENAMES.get(table, {}).items():
             existing = existing.withColumnRenamed(dw_name, ods_name)
         existing = existing.select(id_col, *nat_keys)
         new_rows, _full = incremental_surrogate_keys(ods, existing, nat_keys, id_col)
         wh.append(_finalize_dim(table, new_rows), table)
-        dims[table] = wh.read(table)
-    # date dim: append only dates not already present
-    new_dates = build_date_dim(ods)
-    existing_dates = wh.read("T_DIM_date").select("ID_date_ID")
-    wh.append(new_dates.join(existing_dates, "ID_date_ID", "left_anti"), "T_DIM_date")
-    dims["T_DIM_date"] = wh.read("T_DIM_date")
+        return table, wh.read(table)
+
+    # each dim's snapshot->anti-join->append chain touches only its own
+    # table; run the 6 chains as concurrent Spark jobs (driver threads)
+    tables = [*DIM_SPECS, "T_DIM_date"]
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        dims = dict(pool.map(_update_dim, tables))
 
     staged_fact = with_fact_partition(
         enrich_fact(ods, dims).withColumns(

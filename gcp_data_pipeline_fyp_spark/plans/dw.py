@@ -157,17 +157,30 @@ def stage_dw_full(
     data_source: str,
     run_ts: _dt.datetime,
 ) -> dict[str, DataFrame]:
+    from concurrent.futures import ThreadPoolExecutor
+
     ods = t_ods.persist(StorageLevel.MEMORY_AND_DISK)
+    # populate the cache before fanning out: concurrent dim jobs would
+    # otherwise race to compute the same partitions
+    ods.count()
     audit = audit_columns(job_id, data_source, run_ts)
-    dims: dict[str, DataFrame] = {}
-    for table, (nat_keys, id_col) in DIM_SPECS.items():
-        dim = assign_surrogate_keys(ods, nat_keys, id_col)
-        dim = _finalize_dim(table, dim)
+
+    def _build(table: str) -> tuple[str, DataFrame]:
+        if table == "T_DIM_date":
+            dim = build_date_dim(ods)
+        else:
+            nat_keys, id_col = DIM_SPECS[table]
+            dim = _finalize_dim(table, assign_surrogate_keys(ods, nat_keys, id_col))
         wh.overwrite(dim, table)
-        dims[table] = wh.read(table)
-    date_dim = build_date_dim(ods)
-    wh.overwrite(date_dim, "T_DIM_date")
-    dims["T_DIM_date"] = wh.read("T_DIM_date")
+        return table, wh.read(table)
+
+    # the 6 dim builds touch disjoint tables and read only the cached
+    # ODS frame — submit them as concurrent Spark jobs (driver-side
+    # threads; the standard fan-out for many small independent sinks,
+    # where each job alone underutilizes the cluster)
+    tables = [*DIM_SPECS, "T_DIM_date"]
+    with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+        dims = dict(pool.map(_build, tables))
     fact = with_fact_partition(
         enrich_fact(ods, dims).withColumns(
             {
