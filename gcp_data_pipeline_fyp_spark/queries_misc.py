@@ -706,3 +706,143 @@ FROM p ORDER BY doc_id
 """
 
 MISC_QUERIES["char_entropy"] = (q_char_entropy, SQL_CHAR_ENTROPY)
+
+
+# --------------------------------------- declarative expectations suite
+def q_expectations_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-validation contract over the events feed: every row-level
+    rule rides ONE aggregation pass; the referential rule adds one
+    anti-join against the distinct customer keys
+    (operators/expectations.py). The suite deliberately mixes passing
+    and failing rules so the report shape is exercised end-to-end."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        accepted_values,
+        expectations_report,
+        in_range,
+        matches_regex,
+        not_null,
+        referential,
+        row_count_between,
+        satisfies,
+        unique,
+    )
+
+    ev = load(spark, sf, "events")
+    cust = load(spark, sf, "customer")
+    rules = [
+        not_null("event_id"),
+        unique("event_id"),
+        accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+        in_range("value", 0, 400),
+        matches_regex("props", r"^\{"),
+        satisfies("value_positive", F.col("value") > 0, target="value"),
+        row_count_between(lo=100),
+        referential("user_id", cust, "c_custkey"),
+    ]
+    return expectations_report(ev, rules)
+
+
+SQL_EXPECTATIONS_REPORT = r"""
+WITH agg AS (
+  SELECT
+    sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS r0,
+    sum(CASE WHEN event_id IS NOT NULL THEN 1 ELSE 0 END)
+      - count(DISTINCT event_id) AS r1,
+    sum(CASE WHEN event_type IS NOT NULL
+             AND event_type NOT IN ('click', 'view', 'purchase', 'signup')
+        THEN 1 ELSE 0 END) AS r2,
+    sum(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0 AND 400
+        THEN 1 ELSE 0 END) AS r3,
+    sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{')
+        THEN 1 ELSE 0 END) AS r4,
+    sum(CASE WHEN NOT (value > 0) THEN 1 ELSE 0 END) AS r5,
+    CASE WHEN count(*) < 100 THEN 1 ELSE 0 END AS r6
+  FROM events),
+refv AS (
+  SELECT count(*) AS r7 FROM events
+  WHERE user_id IS NOT NULL
+    AND user_id NOT IN (SELECT c_custkey FROM customer)),
+rows_out AS (
+  SELECT 'event_id_not_null' AS rule, 'not_null' AS kind,
+         'event_id' AS target, cast(r0 AS bigint) AS n_violations FROM agg
+  UNION ALL
+  SELECT 'event_id_unique', 'unique', 'event_id', cast(r1 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'event_type_accepted_values', 'accepted_values', 'event_type',
+         cast(r2 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'value_in_range', 'in_range', 'value', cast(r3 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'props_matches_regex', 'matches_regex', 'props',
+         cast(r4 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'value_positive', 'satisfies', 'value', cast(r5 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'row_count', 'row_count', '', cast(r6 AS bigint) FROM agg
+  UNION ALL
+  SELECT 'user_id_referential', 'referential', 'user_id',
+         cast(r7 AS bigint) FROM refv)
+SELECT rule, kind, target, n_violations, n_violations = 0 AS passed
+FROM rows_out
+"""
+
+MISC_QUERIES["expectations_report"] = (q_expectations_report, SQL_EXPECTATIONS_REPORT)
+
+
+# --------------------------------------- schema contract (drift gate)
+_EVENTS_CONTRACT = {
+    "event_id": "int",
+    "ts": "timestamp",
+    "user_id": "int",
+    "event_type": "string",
+    "value": "int",       # actual is float -> type_changed (exercised)
+    "session_id": "int",  # not in the feed -> missing (exercised)
+}
+
+
+def q_schema_contract(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-drift gate over the events feed: the frame's actual schema
+    vs a pinned {column: type_class} contract, one row per column with
+    status ok | type_changed | missing | unexpected. Pure metadata (no
+    scan); the oracle derives the same report from DuckDB's
+    information_schema, so the check is genuinely cross-engine. The
+    pinned contract deliberately mis-types `value` and expects a
+    `session_id` the feed lacks, exercising every status."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        schema_contract_report,
+    )
+
+    ev = load(spark, sf, "events")
+    return schema_contract_report(ev, _EVENTS_CONTRACT)
+
+
+SQL_SCHEMA_CONTRACT = """
+WITH actual AS (
+  SELECT column_name, CASE
+    WHEN data_type IN ('TINYINT', 'SMALLINT', 'INTEGER', 'BIGINT', 'HUGEINT',
+                       'UTINYINT', 'USMALLINT', 'UINTEGER', 'UBIGINT')
+      THEN 'int'
+    WHEN data_type IN ('FLOAT', 'REAL', 'DOUBLE') THEN 'float'
+    WHEN data_type = 'VARCHAR' THEN 'string'
+    WHEN data_type = 'BOOLEAN' THEN 'boolean'
+    WHEN data_type = 'DATE' THEN 'date'
+    WHEN data_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+    WHEN data_type = 'BLOB' THEN 'binary'
+    WHEN data_type LIKE 'DECIMAL%' THEN 'decimal'
+    WHEN data_type LIKE '%[]' THEN 'array'
+    ELSE lower(data_type) END AS actual
+  FROM information_schema.columns WHERE table_name = 'events'),
+contract(column_name, expected) AS (VALUES
+  ('event_id', 'int'), ('ts', 'timestamp'), ('user_id', 'int'),
+  ('event_type', 'string'), ('value', 'int'), ('session_id', 'int'))
+SELECT column_name, expected, actual,
+  CASE WHEN actual IS NULL THEN 'missing'
+       WHEN expected IS NULL THEN 'unexpected'
+       WHEN expected <> actual THEN 'type_changed'
+       ELSE 'ok' END AS status
+FROM contract FULL JOIN actual USING (column_name)
+"""
+
+MISC_QUERIES["schema_contract"] = (q_schema_contract, SQL_SCHEMA_CONTRACT)

@@ -1100,3 +1100,79 @@ def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
     assert sorted(map(tuple, a_local.collect())) == sorted(
         map(tuple, a_rel.collect())
     )
+
+
+# -------------------- declarative expectations (operators/expectations.py)
+def test_expectations_report_rule_semantics(spark):
+    """NULL-handling contracts: range/regex/accepted_values ignore NULLs
+    (not_null owns those), unique counts excess rows over non-NULL keys,
+    referential ignores NULL FKs, satisfies treats a NULL predicate as
+    pass (SQL CASE semantics, mirrored by the oracle rendering)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        accepted_values,
+        expectations_report,
+        in_range,
+        not_null,
+        referential,
+        row_count_between,
+        satisfies,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0, 1),
+            (1, "a", 500.0, 2),   # dup (1,'a'); out of range
+            (2, "zz", None, None),  # bad category; NULL value + fk
+            (None, "b", 5.0, 9),  # NULL id; fk 9 missing from ref
+        ],
+        "id long, cat string, v double, fk long",
+    )
+    ref = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in expectations_report(
+            df,
+            [
+                not_null("id"),
+                unique("id", "cat"),
+                accepted_values("cat", ["a", "b"]),
+                in_range("v", 0, 400),
+                satisfies("v_positive", F.col("v") > 0, target="v"),
+                row_count_between(lo=2, hi=3),
+                referential("fk", ref, "k"),
+            ],
+        ).collect()
+    }
+    assert got["id_not_null"] == (1, False)
+    # 3 non-NULL-keyed rows, 2 distinct (1,a)/(2,zz) -> 1 excess
+    assert got["id_cat_unique"] == (1, False)
+    assert got["cat_accepted_values"] == (1, False)  # 'zz' only; NULL v row ok
+    assert got["v_in_range"] == (1, False)  # 500 only; NULL ignored
+    # NULL predicate -> pass: only rows with v<=0 would violate; none do
+    assert got["v_positive"] == (0, True)
+    assert got["row_count"] == (1, False)  # 4 rows > hi=3
+    assert got["fk_referential"] == (1, False)  # 9; NULL fk ignored
+    # all-rules-green path
+    ok = expectations_report(df.filter("id = 2"), [not_null("id")]).collect()
+    assert ok[0]["n_violations"] == 0 and ok[0]["passed"]
+
+
+def test_schema_contract_report_statuses(spark):
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        schema_contract_report,
+    )
+
+    df = spark.createDataFrame([(1, "x", 2.0)], "a long, b string, c double")
+    got = {
+        r["column_name"]: (r["expected"], r["actual"], r["status"])
+        for r in schema_contract_report(
+            df, {"a": "int", "b": "int", "d": "string"}
+        ).collect()
+    }
+    assert got["a"] == ("int", "int", "ok")
+    assert got["b"] == ("int", "string", "type_changed")
+    assert got["d"] == ("string", None, "missing")
+    assert got["c"] == (None, "float", "unexpected")
