@@ -1,0 +1,112 @@
+"""Tokenizer-training support: corpus-scale BPE pair statistics and
+group-wise embedding pooling.
+
+`bpe_pair_counts` is the inner-loop statistic of byte-pair-encoding
+tokenizer training (Sennrich et al. 2016): count adjacent symbol pairs
+across the corpus, weighted by word frequency. The scale shape matters
+more than the arithmetic — at 100 TB you NEVER explode per-occurrence
+pairs. The corpus first collapses to its (word, count) vocabulary (one
+shuffle, output vocabulary-sized — tens of millions of rows, not
+trillions of tokens), and pair explosion runs over the vocabulary with
+counts as weights. This two-stage shape is the published way every
+corpus-scale tokenizer trainer works; one fused explode over raw
+tokens would shuffle the token stream itself.
+
+`pool_embeddings` mean-pools vector groups (chunk -> document, passage
+-> page): posexplode to (group, pos, x), average per (group, pos) with
+exact decimal sums (partial-agg-order independent — identical bytes on
+any cluster layout), reassemble per group. Same aggregation shape as
+the k-means centroid update (operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import tokens
+
+
+def word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) vocabulary of whitespace words — the corpus collapse
+    stage; everything downstream is vocabulary-sized."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Adjacent character-pair counts over the corpus, weighted by word
+    frequency — the statistic a BPE merge round maximizes. Returns
+    (left, right, pair_count) ordered by count desc (ties broken by the
+    pair itself, so top-k is deterministic).
+
+    Words are treated as symbol sequences of single characters (the
+    first BPE iteration); an end-of-word marker is NOT added — callers
+    composing a full trainer can append one to `text_col` upstream.
+    """
+    vocab = word_counts(df, text_col)
+    chars = vocab.select(
+        "n", F.split(F.col("word"), "").alias("__cs")
+    ).withColumn("__len", F.size("__cs"))
+    pairs = (
+        chars.filter(F.col("__len") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__len") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__cs", i).alias("left"),
+                        F.element_at("__cs", i + 1).alias("right"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"), "n")
+    )
+    out = (
+        pairs.groupBy("left", "right")
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left", "right")
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def pool_embeddings(
+    df: DataFrame, group_col: str, vec_col: str, dim: int | None = None
+) -> DataFrame:
+    """Mean-pool `vec_col` (array<float/double>) per `group_col` ->
+    (group_col, pooled array<double>).
+
+    Exact decimal per-dimension sums make pooling independent of
+    partial-aggregation order. Vectors inside a group must share one
+    dimensionality (standard for a single embedding model); `dim`
+    optionally asserts it at plan level via an upstream filter.
+    """
+    v = df.select(
+        F.col(group_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    if dim is not None:
+        v = v.filter(F.size("__v") == dim)
+    per_pos = (
+        v.select(group_col, F.posexplode("__v").alias("__pos", "__x"))
+        .groupBy(group_col, "__pos")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count("__x")
+            ).alias("__m")
+        )
+    )
+    return per_pos.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__m")))),
+            lambda s: s["__m"],
+        ).alias("pooled")
+    )

@@ -846,3 +846,64 @@ FROM contract FULL JOIN actual USING (column_name)
 """
 
 MISC_QUERIES["schema_contract"] = (q_schema_contract, SQL_SCHEMA_CONTRACT)
+
+
+# --------------------------------------- BPE pair statistics (tokenizer)
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-scale BPE merge statistic: top adjacent character pairs
+    weighted by word frequency. Two-stage shape (corpus -> vocabulary
+    -> pairs) so the pair explosion is vocabulary-sized, never
+    token-stream-sized (operators/tokenizer.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_pair_counts
+
+    d = load(spark, sf, "documents", spread=True)
+    return bpe_pair_counts(d, "text", top_k=100)
+
+
+SQL_BPE_PAIR_COUNTS = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents),
+v AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+c AS (SELECT n, string_split(word, '') AS cs FROM v),
+p AS (SELECT cs[i] AS left, cs[i + 1] AS right, n
+      FROM c, unnest(generate_series(1, len(cs) - 1)) AS g(i)
+      WHERE len(cs) >= 2)
+SELECT "left", "right", cast(sum(n) AS bigint) AS pair_count
+FROM p GROUP BY 1, 2
+ORDER BY pair_count DESC, "left", "right"
+LIMIT 100
+"""
+
+MISC_QUERIES["bpe_pair_counts"] = (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS)
+
+
+# --------------------------------------- group-wise embedding pooling
+def q_embedding_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """Mean-pool embeddings per label (chunk->document pooling shape),
+    emitted as exploded (label, pos, value_micro) rows — exact decimal
+    sums, so pooled bytes are identical on any partitioning
+    (operators/tokenizer.py:pool_embeddings)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import pool_embeddings
+
+    emb = load(spark, sf, "embeddings", spread=True)
+    pooled = pool_embeddings(emb, "label", "embedding")
+    return pooled.select(
+        "label", F.posexplode("pooled").alias("pos", "__x")
+    ).select("label", "pos", micro6(F.col("__x")).alias("value_micro"))
+
+
+SQL_EMBEDDING_POOL = f"""
+WITH e AS (
+  SELECT label, i - 1 AS pos,
+         cast(sum(cast(embedding[i] AS decimal(28,12))) AS double)
+           / count(*) AS m
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  GROUP BY label, i)
+SELECT label, pos, {micro6_sql('m')} AS value_micro
+FROM e
+"""
+
+MISC_QUERIES["embedding_pool"] = (q_embedding_pool, SQL_EMBEDDING_POOL)

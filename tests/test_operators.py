@@ -1176,3 +1176,45 @@ def test_schema_contract_report_statuses(spark):
     assert got["b"] == ("int", "string", "type_changed")
     assert got["d"] == ("string", None, "missing")
     assert got["c"] == (None, "float", "unexpected")
+
+
+# -------------------- tokenizer-training ops (operators/tokenizer.py)
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """Pairs are counted once per word OCCURRENCE (vocab count as
+    weight), single-char words contribute nothing, and the ordering is
+    deterministic under ties."""
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab x"), (3, None)], "doc_id long, text string"
+    )
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in bpe_pair_counts(df, "text").collect()
+    }
+    # 'ab' occurs 3x -> (a,b)+3; 'abc' once -> (a,b)+1, (b,c)+1; 'x' none
+    assert got == {("a", "b"): 4, ("b", "c"): 1}
+    top1 = bpe_pair_counts(df, "text", top_k=1).collect()
+    assert (top1[0]["left"], top1[0]["right"], top1[0]["pair_count"]) == ("a", "b", 4)
+
+
+def test_pool_embeddings_exact_mean(spark):
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import pool_embeddings
+
+    df = spark.createDataFrame(
+        [
+            ("d1", [1.0, 2.0]),
+            ("d1", [3.0, 6.0]),
+            ("d2", [5.0, 5.0]),
+        ],
+        "doc string, vec array<double>",
+    )
+    got = {r["doc"]: r["pooled"] for r in pool_embeddings(df, "doc", "vec").collect()}
+    assert got == {"d1": [2.0, 4.0], "d2": [5.0, 5.0]}
+    # dim filter drops mis-sized vectors instead of corrupting the mean
+    df2 = df.union(spark.createDataFrame([("d2", [9.0])], "doc string, vec array<double>"))
+    got2 = {
+        r["doc"]: r["pooled"]
+        for r in pool_embeddings(df2, "doc", "vec", dim=2).collect()
+    }
+    assert got2 == got
