@@ -73,31 +73,127 @@ def stream_ingest_available_now(
         .dropDuplicatesWithinWatermark(event_id_cols)
     )
 
-    part_cols = [partition_col] if partition_col else None
-
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.dropDuplicates(event_id_cols)
-        staging = f"{table}__staging"
-        if wh.exists(table):
-            # land the merge in a staging dir, then promote by RENAME —
-            # never a read-back-rewrite of the base (which would double
-            # the write volume and race the lazy base scan)
-            base = wh.read(table)
-            if partition_col:
-                merged = merge_upsert_partitioned(
-                    base, batch.select(*base.columns), event_id_cols, partition_col
-                )
-                wh.overwrite(merged, staging, partition_cols=part_cols)
-                wh.swap_partitions(staging, table, partition_col)
-            else:
-                merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
-                wh.overwrite(merged, staging)
-                wh.swap(staging, table)
-        else:
-            wh.overwrite(batch, table, partition_cols=part_cols)
+        _merge_into(
+            wh, table, batch.dropDuplicates(event_id_cols), event_id_cols,
+            partition_col,
+        )
 
     return (
         deduped.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _merge_into(
+    wh: Warehouse,
+    table: str,
+    batch: DataFrame,
+    event_id_cols: list[str],
+    partition_col: str | None,
+) -> None:
+    """MERGE one (already in-batch-deduplicated) micro-batch into `table`."""
+    part_cols = [partition_col] if partition_col else None
+    staging = f"{table}__staging"
+    if wh.exists(table):
+        # land the merge in a staging dir, then promote by RENAME —
+        # never a read-back-rewrite of the base (which would double
+        # the write volume and race the lazy base scan)
+        base = wh.read(table)
+        if partition_col:
+            merged = merge_upsert_partitioned(
+                base, batch.select(*base.columns), event_id_cols, partition_col
+            )
+            wh.overwrite(merged, staging, partition_cols=part_cols)
+            wh.swap_partitions(staging, table, partition_col)
+        else:
+            merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
+            wh.overwrite(merged, staging)
+            wh.swap(staging, table)
+    else:
+        wh.overwrite(batch, table, partition_cols=part_cols)
+
+
+def stream_validated_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    event_id_cols: list[str],
+    ts_col: str,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    rules: list,
+    watermark: str = "1 day",
+    partition_col: str | None = None,
+    report_table: str = "EXPECTATIONS_LOG",
+    quarantine_table: str | None = None,
+) -> StreamingQuery:
+    """Validated streaming ingest: per micro-batch, the declarative
+    expectations suite (operators/expectations.py) runs BEFORE the
+    merge — the streaming rendering of the ingest-promotion gate.
+
+    Per batch:
+    - the full rule report (rule, kind, target, n_violations, passed)
+      is appended to `report_table` stamped with the batch id — an
+      append-only audit log of feed health over time;
+    - rows violating any ROW-LEVEL rule (not_null / accepted_values /
+      in_range / matches_regex / satisfies) are split out; with
+      `quarantine_table` set they append there (the dead-letter
+      pattern, reference S10) instead of silently vanishing;
+    - only clean rows merge into `table`.
+
+    Aggregate-shaped rules (unique / row_count / referential) can't
+    name individual rows; they gate via the report, not the split.
+    Scale: the report is rules-sized, the split is one filter over the
+    batch, and the merge is the partition-scoped batch path — nothing
+    here holds streaming state beyond the dedup watermark.
+    """
+    from pyspark.sql import functions as SF
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        expectations_report,
+    )
+
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(event_id_cols)
+    )
+    row_rules = [r for r in rules if r.violated is not None]
+
+    def _validate_and_merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates(event_id_cols).persist()
+        try:
+            # AvailableNow + stateful dedup runs a trailing data-less
+            # batch to flush state; logging it would append spurious
+            # all-zero report rows (and trip row_count lower bounds)
+            if batch.isEmpty():
+                return
+            report = expectations_report(batch, rules).withColumn(
+                "batch_id", SF.lit(batch_id).cast("long")
+            )
+            wh.append(report, report_table)
+            clean = batch
+            if row_rules:
+                violated = SF.lit(False)
+                for r in row_rules:
+                    violated = violated | SF.coalesce(r.violated, SF.lit(False))
+                if quarantine_table is not None:
+                    wh.append(batch.filter(violated), quarantine_table)
+                clean = batch.filter(~violated)
+            _merge_into(wh, table, clean, event_id_cols, partition_col)
+        finally:
+            batch.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(_validate_and_merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

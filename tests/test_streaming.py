@@ -337,3 +337,60 @@ def test_streaming_corpus_ingest_with_digest_index(spark, tmp_path):
     run_stream()
     got2 = {r["doc_id"] for r in wh.read("corpus").collect()}
     assert got2 == {1, 2, 11, 21}
+
+
+def test_stream_validated_ingest_quarantines_and_logs(spark, tmp_path):
+    """Per-micro-batch expectations: the rule report lands in the audit
+    log stamped with the batch id, row-level violators go to the
+    quarantine table, only clean rows merge — and a restart continues
+    the log/quarantine/merge from the checkpoint."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        in_range,
+        not_null,
+        unique,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_validated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    rules = [not_null("event_type"), in_range("value", 0, 10), unique("event_id")]
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (2, "2024-01-01 10:01:00", "view", 99.0),  # out of range
+            (3, "2024-01-01 10:02:00", "", 2.0),       # empty -> NULL type
+        ],
+    )
+    kw = dict(
+        rules=rules, quarantine_table="Q", report_table="LOG",
+    )
+    q = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt, **kw
+    )
+    q.awaitTermination(120)
+    assert {r["event_id"] for r in wh.read("ev").collect()} == {1}
+    assert {r["event_id"] for r in wh.read("Q").collect()} == {2, 3}
+    log = wh.read("LOG").collect()
+    assert len(log) == 3  # 3 rules x 1 batch
+    got = {r["rule"]: r["n_violations"] for r in log}
+    assert got == {"event_type_not_null": 1, "value_in_range": 1, "event_id_unique": 0}
+
+    # restart: only the new file processes; clean row 4 merges, log grows
+    _write_csv(
+        in_dir / "b2.csv",
+        [(4, "2024-01-01 11:00:00", "click", 3.0)],
+    )
+    q2 = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt, **kw
+    )
+    q2.awaitTermination(120)
+    assert {r["event_id"] for r in wh.read("ev").collect()} == {1, 4}
+    assert wh.read("Q").count() == 2  # unchanged
+    log2 = wh.read("LOG").collect()
+    assert len(log2) == 6
+    assert all(r["n_violations"] == 0 for r in log2 if r["batch_id"] != log[0]["batch_id"])
