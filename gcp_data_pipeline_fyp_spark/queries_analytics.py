@@ -49,20 +49,10 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         depth_band(F.col("value")).alias("LB_depthCategory"),
         F.col("ts").alias("DT_time"),
     )
-    # ONE corpus pass feeds all four dims: distinct over the 4 banded
-    # key columns is bounded by their tiny cross product, and each dim
-    # is a distinct of that combo frame — 4 separate
-    # assign_surrogate_keys(ods, ...) calls would each rescan the fact
-    # input (5 scans of a 100 TB table instead of 2)
-    combos = ods.select(
-        "LB_type", "LB_net", "LB_magCategory", "LB_depthCategory"
-    ).distinct()
-    dim_type = assign_surrogate_keys(combos, ["LB_type"], "ID_type_ID")
-    dim_net = assign_surrogate_keys(combos, ["LB_net"], "ID_Network_ID")
-    dim_mag = assign_surrogate_keys(combos, ["LB_magCategory"], "ID_magCategory_ID")
-    dim_depth = assign_surrogate_keys(
-        combos, ["LB_depthCategory"], "ID_depthCategory_ID"
-    )
+    dim_type = assign_surrogate_keys(ods, ["LB_type"], "ID_type_ID")
+    dim_net = assign_surrogate_keys(ods, ["LB_net"], "ID_Network_ID")
+    dim_mag = assign_surrogate_keys(ods, ["LB_magCategory"], "ID_magCategory_ID")
+    dim_depth = assign_surrogate_keys(ods, ["LB_depthCategory"], "ID_depthCategory_ID")
     fact = (
         ods.join(F.broadcast(dim_type), "LB_type")
         .join(F.broadcast(dim_net), "LB_net")
