@@ -97,3 +97,72 @@ def test_cdc_snapshot_single_shuffle(spark):
     # one hash exchange for the per-key window; no join in the plan
     assert p.count("Exchange hashpartitioning") <= 1
     assert "WindowGroupLimit" in p  # rn==1 pruned per partition
+
+
+def test_star_fact_dim_scans_column_pruned(spark):
+    """Each dim build's scan must prune to its single source column —
+    on columnar storage the 4 dim passes together then cost about one
+    extra column-read of the fact input, not 4 table scans. Guards
+    against a refactor that widens a dim scan back to the full row."""
+    import re
+
+    p = _plan(spark, "star_schema_fact")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    assert len(schemas) == 5  # 4 dim scans + the fact scan
+    narrow = [s for s in schemas if s.count(":") == 1]
+    assert len(narrow) == 4, schemas
+
+
+def test_expectations_single_scan_regardless_of_rule_count(spark):
+    """Row-level + unique + row_count rules compile into ONE aggregation
+    pass: adding a rule must add a column, never a scan."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        accepted_values,
+        expectations_report,
+        in_range,
+        not_null,
+        row_count_between,
+        satisfies,
+        unique,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+
+    ev = load(spark, SF, "events")
+    report = expectations_report(
+        ev,
+        [
+            not_null("event_id"),
+            not_null("ts"),
+            accepted_values("event_type", ["click", "view"]),
+            in_range("value", 0, 100),
+            satisfies("pos", F.col("value") > 0),
+            unique("event_id"),
+            row_count_between(lo=1),
+        ],
+    )
+    import re
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        report.explain("formatted")
+    # one scan NODE (formatted explain prints each node twice: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue())) == 1
+
+
+def test_bpe_pair_counts_vocabulary_stage_bounds_shuffles(spark):
+    """The pair explosion runs over the collapsed vocabulary: one scan
+    of the corpus, and the token stream itself is never exchanged —
+    the only row-shuffles are the two aggregations (word counts, pair
+    counts) plus the final top-k ordering."""
+    import re
+
+    p = _plan(spark, "bpe_pair_counts")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    # two row-shuffles: word counts + pair counts (the spread-input
+    # round-robin repartition is not a keyed shuffle)
+    assert p.count("hashpartitioning(") == 2
