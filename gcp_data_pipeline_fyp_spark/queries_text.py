@@ -1132,7 +1132,13 @@ def q_corpus_prep_full(spark: SparkSession, sf: str) -> DataFrame:
     q = d.filter(gopher_keep(F.col("text")))
     bench = d.filter(F.col("doc_id") % 97 == 0)
     q2 = decontaminate(q, "doc_id", "text", bench, "text", n=5)
-    kept = exact_dedup(q2, ["text"], "doc_id")
+    # stage materialization: the deduped corpus feeds three consumers
+    # (LSH signing, the cluster join, the final split) — lazy
+    # localCheckpoint computes it once at the first action and serves
+    # the rest from executor blocks (GC-managed, no explicit unpersist).
+    # On a real cluster this stage boundary is where a production run
+    # writes the post-dedup corpus to object store instead.
+    kept = exact_dedup(q2, ["text"], "doc_id").localCheckpoint(eager=False)
     pairs = minhash_lsh_candidates(
         kept, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
