@@ -74,3 +74,57 @@ def decontaminate(
         broadcast=broadcast,
     )
     return corpus.join(bad, id_col, "left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 13,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-benchmark-document contamination audit: for each benchmark
+    doc, how many of its n-grams exist in the corpus and how many
+    corpus docs carry them.
+
+    (bench_id, n_grams, n_grams_hit, n_docs_hit) — the evidence table a
+    contamination study publishes alongside the scrub. Benchmark docs
+    with zero overlap still appear (count 0), so the report is complete
+    over the eval set.
+
+    Same scale shape as `decontaminate`: the per-doc benchmark n-gram
+    set broadcasts; the corpus contributes one scan + shingle explode;
+    the aggregation output is benchmark-sized.
+    """
+    bench_grams = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(shingles(tokens(bench_text_col), n)).alias("ngram"),
+    ).distinct()
+    grams = F.broadcast(bench_grams) if broadcast else bench_grams
+    corpus_grams = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(shingles(tokens(text_col), n)).alias("ngram"),
+    )
+    hits = (
+        corpus_grams.join(grams, "ngram")
+        .groupBy("__bid")
+        .agg(
+            F.count_distinct("ngram").alias("n_grams_hit"),
+            F.count_distinct("__cid").alias("n_docs_hit"),
+        )
+    )
+    totals = bench_grams.groupBy("__bid").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return (
+        totals.join(hits, "__bid", "left")
+        .select(
+            F.col("__bid").alias(bench_id_col),
+            "n_grams",
+            F.coalesce("n_grams_hit", F.lit(0)).alias("n_grams_hit"),
+            F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
+        )
+    )

@@ -2153,3 +2153,43 @@ FROM flagged GROUP BY doc_id ORDER BY doc_id
 """
 
 TEXT_QUERIES["ngram_novelty"] = (q_ngram_novelty, SQL_NGRAM_NOVELTY)
+
+
+# ---------------------------------------------- contamination audit report
+def q_contamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-benchmark-doc contamination evidence: n-gram totals, hit
+    counts, and hitting-corpus-doc counts (the table a contamination
+    study publishes alongside the scrub) —
+    operators/decontaminate.py:contamination_report."""
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    return contamination_report(
+        corpus, "doc_id", "text", bench, "doc_id", "text", n=5
+    )
+
+
+SQL_CONTAMINATION_REPORT = f"""
+WITH tb AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+            WHERE doc_id % 97 = 0),
+bg AS (SELECT DISTINCT doc_id AS bid, unnest({_sql_shingles_n(5)}) AS ngram
+       FROM tb),
+tc AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+       WHERE doc_id % 97 <> 0),
+cg AS (SELECT doc_id AS cid, unnest({_sql_shingles_n(5)}) AS ngram FROM tc),
+hits AS (
+  SELECT bid, count(DISTINCT ngram) AS n_grams_hit,
+         count(DISTINCT cid) AS n_docs_hit
+  FROM cg JOIN bg USING (ngram) GROUP BY bid),
+totals AS (SELECT bid, count(*) AS n_grams FROM bg GROUP BY bid)
+SELECT totals.bid AS doc_id, cast(n_grams AS bigint) AS n_grams,
+       cast(coalesce(n_grams_hit, 0) AS bigint) AS n_grams_hit,
+       cast(coalesce(n_docs_hit, 0) AS bigint) AS n_docs_hit
+FROM totals LEFT JOIN hits USING (bid)
+"""
+
+TEXT_QUERIES["contamination_report"] = (q_contamination_report, SQL_CONTAMINATION_REPORT)

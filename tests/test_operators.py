@@ -1218,3 +1218,34 @@ def test_pool_embeddings_exact_mean(spark):
         for r in pool_embeddings(df2, "doc", "vec", dim=2).collect()
     }
     assert got2 == got
+
+
+def test_contamination_report_complete_over_benchmark(spark):
+    """Zero-overlap benchmark docs still report (0, 0); hit counts are
+    distinct-gram / distinct-doc counts, not occurrence counts."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        contamination_report,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma other words"),
+            (3, "nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma"),        # hit by docs 1 and 2
+            (200, "totally novel benchmark"),  # zero overlap
+        ],
+        "bid long, text string",
+    )
+    got = {
+        r["bid"]: (r["n_grams"], r["n_grams_hit"], r["n_docs_hit"])
+        for r in contamination_report(
+            corpus, "doc_id", "text", bench, "bid", "text", n=3
+        ).collect()
+    }
+    assert got == {100: (1, 1, 2), 200: (1, 0, 0)}
