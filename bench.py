@@ -58,6 +58,11 @@ HEADLINE = [
     # the flagship composition: quality -> decontaminate -> exact dedup
     # -> LSH closure -> split, one plan
     "corpus_prep_full",
+    # round-4 families: single-pass validation suite, per-benchmark
+    # contamination audit, BPE tokenizer-training statistic
+    "expectations_report",
+    "contamination_report",
+    "bpe_pair_counts",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
