@@ -169,8 +169,15 @@ def test_connected_components_fuzz_vs_union_find(spark, edges):
     if not edges:
         return
     df = spark.createDataFrame(edges, "id_a long, id_b long")
+    # default path (driver union-find below the size gate) AND the
+    # distributed star contraction (forced with driver_threshold=0)
+    # must both match the oracle
     got = {
         r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, driver_threshold=0).collect()
     }
     # union-find oracle over every endpoint (self-loops register the node)
     parent = {}
@@ -188,6 +195,7 @@ def test_connected_components_fuzz_vs_union_find(spark, edges):
             parent[max(ra, rb)] = min(ra, rb)
     want = {v: find(v) for v in parent}
     assert got == want
+    assert got_dist == want
 
 
 @settings(max_examples=10, deadline=None)
@@ -255,3 +263,70 @@ def test_incremental_dedup_fuzz_vs_set_semantics(spark, base, batch):
             want.append((i + 100, t))
             seen.add(t)
     assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 5)),
+            st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+        ),
+        max_size=12,
+    )
+)
+def test_expectations_fuzz_vs_pandas(spark, rows):
+    """Rule counts match a plain-Python evaluation on arbitrary data —
+    including all-NULL columns and the empty frame (coalesced to 0)."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        expectations_report,
+        in_range,
+        not_null,
+        unique,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v double") if rows else (
+        spark.createDataFrame([], "k long, v double")
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in expectations_report(
+            df, [not_null("k"), in_range("v", -10, 10), unique("k")]
+        ).collect()
+    }
+    ks = [k for k, _ in rows]
+    vs = [v for _, v in rows]
+    assert got["k_not_null"] == sum(1 for k in ks if k is None)
+    assert got["v_in_range"] == sum(
+        1 for v in vs if v is not None and not (-10 <= v <= 10)
+    )
+    non_null_keys = [k for k in ks if k is not None]
+    assert got["k_unique"] == len(non_null_keys) - len(set(non_null_keys))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20), max_size=6
+    )
+)
+def test_bpe_pair_counts_fuzz_vs_counter(spark, texts):
+    from collections import Counter
+
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_pair_counts
+
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["left"], r["right"]): r["pair_count"]
+        for r in bpe_pair_counts(df, "text").collect()
+    }
+    want = Counter()
+    vocab = Counter(w for t in texts for w in t.split() if w)
+    for word, n in vocab.items():
+        for a, b in zip(word, word[1:]):
+            want[(a, b)] += n
+    assert got == dict(want)
