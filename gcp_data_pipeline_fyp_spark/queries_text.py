@@ -2193,3 +2193,50 @@ FROM totals LEFT JOIN hits USING (bid)
 """
 
 TEXT_QUERIES["contamination_report"] = (q_contamination_report, SQL_CONTAMINATION_REPORT)
+
+
+# --------------------------------------- LSH detection-quality report
+def q_lsh_recall_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Certified detection-quality metric for the MinHash-LSH candidate
+    stage: of the planted near-dup pairs (doc, doc+1e6 with a 3-token
+    tail), how many does banding recover, and how many extra candidate
+    pairs does it emit (extras include any REAL near-dups in the
+    corpus, so the number is reported, not asserted zero). One
+    BIGINT-only row — the probe form of the pytest recall bars."""
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    planted = (
+        d.filter(F.col("doc_id") >= 1_000_000)
+        .select(
+            (F.col("doc_id") - 1_000_000).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+    )
+    detected = planted.join(pairs, ["id_a", "id_b"], "left_semi")
+    extras = pairs.join(planted, ["id_a", "id_b"], "left_anti")
+    return (
+        planted.agg(F.count(F.lit(1)).alias("n_planted"))
+        .crossJoin(detected.agg(F.count(F.lit(1)).alias("n_detected")))
+        .crossJoin(extras.agg(F.count(F.lit(1)).alias("n_extra")))
+    )
+
+
+SQL_LSH_RECALL_REPORT = f"""
+WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+{_sql_lsh_pairs_ctes("u")},
+planted AS (
+  SELECT doc_id - 1000000 AS id_a, doc_id AS id_b FROM u
+  WHERE doc_id >= 1000000)
+SELECT
+  (SELECT count(*) FROM planted) AS n_planted,
+  (SELECT count(*) FROM planted p
+     WHERE EXISTS (SELECT 1 FROM pairs2 c
+                   WHERE c.id_a = p.id_a AND c.id_b = p.id_b)) AS n_detected,
+  (SELECT count(*) FROM pairs2 c
+     WHERE NOT EXISTS (SELECT 1 FROM planted p
+                       WHERE c.id_a = p.id_a AND c.id_b = p.id_b)) AS n_extra
+"""
+
+TEXT_QUERIES["lsh_recall_report"] = (q_lsh_recall_report, SQL_LSH_RECALL_REPORT)
