@@ -136,12 +136,28 @@ def lsh_topk(
 
 
 def fit_ivf_centroids(
-    c: DataFrame, n_centroids: int, refine_iters: int
+    c: DataFrame,
+    n_centroids: int,
+    refine_iters: int,
+    train_sample_frac: float | None = None,
 ) -> DataFrame:
     """Deterministic IVF centroids: seeded with the `n_centroids`
     smallest-id corpus vectors, refined with Lloyd iterations
     (posexplode/groupBy means — no MLlib dependency, partitioning-
-    invariant). `c` must carry (`corpus_id`, `__cv`)."""
+    invariant). `c` must carry (`corpus_id`, `__cv`).
+
+    `train_sample_frac`: the 100 TB path (DEPLOY.md) — fit on a
+    deterministic content-keyed sample of the corpus instead of every
+    vector. Centroid quality needs vectors-per-centroid in the
+    hundreds, not the full corpus; the assignment pass downstream
+    still covers everything. Sampling is id-keyed (hash_bucket), so
+    the fit is reproducible on any partitioning."""
+    if train_sample_frac is not None:
+        from gcp_data_pipeline_fyp_spark.operators.sampling import hash_bucket
+
+        c = c.filter(
+            hash_bucket(["corpus_id"], seed=7) < int(train_sample_frac * 1_000_000)
+        )
     cent = (
         c.orderBy("corpus_id")
         .limit(n_centroids)
@@ -188,12 +204,13 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     refine_iters: int = 1,
+    train_sample_frac: float | None = None,
 ) -> DataFrame:
     """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
-    cent = fit_ivf_centroids(c, n_centroids, refine_iters)
+    cent = fit_ivf_centroids(c, n_centroids, refine_iters, train_sample_frac)
     assigned = _assign(c, cent)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")

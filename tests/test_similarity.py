@@ -258,3 +258,26 @@ def test_ivf_index_persist_matches_direct_and_prunes(spark, tmp_path):
     probed = ivf_topk_indexed(wh, q, "vec_id", "embedding", "emb", k=5, nprobe=3)
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan, plan
+
+
+def test_ivf_sampled_training_recall(spark):
+    """The 100 TB centroid-fit path: training on a ~30% content-keyed
+    sample must keep recall at the pinned bar — the assignment pass
+    still covers the full corpus, only the Lloyd fit is sampled. Also
+    pins determinism: two runs produce identical result sets."""
+    blobs = _blob_vectors(spark)
+    q = blobs.filter(F.col("vec_id") < 5)
+    c = blobs.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, "vec_id", "embedding", k=5)
+    approx = ivf_topk(
+        q, c, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4,
+        train_sample_frac=0.3,
+    )
+    assert _recall(exact, approx) >= 0.9
+    again = ivf_topk(
+        q, c, "vec_id", "embedding", k=5, n_centroids=8, nprobe=4,
+        train_sample_frac=0.3,
+    )
+    assert sorted(map(tuple, approx.collect())) == sorted(
+        map(tuple, again.collect())
+    )

@@ -182,6 +182,53 @@ def main() -> None:
         ).save()
         t["filter_chain"] = round(time.perf_counter() - t0, 2)
 
+        # round-4 ops: expectations (must stay scan-bound — one agg
+        # pass no matter how many rules), BPE pair counts (vocabulary-
+        # bound: the id-shifted copies reuse the same words, so the
+        # vocab stays FIXED while the corpus scales — growth should be
+        # the scan, not the pair stage), contamination report (fixed
+        # benchmark side, corpus scan-bound like decontaminate)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.expectations import (
+            accepted_values,
+            expectations_report,
+            in_range,
+            not_null,
+            unique,
+        )
+
+        expectations_report(
+            ev,
+            [
+                not_null("event_id"),
+                not_null("ts"),
+                accepted_values(
+                    "event_type", ["click", "view", "purchase", "signup", "error"]
+                ),
+                in_range("value", 0, 1000),
+                unique("event_id"),
+            ],
+        ).write.mode("overwrite").format("noop").save()
+        t["expectations"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_pair_counts
+
+        bpe_pair_counts(docs, "text", top_k=200).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["bpe_pairs"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+            contamination_report,
+        )
+
+        contamination_report(
+            docs, "doc_id", "text", bench, "doc_id", "text", n=5
+        ).write.mode("overwrite").format("noop").save()
+        t["contamination_report"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
     print(json.dumps({"sf_dir": SF_DIR, "scales": results}))
     spark.stop()
