@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     i_p = sub.add_parser("ingest", help="download the scheduled USGS feed into RAWDATA/")
     i_p.add_argument("--rawdata", required=True, help="directory receiving RAWDATA/<file>")
 
+    v_p = sub.add_parser(
+        "validate",
+        help="run a JSON expectations/schema contract against a table "
+        "(exit 1 on any violation)",
+    )
+    v_p.add_argument("--table", required=True, help="parquet table path")
+    v_p.add_argument(
+        "--contract", required=True,
+        help='JSON file: {"schema": {col: type_class}, "rules": [{kind...}]}',
+    )
+    v_p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "ingest":
@@ -87,6 +99,31 @@ def main(argv: list[str] | None = None) -> int:
             }
             print(json.dumps(out))
             return 0
+
+        if args.cmd == "validate":
+            from gcp_data_pipeline_fyp_spark.operators.expectations import (
+                expectations_report,
+                rules_from_spec,
+                schema_contract_report,
+            )
+
+            with open(args.contract) as fh:
+                contract = json.load(fh)
+            df = spark.read.parquet(args.table)
+            report: dict = {}
+            ok = True
+            if contract.get("schema"):
+                rows = schema_contract_report(df, contract["schema"]).collect()
+                report["schema"] = [r.asDict() for r in rows]
+                ok = ok and all(r["status"] == "ok" for r in rows)
+            if contract.get("rules"):
+                rows = expectations_report(
+                    df, rules_from_spec(contract["rules"])
+                ).collect()
+                report["rules"] = [r.asDict() for r in rows]
+                ok = ok and all(r["passed"] for r in rows)
+            print(json.dumps(report))
+            return 0 if ok else 1
     finally:
         spark.stop()
     return 1

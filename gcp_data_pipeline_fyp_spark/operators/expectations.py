@@ -241,3 +241,32 @@ def schema_contract_report(df: DataFrame, contract: dict[str, str]) -> DataFrame
     return df.sparkSession.createDataFrame(
         rows, "column_name string, expected string, actual string, status string"
     )
+
+
+def rules_from_spec(spec: list[dict]) -> list[Expectation]:
+    """Build a rule list from JSON-able dicts (the CLI contract format).
+
+    Kinds: not_null {col}, unique {cols}, accepted_values {col, values},
+    in_range {col, lo, hi}, matches_regex {col, pattern},
+    row_count {lo?, hi?}. Unknown kinds raise — a typo'd contract must
+    not silently validate nothing.
+    """
+    out: list[Expectation] = []
+    for r in spec:
+        kind = r.get("kind")
+        name = r.get("name")
+        if kind == "not_null":
+            out.append(not_null(r["col"], name))
+        elif kind == "unique":
+            out.append(unique(*r["cols"], name=name))
+        elif kind == "accepted_values":
+            out.append(accepted_values(r["col"], r["values"], name))
+        elif kind == "in_range":
+            out.append(in_range(r["col"], r["lo"], r["hi"], name))
+        elif kind == "matches_regex":
+            out.append(matches_regex(r["col"], r["pattern"], name))
+        elif kind == "row_count":
+            out.append(row_count_between(r.get("lo"), r.get("hi"), name))
+        else:
+            raise ValueError(f"unknown expectation kind: {kind!r}")
+    return out

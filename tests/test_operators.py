@@ -1249,3 +1249,33 @@ def test_contamination_report_complete_over_benchmark(spark):
         ).collect()
     }
     assert got == {100: (1, 1, 2), 200: (1, 0, 0)}
+
+
+def test_rules_from_spec_round_trip(spark):
+    """The CLI contract format builds the same rules as the
+    constructors; unknown kinds raise instead of validating nothing."""
+    import pytest as _pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        expectations_report,
+        rules_from_spec,
+    )
+
+    df = spark.createDataFrame([(1, 5.0), (None, 50.0)], "k long, v double")
+    rules = rules_from_spec(
+        [
+            {"kind": "not_null", "col": "k"},
+            {"kind": "unique", "cols": ["k"]},
+            {"kind": "in_range", "col": "v", "lo": 0, "hi": 10},
+            {"kind": "row_count", "lo": 1, "hi": 10},
+        ]
+    )
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in expectations_report(df, rules).collect()
+    }
+    assert got == {
+        "k_not_null": 1, "k_unique": 0, "v_in_range": 1, "row_count": 0
+    }
+    with _pytest.raises(ValueError, match="unknown expectation kind"):
+        rules_from_spec([{"kind": "nope"}])
