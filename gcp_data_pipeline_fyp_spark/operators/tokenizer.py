@@ -110,3 +110,89 @@ def pool_embeddings(
             lambda s: s["__m"],
         ).alias("pooled")
     )
+
+
+def _symbol_pair_counts(vocab_syms: DataFrame) -> DataFrame:
+    """(left, right, pair_count) over (n, __syms) rows — the per-round
+    statistic of BPE training, vocabulary-sized."""
+    pairs = (
+        vocab_syms.filter(F.size("__syms") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("__syms", i).alias("left"),
+                        F.element_at("__syms", i + 1).alias("right"),
+                    ),
+                )
+            ).alias("__p"),
+        )
+        .select(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"), "n")
+    )
+    return pairs.groupBy("left", "right").agg(F.sum("n").alias("pair_count"))
+
+
+def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one
+    symbol — standard BPE semantics ('aaa' + (a,a) -> [aa, a])."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    checkpoint_every: int = 3,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Byte-pair-encoding merge training as DataFrame ops (Sennrich et
+    al. 2016, the distributed rendering).
+
+    Returns (merges, final_vocab): `merges` is the learned merge table
+    [(rank, left, right, pair_count)], `final_vocab` the (word, n,
+    symbols) frame after all merges.
+
+    Per round: one vocabulary-sized pair aggregation, a 1-row argmax
+    snapshot to the driver (the A4 MAX pattern — never the data), and
+    one column rewrite applying the merge. The corpus is touched ONCE
+    (the initial vocabulary collapse); every round after is
+    vocabulary-sized, which is what makes corpus-scale BPE training
+    tractable — plus per-few-rounds lineage truncation, since each
+    merge nests a fold expression over the previous round's.
+
+    Tie-break on (count desc, left, right) so the learned merge table
+    is deterministic on any partitioning.
+    """
+    vocab = word_counts(df, text_col).select(
+        "word", "n", F.split(F.col("word"), "").alias("__syms")
+    )
+    vocab = vocab.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        best = (
+            _symbol_pair_counts(vocab)
+            .orderBy(F.col("pair_count").desc(), "left", "right")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < 1:
+            break
+        left, right, cnt = best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        merges.append((rank, left, right, cnt))
+        vocab = vocab.withColumn("__syms", _apply_merge(F.col("__syms"), left, right))
+        if (rank + 1) % max(checkpoint_every, 1) == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    return merges, vocab.select("word", "n", F.col("__syms").alias("symbols"))

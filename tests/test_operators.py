@@ -1279,3 +1279,51 @@ def test_rules_from_spec_round_trip(spark):
     }
     with _pytest.raises(ValueError, match="unknown expectation kind"):
         rules_from_spec([{"kind": "nope"}])
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """10 merge rounds on a small corpus == a pure-Python BPE trainer
+    (greedy left-to-right merge application, count-desc/lexicographic
+    tie-break) — merge table AND final vocabulary symbols."""
+    from collections import Counter
+
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest low",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, "text", n_merges=10, checkpoint_every=2)
+
+    # pure-Python reference
+    words = Counter(w for t in texts for w in t.split())
+    syms = {w: list(w) for w in words}
+    ref_merges = []
+    for rank in range(10):
+        counts = Counter()
+        for w, n in words.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        ref_merges.append((rank, left, right, cnt))
+        for w in syms:
+            s, out = syms[w], []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms[w] = out
+
+    assert merges == ref_merges
+    got_vocab = {r["word"]: r["symbols"] for r in vocab.collect()}
+    assert got_vocab == syms
