@@ -196,3 +196,34 @@ def bpe_train(
         if (rank + 1) % max(checkpoint_every, 1) == 0:
             vocab = vocab.localCheckpoint(eager=True)
     return merges, vocab.select("word", "n", F.col("__syms").alias("symbols"))
+
+
+def bpe_segment(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[int, str, str, int]] | list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment text with a learned merge table: per word, apply the
+    merges in rank order (each a greedy left-to-right fold — exactly
+    the trainer's semantics), then flatten. Adds `out_col`
+    (array<string>) and `{out_col}_count` — the custom-vocab token
+    count a data-mix or packing stage budgets with.
+
+    The merge list is tiny (vocab-budget-sized) and becomes a nested
+    codegen expression, so segmentation runs at scan speed with no
+    join and no shuffle.
+    """
+    pairs = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
+
+    def segment_word(w: F.Column) -> F.Column:
+        syms = F.split(w, "")
+        for left, right in pairs:
+            syms = _apply_merge(syms, left, right)
+        return syms
+
+    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    segmented = F.flatten(F.transform(toks, segment_word))
+    return df.withColumn(out_col, segmented).withColumn(
+        f"{out_col}_count", F.size(F.col(out_col))
+    )

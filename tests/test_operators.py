@@ -1327,3 +1327,41 @@ def test_bpe_train_matches_reference_implementation(spark):
     assert merges == ref_merges
     got_vocab = {r["word"]: r["symbols"] for r in vocab.collect()}
     assert got_vocab == syms
+
+
+def test_bpe_segment_applies_merge_table(spark):
+    """Segmentation with the learned merges reproduces the trainer's
+    final vocabulary symbols on seen words and composes merges in rank
+    order on unseen ones."""
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import (
+        bpe_segment,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "low low low lower")], "doc_id long, text string"
+    )
+    merges, vocab = bpe_train(df, "text", n_merges=3)
+    seg = bpe_segment(df, "text", merges)
+    row = seg.first()
+    want_low = {r["word"]: r["symbols"] for r in vocab.collect()}
+    # the text is 3x 'low' + 'lower'; flattened segments must equal the
+    # per-word trained symbols in order
+    expect = (
+        want_low["low"] * 3 + want_low["lower"]
+    )
+    assert row["bpe_tokens"] == expect
+    assert row["bpe_tokens_count"] == len(expect)
+    # unseen word: merges still apply in rank order
+    u = spark.createDataFrame([(1, "lowly")], "doc_id long, text string")
+    got = bpe_segment(u, "text", merges).first()["bpe_tokens"]
+    syms = list("lowly")
+    for _, left, right, _cnt in merges:
+        out = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    assert got == syms
