@@ -109,6 +109,15 @@ def main(argv: list[str] | None = None) -> int:
 
             with open(args.contract) as fh:
                 contract = json.load(fh)
+            if not contract.get("schema") and not contract.get("rules"):
+                # fail loud, not open: a typo'd top-level key ("Rules",
+                # "schemas") must not exit 0 having validated nothing
+                print(
+                    "contract has neither 'schema' nor 'rules' — nothing "
+                    "to validate",
+                    file=sys.stderr,
+                )
+                return 2
             df = spark.read.parquet(args.table)
             report: dict = {}
             ok = True

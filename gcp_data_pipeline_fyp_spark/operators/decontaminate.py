@@ -116,8 +116,18 @@ def contamination_report(
             F.count_distinct("__cid").alias("n_docs_hit"),
         )
     )
-    totals = bench_grams.groupBy("__bid").agg(
+    gram_counts = bench_grams.groupBy("__bid").agg(
         F.count(F.lit(1)).alias("n_grams")
+    )
+    # anchor totals on the benchmark ID SET, not the exploded grams: a
+    # doc shorter than the shingle width has zero n-grams (explode emits
+    # no row for it) but must still report (0, 0, 0) — completeness
+    # over the eval set is the report's contract
+    totals = (
+        benchmark.select(F.col(bench_id_col).alias("__bid"))
+        .distinct()
+        .join(gram_counts, "__bid", "left")
+        .select("__bid", F.coalesce("n_grams", F.lit(0)).alias("n_grams"))
     )
     return (
         totals.join(hits, "__bid", "left")

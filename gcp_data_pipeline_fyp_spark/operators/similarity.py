@@ -153,11 +153,9 @@ def fit_ivf_centroids(
     still covers everything. Sampling is id-keyed (hash_bucket), so
     the fit is reproducible on any partitioning."""
     if train_sample_frac is not None:
-        from gcp_data_pipeline_fyp_spark.operators.sampling import hash_bucket
+        from gcp_data_pipeline_fyp_spark.operators.sampling import hash_sample
 
-        c = c.filter(
-            hash_bucket(["corpus_id"], seed=7) < int(train_sample_frac * 1_000_000)
-        )
+        c = hash_sample(c, ["corpus_id"], train_sample_frac, seed=7)
     cent = (
         c.orderBy("corpus_id")
         .limit(n_centroids)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gcp_data_pipeline_fyp_spark.functions.text import tokens
+from gcp_data_pipeline_fyp_spark.functions.text import _coalesce_toks, tokens
 
 
 def word_counts(df: DataFrame, text_col: str) -> DataFrame:
@@ -50,30 +50,11 @@ def bpe_pair_counts(
     first BPE iteration); an end-of-word marker is NOT added — callers
     composing a full trainer can append one to `text_col` upstream.
     """
-    vocab = word_counts(df, text_col)
-    chars = vocab.select(
-        "n", F.split(F.col("word"), "").alias("__cs")
-    ).withColumn("__len", F.size("__cs"))
-    pairs = (
-        chars.filter(F.col("__len") >= 2)
-        .select(
-            "n",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__len") - 1),
-                    lambda i: F.struct(
-                        F.element_at("__cs", i).alias("left"),
-                        F.element_at("__cs", i + 1).alias("right"),
-                    ),
-                )
-            ).alias("__p"),
-        )
-        .select(F.col("__p.left").alias("left"), F.col("__p.right").alias("right"), "n")
+    vocab = word_counts(df, text_col).select(
+        "n", F.split(F.col("word"), "").alias("__syms")
     )
-    out = (
-        pairs.groupBy("left", "right")
-        .agg(F.sum("n").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), "left", "right")
+    out = _symbol_pair_counts(vocab).orderBy(
+        F.col("pair_count").desc(), "left", "right"
     )
     return out.limit(top_k) if top_k is not None else out
 
@@ -96,6 +77,10 @@ def pool_embeddings(
         v = v.filter(F.size("__v") == dim)
     per_pos = (
         v.select(group_col, F.posexplode("__v").alias("__pos", "__x"))
+        # NULL elements (array<double> permits them) are excluded from
+        # both numerator and denominator — the oracle rendering filters
+        # the same positions, keeping the cross-engine mean identical
+        .filter(F.col("__x").isNotNull())
         .groupBy(group_col, "__pos")
         .agg(
             (
@@ -222,7 +207,10 @@ def bpe_segment(
             syms = _apply_merge(syms, left, right)
         return syms
 
-    toks = F.filter(tokens(F.col(text_col)), lambda t: t != "")
+    # NULL text segments like an empty document ([] / count 0) — the
+    # engine-wide convention (functions/text.py:_coalesce_toks); a NULL
+    # count would silently drop the doc from a packing/budget sum
+    toks = F.filter(_coalesce_toks(tokens(F.col(text_col))), lambda t: t != "")
     segmented = F.flatten(F.transform(toks, segment_word))
     return df.withColumn(out_col, segmented).withColumn(
         f"{out_col}_count", F.size(F.col(out_col))

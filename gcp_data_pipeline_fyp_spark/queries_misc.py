@@ -901,6 +901,7 @@ WITH e AS (
          cast(sum(cast(embedding[i] AS decimal(28,12))) AS double)
            / count(*) AS m
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+  WHERE embedding[i] IS NOT NULL  -- mirror the operator's NULL-element filter
   GROUP BY label, i)
 SELECT label, pos, {micro6_sql('m')} AS value_micro
 FROM e

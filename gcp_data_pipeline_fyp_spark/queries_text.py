@@ -2185,7 +2185,12 @@ hits AS (
   SELECT bid, count(DISTINCT ngram) AS n_grams_hit,
          count(DISTINCT cid) AS n_docs_hit
   FROM cg JOIN bg USING (ngram) GROUP BY bid),
-totals AS (SELECT bid, count(*) AS n_grams FROM bg GROUP BY bid)
+gram_counts AS (SELECT bid, count(*) AS n_grams FROM bg GROUP BY bid),
+-- totals anchor on the benchmark ID SET so sub-shingle-width docs
+-- still report (0, 0, 0) — mirrors the operator's completeness contract
+totals AS (
+  SELECT tb.doc_id AS bid, coalesce(gram_counts.n_grams, 0) AS n_grams
+  FROM tb LEFT JOIN gram_counts ON tb.doc_id = gram_counts.bid)
 SELECT totals.bid AS doc_id, cast(n_grams AS bigint) AS n_grams,
        cast(coalesce(n_grams_hit, 0) AS bigint) AS n_grams_hit,
        cast(coalesce(n_docs_hit, 0) AS bigint) AS n_docs_hit

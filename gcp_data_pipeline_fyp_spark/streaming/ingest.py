@@ -176,18 +176,39 @@ def stream_validated_ingest(
             # all-zero report rows (and trip row_count lower bounds)
             if batch.isEmpty():
                 return
-            report = expectations_report(batch, rules).withColumn(
-                "batch_id", SF.lit(batch_id).cast("long")
+            # foreachBatch is at-least-once: on a replay after a
+            # mid-batch failure the MERGE is naturally idempotent, but
+            # the two appends are not — the audit log is the replay
+            # ledger (one batch_id row set per processed batch), so a
+            # batch already logged skips straight to the merge
+            already_logged = wh.exists(report_table) and (
+                wh.read(report_table)
+                .filter(SF.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
             )
-            wh.append(report, report_table)
             clean = batch
             if row_rules:
                 violated = SF.lit(False)
                 for r in row_rules:
                     violated = violated | SF.coalesce(r.violated, SF.lit(False))
-                if quarantine_table is not None:
-                    wh.append(batch.filter(violated), quarantine_table)
+                if quarantine_table is not None and not already_logged:
+                    # batch_id stamp makes replayed quarantine rows
+                    # identifiable even if a crash lands between the
+                    # two appends
+                    wh.append(
+                        batch.filter(violated).withColumn(
+                            "batch_id", SF.lit(batch_id).cast("long")
+                        ),
+                        quarantine_table,
+                    )
                 clean = batch.filter(~violated)
+            if not already_logged:
+                report = expectations_report(batch, rules).withColumn(
+                    "batch_id", SF.lit(batch_id).cast("long")
+                )
+                wh.append(report, report_table)
             _merge_into(wh, table, clean, event_id_cols, partition_col)
         finally:
             batch.unpersist()

@@ -1239,6 +1239,7 @@ def test_contamination_report_complete_over_benchmark(spark):
         [
             (100, "alpha beta gamma"),        # hit by docs 1 and 2
             (200, "totally novel benchmark"),  # zero overlap
+            (300, "tiny"),                     # shorter than the shingle width
         ],
         "bid long, text string",
     )
@@ -1248,7 +1249,9 @@ def test_contamination_report_complete_over_benchmark(spark):
             corpus, "doc_id", "text", bench, "bid", "text", n=3
         ).collect()
     }
-    assert got == {100: (1, 1, 2), 200: (1, 0, 0)}
+    # doc 300 has zero 3-grams but MUST still appear — completeness
+    # over the eval set is the report's contract
+    assert got == {100: (1, 1, 2), 200: (1, 0, 0), 300: (0, 0, 0)}
 
 
 def test_rules_from_spec_round_trip(spark):
