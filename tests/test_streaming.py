@@ -394,3 +394,47 @@ def test_stream_validated_ingest_quarantines_and_logs(spark, tmp_path):
     log2 = wh.read("LOG").collect()
     assert len(log2) == 6
     assert all(r["n_violations"] == 0 for r in log2 if r["batch_id"] != log[0]["batch_id"])
+
+
+def test_stream_validated_ingest_replay_skips_duplicate_appends(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch whose batch_id already
+    appears in the audit log must not re-append log or quarantine rows
+    (the log is the replay ledger) while the idempotent merge still
+    lands the clean rows."""
+    from pyspark.sql import functions as SF
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import in_range
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_validated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    # pre-seed the ledger as if batch 0 already ran (crash after the
+    # appends, before the stream's commit log advanced)
+    seeded = spark.createDataFrame(
+        [("value_in_range", "in_range", "value", 1, False, 0)],
+        "rule string, kind string, target string, n_violations long, "
+        "passed boolean, batch_id long",
+    )
+    wh.append(seeded, "LOG")
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (2, "2024-01-01 10:01:00", "view", 99.0),  # violator
+        ],
+    )
+    q = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt,
+        rules=[in_range("value", 0, 10)], quarantine_table="Q",
+        report_table="LOG",
+    )
+    q.awaitTermination(120)
+    # merge still happened (clean row only), but no new LOG rows and no
+    # quarantine rows were appended for the replayed batch id
+    assert {r["event_id"] for r in wh.read("ev").collect()} == {1}
+    assert wh.read("LOG").count() == 1
+    assert not wh.exists("Q")
