@@ -331,3 +331,37 @@ def ivf_topk_indexed(
         micro6(cosine(F.col("__qv"), F.col("vec"))).alias("cosine_micro"),
     )
     return _topk_per_query(pairs, k)
+
+
+def append_ivf_index(
+    wh,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+) -> None:
+    """Fold a new vector batch into a persisted IVF index: assign each
+    vector to its nearest EXISTING centroid and append to the postings
+    table — the daily-ingest shape, matching the incremental digest and
+    LSH-band indexes (operators/dedup.py).
+
+    Centroids are deliberately not refit: an append is batch-sized
+    (one broadcast-assign pass + a partitioned append that touches only
+    the centroid directories present in the batch), and queries see the
+    new vectors immediately. Drift is handled by periodically
+    rebuilding with `build_ivf_index` (same cadence discipline as
+    compaction) — incremental Lloyd updates would make the index
+    depend on ingest order, breaking rerun determinism.
+    """
+    cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    b = batch.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    assigned = _assign(b, cent)
+    wh.append(
+        assigned.select("corpus_id", F.col("__cv").alias("vec"), "centroid_id"),
+        f"{name}__postings",
+        partition_cols=["centroid_id"],
+    )

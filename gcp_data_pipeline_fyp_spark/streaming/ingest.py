@@ -245,3 +245,46 @@ def windowed_event_counts(
             "total_events",
         )
     )
+
+
+def reprocess_quarantine(
+    wh: Warehouse,
+    quarantine_table: str,
+    rules: list,
+    table: str,
+    event_id_cols: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """Close the dead-letter loop: re-validate quarantined rows under a
+    (presumably fixed) rule set, merge the now-clean ones into the
+    target, and rewrite the quarantine with only the still-failing
+    remainder. Returns {"released": n, "remaining": n}.
+
+    The batch_id stamp rides along in the quarantine but is dropped
+    before the merge (the target table never carries it). Batch-sized
+    work only: one filter split + the idempotent partition-scoped merge.
+    """
+    from pyspark.sql import functions as SF
+
+    q = wh.read(quarantine_table).persist()
+    try:
+        row_rules = [r for r in rules if r.violated is not None]
+        violated = SF.lit(False)
+        for r in row_rules:
+            violated = violated | SF.coalesce(r.violated, SF.lit(False))
+        clean = q.filter(~violated).drop("batch_id")
+        still_bad = q.filter(violated)
+        released = clean.count()
+        remaining = still_bad.count()
+        if released:
+            _merge_into(
+                wh, table, clean.dropDuplicates(event_id_cols), event_id_cols,
+                partition_col,
+            )
+        # rewrite via staging + swap: overwriting the table we are
+        # still lazily reading would race the scan
+        wh.overwrite(still_bad, f"{quarantine_table}__staging")
+        wh.swap(f"{quarantine_table}__staging", quarantine_table)
+        return {"released": released, "remaining": remaining}
+    finally:
+        q.unpersist()

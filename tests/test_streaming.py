@@ -438,3 +438,46 @@ def test_stream_validated_ingest_replay_skips_duplicate_appends(spark, tmp_path)
     assert {r["event_id"] for r in wh.read("ev").collect()} == {1}
     assert wh.read("LOG").count() == 1
     assert not wh.exists("Q")
+
+
+def test_reprocess_quarantine_releases_now_clean_rows(spark, tmp_path):
+    """After a contract relaxation, re-validation merges the now-clean
+    quarantined rows into the target and keeps only still-failing ones
+    in quarantine."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        reprocess_quarantine,
+        stream_validated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "click", 1.0),
+            (2, "2024-01-01 10:01:00", "view", 99.0),   # fails 0..10
+            (3, "2024-01-01 10:02:00", "", 2.0),        # NULL type
+        ],
+    )
+    q = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev",
+        str(tmp_path / "ckpt"),
+        rules=[not_null("event_type"), in_range("value", 0, 10)],
+        quarantine_table="Q", report_table="LOG",
+    )
+    q.awaitTermination(120)
+    assert {r["event_id"] for r in wh.read("Q").collect()} == {2, 3}
+
+    # relaxed contract: 99.0 is now acceptable; NULL type still isn't
+    out = reprocess_quarantine(
+        wh, "Q", [not_null("event_type"), in_range("value", 0, 100)],
+        "ev", ["event_id"],
+    )
+    assert out == {"released": 1, "remaining": 1}
+    assert {r["event_id"] for r in wh.read("ev").collect()} == {1, 2}
+    assert {r["event_id"] for r in wh.read("Q").collect()} == {3}
