@@ -103,7 +103,9 @@ _CHECK_FIRST = [
     # next round (r05), in priority order: (1) anything red in r04;
     # (1b) never-checked r4 additions: expectations_report,
     # schema_contract, bpe_pair_counts, embedding_pool,
-    # contamination_report, lsh_recall_report;
+    # contamination_report, lsh_recall_report,
+    # quality_classifier_scores, split_leakage_report,
+    # bpe_segment_counts;
     # (2) rolling re-cert of the r02/r03-green batch now aging —
     # train_val_test_split, decontaminate_corpus, pack_sequences,
     # repetition_metrics, stratified_sample, bm25_search,

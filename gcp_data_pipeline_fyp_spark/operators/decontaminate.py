@@ -138,3 +138,63 @@ def contamination_report(
             F.coalesce("n_docs_hit", F.lit(0)).alias("n_docs_hit"),
         )
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    train_value: str = "train",
+    n: int = 8,
+) -> DataFrame:
+    """Train/heldout contamination audit: for each non-train split, how
+    many of its documents share at least one length-n token n-gram with
+    ANY train document -> (split, n_docs, n_leaked, leak_ratio_micro).
+
+    The complement of `decontaminate`: there the dirty side (benchmark)
+    is tiny and broadcasts; here BOTH sides are corpus-sized (train is
+    ~80% of the corpus, heldout ~20%), so nothing broadcasts. The join
+    keys on the 16-byte md5 digest of each n-gram — the same
+    shuffle-compression rule as exact dedup (operators/dedup.py): raw
+    n-gram text never keys a shuffle, so shuffle bytes scale with gram
+    COUNT, not corpus bytes. Train-side digests are `.distinct()`ed
+    first (map-side partial dedup shrinks the exchange), and the
+    heldout semi join emits each (split, doc) at most once before the
+    split-sized final rollup.
+
+    Empty-text / too-short docs produce no n-grams and can never leak;
+    they still count in `n_docs` (the denominator is the split's full
+    document set, anchored on the input ids, not the explode).
+    """
+    grams = df.select(
+        F.col(split_col).alias("__split"),
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(tokens(text_col), n)).alias("__ng"),
+    ).select("__split", "__id", F.unhex(F.md5(F.col("__ng"))).alias("__d"))
+    train_d = (
+        grams.filter(F.col("__split") == train_value).select("__d").distinct()
+    )
+    leaked = (
+        grams.filter(F.col("__split") != train_value)
+        .join(train_d, "__d", "left_semi")
+        .select("__split", "__id")
+        .distinct()
+        .groupBy("__split")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    totals = (
+        df.filter(F.col(split_col) != train_value)
+        .groupBy(F.col(split_col).alias("__split"))
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return totals.join(leaked, "__split", "left").select(
+        F.col("__split").alias(split_col),
+        "n_docs",
+        F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+        micro6(
+            F.coalesce("n_leaked", F.lit(0)).cast("double") / F.col("n_docs")
+        ).alias("leak_ratio_micro"),
+    )

@@ -2245,3 +2245,198 @@ SELECT
 """
 
 TEXT_QUERIES["lsh_recall_report"] = (q_lsh_recall_report, SQL_LSH_RECALL_REPORT)
+
+
+# ---------------------------- model-based quality filter (fastText-ish)
+def q_quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Hashing-trick linear quality classifier, trained and applied in
+    one plan (the CCNet/DCLM/FineWeb-Edu recipe, public method):
+    pseudo-label every doc with the Gopher rules, train per-bucket
+    weights in ONE groupBy(bucket) aggregation (output bounded by the
+    4096-bucket feature space, never corpus-sized), then score the
+    corpus through a broadcast weight join. See operators/classifier.py
+    for the scale shape and the exact-rational weight function that
+    keeps scores bit-identical across engines. Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        score_documents,
+        train_linear_classifier,
+    )
+
+    d = _docs(spark, sf)
+    labeled = d.withColumn("__lbl", gopher_keep(F.col("text")))
+    weights = train_linear_classifier(
+        labeled, "doc_id", "text", "__lbl", n_buckets=4096, seed=11
+    )
+    out = score_documents(d, "doc_id", "text", weights, n_buckets=4096, seed=11)
+    return out.orderBy("doc_id")
+
+
+_SQL_CLS_FEATS = r"""
+tf AS (SELECT doc_id,
+  coalesce(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> x <> ''), []) AS toks
+  FROM documents),
+fe AS (SELECT doc_id,
+  list_concat(toks,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || '_' || toks[i+1])) AS feats
+  FROM tf),
+e AS (SELECT doc_id, unnest(feats) AS feat FROM fe),
+b AS (SELECT doc_id,
+  cast(concat('0x', substr(md5('11|' || feat), 1, 12)) AS bigint) % 4096
+    AS bucket
+  FROM e)"""
+
+SQL_QUALITY_CLASSIFIER_SCORES = f"""
+WITH t0 AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN})) AS stop_hits
+  FROM t0),
+lab AS (SELECT doc_id,
+  coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false) AS lbl
+  FROM m),
+{_SQL_CLS_FEATS},
+bl AS (SELECT b.doc_id, b.bucket, lab.lbl FROM b JOIN lab USING (doc_id)),
+counts AS (SELECT bucket,
+    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+  FROM bl GROUP BY bucket),
+tot AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM counts),
+w AS (SELECT bucket,
+  CAST(CAST(round(
+    ((n_pos + 1.0) / (tot_pos + 4096.0) - (n_neg + 1.0) / (tot_neg + 4096.0))
+    / ((n_pos + 1.0) / (tot_pos + 4096.0) + (n_neg + 1.0) / (tot_neg + 4096.0)),
+    3) AS DECIMAL(9,3)) * 1000 AS BIGINT) AS w_milli
+  FROM counts CROSS JOIN tot),
+s AS (SELECT b.doc_id,
+    sum(coalesce(w.w_milli, 0)) AS sum_w,
+    count(*) AS n_features
+  FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+  CAST(round(s.sum_w * 1000.0 / s.n_features) AS BIGINT) AS score_micro,
+  CASE WHEN s.doc_id IS NULL THEN 'empty'
+       WHEN round(s.sum_w * 1000.0 / s.n_features) > 0 THEN 'keep'
+       ELSE 'drop' END AS label
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+TEXT_QUERIES["quality_classifier_scores"] = (
+    q_quality_classifier_scores,
+    SQL_QUALITY_CLASSIFIER_SCORES,
+)
+
+
+# -------------------------------------- train/heldout leakage audit
+def q_split_leakage_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split contamination audit: after the stable 80/10/10
+    hash split, how many val/test docs share an 8-gram with ANY train
+    doc (the near-dup-planted corpus guarantees real leakage). Both
+    sides are corpus-sized, so the overlap join keys on 16-byte md5
+    digests — never raw text (operators/decontaminate.py:
+    split_leakage_report). Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        split_leakage_report,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    d = _docs_with_neardups(spark, sf)
+    split = hash_split(
+        d, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return split_leakage_report(split, "doc_id", "text", "split", n=8).orderBy(
+        "split"
+    )
+
+
+SQL_SPLIT_LEAKAGE_REPORT = f"""
+WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+sp AS (SELECT doc_id, text,
+  CASE WHEN {_B7P} < 800000 THEN 'train'
+       WHEN {_B7P} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+  FROM u),
+t AS (SELECT doc_id, split, {_SQL_TOKS} AS toks FROM sp),
+g AS (SELECT doc_id, split, unnest({_sql_shingles_n(8)}) AS ng FROM t),
+tr AS (SELECT DISTINCT ng FROM g WHERE split = 'train'),
+lk AS (SELECT split, count(DISTINCT doc_id) AS n_leaked
+       FROM g WHERE split <> 'train' AND ng IN (SELECT ng FROM tr)
+       GROUP BY split),
+tot AS (SELECT split, count(DISTINCT doc_id) AS n_docs
+        FROM sp WHERE split <> 'train' GROUP BY split)
+SELECT tot.split, tot.n_docs,
+  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+  {micro6_sql('CAST(coalesce(lk.n_leaked, 0) AS DOUBLE) / tot.n_docs')}
+    AS leak_ratio_micro
+FROM tot LEFT JOIN lk USING (split)
+ORDER BY tot.split
+"""
+
+TEXT_QUERIES["split_leakage_report"] = (
+    q_split_leakage_report,
+    SQL_SPLIT_LEAKAGE_REPORT,
+)
+
+
+# ------------------------------------------ BPE segmentation at scale
+_BPE_PROBE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),
+]
+
+
+def q_bpe_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Apply a fixed learned merge table (the typical English head of a
+    BPE vocabulary) to every document at scan speed — the merge list
+    compiles into a nested codegen expression, no join, no shuffle
+    (operators/tokenizer.py:bpe_segment). Emits the custom-vocab token
+    count a packing/budget stage runs on, plus the first 12 subword
+    tokens as evidence. Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_segment
+
+    d = _docs(spark, sf)
+    out = bpe_segment(d, "text", _BPE_PROBE_MERGES, out_col="bpe")
+    return out.select(
+        "doc_id",
+        F.col("bpe_count").cast("bigint").alias("n_bpe"),
+        F.concat_ws(" ", F.slice(F.col("bpe"), 1, 12)).alias("bpe_head"),
+    ).orderBy("doc_id")
+
+
+def _sql_bpe_word(merges: list[tuple[str, str]]) -> str:
+    """DuckDB rendering of one word's greedy BPE fold: wrap every char
+    in single spaces (adjacent symbols are separated by TWO spaces, so
+    consecutive merge sites never share a boundary character), then
+    apply each merge rank as a left-to-right string replace —
+    space-wrapped symbols make replace() exactly the trainer's greedy
+    fold (operators/tokenizer.py:_apply_merge)."""
+    expr = r"regexp_replace(w, '(.)', ' \1 ', 'g')"
+    for left, right in merges:
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
+    return f"string_split(trim({expr}), '  ')"
+
+
+SQL_BPE_SEGMENT_COUNTS = rf"""
+WITH t AS (SELECT doc_id,
+  coalesce(list_filter(regexp_split_to_array(trim(text), '\s+'),
+           x -> x <> ''), []) AS toks
+  FROM documents),
+seg AS (SELECT doc_id,
+  flatten(list_transform(toks, w -> {_sql_bpe_word(_BPE_PROBE_MERGES)})) AS bpe
+  FROM t)
+SELECT doc_id,
+  CAST(len(bpe) AS BIGINT) AS n_bpe,
+  array_to_string(bpe[1:12], ' ') AS bpe_head
+FROM seg
+ORDER BY doc_id
+"""
+
+TEXT_QUERIES["bpe_segment_counts"] = (q_bpe_segment_counts, SQL_BPE_SEGMENT_COUNTS)

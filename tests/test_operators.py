@@ -1368,3 +1368,103 @@ def test_bpe_segment_applies_merge_table(spark):
                 out.append(x)
         syms = out
     assert got == syms
+
+
+# --------------------------- hashing-trick linear classifier
+def test_classifier_separates_planted_vocab(spark):
+    """Weights trained on a seed set with disjoint class vocabularies
+    must score held-out docs of each class onto the right side of the
+    threshold; docs with no features report label 'empty' (never
+    silently dropped)."""
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        classifier_filter,
+        score_documents,
+        train_linear_classifier,
+    )
+
+    good = "science method evidence theory result"
+    bad = "spam click buy now free"
+    seed_rows = [(i, f"{good} {good}", True) for i in range(10)] + [
+        (100 + i, f"{bad} {bad}", False) for i in range(10)
+    ]
+    seed = spark.createDataFrame(
+        seed_rows, "doc_id long, text string, lbl boolean"
+    )
+    w = train_linear_classifier(seed, "doc_id", "text", "lbl", n_buckets=512)
+    corpus = spark.createDataFrame(
+        [
+            (1000, f"more {good} again"),
+            (1001, f"ugh {bad} again"),
+            (1002, ""),
+            (1003, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["label"], r["n_features"], r["score_micro"])
+        for r in score_documents(
+            corpus, "doc_id", "text", w, n_buckets=512
+        ).collect()
+    }
+    assert got[1000][0] == "keep" and got[1000][2] > 0
+    assert got[1001][0] == "drop" and got[1001][2] < 0
+    assert got[1002] == ("empty", 0, None)
+    assert got[1003] == ("empty", 0, None)
+    kept = classifier_filter(corpus, "doc_id", "text", w, n_buckets=512)
+    assert [r["doc_id"] for r in kept.collect()] == [1000]
+
+
+def test_classifier_scores_partition_invariant(spark):
+    """Integer milli-weight sums make scores independent of input
+    partitioning (the float-sum order hazard is designed out)."""
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        score_documents,
+        train_linear_classifier,
+    )
+
+    rows = [
+        (i, f"tok{i % 7} tok{(i * 3) % 11} filler word number {i % 5}",
+         i % 3 != 0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lbl boolean")
+    w = train_linear_classifier(df, "doc_id", "text", "lbl", n_buckets=256)
+    a = {
+        r["doc_id"]: (r["score_micro"], r["n_features"], r["label"])
+        for r in score_documents(
+            df.coalesce(1), "doc_id", "text", w, n_buckets=256
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: (r["score_micro"], r["n_features"], r["label"])
+        for r in score_documents(
+            df.repartition(7), "doc_id", "text", w, n_buckets=256
+        ).collect()
+    }
+    assert a == b
+
+
+# --------------------------- train/heldout split leakage audit
+def test_split_leakage_report_counts(spark):
+    """A val doc sharing an 8-gram with a train doc is leaked; a test
+    doc with unique text is not; short docs count in n_docs but can
+    never leak."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        split_leakage_report,
+    )
+
+    shared = "a b c d e f g h"  # one full 8-gram
+    rows = [
+        (1, f"{shared} tail words here", "train"),
+        (2, f"prefix {shared}", "val"),        # leaked from doc 1
+        (3, "totally different text with many words", "val"),
+        (4, "another unique heldout document body", "test"),
+        (5, "tiny", "test"),                    # < 8 tokens: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {
+        r["split"]: (r["n_docs"], r["n_leaked"], r["leak_ratio_micro"])
+        for r in split_leakage_report(df, "doc_id", "text", "split").collect()
+    }
+    assert got["val"] == (2, 1, 500000)
+    assert got["test"] == (2, 0, 0)
