@@ -63,6 +63,11 @@ HEADLINE = [
     "expectations_report",
     "contamination_report",
     "bpe_pair_counts",
+    # round-4b: model-based quality filter (train + score, one plan),
+    # train/heldout digest-join leakage audit, scan-speed BPE apply
+    "quality_classifier_scores",
+    "split_leakage_report",
+    "bpe_segment_counts",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

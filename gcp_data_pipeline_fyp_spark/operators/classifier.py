@@ -87,6 +87,25 @@ def _feature_rows(
     )
 
 
+def bucketed_features(
+    df: DataFrame,
+    keep_cols: list[str],
+    text_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    seed: int = 0,
+) -> DataFrame:
+    """(keep_cols..., __b) — the explode+hash stage shared by training
+    and scoring. When one corpus is both the (pseudo-labeled) seed set
+    and the scoring target — the self-training probe shape — featurize
+    ONCE, `localCheckpoint(eager=False)` the result, and feed it to
+    both `train_from_buckets` and `score_from_buckets`: the explode is
+    the dominant cost and must not run twice."""
+    return _feature_rows(df, keep_cols, text_col, bigrams).select(
+        *keep_cols, feature_bucket(F.col("__feat"), n_buckets, seed).alias("__b")
+    )
+
+
 def train_linear_classifier(
     labeled: DataFrame,
     id_col: str,
@@ -103,14 +122,20 @@ def train_linear_classifier(
     buckets observed in the seed set appear (absent buckets score 0 via
     the scoring join's coalesce).
     """
-    rows = _feature_rows(labeled, [label_col], text_col, bigrams)
-    counts = (
-        rows.withColumn("__b", feature_bucket(F.col("__feat"), n_buckets, seed))
-        .groupBy("__b")
-        .agg(
-            F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
-            F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n_neg"),
-        )
+    rows = bucketed_features(
+        labeled, [label_col], text_col, n_buckets, bigrams, seed
+    )
+    return train_from_buckets(rows, label_col, n_buckets)
+
+
+def train_from_buckets(
+    rows: DataFrame, label_col: str, n_buckets: int = DEFAULT_BUCKETS
+) -> DataFrame:
+    """Weight table from pre-featurized (label, __b) rows — see
+    `bucketed_features` for when to use the split form."""
+    counts = rows.groupBy("__b").agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n_neg"),
     )
     totals = F.broadcast(
         counts.agg(
@@ -149,9 +174,22 @@ def score_documents(
     The weight table broadcasts (≤ n_buckets rows); the corpus side is
     scan + explode + one id-keyed aggregation.
     """
-    feats = _feature_rows(df, [id_col], text_col, bigrams).withColumn(
-        "__b", feature_bucket(F.col("__feat"), n_buckets, seed)
+    feats = bucketed_features(df, [id_col], text_col, n_buckets, bigrams, seed)
+    return score_from_buckets(
+        feats, id_col, weights, df.select(id_col), threshold_micro
     )
+
+
+def score_from_buckets(
+    feats: DataFrame,
+    id_col: str,
+    weights: DataFrame,
+    all_ids: DataFrame,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """Score pre-featurized (id, __b) rows — see `bucketed_features`.
+    `all_ids` anchors report completeness (featureless docs emit no
+    bucket rows but must still report label 'empty')."""
     per_doc = (
         feats.join(
             F.broadcast(weights), feats["__b"] == weights["bucket"], "left"
@@ -170,7 +208,7 @@ def score_documents(
         F.when(score > threshold_micro, "keep").otherwise("drop").alias("label"),
     )
     return (
-        df.select(id_col)
+        all_ids
         .join(scored, id_col, "left")
         .select(
             id_col,

@@ -2259,16 +2259,24 @@ def q_quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     keeps scores bit-identical across engines. Window is r5-queue."""
     from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
     from gcp_data_pipeline_fyp_spark.operators.classifier import (
-        score_documents,
-        train_linear_classifier,
+        bucketed_features,
+        score_from_buckets,
+        train_from_buckets,
     )
 
     d = _docs(spark, sf)
     labeled = d.withColumn("__lbl", gopher_keep(F.col("text")))
-    weights = train_linear_classifier(
-        labeled, "doc_id", "text", "__lbl", n_buckets=4096, seed=11
+    # the corpus is both seed set and scoring target here, so the
+    # explode+hash stage (the dominant cost) materializes once and
+    # feeds training AND scoring (lazy localCheckpoint: computed at
+    # the first action, served from executor blocks after)
+    feats = bucketed_features(
+        labeled, ["doc_id", "__lbl"], "text", n_buckets=4096, seed=11
+    ).localCheckpoint(eager=False)
+    weights = train_from_buckets(feats, "__lbl", n_buckets=4096)
+    out = score_from_buckets(
+        feats.select("doc_id", "__b"), "doc_id", weights, d.select("doc_id")
     )
-    out = score_documents(d, "doc_id", "text", weights, n_buckets=4096, seed=11)
     return out.orderBy("doc_id")
 
 
