@@ -68,6 +68,7 @@ HEADLINE = [
     "quality_classifier_scores",
     "split_leakage_report",
     "bpe_segment_counts",
+    "ann_sq8_topk",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

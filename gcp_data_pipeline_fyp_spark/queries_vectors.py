@@ -380,3 +380,63 @@ VECTOR_QUERIES["semantic_neardup_kmeans"] = (
     q_semantic_neardup_kmeans,
     SQL_SEMANTIC_NEARDUP_KMEANS,
 )
+
+
+# --------------------------------------- SQ8 scalar-quantized top-k
+def q_ann_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar-quantized cosine top-k (the Faiss SQ8 memory lever):
+    8x smaller corpus bytes, integer dot products, per-row scale-back.
+    Deterministic by construction — codes derive from the proven
+    micro6 integer chain, so the oracle replays quantization
+    bit-for-bit (operators/similarity.py:quantize_sq8). Recall vs the
+    exact path is asserted in tests/test_similarity.py. Window is
+    r5-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import sq8_topk
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return sq8_topk(queries, corpus, "vec_id", "embedding", k=5)
+
+
+def _sql_sq8_ctes(prefix: str, where: str, id_alias: str) -> str:
+    """Quantization CTE chain for one side: unit-normalize (multiply by
+    reciprocal norm — same op order as Spark's scale(v, 1.0/n)), round
+    to micro-units, derive int8 codes from the integer micro vector."""
+    return f"""
+{prefix}0 AS (SELECT vec_id AS {id_alias}, embedding::DOUBLE[] AS v
+              FROM embeddings WHERE {where}),
+{prefix}n AS (SELECT {id_alias}, v,
+    sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM {prefix}0),
+{prefix}u AS (SELECT {id_alias},
+    list_transform(v, x -> x * (1.0 / nrm)) AS u
+  FROM {prefix}n WHERE nrm > 0),
+{prefix}m AS (SELECT {id_alias},
+    list_transform(u, x ->
+      CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS um
+  FROM {prefix}u),
+{prefix}x AS (SELECT {id_alias}, um,
+    list_max(list_transform(um, m -> abs(m))) AS mx FROM {prefix}m),
+{prefix}c AS (SELECT {id_alias}, mx,
+    list_transform(um, m -> CAST(round(m * 127.0 / mx) AS INT)) AS codes
+  FROM {prefix}x WHERE mx > 0)"""
+
+
+SQL_ANN_SQ8_TOPK = f"""
+WITH {_sql_sq8_ctes('q', 'vec_id < 8', 'query_id')},
+{_sql_sq8_ctes('c', 'vec_id >= 8', 'corpus_id')},
+pairs AS (
+  SELECT query_id, corpus_id,
+    ((CAST(list_sum(list_transform(generate_series(1, len(qc.codes)),
+        i -> qc.codes[i] * cc.codes[i])) AS DOUBLE) * qc.mx) * cc.mx)
+      / 16129000000000000.0 AS score
+  FROM cc CROSS JOIN qc),
+ranked AS (
+  SELECT query_id, corpus_id, {micro6_sql('score')} AS cosine_micro,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY {micro6_sql('score')} DESC, corpus_id) AS rn
+  FROM pairs)
+SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
+"""
+
+VECTOR_QUERIES["ann_sq8_topk"] = (q_ann_sq8_topk, SQL_ANN_SQ8_TOPK)
