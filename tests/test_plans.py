@@ -166,3 +166,40 @@ def test_bpe_pair_counts_vocabulary_stage_bounds_shuffles(spark):
     # two row-shuffles: word counts + pair counts (the spread-input
     # round-robin repartition is not a keyed shuffle)
     assert p.count("hashpartitioning(") == 2
+
+
+def test_sq8_topk_broadcasts_queries_not_corpus(spark):
+    """The quantized corpus streams (8x smaller bytes is the point);
+    the query side broadcasts. A plan that flips this — or degrades to
+    an unhinted cartesian — ships the corpus to every executor."""
+    p = _plan(spark, "ann_sq8_topk")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_classifier_weight_join_broadcasts(spark):
+    """Scoring joins the feature stream against the weight table
+    (<= n_buckets rows): must stay a broadcast hash join — a sort-merge
+    here would shuffle the whole exploded feature stream by bucket."""
+    p = _plan(spark, "quality_classifier_scores")
+    # the weights side of the scoring join broadcasts (LeftOuter keeps
+    # unseen buckets at weight 0); the only exchanges on the bucket key
+    # are the training aggregations' post-partial-agg shuffles, which
+    # are bounded by n_buckets — a SortMergeJoin here would instead
+    # shuffle the whole exploded feature stream
+    assert "BroadcastHashJoin LeftOuter" in p
+    import re
+
+    smj_keys = re.findall(r"SortMergeJoin \[?(\w+)", p)
+    assert not any(k.startswith("__b") for k in smj_keys), smj_keys
+
+
+def test_split_leakage_joins_on_digest_never_text(spark):
+    """The train/heldout overlap join must key every exchange on the
+    16-byte n-gram digest — raw document text in a shuffle key would
+    make shuffle bytes scale with corpus bytes."""
+    p = _plan(spark, "split_leakage_report")
+    assert "LeftSemi" in p
+    assert "hashpartitioning(text" not in p
+    assert "hashpartitioning(__ng" not in p
+    assert "hashpartitioning(__d" in p
