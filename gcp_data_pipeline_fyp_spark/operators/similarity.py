@@ -259,6 +259,7 @@ def build_ivf_index(
     name: str,
     n_centroids: int = 16,
     refine_iters: int = 1,
+    quantize: bool = False,
 ) -> None:
     """Build-once IVF index: centroids + a postings table PARTITIONED
     BY centroid_id in the warehouse.
@@ -268,6 +269,13 @@ def build_ivf_index(
     reads only the probed centroid partitions (partition pruning at the
     parquet scan), i.e. ~nprobe/n_centroids of the corpus per batch,
     instead of re-fitting and re-scanning everything per query set.
+
+    `quantize=True` stores SQ8 postings — (codes array<int>, maxu)
+    instead of the raw vector (`quantize_sq8`): the IVF-SQ8 layout,
+    ~8x smaller probed-partition reads on top of the pruning.
+    Centroid assignment still uses full-precision vectors (assignment
+    quality is the recall lever; storage is the cost lever).
+    `ivf_topk_indexed` detects the layout from the postings schema.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
@@ -278,11 +286,26 @@ def build_ivf_index(
         cent.select("centroid_id", F.col("__centroid").alias("centroid")),
         f"{name}__centroids",
     )
-    wh.overwrite(
-        assigned.select("corpus_id", F.col("__cv").alias("vec"), "centroid_id"),
-        f"{name}__postings",
-        partition_cols=["centroid_id"],
-    )
+    if quantize:
+        q = quantize_sq8(
+            assigned.select(
+                F.col("corpus_id"), F.col("__cv").alias("vec"), "centroid_id"
+            ),
+            "corpus_id",
+            "vec",
+        )
+        rows = assigned.select("corpus_id", "centroid_id").join(q, "corpus_id")
+        wh.overwrite(
+            rows.select("corpus_id", "codes", "maxu", "centroid_id"),
+            f"{name}__postings",
+            partition_cols=["centroid_id"],
+        )
+    else:
+        wh.overwrite(
+            assigned.select("corpus_id", F.col("__cv").alias("vec"), "centroid_id"),
+            f"{name}__postings",
+            partition_cols=["centroid_id"],
+        )
 
 
 def ivf_topk_indexed(
@@ -325,11 +348,41 @@ def ivf_topk_indexed(
     postings = wh.read(f"{name}__postings").filter(
         F.col("centroid_id").isin(probed)
     )
-    pairs = probes.join(postings, "centroid_id").select(
-        "query_id",
-        "corpus_id",
-        micro6(cosine(F.col("__qv"), F.col("vec"))).alias("cosine_micro"),
-    )
+    if "codes" in postings.columns:
+        # SQ8 layout (build_ivf_index quantize=True): quantize the query
+        # batch the same way and score integer-exact — the probed
+        # partitions stream ~8x fewer bytes than raw vectors
+        qq = quantize_sq8(
+            probes.select(
+                F.col("query_id"), F.col("__qv").alias("vec"), "centroid_id"
+            ).dropDuplicates(["query_id"]),
+            "query_id",
+            "vec",
+        ).select(
+            F.col("query_id"),
+            F.col("codes").alias("__qc"),
+            F.col("maxu").alias("__qm"),
+        )
+        pairs = (
+            probes.select("query_id", "centroid_id")
+            .join(qq, "query_id")
+            .join(postings, "centroid_id")
+            .select(
+                "query_id",
+                "corpus_id",
+                micro6(
+                    _sq8_pair_score(
+                        F.col("__qc"), F.col("codes"), F.col("__qm"), F.col("maxu")
+                    )
+                ).alias("cosine_micro"),
+            )
+        )
+    else:
+        pairs = probes.join(postings, "centroid_id").select(
+            "query_id",
+            "corpus_id",
+            micro6(cosine(F.col("__qv"), F.col("vec"))).alias("cosine_micro"),
+        )
     return _topk_per_query(pairs, k)
 
 
@@ -428,18 +481,26 @@ def sq8_topk(
         F.col("codes").alias("__cc"),
         F.col("maxu").alias("__cm"),
     )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        micro6(
+            _sq8_pair_score(
+                F.col("__qc"), F.col("__cc"), F.col("__qm"), F.col("__cm")
+            )
+        ).alias("cosine_micro"),
+    )
+    return _topk_per_query(pairs, k)
+
+
+def _sq8_pair_score(qc, cc, qm, cm):
+    """Approximate cosine of two SQ8 rows: (dot * mq) * mc / (127^2 *
+    1e12). The code dot is an exact int64 sum; the two scale multiplies
+    and one divide are correctly-rounded IEEE ops in a fixed order,
+    mirrored verbatim in the SQL oracle."""
     dot_int = F.aggregate(
-        F.zip_with(F.col("__qc"), F.col("__cc"), lambda x, y: x * y),
+        F.zip_with(qc, cc, lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    # (dot * mq) * mc / (127^2 * 1e12): dot is exact int64; the two
-    # scale multiplies and one divide are correctly-rounded IEEE ops in
-    # a fixed order, mirrored verbatim in the SQL oracle
-    score = (
-        (dot_int.cast("double") * F.col("__qm")) * F.col("__cm")
-    ) / F.lit(16129000000000000.0)
-    pairs = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "corpus_id", micro6(score).alias("cosine_micro")
-    )
-    return _topk_per_query(pairs, k)
+    return (dot_int.cast("double") * qm) * cm / F.lit(16129000000000000.0)

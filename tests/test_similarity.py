@@ -361,3 +361,39 @@ def test_sq8_codes_bounded_and_zero_vectors_dropped(spark):
     for r in out.values():
         assert all(-127 <= c <= 127 for c in r["codes"])
         assert max(abs(c) for c in r["codes"]) == 127
+
+
+def test_ivf_sq8_index_recall_and_layout(spark, tmp_path):
+    """IVF-SQ8 composition: quantized postings (codes + maxu, no raw
+    vector — the 8x-smaller 100 TB index layout) must keep recall vs
+    the full-precision indexed path, and partition pruning must
+    survive the layout change."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=400)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivf_index(wh, c, "vec_id", "embedding", "raw", n_centroids=8)
+    build_ivf_index(
+        wh, c, "vec_id", "embedding", "sq8", n_centroids=8, quantize=True
+    )
+    post = wh.read("sq8__postings")
+    assert set(post.columns) == {"corpus_id", "codes", "maxu", "centroid_id"}
+
+    full = ivf_topk_indexed(wh, q, "vec_id", "embedding", "raw", k=5, nprobe=3)
+    quant = ivf_topk_indexed(wh, q, "vec_id", "embedding", "sq8", k=5, nprobe=3)
+    e = {(r["query_id"], r["corpus_id"]) for r in full.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in quant.collect()}
+    assert len(e & a) / len(e) >= 0.8
+    # quantization error stays bounded on returned pairs
+    vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
+    for r in quant.collect():
+        true = _exact_cosine(vecs[r["query_id"]], vecs[r["corpus_id"]])
+        assert abs(r["cosine_micro"] / 1e6 - true) < 0.02
+    plan = quant._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
