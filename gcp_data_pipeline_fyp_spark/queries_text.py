@@ -2448,3 +2448,121 @@ ORDER BY doc_id
 """
 
 TEXT_QUERIES["bpe_segment_counts"] = (q_bpe_segment_counts, SQL_BPE_SEGMENT_COUNTS)
+
+
+# ---------------------------------- interpolated bigram LM scoring
+def q_bigram_logprob_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM quality score (the KenLM-shaped upgrade of the CCNet
+    unigram scorer, public method): train bigram + unigram counts on
+    the corpus itself, score each doc by mean -log2 of the interpolated
+    conditional p(w2|w1) = 0.75*ML + 0.25*smoothed-unigram. Training is
+    two aggregations (unigram table, bigram table); scoring joins each
+    doc's bigram stream against the bigram->nll table (shuffle keyed on
+    the bigram, never the document) and one per-doc mean. Every
+    arithmetic step is rational IEEE (division, multiply, add) in
+    mirrored order; the single log2 sits inside the proven
+    decimal-sum + 6-dp-round emission chain. Docs with fewer than two
+    tokens report n_bigrams=0 with NULL score — nothing vanishes.
+    Window is r5-queue."""
+    d = _docs(spark, sf)
+    t = d.select("doc_id", tokens("text").alias("__toks"))
+    uni = (
+        t.select(F.explode(F.coalesce(F.col("__toks"), F.array())).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .persist()
+    )
+    scal = F.broadcast(
+        uni.agg(F.sum("cu").alias("total"), F.count(F.lit(1)).alias("vocab"))
+    )
+    bg = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks") - 1),
+            lambda i: F.struct(
+                F.element_at("__toks", i).alias("w1"),
+                F.element_at("__toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = t.select("doc_id", F.explode(bg).alias("__bg")).select(
+        "doc_id", F.col("__bg.w1").alias("w1"), F.col("__bg.w2").alias("w2")
+    )
+    bcounts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    bstats = (
+        bcounts.join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2")), "w2")
+        .crossJoin(scal)
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log2(
+                    F.lit(0.75) * (F.col("cb") / F.col("cu1"))
+                    + F.lit(0.25)
+                    * ((F.col("cu2") + F.lit(1.0)) / (F.col("total") + F.col("vocab")))
+                )
+            ).alias("nll"),
+        )
+    )
+    scored = (
+        big.join(bstats, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            micro6(
+                F.sum(F.col("nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("nll_micro"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    out = (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "nll_micro",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        )
+        .orderBy("doc_id")
+    )
+    # materialize the result, then release the unigram table (same
+    # storage discipline as q_unigram_logprob_score: a persisted frame
+    # must not outlive its consumers in a long-running session)
+    out = out.persist()
+    out.count()
+    uni.unpersist()
+    return out
+
+
+SQL_BIGRAM_LOGPROB = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+uni AS (SELECT tok, count(*) AS cu FROM e GROUP BY tok),
+scal AS (SELECT sum(cu) AS total, count(*) AS vocab FROM uni),
+big AS (SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(toks) - 1),
+    i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg FROM t),
+bigf AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM big),
+bcounts AS (SELECT w1, w2, count(*) AS cb FROM bigf GROUP BY w1, w2),
+bstats AS (
+  SELECT w1, w2,
+    -log2(0.75 * (cb / u1.cu)
+          + 0.25 * ((u2.cu + 1.0) / (scal.total + scal.vocab))) AS nll
+  FROM bcounts
+  JOIN uni u1 ON bcounts.w1 = u1.tok
+  JOIN uni u2 ON bcounts.w2 = u2.tok
+  CROSS JOIN scal),
+scored AS (
+  SELECT doc_id,
+    {micro6_sql('cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*)')}
+      AS nll_micro,
+    count(*) AS n_bigrams
+  FROM bigf JOIN bstats USING (w1, w2) GROUP BY doc_id)
+SELECT d.doc_id, s.nll_micro,
+  CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+TEXT_QUERIES["bigram_logprob_score"] = (q_bigram_logprob_score, SQL_BIGRAM_LOGPROB)
