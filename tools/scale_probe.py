@@ -229,6 +229,52 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         t["contamination_report"] = round(time.perf_counter() - t0, 2)
 
+        # round-4b ops: classifier scoring (seed set FIXED — labels are
+        # expensive — while the scored corpus scales: training must stay
+        # flat, scoring scan-bound), split leakage (both sides scale
+        # with the corpus: the digest join is the stress), SQ8 top-k
+        # (fixed query batch, corpus streams: one scan like brute force)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.classifier import (
+            score_documents,
+            train_linear_classifier,
+        )
+
+        seed_set = load(spark, SF_DIR, "documents", spread=True).withColumn(
+            "lbl", F.length("text") >= 200
+        )
+        w = train_linear_classifier(
+            seed_set, "doc_id", "text", "lbl", n_buckets=4096
+        )
+        score_documents(docs, "doc_id", "text", w, n_buckets=4096).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["classifier_score"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+            split_leakage_report,
+        )
+        from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+        sp = hash_split(
+            docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+        )
+        split_leakage_report(sp, "doc_id", "text", "split", n=8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["split_leakage"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.similarity import sq8_topk
+
+        emb = scaled(load(spark, SF_DIR, "embeddings", spread=True), copies, "vec_id")
+        qv = load(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 8)
+        sq8_topk(qv, emb.filter(F.col("vec_id") >= 8), "vec_id", "embedding", k=5).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["sq8_topk"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
     print(json.dumps({"sf_dir": SF_DIR, "scales": results}))
     spark.stop()
