@@ -110,6 +110,44 @@ def main() -> None:
 
     hh_full = shuffle_write_bytes(spark, full_vocab)
     hh_sketch = shuffle_write_bytes(spark, sketch_verify)
+
+    # split leakage: the same audit joined on raw n-gram STRINGS vs the
+    # production 16-byte digests — the digest form should shuffle a
+    # small constant per gram regardless of gram text length
+    from gcp_data_pipeline_fyp_spark.functions.text import shingles  # noqa: E402
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (  # noqa: E402
+        split_leakage_report,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split  # noqa: E402
+
+    sp = hash_split(
+        docs, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+
+    def leak_raw_ngrams():
+        g = sp.select(
+            "split", "doc_id", F.explode(shingles(tokens("text"), 8)).alias("ng")
+        )
+        tr = g.filter(F.col("split") == "train").select("ng").distinct()
+        (
+            g.filter(F.col("split") != "train")
+            .join(tr, "ng", "left_semi")
+            .select("split", "doc_id")
+            .distinct()
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_leaked"))
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def leak_digest():
+        split_leakage_report(sp, "doc_id", "text", "split", n=8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    lk_raw = shuffle_write_bytes(spark, leak_raw_ngrams)
+    lk_dig = shuffle_write_bytes(spark, leak_digest)
     print(
         json.dumps(
             {
@@ -120,6 +158,9 @@ def main() -> None:
                 "heavy_hitters_full_vocab_groupby": hh_full,
                 "heavy_hitters_sketch_verify": hh_sketch,
                 "hh_ratio": round(hh_full / hh_sketch, 2) if hh_sketch else None,
+                "leakage_raw_ngram_key": lk_raw,
+                "leakage_digest_key": lk_dig,
+                "leak_ratio": round(lk_raw / lk_dig, 2) if lk_dig else None,
                 "sf_dir": SF_DIR,
             }
         )
