@@ -273,7 +273,9 @@ VECTOR_QUERIES["embedding_neardup_lsh"] = (
 )
 
 
-def _kmeans_ctes(pts_sql: str, k: int, iters: int, dim: int = 64) -> str:
+def _kmeans_ctes(
+    pts_sql: str, k: int, iters: int, dim: int = 64, prefix: str = ""
+) -> str:
     """Chained CTEs mirroring operators/clustering.py:kmeans exactly.
 
     Lloyd's with seeded init (k lowest ids) is deterministic, so a
@@ -284,6 +286,9 @@ def _kmeans_ctes(pts_sql: str, k: int, iters: int, dim: int = 64) -> str:
     assignment. The algebra matches step for step: squared-distance
     fold in index order, argmin ties broken on cluster id, per-
     dimension means as decimal(28,12) sums cast to double.
+
+    `prefix` namespaces every CTE (pts/c{{j}}/a{{j}}) so several
+    instances — e.g. one per PQ subspace — compose in one statement.
     """
     dist = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
@@ -292,26 +297,26 @@ def _kmeans_ctes(pts_sql: str, k: int, iters: int, dim: int = 64) -> str:
 
     def assign(j: int) -> str:
         return (
-            f"a{j} AS (SELECT id, v, cid FROM ("
+            f"{prefix}a{j} AS (SELECT id, v, cid FROM ("
             f"SELECT p.id, p.v, c.cid, row_number() OVER ("
             f"PARTITION BY p.id ORDER BY {dist} ASC, c.cid) AS rn "
-            f"FROM pts p CROSS JOIN c{j} c) s WHERE rn = 1)"
+            f"FROM {prefix}pts p CROSS JOIN {prefix}c{j} c) s WHERE rn = 1)"
         )
 
     def update(j: int) -> str:
         return (
-            f"c{j} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ("
+            f"{prefix}c{j} AS (SELECT cid, list(m ORDER BY pos) AS cv FROM ("
             f"SELECT cid, idx.pos, "
             f"CAST(sum(CAST(v[idx.pos] AS DECIMAL(28,12))) AS DOUBLE) "
-            f"/ count(*) AS m FROM a{j - 1} CROSS JOIN "
+            f"/ count(*) AS m FROM {prefix}a{j - 1} CROSS JOIN "
             f"(SELECT unnest(generate_series(1, {dim})) AS pos) idx "
             f"GROUP BY cid, idx.pos) s GROUP BY cid)"
         )
 
     parts = [
-        f"pts AS ({pts_sql})",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv "
-        f"FROM (SELECT id, v FROM pts ORDER BY id LIMIT {k}) s)",
+        f"{prefix}pts AS ({pts_sql})",
+        f"{prefix}c0 AS (SELECT row_number() OVER (ORDER BY id) AS cid, v AS cv "
+        f"FROM (SELECT id, v FROM {prefix}pts ORDER BY id LIMIT {k}) s)",
         assign(0),
     ]
     for j in range(1, iters + 1):
@@ -440,3 +445,82 @@ SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
 """
 
 VECTOR_QUERIES["ann_sq8_topk"] = (q_ann_sq8_topk, SQL_ANN_SQ8_TOPK)
+
+
+# ------------------------------------------- product-quantized top-k
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance (operators/pq.py):
+    4 subspaces x 8-centroid codebooks trained by the certified
+    deterministic k-means, corpus stored as 4 small ints per vector,
+    scores are exact int64 sums of micro-unit LUT entries. The oracle
+    replays per-subspace Lloyd's with the prefixed k-means CTE chain.
+    Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import pq_topk
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return pq_topk(
+        queries, corpus, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3
+    )
+
+
+def _sql_pq_topk(m: int = 4, n_codes: int = 8, iters: int = 3, dim: int = 64) -> str:
+    sub = dim // m
+    unit6 = (
+        "SELECT id, list_transform(v, x -> round(x * (1.0 / nrm), 6)) AS u "
+        "FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+        "sqrt(list_sum(list_transform(embedding::DOUBLE[], y__ -> y__ * y__))) "
+        "AS nrm FROM embeddings WHERE {where}) s WHERE nrm > 0"
+    )
+    parts = [
+        "uc AS (" + unit6.format(where="vec_id >= 8") + ")",
+        "uq AS (" + unit6.format(where="vec_id < 8") + ")",
+    ]
+    dot16 = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i__ -> q.qs[i__] * c.cv[i__]))"
+    )
+    pair_selects = []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            _kmeans_ctes(
+                f"SELECT id, u[{lo}:{hi}] AS v FROM uc",
+                k=n_codes,
+                iters=iters,
+                dim=sub,
+                prefix=f"p{mi}_",
+            )
+        )
+        parts.append(
+            f"lut{mi} AS (SELECT q.id AS query_id, c.cid, "
+            f"{micro6_sql(dot16)} AS lm "
+            f"FROM (SELECT id, u[{lo}:{hi}] AS qs FROM uq) q "
+            f"CROSS JOIN p{mi}_c{iters} c)"
+        )
+        pair_selects.append(
+            f"SELECT l.query_id, a.id AS corpus_id, l.lm "
+            f"FROM p{mi}_a{iters} a JOIN lut{mi} l ON a.cid = l.cid"
+        )
+    union = "\nUNION ALL\n".join(pair_selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pr AS ({union}),
+scored AS (
+  SELECT query_id, corpus_id, CAST(sum(lm) AS BIGINT) AS cosine_micro
+  FROM pr GROUP BY query_id, corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_micro DESC, corpus_id) AS rn
+  FROM scored)
+SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+SQL_ANN_PQ_TOPK = _sql_pq_topk()
+
+VECTOR_QUERIES["ann_pq_topk"] = (q_ann_pq_topk, SQL_ANN_PQ_TOPK)

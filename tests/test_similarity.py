@@ -397,3 +397,37 @@ def test_ivf_sq8_index_recall_and_layout(spark, tmp_path):
         assert abs(r["cosine_micro"] / 1e6 - true) < 0.02
     plan = quant._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
+
+
+def test_pq_recall_and_determinism(spark):
+    """PQ/ADC with 4 subspaces x 8 codes on clustered vectors. PQ is a
+    candidate-generation stage, so the published metric is recall@R:
+    the TRUE nearest neighbor must appear in the PQ top-10 (measured
+    1.0 here; bar 0.8) — exact-top-5 set overlap is meaningless when
+    within-blob neighbors collapse to identical codes. Also pins
+    partition invariance: codes and LUT sums are integer-exact, so two
+    runs over different partitionings return identical result sets."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import pq_topk
+
+    df = _blob_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact1 = brute_force_topk(q, c, "vec_id", "embedding", k=1)
+    top1 = {r["query_id"]: r["corpus_id"] for r in exact1.collect()}
+    approx = pq_topk(
+        q, c, "vec_id", "embedding", k=10, m=4, n_codes=8, iters=3, dim=DIM
+    )
+    rows = approx.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    recall_at_10 = sum(
+        1 for qq, t in top1.items() if t in by_q.get(qq, [])
+    ) / len(top1)
+    assert recall_at_10 >= 0.8
+    again = pq_topk(
+        q.repartition(3), c.repartition(5), "vec_id", "embedding",
+        k=10, m=4, n_codes=8, iters=3, dim=DIM,
+    ).collect()
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
