@@ -330,3 +330,159 @@ def test_bpe_pair_counts_fuzz_vs_counter(spark, texts):
         for a, b in zip(word, word[1:]):
             want[(a, b)] += n
     assert got == dict(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=20), max_size=5
+    ),
+    merges=st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+        max_size=4,
+    ),
+)
+def test_bpe_segment_fuzz_vs_greedy_fold(spark, texts, merges):
+    """Segmentation must equal the pure-Python greedy left-to-right
+    fold for ANY merge table — including self-overlapping pairs like
+    (a, a) and chained products like (a, b) then (ab, a) — the exact
+    semantics the DuckDB replace-chain oracle also reproduces."""
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_segment
+
+    if not texts:
+        return
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_segment(df, "text", merges).collect()
+    }
+
+    def fold(word: str) -> list[str]:
+        syms = list(word)
+        for left, right in merges:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            syms = out
+        return syms
+
+    for i, t in enumerate(texts):
+        want = [s for w in t.split() if w for s in fold(w)]
+        assert got[i] == want, (t, merges, got[i], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.text(alphabet="abc xyz", max_size=25), st.booleans()),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_classifier_fuzz_vs_python_reference(spark, rows):
+    """Trained weights and scores must match a from-scratch Python
+    reimplementation (hashlib md5 buckets, Counter training, integer
+    milli-weight sums) on arbitrary labeled corpora."""
+    import hashlib
+    from collections import Counter
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        score_documents,
+        train_linear_classifier,
+    )
+
+    B, SEED = 64, 0
+    df = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(rows)],
+        "doc_id long, text string, lbl boolean",
+    )
+    w = train_linear_classifier(df, "doc_id", "text", "lbl", n_buckets=B)
+    got = {
+        r["doc_id"]: (r["n_features"], r["score_micro"], r["label"])
+        for r in score_documents(df, "doc_id", "text", w, n_buckets=B).collect()
+    }
+
+    def feats(t: str) -> list[str]:
+        toks = [x for x in t.split() if x]
+        return toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f"{SEED}|{f}".encode()).hexdigest()[:12], 16) % B
+
+    pos, neg = Counter(), Counter()
+    for t, l in rows:
+        for f in feats(t):
+            (pos if l else neg)[bucket(f)] += 1
+    tp, tn = sum(pos.values()), sum(neg.values())
+    w_milli = {}
+    for b in set(pos) | set(neg):
+        rp = (pos[b] + 1.0) / (tp + float(B))
+        rn = (neg[b] + 1.0) / (tn + float(B))
+        val = (rp - rn) / (rp + rn)
+        w_milli[b] = int(
+            (Decimal(repr(round(val, 3))) * 1000).to_integral_value(ROUND_HALF_UP)
+        )
+    for i, (t, _l) in enumerate(rows):
+        fs = feats(t)
+        if not fs:
+            assert got[i] == (0, None, "empty")
+            continue
+        s = sum(w_milli.get(bucket(f), 0) for f in fs)
+        micro = int(Decimal(repr(round(s * 1000.0 / len(fs)))).to_integral_value())
+        assert got[i][0] == len(fs)
+        assert got[i][1] == micro, (t, got[i], micro)
+        assert got[i][2] == ("keep" if micro > 0 else "drop")
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="pq r", max_size=30),
+            st.sampled_from(["train", "val", "test"]),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.integers(min_value=1, max_value=3),
+)
+def test_split_leakage_fuzz_vs_set_semantics(spark, rows, n):
+    """Leak counts must equal plain Python set intersection semantics
+    for any split layout and shingle width."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        split_leakage_report,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, split string",
+    )
+    got = {
+        r["split"]: (r["n_docs"], r["n_leaked"])
+        for r in split_leakage_report(df, "doc_id", "text", "split", n=n).collect()
+    }
+
+    def grams(t: str) -> set:
+        toks = t.split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    train = set()
+    for t, s in rows:
+        if s == "train":
+            train |= grams(t)
+    for split in ("val", "test"):
+        docs = [(i, t) for i, (t, s) in enumerate(rows) if s == split]
+        if not docs:
+            assert split not in got
+            continue
+        leaked = sum(1 for _i, t in docs if grams(t) & train)
+        assert got[split] == (len(docs), leaked), (rows, n, got)
