@@ -81,6 +81,27 @@ try:  # Arrow-vectorized fast path for the O(pairs) hot loop
         bm = _np.stack(bv)
         return _pd.Series(_np.einsum("ij,ij->i", am, bm))
 
+    @_pandas_udf("long")
+    def dot_int_vectorized(a: _pd.Series, b: _pd.Series) -> _pd.Series:
+        """Row-wise int64 dot product over two array<int> code columns
+        (the SQ8 pair stage). Integer sums are exact in any order, so
+        unlike the double variant this is bit-identical to the fold —
+        no rounding tolerance needed."""
+        av, bv = a.to_numpy(), b.to_numpy()
+        mask = _np.array([x is None for x in av]) | _np.array(
+            [x is None for x in bv]
+        )
+        out = _np.zeros(len(av), dtype="int64")
+        if (~mask).any():
+            am = _np.stack([_np.asarray(x, dtype="int64") for x in av[~mask]])
+            bm = _np.stack([_np.asarray(x, dtype="int64") for x in bv[~mask]])
+            out[~mask] = _np.einsum("ij,ij->i", am, bm)
+        res = _pd.Series(out)
+        if mask.any():
+            res = res.astype("object")
+            res[mask] = None
+        return res
+
     HAVE_VECTORIZED = True
 except Exception:  # pragma: no cover - numpy/pandas are baked into the env
     HAVE_VECTORIZED = False

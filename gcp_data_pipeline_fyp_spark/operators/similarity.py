@@ -495,12 +495,22 @@ def sq8_topk(
 
 def _sq8_pair_score(qc, cc, qm, cm):
     """Approximate cosine of two SQ8 rows: (dot * mq) * mc / (127^2 *
-    1e12). The code dot is an exact int64 sum; the two scale multiplies
-    and one divide are correctly-rounded IEEE ops in a fixed order,
+    1e12). The code dot is an exact int64 sum — Arrow-vectorized in the
+    pair stage when available (higher-order `aggregate`/`zip_with` are
+    CodegenFallback, interpreted per element; over millions of pairs
+    that interpretation dominates — same reason `brute_force_topk` uses
+    the vectorized double dot). Integer sums are order-independent, so
+    the fast path is bit-identical to the fold, and the scale
+    multiplies/divide are correctly-rounded IEEE ops in a fixed order,
     mirrored verbatim in the SQL oracle."""
-    dot_int = F.aggregate(
-        F.zip_with(qc, cc, lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    from gcp_data_pipeline_fyp_spark.functions import vectors as _v
+
+    if _v.HAVE_VECTORIZED:
+        dot_int = _v.dot_int_vectorized(qc, cc)
+    else:
+        dot_int = F.aggregate(
+            F.zip_with(qc, cc, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
     return (dot_int.cast("double") * qm) * cm / F.lit(16129000000000000.0)
