@@ -196,8 +196,10 @@ def bpe_segment(
     count a data-mix or packing stage budgets with.
 
     The merge list is tiny (vocab-budget-sized) and becomes a nested
-    codegen expression, so segmentation runs at scan speed with no
-    join and no shuffle.
+    column expression, so segmentation is a pure map stage — no join,
+    no shuffle, parallelism = input splits. (Higher-order array folds
+    are CodegenFallback — interpreted, not whole-stage-codegen'd — so
+    per-byte cost is higher than a scan; still distribution-free.)
     """
     pairs = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
 

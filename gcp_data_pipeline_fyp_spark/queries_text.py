@@ -2404,7 +2404,7 @@ _BPE_PROBE_MERGES = [
 def q_bpe_segment_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Apply a fixed learned merge table (the typical English head of a
     BPE vocabulary) to every document at scan speed — the merge list
-    compiles into a nested codegen expression, no join, no shuffle
+    compiles into a nested column expression, no join, no shuffle
     (operators/tokenizer.py:bpe_segment). Emits the custom-vocab token
     count a packing/budget stage runs on, plus the first 12 subword
     tokens as evidence. Window is r5-queue."""
