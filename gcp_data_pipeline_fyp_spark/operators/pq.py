@@ -13,14 +13,18 @@ built per query batch, and each corpus vector's score is the sum of
 
 Spark-first shape:
 
-- **Training** runs the engine's deterministic DataFrame k-means
-  (operators/clustering.py) once per subspace over the corpus (or a
-  sample at scale — same argument as IVF sampled training). Output is
-  m * n_codes centroids: always broadcastable.
-- **Encoding** is one nearest-centroid assignment pass per subspace
-  (broadcast centroids, corpus scan).
+- **Training** (`fit_pq_codebooks`) runs the engine's deterministic
+  DataFrame k-means (operators/clustering.py) once per subspace over
+  the corpus (or a sample at scale — same argument as IVF sampled
+  training). Output is m * n_codes centroids: always broadcastable.
+- **Encoding** (`pq_encode`) is one nearest-centroid assignment pass
+  per subspace (broadcast centroids, corpus scan).
 - **Scoring** broadcasts the per-batch LUT (|Q| * m * n_codes rows)
   against the corpus code stream and does ONE id-keyed aggregation.
+- **Persistence** (`build_pq_index` / `pq_topk_indexed` /
+  `append_pq_index`) stores codebooks + codes as warehouse tables —
+  the build-once / query-many / append-daily lifecycle of the digest,
+  LSH-band, and IVF indexes (operators/dedup.py, similarity.py).
 
 Cross-engine exactness: vectors are unit-normalized and rounded to
 6 dp before training (identical doubles in any engine), k-means is the
@@ -32,7 +36,7 @@ whole algorithm bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec
@@ -54,6 +58,137 @@ def unit6(vec_col) -> F.Column:
     return F.transform(u, lambda x: F.round(x, 6))
 
 
+def _sub(col: F.Column, mi: int, sub_dim: int) -> F.Column:
+    return F.slice(col, mi * sub_dim + 1, sub_dim)
+
+
+def fit_pq_codebooks(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Train one k-means codebook per subspace -> (subspace, cluster_id,
+    centroid). m * n_codes rows: always broadcastable."""
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+
+    sub_dim = dim // m
+    c = corpus.select(
+        F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
+    ).filter(F.col("__u").isNotNull())
+    books = []
+    for mi in range(m):
+        pts = c.select("__id", _sub(F.col("__u"), mi, sub_dim).alias("__s"))
+        _assigned, cent = kmeans(
+            pts, "__id", "__s", k=n_codes, max_iter=iters,
+            checkpoint_dir=checkpoint_dir,
+        )
+        books.append(cent.select(F.lit(mi).alias("subspace"), "cluster_id", "centroid"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode vectors against trained codebooks -> one row per
+    (id, subspace, cluster_id): nearest centroid by squared distance,
+    ties to the lower cluster id — the same rule as k-means assignment,
+    so encoding the training corpus reproduces the training
+    assignments exactly. Broadcast codebooks; one scan."""
+    sub_dim = dim // m
+    v = df.select(
+        F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
+    ).filter(F.col("__u").isNotNull())
+    rows = v.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(mi).alias("subspace"),
+                    _sub(F.col("__u"), mi, sub_dim).alias("__s"),
+                )
+                for mi in range(m)
+            ])
+        ).alias("__e"),
+    ).select("__id", F.col("__e.subspace").alias("subspace"), F.col("__e.__s").alias("__s"))
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("__s"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    scored = rows.join(F.broadcast(codebooks), "subspace").select(
+        "__id", "subspace", "cluster_id", sq.alias("__d")
+    )
+    w = Window.partitionBy("__id", "subspace").orderBy(
+        F.col("__d").asc(), F.col("cluster_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col("__id").alias(id_col), "subspace", "cluster_id")
+    )
+
+
+def _pq_lut(
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Per-query-batch ADC lookup table: (query_id, subspace,
+    cluster_id, __lm) with __lm the micro-unit dot of the query
+    subvector and the centroid. |Q| * m * n_codes rows — tiny."""
+    sub_dim = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), unit6(vec_col).alias("__u")
+    ).filter(F.col("__u").isNotNull())
+    qs = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(mi).alias("subspace"),
+                    _sub(F.col("__u"), mi, sub_dim).alias("__qs"),
+                )
+                for mi in range(m)
+            ])
+        ).alias("__e"),
+    ).select("query_id", F.col("__e.subspace").alias("subspace"), F.col("__e.__qs").alias("__qs"))
+    return qs.join(F.broadcast(codebooks), "subspace").select(
+        "query_id",
+        "subspace",
+        "cluster_id",
+        micro6(vec_dot(F.col("__qs"), F.col("centroid"))).alias("__lm"),
+    )
+
+
+def _pq_score_topk(codes: DataFrame, lut: DataFrame, k: int) -> DataFrame:
+    pairs = (
+        codes.join(F.broadcast(lut), ["subspace", "cluster_id"])
+        .groupBy("query_id", "corpus_id")
+        # exact int64 sum of micro-unit LUT entries: partition-order
+        # independent by construction, no float accumulation anywhere
+        .agg(F.sum("__lm").alias("cosine_micro"))
+    )
+    return _topk_per_query(pairs, k)
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -68,65 +203,89 @@ def pq_topk(
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with
     asymmetric distance (train + encode + score in one call — the
-    composition shape of `ivf_topk`).
+    composition shape of `ivf_topk`; use the index trio below for the
+    build-once lifecycle).
 
     Returns (query_id, corpus_id, cosine_micro): the ADC approximation
     of the cosine in micro-units, an exact int64 sum of `m` LUT
     entries. Zero vectors on either side are dropped (meaningless
     under cosine, same rule as SQ8).
     """
-    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
-
-    sub_dim = dim // m
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"), unit6(vec_col).alias("__cv")
-    ).filter(F.col("__cv").isNotNull())
-    q = queries.select(
-        F.col(id_col).alias("query_id"), unit6(vec_col).alias("__qv")
-    ).filter(F.col("__qv").isNotNull())
-
-    code_frames = []
-    lut_frames = []
-    for mi in range(m):
-        sub = F.slice(F.col("__cv"), mi * sub_dim + 1, sub_dim)
-        pts = c.select(F.col("corpus_id"), sub.alias("__sub"))
-        assigned, cent = kmeans(
-            pts,
-            "corpus_id",
-            "__sub",
-            k=n_codes,
-            max_iter=iters,
-            checkpoint_dir=checkpoint_dir,
-        )
-        code_frames.append(
-            assigned.select(
-                "corpus_id", F.lit(mi).alias("__m"), F.col("cluster_id")
-            )
-        )
-        qsub = F.slice(F.col("__qv"), mi * sub_dim + 1, sub_dim)
-        lut_frames.append(
-            q.select(F.col("query_id"), qsub.alias("__qs"))
-            .crossJoin(F.broadcast(cent))
-            .select(
-                "query_id",
-                F.lit(mi).alias("__m"),
-                "cluster_id",
-                micro6(vec_dot(F.col("__qs"), F.col("centroid"))).alias("__lm"),
-            )
-        )
-
-    codes = code_frames[0]
-    for f in code_frames[1:]:
-        codes = codes.unionByName(f)
-    lut = lut_frames[0]
-    for f in lut_frames[1:]:
-        lut = lut.unionByName(f)
-
-    pairs = (
-        codes.join(F.broadcast(lut), ["__m", "cluster_id"])
-        .groupBy("query_id", "corpus_id")
-        # exact int64 sum of micro-unit LUT entries: partition-order
-        # independent by construction, no float accumulation anywhere
-        .agg(F.sum("__lm").alias("cosine_micro"))
+    books = fit_pq_codebooks(
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir
     )
-    return _topk_per_query(pairs, k)
+    codes = pq_encode(corpus, id_col, vec_col, books, m, dim).select(
+        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+    )
+    lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    return _pq_score_topk(codes, lut, k)
+
+
+# ------------------------------------------------ persisted PQ index
+def build_pq_index(
+    wh,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Persist codebooks + codes as warehouse tables — the build-once
+    half. The codes table is m rows of 3 small ints per vector; at
+    100 TB this is the table queries scan INSTEAD of the raw vectors
+    (~100x fewer bytes at m=4 over 64-dim float64)."""
+    books = fit_pq_codebooks(
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir
+    )
+    wh.overwrite(books, f"{name}__codebooks")
+    codes = pq_encode(
+        corpus, id_col, vec_col, wh.read(f"{name}__codebooks"), m, dim
+    )
+    wh.overwrite(
+        codes.select(F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"),
+        f"{name}__codes",
+    )
+
+
+def pq_topk_indexed(
+    wh,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    k: int = 10,
+    m: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index: read codebooks (tiny),
+    build the query-batch LUT, stream the codes table once."""
+    books = wh.read(f"{name}__codebooks")
+    codes = wh.read(f"{name}__codes")
+    lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    return _pq_score_topk(codes, lut, k)
+
+
+def append_pq_index(
+    wh,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    m: int = 4,
+    dim: int = 64,
+) -> None:
+    """Fold a new vector batch into a persisted PQ index: encode
+    against the EXISTING codebooks and append — batch-sized, queries
+    see new vectors immediately. Codebooks are deliberately not
+    refit (rerun determinism; drift handled by periodic rebuild, the
+    same cadence discipline as the IVF index)."""
+    books = wh.read(f"{name}__codebooks")
+    codes = pq_encode(batch, id_col, vec_col, books, m, dim)
+    wh.append(
+        codes.select(F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"),
+        f"{name}__codes",
+    )

@@ -431,3 +431,47 @@ def test_pq_recall_and_determinism(spark):
     ).collect()
     key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
     assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
+    """The persisted PQ index must return exactly what the direct
+    train+encode+score path returns (encoding against final centroids
+    reproduces the training assignments), and appending a batch makes
+    its vectors immediately searchable without refitting codebooks."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        append_pq_index,
+        build_pq_index,
+        pq_topk,
+        pq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=200)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 150))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_pq_index(
+        wh, c, "vec_id", "embedding", "pq", m=4, n_codes=8, iters=3, dim=DIM
+    )
+    direct = pq_topk(
+        q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM
+    )
+    indexed = pq_topk_indexed(wh, q, "vec_id", "embedding", "pq", k=5, m=4, dim=DIM)
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, indexed.collect()))
+
+    # append: an exact copy of query 0's vector becomes searchable and
+    # carries the maximal ADC score for that query (it may TIE with
+    # same-code blob members — codes quantize away within-cell detail —
+    # and ties break on the lower corpus id, so top-1 isn't guaranteed)
+    batch = df.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    append_pq_index(wh, batch, "vec_id", "embedding", "pq", m=4, dim=DIM)
+    after = pq_topk_indexed(
+        wh, q.filter(F.col("vec_id") == 0), "vec_id", "embedding", "pq",
+        k=200, m=4, dim=DIM,
+    ).collect()
+    scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
+    assert 9000 in scores
+    assert scores[9000] == max(scores.values())
