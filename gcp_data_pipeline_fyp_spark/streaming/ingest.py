@@ -288,3 +288,115 @@ def reprocess_quarantine(
         return {"released": released, "remaining": remaining}
     finally:
         q.unpersist()
+
+
+def stream_scored_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    id_col: str,
+    ts_col: str,
+    text_col: str,
+    wh: Warehouse,
+    table: str,
+    checkpoint_dir: str,
+    weights_table: str,
+    n_buckets: int,
+    threshold_micro: int = 0,
+    watermark: str = "1 day",
+    partition_col: str | None = None,
+    rejects_table: str | None = None,
+    score_log_table: str = "QUALITY_SCORES_LOG",
+) -> StreamingQuery:
+    """Model-filtered streaming corpus ingest: per micro-batch, score
+    every document with OFFLINE-trained classifier weights
+    (operators/classifier.py) and merge only the keepers — the
+    streaming rendering of the DCLM/FineWeb model-based quality gate,
+    structured exactly like `stream_validated_ingest`.
+
+    Per batch:
+    - documents are scored through the broadcast weight table (read
+      once at stream start — the model is a versioned warehouse table,
+      trained offline on a labeled seed set, never inside the stream);
+    - 'drop' and 'empty' docs append to `rejects_table` (if set) WITH
+      their score and batch id — the quality dead-letter, auditable
+      and reprocessable when the model is retrained;
+    - a per-batch summary (n_docs / n_keep / n_drop / n_empty) appends
+      to `score_log_table` — the feed-quality time series, and the
+      replay ledger that makes the two appends idempotent under
+      foreachBatch's at-least-once contract (same scheme as
+      `stream_validated_ingest`);
+    - keepers merge via the staging-swap batch path.
+
+    Scale: scoring is one feature explode + broadcast join + id-keyed
+    aggregation per batch; no streaming state beyond the dedup
+    watermark; the weight table is ≤ n_buckets rows.
+    """
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        score_documents,
+    )
+
+    weights = wh.read(weights_table)
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+
+    def _score_and_merge(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates([id_col]).persist()
+        try:
+            if batch.isEmpty():
+                return
+            already_logged = wh.exists(score_log_table) and (
+                wh.read(score_log_table)
+                .filter(F.col("batch_id") == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+            scored = score_documents(
+                batch, id_col, text_col, weights, n_buckets,
+                threshold_micro=threshold_micro,
+            ).persist()
+            if rejects_table is not None and not already_logged:
+                rejected = batch.join(
+                    scored.filter(F.col("label") != "keep"), id_col
+                ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+                wh.append(rejected, rejects_table)
+            if not already_logged:
+                summary = (
+                    scored.agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum((F.col("label") == "keep").cast("long")).alias(
+                            "n_keep"
+                        ),
+                        F.sum((F.col("label") == "drop").cast("long")).alias(
+                            "n_drop"
+                        ),
+                        F.sum((F.col("label") == "empty").cast("long")).alias(
+                            "n_empty"
+                        ),
+                    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+                )
+                wh.append(summary, score_log_table)
+            keep = batch.join(
+                scored.filter(F.col("label") == "keep").select(id_col), id_col,
+                "left_semi",
+            )
+            if not keep.isEmpty():
+                _merge_into(wh, table, keep, [id_col], partition_col)
+            scored.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(_score_and_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -481,3 +481,78 @@ def test_reprocess_quarantine_releases_now_clean_rows(spark, tmp_path):
     assert out == {"released": 1, "remaining": 1}
     assert {r["event_id"] for r in wh.read("ev").collect()} == {1, 2}
     assert {r["event_id"] for r in wh.read("Q").collect()} == {3}
+
+
+def test_stream_scored_ingest_filters_by_model(spark, tmp_path):
+    """Model-filtered corpus ingest: offline-trained weights score each
+    micro-batch; keepers merge, dropped/empty docs land in the rejects
+    table with their scores, the per-batch summary is logged — and a
+    restart processes only new files from the checkpoint."""
+    import csv as _csv
+
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        train_linear_classifier,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_scored_ingest,
+    )
+
+    good = "science method evidence theory result data"
+    bad = "spam click buy now free winner"
+    seed = spark.createDataFrame(
+        [(i, f"{good} {good}", True) for i in range(10)]
+        + [(100 + i, f"{bad} {bad}", False) for i in range(10)],
+        "doc_id long, text string, lbl boolean",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.overwrite(
+        train_linear_classifier(seed, "doc_id", "text", "lbl", n_buckets=512),
+        "MODEL_V1",
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "doc_id LONG, ts TIMESTAMP, text STRING"
+
+    def _write(path, rows):
+        with open(path, "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["doc_id", "ts", "text"])
+            w.writerows(rows)
+
+    _write(
+        in_dir / "b1.csv",
+        [
+            (1, "2024-01-01 10:00:00", f"more {good} here"),
+            (2, "2024-01-01 10:01:00", f"ugh {bad} again"),
+            (3, "2024-01-01 10:02:00", ""),
+        ],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(
+        weights_table="MODEL_V1", n_buckets=512, rejects_table="REJ",
+        score_log_table="SLOG",
+    )
+    q = stream_scored_ingest(
+        spark, str(in_dir), schema, "doc_id", "ts", "text", wh, "docs", ckpt,
+        **kw,
+    )
+    q.awaitTermination(120)
+    assert {r["doc_id"] for r in wh.read("docs").collect()} == {1}
+    rej = {r["doc_id"]: r["label"] for r in wh.read("REJ").collect()}
+    assert rej == {2: "drop", 3: "empty"}
+    log = wh.read("SLOG").collect()
+    assert len(log) == 1
+    assert (log[0]["n_docs"], log[0]["n_keep"], log[0]["n_drop"],
+            log[0]["n_empty"]) == (3, 1, 1, 1)
+
+    # restart from checkpoint: only the new file processes
+    _write(in_dir / "b2.csv", [(4, "2024-01-01 11:00:00", f"{good} encore")])
+    q2 = stream_scored_ingest(
+        spark, str(in_dir), schema, "doc_id", "ts", "text", wh, "docs", ckpt,
+        **kw,
+    )
+    q2.awaitTermination(120)
+    assert {r["doc_id"] for r in wh.read("docs").collect()} == {1, 4}
+    assert wh.read("REJ").count() == 2
+    assert wh.read("SLOG").count() == 2
