@@ -69,6 +69,9 @@ HEADLINE = [
     "split_leakage_report",
     "bpe_segment_counts",
     "ann_sq8_topk",
+    # the model-gated successor of corpus_prep_full: distilled
+    # classifier gate -> decontaminate -> dedup -> LSH closure -> split
+    "corpus_prep_v2",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

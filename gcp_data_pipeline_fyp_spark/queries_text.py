@@ -2566,3 +2566,130 @@ ORDER BY d.doc_id
 """
 
 TEXT_QUERIES["bigram_logprob_score"] = (q_bigram_logprob_score, SQL_BIGRAM_LOGPROB)
+
+
+# ---------------------- corpus prep v2: model-gated modern pipeline
+def q_corpus_prep_v2(spark: SparkSession, sf: str) -> DataFrame:
+    """The modern pretraining pipeline in one certified plan — the
+    model-based successor of `corpus_prep_full` (the DCLM/FineWeb
+    architecture, public method): distill the Gopher heuristics into a
+    hashed linear classifier (train on pseudo-labels, ONE bucket-sized
+    aggregation), gate the corpus on the MODEL's verdict, then
+    benchmark-decontaminate -> exact dedup -> MinHash-LSH near-dup
+    closure -> stable split. Every stage is the production operator;
+    the whole chain hash-matches one DuckDB statement that replays
+    training, scoring, banding, and the connectivity closure.
+    Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        bucketed_features,
+        score_from_buckets,
+        train_from_buckets,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import decontaminate
+    from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dedup
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    d = _docs_with_neardups(spark, sf)
+    labeled = d.withColumn("__lbl", gopher_keep(F.col("text")))
+    feats = bucketed_features(
+        labeled, ["doc_id", "__lbl"], "text", n_buckets=4096, seed=11
+    ).localCheckpoint(eager=False)
+    w = train_from_buckets(feats, "__lbl", n_buckets=4096)
+    scored = score_from_buckets(
+        feats.select("doc_id", "__b"), "doc_id", w, d.select("doc_id")
+    )
+    gated = d.join(
+        scored.filter(F.col("label") == "keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    q2 = decontaminate(gated, "doc_id", "text", bench, "text", n=5)
+    kept = exact_dedup(q2, ["text"], "doc_id").localCheckpoint(eager=False)
+    pairs = minhash_lsh_candidates(
+        kept, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    labeled2 = dup_clusters(kept, pairs, "doc_id")
+    pairs.unpersist()
+    canon = labeled2.filter(F.col("doc_id") == F.col("cluster_id"))
+    split = hash_split(
+        canon, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return split.select("doc_id", "lang", "split")
+
+
+SQL_CORPUS_PREP_V2 = f"""
+WITH RECURSIVE u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+t0v AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM u),
+mv AS (SELECT doc_id, len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN})) AS stop_hits
+  FROM t0v),
+labv AS (SELECT doc_id,
+  coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false) AS lbl
+  FROM mv),
+tfv AS (SELECT doc_id,
+  coalesce(list_filter({_SQL_TOKS}, x -> x <> ''), []) AS toks FROM u),
+fev AS (SELECT doc_id,
+  list_concat(toks,
+    list_transform(generate_series(1, len(toks) - 1),
+                   i -> toks[i] || '_' || toks[i+1])) AS feats
+  FROM tfv),
+ev AS (SELECT doc_id, unnest(feats) AS feat FROM fev),
+bv AS (SELECT doc_id,
+  cast(concat('0x', substr(md5('11|' || feat), 1, 12)) AS bigint) % 4096
+    AS bucket
+  FROM ev),
+blv AS (SELECT bv.doc_id, bv.bucket, labv.lbl FROM bv JOIN labv USING (doc_id)),
+countsv AS (SELECT bucket,
+    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+  FROM blv GROUP BY bucket),
+totv AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM countsv),
+wv AS (SELECT bucket,
+  CAST(CAST(round(
+    ((n_pos + 1.0) / (tot_pos + 4096.0) - (n_neg + 1.0) / (tot_neg + 4096.0))
+    / ((n_pos + 1.0) / (tot_pos + 4096.0) + (n_neg + 1.0) / (tot_neg + 4096.0)),
+    3) AS DECIMAL(9,3)) * 1000 AS BIGINT) AS w_milli
+  FROM countsv CROSS JOIN totv),
+sv AS (SELECT bv.doc_id,
+    sum(coalesce(wv.w_milli, 0)) AS sum_w,
+    count(*) AS n_features
+  FROM bv LEFT JOIN wv USING (bucket) GROUP BY bv.doc_id),
+clskeep AS (SELECT doc_id FROM sv
+  WHERE round(sum_w * 1000.0 / n_features) > 0),
+gated AS (SELECT * FROM u WHERE doc_id IN (SELECT doc_id FROM clskeep)),
+tgv AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+gmv AS (SELECT doc_id, unnest({_sql_shingles_n(5)}) AS ngram FROM tgv),
+benchv AS (SELECT DISTINCT ngram FROM gmv WHERE doc_id % 97 = 0),
+badv AS (SELECT DISTINCT gmv.doc_id FROM gmv JOIN benchv USING (ngram)),
+q3v AS (SELECT * FROM gated
+        WHERE doc_id NOT IN (SELECT doc_id FROM badv)),
+kept AS (SELECT * FROM q3v
+  WHERE doc_id IN (SELECT min(doc_id) FROM q3v GROUP BY text)),
+{_sql_lsh_pairs_ctes("kept")},
+ed2 AS (SELECT id_a AS a, id_b AS b FROM pairs2
+        UNION SELECT id_b, id_a FROM pairs2),
+reach(v, l) AS (
+  SELECT a, a FROM ed2
+  UNION
+  SELECT e.a, r.l FROM ed2 e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+canon AS (SELECT kept.doc_id, kept.lang FROM kept
+  LEFT JOIN comp ON kept.doc_id = comp.v
+  WHERE coalesce(comp.component, kept.doc_id) = kept.doc_id)
+SELECT doc_id, lang,
+  CASE WHEN {_B7P} < 800000 THEN 'train'
+       WHEN {_B7P} < 900000 THEN 'val'
+       ELSE 'test' END AS split
+FROM canon
+"""
+
+TEXT_QUERIES["corpus_prep_v2"] = (q_corpus_prep_v2, SQL_CORPUS_PREP_V2)
