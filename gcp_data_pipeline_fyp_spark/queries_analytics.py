@@ -819,3 +819,188 @@ FROM pick
 """
 
 ANALYTICS_QUERIES["quantile_rollup"] = (q_quantile_rollup, SQL_QUANTILE_ROLLUP)
+
+
+# ------------------------------------------------ funnel conversion
+def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-step funnel (click -> view -> purchase): per user, each
+    step's timestamp is the earliest occurrence STRICTLY AFTER the
+    previous step — the standard product-analytics funnel. Three
+    conditional-min aggregations over one user-keyed shuffle (the
+    step-2/3 passes reuse the step frame via joins on user_id; no
+    window over the raw event stream). Emits one row per step with
+    users reaching it and the conversion rate from step 1.
+    Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    s1 = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        s1.agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(1).alias("step"), F.lit("click").alias("step_name"), "n")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(2).alias("step"), F.lit("view").alias("step_name"), "n"
+            )
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n")).select(
+                F.lit(3).alias("step"), F.lit("purchase").alias("step_name"), "n"
+            )
+        )
+    )
+    base = s1.agg(F.count(F.lit(1)).alias("n_base"))
+    return (
+        counts.crossJoin(F.broadcast(base))
+        .select(
+            F.col("step").cast("bigint").alias("step"),
+            "step_name",
+            F.col("n").alias("n_users"),
+            micro6(F.col("n").cast("double") / F.col("n_base")).alias(
+                "conversion_micro"
+            ),
+        )
+        .orderBy("step")
+    )
+
+
+SQL_FUNNEL_CONVERSION = f"""
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'click' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+counts AS (
+  SELECT 1 AS step, 'click' AS step_name, (SELECT count(*) FROM s1) AS n
+  UNION ALL
+  SELECT 2, 'view', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+SELECT CAST(step AS BIGINT) AS step, step_name,
+  CAST(n AS BIGINT) AS n_users,
+  {micro6_sql('CAST(n AS DOUBLE) / (SELECT count(*) FROM s1)')}
+    AS conversion_micro
+FROM counts ORDER BY step
+"""
+
+ANALYTICS_QUERIES["funnel_conversion"] = (q_funnel_conversion, SQL_FUNNEL_CONVERSION)
+
+
+# ------------------------------------------------ retention cohorts
+def q_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by the DAY of their
+    first event; for each cohort and day offset, how many distinct
+    users were active. Two user-keyed aggregations (first-event day,
+    then the cohort x offset rollup) — the classic warehouse retention
+    query at the granularity the testdata's 30-day span makes
+    meaningful. Day offsets are exact date arithmetic, identical
+    bigints in both engines. Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    j = ev.join(first, "user_id").select(
+        "user_id",
+        F.date_format("t0", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.to_date("ts"), F.to_date("t0"))
+        .cast("bigint")
+        .alias("day_offset"),
+    )
+    return (
+        j.groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH first AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id)
+SELECT strftime(t0, '%Y-%m-%d') AS cohort_day,
+  CAST(date_diff('day', CAST(t0 AS DATE), CAST(ts AS DATE)) AS BIGINT)
+    AS day_offset,
+  count(DISTINCT user_id) AS n_users
+FROM events JOIN first USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ANALYTICS_QUERIES["retention_cohorts"] = (q_retention_cohorts, SQL_RETENTION_COHORTS)
+
+
+# --------------------------------------- time-series gap fill (ffill)
+def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type daily revenue resampled onto the complete calendar with
+    forward fill: days a type had no events inherit the last observed
+    total (`last(..., ignorenulls)` over an ordered per-type window) —
+    the standard time-series gap-fill. The scaffold is a tiny
+    sequence-explode cross join (types x days); the observed side is
+    one groupBy; the fill window partitions by type over at most the
+    calendar length, never the event stream. `was_observed` marks
+    which rows are real. Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("lb_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"))
+    )
+    bounds = ev.select(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = ev.select(F.col("event_type").alias("lb_type")).filter(
+        F.col("lb_type").isNotNull()
+    ).distinct()
+    scaffold = types.crossJoin(F.broadcast(days))
+    joined = scaffold.join(daily, ["lb_type", "day"], "left")
+    w = (
+        Window.partitionBy("lb_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "lb_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.last("total", ignorenulls=True).over(w), 2).alias("total_filled"),
+        F.col("total").isNotNull().alias("was_observed"),
+    ).orderBy("lb_type", "day")
+
+
+SQL_RESAMPLE_FFILL = """
+WITH daily AS (
+  SELECT event_type AS lb_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+         FROM b),
+types AS (SELECT DISTINCT event_type AS lb_type FROM events
+          WHERE event_type IS NOT NULL),
+scaffold AS (SELECT lb_type, day FROM types CROSS JOIN days),
+j AS (SELECT s.lb_type, s.day, d.total
+      FROM scaffold s LEFT JOIN daily d USING (lb_type, day))
+SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
+  round(last_value(total IGNORE NULLS) OVER (
+    PARTITION BY lb_type ORDER BY day
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS total_filled,
+  total IS NOT NULL AS was_observed
+FROM j ORDER BY lb_type, day
+"""
+
+ANALYTICS_QUERIES["resample_ffill"] = (q_resample_ffill, SQL_RESAMPLE_FFILL)
