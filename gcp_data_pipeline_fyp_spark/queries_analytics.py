@@ -1004,3 +1004,175 @@ FROM j ORDER BY lb_type, day
 """
 
 ANALYTICS_QUERIES["resample_ffill"] = (q_resample_ffill, SQL_RESAMPLE_FFILL)
+
+
+# ------------------------------------------------- RFM segmentation
+def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM customer segmentation: per user, recency (days since last
+    event), frequency (event count), monetary (exact decimal value
+    sum), each banded into quartiles with ntile over a fully
+    deterministic order (metric + user_id tie-break, so both engines
+    cut identical quartiles). One user-keyed aggregation + three
+    tiny window passes over the user-sized frame. Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    anchor = ev.agg(F.max(F.col("ts").cast("date")).alias("d1"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.col("ts").cast("date")).alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff("d1", "last_day").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 2).alias("monetary"),
+        F.ntile(4).over(r_w).cast("bigint").alias("r_band"),
+        F.ntile(4).over(f_w).cast("bigint").alias("f_band"),
+        F.ntile(4).over(m_w).cast("bigint").alias("m_band"),
+    ).orderBy("user_id")
+
+
+SQL_RFM_SEGMENTS = """
+WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS d1 FROM events),
+per_user AS (
+  SELECT user_id,
+    CAST(date_diff('day', max(CAST(ts AS DATE)), (SELECT d1 FROM anchor))
+         AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id)
+SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
+  round(monetary, 2) AS monetary,
+  CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS r_band,
+  CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_band,
+  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_band
+FROM per_user ORDER BY user_id
+"""
+
+ANALYTICS_QUERIES["rfm_segments"] = (q_rfm_segments, SQL_RFM_SEGMENTS)
+
+
+# ------------------------------------------- event transition matrix
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: lag over (user, ts, event_id) — the unique id breaks
+    timestamp ties identically in both engines — then one count
+    rollup and a per-source normalization over the (tiny) matrix.
+    Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        micro6(F.col("n").cast("double") / F.sum("n").over(tot)).alias(
+            "p_micro"
+        ),
+    ).orderBy("from_type", "to_type")
+
+
+SQL_EVENT_TRANSITIONS = f"""
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events),
+pairs AS (SELECT from_type, to_type, count(*) AS n FROM seq
+          WHERE from_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+  {micro6_sql('CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)')}
+    AS p_micro
+FROM pairs ORDER BY from_type, to_type
+"""
+
+ANALYTICS_QUERIES["event_transitions"] = (q_event_transitions, SQL_EVENT_TRANSITIONS)
+
+
+# --------------------------------------------- rolling-window anomaly
+def q_rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection on the per-type daily revenue
+    series: 7-day trailing mean/std from EXACT decimal sums (sum and
+    sum-of-squares — both partial-agg-order independent), z computed
+    with correctly-rounded IEEE ops, flagged at |z| > 2. Zero-variance
+    windows yield NULL z (try_divide), never a crash. The window runs
+    over the type x day frame, never the raw events. Window is
+    r5-queue."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("lb_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"),
+        )
+    )
+    w = (
+        Window.partitionBy("lb_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    # variance of the DAILY TOTALS x (exact-decimal-derived doubles):
+    # E[x^2] - E[x]^2 from two rolling sums over the type x day frame
+    mean_x = F.sum("x").over(w) / F.count("x").over(w)
+    ex2_x = F.sum(F.col("x") * F.col("x")).over(w) / F.count("x").over(w)
+    var = ex2_x - mean_x * mean_x
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.try_divide(F.col("x") - mean_x, std)
+    return daily.select(
+        "lb_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("daily_total"),
+        micro6(z).alias("z_micro"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    ).orderBy("lb_type", "day")
+
+
+SQL_ROLLING_ANOMALY = f"""
+WITH daily AS (
+  SELECT event_type AS lb_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+win AS (
+  SELECT lb_type, day, x,
+    sum(x) OVER w / count(x) OVER w AS mean_x,
+    sum(x * x) OVER w / count(x) OVER w AS ex2_x
+  FROM daily
+  WINDOW w AS (PARTITION BY lb_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
+  round(x, 2) AS daily_total,
+  {micro6_sql('(x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)')}
+    AS z_micro,
+  abs((x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)) > 2
+    AS is_anomaly
+FROM win ORDER BY lb_type, day
+"""
+
+ANALYTICS_QUERIES["rolling_anomaly"] = (q_rolling_anomaly, SQL_ROLLING_ANOMALY)
