@@ -63,9 +63,16 @@ def zorder_value(
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        """`fmt`: any columnar format Spark ships a native reader for
+        ("parquet" default, "orc" supported out of the box). Every
+        table operation — including the rename-promotion, compaction,
+        and layout helpers, which are path-based — works unchanged;
+        projection/filter pushdown and min/max skipping apply to both
+        formats."""
         self.spark = spark
         self.root = root
+        self.fmt = fmt
         os.makedirs(root, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -75,7 +82,7 @@ class Warehouse:
         return os.path.exists(self.path(table))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(table))
+        return self.spark.read.format(self.fmt).load(self.path(table))
 
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
@@ -83,7 +90,7 @@ class Warehouse:
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(self.path(table))
+        w.format(self.fmt).save(self.path(table))
 
     def append(
         self, df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
@@ -91,7 +98,7 @@ class Warehouse:
         w = df.write.mode("append")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(self.path(table))
+        w.format(self.fmt).save(self.path(table))
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_cols: Sequence[str]
@@ -101,7 +108,7 @@ class Warehouse:
             df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(*partition_cols)
-            .parquet(self.path(table))
+            .format(self.fmt).save(self.path(table))
         )
 
     def drop(self, table: str) -> None:
@@ -265,7 +272,7 @@ class Warehouse:
             .sortWithinPartitions("__z")
             .drop("__z")
             .write.mode("overwrite")
-            .parquet(self.path(table))
+            .format(self.fmt).save(self.path(table))
         )
 
     def overwrite_range_layout(
@@ -289,5 +296,5 @@ class Warehouse:
             df.repartitionByRange(n, *order_cols)
             .sortWithinPartitions(*order_cols)
             .write.mode("overwrite")
-            .parquet(self.path(table))
+            .format(self.fmt).save(self.path(table))
         )

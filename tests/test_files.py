@@ -144,3 +144,42 @@ def test_jsonl_read_is_single_pass_no_inference(spark, tmp_path):
         spark, str(src), "doc_id long, text string", keep_corrupt=False
     )
     assert df.schema.simpleString() == "struct<doc_id:bigint,text:string>"
+
+
+def test_warehouse_orc_format(spark, tmp_path):
+    """The warehouse is format-parametric: an ORC-backed instance
+    round-trips overwrite/append/partitioned writes, the rename-based
+    staging swap (path-level, format-agnostic) still promotes, and
+    partition pruning reaches the ORC scan."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="orc")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2")],
+        "id long, v string, part string",
+    )
+    wh.overwrite(df, "t", partition_cols=["part"])
+    assert sorted(r["id"] for r in wh.read("t").collect()) == [1, 2, 3]
+    wh.append(
+        spark.createDataFrame([(4, "d", "p2")], "id long, v string, part string"),
+        "t",
+        partition_cols=["part"],
+    )
+    assert wh.read("t").count() == 4
+    # files on disk really are ORC
+    import glob
+
+    files = glob.glob(str(tmp_path / "wh" / "t" / "part=p1" / "*"))
+    assert any(f.endswith(".orc") for f in files), files
+    # partition pruning reaches the scan
+    plan = (
+        wh.read("t").filter(F.col("part") == "p1")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "part" in plan
+    # staging swap is path-based and format-agnostic
+    wh.overwrite(df.withColumn("v", F.lit("swapped")), "t__staging")
+    wh.swap("t__staging", "t")
+    assert {r["v"] for r in wh.read("t").collect()} == {"swapped"}
