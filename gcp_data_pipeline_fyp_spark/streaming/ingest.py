@@ -363,36 +363,43 @@ def stream_scored_ingest(
                 batch, id_col, text_col, weights, n_buckets,
                 threshold_micro=threshold_micro,
             ).persist()
-            if rejects_table is not None and not already_logged:
-                rejected = batch.join(
-                    scored.filter(F.col("label") != "keep"), id_col
-                ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-                wh.append(rejected, rejects_table)
-            if not already_logged:
-                summary = (
-                    scored.agg(
-                        F.count(F.lit(1)).alias("n_docs"),
-                        F.sum((F.col("label") == "keep").cast("long")).alias(
-                            "n_keep"
-                        ),
-                        F.sum((F.col("label") == "drop").cast("long")).alias(
-                            "n_drop"
-                        ),
-                        F.sum((F.col("label") == "empty").cast("long")).alias(
-                            "n_empty"
-                        ),
-                    ).withColumn("batch_id", F.lit(batch_id).cast("long"))
-                )
-                wh.append(summary, score_log_table)
-            keep = batch.join(
-                scored.filter(F.col("label") == "keep").select(id_col), id_col,
-                "left_semi",
-            )
-            if not keep.isEmpty():
-                _merge_into(wh, table, keep, [id_col], partition_col)
-            scored.unpersist()
+            try:
+                _route_batch(scored, batch, batch_id, already_logged)
+            finally:
+                scored.unpersist()
         finally:
             batch.unpersist()
+
+    def _route_batch(
+        scored: DataFrame, batch: DataFrame, batch_id: int, already_logged: bool
+    ) -> None:
+        if rejects_table is not None and not already_logged:
+            rejected = batch.join(
+                scored.filter(F.col("label") != "keep"), id_col
+            ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+            wh.append(rejected, rejects_table)
+        if not already_logged:
+            summary = (
+                scored.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum((F.col("label") == "keep").cast("long")).alias(
+                        "n_keep"
+                    ),
+                    F.sum((F.col("label") == "drop").cast("long")).alias(
+                        "n_drop"
+                    ),
+                    F.sum((F.col("label") == "empty").cast("long")).alias(
+                        "n_empty"
+                    ),
+                ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+            )
+            wh.append(summary, score_log_table)
+        keep = batch.join(
+            scored.filter(F.col("label") == "keep").select(id_col), id_col,
+            "left_semi",
+        )
+        if not keep.isEmpty():
+            _merge_into(wh, table, keep, [id_col], partition_col)
 
     return (
         deduped.writeStream.foreachBatch(_score_and_merge)
