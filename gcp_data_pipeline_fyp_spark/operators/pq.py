@@ -251,6 +251,22 @@ def build_pq_index(
     )
 
 
+def _codebook_geometry(books: DataFrame) -> tuple[int, int]:
+    """(m, dim) read off the persisted codebooks — the stored layout is
+    the source of truth, so a caller can NEVER query or append with a
+    geometry that disagrees with the build (a mismatched slice would
+    NULL every LUT dot and return garbage top-k with no error)."""
+    row = books.agg(
+        F.max("subspace").alias("mx"),
+        F.min(F.size("centroid")).alias("lo"),
+        F.max(F.size("centroid")).alias("hi"),
+    ).first()
+    if row["mx"] is None or row["lo"] != row["hi"]:
+        raise ValueError(f"malformed PQ codebooks: {row}")
+    m = int(row["mx"]) + 1
+    return m, m * int(row["lo"])
+
+
 def pq_topk_indexed(
     wh,
     queries: DataFrame,
@@ -258,12 +274,12 @@ def pq_topk_indexed(
     vec_col: str,
     name: str,
     k: int = 10,
-    m: int = 4,
-    dim: int = 64,
 ) -> DataFrame:
     """ADC top-k against a persisted PQ index: read codebooks (tiny),
-    build the query-batch LUT, stream the codes table once."""
+    build the query-batch LUT, stream the codes table once. Subspace
+    count and dimensionality come from the stored codebooks."""
     books = wh.read(f"{name}__codebooks")
+    m, dim = _codebook_geometry(books)
     codes = wh.read(f"{name}__codes")
     lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
     return _pq_score_topk(codes, lut, k)
@@ -275,15 +291,15 @@ def append_pq_index(
     id_col: str,
     vec_col: str,
     name: str,
-    m: int = 4,
-    dim: int = 64,
 ) -> None:
     """Fold a new vector batch into a persisted PQ index: encode
-    against the EXISTING codebooks and append — batch-sized, queries
-    see new vectors immediately. Codebooks are deliberately not
-    refit (rerun determinism; drift handled by periodic rebuild, the
-    same cadence discipline as the IVF index)."""
+    against the EXISTING codebooks (geometry read off the index) and
+    append — batch-sized, queries see new vectors immediately.
+    Codebooks are deliberately not refit (rerun determinism; drift
+    handled by periodic rebuild, the same cadence discipline as the
+    IVF index)."""
     books = wh.read(f"{name}__codebooks")
+    m, dim = _codebook_geometry(books)
     codes = pq_encode(batch, id_col, vec_col, books, m, dim)
     wh.append(
         codes.select(F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"),

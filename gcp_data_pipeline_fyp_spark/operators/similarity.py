@@ -287,14 +287,13 @@ def build_ivf_index(
         f"{name}__centroids",
     )
     if quantize:
-        q = quantize_sq8(
-            assigned.select(
-                F.col("corpus_id"), F.col("__cv").alias("vec"), "centroid_id"
-            ),
-            "corpus_id",
-            "vec",
+        # codes/maxu are pure column expressions — compute them ON the
+        # assigned frame (no corpus-wide join/shuffle to re-attach
+        # centroid_id). Zero vectors keep a row with NULL codes, the
+        # same row set as the raw layout (they score NULL, rank last).
+        rows = with_sq8_columns(
+            assigned.withColumnRenamed("__cv", "vec"), "vec"
         )
-        rows = assigned.select("corpus_id", "centroid_id").join(q, "corpus_id")
         wh.overwrite(
             rows.select("corpus_id", "codes", "maxu", "centroid_id"),
             f"{name}__postings",
@@ -405,6 +404,11 @@ def append_ivf_index(
     rebuilding with `build_ivf_index` (same cadence discipline as
     compaction) — incremental Lloyd updates would make the index
     depend on ingest order, breaking rerun determinism.
+
+    The append matches the index's stored layout: an SQ8 index
+    (build_ivf_index quantize=True) gets quantized rows, a raw index
+    gets raw vectors — mixing the two schemas in one postings table
+    would silently NULL one side out of every query.
     """
     cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
@@ -413,14 +417,48 @@ def append_ivf_index(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
     assigned = _assign(b, cent)
-    wh.append(
-        assigned.select("corpus_id", F.col("__cv").alias("vec"), "centroid_id"),
-        f"{name}__postings",
-        partition_cols=["centroid_id"],
-    )
+    if "codes" in wh.read(f"{name}__postings").columns:
+        rows = with_sq8_columns(
+            assigned.withColumnRenamed("__cv", "vec"), "vec"
+        ).select("corpus_id", "codes", "maxu", "centroid_id")
+    else:
+        rows = assigned.select(
+            "corpus_id", F.col("__cv").alias("vec"), "centroid_id"
+        )
+    wh.append(rows, f"{name}__postings", partition_cols=["centroid_id"])
 
 
 # ------------------------------------------------ scalar quantization
+def _sq8_um(vec_col) -> F.Column:
+    """Unit vector in integer micro-units (the proven micro6 chain);
+    NULL for zero vectors."""
+    u = _unit(as_double_vec(vec_col))
+    return F.transform(
+        u, lambda x: (F.round(x, 6).cast("decimal(18,6)") * 1_000_000).cast("long")
+    )
+
+
+def with_sq8_columns(df: DataFrame, vec_col: str) -> DataFrame:
+    """Append SQ8 `codes`/`maxu` columns WITHOUT dropping any row or
+    shuffling: zero/NULL vectors get NULL codes (they score NULL and
+    rank last, the same convention as the raw cosine path). Use this
+    when the quantized columns must ride along existing columns —
+    e.g. attaching codes to an already-assigned IVF postings frame."""
+    d = df.withColumn("__um", _sq8_um(F.col(vec_col)))
+    mx = F.array_max(F.transform(F.col("__um"), lambda m: F.abs(m)))
+    d = d.withColumn("__mx", F.when(mx > 0, mx))
+    codes = F.when(
+        F.col("__mx").isNotNull(),
+        F.transform(
+            F.col("__um"),
+            lambda m: F.round(m * 127.0 / F.col("__mx")).cast("int"),
+        ),
+    )
+    return d.withColumn("codes", codes).withColumn(
+        "maxu", F.col("__mx")
+    ).drop("__um", "__mx")
+
+
 def quantize_sq8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """Int8 scalar quantization (the Faiss SQ8 scheme, public method):
     unit-normalize, then encode each component as round(x * 127 /
@@ -440,19 +478,10 @@ def quantize_sq8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     in any engine. Zero vectors are dropped: they are meaningless under
     cosine and have no quantization scale.
     """
-    u = _unit(as_double_vec(vec_col))
-    um = F.transform(
-        u, lambda x: (F.round(x, 6).cast("decimal(18,6)") * 1_000_000).cast("long")
-    )
-    d = df.select(F.col(id_col), um.alias("__um")).filter(F.col("__um").isNotNull())
-    mx = F.array_max(F.transform(F.col("__um"), lambda m: F.abs(m)))
-    d = d.withColumn("__mx", mx).filter(F.col("__mx") > 0)
-    codes = F.transform(
-        F.col("__um"),
-        lambda m: F.round(m * 127.0 / F.col("__mx")).cast("int"),
-    )
-    return d.select(
-        id_col, codes.alias("codes"), F.col("__mx").alias("maxu")
+    return (
+        with_sq8_columns(df.select(id_col, vec_col), vec_col)
+        .filter(F.col("codes").isNotNull())
+        .select(id_col, "codes", "maxu")
     )
 
 

@@ -870,7 +870,7 @@ def q_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
             F.col("step").cast("bigint").alias("step"),
             "step_name",
             F.col("n").alias("n_users"),
-            micro6(F.col("n").cast("double") / F.col("n_base")).alias(
+            micro6(F.try_divide(F.col("n").cast("double"), F.col("n_base"))).alias(
                 "conversion_micro"
             ),
         )
@@ -893,7 +893,7 @@ counts AS (
   SELECT 3, 'purchase', (SELECT count(*) FROM s3))
 SELECT CAST(step AS BIGINT) AS step, step_name,
   CAST(n AS BIGINT) AS n_users,
-  {micro6_sql('CAST(n AS DOUBLE) / (SELECT count(*) FROM s1)')}
+  {micro6_sql('CAST(n AS DOUBLE) / nullif((SELECT count(*) FROM s1), 0)')}
     AS conversion_micro
 FROM counts ORDER BY step
 """

@@ -132,7 +132,11 @@ class Warehouse:
         fact table every query. Bucketed writes must go through
         `saveAsTable` (the catalog records bucketing metadata).
         """
-        w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+        w = (
+            df.write.mode("overwrite")
+            .format(self.fmt)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
         if sort_cols:
             w = w.sortBy(*sort_cols)
         w.saveAsTable(table)
@@ -221,12 +225,14 @@ class Warehouse:
         root = self.path(table)
         staging = table + "__compacting"
 
+        ext = f".{self.fmt}"
+
         def _bytes(d: str) -> int:
             return sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _dns, fns in os.walk(d)
                 for f in fns
-                if f.endswith(".parquet")
+                if f.endswith(ext)
             )
 
         n_out = max(1, math.ceil(_bytes(root) / target_file_bytes))
@@ -247,7 +253,7 @@ class Warehouse:
             1
             for _dp, _dns, fns in os.walk(root)
             for f in fns
-            if f.endswith(".parquet")
+            if f.endswith(ext)
         )
 
     def overwrite_zorder_layout(

@@ -390,6 +390,28 @@ def test_ivf_sq8_index_recall_and_layout(spark, tmp_path):
     e = {(r["query_id"], r["corpus_id"]) for r in full.collect()}
     a = {(r["query_id"], r["corpus_id"]) for r in quant.collect()}
     assert len(e & a) / len(e) >= 0.8
+
+    # appends must match the stored layout: a batch folded into the SQ8
+    # index is written quantized (a raw append would mix schemas and
+    # silently NULL one side out of every query)
+    from gcp_data_pipeline_fyp_spark.operators.similarity import append_ivf_index
+
+    batch = df.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 7000
+    )
+    append_ivf_index(wh, batch, "vec_id", "embedding", "sq8")
+    post2 = wh.read("sq8__postings")
+    assert set(post2.columns) == {"corpus_id", "codes", "maxu", "centroid_id"}
+    appended = post2.filter(F.col("corpus_id") == 7000).collect()
+    assert len(appended) == 1 and appended[0]["codes"] is not None
+    hits = ivf_topk_indexed(
+        wh, q.filter(F.col("vec_id") == 0), "vec_id", "embedding", "sq8",
+        k=200, nprobe=3,
+    ).collect()
+    scores = {r["corpus_id"]: r["cosine_micro"] for r in hits}
+    assert 7000 in scores and scores[7000] == max(
+        v for v in scores.values() if v is not None
+    )
     # quantization error stays bounded on returned pairs
     vecs = {r["vec_id"]: r["embedding"] for r in df.collect()}
     for r in quant.collect():
@@ -456,7 +478,7 @@ def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
     direct = pq_topk(
         q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM
     )
-    indexed = pq_topk_indexed(wh, q, "vec_id", "embedding", "pq", k=5, m=4, dim=DIM)
+    indexed = pq_topk_indexed(wh, q, "vec_id", "embedding", "pq", k=5)
     key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
     assert sorted(map(key, direct.collect())) == sorted(map(key, indexed.collect()))
 
@@ -467,10 +489,10 @@ def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
     batch = df.filter(F.col("vec_id") == 0).withColumn(
         "vec_id", F.col("vec_id") + 9000
     )
-    append_pq_index(wh, batch, "vec_id", "embedding", "pq", m=4, dim=DIM)
+    append_pq_index(wh, batch, "vec_id", "embedding", "pq")
     after = pq_topk_indexed(
         wh, q.filter(F.col("vec_id") == 0), "vec_id", "embedding", "pq",
-        k=200, m=4, dim=DIM,
+        k=200,
     ).collect()
     scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
     assert 9000 in scores
