@@ -543,3 +543,38 @@ def _sq8_pair_score(qc, cc, qm, cm):
             lambda acc, v: acc + v,
         )
     return (dot_int.cast("double") * qm) * cm / F.lit(16129000000000000.0)
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dup_threshold_micro: int = 990_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (public
+    recipe, e.g. DPR/SimCSE-style): per query, the k MOST similar
+    corpus items that are NOT near-duplicates — high-cosine pairs above
+    `dup_threshold_micro` are excluded (they are positives/duplicates,
+    and training on them as negatives poisons the objective).
+
+    Same scan shape as `brute_force_topk` (broadcast queries, one
+    corpus pass); the near-dup exclusion is a filter on the already-
+    computed micro-cosine, so mining costs nothing beyond the top-k.
+    At scale, swap the pair stage for the LSH/IVF/SQ8 candidates and
+    keep the same exclusion + rank."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(as_double_vec(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _unit(as_double_vec(vec_col)).alias("__cv")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        micro6(_fast_dot(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
+    )
+    return _topk_per_query(
+        pairs.filter(F.col("cosine_micro") < dup_threshold_micro), k
+    )

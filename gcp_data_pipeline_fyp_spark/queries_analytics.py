@@ -1176,3 +1176,49 @@ FROM win ORDER BY lb_type, day
 """
 
 ANALYTICS_QUERIES["rolling_anomaly"] = (q_rolling_anomaly, SQL_ROLLING_ANOMALY)
+
+
+# --------------------------------------- period-over-period growth
+def q_wow_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Week-over-week growth of per-type daily revenue: lag-7 over the
+    (type, day) frame of exact decimal daily totals, growth emitted in
+    micro-units with NULL for the first week and for zero baselines
+    (try_divide). The window runs over the tiny aggregated frame, not
+    the event stream. Window is r5-queue."""
+    ev = load(spark, sf, "events")
+    daily = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("lb_type"),
+            F.col("ts").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+        )
+    )
+    w = Window.partitionBy("lb_type").orderBy("day")
+    prev = F.lag("x", 7).over(w)
+    return daily.select(
+        "lb_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("x", 2).alias("daily_total"),
+        micro6(F.try_divide(F.col("x") - prev, prev)).alias("wow_growth_micro"),
+    ).orderBy("lb_type", "day")
+
+
+SQL_WOW_GROWTH = f"""
+WITH daily AS (
+  SELECT event_type AS lb_type, CAST(ts AS DATE) AS day,
+    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+lagged AS (
+  SELECT lb_type, day, x,
+    lag(x, 7) OVER (PARTITION BY lb_type ORDER BY day) AS prev
+  FROM daily)
+SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
+  round(x, 2) AS daily_total,
+  {micro6_sql('(x - prev) / nullif(prev, 0)')} AS wow_growth_micro
+FROM lagged ORDER BY lb_type, day
+"""
+
+ANALYTICS_QUERIES["wow_growth"] = (q_wow_growth, SQL_WOW_GROWTH)

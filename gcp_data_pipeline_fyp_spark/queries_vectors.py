@@ -524,3 +524,45 @@ SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
 SQL_ANN_PQ_TOPK = _sql_pq_topk()
 
 VECTOR_QUERIES["ann_pq_topk"] = (q_ann_pq_topk, SQL_ANN_PQ_TOPK)
+
+
+# -------------------------------------------- hard-negative mining
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive-training hard negatives: per query, the most similar
+    corpus vectors BELOW the near-dup threshold (planted dups of the
+    query ids are excluded by the cosine gate, not by id bookkeeping).
+    Window is r5-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import hard_negatives
+
+    e = _emb(spark, sf)
+    # plant exact copies of the query vectors in the corpus: the miner
+    # must SKIP them (cosine 1.0 >= threshold) and still fill k slots
+    planted = e.filter(F.col("vec_id") < 8).withColumn(
+        "vec_id", F.col("vec_id") + 100_000
+    )
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8).unionByName(planted)
+    return hard_negatives(
+        queries, corpus, "vec_id", "embedding", k=5, dup_threshold_micro=990_000
+    )
+
+
+SQL_HARD_NEGATIVES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 8
+      UNION ALL
+      SELECT vec_id + 100000 AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id < 8),
+pairs AS (
+  SELECT query_id, corpus_id, {_SQL_COS} AS cosine FROM c CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+  FROM pairs WHERE cosine < 0.99)
+SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
+FROM ranked WHERE rn <= 5
+"""
+
+VECTOR_QUERIES["hard_negatives"] = (q_hard_negatives, SQL_HARD_NEGATIVES)
