@@ -203,3 +203,20 @@ def test_split_leakage_joins_on_digest_never_text(spark):
     assert "hashpartitioning(text" not in p
     assert "hashpartitioning(__ng" not in p
     assert "hashpartitioning(__d" in p
+
+
+def test_funnel_and_scaffold_joins_broadcast(spark):
+    """The funnel's base-count join and the resample scaffold's
+    types x days cross join must stay broadcast nested-loop (tiny
+    sides) — an unhinted CartesianProduct here would pair full frames."""
+    for name in ("funnel_conversion", "resample_ffill"):
+        p = _plan(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
+def test_hard_negatives_streams_corpus(spark):
+    """Hard-negative mining broadcasts the query batch; the corpus
+    streams (one scan) exactly like the brute-force baseline."""
+    p = _plan(spark, "hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
