@@ -167,11 +167,18 @@ def split_leakage_report(
     they still count in `n_docs` (the denominator is the split's full
     document set, anchored on the input ids, not the explode).
     """
-    grams = df.select(
-        F.col(split_col).alias("__split"),
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(tokens(text_col), n)).alias("__ng"),
-    ).select("__split", "__id", F.unhex(F.md5(F.col("__ng"))).alias("__d"))
+    grams = (
+        df.select(
+            F.col(split_col).alias("__split"),
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(tokens(text_col), n)).alias("__ng"),
+        )
+        # empty-text docs tokenize to [''] (the whitespace-split
+        # artifact), which at n=1 would emit a bogus '' gram shared by
+        # every empty doc — an empty document can never leak anything
+        .filter(F.col("__ng") != "")
+        .select("__split", "__id", F.unhex(F.md5(F.col("__ng"))).alias("__d"))
+    )
     train_d = (
         grams.filter(F.col("__split") == train_value).select("__d").distinct()
     )
