@@ -443,15 +443,25 @@ def with_sq8_columns(df: DataFrame, vec_col: str) -> DataFrame:
     shuffling: zero/NULL vectors get NULL codes (they score NULL and
     rank last, the same convention as the raw cosine path). Use this
     when the quantized columns must ride along existing columns —
-    e.g. attaching codes to an already-assigned IVF postings frame."""
+    e.g. attaching codes to an already-assigned IVF postings frame.
+
+    Catalyst trap (the BASELINE.md MinHash lesson, round 2): the codes
+    lambda must NOT reference the __um/__mx COLUMNS — CollapseProject
+    inlines a referenced column's full expression into the lambda BODY,
+    re-evaluating the O(dim^2) unit-vector chain once PER ELEMENT
+    (O(dim^3) per row — measured 26 ms/row vs ~1 ms). `zip_with` over
+    `array_repeat(mx, size)` keeps every expensive expression in
+    lambda ARGUMENTS, which evaluate once per row after any inlining.
+    """
     d = df.withColumn("__um", _sq8_um(F.col(vec_col)))
     mx = F.array_max(F.transform(F.col("__um"), lambda m: F.abs(m)))
     d = d.withColumn("__mx", F.when(mx > 0, mx))
     codes = F.when(
         F.col("__mx").isNotNull(),
-        F.transform(
+        F.zip_with(
             F.col("__um"),
-            lambda m: F.round(m * 127.0 / F.col("__mx")).cast("int"),
+            F.array_repeat(F.col("__mx"), F.size(F.col("__um")).cast("int")),
+            lambda m, s: F.round(m * 127.0 / s).cast("int"),
         ),
     )
     return d.withColumn("codes", codes).withColumn(
