@@ -109,7 +109,7 @@ _CHECK_FIRST = [
     # ann_pq_topk, corpus_prep_v2, funnel_conversion,
     # retention_cohorts, resample_ffill, rfm_segments,
     # event_transitions, rolling_anomaly, hard_negatives,
-    # wow_growth;
+    # wow_growth, ship_lag_by_priority;
     # (2) rolling re-cert of the r02/r03-green batch now aging —
     # train_val_test_split, decontaminate_corpus, pack_sequences,
     # repetition_metrics, stratified_sample, bm25_search,

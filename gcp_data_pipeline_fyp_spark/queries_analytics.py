@@ -1222,3 +1222,52 @@ FROM lagged ORDER BY lb_type, day
 """
 
 ANALYTICS_QUERIES["wow_growth"] = (q_wow_growth, SQL_WOW_GROWTH)
+
+
+# --------------------------------------- fulfillment lag by priority
+def q_ship_lag_by_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-to-ship lag distribution per order priority: day lags are
+    exact date arithmetic (identical bigints in both engines), the mean
+    is emitted in micro-units off an exact integer sum — the
+    operational-latency rollup every warehouse ships. One orders x
+    lineitem join keyed on the order key. Window is r5-queue."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("lag_days"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("lag_days").alias("min_lag"),
+            F.max("lag_days").alias("max_lag"),
+            micro6(F.sum("lag_days").cast("double") / F.count(F.lit(1))).alias(
+                "avg_lag_micro"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_SHIP_LAG_BY_PRIORITY = f"""
+WITH j AS (
+  SELECT o_orderpriority,
+    CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+         AS BIGINT) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n_items,
+  min(lag_days) AS min_lag,
+  max(lag_days) AS max_lag,
+  {micro6_sql('CAST(sum(lag_days) AS DOUBLE) / count(*)')} AS avg_lag_micro
+FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ANALYTICS_QUERIES["ship_lag_by_priority"] = (
+    q_ship_lag_by_priority,
+    SQL_SHIP_LAG_BY_PRIORITY,
+)
