@@ -33,92 +33,85 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-4 WINDOW, in priority order:
-#   1. retyped this round: the 9 decimal(18,6) reds of r03 moved to
-#      scaled-BIGINT micro-units on BOTH engines (DuckDB returns
-#      DECIMAL to the driver as float64, so decimal can never
-#      hash-match), filter_fail_matrix's oracle sums CAST AS BIGINT,
-#      and the two HLL probes now emit an exact+error-bound shape with
-#      a real oracle (previously rows-only)
-#   2. never driver-checked (r3 additions, queued from the r3 comment)
-#   3. the reference's real workload: 6 measure_* shapes, r01-green but
-#      untouched through two rounds of engine churn
-#   4. r01-tail rolling re-certification (oldest rows in the registry)
+# ROUND-5 WINDOW, in priority order (exactly 50):
+#   1. star_schema_fact — the sole r04 red; root-caused to output
+#      column-name CASE (values bit-identical): the driver's hash sorts
+#      columns by case-SENSITIVE name, and the probe's mixed-case
+#      aliases sorted differently from the oracle's lowercase names.
+#      Aliases now lowercased to match the oracle exactly.
+#   2. the 22 r4 additions never driver-checked (all local-mirror green
+#      twice: builder r4 session + judge r4 session)
+#   3. rolling re-cert: all 27 r02-rows (oldest driver evidence in the
+#      registry — dax_q*, rollups, search, sampling, SQL interface)
 _CHECK_FIRST = [
-    # -- retyped to micro-unit BIGINT emission (r03 hash-reds)
+    # -- the r04 red, fixed by lowercasing its output aliases
     "star_schema_fact",
-    "filter_fail_matrix",
-    "substring_dup_report",
-    "domain_stats",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "semantic_neardup_kmeans",
-    # -- rows-only -> oracle-able (exact distinct + within_5pct verdict)
-    "approx_distinct_users",
-    "distinct_users_rollup",
-    # -- never driver-checked (r3 additions)
-    "substring_filtered_docs",
-    "dedup_normalized",
-    "salted_agg_events",
-    "salted_join_events",
-    "missing_days",
-    "char_entropy",
-    "quality_weighted_sample",
-    "length_histogram",
-    "ngram_novelty",
-    "sentence_dedup",
-    # -- reference workload re-cert (r01-green, 2 rounds untouched)
-    "measure_latest_update",
-    "measure_avg_magnitude",
-    "measure_max_depth",
-    "measure_totals_by_type",
-    "measure_total_events",
-    "measure_sliced_by_day",
-    # -- rolling re-certification: oldest driver rows (r01 tail)
-    "setops_buyers",
-    "value_percentiles",
-    "pivot_type_by_day",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "minhash_signature",
-    "simhash",
-    "simhash_dup_groups",
-    "ngram_jaccard",
-    "vocabulary_top",
-    "chunk_documents",
-    "redact_pii",
-    "nation_volume_by_year",
-    "top_returning_customers",
-    "date_scaffold",
-    "windowed_counts",
-    "multimodal_byte_features",
-    "hash_sample",
-    "json_extract",
-    "asof_last_click",
-    "range_join_shipments",
-    # next round (r05), in priority order: (1) anything red in r04;
-    # (1b) never-checked r4 additions: expectations_report,
-    # schema_contract, bpe_pair_counts, embedding_pool,
-    # contamination_report, lsh_recall_report,
-    # quality_classifier_scores, split_leakage_report,
-    # bpe_segment_counts, ann_sq8_topk, bigram_logprob_score,
-    # ann_pq_topk, corpus_prep_v2, funnel_conversion,
-    # retention_cohorts, resample_ffill, rfm_segments,
-    # event_transitions, rolling_anomaly, hard_negatives,
-    # wow_growth, ship_lag_by_priority;
-    # (2) rolling re-cert of the r02/r03-green batch now aging —
-    # train_val_test_split, decontaminate_corpus, pack_sequences,
-    # repetition_metrics, stratified_sample, bm25_search,
-    # tfidf_top_terms, token_budget_sample, corpus_mix_report,
-    # pagerank_sim_graph, unigram_logprob_score, clean_html_docs,
-    # rollup_incremental, daily_p95_sliding, quantile_rollup,
-    # dax_q*, sql_interface, numeric_profile, outlier_events,
-    # interval_attribution, heavy_hitter_tokens, cdc_snapshot;
-    # (3) the r03-green dedup/corpus family on rotation
+    # -- never driver-checked (r4 additions): behavioral analytics
+    "funnel_conversion",
+    "retention_cohorts",
+    "resample_ffill",
+    "rfm_segments",
+    "event_transitions",
+    "rolling_anomaly",
+    "wow_growth",
+    "ship_lag_by_priority",
+    # -- never driver-checked (r4 additions): corpus/vector/quality
+    "contamination_report",
+    "lsh_recall_report",
+    "quality_classifier_scores",
+    "split_leakage_report",
+    "bpe_pair_counts",
+    "bpe_segment_counts",
+    "bigram_logprob_score",
+    "embedding_pool",
+    "corpus_prep_v2",
+    "ann_sq8_topk",
+    "ann_pq_topk",
+    "hard_negatives",
+    "expectations_report",
+    "schema_contract",
+    # -- rolling re-cert: the full r02 batch (oldest driver rows)
+    "rollup_incremental",
+    "daily_p95_sliding",
+    "quantile_rollup",
+    "train_val_test_split",
+    "decontaminate_corpus",
+    "pack_sequences",
+    "repetition_metrics",
+    "stratified_sample",
+    "bm25_search",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "corpus_mix_report",
+    "pagerank_sim_graph",
+    "unigram_logprob_score",
+    "clean_html_docs",
+    "dax_q1_latest_update",
+    "dax_q2_avg_mag",
+    "dax_q3_max_depth",
+    "dax_q4_max_mag",
+    "dax_q5_11_totals",
+    "dax_q12_total",
+    "sql_interface",
+    "numeric_profile",
+    "outlier_events",
+    "interval_attribution",
+    "heavy_hitter_tokens",
+    "cdc_snapshot",
+    # next round (r06), in priority order: (1) anything red in r05;
+    # (2) rolling re-cert of the 40 r03-rows, now the oldest evidence —
+    # the full-load pipeline stages (stg_null_coerce, ods_typed_banding,
+    # event_id_hash, tz_convert, date_dim, place_parse, surrogate_keys*,
+    # anti_join_dedup, merge_upsert*, quality_gate_*), the TPC-H shapes
+    # (pricing_summary, top_revenue_orders, region_nation_revenue,
+    # order_priority_count, brand_revenue, top_suppliers), windowing
+    # (running_customer_spend, sessionize_events, rollup_type_day,
+    # customer_order_stats, large_orders), and the dedup/corpus family
+    # (dedup_exact_*, minhash_lsh_pairs, gopher_filter, dedupe_corpus,
+    # corpus_prep, dup_clusters, canonical_docs, corpus_prep_full,
+    # paragraph_dedup, boilerplate_docs, clean_text_docs,
+    # temperature_mix, filter_chain_report, incremental_dedup,
+    # kmeans_embeddings); (3) r04-green tail on rotation
 ]
 
 

@@ -106,6 +106,61 @@ def bucketed_features(
     )
 
 
+_META_COLS = ("meta_n_buckets", "meta_seed", "meta_bigrams")
+
+
+def weights_meta(weights: DataFrame) -> tuple[int, int, bool]:
+    """(n_buckets, seed, bigrams) read from a stored weight table's
+    constant metadata columns. The feature-space geometry MUST travel
+    with the model: scoring with a mismatched n_buckets/seed/bigrams
+    silently misroutes every bucket and returns plausible-looking
+    garbage — the same failure class pq.py's _codebook_geometry guards.
+    One 1-row `first()` on a ≤ n_buckets-row table (the A4 pattern)."""
+    missing = [c for c in _META_COLS if c not in weights.columns]
+    if missing:
+        raise ValueError(
+            f"weight table lacks metadata columns {missing}; retrain with "
+            "train_linear_classifier (round-5+ format) or pass "
+            "n_buckets/seed/bigrams explicitly"
+        )
+    row = weights.select(*_META_COLS).first()
+    if row is None:
+        raise ValueError("empty weight table")
+    return int(row[0]), int(row[1]), bool(row[2])
+
+
+def _resolve_meta(
+    weights: DataFrame,
+    n_buckets: int | None,
+    bigrams: bool | None,
+    seed: int | None,
+) -> tuple[int, bool, int]:
+    """Feature-space params for scoring: stored model metadata wins;
+    caller-supplied values are only honored when the table predates the
+    metadata columns, and a caller value CONFLICTING with stored
+    metadata raises instead of silently misrouting buckets."""
+    if all(c in weights.columns for c in _META_COLS):
+        m_buckets, m_seed, m_bigrams = weights_meta(weights)
+        for name, given, stored in (
+            ("n_buckets", n_buckets, m_buckets),
+            ("bigrams", bigrams, m_bigrams),
+            ("seed", seed, m_seed),
+        ):
+            if given is not None and given != stored:
+                raise ValueError(
+                    f"{name}={given} conflicts with the weight table's "
+                    f"stored {name}={stored}; drop the argument — the "
+                    "model knows its own feature space"
+                )
+        return m_buckets, m_bigrams, m_seed
+    # legacy (pre-metadata) weight table: trust the caller, old behavior
+    return (
+        DEFAULT_BUCKETS if n_buckets is None else n_buckets,
+        True if bigrams is None else bigrams,
+        0 if seed is None else seed,
+    )
+
+
 def train_linear_classifier(
     labeled: DataFrame,
     id_col: str,
@@ -115,24 +170,34 @@ def train_linear_classifier(
     bigrams: bool = True,
     seed: int = 0,
 ) -> DataFrame:
-    """One-pass training over a labeled seed set -> (bucket, w_milli).
+    """One-pass training over a labeled seed set ->
+    (bucket, w_milli, meta_n_buckets, meta_seed, meta_bigrams).
 
     `label_col` is boolean (True = positive/keep). The output has at
     most `n_buckets` rows — broadcastable by construction — and only
     buckets observed in the seed set appear (absent buckets score 0 via
-    the scoring join's coalesce).
+    the scoring join's coalesce). The constant meta_* columns persist
+    the feature-space geometry with the model (cheap: parquet RLE), so
+    a weight table written to the warehouse is self-describing and
+    scoring never trusts caller-remembered parameters.
     """
     rows = bucketed_features(
         labeled, [label_col], text_col, n_buckets, bigrams, seed
     )
-    return train_from_buckets(rows, label_col, n_buckets)
+    return train_from_buckets(rows, label_col, n_buckets, bigrams, seed)
 
 
 def train_from_buckets(
-    rows: DataFrame, label_col: str, n_buckets: int = DEFAULT_BUCKETS
+    rows: DataFrame,
+    label_col: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    seed: int = 0,
 ) -> DataFrame:
     """Weight table from pre-featurized (label, __b) rows — see
-    `bucketed_features` for when to use the split form."""
+    `bucketed_features` for when to use the split form. `bigrams`/`seed`
+    must state how `rows` was featurized; they are persisted as model
+    metadata, not used in the math."""
     counts = rows.groupBy("__b").agg(
         F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("n_pos"),
         F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("n_neg"),
@@ -149,6 +214,9 @@ def train_from_buckets(
     return counts.crossJoin(totals).select(
         F.col("__b").alias("bucket"),
         (F.round(w, 3).cast("decimal(9,3)") * 1000).cast("bigint").alias("w_milli"),
+        F.lit(n_buckets).cast("int").alias("meta_n_buckets"),
+        F.lit(seed).cast("int").alias("meta_seed"),
+        F.lit(bool(bigrams)).alias("meta_bigrams"),
     )
 
 
@@ -157,13 +225,18 @@ def score_documents(
     id_col: str,
     text_col: str,
     weights: DataFrame,
-    n_buckets: int = DEFAULT_BUCKETS,
-    bigrams: bool = True,
-    seed: int = 0,
+    n_buckets: int | None = None,
+    bigrams: bool | None = None,
+    seed: int | None = None,
     threshold_micro: int = 0,
 ) -> DataFrame:
     """Score every document with a trained weight table ->
     (id_col, n_features, score_micro, label).
+
+    The feature-space geometry (n_buckets/seed/bigrams) is read from
+    the weight table's own metadata columns — the stored model, not the
+    caller, is the source of truth; explicit arguments are validated
+    against it (legacy metadata-less tables still honor them).
 
     `score_micro` is the mean feature weight in micro-units (exact
     integer arithmetic until one final correctly-rounded division);
@@ -174,6 +247,7 @@ def score_documents(
     The weight table broadcasts (≤ n_buckets rows); the corpus side is
     scan + explode + one id-keyed aggregation.
     """
+    n_buckets, bigrams, seed = _resolve_meta(weights, n_buckets, bigrams, seed)
     feats = bucketed_features(df, [id_col], text_col, n_buckets, bigrams, seed)
     return score_from_buckets(
         feats, id_col, weights, df.select(id_col), threshold_micro
@@ -190,9 +264,10 @@ def score_from_buckets(
     """Score pre-featurized (id, __b) rows — see `bucketed_features`.
     `all_ids` anchors report completeness (featureless docs emit no
     bucket rows but must still report label 'empty')."""
+    w_slim = weights.select("bucket", "w_milli")  # meta cols pruned pre-broadcast
     per_doc = (
         feats.join(
-            F.broadcast(weights), feats["__b"] == weights["bucket"], "left"
+            F.broadcast(w_slim), feats["__b"] == w_slim["bucket"], "left"
         )
         .groupBy(id_col)
         .agg(
@@ -224,9 +299,9 @@ def classifier_filter(
     id_col: str,
     text_col: str,
     weights: DataFrame,
-    n_buckets: int = DEFAULT_BUCKETS,
-    bigrams: bool = True,
-    seed: int = 0,
+    n_buckets: int | None = None,
+    bigrams: bool | None = None,
+    seed: int | None = None,
     threshold_micro: int = 0,
 ) -> DataFrame:
     """Corpus filtered to docs the classifier keeps (score > threshold)."""

@@ -62,6 +62,24 @@ def _sub(col: F.Column, mi: int, sub_dim: int) -> F.Column:
     return F.slice(col, mi * sub_dim + 1, sub_dim)
 
 
+def _check_geometry(dim: int, m: int) -> int:
+    """sub_dim, or ValueError when `dim % m != 0` — a non-dividing m
+    would silently drop the trailing dim % m components from training,
+    encoding AND scoring (F.slice never reads past m*sub_dim), and
+    _codebook_geometry would faithfully reconstruct the truncated dim,
+    so the precision loss could never surface downstream. Same
+    defensive posture as the malformed-codebooks check."""
+    if m <= 0 or dim <= 0:
+        raise ValueError(f"PQ geometry must be positive: dim={dim}, m={m}")
+    if dim % m != 0:
+        raise ValueError(
+            f"dim={dim} is not divisible by m={m}: the trailing "
+            f"{dim % m} components would be silently dropped; pick m "
+            "dividing dim (or pad the vectors)"
+        )
+    return dim // m
+
+
 def fit_pq_codebooks(
     corpus: DataFrame,
     id_col: str,
@@ -76,7 +94,7 @@ def fit_pq_codebooks(
     centroid). m * n_codes rows: always broadcastable."""
     from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
 
-    sub_dim = dim // m
+    sub_dim = _check_geometry(dim, m)
     c = corpus.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
@@ -107,7 +125,7 @@ def pq_encode(
     ties to the lower cluster id — the same rule as k-means assignment,
     so encoding the training corpus reproduces the training
     assignments exactly. Broadcast codebooks; one scan."""
-    sub_dim = dim // m
+    sub_dim = _check_geometry(dim, m)
     v = df.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
@@ -154,7 +172,7 @@ def _pq_lut(
     """Per-query-batch ADC lookup table: (query_id, subspace,
     cluster_id, __lm) with __lm the micro-unit dot of the query
     subvector and the centroid. |Q| * m * n_codes rows — tiny."""
-    sub_dim = dim // m
+    sub_dim = _check_geometry(dim, m)
     q = queries.select(
         F.col(id_col).alias("query_id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())

@@ -59,17 +59,23 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(dim_mag), "LB_magCategory")
         .join(F.broadcast(dim_depth), "LB_depthCategory")
     )
+    # Output aliases are lowercase to match the oracle byte-for-byte: the
+    # driver's hash canonicalizes columns by sorted NAME, and the probe's
+    # historical mixed-case aliases sort differently case-sensitively
+    # (`ID_Event` < `ID_date_ID` by ASCII but `id_date_id` < `id_event`),
+    # pairing values with the wrong column — the sole r01-r04 hash red.
+    # The real DW build (plans/dw.py) keeps the reference's naming.
     return fact.select(
-        "ID_Event",
-        "ID_type_ID",
-        "ID_Network_ID",
-        "ID_magCategory_ID",
-        "ID_depthCategory_ID",
+        F.col("ID_Event").alias("id_event"),
+        F.col("ID_type_ID").alias("id_type_id"),
+        F.col("ID_Network_ID").alias("id_network_id"),
+        F.col("ID_magCategory_ID").alias("id_magcategory_id"),
+        F.col("ID_depthCategory_ID").alias("id_depthcategory_id"),
         F.date_format(F.col("DT_time").cast("date"), "yyyyMMdd")
         .cast("int")
-        .alias("ID_date_ID"),
-        "VL_n_mag_micro",
-        "VL_n_depth_micro",
+        .alias("id_date_id"),
+        F.col("VL_n_mag_micro").alias("vl_n_mag_micro"),
+        F.col("VL_n_depth_micro").alias("vl_n_depth_micro"),
     )
 
 
@@ -1073,8 +1079,12 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     stream: lag over (user, ts, event_id) — the unique id breaks
     timestamp ties identically in both engines — then one count
     rollup and a per-source normalization over the (tiny) matrix.
-    Window is r5-queue."""
-    ev = load(spark, sf, "events")
+
+    NULL event_type rows are dropped BEFORE the lag (matching the other
+    behavioral queries): a NULL state would otherwise both absorb real
+    A->B edges (A->NULL counted, NULL->B lost) and hash-diverge on
+    ORDER BY (Spark sorts NULLs first, DuckDB last)."""
+    ev = load(spark, sf, "events").filter(F.col("event_type").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -1101,7 +1111,7 @@ WITH seq AS (
   SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
            AS from_type,
          event_type AS to_type
-  FROM events),
+  FROM events WHERE event_type IS NOT NULL),
 pairs AS (SELECT from_type, to_type, count(*) AS n FROM seq
           WHERE from_type IS NOT NULL GROUP BY 1, 2)
 SELECT from_type, to_type, CAST(n AS BIGINT) AS n,

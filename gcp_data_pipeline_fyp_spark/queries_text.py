@@ -2273,7 +2273,7 @@ def q_quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     feats = bucketed_features(
         labeled, ["doc_id", "__lbl"], "text", n_buckets=4096, seed=11
     ).localCheckpoint(eager=False)
-    weights = train_from_buckets(feats, "__lbl", n_buckets=4096)
+    weights = train_from_buckets(feats, "__lbl", n_buckets=4096, seed=11)
     out = score_from_buckets(
         feats.select("doc_id", "__b"), "doc_id", weights, d.select("doc_id")
     )
@@ -2596,7 +2596,7 @@ def q_corpus_prep_v2(spark: SparkSession, sf: str) -> DataFrame:
     feats = bucketed_features(
         labeled, ["doc_id", "__lbl"], "text", n_buckets=4096, seed=11
     ).localCheckpoint(eager=False)
-    w = train_from_buckets(feats, "__lbl", n_buckets=4096)
+    w = train_from_buckets(feats, "__lbl", n_buckets=4096, seed=11)
     scored = score_from_buckets(
         feats.select("doc_id", "__b"), "doc_id", w, d.select("doc_id")
     )

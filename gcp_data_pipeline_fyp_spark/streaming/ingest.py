@@ -301,7 +301,7 @@ def stream_scored_ingest(
     table: str,
     checkpoint_dir: str,
     weights_table: str,
-    n_buckets: int,
+    n_buckets: int | None = None,
     threshold_micro: int = 0,
     watermark: str = "1 day",
     partition_col: str | None = None,
@@ -317,15 +317,24 @@ def stream_scored_ingest(
     Per batch:
     - documents are scored through the broadcast weight table (read
       once at stream start — the model is a versioned warehouse table,
-      trained offline on a labeled seed set, never inside the stream);
+      trained offline on a labeled seed set, never inside the stream).
+      The feature-space geometry (n_buckets/seed/bigrams) is read from
+      the stored model's own metadata columns, so a model trained
+      off-defaults scores correctly with no caller coordination;
+      `n_buckets` is accepted only for legacy metadata-less tables and
+      validated against stored metadata otherwise;
     - 'drop' and 'empty' docs append to `rejects_table` (if set) WITH
       their score and batch id — the quality dead-letter, auditable
-      and reprocessable when the model is retrained;
+      and reprocessable when the model is retrained. The append is
+      guarded by its own batch_id probe of the rejects table, so a
+      replayed batch never duplicates dead-letter rows;
     - a per-batch summary (n_docs / n_keep / n_drop / n_empty) appends
-      to `score_log_table` — the feed-quality time series, and the
-      replay ledger that makes the two appends idempotent under
-      foreachBatch's at-least-once contract (same scheme as
-      `stream_validated_ingest`);
+      to `score_log_table` — the feed-quality time series and replay
+      ledger. Each append is idempotent at BATCH granularity (probe
+      then write); a crash strictly inside one append can still leave
+      that one table partially written — the same at-least-once caveat
+      `stream_validated_ingest` documents — but ordering between the
+      two appends no longer matters;
     - keepers merge via the staging-swap batch path.
 
     Scale: scoring is one feature explode + broadcast join + id-keyed
@@ -333,10 +342,19 @@ def stream_scored_ingest(
     watermark; the weight table is ≤ n_buckets rows.
     """
     from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        _resolve_meta,
         score_documents,
     )
 
     weights = wh.read(weights_table)
+    # fail fast at stream START on a geometry conflict, not mid-batch
+    _resolve_meta(weights, n_buckets, None, None)
+
+    def _batch_seen(table: str, batch_id: int) -> bool:
+        return wh.exists(table) and (
+            wh.read(table).filter(F.col("batch_id") == batch_id).limit(1).count()
+            > 0
+        )
     raw = (
         spark.readStream.schema(schema_ddl)
         .option("header", True)
@@ -352,13 +370,7 @@ def stream_scored_ingest(
         try:
             if batch.isEmpty():
                 return
-            already_logged = wh.exists(score_log_table) and (
-                wh.read(score_log_table)
-                .filter(F.col("batch_id") == batch_id)
-                .limit(1)
-                .count()
-                > 0
-            )
+            already_logged = _batch_seen(score_log_table, batch_id)
             scored = score_documents(
                 batch, id_col, text_col, weights, n_buckets,
                 threshold_micro=threshold_micro,
@@ -373,7 +385,10 @@ def stream_scored_ingest(
     def _route_batch(
         scored: DataFrame, batch: DataFrame, batch_id: int, already_logged: bool
     ) -> None:
-        if rejects_table is not None and not already_logged:
+        # rejects idempotency is probed on the rejects table ITSELF
+        # (not the ledger) so replay after a crash between the two
+        # appends cannot duplicate dead-letter rows
+        if rejects_table is not None and not _batch_seen(rejects_table, batch_id):
             rejected = batch.join(
                 scored.filter(F.col("label") != "keep"), id_col
             ).withColumn("batch_id", F.lit(batch_id).cast("long"))

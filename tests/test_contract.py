@@ -37,7 +37,7 @@ def test_check_first_names_exist_and_lead_the_window():
 
 def test_entry_returns_flagship_dataframe(spark):
     df = entry.entry(spark)
-    assert df.columns[:2] == ["ID_Event", "ID_type_ID"]
+    assert df.columns[:2] == ["id_event", "id_type_id"]
     assert df.count() > 0
 
 

@@ -1444,6 +1444,112 @@ def test_classifier_scores_partition_invariant(spark):
     assert a == b
 
 
+def test_classifier_model_is_self_describing(spark):
+    """The weight table persists its feature-space geometry
+    (n_buckets/seed/bigrams): scoring reads it from the stored model,
+    a CONFLICTING caller argument raises instead of silently misrouting
+    every bucket, and a legacy metadata-less table still honors caller
+    params (old behavior)."""
+    import pytest as _pt
+
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        score_documents,
+        train_linear_classifier,
+        weights_meta,
+    )
+
+    seed = spark.createDataFrame(
+        [(1, "alpha beta gamma", True), (2, "spam spam spam", False)],
+        "doc_id long, text string, lbl boolean",
+    )
+    w = train_linear_classifier(
+        seed, "doc_id", "text", "lbl", n_buckets=128, bigrams=False, seed=7
+    )
+    assert weights_meta(w) == (128, 7, False)
+
+    corpus = spark.createDataFrame(
+        [(10, "alpha beta")], "doc_id long, text string"
+    )
+    # no args: geometry comes from the model — scores land in the
+    # planted-positive region, proving the stored seed/bigrams were used
+    row = score_documents(corpus, "doc_id", "text", w).collect()[0]
+    assert row["label"] == "keep" and row["n_features"] == 2  # no bigrams
+    # matching explicit args validate silently
+    score_documents(
+        corpus, "doc_id", "text", w, n_buckets=128, bigrams=False, seed=7
+    ).collect()
+    # conflicting args are an error, never garbage scores
+    for bad in (
+        dict(n_buckets=512),
+        dict(seed=0),
+        dict(bigrams=True),
+    ):
+        with _pt.raises(ValueError, match="conflicts with"):
+            score_documents(corpus, "doc_id", "text", w, **bad)
+    # legacy metadata-less table: caller params trusted (old format)
+    legacy = w.select("bucket", "w_milli")
+    got = score_documents(
+        corpus, "doc_id", "text", legacy, n_buckets=128, bigrams=False, seed=7
+    ).collect()[0]
+    assert (got["score_micro"], got["n_features"]) == (
+        row["score_micro"], row["n_features"]
+    )
+
+
+def test_event_transitions_ignores_null_event_type(spark, tmp_path):
+    """NULL event_type rows are dropped BEFORE the lag: a NULL state
+    must neither absorb real A->B edges (A->NULL counted, NULL->B
+    lost) nor appear as a NULL row whose ORDER BY position differs
+    between engines (Spark NULLs first, DuckDB last)."""
+    import datetime as dt
+
+    from gcp_data_pipeline_fyp_spark.queries_analytics import (
+        q_event_transitions,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: A, NULL, B  -> must count A->B (NULL transparent)
+        (1, 1, "A", t0),
+        (2, 1, None, t0 + dt.timedelta(minutes=1)),
+        (3, 1, "B", t0 + dt.timedelta(minutes=2)),
+        # user 2: A, B       -> A->B
+        (4, 2, "A", t0),
+        (5, 2, "B", t0 + dt.timedelta(minutes=1)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in q_event_transitions(spark, str(tmp_path)).collect()
+    }
+    assert got == {("A", "B"): 2}
+
+
+def test_pq_rejects_non_dividing_subspace_count(spark):
+    """dim % m != 0 must raise, not silently drop trailing components
+    from training/encoding/scoring."""
+    import pytest as _pt
+
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        _pq_lut,
+        fit_pq_codebooks,
+        pq_encode,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 10)], "id long, vec array<double>"
+    )
+    for fn in (
+        lambda: fit_pq_codebooks(df, "id", "vec", m=3, dim=10),
+        lambda: pq_encode(df, "id", "vec", df, m=3, dim=10),
+        lambda: _pq_lut(df, "id", "vec", df, m=3, dim=10),
+    ):
+        with _pt.raises(ValueError, match="not divisible"):
+            fn()
+
+
 # --------------------------- train/heldout split leakage audit
 def test_split_leakage_report_counts(spark):
     """A val doc sharing an 8-gram with a train doc is leaked; a test

@@ -220,3 +220,80 @@ def test_hard_negatives_streams_corpus(spark):
     p = _plan(spark, "hard_negatives")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+# ------------------- CollapseProject lambda-inlining regression guard
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren span of every lambdafunction(...) call in an
+    optimized-plan string (nested lambdas yield their own spans too)."""
+    out, i, key = [], 0, "lambdafunction("
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            return out
+        depth, k = 1, j + len(key)
+        while k < len(plan) and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        out.append(plan[j:k])
+        i = j + len(key)
+
+
+def _assert_no_expensive_lambda_inlining(df, max_agg: int = 1, max_len: int = 800):
+    """CollapseProject inlines a referenced column's FULL expression into
+    higher-order-function lambda bodies, re-evaluating it once PER
+    ELEMENT — the O(dim^3)-per-row class of regression hit twice (r2
+    MinHash shingles, r4 SQ8 codes: 131 s vs 8 s on the same pass, see
+    operators/similarity.py:with_sq8_columns). Guard: no lambda body in
+    the optimized plan may contain more than `max_agg` aggregate() folds
+    (one is the legitimate O(dim) norm divide) or exceed `max_len`
+    chars (the inlined unit chain is ~1.9k; honest bodies are <400)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for b in _lambda_bodies(plan):
+        n_agg = b.count("aggregate(")
+        assert n_agg <= max_agg, (
+            f"lambda body folds {n_agg} aggregates — a column expression "
+            f"was inlined per-element:\n{b[:400]}"
+        )
+        assert len(b) <= max_len, (
+            f"suspiciously large lambda body ({len(b)} chars) — a column "
+            f"expression was inlined per-element:\n{b[:400]}"
+        )
+
+
+def test_sq8_quantize_lambda_not_inlined(spark):
+    """Fails on the pre-11b6e68 with_sq8_columns form (verified: that
+    plan carries a 1.9k-char codes lambda folding 4 aggregates)."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import quantize_sq8
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "id long, vec array<double>")
+    _assert_no_expensive_lambda_inlining(quantize_sq8(df, "id", "vec"))
+
+
+def test_minhash_signature_lambda_not_inlined(spark):
+    """The r2 incident: the shingle/token chain must not re-inline into
+    the per-hash signature lambda."""
+    from gcp_data_pipeline_fyp_spark.functions.text import shingles, tokens
+    from gcp_data_pipeline_fyp_spark.operators.dedup import minhash_signature
+
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    sig = df.select(
+        "doc_id", minhash_signature(shingles(tokens("text"), 3), 8).alias("sig")
+    )
+    _assert_no_expensive_lambda_inlining(sig)
+
+
+def test_pq_encode_lambda_not_inlined(spark):
+    """Same guard over the PQ encode pass (subvector distance lambdas):
+    the unit6 chain must stay out of the per-element bodies."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import fit_pq_codebooks, pq_encode
+
+    df = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(6)],
+        "id long, vec array<double>",
+    )
+    books = fit_pq_codebooks(df, "id", "vec", m=2, n_codes=2, iters=1, dim=8)
+    _assert_no_expensive_lambda_inlining(pq_encode(df, "id", "vec", books, m=2, dim=8))
