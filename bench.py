@@ -72,6 +72,9 @@ HEADLINE = [
     # the model-gated successor of corpus_prep_full: distilled
     # classifier gate -> decontaminate -> dedup -> LSH closure -> split
     "corpus_prep_v2",
+    # round-5: PQ/ADC top-k (codebook train + encode + LUT scan in one
+    # plan) — the highest-compression ANN path gets tracked numbers
+    "ann_pq_topk",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
@@ -245,6 +248,16 @@ def main() -> None:
                 s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
             )
             out["drift_vs_r01"] = {"ratios": ratios, "median": med}
+            # drift-NORMALIZED numbers (seconds at r01 machine speed):
+            # cross-round comparison without hand math — ambient host
+            # load moves the whole calibration set together, so
+            # dividing by its median cancels the shared factor while a
+            # genuine plan regression still sticks out per-query
+            if med > 0:
+                out["value_normalized"] = round(total / med, 3)
+                out["queries_normalized"] = {
+                    q: round(t / med, 3) for q, t in timings.items()
+                }
     print(json.dumps(out))
     spark.stop()
 

@@ -296,13 +296,19 @@ def pagerank_iteration_sql(
 def dup_clusters(
     df: DataFrame, pairs: DataFrame, id_col: str, src: str = "id_a", dst: str = "id_b",
     checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Attach `cluster_id` (transitive closure) to every row of `df`.
 
     Rows not in any pair get their own id as cluster — so
     `filter(id_col == cluster_id)` keeps exactly one doc per cluster.
-    """
-    comp = connected_components(pairs, src, dst, checkpoint_dir=checkpoint_dir)
+    `checkpoint_dir`/`driver_threshold` pass through to
+    `connected_components` (reliable checkpointing / forcing the
+    distributed closure, see there)."""
+    comp = connected_components(
+        pairs, src, dst, checkpoint_dir=checkpoint_dir,
+        driver_threshold=driver_threshold,
+    )
     return df.join(
         comp.withColumnRenamed("node", id_col), id_col, "left"
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(

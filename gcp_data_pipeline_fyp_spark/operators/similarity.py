@@ -430,11 +430,13 @@ def append_ivf_index(
 
 # ------------------------------------------------ scalar quantization
 def _sq8_um(vec_col) -> F.Column:
-    """Unit vector in integer micro-units (the proven micro6 chain);
-    NULL for zero vectors."""
+    """Unit vector in integer micro-units (the proven micro6 chain:
+    scale-then-round-ONCE, see queries_util.micro6 for why the
+    round(x,6)-then-scale form diverges across engines on tie-adjacent
+    components); NULL for zero vectors."""
     u = _unit(as_double_vec(vec_col))
     return F.transform(
-        u, lambda x: (F.round(x, 6).cast("decimal(18,6)") * 1_000_000).cast("long")
+        u, lambda x: F.round(x * 1000000.0, 0).cast("long")
     )
 
 

@@ -2569,7 +2569,12 @@ TEXT_QUERIES["bigram_logprob_score"] = (q_bigram_logprob_score, SQL_BIGRAM_LOGPR
 
 
 # ---------------------- corpus prep v2: model-gated modern pipeline
-def q_corpus_prep_v2(spark: SparkSession, sf: str) -> DataFrame:
+def q_corpus_prep_v2(
+    spark: SparkSession,
+    sf: str,
+    checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
     """The modern pretraining pipeline in one certified plan — the
     model-based successor of `corpus_prep_full` (the DCLM/FineWeb
     architecture, public method): distill the Gopher heuristics into a
@@ -2579,7 +2584,11 @@ def q_corpus_prep_v2(spark: SparkSession, sf: str) -> DataFrame:
     closure -> stable split. Every stage is the production operator;
     the whole chain hash-matches one DuckDB statement that replays
     training, scoring, banding, and the connectivity closure.
-    Window is r5-queue."""
+
+    `checkpoint_dir` switches the closure's per-iteration lineage
+    truncation to reliable checkpoints (the 1000-executor setting, see
+    operators/iterate.py); results are hash-identical either way
+    (pinned by tests/test_operators.py)."""
     from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
     from gcp_data_pipeline_fyp_spark.operators.classifier import (
         bucketed_features,
@@ -2611,7 +2620,10 @@ def q_corpus_prep_v2(spark: SparkSession, sf: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         kept, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
-    labeled2 = dup_clusters(kept, pairs, "doc_id")
+    labeled2 = dup_clusters(
+        kept, pairs, "doc_id", checkpoint_dir=checkpoint_dir,
+        driver_threshold=driver_threshold,
+    )
     pairs.unpersist()
     canon = labeled2.filter(F.col("doc_id") == F.col("cluster_id"))
     split = hash_split(

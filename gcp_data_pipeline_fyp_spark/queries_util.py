@@ -80,24 +80,32 @@ def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
 
 
 def micro6(col: Column | str) -> Column:
-    """Integer micro-units of a 6-dp-rounded value (bigint).
+    """Integer micro-units of a value (bigint): round(v * 1e6).
 
     The only always-hash-safe numeric emission on the certification
     surface besides strings: DuckDB hands DECIMAL columns back to the
     driver as float64 (`1.5`) while Spark returns `Decimal('1.500000')`,
     so decimal output can never hash-equal across engines; raw doubles
     diverge on JVM scientific notation for |v| < 1e-3. Scaled int64
-    renders identically everywhere. Pair with `micro6_sql` — identical
-    algebra (round to 6 dp, exact decimal scale-up, integer cast) on
-    both engines.
+    renders identically everywhere. Pair with `micro6_sql`.
+
+    Scale-THEN-round, one rounding total: both engines first compute
+    the identical IEEE product v * 1e6, then round it to an integer
+    half-away-from-zero — Java's HALF_UP on the product's shortest
+    repr and DuckDB's round() agree everywhere on that form (ties
+    included; fuzz-pinned in tests/test_properties.py). The previous
+    round(v, 6)-then-scale form diverged on tie-adjacent values:
+    Spark HALF_UPs the SHORTEST DECIMAL REPR of the double (repr
+    "0.0159085" -> 0.015909) while DuckDB rounds the true binary value
+    (0.01590849999... -> 0.015908). Domain: |v| < ~9.2e12 (int64).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.round(c, 6).cast("decimal(18,6)") * 1_000_000).cast("bigint")
+    return F.round(c * F.lit(1000000.0), 0).cast("bigint")
 
 
 def micro6_sql(expr: str) -> str:
-    """DuckDB mirror of `micro6` (same round -> decimal -> scale chain)."""
-    return f"CAST(CAST(round({expr}, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    """DuckDB mirror of `micro6` (same scale-then-round-once chain)."""
+    return f"CAST(round(({expr}) * 1000000.0) AS BIGINT)"
 
 
 def dec_sum_sql(expr: str, alias: str) -> str:

@@ -418,7 +418,7 @@ def _sql_sq8_ctes(prefix: str, where: str, id_alias: str) -> str:
   FROM {prefix}n WHERE nrm > 0),
 {prefix}m AS (SELECT {id_alias},
     list_transform(u, x ->
-      CAST(CAST(round(x, 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS um
+      CAST(round(x * 1000000.0) AS BIGINT)) AS um
   FROM {prefix}u),
 {prefix}x AS (SELECT {id_alias}, um,
     list_max(list_transform(um, m -> abs(m))) AS mx FROM {prefix}m),

@@ -1102,6 +1102,33 @@ def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
     )
 
 
+def test_corpus_prep_v2_reliable_checkpoint_e2e(spark, tmp_path):
+    """The COMPOSED flagship pipeline (classifier gate -> decontaminate
+    -> exact dedup -> LSH closure -> split) must stay hash-identical
+    when the closure runs under reliable checkpointing with the
+    distributed path forced — the per-op equality tests don't prove the
+    composition (persisted feature frames, localCheckpoints, and the
+    closure interact in one plan here)."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.queries_text import q_corpus_prep_v2
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, q_corpus_prep_v2(spark, sf).collect()))
+    ckpt = str(tmp_path / "ckpt_v2")
+    reliable = sorted(
+        map(
+            tuple,
+            q_corpus_prep_v2(
+                spark, sf, checkpoint_dir=ckpt, driver_threshold=0
+            ).collect(),
+        )
+    )
+    assert reliable == base and len(base) > 0
+    written = [os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs]
+    assert written, "no reliable checkpoint files written"
+
+
 # -------------------- declarative expectations (operators/expectations.py)
 def test_expectations_report_rule_semantics(spark):
     """NULL-handling contracts: range/regex/accepted_values ignore NULLs

@@ -486,3 +486,55 @@ def test_split_leakage_fuzz_vs_set_semantics(spark, rows, n):
             continue
         leaked = sum(1 for _i, t in docs if grams(t) & train)
         assert got[split] == (len(docs), leaked), (rows, n, got)
+
+
+# -------------------- micro6 cross-engine emission fuzz
+_micro6_vals = st.lists(
+    st.one_of(
+        # the working range of every certified measure emission
+        st.floats(
+            min_value=-1e9, max_value=1e9,
+            allow_nan=False, allow_infinity=False,
+        ),
+        # sub-micro magnitudes (JVM scientific-notation zone pre-fix)
+        st.floats(min_value=-1e-3, max_value=1e-3, allow_nan=False),
+        # tie-adjacent: nearest doubles to exact half-micro boundaries,
+        # the HALF_UP-vs-double-round divergence zone
+        st.integers(min_value=-10**9, max_value=10**9).map(
+            lambda n: (n + 0.5) / 1e6
+        ),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_micro6_vals)
+def test_micro6_matches_duckdb_cell_exact(spark, vals):
+    """micro6 (Spark) and micro6_sql (DuckDB) are THE numeric emission
+    under every certified measure — a latent rounding-tie divergence
+    between Spark's decimal HALF_UP and DuckDB's double round would
+    surface as an unexplainable hash red on fresh driver data. Fuzz the
+    chain across engines cell-exactly, ties and sub-micro magnitudes
+    included, plus NULL passthrough."""
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6, micro6_sql
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)] + [(len(vals), None)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", micro6("v").alias("m")).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"i": [r[0] for r in rows], "v": [r[1] for r in rows]}
+    ).astype({"v": "float64"})
+    con.register("t", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {micro6_sql('v')} AS m FROM t"
+        ).fetchall()
+    }
+    assert got == want
