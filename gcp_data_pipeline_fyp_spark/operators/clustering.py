@@ -79,8 +79,15 @@ def kmeans(
     local by default (right for local mode); pass a reliable directory
     for fault-tolerant cluster runs (operators/iterate.py, DEPLOY.md).
     """
-    pts = df.select(
-        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+    # materialize the training points ONCE: every assignment pass reuses
+    # this frame, and without truncation each pass would re-run the
+    # source scan + vector prep (at real scale the training set is a
+    # sample — bounded — so pinning it is the right trade everywhere)
+    pts = materialize(
+        df.select(
+            F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
+        ),
+        checkpoint_dir,
     )
     cent = (
         pts.orderBy("__id")
@@ -130,6 +137,122 @@ def kmeans(
     return (
         assigned.select(F.col("__id").alias(id_col), "cluster_id"),
         cent.select("cluster_id", F.col("__centroid").alias("centroid")),
+    )
+
+
+def _assign_nearest_grouped(points: DataFrame, cent: DataFrame) -> DataFrame:
+    """(group, id, __v, cluster_id): nearest centroid WITHIN the row's
+    group — the grouped twin of `_assign_nearest` (same distance, same
+    lower-cluster-id tie break)."""
+    scored = points.join(F.broadcast(cent), "__g").select(
+        "__g",
+        "__id",
+        "__v",
+        "cluster_id",
+        _sq_dist(F.col("__v"), F.col("__centroid")).alias("__d"),
+    )
+    w = Window.partitionBy("__g", "__id").orderBy(
+        F.col("__d").asc(), F.col("cluster_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("__g", "__id", "__v", "cluster_id")
+    )
+
+
+def kmeans_grouped(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    max_iter: int = 10,
+    checkpoint_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run an independent `kmeans` per `group_col` value in ONE joint
+    Lloyd's loop — same init (k lowest ids per group), same decimal
+    means, same tie breaks, so per-group results are IDENTICAL to
+    per-group `kmeans` calls (test-pinned); what changes is the job
+    count: one assignment pass and one update pass per iteration for
+    ALL groups, instead of a sequential Spark-job chain per group.
+
+    This is the fit PQ codebooks want (m subspaces = m groups): at m=8
+    the sequential form launches 8x the jobs over the same bytes, and
+    driver/job overhead — not compute — dominates small fits. Stops
+    when NO group changes assignment; extra iterations on an
+    already-converged group are mathematically idempotent (means of
+    unchanged members), so joint early-stop preserves per-group
+    results.
+
+    Returns (assignments (group, id, cluster_id), centroids
+    (group, cluster_id, centroid))."""
+    # one materialization, reused by every assignment pass (see kmeans)
+    pts = materialize(
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__id"),
+            as_double_vec(vec_col).alias("__v"),
+        ),
+        checkpoint_dir,
+    )
+    w_init = Window.partitionBy("__g").orderBy("__id")
+    cent = (
+        pts.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "__g", F.col("__rn").alias("cluster_id"), F.col("__v").alias("__centroid")
+        )
+    )
+    cent = materialize(cent, checkpoint_dir)
+    assigned = materialize(_assign_nearest_grouped(pts, cent), checkpoint_dir)
+    for _ in range(max_iter):
+        cent = (
+            assigned.select(
+                "__g", "cluster_id", F.posexplode("__v").alias("__pos", "__x")
+            )
+            .groupBy("__g", "cluster_id", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                    / F.count("__x")
+                ).alias("__m")
+            )
+            .groupBy("__g", "cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+                    ),
+                    lambda s: s["__m"],
+                ).alias("__centroid")
+            )
+        )
+        cent = materialize(cent, checkpoint_dir)
+        new_assigned = materialize(
+            _assign_nearest_grouped(pts, cent), checkpoint_dir
+        )
+        changed = (
+            new_assigned.alias("n")
+            .join(assigned.alias("o"), ["__g", "__id"])
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        assigned = new_assigned
+        if changed == 0:
+            break
+    return (
+        assigned.select(
+            F.col("__g").alias(group_col),
+            F.col("__id").alias(id_col),
+            "cluster_id",
+        ),
+        cent.select(
+            F.col("__g").alias(group_col),
+            "cluster_id",
+            F.col("__centroid").alias("centroid"),
+        ),
     )
 
 

@@ -91,25 +91,37 @@ def fit_pq_codebooks(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Train one k-means codebook per subspace -> (subspace, cluster_id,
-    centroid). m * n_codes rows: always broadcastable."""
-    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans
+    centroid). m * n_codes rows: always broadcastable.
+
+    All m subspaces train in ONE grouped Lloyd's loop
+    (operators/clustering.py:kmeans_grouped) — identical per-subspace
+    math to m sequential `kmeans` calls (same init, decimal means, tie
+    breaks; equivalence test-pinned), but one assignment + one update
+    pass per iteration for the whole codebook set instead of an
+    m-long sequential job chain (measured ~3x on the sf0.1 fit)."""
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans_grouped
 
     sub_dim = _check_geometry(dim, m)
     c = corpus.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
-    books = []
-    for mi in range(m):
-        pts = c.select("__id", _sub(F.col("__u"), mi, sub_dim).alias("__s"))
-        _assigned, cent = kmeans(
-            pts, "__id", "__s", k=n_codes, max_iter=iters,
-            checkpoint_dir=checkpoint_dir,
-        )
-        books.append(cent.select(F.lit(mi).alias("subspace"), "cluster_id", "centroid"))
-    out = books[0]
-    for b in books[1:]:
-        out = out.unionByName(b)
-    return out
+    pts = c.select(
+        "__id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(mi).alias("subspace"),
+                    _sub(F.col("__u"), mi, sub_dim).alias("__s"),
+                )
+                for mi in range(m)
+            ])
+        ).alias("__e"),
+    ).select(F.col("__e.subspace").alias("subspace"), "__id", F.col("__e.__s").alias("__s"))
+    _assigned, cent = kmeans_grouped(
+        pts, "subspace", "__id", "__s", k=n_codes, max_iter=iters,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return cent.select("subspace", "cluster_id", "centroid")
 
 
 def pq_encode(

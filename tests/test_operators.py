@@ -1554,6 +1554,42 @@ def test_event_transitions_ignores_null_event_type(spark, tmp_path):
     assert got == {("A", "B"): 2}
 
 
+def test_kmeans_grouped_matches_per_group_kmeans(spark):
+    """The joint grouped Lloyd's loop must return EXACTLY the per-group
+    `kmeans` results (init, decimal means, tie breaks, early-stop all
+    preserved) — it exists purely to collapse m sequential fits into
+    one job chain (PQ codebooks)."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.clustering import (
+        kmeans,
+        kmeans_grouped,
+    )
+
+    rng = random.Random(3)
+    rows = [
+        (g, i, [rng.gauss(g, 1.0) for _ in range(4)])
+        for g in range(3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g int, id long, vec array<double>")
+    ga, gc = kmeans_grouped(df, "g", "id", "vec", k=3, max_iter=4)
+    got_a = sorted(map(tuple, ga.collect()))
+    got_c = sorted(
+        (r["g"], r["cluster_id"], tuple(r["centroid"])) for r in gc.collect()
+    )
+    want_a, want_c = [], []
+    for g in range(3):
+        sub = df.filter(F.col("g") == g)
+        a, c = kmeans(sub, "id", "vec", k=3, max_iter=4)
+        want_a += [(g, r["id"], r["cluster_id"]) for r in a.collect()]
+        want_c += [
+            (g, r["cluster_id"], tuple(r["centroid"])) for r in c.collect()
+        ]
+    assert got_a == sorted(want_a)
+    assert got_c == sorted(want_c)
+
+
 def test_pq_rejects_non_dividing_subspace_count(spark):
     """dim % m != 0 must raise, not silently drop trailing components
     from training/encoding/scoring."""
