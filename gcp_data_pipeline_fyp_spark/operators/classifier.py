@@ -140,6 +140,16 @@ def _resolve_meta(
     metadata columns, and a caller value CONFLICTING with stored
     metadata raises instead of silently misrouting buckets."""
     if all(c in weights.columns for c in _META_COLS):
+        if weights.select(_META_COLS[0]).first() is None:
+            # EMPTY weight table (e.g. an all-empty seed set trained
+            # zero buckets): scoring is geometry-independent — every
+            # bucket misses and coalesces to 0 — so fall through to the
+            # caller/default path instead of failing the whole scan
+            return (
+                DEFAULT_BUCKETS if n_buckets is None else n_buckets,
+                True if bigrams is None else bigrams,
+                0 if seed is None else seed,
+            )
         m_buckets, m_seed, m_bigrams = weights_meta(weights)
         for name, given, stored in (
             ("n_buckets", n_buckets, m_buckets),
@@ -213,7 +223,7 @@ def train_from_buckets(
     w = (r_pos - r_neg) / (r_pos + r_neg)
     return counts.crossJoin(totals).select(
         F.col("__b").alias("bucket"),
-        (F.round(w, 3).cast("decimal(9,3)") * 1000).cast("bigint").alias("w_milli"),
+        F.round(w * 1000.0, 0).cast("bigint").alias("w_milli"),
         F.lit(n_buckets).cast("int").alias("meta_n_buckets"),
         F.lit(seed).cast("int").alias("meta_seed"),
         F.lit(bool(bigrams)).alias("meta_bigrams"),

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from gcp_data_pipeline_fyp_spark.operators.iterate import materialize
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -262,7 +263,7 @@ def pagerank(
             nodes.join(sums, nodes.v == sums.b, "left")
             .select(
                 "v",
-                F.round(
+                roundn(
                     F.lit(teleport)
                     + damping * F.coalesce(F.col("__s").cast("double"), F.lit(0.0)),
                     14,
@@ -286,9 +287,9 @@ def pagerank_iteration_sql(
         f"sum(cast(r{i - 1}.rank / ed.deg AS decimal(28,14))) AS s "
         f"FROM ed JOIN r{i - 1} ON ed.a = r{i - 1}.v GROUP BY ed.b), "
         f"r{i} AS (SELECT nodes.v, "
-        f"round(cast({1.0 - damping} AS double) / n.n "
-        f"+ cast({damping} AS double) * cast(coalesce(s{i}.s, 0) AS double), 14)"
-        f" AS rank "
+        f"(round((cast({1.0 - damping} AS double) / n.n "
+        f"+ cast({damping} AS double) * cast(coalesce(s{i}.s, 0) AS double))"
+        f" * 100000000000000.0) / 100000000000000.0) AS rank "
         f"FROM nodes CROSS JOIN n LEFT JOIN s{i} ON nodes.v = s{i}.v)"
     )
 

@@ -45,7 +45,7 @@ from gcp_data_pipeline_fyp_spark.functions.text import (
 )
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
 from gcp_data_pipeline_fyp_spark.operators.sampling import _key_token
-from gcp_data_pipeline_fyp_spark.queries_util import micro6
+from gcp_data_pipeline_fyp_spark.queries_util import micro6, roundn
 
 
 def _content_digest(key_cols: Sequence[str]):
@@ -225,7 +225,7 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     inter = F.size(F.array_intersect(F.col("a.__grams"), F.col("b.__grams")))
     union = F.size(F.array_union(F.col("a.__grams"), F.col("b.__grams")))
-    jac = F.round(F.try_divide(inter.cast("double"), union.cast("double")), 6)
+    jac = roundn(F.try_divide(inter.cast("double"), union.cast("double")), 6)
     return (
         a.join(b, cond)
         .select(
@@ -340,7 +340,7 @@ def dedupe_corpus(
         F.size(F.array_union(ga, gb)).cast("double"),
     )
     dropped = (
-        a.filter(F.round(jac, 6) >= jaccard_threshold)
+        a.filter(roundn(jac, 6) >= jaccard_threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

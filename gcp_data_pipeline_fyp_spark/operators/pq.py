@@ -55,7 +55,11 @@ def unit6(vec_col) -> F.Column:
     derived downstream (codebooks, codes, scores) reproduces
     bit-for-bit. NULL for zero vectors (no direction to preserve)."""
     u = _unit(as_double_vec(vec_col))
-    return F.transform(u, lambda x: F.round(x, 6))
+    # scale-round-descale, NOT F.round(x, 6): Spark HALF_UPs the
+    # shortest decimal repr while DuckDB rounds the true binary value,
+    # so the raw forms diverge on tie-adjacent components
+    # (queries_util.roundn; fuzz-pinned in tests/test_properties.py)
+    return F.transform(u, lambda x: F.round(x * 1000000.0, 0) / 1000000.0)
 
 
 def _sub(col: F.Column, mi: int, sub_dim: int) -> F.Column:

@@ -20,6 +20,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
+
 
 def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """One row per column: counts, distincts, moments, range.
@@ -33,10 +35,10 @@ def profile_numeric(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         aggs += [
             F.count(c).alias(f"{c}__nonnull"),
             F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
-            F.round(F.avg(c), 6).alias(f"{c}__mean"),
-            F.round(F.stddev_samp(c), 6).alias(f"{c}__std"),
-            F.round(F.min(c).cast("double"), 6).alias(f"{c}__min"),
-            F.round(F.max(c).cast("double"), 6).alias(f"{c}__max"),
+            roundn(F.avg(c), 6).alias(f"{c}__mean"),
+            roundn(F.stddev_samp(c), 6).alias(f"{c}__std"),
+            roundn(F.min(c).cast("double"), 6).alias(f"{c}__min"),
+            roundn(F.max(c).cast("double"), 6).alias(f"{c}__max"),
         ]
     row = df.agg(*aggs)
     per_col = F.array(
@@ -73,7 +75,7 @@ def zscore_outliers(
     stats = df.groupBy(*key_cols).agg(
         F.avg(value_col).alias("__mean"), F.stddev_samp(value_col).alias("__std")
     )
-    thresh = F.round(F.col("__mean") + F.lit(z) * F.col("__std"), 6)
+    thresh = roundn(F.col("__mean") + F.lit(z) * F.col("__std"), 6)
     return (
         df.join(F.broadcast(stats), list(key_cols))
         .filter(F.col(value_col) > thresh)

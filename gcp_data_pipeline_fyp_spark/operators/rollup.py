@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
+
 
 def rollup_state(
     df: DataFrame, keys: Sequence[str], sum_cols: Sequence[str]
@@ -63,7 +65,7 @@ def finalize_state(
     for c in avg_cols:
         out = out.withColumn(
             f"avg_{c}",
-            F.round(F.col(f"__sum_{c}").cast("double") / F.col("n"), 6),
+            roundn(F.col(f"__sum_{c}").cast("double") / F.col("n"), 6),
         )
     return out.drop(*[f"__sum_{c}" for c in sum_cols])
 
@@ -215,5 +217,5 @@ def quantiles_from_state(
             .when(b < 0, -F.pow(F.lit(growth), (-b).cast("double") - 0.5))
             .otherwise(F.lit(0.0))
         )
-        out = out.withColumn(_label(p), F.round(val, 6)).drop(f"__b_{_label(p)}")
+        out = out.withColumn(_label(p), roundn(val, 6)).drop(f"__b_{_label(p)}")
     return out

@@ -16,6 +16,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
+
 _BUCKETS = 1_000_000
 
 
@@ -185,7 +187,7 @@ def temperature_mix_sample(
     stats = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
     big_n = F.sum("__n").over(n_total)  # long sum: exact
     p = F.col("__n") / big_n
-    qr = F.round(F.pow(p, F.lit(float(alpha))), 12).cast("decimal(20,12)")
+    qr = roundn(F.pow(p, F.lit(float(alpha))), 12).cast("decimal(20,12)")
     q = qr.cast("double") / F.sum(qr).over(n_total).cast("double")
     keep = F.lit(float(target_frac)) * big_n * q
     rate = F.least(F.lit(1.0), keep / F.col("__n"))

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.text import tokens
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
 
 
 def tfidf_top_terms(
@@ -64,7 +65,7 @@ def tfidf_top_terms(
         .crossJoin(scalars)
         .withColumn(
             "score",
-            F.round(
+            roundn(
                 F.col("__tf") * F.log(F.col("__n") / F.col("__df")), 6
             ),
         )
@@ -135,7 +136,7 @@ def bm25_topk(
     term_score = idf * F.col("__tf") * (k1 + 1.0) / denom
     out = (
         joined.groupBy(id_col)
-        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .agg(roundn(F.sum(term_score), 6).alias("score"))
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )

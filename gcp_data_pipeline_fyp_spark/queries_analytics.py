@@ -23,6 +23,7 @@ from gcp_data_pipeline_fyp_spark.functions.banding import depth_band, mag_band
 from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
 from gcp_data_pipeline_fyp_spark.queries_util import (
     dec_avg,
+    roundn,
     dec_avg_sql,
     load,
     micro6,
@@ -282,16 +283,16 @@ def q_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
     return (
         sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select("s_suppkey", "s_name", "n_name",
-                F.round(F.col("s_acctbal"), 2).alias("s_acctbal"))
+                roundn(F.col("s_acctbal"), 2).alias("s_acctbal"))
         .orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
         .limit(10)
     )
 
 
 SQL_TOP_SUPPLIERS = """
-SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS s_acctbal
+SELECT s_suppkey, s_name, n_name, (round((s_acctbal) * 100.0) / 100.0) AS s_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-ORDER BY round(s_acctbal, 2) DESC, s_suppkey
+ORDER BY (round((s_acctbal) * 100.0) / 100.0) DESC, s_suppkey
 LIMIT 10
 """
 
@@ -434,7 +435,7 @@ def q_large_orders(spark: SparkSession, sf: str) -> DataFrame:
     orders = load(spark, sf, "orders")
     return big.join(orders, big.l_orderkey == orders.o_orderkey).select(
         "o_orderkey", "o_orderstatus", "total_qty",
-        F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        roundn(F.col("o_totalprice"), 2).alias("o_totalprice"),
     )
 
 
@@ -444,7 +445,7 @@ WITH big AS (
     cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(cast(l_quantity AS decimal(18,2))) > 150)
-SELECT o_orderkey, o_orderstatus, total_qty, round(o_totalprice, 2) AS o_totalprice
+SELECT o_orderkey, o_orderstatus, total_qty, (round((o_totalprice) * 100.0) / 100.0) AS o_totalprice
 FROM big JOIN orders ON l_orderkey = o_orderkey
 """
 
@@ -505,15 +506,15 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
     (median + p90 of value per event type)."""
     ev = load(spark, sf, "events")
     return ev.groupBy(F.col("event_type").alias("lb_type")).agg(
-        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        roundn(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        roundn(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
     )
 
 
 SQL_VALUE_PERCENTILES = """
 SELECT event_type AS lb_type,
-  round(quantile_cont(value, 0.5), 6) AS p50,
-  round(quantile_cont(value, 0.9), 6) AS p90
+  (round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0) AS p50,
+  (round((quantile_cont(value, 0.9)) * 1000000.0) / 1000000.0) AS p90
 FROM events GROUP BY 1
 """
 
@@ -712,8 +713,8 @@ SQL_ROLLUP_INCREMENTAL = """
 SELECT cast(strftime(o_orderdate, '%Y%m') AS int) AS month,
   count(*) AS n_orders,
   cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
-  round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
-        / count(*), 6) AS avg_price
+  (round((cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+        / count(*)) * 1000000.0) / 1000000.0) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -731,7 +732,7 @@ def q_daily_p95_sliding(spark: SparkSession, sf: str) -> DataFrame:
         F.date_trunc("DAY", "ts").alias("d"), "value"
     )
     daily = ev.groupBy("d").agg(
-        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95")
+        roundn(F.expr("percentile(value, 0.95)"), 6).alias("p95")
     )
     days = daily.select("d")
     trailing = (
@@ -742,7 +743,7 @@ def q_daily_p95_sliding(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("e.d") > F.col("a.d") - F.expr("INTERVAL 7 DAYS")),
         )
         .groupBy(F.col("a.d").alias("d"))
-        .agg(F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_7d"))
+        .agg(roundn(F.expr("percentile(value, 0.95)"), 6).alias("p95_7d"))
     )
     return (
         daily.join(trailing, "d")
@@ -752,10 +753,10 @@ def q_daily_p95_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DAILY_P95_SLIDING = """
 WITH e AS (SELECT date_trunc('day', ts) AS d, value FROM events),
-daily AS (SELECT d, round(quantile_cont(value, 0.95), 6) AS p95
+daily AS (SELECT d, (round((quantile_cont(value, 0.95)) * 1000000.0) / 1000000.0) AS p95
           FROM e GROUP BY d),
 trail7 AS (
-  SELECT a.d, round(quantile_cont(e.value, 0.95), 6) AS p95_7d
+  SELECT a.d, (round((quantile_cont(e.value, 0.95)) * 1000000.0) / 1000000.0) AS p95_7d
   FROM (SELECT DISTINCT d FROM e) a
   JOIN e ON e.d <= a.d AND e.d > a.d - INTERVAL 7 DAY
   GROUP BY a.d)
@@ -815,12 +816,12 @@ pick AS (
   FROM c GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-  round(CASE WHEN b50 > 0 THEN power(1.02, b50 - 0.5)
-             WHEN b50 < 0 THEN -power(1.02, -b50 - 0.5) ELSE 0 END, 6) AS p50,
-  round(CASE WHEN b95 > 0 THEN power(1.02, b95 - 0.5)
-             WHEN b95 < 0 THEN -power(1.02, -b95 - 0.5) ELSE 0 END, 6) AS p95,
-  round(CASE WHEN b99 > 0 THEN power(1.02, b99 - 0.5)
-             WHEN b99 < 0 THEN -power(1.02, -b99 - 0.5) ELSE 0 END, 6) AS p99
+  (round((CASE WHEN b50 > 0 THEN power(1.02, b50 - 0.5)
+             WHEN b50 < 0 THEN -power(1.02, -b50 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p50,
+  (round((CASE WHEN b95 > 0 THEN power(1.02, b95 - 0.5)
+             WHEN b95 < 0 THEN -power(1.02, -b95 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p95,
+  (round((CASE WHEN b99 > 0 THEN power(1.02, b99 - 0.5)
+             WHEN b99 < 0 THEN -power(1.02, -b99 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p99
 FROM pick
 """
 
@@ -982,7 +983,7 @@ def q_resample_ffill(spark: SparkSession, sf: str) -> DataFrame:
     return joined.select(
         "lb_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round(F.last("total", ignorenulls=True).over(w), 2).alias("total_filled"),
+        roundn(F.last("total", ignorenulls=True).over(w), 2).alias("total_filled"),
         F.col("total").isNotNull().alias("was_observed"),
     ).orderBy("lb_type", "day")
 
@@ -1002,9 +1003,9 @@ scaffold AS (SELECT lb_type, day FROM types CROSS JOIN days),
 j AS (SELECT s.lb_type, s.day, d.total
       FROM scaffold s LEFT JOIN daily d USING (lb_type, day))
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  round(last_value(total IGNORE NULLS) OVER (
+  (round((last_value(total IGNORE NULLS) OVER (
     PARTITION BY lb_type ORDER BY day
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS total_filled,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0) AS total_filled,
   total IS NOT NULL AS was_observed
 FROM j ORDER BY lb_type, day
 """
@@ -1046,7 +1047,7 @@ def q_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "recency_days",
         "frequency",
-        F.round("monetary", 2).alias("monetary"),
+        roundn("monetary", 2).alias("monetary"),
         F.ntile(4).over(r_w).cast("bigint").alias("r_band"),
         F.ntile(4).over(f_w).cast("bigint").alias("f_band"),
         F.ntile(4).over(m_w).cast("bigint").alias("m_band"),
@@ -1063,7 +1064,7 @@ per_user AS (
     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM events GROUP BY user_id)
 SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
-  round(monetary, 2) AS monetary,
+  (round((monetary) * 100.0) / 100.0) AS monetary,
   CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS r_band,
   CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_band,
   CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_band
@@ -1158,7 +1159,7 @@ def q_rolling_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     return daily.select(
         "lb_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round("x", 2).alias("daily_total"),
+        roundn("x", 2).alias("daily_total"),
         micro6(z).alias("z_micro"),
         (F.abs(z) > 2).alias("is_anomaly"),
     ).orderBy("lb_type", "day")
@@ -1177,7 +1178,7 @@ win AS (
   WINDOW w AS (PARTITION BY lb_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  round(x, 2) AS daily_total,
+  (round((x) * 100.0) / 100.0) AS daily_total,
   {micro6_sql('(x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)')}
     AS z_micro,
   abs((x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)) > 2
@@ -1211,7 +1212,7 @@ def q_wow_growth(spark: SparkSession, sf: str) -> DataFrame:
     return daily.select(
         "lb_type",
         F.date_format("day", "yyyy-MM-dd").alias("day"),
-        F.round("x", 2).alias("daily_total"),
+        roundn("x", 2).alias("daily_total"),
         micro6(F.try_divide(F.col("x") - prev, prev)).alias("wow_growth_micro"),
     ).orderBy("lb_type", "day")
 
@@ -1226,7 +1227,7 @@ lagged AS (
     lag(x, 7) OVER (PARTITION BY lb_type ORDER BY day) AS prev
   FROM daily)
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  round(x, 2) AS daily_total,
+  (round((x) * 100.0) / 100.0) AS daily_total,
   {micro6_sql('(x - prev) / nullif(prev, 0)')} AS wow_growth_micro
 FROM lagged ORDER BY lb_type, day
 """

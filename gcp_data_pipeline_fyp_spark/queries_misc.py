@@ -8,7 +8,7 @@ from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
     byte_features,
     with_media_column,
 )
-from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql
+from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql, roundn
 from gcp_data_pipeline_fyp_spark.streaming.ingest import windowed_event_counts
 
 
@@ -90,7 +90,7 @@ def q_dax_q2_avg_mag(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     # deterministic float: round the streamed double avg
-    return out.select(F.round("avg_earthquake_magnitude", 6).alias("avg_earthquake_magnitude"))
+    return out.select(roundn("avg_earthquake_magnitude", 6).alias("avg_earthquake_magnitude"))
 
 
 def q_dax_q3_max_depth(spark: SparkSession, sf: str) -> DataFrame:
@@ -116,7 +116,7 @@ def q_dax_q4_max_mag(spark: SparkSession, sf: str) -> DataFrame:
     )
     out = measures.max_earthquake_magnitude(star)
     # MAX is order-independent; round only for float canonicalization parity
-    return out.select(F.round("max_earthquake_magnitude", 6).alias("max_earthquake_magnitude"))
+    return out.select(roundn("max_earthquake_magnitude", 6).alias("max_earthquake_magnitude"))
 
 
 def q_dax_q5_11_totals(spark: SparkSession, sf: str) -> DataFrame:
@@ -143,7 +143,7 @@ def q_dax_q12_total(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DAX_Q1 = "SELECT max(ts) AS latest_daily_update FROM events"
 SQL_DAX_Q2 = """
-SELECT round(avg(value / 20.0), 6) AS avg_earthquake_magnitude
+SELECT (round((avg(value / 20.0)) * 1000000.0) / 1000000.0) AS avg_earthquake_magnitude
 FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
@@ -153,7 +153,7 @@ FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
 SQL_DAX_Q4 = """
-SELECT round(max(value / 20.0), 6) AS max_earthquake_magnitude
+SELECT (round((max(value / 20.0)) * 1000000.0) / 1000000.0) AS max_earthquake_magnitude
 FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
@@ -318,10 +318,10 @@ def q_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
 def _profile_sql(col: str) -> str:
     return f"""
 SELECT '{col}' AS col_name, count(*) AS n_rows, count({col}) AS n_nonnull,
-  count(DISTINCT {col}) AS n_distinct, round(avg({col}), 6) AS mean,
-  round(stddev_samp({col}), 6) AS std,
-  round(cast(min({col}) AS double), 6) AS min,
-  round(cast(max({col}) AS double), 6) AS max
+  count(DISTINCT {col}) AS n_distinct, (round((avg({col})) * 1000000.0) / 1000000.0) AS mean,
+  (round((stddev_samp({col})) * 1000000.0) / 1000000.0) AS std,
+  (round((cast(min({col}) AS double)) * 1000000.0) / 1000000.0) AS min,
+  (round((cast(max({col}) AS double)) * 1000000.0) / 1000000.0) AS max
 FROM events"""
 
 
@@ -341,16 +341,16 @@ def q_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     out = zscore_outliers(ev, ["event_type"], "value", z=2.0)
     return out.select(
-        "event_id", "event_type", F.round("value", 6).alias("value")
+        "event_id", "event_type", roundn("value", 6).alias("value")
     )
 
 
 SQL_OUTLIER_EVENTS = """
 WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
            FROM events GROUP BY event_type)
-SELECT e.event_id, e.event_type, round(e.value, 6) AS value
+SELECT e.event_id, e.event_type, (round((e.value) * 1000000.0) / 1000000.0) AS value
 FROM events e JOIN s USING (event_type)
-WHERE e.value > round(m + 2.0 * sd, 6)
+WHERE e.value > (round((m + 2.0 * sd) * 1000000.0) / 1000000.0)
 """
 
 
@@ -460,7 +460,7 @@ def q_cdc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
     )
     log = ins.unionByName(upd).unionByName(dels)
     out = cdc_snapshot(log, ["o_orderkey"], "ts", "op")
-    return out.select("o_orderkey", "ts", "op", F.round("price", 2).alias("price"))
+    return out.select("o_orderkey", "ts", "op", roundn("price", 2).alias("price"))
 
 
 SQL_CDC_SNAPSHOT = """
@@ -476,7 +476,7 @@ WITH log AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
         ORDER BY ts DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC) AS rn
       FROM log)
-SELECT o_orderkey, ts, op, round(price, 2) AS price
+SELECT o_orderkey, ts, op, (round((price) * 100.0) / 100.0) AS price
 FROM r WHERE rn = 1 AND op <> 'D'
 """
 

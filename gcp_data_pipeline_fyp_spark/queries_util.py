@@ -72,11 +72,39 @@ def dec_sum(col: Column | str, alias: str) -> Column:
 
 
 def dec_avg(col: Column | str, alias: str, scale: int = 6) -> Column:
-    """Deterministic average: exact decimal sum / count, rounded."""
+    """Deterministic average: exact decimal sum / count, rounded
+    (cross-engine-safe `roundn`, paired with `dec_avg_sql`)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
+    return roundn(
         F.sum(c.cast("decimal(18,2)")).cast("double") / F.count(c), scale
     ).alias(alias)
+
+
+def roundn(col: Column | str, n: int = 6) -> Column:
+    """Cross-engine-safe round-to-n-decimals for DOUBLE emissions:
+    round(v * 10^n) / 10^n, both steps identical IEEE ops in Spark and
+    DuckDB (pair with `roundn_sql`).
+
+    Spark's own `F.round(v, n)` HALF_UPs the SHORTEST DECIMAL REPR of
+    the double while DuckDB rounds the true binary value, so the two
+    diverge by one ulp-of-scale on tie-adjacent doubles (repr
+    "0.0159085" -> 0.015909 vs 0.01590849999... -> 0.015908) — the
+    same latent class the micro6 rewrite closed, fuzz-pinned in
+    tests/test_properties.py. Scaling FIRST puts both engines on the
+    identical product double, where integer rounding agrees everywhere
+    (ties are exactly-representable .5s, rounded half-away-from-zero by
+    both). Use this (or micro6) for every certified double emission;
+    raw F.round on the certification surface is the bug this replaces.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lit(float(10**n))
+    return F.round(c * s, 0) / s
+
+
+def roundn_sql(expr: str, n: int = 6) -> str:
+    """DuckDB mirror of `roundn` (same scale-round-descale chain)."""
+    s = 10**n
+    return f"(round(({expr}) * {s}.0) / {s}.0)"
 
 
 def micro6(col: Column | str) -> Column:
@@ -113,7 +141,5 @@ def dec_sum_sql(expr: str, alias: str) -> str:
 
 
 def dec_avg_sql(expr: str, alias: str, scale: int = 6) -> str:
-    return (
-        f"round(cast(sum(cast({expr} as decimal(18,2))) as double)"
-        f" / count({expr}), {scale}) as {alias}"
-    )
+    avg = f"cast(sum(cast({expr} as decimal(18,2))) as double) / count({expr})"
+    return f"{roundn_sql(avg, scale)} as {alias}"

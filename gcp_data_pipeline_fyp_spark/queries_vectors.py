@@ -6,11 +6,10 @@ deterministic computations (seeded hyperplanes / seeded centroid init
 + decimal-exact means), so the DuckDB oracle replays the identical
 algorithm — the literal plane values are embedded into the SQL at
 module import, bucket bits and probe sets reproduce bit-for-bit, and
-the reranked cosines round to 6 decimals before ranking so both
-engines rank identically. Scores are emitted as integer micro-units
-(`cosine_micro`, queries_util.micro6) — the certification-hash-safe
-type. Recall quality against brute force is separately asserted in
-tests/test_similarity.py.
+both engines rank, threshold, and emit in the SAME integer micro-unit
+domain (`cosine_micro`, queries_util.micro6 — scale-then-round-once,
+the certification-hash-safe type). Recall quality against brute force
+is separately asserted in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -28,12 +27,14 @@ from gcp_data_pipeline_fyp_spark.queries_util import load, micro6_sql
 
 _MICRO_COS = micro6_sql("cosine")
 
+# RAW cosine — every consumer ranks/filters/emits via micro6_sql, the
+# same domain the Spark side uses (micro6 of the raw cosine); a 6-dp
+# pre-round here would re-open the shortest-repr-vs-binary rounding
+# divergence the round-5 micro6 rewrite closed.
 _SQL_COS = """
-  round(
-    list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
+  (list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * cv[i]))
     / nullif(sqrt(list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])))
-           * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))), 0),
-  6)
+           * sqrt(list_sum(list_transform(generate_series(1, len(cv)), i -> cv[i] * cv[i]))), 0))
 """
 
 
@@ -57,7 +58,7 @@ pairs AS (
   SELECT query_id, corpus_id, {_SQL_COS} AS cosine FROM c CROSS JOIN q),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+    PARTITION BY query_id ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn
   FROM pairs)
 SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
@@ -85,7 +86,7 @@ pairs AS (
     {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM g a JOIN g b ON a.label = b.label AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
-FROM pairs WHERE cosine >= 0.99
+FROM pairs WHERE {_MICRO_COS} >= 990000
 """
 
 
@@ -145,7 +146,7 @@ pairs AS (
   FROM qp JOIN cb ON qp.probe = cb.bucket),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+    PARTITION BY query_id ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn
   FROM pairs)
 SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
@@ -220,7 +221,7 @@ pairs AS (
   FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
+    PARTITION BY query_id ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn
   FROM pairs)
 SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
@@ -264,7 +265,7 @@ pairs AS (
     {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM gb a JOIN gb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
 SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
-FROM pairs WHERE cosine >= 0.99
+FROM pairs WHERE {_MICRO_COS} >= 990000
 """
 
 VECTOR_QUERIES["embedding_neardup_lsh"] = (
@@ -378,7 +379,7 @@ pairs AS (
     {_SQL_COS.replace('qv', 'a.v').replace('cv', 'b.v')} AS cosine
   FROM a5 a JOIN a5 b ON a.cid = b.cid AND a.id < b.id)
 SELECT id_a, id_b, {_MICRO_COS} AS cosine_micro
-FROM pairs WHERE cosine >= 0.99
+FROM pairs WHERE {_MICRO_COS} >= 990000
 """
 
 VECTOR_QUERIES["semantic_neardup_kmeans"] = (
@@ -468,7 +469,7 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _sql_pq_topk(m: int = 4, n_codes: int = 8, iters: int = 3, dim: int = 64) -> str:
     sub = dim // m
     unit6 = (
-        "SELECT id, list_transform(v, x -> round(x * (1.0 / nrm), 6)) AS u "
+        "SELECT id, list_transform(v, x -> round(x * (1.0 / nrm) * 1000000.0) / 1000000.0) AS u "
         "FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
         "sqrt(list_sum(list_transform(embedding::DOUBLE[], y__ -> y__ * y__))) "
         "AS nrm FROM embeddings WHERE {where}) s WHERE nrm > 0"
@@ -559,8 +560,8 @@ pairs AS (
   SELECT query_id, corpus_id, {_SQL_COS} AS cosine FROM c CROSS JOIN q),
 ranked AS (
   SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn
-  FROM pairs WHERE cosine < 0.99)
+    PARTITION BY query_id ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn
+  FROM pairs WHERE {_MICRO_COS} < 990000)
 SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro
 FROM ranked WHERE rn <= 5
 """

@@ -538,3 +538,37 @@ def test_micro6_matches_duckdb_cell_exact(spark, vals):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=_micro6_vals, n=st.sampled_from([2, 6]))
+def test_roundn_matches_duckdb_cell_exact(spark, vals, n):
+    """roundn/roundn_sql — the double-emission twin of micro6 — must be
+    cell-exact across engines at every certified scale (2 and 6 dp),
+    ties and sub-micro magnitudes included. (Raw F.round(x, n) vs
+    DuckDB round(x, n) fails this: shortest-repr HALF_UP vs true-binary
+    rounding, e.g. 0.0159085 at n=6.)"""
+    from gcp_data_pipeline_fyp_spark.queries_util import roundn, roundn_sql
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)] + [(len(vals), None)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", roundn("v", n).alias("m")).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {"i": [r[0] for r in rows], "v": [r[1] for r in rows]}
+    ).astype({"v": "float64"})
+    con.register("t", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {roundn_sql('v', n)} AS m FROM t"
+        ).fetchall()
+    }
+    # exact float equality (or both-NULL): identical doubles, not approx
+    assert set(got) == set(want)
+    for i in got:
+        g, w = got[i], want[i]
+        assert (g is None and w is None) or (g == w), (i, g, w)
