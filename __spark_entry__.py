@@ -33,85 +33,88 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-5 WINDOW, in priority order (exactly 50):
-#   1. star_schema_fact — the sole r04 red; root-caused to output
-#      column-name CASE (values bit-identical): the driver's hash sorts
-#      columns by case-SENSITIVE name, and the probe's mixed-case
-#      aliases sorted differently from the oracle's lowercase names.
-#      Aliases now lowercased to match the oracle exactly.
-#   2. the 22 r4 additions never driver-checked (all local-mirror green
-#      twice: builder r4 session + judge r4 session)
-#   3. rolling re-cert: all 27 r02-rows (oldest driver evidence in the
-#      registry — dax_q*, rollups, search, sampling, SQL interface)
+# ROUND-6 WINDOW, in priority order (exactly 50):
+#   1. new-this-round operators (ann_ivfpq_topk — IVF-partitioned PQ
+#      ADC, the 100 TB ANN layout)
+#   2. rolling re-cert: the 40 r03-rows, now the oldest driver
+#      evidence, all touched or adjacent to the registry-wide roundn
+#      emission rewrite (commit 280b880) — full-load pipeline stages,
+#      TPC-H shapes, windowing, and the dedup/corpus family
+#   3. remaining slots: r03 measure probes on rotation
 _CHECK_FIRST = [
-    # -- the r04 red, fixed by lowercasing its output aliases
-    "star_schema_fact",
-    # -- never driver-checked (r4 additions): behavioral analytics
-    "funnel_conversion",
-    "retention_cohorts",
-    "resample_ffill",
-    "rfm_segments",
-    "event_transitions",
-    "rolling_anomaly",
-    "wow_growth",
-    "ship_lag_by_priority",
-    # -- never driver-checked (r4 additions): corpus/vector/quality
-    "contamination_report",
-    "lsh_recall_report",
-    "quality_classifier_scores",
-    "split_leakage_report",
-    "bpe_pair_counts",
-    "bpe_segment_counts",
-    "bigram_logprob_score",
-    "embedding_pool",
-    "corpus_prep_v2",
-    "ann_sq8_topk",
-    "ann_pq_topk",
-    "hard_negatives",
-    "expectations_report",
-    "schema_contract",
-    # -- rolling re-cert: the full r02 batch (oldest driver rows)
-    "rollup_incremental",
-    "daily_p95_sliding",
-    "quantile_rollup",
-    "train_val_test_split",
-    "decontaminate_corpus",
-    "pack_sequences",
-    "repetition_metrics",
-    "stratified_sample",
-    "bm25_search",
-    "tfidf_top_terms",
-    "token_budget_sample",
-    "corpus_mix_report",
-    "pagerank_sim_graph",
-    "unigram_logprob_score",
-    "clean_html_docs",
-    "dax_q1_latest_update",
-    "dax_q2_avg_mag",
-    "dax_q3_max_depth",
-    "dax_q4_max_mag",
-    "dax_q5_11_totals",
-    "dax_q12_total",
-    "sql_interface",
-    "numeric_profile",
-    "outlier_events",
-    "interval_attribution",
-    "heavy_hitter_tokens",
-    "cdc_snapshot",
-    # next round (r06), in priority order: (1) anything red in r05;
-    # (2) rolling re-cert of the 40 r03-rows, now the oldest evidence —
-    # the full-load pipeline stages (stg_null_coerce, ods_typed_banding,
-    # event_id_hash, tz_convert, date_dim, place_parse, surrogate_keys*,
-    # anti_join_dedup, merge_upsert*, quality_gate_*), the TPC-H shapes
-    # (pricing_summary, top_revenue_orders, region_nation_revenue,
-    # order_priority_count, brand_revenue, top_suppliers), windowing
-    # (running_customer_spend, sessionize_events, rollup_type_day,
-    # customer_order_stats, large_orders), and the dedup/corpus family
-    # (dedup_exact_*, minhash_lsh_pairs, gopher_filter, dedupe_corpus,
-    # corpus_prep, dup_clusters, canonical_docs, corpus_prep_full,
-    # paragraph_dedup, boilerplate_docs, clean_text_docs,
-    # temperature_mix, filter_chain_report, incremental_dedup,
-    # kmeans_embeddings); (3) r04-green tail on rotation
+    # -- new this round
+    "ann_ivfpq_topk",
+    # -- r03 rolling re-cert: full-load pipeline stages
+    "stg_null_coerce",
+    "ods_typed_banding",
+    "event_id_hash",
+    "tz_convert",
+    "date_dim",
+    "place_parse",
+    "surrogate_keys",
+    "surrogate_keys_incremental",
+    "anti_join_dedup",
+    "merge_upsert",
+    "merge_upsert_partitioned",
+    "quality_gate_accepted",
+    "quality_gate_rejected",
+    # -- r03 rolling re-cert: TPC-H shapes
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_nation_revenue",
+    "order_priority_count",
+    "brand_revenue",
+    "top_suppliers",
+    # -- r03 rolling re-cert: windowing
+    "running_customer_spend",
+    "sessionize_events",
+    "rollup_type_day",
+    "customer_order_stats",
+    "large_orders",
+    # -- r03 rolling re-cert: dedup/corpus family
+    "dedup_exact_stats",
+    "dedup_exact_rows",
+    "minhash_lsh_pairs",
+    "gopher_filter",
+    "dedupe_corpus",
+    "corpus_prep",
+    "dup_clusters",
+    "canonical_docs",
+    "corpus_prep_full",
+    "paragraph_dedup",
+    "boilerplate_docs",
+    "clean_text_docs",
+    "temperature_mix",
+    "filter_chain_report",
+    "incremental_dedup",
+    "kmeans_embeddings",
+    # -- r03 measure probes on rotation (oldest remaining evidence)
+    "measure_latest_update",
+    "measure_avg_magnitude",
+    "measure_max_depth",
+    "measure_totals_by_type",
+    "measure_total_events",
+    "measure_sliced_by_day",
+    # -- r04 tail on rotation (vector family, adjacent to this round's
+    #    IVF-PQ work)
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "semantic_neardup_kmeans",
+    # next round (r07), in priority order: (1) anything red in r06;
+    # (2) rolling re-cert of the r04 tail never re-checked since —
+    # setops_buyers, approx_distinct_users, value_percentiles,
+    # nation_volume_by_year, top_returning_customers, date_scaffold,
+    # pivot_type_by_day, windowed_counts, lang_id, doc_fingerprint,
+    # minhash_signature, simhash, simhash_dup_groups, ngram_jaccard,
+    # vocabulary_top, chunk_documents, redact_pii, hash_sample,
+    # domain_stats, filter_fail_matrix, substring_dup_report,
+    # substring_filtered_docs, dedup_normalized,
+    # quality_weighted_sample, sentence_dedup, length_histogram,
+    # ngram_novelty, embedding_neardup, embedding_neardup_lsh,
+    # ann_lsh_topk, multimodal_byte_features, json_extract,
+    # asof_last_click, range_join_shipments, distinct_users_rollup,
+    # salted_agg_events, salted_join_events, missing_days,
+    # char_entropy, text_quality; (3) r05/r06-green tail on rotation
 ]
 
 

@@ -42,8 +42,10 @@ from pyspark.sql import functions as F
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec
 from gcp_data_pipeline_fyp_spark.functions.vectors import dot as vec_dot
 from gcp_data_pipeline_fyp_spark.operators.similarity import (
+    _assign,
     _topk_per_query,
     _unit,
+    fit_ivf_centroids,
 )
 from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
@@ -93,6 +95,7 @@ def fit_pq_codebooks(
     iters: int = 3,
     dim: int = 64,
     checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
 ) -> DataFrame:
     """Train one k-means codebook per subspace -> (subspace, cluster_id,
     centroid). m * n_codes rows: always broadcastable.
@@ -102,13 +105,28 @@ def fit_pq_codebooks(
     math to m sequential `kmeans` calls (same init, decimal means, tie
     breaks; equivalence test-pinned), but one assignment + one update
     pass per iteration for the whole codebook set instead of an
-    m-long sequential job chain (measured ~3x on the sf0.1 fit)."""
+    m-long sequential job chain (measured ~3x on the sf0.1 fit).
+
+    `train_sample_frac`: the 100 TB path, mirroring
+    `fit_ivf_centroids` (operators/similarity.py:138) — Lloyd's over
+    every corpus vector is the wrong default at scale (the r5 probe
+    measured training 29->70 s across a 1x->16x corpus while scoring
+    stayed scan-bound); codebook quality needs
+    vectors-per-centroid in the hundreds, not the full corpus. The
+    sample is id-keyed (operators/sampling.py:hash_sample, seed 7 —
+    the same content-hash rule as the IVF fit), so a sampled fit is
+    reproducible on any partitioning, and ENCODING still covers every
+    vector — only the fit sees the sample."""
     from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans_grouped
 
     sub_dim = _check_geometry(dim, m)
     c = corpus.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
+    if train_sample_frac is not None:
+        from gcp_data_pipeline_fyp_spark.operators.sampling import hash_sample
+
+        c = hash_sample(c, ["__id"], train_sample_frac, seed=7)
     pts = c.select(
         "__id",
         F.explode(
@@ -234,6 +252,7 @@ def pq_topk(
     iters: int = 3,
     dim: int = 64,
     checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via product quantization with
     asymmetric distance (train + encode + score in one call — the
@@ -246,7 +265,8 @@ def pq_topk(
     under cosine, same rule as SQ8).
     """
     books = fit_pq_codebooks(
-        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
+        train_sample_frac,
     )
     codes = pq_encode(corpus, id_col, vec_col, books, m, dim).select(
         F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
@@ -267,13 +287,15 @@ def build_pq_index(
     iters: int = 3,
     dim: int = 64,
     checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
 ) -> None:
     """Persist codebooks + codes as warehouse tables — the build-once
     half. The codes table is m rows of 3 small ints per vector; at
     100 TB this is the table queries scan INSTEAD of the raw vectors
     (~100x fewer bytes at m=4 over 64-dim float64)."""
     books = fit_pq_codebooks(
-        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
+        train_sample_frac,
     )
     wh.overwrite(books, f"{name}__codebooks")
     codes = pq_encode(
@@ -317,6 +339,197 @@ def pq_topk_indexed(
     codes = wh.read(f"{name}__codes")
     lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
     return _pq_score_topk(codes, lut, k)
+
+
+# ----------------------------------------------- IVF-PQ composition
+#
+# The standard 100 TB ANN layout (FAISS IVFPQ, minus residual
+# encoding): a coarse IVF quantizer partitions the corpus into
+# `n_centroids` inverted lists, PQ codes are stored WITHIN each list,
+# and a query probes only its `nprobe` nearest lists — so the ADC scan
+# touches nprobe/n_centroids of the code bytes instead of all of them.
+# Codes encode the unit vector itself, not the residual from the
+# coarse centroid: residual encoding buys recall at a fixed bit budget
+# but breaks the one-LUT-per-query-batch property (each probed list
+# would need its own LUT); at the engine's certified-exactness bar the
+# non-residual variant keeps train/encode/score each a single
+# certified piece (the IVF fit and the PQ chain, composed unchanged).
+
+
+def _unit6_side(df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias(out_id), unit6(vec_col).alias(out_vec))
+        .filter(F.col(out_vec).isNotNull())
+    )
+
+
+def _coarse_probes(qu: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
+    """Top-nprobe coarse centroids per query by dot product (ties to
+    the lower centroid id — same rule as corpus assignment). |Q| x
+    n_centroids scored rows, |Q| x nprobe out: always broadcastable."""
+    qc = qu.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        vec_dot(F.col("__u"), F.col("__centroid")).alias("__score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    return (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+
+def _ivfpq_score_topk(
+    codes: DataFrame, probes: DataFrame, lut: DataFrame, k: int
+) -> DataFrame:
+    """ADC top-k over centroid-pruned codes. Join order matters at
+    scale: probes (|Q| x nprobe) and the LUT are broadcast against the
+    code stream, so the big table is filtered to its probed lists and
+    never shuffled before the map-side-combining aggregation."""
+    pairs = (
+        codes.join(F.broadcast(probes), "centroid_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "cluster_id"])
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("__lm").alias("cosine_micro"))
+    )
+    return _topk_per_query(pairs, k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+    checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """IVF-partitioned PQ/ADC top-k in one call (train coarse + train
+    codebooks + encode + probe + score). Returns (query_id, corpus_id,
+    cosine_micro) like `pq_topk`; the approximation differs only by
+    list pruning — a vector outside every probed list is never scored.
+
+    Both quantizers run over the SAME canonical unit6 vectors, so the
+    DuckDB oracle replays coarse fit, codebook fit, encoding, probing
+    and scoring bit-for-bit (queries_vectors.py:SQL_ANN_IVFPQ_TOPK).
+    """
+    cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
+    cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
+    assigned = _assign(cu, cent).select("corpus_id", "centroid_id")
+    books = fit_pq_codebooks(
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
+        train_sample_frac,
+    )
+    codes = pq_encode(corpus, id_col, vec_col, books, m, dim).select(
+        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+    ).join(assigned, "corpus_id")
+    qu = _unit6_side(queries, id_col, vec_col, "query_id", "__u")
+    probes = _coarse_probes(qu, cent, nprobe)
+    lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    return _ivfpq_score_topk(codes, probes, lut, k)
+
+
+def build_ivfpq_index(
+    wh,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
+) -> None:
+    """Persist the IVF-PQ index: `name__centroids` (coarse, tiny),
+    `name__codebooks` (m * n_codes rows), and `name__codes`
+    PARTITIONED BY centroid_id — at 100 TB a query's nprobe lists are
+    pruned at the FILE level (broadcast probe join on the partition
+    column -> dynamic partition pruning), so probed bytes scale with
+    nprobe/n_centroids, not corpus size."""
+    cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
+    cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
+    wh.overwrite(
+        cent.select("centroid_id", F.col("__centroid").alias("centroid")),
+        f"{name}__centroids",
+    )
+    stored_cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    assigned = _assign(cu, stored_cent).select("corpus_id", "centroid_id")
+    books = fit_pq_codebooks(
+        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
+        train_sample_frac,
+    )
+    wh.overwrite(books, f"{name}__codebooks")
+    codes = pq_encode(
+        corpus, id_col, vec_col, wh.read(f"{name}__codebooks"), m, dim
+    ).select(
+        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+    ).join(assigned, "corpus_id")
+    wh.overwrite(codes, f"{name}__codes", partition_cols=["centroid_id"])
+
+
+def ivfpq_topk_indexed(
+    wh,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k against a persisted IVF-PQ index: read centroids +
+    codebooks (both tiny), pick nprobe lists per query, scan ONLY those
+    code partitions. Geometry comes off the stored codebooks."""
+    books = wh.read(f"{name}__codebooks")
+    m, dim = _codebook_geometry(books)
+    cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    qu = _unit6_side(queries, id_col, vec_col, "query_id", "__u")
+    probes = _coarse_probes(qu, cent, nprobe)
+    codes = wh.read(f"{name}__codes")
+    lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    return _ivfpq_score_topk(codes, probes, lut, k)
+
+
+def append_ivfpq_index(
+    wh,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+) -> None:
+    """Fold a new vector batch into a persisted IVF-PQ index: assign
+    against the EXISTING coarse centroids, encode against the EXISTING
+    codebooks, append only the touched centroid partitions. Neither
+    quantizer refits (rerun determinism; drift handled by periodic
+    rebuild — the same cadence discipline as the IVF and PQ indexes)."""
+    books = wh.read(f"{name}__codebooks")
+    m, dim = _codebook_geometry(books)
+    cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    cu = _unit6_side(batch, id_col, vec_col, "corpus_id", "__cv")
+    assigned = _assign(cu, cent).select("corpus_id", "centroid_id")
+    codes = pq_encode(batch, id_col, vec_col, books, m, dim).select(
+        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+    ).join(assigned, "corpus_id")
+    wh.append(codes, f"{name}__codes", partition_cols=["centroid_id"])
 
 
 def append_pq_index(

@@ -466,14 +466,17 @@ def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SQL_UNIT6 = (
+    "SELECT id, list_transform(v, x -> round(x * (1.0 / nrm) * 1000000.0) / 1000000.0) AS u "
+    "FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
+    "sqrt(list_sum(list_transform(embedding::DOUBLE[], y__ -> y__ * y__))) "
+    "AS nrm FROM embeddings WHERE {where}) s WHERE nrm > 0"
+)
+
+
 def _sql_pq_topk(m: int = 4, n_codes: int = 8, iters: int = 3, dim: int = 64) -> str:
     sub = dim // m
-    unit6 = (
-        "SELECT id, list_transform(v, x -> round(x * (1.0 / nrm) * 1000000.0) / 1000000.0) AS u "
-        "FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v, "
-        "sqrt(list_sum(list_transform(embedding::DOUBLE[], y__ -> y__ * y__))) "
-        "AS nrm FROM embeddings WHERE {where}) s WHERE nrm > 0"
-    )
+    unit6 = _SQL_UNIT6
     parts = [
         "uc AS (" + unit6.format(where="vec_id >= 8") + ")",
         "uq AS (" + unit6.format(where="vec_id < 8") + ")",
@@ -525,6 +528,115 @@ SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
 SQL_ANN_PQ_TOPK = _sql_pq_topk()
 
 VECTOR_QUERIES["ann_pq_topk"] = (q_ann_pq_topk, SQL_ANN_PQ_TOPK)
+
+
+# ------------------------------------- IVF-partitioned PQ/ADC top-k
+def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB ANN layout (operators/pq.py:ivfpq_topk — FAISS-style
+    IVFPQ minus residual encoding): a coarse 16-centroid IVF quantizer
+    partitions the corpus into inverted lists, PQ codes live within
+    each list, and a query ADC-scans only its 4 nearest lists. Both
+    quantizers run over the same canonical unit6 vectors, so the
+    oracle replays coarse fit + codebook fit + encode + probe + score
+    bit-for-bit. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_topk
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return ivfpq_topk(
+        queries, corpus, "vec_id", "embedding", k=5,
+        m=4, n_codes=8, iters=3, n_centroids=16, nprobe=4,
+    )
+
+
+def _sql_ivfpq_topk(
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Compose the two certified CTE chains: `_ivf_ctes` (coarse fit +
+    corpus assignment, here over unit6 vectors) and the per-subspace
+    `_kmeans_ctes` + LUT chain from the PQ oracle, with each
+    subspace's pair stream restricted to probed inverted lists."""
+    sub = dim // m
+    parts = [
+        "uc AS (" + _SQL_UNIT6.format(where="vec_id >= 8") + ")",
+        "uq AS (" + _SQL_UNIT6.format(where="vec_id < 8") + ")",
+    ]
+    # coarse quantizer over the unit6 corpus (same algebra as
+    # SQL_ANN_IVF_TOPK: seeded init, one decimal-exact Lloyd
+    # refinement, assignment by max dot with ties to the lower id)
+    parts.append(
+        _ivf_ctes(
+            "SELECT id AS corpus_id, u AS cv FROM uc",
+            n_centroids=n_centroids,
+            dim=dim,
+        ).strip().rstrip()
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.id AS query_id, i.centroid_id, row_number() OVER (
+      PARTITION BY q.id ORDER BY
+        list_sum(list_transform(generate_series(1, {dim}),
+                 j__ -> q.u[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM uq q CROSS JOIN cent i) s WHERE rn <= {nprobe})"""
+    )
+    dot16 = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i__ -> q.qs[i__] * c.cv[i__]))"
+    )
+    pair_selects = []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            _kmeans_ctes(
+                f"SELECT id, u[{lo}:{hi}] AS v FROM uc",
+                k=n_codes,
+                iters=iters,
+                dim=sub,
+                prefix=f"p{mi}_",
+            )
+        )
+        parts.append(
+            f"lut{mi} AS (SELECT q.id AS query_id, c.cid, "
+            f"{micro6_sql(dot16)} AS lm "
+            f"FROM (SELECT id, u[{lo}:{hi}] AS qs FROM uq) q "
+            f"CROSS JOIN p{mi}_c{iters} c)"
+        )
+        pair_selects.append(
+            f"SELECT l.query_id, a.id AS corpus_id, l.lm "
+            f"FROM p{mi}_a{iters} a "
+            f"JOIN assigned asg ON asg.corpus_id = a.id "
+            f"JOIN probes pr ON pr.centroid_id = asg.centroid_id "
+            f"JOIN lut{mi} l ON a.cid = l.cid AND l.query_id = pr.query_id"
+        )
+    union = "\nUNION ALL\n".join(pair_selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pr AS ({union}),
+scored AS (
+  SELECT query_id, corpus_id, CAST(sum(lm) AS BIGINT) AS cosine_micro
+  FROM pr GROUP BY query_id, corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_micro DESC, corpus_id) AS rn
+  FROM scored)
+SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+SQL_ANN_IVFPQ_TOPK = _sql_ivfpq_topk()
+
+VECTOR_QUERIES["ann_ivfpq_topk"] = (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK)
 
 
 # -------------------------------------------- hard-negative mining

@@ -297,3 +297,43 @@ def test_pq_encode_lambda_not_inlined(spark):
     )
     books = fit_pq_codebooks(df, "id", "vec", m=2, n_codes=2, iters=1, dim=8)
     _assert_no_expensive_lambda_inlining(pq_encode(df, "id", "vec", books, m=2, dim=8))
+
+
+def test_pq_score_broadcasts_lut_not_codes(spark):
+    """ADC scoring joins the per-batch LUT (|Q| x m x n_codes rows)
+    against the code stream: the LUT must be the broadcast side and the
+    codes scan must NOT exchange before the (query_id, corpus_id)
+    aggregation — a sort-merge here would shuffle the whole codes
+    table by (subspace, cluster_id), a key with m * n_codes distinct
+    values (catastrophic skew at corpus scale)."""
+    p = _plan(spark, "ann_pq_topk")
+    assert "BroadcastHashJoin" in p
+    import re
+
+    smj_keys = re.findall(r"SortMergeJoin \[?(\w+)", p)
+    assert not any(k in ("subspace", "cluster_id") for k in smj_keys), smj_keys
+    assert "hashpartitioning(subspace" not in p
+    assert "hashpartitioning(cluster_id" not in p
+
+
+def test_ivfpq_probes_and_lut_broadcast(spark):
+    """IVF-PQ query side: both tiny frames (probes |Q| x nprobe, LUT
+    |Q| x m x n_codes) broadcast against the code stream; the codes
+    table must never be the build side of a join or shuffle on the
+    low-cardinality centroid/code keys before the final aggregation."""
+    p = _plan(spark, "ann_ivfpq_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the ONLY sort-merge join allowed is codes x assigned on the
+    # high-cardinality corpus_id (big-big, co-partitioned); a SMJ on
+    # centroid/subspace/cluster keys would shuffle the code stream on
+    # a handful of distinct values. (The centroid_id exchanges inside
+    # the coarse FIT are post-partial-agg and bounded by n_centroids.)
+    import re
+
+    smj_ids = re.findall(r"SortMergeJoin \w+ \((\d+)\)", p)
+    for sid in smj_ids:
+        m = re.search(
+            rf"\({sid}\) SortMergeJoin\nLeft keys \[\d+\]: \[(\w+)", p
+        )
+        assert m and m.group(1).startswith("corpus_id"), (sid, m and m.group(1))

@@ -497,3 +497,145 @@ def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
     scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
     assert 9000 in scores
     assert scores[9000] == max(scores.values())
+
+
+# --------------------------------------------------- IVF-PQ (r6)
+def test_ivfpq_matches_pq_at_full_probe(spark):
+    """With nprobe == n_centroids the coarse quantizer prunes nothing,
+    so IVF-PQ must return EXACTLY the plain PQ/ADC result — list
+    pruning is the only semantic difference between the two paths."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_topk, pq_topk
+
+    df = _blob_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    plain = pq_topk(
+        q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM
+    )
+    full = ivfpq_topk(
+        q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM,
+        n_centroids=8, nprobe=8,
+    )
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, full.collect()))
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """Pruned IVF-PQ (nprobe=4 of 8 lists) keeps the true nearest
+    neighbor inside the ADC top-10 on clustered vectors (recall@10 bar
+    0.8, same bar as plain PQ), and two runs over different
+    partitionings return identical result sets (integer-exact scores +
+    deterministic coarse fit)."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_topk
+
+    df = _blob_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact1 = brute_force_topk(q, c, "vec_id", "embedding", k=1)
+    top1 = {r["query_id"]: r["corpus_id"] for r in exact1.collect()}
+    approx = ivfpq_topk(
+        q, c, "vec_id", "embedding", k=10, m=4, n_codes=8, iters=3, dim=DIM,
+        n_centroids=8, nprobe=4,
+    )
+    rows = approx.collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    recall_at_10 = sum(
+        1 for qq, t in top1.items() if t in by_q.get(qq, [])
+    ) / len(top1)
+    assert recall_at_10 >= 0.8
+    again = ivfpq_topk(
+        q.repartition(3), c.repartition(5), "vec_id", "embedding",
+        k=10, m=4, n_codes=8, iters=3, dim=DIM, n_centroids=8, nprobe=4,
+    ).collect()
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_ivfpq_index_persist_matches_direct_and_layout(spark, tmp_path):
+    """The persisted IVF-PQ index returns exactly what the one-shot
+    path returns, the codes table is laid out as centroid_id=*
+    partition directories (the file-level pruning unit at 100 TB), and
+    an appended batch becomes searchable without refitting either
+    quantizer."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk,
+        ivfpq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=200)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 150))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(
+        wh, c, "vec_id", "embedding", "ivfpq",
+        m=4, n_codes=8, iters=3, dim=DIM, n_centroids=8,
+    )
+    direct = ivfpq_topk(
+        q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM,
+        n_centroids=8, nprobe=3,
+    )
+    indexed = ivfpq_topk_indexed(
+        wh, q, "vec_id", "embedding", "ivfpq", k=5, nprobe=3
+    )
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, indexed.collect()))
+
+    parts = [
+        d for d in os.listdir(tmp_path / "wh" / "ivfpq__codes")
+        if d.startswith("centroid_id=")
+    ]
+    assert len(parts) >= 2, parts
+
+    batch = df.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    append_ivfpq_index(wh, batch, "vec_id", "embedding", "ivfpq")
+    after = ivfpq_topk_indexed(
+        wh, q.filter(F.col("vec_id") == 0), "vec_id", "embedding", "ivfpq",
+        k=200, nprobe=8,
+    ).collect()
+    scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
+    assert 9000 in scores
+    assert scores[9000] == max(scores.values())
+
+
+def test_pq_sampled_training_deterministic(spark):
+    """The 100 TB codebook-fit path (train_sample_frac, mirroring the
+    IVF knob): the fit sees only a content-keyed sample but ENCODING
+    still covers every vector, results stay deterministic across
+    partitionings, and recall on clustered vectors holds the same 0.8
+    bar as the full fit."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import pq_topk
+
+    df = _blob_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact1 = brute_force_topk(q, c, "vec_id", "embedding", k=1)
+    top1 = {r["query_id"]: r["corpus_id"] for r in exact1.collect()}
+    approx = pq_topk(
+        q, c, "vec_id", "embedding", k=10, m=4, n_codes=8, iters=3, dim=DIM,
+        train_sample_frac=0.5,
+    )
+    rows = approx.collect()
+    # every corpus vector is encoded and scorable even though the fit
+    # only saw ~half of them
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    recall_at_10 = sum(
+        1 for qq, t in top1.items() if t in by_q.get(qq, [])
+    ) / len(top1)
+    assert recall_at_10 >= 0.8
+    again = pq_topk(
+        q.repartition(3), c.repartition(5), "vec_id", "embedding",
+        k=10, m=4, n_codes=8, iters=3, dim=DIM, train_sample_frac=0.5,
+    ).collect()
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, rows)) == sorted(map(key, again))
