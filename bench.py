@@ -209,6 +209,93 @@ def _bench_pipeline(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_streaming(spark, sf_dir: str, timings: dict) -> None:
+    """AvailableNow streaming micro-bench: validated CSV ingest (rules
+    + quarantine + merge) of the sf events feed, then the stateful
+    sessionizer over the merged table as a parquet stream. The batch
+    surface has per-round numbers; this gives the streaming surface
+    the same cross-round tracking (r6)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        in_range,
+        not_null,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_validated_ingest,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        in_dir = os.path.join(work, "in")
+        # 4 csv files -> the source has multiple splits to ingest
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            "value",
+        ).repartition(4).write.option("header", True).csv(in_dir)
+        wh = Warehouse(spark, os.path.join(work, "wh"))
+        rules = [not_null("event_type"), in_range("value", -1e9, 1e9)]
+        t0 = time.perf_counter()
+        q = stream_validated_ingest(
+            spark, in_dir, schema, ["event_id"], "ts", wh, "EV",
+            os.path.join(work, "ckpt_ingest"), rules,
+            quarantine_table="Q", report_table="LOG",
+        )
+        q.awaitTermination(600)
+        timings["streaming_validated_ingest"] = round(
+            time.perf_counter() - t0, 3
+        )
+
+        expected = wh.read("EV").count()
+        ev_stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            ).parquet(wh.path("EV"))
+            # the sessionizer keys on user_id; derive one from event_id
+            .withColumn("user_id", F.col("event_id") % 1024)
+        )
+        sessions = sessionize_stream(ev_stream, gap_seconds=1800.0)
+        t0 = time.perf_counter()
+        q2 = (
+            sessions.writeStream.format("noop")
+            .option(
+                "checkpointLocation", os.path.join(work, "ckpt_sess")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        # AvailableNow + ProcessingTimeTimeout does NOT self-terminate:
+        # after the data batches the engine keeps scheduling zero-data
+        # batches to evaluate pending state timeouts. Poll progress and
+        # stop once every input row has been processed — the measured
+        # wall is the data processing, which is what the bench tracks.
+        seen_batches: set = set()
+        processed = 0
+        while time.perf_counter() - t0 < 300:
+            finished = q2.awaitTermination(2)
+            for p in q2.recentProgress:
+                if p["batchId"] not in seen_batches:
+                    seen_batches.add(p["batchId"])
+                    processed += p["numInputRows"]
+            if finished or processed >= expected:
+                break
+        timings["streaming_sessionize"] = round(time.perf_counter() - t0, 3)
+        q2.stop()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -228,6 +315,7 @@ def main() -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
     _bench_pipeline(spark, sf_dir, timings)
+    _bench_streaming(spark, sf_dir, timings)
     total = round(sum(timings.values()), 3)
     # drift calibration: ratios vs pinned r01 numbers (only meaningful
     # at the canonical sf0.1 / 32-cpu config the pins were taken at)

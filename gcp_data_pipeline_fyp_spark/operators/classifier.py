@@ -138,9 +138,14 @@ def _resolve_meta(
     """Feature-space params for scoring: stored model metadata wins;
     caller-supplied values are only honored when the table predates the
     metadata columns, and a caller value CONFLICTING with stored
-    metadata raises instead of silently misrouting buckets."""
+    metadata raises instead of silently misrouting buckets.
+
+    ONE driver action total: the empty-table probe and the metadata
+    read share a single `first()` on the ≤ n_buckets-row table (the r5
+    form ran two — an extra Spark job per score_documents call)."""
     if all(c in weights.columns for c in _META_COLS):
-        if weights.select(_META_COLS[0]).first() is None:
+        row = weights.select(*_META_COLS).first()
+        if row is None:
             # EMPTY weight table (e.g. an all-empty seed set trained
             # zero buckets): scoring is geometry-independent — every
             # bucket misses and coalesces to 0 — so fall through to the
@@ -150,7 +155,7 @@ def _resolve_meta(
                 True if bigrams is None else bigrams,
                 0 if seed is None else seed,
             )
-        m_buckets, m_seed, m_bigrams = weights_meta(weights)
+        m_buckets, m_seed, m_bigrams = int(row[0]), int(row[1]), bool(row[2])
         for name, given, stored in (
             ("n_buckets", n_buckets, m_buckets),
             ("bigrams", bigrams, m_bigrams),

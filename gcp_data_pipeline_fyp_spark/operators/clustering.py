@@ -69,6 +69,7 @@ def kmeans(
     k: int = 8,
     max_iter: int = 10,
     checkpoint_dir: str | None = None,
+    pin_points: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Cluster rows by embedding; returns (assignments, centroids).
 
@@ -78,17 +79,24 @@ def kmeans(
     `checkpoint_dir`: per-iteration lineage truncation is executor-
     local by default (right for local mode); pass a reliable directory
     for fault-tolerant cluster runs (operators/iterate.py, DEPLOY.md).
+
+    `pin_points`: every assignment pass reuses the points frame, so
+    pinning it (eager checkpoint) is the right trade when the caller
+    passes a bounded TRAINING SAMPLE — the usual fit shape. Pass False
+    when `df` is a full corpus (semantic_neardup_kmeans): the points
+    are then cached evictably (MEMORY_AND_DISK with lineage kept), so
+    corpus-sized vector blocks never pin executor storage and Spark
+    may recompute a partition instead of holding it (ADVICE r5).
     """
-    # materialize the training points ONCE: every assignment pass reuses
-    # this frame, and without truncation each pass would re-run the
-    # source scan + vector prep (at real scale the training set is a
-    # sample — bounded — so pinning it is the right trade everywhere)
-    pts = materialize(
-        df.select(
-            F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
-        ),
-        checkpoint_dir,
+    pts = df.select(
+        F.col(id_col).alias("__id"), as_double_vec(vec_col).alias("__v")
     )
+    if pin_points:
+        pts = materialize(pts, checkpoint_dir)
+    else:
+        from pyspark import StorageLevel
+
+        pts = pts.persist(StorageLevel.MEMORY_AND_DISK)
     cent = (
         pts.orderBy("__id")
         .limit(k)
@@ -265,8 +273,14 @@ def semantic_neardup_kmeans(
     max_iter: int = 5,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, cosine >= threshold), blocked by
-    k-means cluster — pairwise cost is per-cluster, never corpus-wide."""
-    assigned, _ = kmeans(df, id_col, vec_col, k=k, max_iter=max_iter)
+    k-means cluster — pairwise cost is per-cluster, never corpus-wide.
+
+    The fit runs over the FULL corpus here (blocking needs every
+    vector assigned), so the points cache is evictable rather than
+    pinned (`pin_points=False`) — see `kmeans`."""
+    assigned, _ = kmeans(
+        df, id_col, vec_col, k=k, max_iter=max_iter, pin_points=False
+    )
     v = df.select(F.col(id_col), as_double_vec(vec_col).alias("__v")).join(
         assigned, id_col
     )

@@ -290,9 +290,9 @@ def q_top_suppliers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_TOP_SUPPLIERS = """
-SELECT s_suppkey, s_name, n_name, (round((s_acctbal) * 100.0) / 100.0) AS s_acctbal
+SELECT s_suppkey, s_name, n_name, ((round((s_acctbal) * 100.0) / 100.0) + 0.0) AS s_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
-ORDER BY (round((s_acctbal) * 100.0) / 100.0) DESC, s_suppkey
+ORDER BY ((round((s_acctbal) * 100.0) / 100.0) + 0.0) DESC, s_suppkey
 LIMIT 10
 """
 
@@ -445,7 +445,7 @@ WITH big AS (
     cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
   FROM lineitem GROUP BY l_orderkey
   HAVING sum(cast(l_quantity AS decimal(18,2))) > 150)
-SELECT o_orderkey, o_orderstatus, total_qty, (round((o_totalprice) * 100.0) / 100.0) AS o_totalprice
+SELECT o_orderkey, o_orderstatus, total_qty, ((round((o_totalprice) * 100.0) / 100.0) + 0.0) AS o_totalprice
 FROM big JOIN orders ON l_orderkey = o_orderkey
 """
 
@@ -513,8 +513,8 @@ def q_value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_VALUE_PERCENTILES = """
 SELECT event_type AS lb_type,
-  (round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0) AS p50,
-  (round((quantile_cont(value, 0.9)) * 1000000.0) / 1000000.0) AS p90
+  ((round((quantile_cont(value, 0.5)) * 1000000.0) / 1000000.0) + 0.0) AS p50,
+  ((round((quantile_cont(value, 0.9)) * 1000000.0) / 1000000.0) + 0.0) AS p90
 FROM events GROUP BY 1
 """
 
@@ -713,8 +713,8 @@ SQL_ROLLUP_INCREMENTAL = """
 SELECT cast(strftime(o_orderdate, '%Y%m') AS int) AS month,
   count(*) AS n_orders,
   cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
-  (round((cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
-        / count(*)) * 1000000.0) / 1000000.0) AS avg_price
+  ((round((cast(sum(cast(o_totalprice AS decimal(18,2))) AS double)
+        / count(*)) * 1000000.0) / 1000000.0) + 0.0) AS avg_price
 FROM orders GROUP BY 1
 """
 
@@ -753,10 +753,10 @@ def q_daily_p95_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DAILY_P95_SLIDING = """
 WITH e AS (SELECT date_trunc('day', ts) AS d, value FROM events),
-daily AS (SELECT d, (round((quantile_cont(value, 0.95)) * 1000000.0) / 1000000.0) AS p95
+daily AS (SELECT d, ((round((quantile_cont(value, 0.95)) * 1000000.0) / 1000000.0) + 0.0) AS p95
           FROM e GROUP BY d),
 trail7 AS (
-  SELECT a.d, (round((quantile_cont(e.value, 0.95)) * 1000000.0) / 1000000.0) AS p95_7d
+  SELECT a.d, ((round((quantile_cont(e.value, 0.95)) * 1000000.0) / 1000000.0) + 0.0) AS p95_7d
   FROM (SELECT DISTINCT d FROM e) a
   JOIN e ON e.d <= a.d AND e.d > a.d - INTERVAL 7 DAY
   GROUP BY a.d)
@@ -816,12 +816,12 @@ pick AS (
   FROM c GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-  (round((CASE WHEN b50 > 0 THEN power(1.02, b50 - 0.5)
-             WHEN b50 < 0 THEN -power(1.02, -b50 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p50,
-  (round((CASE WHEN b95 > 0 THEN power(1.02, b95 - 0.5)
-             WHEN b95 < 0 THEN -power(1.02, -b95 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p95,
-  (round((CASE WHEN b99 > 0 THEN power(1.02, b99 - 0.5)
-             WHEN b99 < 0 THEN -power(1.02, -b99 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) AS p99
+  ((round((CASE WHEN b50 > 0 THEN power(1.02, b50 - 0.5)
+             WHEN b50 < 0 THEN -power(1.02, -b50 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) + 0.0) AS p50,
+  ((round((CASE WHEN b95 > 0 THEN power(1.02, b95 - 0.5)
+             WHEN b95 < 0 THEN -power(1.02, -b95 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) + 0.0) AS p95,
+  ((round((CASE WHEN b99 > 0 THEN power(1.02, b99 - 0.5)
+             WHEN b99 < 0 THEN -power(1.02, -b99 - 0.5) ELSE 0 END) * 1000000.0) / 1000000.0) + 0.0) AS p99
 FROM pick
 """
 
@@ -1003,9 +1003,9 @@ scaffold AS (SELECT lb_type, day FROM types CROSS JOIN days),
 j AS (SELECT s.lb_type, s.day, d.total
       FROM scaffold s LEFT JOIN daily d USING (lb_type, day))
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  (round((last_value(total IGNORE NULLS) OVER (
+  ((round((last_value(total IGNORE NULLS) OVER (
     PARTITION BY lb_type ORDER BY day
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0) AS total_filled,
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0) / 100.0) + 0.0) AS total_filled,
   total IS NOT NULL AS was_observed
 FROM j ORDER BY lb_type, day
 """
@@ -1064,7 +1064,7 @@ per_user AS (
     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
   FROM events GROUP BY user_id)
 SELECT user_id, recency_days, CAST(frequency AS BIGINT) AS frequency,
-  (round((monetary) * 100.0) / 100.0) AS monetary,
+  ((round((monetary) * 100.0) / 100.0) + 0.0) AS monetary,
   CAST(ntile(4) OVER (ORDER BY recency_days ASC, user_id) AS BIGINT) AS r_band,
   CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_band,
   CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_band
@@ -1178,7 +1178,7 @@ win AS (
   WINDOW w AS (PARTITION BY lb_type ORDER BY day
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  (round((x) * 100.0) / 100.0) AS daily_total,
+  ((round((x) * 100.0) / 100.0) + 0.0) AS daily_total,
   {micro6_sql('(x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)')}
     AS z_micro,
   abs((x - mean_x) / nullif(sqrt(greatest(ex2_x - mean_x * mean_x, 0.0)), 0)) > 2
@@ -1227,7 +1227,7 @@ lagged AS (
     lag(x, 7) OVER (PARTITION BY lb_type ORDER BY day) AS prev
   FROM daily)
 SELECT lb_type, strftime(day, '%Y-%m-%d') AS day,
-  (round((x) * 100.0) / 100.0) AS daily_total,
+  ((round((x) * 100.0) / 100.0) + 0.0) AS daily_total,
   {micro6_sql('(x - prev) / nullif(prev, 0)')} AS wow_growth_micro
 FROM lagged ORDER BY lb_type, day
 """

@@ -143,7 +143,7 @@ def q_dax_q12_total(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_DAX_Q1 = "SELECT max(ts) AS latest_daily_update FROM events"
 SQL_DAX_Q2 = """
-SELECT (round((avg(value / 20.0)) * 1000000.0) / 1000000.0) AS avg_earthquake_magnitude
+SELECT ((round((avg(value / 20.0)) * 1000000.0) / 1000000.0) + 0.0) AS avg_earthquake_magnitude
 FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
@@ -153,7 +153,7 @@ FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
 SQL_DAX_Q4 = """
-SELECT (round((max(value / 20.0)) * 1000000.0) / 1000000.0) AS max_earthquake_magnitude
+SELECT ((round((max(value / 20.0)) * 1000000.0) / 1000000.0) + 0.0) AS max_earthquake_magnitude
 FROM events WHERE (CASE WHEN event_type = 'click' THEN 'earthquake'
                    ELSE event_type END) = 'earthquake'
 """
@@ -318,10 +318,10 @@ def q_numeric_profile(spark: SparkSession, sf: str) -> DataFrame:
 def _profile_sql(col: str) -> str:
     return f"""
 SELECT '{col}' AS col_name, count(*) AS n_rows, count({col}) AS n_nonnull,
-  count(DISTINCT {col}) AS n_distinct, (round((avg({col})) * 1000000.0) / 1000000.0) AS mean,
-  (round((stddev_samp({col})) * 1000000.0) / 1000000.0) AS std,
-  (round((cast(min({col}) AS double)) * 1000000.0) / 1000000.0) AS min,
-  (round((cast(max({col}) AS double)) * 1000000.0) / 1000000.0) AS max
+  count(DISTINCT {col}) AS n_distinct, ((round((avg({col})) * 1000000.0) / 1000000.0) + 0.0) AS mean,
+  ((round((stddev_samp({col})) * 1000000.0) / 1000000.0) + 0.0) AS std,
+  ((round((cast(min({col}) AS double)) * 1000000.0) / 1000000.0) + 0.0) AS min,
+  ((round((cast(max({col}) AS double)) * 1000000.0) / 1000000.0) + 0.0) AS max
 FROM events"""
 
 
@@ -348,9 +348,9 @@ def q_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
 SQL_OUTLIER_EVENTS = """
 WITH s AS (SELECT event_type, avg(value) AS m, stddev_samp(value) AS sd
            FROM events GROUP BY event_type)
-SELECT e.event_id, e.event_type, (round((e.value) * 1000000.0) / 1000000.0) AS value
+SELECT e.event_id, e.event_type, ((round((e.value) * 1000000.0) / 1000000.0) + 0.0) AS value
 FROM events e JOIN s USING (event_type)
-WHERE e.value > (round((m + 2.0 * sd) * 1000000.0) / 1000000.0)
+WHERE e.value > ((round((m + 2.0 * sd) * 1000000.0) / 1000000.0) + 0.0)
 """
 
 
@@ -476,7 +476,7 @@ WITH log AS (
 r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
         ORDER BY ts DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END ASC) AS rn
       FROM log)
-SELECT o_orderkey, ts, op, (round((price) * 100.0) / 100.0) AS price
+SELECT o_orderkey, ts, op, ((round((price) * 100.0) / 100.0) + 0.0) AS price
 FROM r WHERE rn = 1 AND op <> 'D'
 """
 

@@ -128,10 +128,10 @@ SELECT doc_id,
   cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
        AS int) AS n_bpe_tokens,
   cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS int) AS n_punct,
-  (round((cast(list_sum(list_transform(toks, t -> length(t))) AS double)
-        / len(toks)) * 1000000.0) / 1000000.0) AS avg_token_len,
-  (round((cast(len(list_filter(toks, t -> t IN {_SQL_EN})) AS double)
-        / len(toks)) * 1000000.0) / 1000000.0) AS stopword_ratio
+  ((round((cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+        / len(toks)) * 1000000.0) / 1000000.0) + 0.0) AS avg_token_len,
+  ((round((cast(len(list_filter(toks, t -> t IN {_SQL_EN})) AS double)
+        / len(toks)) * 1000000.0) / 1000000.0) + 0.0) AS stopword_ratio
 FROM t
 """
 
@@ -306,13 +306,13 @@ WITH u AS (
 t AS (SELECT doc_id, lang, source, {_SQL_TOKS} AS toks FROM u),
 g AS (SELECT doc_id, lang, source, {_SQL_SHINGLES} AS grams FROM t)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-  (round((cast(len(list_intersect(a.grams, b.grams)) AS double)
-        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0)) * 1000000.0) / 1000000.0)
+  ((round((cast(len(list_intersect(a.grams, b.grams)) AS double)
+        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0)) * 1000000.0) / 1000000.0) + 0.0)
     AS jaccard
 FROM g a JOIN g b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE (round((cast(len(list_intersect(a.grams, b.grams)) AS double)
-        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0)) * 1000000.0) / 1000000.0) >= 0.2
+WHERE ((round((cast(len(list_intersect(a.grams, b.grams)) AS double)
+        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0)) * 1000000.0) / 1000000.0) + 0.0) >= 0.2
 """
 
 
@@ -491,8 +491,8 @@ cand AS (
   FROM nz a JOIN nz b ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
 verified AS (
   SELECT id_b FROM cand
-  WHERE (round((cast(len(list_intersect(sha, shb)) AS double)
-        / nullif(len(list_distinct(list_concat(sha, shb))), 0)) * 1000000.0) / 1000000.0) >= 0.8)
+  WHERE ((round((cast(len(list_intersect(sha, shb)) AS double)
+        / nullif(len(list_distinct(list_concat(sha, shb))), 0)) * 1000000.0) / 1000000.0) + 0.0) >= 0.8)
 SELECT doc_id, lang, source FROM ek
 WHERE doc_id NOT IN (SELECT id_b FROM verified)
 """
@@ -712,10 +712,10 @@ m AS (SELECT doc_id, max(n) AS top_cnt FROM c GROUP BY doc_id),
 lines AS (SELECT doc_id, regexp_split_to_array(text, '\\n') AS l FROM t)
 SELECT t.doc_id,
   cast(len(t.toks) AS int) AS n_tokens,
-  (round((cast(m.top_cnt AS double) / nullif(len(t.toks), 0)) * 1000000.0) / 1000000.0)
+  ((round((cast(m.top_cnt AS double) / nullif(len(t.toks), 0)) * 1000000.0) / 1000000.0) + 0.0)
     AS top_token_frac,
-  (round((1.0 - cast(len(list_distinct(lines.l)) AS double)
-        / nullif(len(lines.l), 0)) * 1000000.0) / 1000000.0) AS dup_line_frac
+  ((round((1.0 - cast(len(list_distinct(lines.l)) AS double)
+        / nullif(len(lines.l), 0)) * 1000000.0) / 1000000.0) + 0.0) AS dup_line_frac
 FROM t LEFT JOIN m ON t.doc_id = m.doc_id
 JOIN lines ON t.doc_id = lines.doc_id
 """
@@ -826,7 +826,7 @@ s AS (
         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS raw
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id, g
   GROUP BY tf.doc_id)
-SELECT doc_id, (round((raw) * 1000000.0) / 1000000.0) AS score FROM s
+SELECT doc_id, ((round((raw) * 1000000.0) / 1000000.0) + 0.0) AS score FROM s
 ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
@@ -851,7 +851,7 @@ e AS (SELECT doc_id, unnest(toks) AS term FROM t),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
 df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 s AS (SELECT tf.doc_id, tf.term,
-        (round((tf.tf * ln(cast(n.n AS double) / df.df)) * 1000000.0) / 1000000.0) AS score
+        ((round((tf.tf * ln(cast(n.n AS double) / df.df)) * 1000000.0) / 1000000.0) + 0.0) AS score
       FROM tf JOIN df USING (term), n),
 r AS (SELECT doc_id, term, score,
         row_number() OVER (PARTITION BY doc_id
@@ -942,7 +942,7 @@ g AS (SELECT lang, len_bucket, count(*) AS n_docs,
              sum(n_tokens) AS tokens FROM b GROUP BY lang, len_bucket),
 tot AS (SELECT sum(n_tokens) AS total FROM b)
 SELECT lang, len_bucket, n_docs, cast(tokens AS bigint) AS tokens,
-  (round((cast(tokens AS double) / tot.total) * 1000000.0) / 1000000.0) AS token_share
+  ((round((cast(tokens AS double) / tot.total) * 1000000.0) / 1000000.0) + 0.0) AS token_share
 FROM g, tot
 """
 
@@ -983,7 +983,7 @@ nodes AS (SELECT DISTINCT a AS v FROM e0),
 n AS (SELECT count(*) AS n FROM nodes),
 r0 AS (SELECT v, cast(1 AS double) / n.n AS rank FROM nodes CROSS JOIN n),
 {_PR_ITERS}
-SELECT v AS doc_id, (round((rank) * 1000000.0) / 1000000.0) AS rank FROM r5
+SELECT v AS doc_id, ((round((rank) * 1000000.0) / 1000000.0) + 0.0) AS rank FROM r5
 """
 
 TEXT_QUERIES["pagerank_sim_graph"] = (q_pagerank_sim_graph, SQL_PAGERANK_SIM_GRAPH)
@@ -1041,7 +1041,7 @@ r0 AS (SELECT v, cast(1 AS double) / n.n AS rank FROM nodes CROSS JOIN n),
 cl AS (SELECT u2.doc_id, coalesce(comp.component, u2.doc_id) AS cluster_id
        FROM u2 LEFT JOIN comp ON u2.doc_id = comp.v),
 rk AS (SELECT cl.doc_id, cl.cluster_id,
-              coalesce((round((r5.rank) * 1000000.0) / 1000000.0), 0.0) AS rank
+              coalesce(((round((r5.rank) * 1000000.0) / 1000000.0) + 0.0), 0.0) AS rank
        FROM cl LEFT JOIN r5 ON cl.doc_id = r5.v),
 sel AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
           ORDER BY rank DESC, doc_id ASC) AS rn FROM rk)
@@ -1105,7 +1105,7 @@ n AS (SELECT e.doc_id,
         -log2((c.c + 1.0) / (s.total + s.vocab)) AS nll
       FROM e JOIN c USING (tok) CROSS JOIN s)
 SELECT doc_id,
-  (round((cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*)) * 1000000.0) / 1000000.0)
+  ((round((cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*)) * 1000000.0) / 1000000.0) + 0.0)
     AS mean_nll,
   count(*) AS n_scored
 FROM n GROUP BY doc_id
@@ -1576,7 +1576,7 @@ agg AS (
                         '([^.]+\\.[^.]+)$', 1) AS domain,
          count(*) AS n_docs,
          count(DISTINCT host) AS n_hosts,
-         (round((avg(CAST(n_chars AS DECIMAL(18,6)))) * 1000000.0) / 1000000.0) AS avg_chars
+         ((round((avg(CAST(n_chars AS DECIMAL(18,6)))) * 1000000.0) / 1000000.0) + 0.0) AS avg_chars
   FROM docs
   GROUP BY 1
 )
@@ -1621,8 +1621,8 @@ WITH stats AS (
 ),
 qr AS (
   SELECT lang, n,
-         CAST((round((pow(n * 1.0 / (SELECT sum(n) FROM stats), 0.5))
-              * 1000000000000.0) / 1000000000000.0) AS DECIMAL(20,12)) AS w
+         CAST(((round((pow(n * 1.0 / (SELECT sum(n) FROM stats), 0.5))
+              * 1000000000000.0) / 1000000000000.0) + 0.0) AS DECIMAL(20,12)) AS w
   FROM stats
 ),
 th AS (
@@ -1964,7 +1964,7 @@ n AS (SELECT e.doc_id,
       FROM e JOIN c USING (tok) CROSS JOIN s),
 scored AS (
   SELECT doc_id,
-    (round((cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*)) * 1000000.0) / 1000000.0)
+    ((round((cast(sum(cast(nll AS decimal(18,6))) AS double) / count(*)) * 1000000.0) / 1000000.0) + 0.0)
       AS mean_nll
   FROM n GROUP BY doc_id),
 banded AS (

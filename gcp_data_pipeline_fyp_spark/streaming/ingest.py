@@ -343,12 +343,18 @@ def stream_scored_ingest(
     """
     from gcp_data_pipeline_fyp_spark.operators.classifier import (
         _resolve_meta,
-        score_documents,
+        bucketed_features,
+        score_from_buckets,
     )
 
     weights = wh.read(weights_table)
-    # fail fast at stream START on a geometry conflict, not mid-batch
-    _resolve_meta(weights, n_buckets, None, None)
+    # resolve the feature-space geometry ONCE at stream start (fail
+    # fast on a conflict, not mid-batch) and pass the resolved ints to
+    # the geometry-explicit scoring path below — the r5 form re-ran the
+    # metadata first() inside every micro-batch (ADVICE r5)
+    rb_buckets, rb_bigrams, rb_seed = _resolve_meta(
+        weights, n_buckets, None, None
+    )
 
     def _batch_seen(table: str, batch_id: int) -> bool:
         return wh.exists(table) and (
@@ -371,9 +377,12 @@ def stream_scored_ingest(
             if batch.isEmpty():
                 return
             already_logged = _batch_seen(score_log_table, batch_id)
-            scored = score_documents(
-                batch, id_col, text_col, weights, n_buckets,
-                threshold_micro=threshold_micro,
+            feats = bucketed_features(
+                batch, [id_col], text_col, rb_buckets, rb_bigrams, rb_seed
+            )
+            scored = score_from_buckets(
+                feats, id_col, weights, batch.select(id_col),
+                threshold_micro,
             ).persist()
             try:
                 _route_batch(scored, batch, batch_id, already_logged)

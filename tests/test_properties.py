@@ -567,8 +567,43 @@ def test_roundn_matches_duckdb_cell_exact(spark, vals, n):
             f"SELECT i, {roundn_sql('v', n)} AS m FROM t"
         ).fetchall()
     }
-    # exact float equality (or both-NULL): identical doubles, not approx
+    # REPR equality (or both-NULL), not ==: the certification hash
+    # canonicalizes cells by repr, where -0.0 != 0.0 even though
+    # -0.0 == 0.0 — a plain == compare can never catch the
+    # negative-zero asymmetry roundn_sql's trailing `+ 0.0` closes
     assert set(got) == set(want)
     for i in got:
         g, w = got[i], want[i]
-        assert (g is None and w is None) or (g == w), (i, g, w)
+        assert (g is None and w is None) or repr(g) == repr(w), (i, g, w)
+
+
+def test_roundn_negative_zero_sign_normalized(spark):
+    """Pin the reachable -0.0 case (ADVICE r5): for v in (-0.5/10^n, 0)
+    Spark's BigDecimal HALF_UP yields +0.0 while raw DuckDB round()
+    yields -0.0; roundn_sql's `+ 0.0` must normalize the sign so both
+    engines emit repr '0.0' (e.g. numeric_profile means ~ -3e-7)."""
+    from gcp_data_pipeline_fyp_spark.queries_util import roundn, roundn_sql
+
+    vals = [-4e-7, -3e-7, -0.0, 0.0, -0.004, 4e-7]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i long, v double"
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", roundn("v", 6).alias("m")).collect()
+    }
+    con = duckdb.connect()
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals}).astype(
+        {"v": "float64"}
+    )
+    con.register("t", pdf)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT i, {roundn_sql('v', 6)} AS m FROM t"
+        ).fetchall()
+    }
+    for i in got:
+        assert repr(got[i]) == repr(want[i]), (i, got[i], want[i])
+    # the sub-half-micro negatives land on POSITIVE zero in both engines
+    assert repr(got[0]) == "0.0" and repr(got[1]) == "0.0"
