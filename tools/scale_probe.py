@@ -318,6 +318,43 @@ def main() -> None:
         finally:
             shutil.rmtree(ivf_work, ignore_errors=True)
 
+        # round-6 ops: sampled-fit PQ (train_sample_frac = 1/copies
+        # keeps the TRAINED row count ~constant as the corpus scales —
+        # the 100 TB default; encode + score still cover every vector,
+        # so their cost scans with the corpus while the Lloyd's fit
+        # flattens) and the IVF-PQ lifecycle halves (build amortized;
+        # query must stay near-FLAT via centroid-partition pruning,
+        # the same shape as ivf_sq8_query)
+        t0 = time.perf_counter()
+        pq_topk(
+            qv, corpus_emb, "vec_id", "embedding", k=5, m=4, n_codes=8,
+            iters=2, dim=64, train_sample_frac=1.0 / copies,
+        ).write.mode("overwrite").format("noop").save()
+        t["pq_topk_sampled_fit"] = round(time.perf_counter() - t0, 2)
+
+        from gcp_data_pipeline_fyp_spark.operators.pq import (
+            build_ivfpq_index,
+            ivfpq_topk_indexed,
+        )
+
+        ivfpq_work = tempfile.mkdtemp(prefix="probe_ivfpq_")
+        try:
+            wh2 = Warehouse(spark, ivfpq_work)
+            t0 = time.perf_counter()
+            build_ivfpq_index(
+                wh2, corpus_emb, "vec_id", "embedding", "ivfpq",
+                m=4, n_codes=8, iters=2, dim=64, n_centroids=16,
+                train_sample_frac=1.0 / copies,
+            )
+            t["ivfpq_build"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            ivfpq_topk_indexed(
+                wh2, qv, "vec_id", "embedding", "ivfpq", k=5, nprobe=4
+            ).write.mode("overwrite").format("noop").save()
+            t["ivfpq_query"] = round(time.perf_counter() - t0, 2)
+        finally:
+            shutil.rmtree(ivfpq_work, ignore_errors=True)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
