@@ -44,6 +44,7 @@ _REGISTRIES = [
 _CHECK_FIRST = [
     # -- new this round
     "ann_ivfpq_topk",
+    "ann_pq_topk_sampled",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     #    IVF-PQ work)
     "ann_ivf_topk",
     "ann_cosine_topk",
-    "semantic_neardup_kmeans",
     # next round (r07), in priority order: (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
     # setops_buyers, approx_distinct_users, value_percentiles,

@@ -639,6 +639,112 @@ SQL_ANN_IVFPQ_TOPK = _sql_ivfpq_topk()
 VECTOR_QUERIES["ann_ivfpq_topk"] = (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK)
 
 
+# ------------------------------ sampled-fit PQ/ADC top-k (100 TB path)
+def q_ann_pq_topk_sampled(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ with the codebook fit on a 30% content-keyed sample
+    (operators/pq.py:fit_pq_codebooks train_sample_frac — the 100 TB
+    default, mirroring the IVF knob) while ENCODING still covers every
+    corpus vector. The sample is the certified md5 bucket rule
+    (operators/sampling.py:hash_bucket, seed 7), so the oracle replays
+    the sampled fit exactly: per-subspace Lloyd's over the sampled
+    rows, then a full-corpus nearest-centroid encode pass against the
+    fitted codebooks. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import pq_topk
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return pq_topk(
+        queries, corpus, "vec_id", "embedding", k=5, m=4, n_codes=8,
+        iters=3, train_sample_frac=0.3,
+    )
+
+
+def _sql_pq_topk_sampled(
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    frac: float = 0.3,
+) -> str:
+    """Like `_sql_pq_topk`, but the k-means chain trains only on the
+    hash-bucket sample while a separate encode CTE assigns EVERY
+    corpus vector to its nearest fitted centroid (the training
+    assignment no longer covers the full corpus, so encode == final
+    training assignment does not apply here)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        hash_bucket_sql,
+    )
+
+    sub = dim // m
+    pred = f"({hash_bucket_sql(['id'], seed=7)}) < {int(frac * 1_000_000)}"
+    parts = [
+        "uc AS (" + _SQL_UNIT6.format(where="vec_id >= 8") + ")",
+        "uq AS (" + _SQL_UNIT6.format(where="vec_id < 8") + ")",
+    ]
+    dot16 = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i__ -> q.qs[i__] * c.cv[i__]))"
+    )
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i__ -> (p.v[i__] - c.cv[i__]) * (p.v[i__] - c.cv[i__])))"
+    )
+    pair_selects = []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            _kmeans_ctes(
+                f"SELECT id, u[{lo}:{hi}] AS v FROM uc WHERE {pred}",
+                k=n_codes,
+                iters=iters,
+                dim=sub,
+                prefix=f"s{mi}_",
+            )
+        )
+        parts.append(
+            f"enc{mi} AS (SELECT id, cid FROM ("
+            f"SELECT p.id, c.cid, row_number() OVER ("
+            f"PARTITION BY p.id ORDER BY {dist} ASC, c.cid) AS rn "
+            f"FROM (SELECT id, u[{lo}:{hi}] AS v FROM uc) p "
+            f"CROSS JOIN s{mi}_c{iters} c) s WHERE rn = 1)"
+        )
+        parts.append(
+            f"lut{mi} AS (SELECT q.id AS query_id, c.cid, "
+            f"{micro6_sql(dot16)} AS lm "
+            f"FROM (SELECT id, u[{lo}:{hi}] AS qs FROM uq) q "
+            f"CROSS JOIN s{mi}_c{iters} c)"
+        )
+        pair_selects.append(
+            f"SELECT l.query_id, e.id AS corpus_id, l.lm "
+            f"FROM enc{mi} e JOIN lut{mi} l ON e.cid = l.cid"
+        )
+    union = "\nUNION ALL\n".join(pair_selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pr AS ({union}),
+scored AS (
+  SELECT query_id, corpus_id, CAST(sum(lm) AS BIGINT) AS cosine_micro
+  FROM pr GROUP BY query_id, corpus_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_micro DESC, corpus_id) AS rn
+  FROM scored)
+SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+SQL_ANN_PQ_TOPK_SAMPLED = _sql_pq_topk_sampled()
+
+VECTOR_QUERIES["ann_pq_topk_sampled"] = (
+    q_ann_pq_topk_sampled,
+    SQL_ANN_PQ_TOPK_SAMPLED,
+)
+
+
 # -------------------------------------------- hard-negative mining
 def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive-training hard negatives: per query, the most similar
