@@ -45,6 +45,7 @@ _CHECK_FIRST = [
     # -- new this round
     "ann_ivfpq_topk",
     "ann_pq_topk_sampled",
+    "ann_ivfpq_residual_topk",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -99,7 +100,6 @@ _CHECK_FIRST = [
     # -- r04 tail on rotation (vector family, adjacent to this round's
     #    IVF-PQ work)
     "ann_ivf_topk",
-    "ann_cosine_topk",
     # next round (r07), in priority order: (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
     # setops_buyers, approx_distinct_users, value_percentiles,

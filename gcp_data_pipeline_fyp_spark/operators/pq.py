@@ -117,12 +117,29 @@ def fit_pq_codebooks(
     the same content-hash rule as the IVF fit), so a sampled fit is
     reproducible on any partitioning, and ENCODING still covers every
     vector — only the fit sees the sample."""
-    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans_grouped
-
-    sub_dim = _check_geometry(dim, m)
     c = corpus.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
+    return _fit_codebooks_on(
+        c, m, n_codes, iters, dim, checkpoint_dir, train_sample_frac
+    )
+
+
+def _fit_codebooks_on(
+    c: DataFrame,
+    m: int,
+    n_codes: int,
+    iters: int,
+    dim: int,
+    checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """Codebook fit over a prepared (__id, __u) frame — shared by the
+    unit6 path (`fit_pq_codebooks`) and the residual path
+    (`ivfpq_topk(residual=True)`, which must NOT re-normalize)."""
+    from gcp_data_pipeline_fyp_spark.operators.clustering import kmeans_grouped
+
+    sub_dim = _check_geometry(dim, m)
     if train_sample_frac is not None:
         from gcp_data_pipeline_fyp_spark.operators.sampling import hash_sample
 
@@ -159,10 +176,20 @@ def pq_encode(
     ties to the lower cluster id — the same rule as k-means assignment,
     so encoding the training corpus reproduces the training
     assignments exactly. Broadcast codebooks; one scan."""
-    sub_dim = _check_geometry(dim, m)
     v = df.select(
         F.col(id_col).alias("__id"), unit6(vec_col).alias("__u")
     ).filter(F.col("__u").isNotNull())
+    return _encode_on(v, codebooks, m, dim).select(
+        F.col("__id").alias(id_col), "subspace", "cluster_id"
+    )
+
+
+def _encode_on(
+    v: DataFrame, codebooks: DataFrame, m: int, dim: int
+) -> DataFrame:
+    """Nearest-centroid encode over a prepared (__id, __u) frame —
+    shared by the unit6 and residual paths (see `_fit_codebooks_on`)."""
+    sub_dim = _check_geometry(dim, m)
     rows = v.select(
         "__id",
         F.explode(
@@ -191,7 +218,7 @@ def pq_encode(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(F.col("__id").alias(id_col), "subspace", "cluster_id")
+        .select("__id", "subspace", "cluster_id")
     )
 
 
@@ -437,6 +464,112 @@ def ivfpq_topk(
     probes = _coarse_probes(qu, cent, nprobe)
     lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
     return _ivfpq_score_topk(codes, probes, lut, k)
+
+
+def ivfpq_residual_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 1,
+    checkpoint_dir: str | None = None,
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (the full FAISS IVFPQ layout):
+    codes quantize `u - coarse_centroid` instead of `u`, so the PQ bit
+    budget spends itself on the within-list detail the coarse quantizer
+    already removed — higher recall at the same m x n_codes.
+
+    The one-LUT-per-batch property SURVIVES residual encoding because
+    the residual codebook is shared across lists (FAISS's default) and
+    the score decomposes exactly:
+
+        dot(q, centroid_l + r_c) = dot(q, centroid_l)       [coarse]
+                                 + sum_mi dot(q_mi, r_mi)   [LUT]
+
+    — the coarse term is per (query, probed centroid) (|Q| x nprobe
+    values, computed during probe selection anyway) and the LUT is the
+    same |Q| x m x n_codes table as non-residual ADC, just built from
+    residual centroids. score = coarse_micro + sum of LUT micros: all
+    int64 adds, partition/engine invariant, DuckDB-replayable
+    (queries_vectors.py:SQL_ANN_IVFPQ_RESIDUAL_TOPK).
+
+    Residuals are differences of canonical unit6 doubles (identical in
+    every engine) and are deliberately NOT re-normalized."""
+    cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
+    cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
+    assigned = _assign(cu, cent)  # (corpus_id, __cv, centroid_id)
+    res = assigned.join(F.broadcast(cent), "centroid_id").select(
+        F.col("corpus_id").alias("__id"),
+        F.zip_with(
+            F.col("__cv"), F.col("__centroid"), lambda x, y: x - y
+        ).alias("__u"),
+        "centroid_id",
+    )
+    books = _fit_codebooks_on(
+        res.select("__id", "__u"), m, n_codes, iters, dim,
+        checkpoint_dir, train_sample_frac,
+    )
+    codes = _encode_on(res.select("__id", "__u"), books, m, dim).join(
+        res.select(F.col("__id"), "centroid_id"), "__id"
+    ).select(F.col("__id").alias("corpus_id"), "subspace", "cluster_id", "centroid_id")
+    qu = _unit6_side(queries, id_col, vec_col, "query_id", "__u")
+    probes = _coarse_probes_scored(qu, cent, nprobe)
+    lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    return _ivfpq_residual_score_topk(codes, probes, lut, k)
+
+
+def _coarse_probes_scored(
+    qu: DataFrame, cent: DataFrame, nprobe: int
+) -> DataFrame:
+    """`_coarse_probes` + the micro-unit coarse dot kept per probe —
+    the first term of the residual ADC decomposition."""
+    qc = qu.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "centroid_id",
+        vec_dot(F.col("__u"), F.col("__centroid")).alias("__score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    return (
+        qc.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "centroid_id", micro6(F.col("__score")).alias("__cm"))
+    )
+
+
+def _ivfpq_residual_score_topk(
+    codes: DataFrame, probes: DataFrame, lut: DataFrame, k: int
+) -> DataFrame:
+    """Residual ADC: LUT sums aggregate first (same join shape as
+    `_ivfpq_score_topk`), then the per-(query, centroid) coarse term
+    joins on AFTER the aggregation — probe-sized, broadcast."""
+    lut_sums = (
+        codes.join(F.broadcast(probes.select("query_id", "centroid_id")), "centroid_id")
+        .join(F.broadcast(lut), ["query_id", "subspace", "cluster_id"])
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.sum("__lm").alias("__s"),
+            # every row of a (q, c) group carries the same centroid
+            F.min("centroid_id").alias("centroid_id"),
+        )
+    )
+    pairs = lut_sums.join(
+        F.broadcast(probes), ["query_id", "centroid_id"]
+    ).select(
+        "query_id",
+        "corpus_id",
+        (F.col("__s") + F.col("__cm")).alias("cosine_micro"),
+    )
+    return _topk_per_query(pairs, k)
 
 
 def build_ivfpq_index(

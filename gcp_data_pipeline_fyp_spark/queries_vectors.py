@@ -745,6 +745,131 @@ VECTOR_QUERIES["ann_pq_topk_sampled"] = (
 )
 
 
+# --------------------------------------- residual-encoded IVF-PQ topk
+def q_ann_ivfpq_residual_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full FAISS IVFPQ layout (operators/pq.py:
+    ivfpq_residual_topk): PQ codes quantize `u - coarse_centroid`, the
+    recall upgrade at the same bit budget; the score decomposes as
+    coarse dot + residual LUT sum, so scoring stays one broadcast LUT
+    per batch and every term is an exact integer micro-unit. Window is
+    r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_residual_topk
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    return ivfpq_residual_topk(
+        queries, corpus, "vec_id", "embedding", k=5,
+        m=4, n_codes=8, iters=3, n_centroids=16, nprobe=4,
+    )
+
+
+def _sql_ivfpq_residual_topk(
+    m: int = 4,
+    n_codes: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Residual variant of `_sql_ivfpq_topk`: the per-subspace k-means
+    chains train on RESIDUAL slices (u - coarse centroid, computed from
+    the same `_ivf_ctes` assignment), probes keep their micro-unit
+    coarse dot, and the final score is coarse + LUT-sum."""
+    sub = dim // m
+    qdot = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"j__ -> q.u[j__] * i.centroid[j__]))"
+    )
+    parts = [
+        "uc AS (" + _SQL_UNIT6.format(where="vec_id >= 8") + ")",
+        "uq AS (" + _SQL_UNIT6.format(where="vec_id < 8") + ")",
+    ]
+    parts.append(
+        _ivf_ctes(
+            "SELECT id AS corpus_id, u AS cv FROM uc",
+            n_centroids=n_centroids,
+            dim=dim,
+        ).strip().rstrip()
+    )
+    parts.append(
+        f"""res AS (
+  SELECT a.corpus_id AS id,
+    list_transform(generate_series(1, {dim}),
+                   j__ -> a.cv[j__] - i.centroid[j__]) AS v,
+    a.centroid_id
+  FROM assigned a JOIN cent i ON a.centroid_id = i.centroid_id)"""
+    )
+    parts.append(
+        f"""probes AS (
+  SELECT query_id, centroid_id, cm FROM (
+    SELECT q.id AS query_id, i.centroid_id,
+      row_number() OVER (PARTITION BY q.id ORDER BY {qdot} DESC,
+                         i.centroid_id) AS rn,
+      {micro6_sql(qdot)} AS cm
+    FROM uq q CROSS JOIN cent i) s WHERE rn <= {nprobe})"""
+    )
+    dot16 = (
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"i__ -> q.qs[i__] * c.cv[i__]))"
+    )
+    pair_selects = []
+    for mi in range(m):
+        lo, hi = mi * sub + 1, (mi + 1) * sub
+        parts.append(
+            _kmeans_ctes(
+                f"SELECT id, v[{lo}:{hi}] AS v FROM res",
+                k=n_codes,
+                iters=iters,
+                dim=sub,
+                prefix=f"r{mi}_",
+            )
+        )
+        parts.append(
+            f"lut{mi} AS (SELECT q.id AS query_id, c.cid, "
+            f"{micro6_sql(dot16)} AS lm "
+            f"FROM (SELECT id, u[{lo}:{hi}] AS qs FROM uq) q "
+            f"CROSS JOIN r{mi}_c{iters} c)"
+        )
+        pair_selects.append(
+            f"SELECT l.query_id, a.id AS corpus_id, l.lm "
+            f"FROM r{mi}_a{iters} a "
+            f"JOIN res r ON r.id = a.id "
+            f"JOIN probes p ON p.centroid_id = r.centroid_id "
+            f"JOIN lut{mi} l ON a.cid = l.cid AND l.query_id = p.query_id"
+        )
+    union = "\nUNION ALL\n".join(pair_selects)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+pr AS ({union}),
+scored AS (
+  SELECT query_id, corpus_id, CAST(sum(lm) AS BIGINT) AS s
+  FROM pr GROUP BY query_id, corpus_id),
+final AS (
+  SELECT s.query_id, s.corpus_id, s.s + p.cm AS cosine_micro
+  FROM scored s
+  JOIN res r ON r.id = s.corpus_id
+  JOIN probes p ON p.centroid_id = r.centroid_id
+               AND p.query_id = s.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+    ORDER BY cosine_micro DESC, corpus_id) AS rn
+  FROM final)
+SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
+"""
+    )
+
+
+SQL_ANN_IVFPQ_RESIDUAL_TOPK = _sql_ivfpq_residual_topk()
+
+VECTOR_QUERIES["ann_ivfpq_residual_topk"] = (
+    q_ann_ivfpq_residual_topk,
+    SQL_ANN_IVFPQ_RESIDUAL_TOPK,
+)
+
+
 # -------------------------------------------- hard-negative mining
 def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive-training hard negatives: per query, the most similar
