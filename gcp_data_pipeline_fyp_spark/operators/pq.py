@@ -334,20 +334,34 @@ def build_pq_index(
     )
 
 
-def _codebook_geometry(books: DataFrame) -> tuple[int, int]:
-    """(m, dim) read off the persisted codebooks — the stored layout is
-    the source of truth, so a caller can NEVER query or append with a
-    geometry that disagrees with the build (a mismatched slice would
-    NULL every LUT dot and return garbage top-k with no error)."""
-    row = books.agg(
+def _codebook_meta(books: DataFrame) -> tuple[int, int, bool]:
+    """(m, dim, residual) read off the persisted codebooks in ONE
+    driver action — the stored layout is the source of truth, so a
+    caller can NEVER query or append with a geometry or code
+    interpretation that disagrees with the build (a mismatched slice
+    would NULL every LUT dot; scoring residual codes as plain returns
+    garbage top-k with no error). Tables written before the
+    `meta_residual` column existed (plain PQ indexes) read as
+    residual=False."""
+    aggs = [
         F.max("subspace").alias("mx"),
         F.min(F.size("centroid")).alias("lo"),
         F.max(F.size("centroid")).alias("hi"),
-    ).first()
+    ]
+    has_res = "meta_residual" in books.columns
+    if has_res:
+        aggs.append(F.max("meta_residual").alias("res"))
+    row = books.agg(*aggs).first()
     if row["mx"] is None or row["lo"] != row["hi"]:
         raise ValueError(f"malformed PQ codebooks: {row}")
     m = int(row["mx"]) + 1
-    return m, m * int(row["lo"])
+    return m, m * int(row["lo"]), bool(row["res"]) if has_res else False
+
+
+def _codebook_geometry(books: DataFrame) -> tuple[int, int]:
+    """(m, dim) — see `_codebook_meta`."""
+    m, dim, _residual = _codebook_meta(books)
+    return m, dim
 
 
 def pq_topk_indexed(
@@ -586,13 +600,22 @@ def build_ivfpq_index(
     refine_iters: int = 1,
     checkpoint_dir: str | None = None,
     train_sample_frac: float | None = None,
+    residual: bool = False,
 ) -> None:
     """Persist the IVF-PQ index: `name__centroids` (coarse, tiny),
     `name__codebooks` (m * n_codes rows), and `name__codes`
     PARTITIONED BY centroid_id — at 100 TB a query's nprobe lists are
     pruned at the FILE level (broadcast probe join on the partition
     column -> dynamic partition pruning), so probed bytes scale with
-    nprobe/n_centroids, not corpus size."""
+    nprobe/n_centroids, not corpus size.
+
+    `residual=True` stores RESIDUAL codes (see `ivfpq_residual_topk`).
+    The choice is persisted as a constant `meta_residual` column on
+    the codebooks table — the stored index, not the caller, decides
+    how queries and appends interpret the codes (the same
+    self-describing-model discipline as the classifier weight
+    tables): scoring residual codes as plain codes would return
+    plausible-looking garbage with no error."""
     cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
     cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
     wh.overwrite(
@@ -602,17 +625,54 @@ def build_ivfpq_index(
     stored_cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
-    assigned = _assign(cu, stored_cent).select("corpus_id", "centroid_id")
-    books = fit_pq_codebooks(
-        corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
-        train_sample_frac,
-    )
-    wh.overwrite(books, f"{name}__codebooks")
-    codes = pq_encode(
-        corpus, id_col, vec_col, wh.read(f"{name}__codebooks"), m, dim
-    ).select(
-        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
-    ).join(assigned, "corpus_id")
+    assigned = _assign(cu, stored_cent)
+    if residual:
+        res = assigned.join(F.broadcast(stored_cent), "centroid_id").select(
+            F.col("corpus_id").alias("__id"),
+            F.zip_with(
+                F.col("__cv"), F.col("__centroid"), lambda x, y: x - y
+            ).alias("__u"),
+            "centroid_id",
+        )
+        books = _fit_codebooks_on(
+            res.select("__id", "__u"), m, n_codes, iters, dim,
+            checkpoint_dir, train_sample_frac,
+        )
+        wh.overwrite(
+            books.withColumn("meta_residual", F.lit(True)),
+            f"{name}__codebooks",
+        )
+        codes = _encode_on(
+            res.select("__id", "__u"),
+            wh.read(f"{name}__codebooks").select(
+                "subspace", "cluster_id", "centroid"
+            ),
+            m,
+            dim,
+        ).join(
+            res.select("__id", "centroid_id"), "__id"
+        ).select(
+            F.col("__id").alias("corpus_id"), "subspace", "cluster_id",
+            "centroid_id",
+        )
+    else:
+        books = fit_pq_codebooks(
+            corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
+            train_sample_frac,
+        )
+        wh.overwrite(
+            books.withColumn("meta_residual", F.lit(False)),
+            f"{name}__codebooks",
+        )
+        codes = pq_encode(
+            corpus, id_col, vec_col,
+            wh.read(f"{name}__codebooks").select(
+                "subspace", "cluster_id", "centroid"
+            ),
+            m, dim,
+        ).select(
+            F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+        ).join(assigned.select("corpus_id", "centroid_id"), "corpus_id")
     wh.overwrite(codes, f"{name}__codes", partition_cols=["centroid_id"])
 
 
@@ -627,16 +687,20 @@ def ivfpq_topk_indexed(
 ) -> DataFrame:
     """ADC top-k against a persisted IVF-PQ index: read centroids +
     codebooks (both tiny), pick nprobe lists per query, scan ONLY those
-    code partitions. Geometry comes off the stored codebooks."""
+    code partitions. Geometry AND the residual/plain interpretation
+    come off the stored codebooks (`meta_residual`)."""
     books = wh.read(f"{name}__codebooks")
-    m, dim = _codebook_geometry(books)
+    m, dim, residual = _codebook_meta(books)
     cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
     qu = _unit6_side(queries, id_col, vec_col, "query_id", "__u")
-    probes = _coarse_probes(qu, cent, nprobe)
     codes = wh.read(f"{name}__codes")
     lut = _pq_lut(queries, id_col, vec_col, books, m, dim)
+    if residual:
+        probes = _coarse_probes_scored(qu, cent, nprobe)
+        return _ivfpq_residual_score_topk(codes, probes, lut, k)
+    probes = _coarse_probes(qu, cent, nprobe)
     return _ivfpq_score_topk(codes, probes, lut, k)
 
 
@@ -649,19 +713,42 @@ def append_ivfpq_index(
 ) -> None:
     """Fold a new vector batch into a persisted IVF-PQ index: assign
     against the EXISTING coarse centroids, encode against the EXISTING
-    codebooks, append only the touched centroid partitions. Neither
-    quantizer refits (rerun determinism; drift handled by periodic
-    rebuild — the same cadence discipline as the IVF and PQ indexes)."""
+    codebooks — residuals first when the index says so
+    (`meta_residual`) — append only the touched centroid partitions.
+    Neither quantizer refits (rerun determinism; drift handled by
+    periodic rebuild — the same cadence discipline as the IVF and PQ
+    indexes)."""
     books = wh.read(f"{name}__codebooks")
-    m, dim = _codebook_geometry(books)
+    m, dim, residual = _codebook_meta(books)
     cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
     cu = _unit6_side(batch, id_col, vec_col, "corpus_id", "__cv")
-    assigned = _assign(cu, cent).select("corpus_id", "centroid_id")
-    codes = pq_encode(batch, id_col, vec_col, books, m, dim).select(
-        F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
-    ).join(assigned, "corpus_id")
+    assigned = _assign(cu, cent)
+    if residual:
+        res = assigned.join(F.broadcast(cent), "centroid_id").select(
+            F.col("corpus_id").alias("__id"),
+            F.zip_with(
+                F.col("__cv"), F.col("__centroid"), lambda x, y: x - y
+            ).alias("__u"),
+            "centroid_id",
+        )
+        codes = _encode_on(
+            res.select("__id", "__u"),
+            books.select("subspace", "cluster_id", "centroid"),
+            m,
+            dim,
+        ).join(res.select("__id", "centroid_id"), "__id").select(
+            F.col("__id").alias("corpus_id"), "subspace", "cluster_id",
+            "centroid_id",
+        )
+    else:
+        codes = pq_encode(
+            batch, id_col, vec_col,
+            books.select("subspace", "cluster_id", "centroid"), m, dim,
+        ).select(
+            F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
+        ).join(assigned.select("corpus_id", "centroid_id"), "corpus_id")
     wh.append(codes, f"{name}__codes", partition_cols=["centroid_id"])
 
 

@@ -705,3 +705,51 @@ def test_ivfpq_residual_scores_closer_to_exact(spark):
     err_plain = sum(abs(exact[k] - plain[k]) for k in common_p) / len(common_p)
     err_resid = sum(abs(exact[k] - resid[k]) for k in common_r) / len(common_r)
     assert err_resid < err_plain, (err_resid, err_plain)
+
+
+def test_ivfpq_residual_index_self_describing(spark, tmp_path):
+    """A residual-built IVF-PQ index must (a) return exactly what the
+    one-shot residual path returns, (b) carry its interpretation in
+    the stored codebooks (meta_residual) so the query and append paths
+    never need — or trust — a caller flag, and (c) make appended
+    batches searchable with residual encoding applied automatically."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        _codebook_meta,
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_residual_topk,
+        ivfpq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=200)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 150))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(
+        wh, c, "vec_id", "embedding", "ridx",
+        m=4, n_codes=8, iters=3, dim=DIM, n_centroids=8, residual=True,
+    )
+    m, dim, residual = _codebook_meta(wh.read("ridx__codebooks"))
+    assert (m, dim, residual) == (4, DIM, True)
+    direct = ivfpq_residual_topk(
+        q, c, "vec_id", "embedding", k=5, m=4, n_codes=8, iters=3, dim=DIM,
+        n_centroids=8, nprobe=3,
+    )
+    indexed = ivfpq_topk_indexed(
+        wh, q, "vec_id", "embedding", "ridx", k=5, nprobe=3
+    )
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+    assert sorted(map(key, direct.collect())) == sorted(map(key, indexed.collect()))
+
+    batch = df.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.col("vec_id") + 9000
+    )
+    append_ivfpq_index(wh, batch, "vec_id", "embedding", "ridx")
+    after = ivfpq_topk_indexed(
+        wh, q.filter(F.col("vec_id") == 0), "vec_id", "embedding", "ridx",
+        k=200, nprobe=8,
+    ).collect()
+    scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
+    assert 9000 in scores
+    assert scores[9000] == max(scores.values())
