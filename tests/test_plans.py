@@ -337,3 +337,23 @@ def test_ivfpq_probes_and_lut_broadcast(spark):
             rf"\({sid}\) SortMergeJoin\nLeft keys \[\d+\]: \[(\w+)", p
         )
         assert m and m.group(1).startswith("corpus_id"), (sid, m and m.group(1))
+
+
+def test_ivfpq_residual_joins_shape(spark):
+    """Residual IVF-PQ query side: probes (with their coarse micro
+    term) and the LUT broadcast; sort-merge joins may key ONLY on the
+    high-cardinality corpus/vector id (codes x residual-assignment),
+    never on centroid/subspace/cluster keys."""
+    p = _plan(spark, "ann_ivfpq_residual_topk")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    import re
+
+    smj_ids = re.findall(r"SortMergeJoin \w+ \((\d+)\)", p)
+    for sid in smj_ids:
+        m = re.search(
+            rf"\({sid}\) SortMergeJoin\nLeft keys \[\d+\]: \[(\w+)", p
+        )
+        assert m and (
+            m.group(1).startswith("corpus_id") or m.group(1).startswith("__id")
+        ), (sid, m and m.group(1))
