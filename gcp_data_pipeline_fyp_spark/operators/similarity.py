@@ -75,6 +75,50 @@ def brute_force_topk(
     return _topk_per_query(pairs, k)
 
 
+def rerank_exact(
+    candidates: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact-cosine re-rank of an ANN candidate set — the final
+    precision step of every quantized path (DEPLOY.md): the
+    approximate index (SQ8 / PQ / IVF-PQ) generates candidates cheap,
+    then only those few vectors are fetched at full precision and
+    rescored with the same micro-unit cosine as `brute_force_topk`.
+
+    `candidates` carries (query_id, corpus_id) — any ANN top-k output
+    works. The candidate set is |Q| x k'-sized (broadcastable by
+    construction), so the raw-vector fetch is a broadcast semi-join
+    that prunes the corpus scan to candidate rows; no corpus-sized
+    shuffle anywhere. Output is (query_id, corpus_id, cosine_micro)
+    re-ranked exactly — when the ANN stage's recall captures the true
+    top-k, this output IS the brute-force answer at ~1/compression of
+    the scan bytes."""
+    cand = candidates.select("query_id", "corpus_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _unit(as_double_vec(vec_col)).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), _unit(as_double_vec(vec_col)).alias("__cv")
+    )
+    fetched = c.join(
+        F.broadcast(cand.select("corpus_id").distinct()), "corpus_id", "left_semi"
+    )
+    pairs = (
+        fetched.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            micro6(_fast_dot(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
+        )
+    )
+    return _topk_per_query(pairs, k)
+
+
 def _fast_dot(a, b):
     from gcp_data_pipeline_fyp_spark.functions import vectors as _v
 

@@ -629,14 +629,63 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
     ORDER BY cosine_micro DESC, corpus_id) AS rn
   FROM scored)
-SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5
 """
     )
 
 
-SQL_ANN_IVFPQ_TOPK = _sql_ivfpq_topk()
+SQL_ANN_IVFPQ_TOPK = (
+    _sql_ivfpq_topk()
+    + "SELECT query_id, corpus_id, cosine_micro FROM ranked WHERE rn <= 5"
+)
 
 VECTOR_QUERIES["ann_ivfpq_topk"] = (q_ann_ivfpq_topk, SQL_ANN_IVFPQ_TOPK)
+
+
+# --------------------------- IVF-PQ candidates + exact-cosine re-rank
+def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full production ANN recipe (DEPLOY.md): IVF-PQ generates a
+    cheap 20-candidate set per query, then ONLY those vectors are
+    fetched at full precision and re-scored with the exact micro-unit
+    cosine (operators/similarity.py:rerank_exact) — broadcast
+    semi-join fetch, no corpus-sized shuffle. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_topk
+    from gcp_data_pipeline_fyp_spark.operators.similarity import rerank_exact
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    cand = ivfpq_topk(
+        queries, corpus, "vec_id", "embedding", k=20,
+        m=4, n_codes=8, iters=3, n_centroids=16, nprobe=4,
+    )
+    return rerank_exact(cand, queries, corpus, "vec_id", "embedding", k=5)
+
+
+SQL_ANN_IVFPQ_RERANK_TOPK = (
+    _sql_ivfpq_topk()
+    + f""", cand AS (
+  SELECT query_id, corpus_id FROM ranked WHERE rn <= 20),
+rq0 AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 8),
+rc0 AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 8),
+ex AS (
+  SELECT cand.query_id, cand.corpus_id, {_SQL_COS} AS cosine
+  FROM cand JOIN rq0 ON rq0.qid = cand.query_id
+            JOIN rc0 ON rc0.cid = cand.corpus_id),
+rr AS (
+  SELECT query_id, corpus_id, {_MICRO_COS} AS cosine_micro,
+    row_number() OVER (PARTITION BY query_id
+      ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn2
+  FROM ex)
+SELECT query_id, corpus_id, cosine_micro FROM rr WHERE rn2 <= 5
+"""
+)
+
+VECTOR_QUERIES["ann_ivfpq_rerank_topk"] = (
+    q_ann_ivfpq_rerank_topk,
+    SQL_ANN_IVFPQ_RERANK_TOPK,
+)
 
 
 # ------------------------------ sampled-fit PQ/ADC top-k (100 TB path)

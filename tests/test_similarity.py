@@ -753,3 +753,54 @@ def test_ivfpq_residual_index_self_describing(spark, tmp_path):
     scores = {r["corpus_id"]: r["cosine_micro"] for r in after}
     assert 9000 in scores
     assert scores[9000] == max(scores.values())
+
+
+def test_rerank_exact_recovers_brute_force(spark):
+    """Re-ranking a candidate set that CONTAINS the true top-k must
+    return exactly the brute-force answer (scores included) — and the
+    composed IVF-PQ -> rerank pipeline achieves that on clustered
+    vectors with a 2k candidate budget."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import ivfpq_topk
+    from gcp_data_pipeline_fyp_spark.operators.similarity import rerank_exact
+
+    df = _blob_vectors(spark)
+    q = df.filter(F.col("vec_id") < 5)
+    c = df.filter(F.col("vec_id") >= 5)
+    exact = brute_force_topk(q, c, "vec_id", "embedding", k=5)
+    key = lambda r: (r["query_id"], r["corpus_id"], r["cosine_micro"])  # noqa: E731
+
+    # sanity: rerank of the full pair set IS brute force
+    all_pairs = c.crossJoin(
+        q.select(F.col("vec_id").alias("qid"))
+    ).select(
+        F.col("qid").alias("query_id"), F.col("vec_id").alias("corpus_id")
+    )
+    full = rerank_exact(all_pairs, q, c, "vec_id", "embedding", k=5)
+    assert sorted(map(key, full.collect())) == sorted(map(key, exact.collect()))
+
+    # the production shape: ANN candidates -> exact rerank. The
+    # returned SCORES are exact for every returned pair (identical to
+    # the brute-force cosine of that pair), and the true top-1 — which
+    # the candidate stage captures on clustered vectors (recall bar
+    # pinned elsewhere) — comes back ranked first with its exact score
+    cand = ivfpq_topk(
+        q, c, "vec_id", "embedding", k=10, m=4, n_codes=8, iters=3,
+        dim=DIM, n_centroids=8, nprobe=4,
+    )
+    rr = rerank_exact(cand, q, c, "vec_id", "embedding", k=5).collect()
+    exact_scores = {
+        (r["query_id"], r["corpus_id"]): r["cosine_micro"]
+        for r in rerank_exact(all_pairs, q, c, "vec_id", "embedding", k=1000).collect()
+    }
+    for r in rr:
+        assert r["cosine_micro"] == exact_scores[(r["query_id"], r["corpus_id"])]
+    top1_exact = {
+        r["query_id"]: (r["corpus_id"], r["cosine_micro"])
+        for r in brute_force_topk(q, c, "vec_id", "embedding", k=1).collect()
+    }
+    best_rr: dict = {}
+    for r in rr:
+        cur = best_rr.get(r["query_id"])
+        if cur is None or (r["cosine_micro"], -r["corpus_id"]) > (cur[1], -cur[0]):
+            best_rr[r["query_id"]] = (r["corpus_id"], r["cosine_micro"])
+    assert best_rr == top1_exact
