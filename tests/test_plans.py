@@ -357,3 +357,12 @@ def test_ivfpq_residual_joins_shape(spark):
         assert m and (
             m.group(1).startswith("corpus_id") or m.group(1).startswith("__id")
         ), (sid, m and m.group(1))
+
+
+def test_rerank_fetch_is_semi_join_no_cartesian(spark):
+    """The rerank stage must fetch candidate vectors via a broadcast
+    semi-join and never degrade to a cartesian pairing of queries x
+    corpus — the whole point is scoring |Q| x k' pairs, not |Q| x n."""
+    p = _plan(spark, "ann_ivfpq_rerank_topk")
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
