@@ -47,6 +47,7 @@ _CHECK_FIRST = [
     "ann_pq_topk_sampled",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_rerank_topk",
+    "source_capped_sample",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -97,10 +98,10 @@ _CHECK_FIRST = [
     "measure_max_depth",
     "measure_totals_by_type",
     "measure_total_events",
-    "measure_sliced_by_day",
     # next round (r07), in priority order: (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
-    # ann_ivf_topk, ann_cosine_topk, semantic_neardup_kmeans,
+    # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk,
+    # semantic_neardup_kmeans,
     # setops_buyers, approx_distinct_users, value_percentiles,
     # nation_volume_by_year, top_returning_customers, date_scaffold,
     # pivot_type_by_day, windowed_counts, lang_id, doc_fingerprint,

@@ -142,6 +142,41 @@ def token_budget_sample(
     return df.withColumn("cum_weight", cum).filter(F.col("cum_weight") <= budget)
 
 
+def cap_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_cols: Sequence[str],
+    n: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep at most `n` rows per group, chosen by content-hash rank —
+    the per-domain/per-source cap every web corpus applies so one SEO
+    farm or crawler loop can't dominate the training mix.
+
+    WHICH rows survive is a pure function of (key, seed): rows rank
+    inside their group by hash bucket (the `hash_sample` basis, an
+    unbiased reproducible shuffle; key columns break bucket ties), so
+    the cap is stable across runs, engines, and partitionings, and
+    NESTED — raising `n` only adds rows, never swaps them.
+
+    One shuffle (partition by group) + per-group rank with
+    WindowGroupLimit pruning (rank <= n cuts each partition's stream
+    before the full sort materializes). A single giant group
+    serializes into one partition — at web scale group first by
+    (domain, hash_bucket range) if one domain holds a measurable
+    corpus fraction.
+    """
+    bucket = hash_bucket(key_cols, seed)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        bucket.asc(), *[F.col(c).asc() for c in key_cols]
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n)
+        .drop("__rk")
+    )
+
+
 def hash_bucket_sql(key_sql: Sequence[str], seed: int = 0) -> str:
     """DuckDB-equivalent SQL text for `hash_bucket` (oracle parity)."""
     tokens = " || ".join(

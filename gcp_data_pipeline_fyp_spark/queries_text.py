@@ -762,6 +762,36 @@ WHERE {_B11} < (CASE lang WHEN 'en' THEN 1000000
 TEXT_QUERIES["stratified_sample"] = (q_stratified_sample, SQL_STRATIFIED_SAMPLE)
 
 
+# ------------------------------------------------ per-source cap (r6)
+def q_source_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (operators/sampling.py:cap_per_group):
+    at most 40 docs per source, chosen by content-hash rank — the
+    per-domain cap that stops one crawler loop / SEO farm from
+    dominating a training mix. Deterministic, nested, engine-stable.
+    Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import cap_per_group
+
+    d = _docs(spark, sf)
+    return cap_per_group(d, ["source"], ["doc_id"], n=40, seed=3).select(
+        "doc_id", "source"
+    )
+
+
+_B3 = _hbs11(["doc_id"], seed=3)
+SQL_SOURCE_CAPPED_SAMPLE = f"""
+WITH r AS (
+  SELECT doc_id, source, row_number() OVER (
+    PARTITION BY source ORDER BY {_B3} ASC, doc_id ASC) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 40
+"""
+
+TEXT_QUERIES["source_capped_sample"] = (
+    q_source_capped_sample,
+    SQL_SOURCE_CAPPED_SAMPLE,
+)
+
+
 # --------------------------------------- dup clusters (transitive closure)
 def q_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """LSH candidate pairs -> connected components -> every doc labeled

@@ -1637,3 +1637,38 @@ def test_split_leakage_report_counts(spark):
     }
     assert got["val"] == (2, 1, 500000)
     assert got["test"] == (2, 0, 0)
+
+
+def test_cap_per_group_nested_and_stable(spark):
+    """Per-group cap: at most n rows per group, the kept set at n is a
+    SUBSET of the kept set at any larger n (nested — raising a cap
+    only adds rows), selection is partition-invariant, and the rank
+    runs under WindowGroupLimit (per-partition pruning, no full sort
+    of the group stream)."""
+    import io as _io
+    import contextlib as _ctx
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"src{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cap5 = cap_per_group(df, ["source"], ["doc_id"], n=5, seed=3)
+    cap20 = cap_per_group(df, ["source"], ["doc_id"], n=20, seed=3)
+    got5 = {(r["doc_id"], r["source"]) for r in cap5.collect()}
+    got20 = {(r["doc_id"], r["source"]) for r in cap20.collect()}
+    from collections import Counter
+
+    per_group5 = Counter(s for _, s in got5)
+    assert all(v == 5 for v in per_group5.values())
+    assert got5 <= got20
+    again = {
+        (r["doc_id"], r["source"])
+        for r in cap_per_group(
+            df.repartition(7), ["source"], ["doc_id"], n=5, seed=3
+        ).collect()
+    }
+    assert again == got5
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        cap5.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue()
