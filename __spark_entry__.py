@@ -48,6 +48,8 @@ _CHECK_FIRST = [
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_rerank_topk",
     "source_capped_sample",
+    "customer_distribution",
+    "dormant_rich_customers",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -96,10 +98,9 @@ _CHECK_FIRST = [
     "measure_latest_update",
     "measure_avg_magnitude",
     "measure_max_depth",
-    "measure_totals_by_type",
-    "measure_total_events",
     # next round (r07), in priority order: (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
+    # measure_totals_by_type, measure_total_events,
     # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk,
     # semantic_neardup_kmeans,
     # setops_buyers, approx_distinct_users, value_percentiles,

@@ -1282,3 +1282,97 @@ ANALYTICS_QUERIES["ship_lag_by_priority"] = (
     q_ship_lag_by_priority,
     SQL_SHIP_LAG_BY_PRIORITY,
 )
+
+
+# ---------------------------------------- TPC-H q13/q22 shapes (r6)
+def q_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an extra join-side predicate (non-urgent orders only) so
+    zero-order customers stay in the histogram — the classic
+    "distribution including the empty group" pattern a plain inner
+    join + groupBy gets silently wrong. Window is r6-queue."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+SQL_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey) s
+GROUP BY c_count
+"""
+
+ANALYTICS_QUERIES["customer_distribution"] = (
+    q_customer_distribution,
+    SQL_CUSTOMER_DISTRIBUTION,
+)
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (dormant high-balance customers): a scalar
+    aggregate subquery (global mean of positive balances) gates the
+    customer scan, an ANTI join removes anyone with RECENT orders
+    (dormancy window — the synthetic order stream covers nearly every
+    customer, so plain "no orders ever" would certify an empty result
+    set), and the survivors aggregate per nation. The scalar is
+    computed once and broadcast — never a per-row correlated subquery.
+    Balances sum as exact decimals; the mean emits via roundn. Window
+    is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.queries_util import roundn
+
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= "2000-06-01"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("__avg")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg")
+    )
+    dormant = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return dormant.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        roundn(
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("totacctbal"),
+    )
+
+
+SQL_DORMANT_RICH_CUSTOMERS = """
+WITH a AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / count(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust,
+  ((round((CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)) * 100.0) / 100.0) + 0.0) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > a.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+GROUP BY c_nationkey
+"""
+
+ANALYTICS_QUERIES["dormant_rich_customers"] = (
+    q_dormant_rich_customers,
+    SQL_DORMANT_RICH_CUSTOMERS,
+)

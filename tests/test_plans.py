@@ -366,3 +366,12 @@ def test_rerank_fetch_is_semi_join_no_cartesian(spark):
     p = _plan(spark, "ann_ivfpq_rerank_topk")
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_dormant_customers_scalar_broadcast_anti_join(spark):
+    """Q22 shape: the scalar threshold broadcasts (never a per-row
+    correlated subquery) and dormancy is a single anti join — no
+    cartesian anywhere."""
+    p = _plan(spark, "dormant_rich_customers")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
