@@ -34,13 +34,14 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-6 WINDOW, in priority order (exactly 50):
-#   1. new-this-round operators (ann_ivfpq_topk — IVF-partitioned PQ
-#      ADC, the 100 TB ANN layout)
-#   2. rolling re-cert: the 40 r03-rows, now the oldest driver
-#      evidence, all touched or adjacent to the registry-wide roundn
-#      emission rewrite (commit 280b880) — full-load pipeline stages,
-#      TPC-H shapes, windowing, and the dedup/corpus family
-#   3. remaining slots: r03 measure probes on rotation
+#   1. the 10 new-this-round probes: the IVF-PQ family (plain /
+#      sampled-fit / residual / rerank — the 100 TB ANN layout),
+#      per-source cap, TPC-H q13/q22 shapes, percent_rank+cume_dist,
+#      CUBE, unpivot
+#   2. rolling re-cert: the 40 r03-rows, the oldest driver evidence,
+#      all touched or adjacent to the registry-wide roundn emission
+#      rewrite (commit 280b880) — full-load pipeline stages, TPC-H
+#      shapes, windowing, and the dedup/corpus family
 _CHECK_FIRST = [
     # -- new this round
     "ann_ivfpq_topk",
@@ -50,6 +51,9 @@ _CHECK_FIRST = [
     "source_capped_sample",
     "customer_distribution",
     "dormant_rich_customers",
+    "order_value_ranks",
+    "cube_type_day",
+    "part_metrics_unpivot",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -94,12 +98,9 @@ _CHECK_FIRST = [
     "filter_chain_report",
     "incremental_dedup",
     "kmeans_embeddings",
-    # -- r03 measure probes on rotation (oldest remaining evidence)
-    "measure_latest_update",
-    "measure_avg_magnitude",
-    "measure_max_depth",
     # next round (r07), in priority order: (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
+    # measure_latest_update, measure_avg_magnitude, measure_max_depth,
     # measure_totals_by_type, measure_total_events,
     # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk,
     # semantic_neardup_kmeans,

@@ -1376,3 +1376,108 @@ ANALYTICS_QUERIES["dormant_rich_customers"] = (
     q_dormant_rich_customers,
     SQL_DORMANT_RICH_CUSTOMERS,
 )
+
+
+# ----------------------- rank-distribution / CUBE / unpivot (r6)
+def q_order_value_ranks(spark: SparkSession, sf: str) -> DataFrame:
+    """percent_rank + cume_dist over order value within each priority
+    class — the relative-standing window pair (where does this order
+    sit in its priority's price distribution?). Emitted in micro-units
+    (both are exact ratios of ints; micro6 renders them hash-safe).
+    Window is r6-queue."""
+    from pyspark.sql import Window as W
+
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") % 17 == 0)
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        micro6(F.percent_rank().over(w)).alias("pr_micro"),
+        micro6(F.cume_dist().over(w)).alias("cd_micro"),
+    )
+
+
+_PR_SQL = micro6_sql(
+    "percent_rank() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice ASC, o_orderkey ASC)"
+)
+_CD_SQL = micro6_sql(
+    "cume_dist() OVER (PARTITION BY o_orderpriority "
+    "ORDER BY o_totalprice ASC, o_orderkey ASC)"
+)
+SQL_ORDER_VALUE_RANKS = f"""
+SELECT o_orderkey, o_orderpriority,
+  {_PR_SQL} AS pr_micro,
+  {_CD_SQL} AS cd_micro
+FROM orders WHERE o_orderkey % 17 = 0
+"""
+
+ANALYTICS_QUERIES["order_value_ranks"] = (
+    q_order_value_ranks,
+    SQL_ORDER_VALUE_RANKS,
+)
+
+
+def q_cube_type_day(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in
+    one pass (the ROLLUP twin, §2.5 grouping-set coverage). Same
+    empty-input edge note as rollup_type_day. Window is r6-queue."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.cube(
+            F.col("event_type").alias("lb_type"),
+            F.date_trunc("DAY", "ts").alias("dt_date"),
+        )
+        .agg(F.count("*").alias("total_events"))
+    )
+
+
+SQL_CUBE_TYPE_DAY = """
+SELECT event_type AS lb_type, date_trunc('day', ts) AS dt_date,
+       count(*) AS total_events
+FROM events
+GROUP BY CUBE (lb_type, dt_date)
+"""
+
+ANALYTICS_QUERIES["cube_type_day"] = (q_cube_type_day, SQL_CUBE_TYPE_DAY)
+
+
+def q_part_metrics_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide-to-long melt (Spark 4 unpivot / DuckDB UNPIVOT): each
+    part's numeric attributes become (metric, value) rows — the
+    normalization step metric stores and feature pipelines apply
+    before per-metric aggregation. Values emit in micro-units.
+    Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    part = load(spark, sf, "part")
+    long = part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    return long.select(
+        "p_partkey", "metric", micro6(F.col("value")).alias("value_micro")
+    )
+
+
+SQL_PART_METRICS_UNPIVOT = f"""
+WITH long AS (
+  SELECT p_partkey, metric, value FROM (
+    SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+           CAST(p_retailprice AS DOUBLE) AS retailprice
+    FROM part)
+  UNPIVOT (value FOR metric IN (size, retailprice)))
+SELECT p_partkey, metric,
+  {micro6_sql("value")} AS value_micro
+FROM long
+"""
+
+ANALYTICS_QUERIES["part_metrics_unpivot"] = (
+    q_part_metrics_unpivot,
+    SQL_PART_METRICS_UNPIVOT,
+)
