@@ -804,3 +804,28 @@ def test_rerank_exact_recovers_brute_force(spark):
         if cur is None or (r["cosine_micro"], -r["corpus_id"]) > (cur[1], -cur[0]):
             best_rr[r["query_id"]] = (r["corpus_id"], r["cosine_micro"])
     assert best_rr == top1_exact
+
+
+def test_ivfpq_indexed_query_prunes_code_partitions(spark, tmp_path):
+    """The persisted IVF-PQ layout's 100 TB claim, pinned on the plan:
+    the broadcast probe join on the partition column must inject a
+    dynamic-partition-pruning subquery into the codes FileScan, so a
+    query reads nprobe/n_centroids of the code files instead of all of
+    them."""
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=200)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter(F.col("vec_id") >= 3)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(
+        wh, c, "vec_id", "embedding", "px",
+        m=4, n_codes=8, iters=2, dim=DIM, n_centroids=8,
+    )
+    res = ivfpq_topk_indexed(wh, q, "vec_id", "embedding", "px", k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:2000]
