@@ -54,6 +54,7 @@ _CHECK_FIRST = [
     "order_value_ranks",
     "cube_type_day",
     "part_metrics_unpivot",
+    "triangle_counts",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -97,8 +98,9 @@ _CHECK_FIRST = [
     "temperature_mix",
     "filter_chain_report",
     "incremental_dedup",
-    "kmeans_embeddings",
-    # next round (r07), in priority order: (1) anything red in r06;
+    # next round (r07), in priority order: (0) kmeans_embeddings,
+    # rotated out of this window to fit triangle_counts — re-cert it
+    # first; (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
     # measure_latest_update, measure_avg_magnitude, measure_max_depth,
     # measure_totals_by_type, measure_total_events,

@@ -315,3 +315,48 @@ def dup_clusters(
     ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(
         "component"
     )
+
+
+def triangle_counts(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node triangle participation over an undirected pair set ->
+    (node, n_triangles), nodes in no triangle omitted.
+
+    Triangle density separates tight duplicate cliques from chains of
+    borderline matches in the LSH candidate graph: a doc whose
+    neighborhood closes into triangles sits in a real near-dup
+    cluster; one with many edges but no closures is a hub of spurious
+    band collisions.
+
+    Each triangle is enumerated ONCE via the ordered edge list
+    (canonicalized a < b, so x < y < z): e1(x,y) ⋈ e2(y,z) ⋈
+    e3(x,z). Cost is the open-wedge count Σ deg²(v) over the
+    CANDIDATE graph — LSH banding caps degrees, so this never
+    approaches n²; the closing join is edge-keyed and co-partitioned
+    with the wedge stream."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    tri = wedges.join(
+        e.alias("e3"),
+        (F.col("e3.a") == F.col("x")) & (F.col("e3.b") == F.col("z")),
+    ).select("x", "y", "z")
+    corners = tri.select(
+        F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

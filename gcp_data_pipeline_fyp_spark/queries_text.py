@@ -1019,6 +1019,45 @@ SELECT v AS doc_id, ((round((rank) * 1000000.0) / 1000000.0) + 0.0) AS rank FROM
 TEXT_QUERIES["pagerank_sim_graph"] = (q_pagerank_sim_graph, SQL_PAGERANK_SIM_GRAPH)
 
 
+# ----------------------------------------- triangle closure (r6)
+def q_triangle_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc triangle participation in the MinHash-LSH candidate
+    graph (operators/components.py:triangle_counts) — closure density
+    separates real near-dup cliques from chains of spurious band
+    collisions. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        triangle_counts,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = triangle_counts(pairs).select(
+        F.col("node").alias("doc_id"), "n_triangles"
+    )
+    pairs.unpersist()
+    return out
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs WHERE id_a <> id_b),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS doc_id FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+"""
+
+TEXT_QUERIES["triangle_counts"] = (q_triangle_counts, SQL_TRIANGLE_COUNTS)
+
+
 # --------------------------------- canonical doc per duplicate cluster
 def q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup keep-policy upgrade: per duplicate cluster keep the

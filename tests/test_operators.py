@@ -1672,3 +1672,20 @@ def test_cap_per_group_nested_and_stable(spark):
     with _ctx.redirect_stdout(buf):
         cap5.explain("formatted")
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 has 4 triangles with every node in exactly 3; a path closes
+    none; edge direction/duplication must not double-count."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        triangle_counts,
+    )
+
+    edges = (
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]  # K4
+        + [(10, 11), (11, 12)]                                   # path
+        + [(2, 1), (3, 1)]                                       # reversed dups
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
