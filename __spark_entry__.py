@@ -55,6 +55,7 @@ _CHECK_FIRST = [
     "cube_type_day",
     "part_metrics_unpivot",
     "triangle_counts",
+    "returnflag_correlation",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -97,10 +98,9 @@ _CHECK_FIRST = [
     "clean_text_docs",
     "temperature_mix",
     "filter_chain_report",
-    "incremental_dedup",
-    # next round (r07), in priority order: (0) kmeans_embeddings,
-    # rotated out of this window to fit triangle_counts — re-cert it
-    # first; (1) anything red in r06;
+    # next round (r07), in priority order: (0) kmeans_embeddings and
+    # incremental_dedup, rotated out of this window to fit
+    # triangle_counts and returnflag_correlation — re-cert them first; (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
     # measure_latest_update, measure_avg_magnitude, measure_max_depth,
     # measure_totals_by_type, measure_total_events,

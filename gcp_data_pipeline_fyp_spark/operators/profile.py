@@ -81,3 +81,51 @@ def zscore_outliers(
         .filter(F.col(value_col) > thresh)
         .drop("__mean", "__std")
     )
+
+
+def exact_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+    alias: str = "corr_micro",
+) -> DataFrame:
+    """Pearson correlation with DETERMINISTIC results -> one row per
+    group carrying `n` and the correlation in micro-units.
+
+    Engine-native `corr()` streams floating-point co-moments, so the
+    result depends on partition/merge order — it can never hash-certify
+    and two runs of the same job can disagree in the last ulps. This
+    form accumulates the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) as EXACT decimals (order-independent by construction), then
+    evaluates the closed-form correlation once in double — identical
+    inputs, identical expression order, identical result on any
+    partitioning and in any engine. One aggregation pass; NULL when
+    either variance is zero."""
+    # (18,4) inputs -> (37,8) products: inside both engines' 38-digit
+    # decimal ceiling without overflow or silent rescaling
+    x = F.col(x_col).cast("decimal(18,4)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    g = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("__sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).cast("double").alias("__syy"),
+    )
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    # try_divide: a zero-variance group yields NULL (ANSI division
+    # would throw mid-job); SQL mirror uses nullif on the denominator
+    return g.select(
+        *group_cols,
+        "n",
+        micro6(F.try_divide(cov, F.sqrt(vx * vy))).alias(alias),
+    )

@@ -908,3 +908,54 @@ FROM e
 """
 
 MISC_QUERIES["embedding_pool"] = (q_embedding_pool, SQL_EMBEDDING_POOL)
+
+
+# ------------------------------- deterministic correlation (r6)
+def q_returnflag_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson corr(l_quantity, l_extendedprice) per return flag via
+    the deterministic path (operators/profile.py:exact_corr): the five
+    sufficient statistics accumulate as exact decimals (partition-
+    order independent), the closed form evaluates once in double.
+    Engine-native corr() can never hash-certify — its streaming
+    co-moments depend on merge order. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import exact_corr
+
+    li = load(spark, sf, "lineitem")
+    return exact_corr(
+        li, "l_quantity", "l_extendedprice", group_cols=["l_returnflag"]
+    )
+
+
+SQL_RETURNFLAG_CORRELATION = f"""
+WITH g AS (
+  SELECT l_returnflag, count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    -- multiply operands widened to (19,4): DuckDB executes an
+    -- (18,4)x(18,4) product in int64 and overflows; 19+19=38 digits
+    -- forces int128. Same exact rationals as Spark's (18,4) products.
+    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+              * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+         AS DOUBLE) AS sxy,
+    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+              * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+         AS DOUBLE) AS sxx,
+    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+              * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+         AS DOUBLE) AS syy
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  GROUP BY l_returnflag)
+SELECT l_returnflag, n,
+  {micro6_sql(
+      "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+      " / nullif(sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)"
+      " * (CAST(n AS DOUBLE) * syy - sy * sy)), 0)"
+  )} AS corr_micro
+FROM g
+"""
+
+MISC_QUERIES["returnflag_correlation"] = (
+    q_returnflag_correlation,
+    SQL_RETURNFLAG_CORRELATION,
+)

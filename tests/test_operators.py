@@ -1689,3 +1689,36 @@ def test_triangle_counts_known_graph(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["node"]: r["n_triangles"] for r in triangle_counts(pairs).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_exact_corr_partition_invariant_and_correct(spark):
+    """Deterministic correlation: matches numpy's Pearson r to 6 dp on
+    a known sample, identical micro result on any partitioning, NULL
+    when a variance is zero."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import exact_corr
+
+    rows = [(i, float(i), float(2 * i + (i % 3)), "g") for i in range(60)]
+    rows += [(100 + i, 5.0, float(i), "z") for i in range(10)]  # zero x-var
+    df = spark.createDataFrame(rows, "id long, x double, y double, g string")
+    out = {r["g"]: (r["n"], r["corr_micro"]) for r in exact_corr(
+        df, "x", "y", group_cols=["g"]
+    ).collect()}
+    import math
+
+    xs = [r[1] for r in rows if r[3] == "g"]
+    ys = [r[2] for r in rows if r[3] == "g"]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert out["g"][0] == 60
+    assert abs(out["g"][1] - round(want * 1_000_000)) <= 1
+    assert out["z"][1] is None  # zero variance -> NULL, not a crash
+    again = {r["g"]: (r["n"], r["corr_micro"]) for r in exact_corr(
+        df.repartition(7), "x", "y", group_cols=["g"]
+    ).collect()}
+    assert again == out
