@@ -34,14 +34,15 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-6 WINDOW, in priority order (exactly 50):
-#   1. the 10 new-this-round probes: the IVF-PQ family (plain /
+#   1. the 12 new-this-round probes: the IVF-PQ family (plain /
 #      sampled-fit / residual / rerank — the 100 TB ANN layout),
 #      per-source cap, TPC-H q13/q22 shapes, percent_rank+cume_dist,
-#      CUBE, unpivot
-#   2. rolling re-cert: the 40 r03-rows, the oldest driver evidence,
-#      all touched or adjacent to the registry-wide roundn emission
-#      rewrite (commit 280b880) — full-load pipeline stages, TPC-H
-#      shapes, windowing, and the dedup/corpus family
+#      CUBE, unpivot, triangle counts, deterministic correlation
+#   2. rolling re-cert: 38 of the 40 r03-rows, the oldest driver
+#      evidence, all touched or adjacent to the registry-wide roundn
+#      emission rewrite (commit 280b880) — full-load pipeline stages,
+#      TPC-H shapes, windowing, and the dedup/corpus family
+#      (kmeans_embeddings + incremental_dedup carry to r07)
 _CHECK_FIRST = [
     # -- new this round
     "ann_ivfpq_topk",
