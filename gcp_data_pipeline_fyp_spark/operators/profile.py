@@ -129,3 +129,47 @@ def exact_corr(
         "n",
         micro6(F.try_divide(cov, F.sqrt(vx * vy))).alias(alias),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    id_cols: Sequence[str],
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outliers by modified z-score: |value - median| /
+    (1.4826 * MAD) > threshold, per group.
+
+    The mean/stddev z-score (`zscore_outliers`) breaks exactly when
+    you need it — heavy outliers inflate the stddev and mask
+    themselves; median and MAD have a 50% breakdown point. Two exact
+    percentile passes (group medians broadcast between them), flagged
+    rows only. `robust_z_micro` emits in micro-units; a zero-MAD
+    group yields NULL scores (try_divide) and flags nothing."""
+    gcols = [F.col(c) for c in group_cols]
+    med = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med")
+    )
+    dev = df.join(F.broadcast(med), list(group_cols)).withColumn(
+        "__ad", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(*gcols).agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad")
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    scored = dev.join(F.broadcast(mad), list(group_cols)).select(
+        *id_cols,
+        *group_cols,
+        micro6(
+            F.try_divide(
+                F.col(value_col) - F.col("__med"),
+                F.lit(1.4826) * F.col("__mad"),
+            )
+        ).alias("robust_z_micro"),
+    )
+    t = int(round(threshold * 1_000_000))
+    return scored.filter(
+        (F.col("robust_z_micro") >= t) | (F.col("robust_z_micro") <= -t)
+    )

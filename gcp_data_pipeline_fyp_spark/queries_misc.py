@@ -959,3 +959,44 @@ MISC_QUERIES["returnflag_correlation"] = (
     q_returnflag_correlation,
     SQL_RETURNFLAG_CORRELATION,
 )
+
+
+# ------------------------------------ robust MAD outliers (r6)
+def q_mad_outlier_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Modified z-score outliers (operators/profile.py:mad_outliers):
+    median/MAD have a 50% breakdown point where mean/stddev z-scores
+    mask exactly the heavy outliers they should flag. Per event type,
+    |z_mad| > 3.5. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import mad_outliers
+
+    ev = load(spark, sf, "events")
+    return mad_outliers(
+        ev, "value", group_cols=["event_type"], id_cols=["event_id"],
+        threshold=3.5,
+    )
+
+
+SQL_MAD_OUTLIER_EVENTS = f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS ad
+  FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type),
+scored AS (
+  SELECT d.event_id, d.event_type,
+    {micro6_sql("(d.value - d.med) / nullif(1.4826 * m2.mad, 0)")}
+      AS robust_z_micro
+  FROM dev d JOIN mad m2 USING (event_type))
+SELECT event_id, event_type, robust_z_micro FROM scored
+WHERE robust_z_micro >= 3500000 OR robust_z_micro <= -3500000
+"""
+
+MISC_QUERIES["mad_outlier_events"] = (
+    q_mad_outlier_events,
+    SQL_MAD_OUTLIER_EVENTS,
+)

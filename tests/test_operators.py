@@ -1722,3 +1722,18 @@ def test_exact_corr_partition_invariant_and_correct(spark):
         df.repartition(7), "x", "y", group_cols=["g"]
     ).collect()}
     assert again == out
+
+
+def test_mad_outliers_flags_planted_not_masked(spark):
+    """The case that breaks mean/stddev z-scores: a few huge planted
+    outliers inflate the stddev enough to mask themselves; MAD must
+    still flag them — and flag ONLY them on this data."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import mad_outliers
+
+    rows = [(i, "a", 10.0 + (i % 7) * 0.1) for i in range(100)]
+    rows += [(1000, "a", 500.0), (1001, "a", -400.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_id"] for r in mad_outliers(
+        df, "value", ["event_type"], ["event_id"]
+    ).collect()}
+    assert got == {1000, 1001}
