@@ -34,17 +34,17 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-6 WINDOW, in priority order (exactly 50):
-#   1. the 13 new-this-round probes: the IVF-PQ family (plain /
+#   1. the 14 new-this-round probes: the IVF-PQ family (plain /
 #      sampled-fit / residual / rerank — the 100 TB ANN layout),
 #      per-source cap, TPC-H q13/q22 shapes, percent_rank+cume_dist,
 #      CUBE, unpivot, triangle counts, deterministic correlation,
-#      MAD outliers
-#   2. rolling re-cert: 37 of the 40 r03-rows, the oldest driver
+#      MAD outliers, k-core peel
+#   2. rolling re-cert: 36 of the 40 r03-rows, the oldest driver
 #      evidence, all touched or adjacent to the registry-wide roundn
 #      emission rewrite (commit 280b880) — full-load pipeline stages,
 #      TPC-H shapes, windowing, and the dedup/corpus family
-#      (kmeans_embeddings, incremental_dedup, filter_chain_report
-#      carry to r07)
+#      (kmeans_embeddings, incremental_dedup, filter_chain_report,
+#      temperature_mix carry to r07)
 _CHECK_FIRST = [
     # -- new this round
     "ann_ivfpq_topk",
@@ -60,6 +60,7 @@ _CHECK_FIRST = [
     "triangle_counts",
     "returnflag_correlation",
     "mad_outlier_events",
+    "kcore_docs",
     # -- r03 rolling re-cert: full-load pipeline stages
     "stg_null_coerce",
     "ods_typed_banding",
@@ -100,11 +101,11 @@ _CHECK_FIRST = [
     "paragraph_dedup",
     "boilerplate_docs",
     "clean_text_docs",
-    "temperature_mix",
     # next round (r07), in priority order: (0) kmeans_embeddings,
-    # incremental_dedup and filter_chain_report, rotated out of this
-    # window to fit triangle_counts, returnflag_correlation and
-    # mad_outlier_events — re-cert them first; (1) anything red in r06;
+    # incremental_dedup, filter_chain_report and temperature_mix,
+    # rotated out of this window to fit the last four r6 additions
+    # (triangle_counts, returnflag_correlation, mad_outlier_events,
+    # kcore_docs) — re-cert them first; (1) anything red in r06;
     # (2) rolling re-cert of the r04 tail never re-checked since —
     # measure_latest_update, measure_avg_magnitude, measure_max_depth,
     # measure_totals_by_type, measure_total_events,

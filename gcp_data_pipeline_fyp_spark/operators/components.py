@@ -360,3 +360,61 @@ def triangle_counts(
         F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
     )
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 4,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded k-core peel -> (node, degree) for nodes surviving
+    `rounds` rounds of removing degree < k nodes.
+
+    k-core membership is the densest-region filter over the candidate
+    graph (a spam ring's near-dup cluster survives deep cores; chains
+    of borderline matches peel away immediately). The round count is
+    FIXED, not run-to-convergence: each extra round on a converged
+    graph is idempotent (removing nothing changes nothing), and a
+    fixed unroll is what makes the operator engine-replayable — the
+    oracle runs the identical bounded peel (same pattern as the
+    PageRank and k-means fixed-iteration oracles). Each round is one
+    degree aggregation + two semi joins over the (shrinking) edge
+    list, lineage-truncated per round."""
+    from gcp_data_pipeline_fyp_spark.operators.iterate import materialize
+
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                    F.struct(F.col("y").alias("a"), F.col("x").alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+    )
+    e = materialize(e, checkpoint_dir)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+            .filter(F.col("__d") >= k)
+            .select("a")
+        )
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        e = materialize(e, checkpoint_dir)
+    return e.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -1058,6 +1058,45 @@ SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
 TEXT_QUERIES["triangle_counts"] = (q_triangle_counts, SQL_TRIANGLE_COUNTS)
 
 
+# ------------------------------------------------- k-core peel (r6)
+def q_kcore_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the MinHash-LSH candidate graph after a bounded
+    4-round peel (operators/components.py:kcore) — the densest-region
+    filter: near-dup clusters survive, chains of borderline band
+    collisions peel away. Window is r6-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.components import kcore
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = kcore(pairs, k=2, rounds=4).select(
+        F.col("node").alias("doc_id"), "degree"
+    )
+    pairs.unpersist()
+    return out
+
+
+def _kcore_round_sql(i: int, k: int) -> str:
+    return (
+        f"kc{i} AS (SELECT a, b FROM kc{i-1} WHERE "
+        f"a IN (SELECT a FROM kc{i-1} GROUP BY a HAVING count(*) >= {k}) "
+        f"AND b IN (SELECT a FROM kc{i-1} GROUP BY a HAVING count(*) >= {k}))"
+    )
+
+
+SQL_KCORE_DOCS = f"""
+WITH pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+und AS (SELECT DISTINCT least(id_a, id_b) AS x, greatest(id_a, id_b) AS y
+        FROM pairs WHERE id_a <> id_b),
+kc0 AS (SELECT x AS a, y AS b FROM und UNION ALL SELECT y, x FROM und),
+{", ".join(_kcore_round_sql(i, 2) for i in range(1, 5))}
+SELECT a AS doc_id, count(*) AS degree FROM kc4 GROUP BY a
+"""
+
+TEXT_QUERIES["kcore_docs"] = (q_kcore_docs, SQL_KCORE_DOCS)
+
+
 # --------------------------------- canonical doc per duplicate cluster
 def q_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup keep-policy upgrade: per duplicate cluster keep the

@@ -1737,3 +1737,18 @@ def test_mad_outliers_flags_planted_not_masked(spark):
         df, "value", ["event_type"], ["event_id"]
     ).collect()}
     assert got == {1000, 1001}
+
+
+def test_kcore_peels_tails_keeps_cliques(spark):
+    """A triangle attached to a pendant chain: the 2-core is exactly
+    the triangle (the chain peels away over successive rounds), every
+    surviving node at degree 2. Also pins fixed-round idempotence:
+    extra rounds on a converged graph change nothing."""
+    from gcp_data_pipeline_fyp_spark.operators.components import kcore
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["degree"] for r in kcore(pairs, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    more = {r["node"]: r["degree"] for r in kcore(pairs, k=2, rounds=8).collect()}
+    assert more == got
