@@ -129,7 +129,9 @@ def main() -> None:
         t0 = time.perf_counter()
         from gcp_data_pipeline_fyp_spark.operators.components import (
             connected_components,
+            kcore,
             pagerank,
+            triangle_counts,
         )
 
         pairs2 = minhash_lsh_candidates(docs, "doc_id", "text")
@@ -140,6 +142,18 @@ def main() -> None:
             "noop"
         ).save()
         t["connected_components"] = round(time.perf_counter() - t0, 2)
+        # round-6 graph ops over the same candidate graph: triangle
+        # enumeration is the open-wedge join (Σ deg² — LSH banding caps
+        # degrees, so growth should track the edge count, not n²);
+        # k-core is 4 bounded peel rounds of degree-agg + semi joins
+        t0 = time.perf_counter()
+        triangle_counts(pairs2).write.mode("overwrite").format("noop").save()
+        t["triangle_counts"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        kcore(pairs2, k=2, rounds=4).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["kcore"] = round(time.perf_counter() - t0, 2)
         pairs2.unpersist()
 
         # round-3 ops: exact-substring windows (n_tokens x token-count
