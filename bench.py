@@ -363,6 +363,25 @@ def main() -> None:
                 )
         except OSError:
             pass
+    for line in format_output_lines(
+        timings, total, sf, drift_median, value_normalized
+    ):
+        print(line)
+    spark.stop()
+
+
+def format_output_lines(
+    timings: dict,
+    total: float,
+    sf: float | None,
+    drift_median: float | None,
+    value_normalized: float | None,
+) -> list:
+    """Driver-facing stdout lines; the FINAL one must stay inside the
+    driver's ~2000-char tail-capture window (the r5 defect: one fat
+    line overflowed it and BENCH_r05 parsed as null). Unit-tested in
+    tests/test_bench_output.py."""
+    lines = []
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -381,11 +400,11 @@ def main() -> None:
         # queries the headline set grows to: drop per-query detail from
         # the final line (it survives in BENCH_DETAIL.json + the
         # earlier stdout line)
-        print("BENCH_QUERIES: " + json.dumps(timings))
+        lines.append("BENCH_QUERIES: " + json.dumps(timings))
         out.pop("queries")
         line = json.dumps(out)
-    print(line)
-    spark.stop()
+    lines.append(line)
+    return lines
 
 
 if __name__ == "__main__":
