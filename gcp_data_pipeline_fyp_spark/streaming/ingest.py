@@ -431,3 +431,91 @@ def stream_scored_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    key_cols: list[str],
+    id_col: str,
+    ts_col: str,
+    wh: Warehouse,
+    table: str,
+    index_name: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+) -> StreamingQuery:
+    """Streaming ingest deduplicated against the PERSISTED content-
+    digest index (operators/dedup.py:build_digest_index) — history-
+    aware dedup at the feed, not just within the watermark.
+
+    `dropDuplicatesWithinWatermark` only sees ids inside its state
+    horizon; a document re-delivered a month later sails through. Per
+    micro-batch this path: (1) in-batch exact dedup, (2) LEFT ANTI
+    join of the batch's 16-byte content digests against the persisted
+    index — the base side is the index read, never a corpus scan,
+    (3) appends the survivors to `table`, then (4) folds their digests
+    into the index so the NEXT batch (and the next run) dedups against
+    base ∪ everything ingested so far.
+
+    Replay semantics (foreachBatch is at-least-once): rows append
+    BEFORE digests, so a crash between the two writes self-heals — the
+    replayed batch's rows merge idempotently by content (their digests
+    are still absent, the anti-join passes them, and the append is the
+    same rows), then digests land. A FULLY completed batch that
+    replays is dropped entirely by the anti-join — the index itself is
+    the replay ledger; duplicate digests from a crash inside step (4)
+    are harmless (the anti-join semantics don't change) and are
+    reaped by the next index rebuild.
+
+    Scale: batch-sized work throughout — the only per-batch read of
+    anything corpus-sized is the digest index (16 bytes/doc, ~1/10^4
+    of corpus bytes)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup_indexed,
+    )
+
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+
+    def _dedup_and_append(batch: DataFrame, batch_id: int) -> None:
+        batch = exact_dedup(
+            batch.dropDuplicates([id_col]), key_cols, id_col
+        ).persist()
+        try:
+            if batch.isEmpty():
+                return
+            fresh = incremental_dedup_indexed(
+                wh, batch, key_cols, index_name, update_index=False
+            ).localCheckpoint()
+            if fresh.isEmpty():
+                return
+            wh.append(fresh, table)
+            from gcp_data_pipeline_fyp_spark.operators.dedup import (
+                _content_digest,
+            )
+            from pyspark.sql import functions as SF  # noqa: F401
+
+            wh.append(
+                fresh.select(_content_digest(key_cols).alias("digest"))
+                .distinct(),
+                f"{index_name}__digests",
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(_dedup_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

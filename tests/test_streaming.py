@@ -556,3 +556,65 @@ def test_stream_scored_ingest_filters_by_model(spark, tmp_path):
     assert {r["doc_id"] for r in wh.read("docs").collect()} == {1, 4}
     assert wh.read("REJ").count() == 2
     assert wh.read("SLOG").count() == 2
+
+
+def test_stream_dedup_ingest_history_aware(spark, tmp_path):
+    """Streaming dedup against the PERSISTED digest index: a document
+    re-delivered far outside the watermark state still drops (the
+    watermark-only path would pass it), new content lands, survivors'
+    digests fold into the index so the next run keeps dedup exact."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "dckpt")
+
+    # historical corpus, ingested long ago: its digests ARE the index
+    hist = spark.createDataFrame(
+        [(1, "2023-01-01 10:00:00", "old doc", 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    )
+    build_digest_index(wh, hist, ["event_type"], "docs")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (10, "2024-01-01 10:00:00", "old doc", 5.0),   # historical dup
+            (11, "2024-01-01 10:01:00", "fresh doc", 6.0),
+            (12, "2024-01-01 10:02:00", "fresh doc", 7.0), # in-batch dup
+        ],
+    )
+    q = stream_dedup_ingest(
+        spark, str(in_dir), schema, ["event_type"], "event_id", "ts",
+        wh, "DOCS", "docs", ckpt,
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in wh.read("DOCS").collect()}
+    assert got == {11}
+
+    # second run: a much-later re-delivery of "fresh doc" (outside any
+    # watermark state — brand-new query run) must STILL drop via the
+    # index; brand-new content lands
+    _write_csv(
+        in_dir / "b2.csv",
+        [
+            (20, "2024-03-01 10:00:00", "fresh doc", 9.0),
+            (21, "2024-03-01 10:01:00", "newest doc", 2.0),
+        ],
+    )
+    q2 = stream_dedup_ingest(
+        spark, str(in_dir), schema, ["event_type"], "event_id", "ts",
+        wh, "DOCS", "docs", ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {r["event_id"] for r in wh.read("DOCS").collect()}
+    assert got2 == {11, 21}
+    # the index grew by exactly the two survivors' digests
+    assert wh.read("docs__digests").distinct().count() == 3
