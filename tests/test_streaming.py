@@ -618,3 +618,44 @@ def test_stream_dedup_ingest_history_aware(spark, tmp_path):
     assert got2 == {11, 21}
     # the index grew by exactly the two survivors' digests
     assert wh.read("docs__digests").distinct().count() == 3
+
+
+def test_stream_dedup_ingest_replay_from_scratch_is_noop(spark, tmp_path):
+    """Losing the checkpoint and replaying the whole feed must not
+    duplicate a single row: every already-ingested document's digest
+    is in the index, so the anti-join drops the entire replay — the
+    index IS the replay ledger."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_dedup_ingest,
+    )
+
+    in_dir = tmp_path / "rin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    seed = spark.createDataFrame(
+        [(0, "2023-01-01 00:00:00", "seeded", 0.0)],
+        "event_id long, ts string, event_type string, value double",
+    )
+    build_digest_index(wh, seed, ["event_type"], "idx")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    _write_csv(
+        in_dir / "b1.csv",
+        [(1, "2024-01-01 10:00:00", "alpha", 1.0),
+         (2, "2024-01-01 10:01:00", "beta", 2.0)],
+    )
+    args = (spark, str(in_dir), schema, ["event_type"], "event_id", "ts",
+            wh, "T", "idx")
+    q = stream_dedup_ingest(*args, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    before = sorted(r["event_id"] for r in wh.read("T").collect())
+    assert before == [1, 2]
+
+    # fresh checkpoint -> the file source replays EVERYTHING
+    q2 = stream_dedup_ingest(*args, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    after = sorted(r["event_id"] for r in wh.read("T").collect())
+    assert after == before
