@@ -52,6 +52,43 @@ def main(argv: list[str] | None = None) -> int:
     )
     v_p.add_argument("--cpus", type=int, default=None)
 
+    ab_p = sub.add_parser(
+        "ann-build",
+        help="build a persisted IVF-PQ index over a parquet vector table",
+    )
+    ab_p.add_argument("--vectors", required=True, help="parquet path with (id, vector) columns")
+    ab_p.add_argument("--id", required=True, help="id column name")
+    ab_p.add_argument("--vec", required=True, help="vector column name (array<double/float>)")
+    ab_p.add_argument("--warehouse", required=True)
+    ab_p.add_argument("--name", required=True, help="index name")
+    ab_p.add_argument("--dim", type=int, required=True)
+    ab_p.add_argument("--m", type=int, default=4)
+    ab_p.add_argument("--codes", type=int, default=8)
+    ab_p.add_argument("--centroids", type=int, default=16)
+    ab_p.add_argument("--iters", type=int, default=3)
+    ab_p.add_argument("--residual", action="store_true",
+                      help="residual-encode codes (higher recall at the same bit budget)")
+    ab_p.add_argument("--sample-frac", type=float, default=None,
+                      help="fit both quantizers on a content-keyed sample (the 100 TB default)")
+    ab_p.add_argument("--cpus", type=int, default=None)
+
+    aq_p = sub.add_parser(
+        "ann-query",
+        help="top-k query a persisted IVF-PQ index (prints JSON rows)",
+    )
+    aq_p.add_argument("--queries", required=True, help="parquet path with query vectors")
+    aq_p.add_argument("--id", required=True)
+    aq_p.add_argument("--vec", required=True)
+    aq_p.add_argument("--warehouse", required=True)
+    aq_p.add_argument("--name", required=True)
+    aq_p.add_argument("--k", type=int, default=10)
+    aq_p.add_argument("--nprobe", type=int, default=4)
+    aq_p.add_argument("--rerank", action="store_true",
+                      help="exact-cosine rescore of the ADC candidates (needs --corpus)")
+    aq_p.add_argument("--corpus", default=None,
+                      help="parquet path with full-precision corpus vectors (for --rerank)")
+    aq_p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "ingest":
@@ -98,6 +135,52 @@ def main(argv: list[str] | None = None) -> int:
                 "total_seismic_events": measures.total_seismic_events(star).first()[0],
             }
             print(json.dumps(out))
+            return 0
+
+        if args.cmd == "ann-build":
+            from gcp_data_pipeline_fyp_spark.operators.pq import (
+                build_ivfpq_index,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            build_ivfpq_index(
+                wh, spark.read.parquet(args.vectors), args.id, args.vec,
+                args.name, m=args.m, n_codes=args.codes, iters=args.iters,
+                dim=args.dim, n_centroids=args.centroids,
+                train_sample_frac=args.sample_frac, residual=args.residual,
+            )
+            n = wh.read(f"{args.name}__codes").select("corpus_id").distinct().count()
+            print(json.dumps({"index": args.name, "vectors": n,
+                              "residual": args.residual}))
+            return 0
+
+        if args.cmd == "ann-query":
+            from gcp_data_pipeline_fyp_spark.operators.pq import (
+                ivfpq_topk_indexed,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            if args.rerank and not args.corpus:
+                print("--rerank needs --corpus (full-precision vectors "
+                      "to rescore against)", file=sys.stderr)
+                return 2
+            wh = Warehouse(spark, args.warehouse)
+            q = spark.read.parquet(args.queries)
+            out = ivfpq_topk_indexed(
+                wh, q, args.id, args.vec, args.name,
+                k=args.k, nprobe=args.nprobe,
+            )
+            if args.rerank:
+                from gcp_data_pipeline_fyp_spark.operators.similarity import (
+                    rerank_exact,
+                )
+
+                out = rerank_exact(
+                    out, q, spark.read.parquet(args.corpus),
+                    args.id, args.vec, k=args.k,
+                )
+            print(json.dumps([r.asDict() for r in out.collect()]))
             return 0
 
         if args.cmd == "validate":

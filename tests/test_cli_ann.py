@@ -1,0 +1,76 @@
+"""CLI surface for the persisted IVF-PQ index (ann-build / ann-query).
+
+Runs the module CLI in subprocesses: `main()` owns its SparkSession
+(stop() on exit), so calling it in-process would tear down the shared
+test session."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIM = 8
+
+
+def _run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "gcp_data_pipeline_fyp_spark", *argv],
+        capture_output=True, text=True, cwd=REPO,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        timeout=420,
+    )
+
+
+def test_ann_build_and_query_roundtrip(spark, tmp_path):
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(6)]
+    rows = [
+        (i, [centers[i % 6][d] + rng.gauss(0, 0.1) for d in range(DIM)])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs.parquet")
+    q_path = str(tmp_path / "qs.parquet")
+    df.filter("vec_id >= 3").write.parquet(vec_path)
+    df.filter("vec_id < 3").write.parquet(q_path)
+
+    wh = str(tmp_path / "wh")
+    built = _run_cli(
+        "ann-build", "--vectors", vec_path, "--id", "vec_id",
+        "--vec", "embedding", "--warehouse", wh, "--name", "ix",
+        "--dim", str(DIM), "--m", "4", "--codes", "8",
+        "--centroids", "6", "--residual",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    meta = json.loads(built.stdout.strip().splitlines()[-1])
+    assert meta == {"index": "ix", "vectors": 117, "residual": True}
+
+    queried = _run_cli(
+        "ann-query", "--queries", q_path, "--id", "vec_id",
+        "--vec", "embedding", "--warehouse", wh, "--name", "ix",
+        "--k", "5", "--nprobe", "3", "--rerank", "--corpus", vec_path,
+    )
+    assert queried.returncode == 0, queried.stderr[-2000:]
+    rows_out = json.loads(queried.stdout.strip().splitlines()[-1])
+    by_q: dict = {}
+    for r in rows_out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, lst in by_q.items():
+        assert len(lst) == 5
+        scores = [r["cosine_micro"] for r in lst]
+        assert scores == sorted(scores, reverse=True)
+        # same-blob corpus members dominate: top hit is near-identical
+        assert scores[0] > 950000
+
+    # --rerank without --corpus is a usage error, not a traceback
+    bad = _run_cli(
+        "ann-query", "--queries", q_path, "--id", "vec_id",
+        "--vec", "embedding", "--warehouse", wh, "--name", "ix",
+        "--rerank",
+    )
+    assert bad.returncode == 2
