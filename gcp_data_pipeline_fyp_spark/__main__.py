@@ -10,6 +10,16 @@ five Dataflow jobs. The equivalent here:
 
     python3 -m gcp_data_pipeline_fyp_spark ingest --rawdata /data  # needs network
 
+    python3 -m gcp_data_pipeline_fyp_spark validate \
+        --table /data/wh/T_FACT_Events --contract contract.json
+
+    python3 -m gcp_data_pipeline_fyp_spark ann-build \
+        --vectors vecs.parquet --id vec_id --vec embedding \
+        --warehouse /data/wh --name ix --dim 64 --residual
+    python3 -m gcp_data_pipeline_fyp_spark ann-query \
+        --queries qs.parquet --id vec_id --vec embedding \
+        --warehouse /data/wh --name ix --k 10 --rerank --corpus vecs.parquet
+
 Mode (full/delta) is inferred from the filename exactly like the DAG's
 branch; `--mode` overrides.
 """
