@@ -76,3 +76,42 @@ def pack_sequences(
         .withColumn("pack_id", F.expr(f"start_offset div {max_tokens}"))
         .drop(_BUCKET, _BOFFSET)
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    batch_size: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Assign rows to fixed-size batches of SIMILAR length ->
+    (id, length bucket, batch_id) — the batching layout inference and
+    training loops want: padding waste inside a batch is bounded by
+    the bucket's length spread instead of the corpus-wide maximum.
+
+    Buckets are powers of two of the length (floor(log2 n), computed
+    as binary-digit count minus one — pure integer logic, no float
+    log whose last ulp could disagree across engines at exact powers
+    of two); within a
+    bucket rows order by content hash (the `hash_sample` basis — an
+    unbiased deterministic shuffle, so batch composition is stable
+    across runs/engines and batches mix sources instead of clumping
+    input order), and consecutive `batch_size` rows share a batch id.
+    One shuffle (partition by bucket) + per-bucket rank; a single
+    giant bucket serializes its sort — at corpus scale sub-split the
+    hot bucket on a hash range exactly like `token_budget_sample`
+    documents."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_bucket
+
+    n = F.col(length_col).cast("long")
+    bucket = (F.length(F.bin(F.greatest(n, F.lit(1)))) - 1).cast("int")
+    w = Window.partitionBy(bucket).orderBy(
+        hash_bucket([id_col], seed).asc(), F.col(id_col).asc()
+    )
+    rn = F.row_number().over(w)
+    return df.filter(n > 0).select(
+        F.col(id_col),
+        bucket.alias("len_bucket"),
+        F.floor((rn - 1) / batch_size).cast("int").alias("batch_id"),
+    )

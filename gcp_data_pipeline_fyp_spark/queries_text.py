@@ -2814,3 +2814,46 @@ FROM canon
 """
 
 TEXT_QUERIES["corpus_prep_v2"] = (q_corpus_prep_v2, SQL_CORPUS_PREP_V2)
+
+
+# ------------------------------- length-bucketed batching (r6)
+def q_length_bucketed_batches(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size batches of similar-length documents
+    (operators/packing.py:length_bucketed_batches) — the batching
+    layout inference/training loops want: padding waste per batch is
+    bounded by the power-of-two bucket spread, batch composition is a
+    pure function of content (stable across runs and engines).
+    Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.functions.text import token_count
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    d = _docs(spark, sf)
+    with_len = d.select(
+        "doc_id", F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens")
+    )
+    return length_bucketed_batches(
+        with_len, "doc_id", "n_tokens", batch_size=32, seed=5
+    )
+
+
+_B5 = _hbs11(["doc_id"], seed=5)
+SQL_LENGTH_BUCKETED_BATCHES = f"""
+WITH t AS (SELECT doc_id,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens FROM documents),
+f AS (SELECT doc_id,
+  cast(length(bin(greatest(n_tokens, 1))) - 1 AS int) AS len_bucket
+  FROM t WHERE n_tokens > 0),
+r AS (SELECT doc_id, len_bucket, row_number() OVER (
+    PARTITION BY len_bucket ORDER BY ({_B5}) ASC, doc_id ASC) AS rn
+  FROM f)
+SELECT doc_id, len_bucket,
+  cast((rn - 1) // 32 AS int) AS batch_id
+FROM r
+"""
+
+TEXT_QUERIES["length_bucketed_batches"] = (
+    q_length_bucketed_batches,
+    SQL_LENGTH_BUCKETED_BATCHES,
+)

@@ -1752,3 +1752,33 @@ def test_kcore_peels_tails_keeps_cliques(spark):
     assert got == {1: 2, 2: 2, 3: 2}
     more = {r["node"]: r["degree"] for r in kcore(pairs, k=2, rounds=8).collect()}
     assert more == got
+
+
+def test_length_bucketed_batches_shape_and_stability(spark):
+    """Every batch holds <= batch_size rows of one length bucket, ids
+    partition exactly, and composition is partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        length_bucketed_batches,
+    )
+
+    rows = [(i, 10 + (i % 3)) for i in range(50)]          # bucket 3
+    rows += [(100 + i, 100 + i) for i in range(40)]        # buckets 6-7
+    rows += [(999, 0)]                                     # dropped
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = length_bucketed_batches(df, "doc_id", "n", batch_size=8, seed=1)
+    got = out.collect()
+    assert {r["doc_id"] for r in got} == {r[0] for r in rows if r[1] > 0}
+    from collections import Counter
+
+    per_batch = Counter((r["len_bucket"], r["batch_id"]) for r in got)
+    assert all(v <= 8 for v in per_batch.values())
+    # full batches dominate: n_batches is ceil(bucket_size / 8)
+    per_bucket = Counter(r["len_bucket"] for r in got)
+    batches_per_bucket = Counter(b for b, _ in per_batch)
+    for bucket, size in per_bucket.items():
+        assert batches_per_bucket[bucket] == -(-size // 8)
+    again = length_bucketed_batches(
+        df.repartition(7), "doc_id", "n", batch_size=8, seed=1
+    ).collect()
+    key = lambda r: (r["doc_id"], r["len_bucket"], r["batch_id"])  # noqa: E731
+    assert sorted(map(key, got)) == sorted(map(key, again))
