@@ -101,7 +101,11 @@ def exact_corr(
     evaluates the closed-form correlation once in double — identical
     inputs, identical expression order, identical result on any
     partitioning and in any engine. One aggregation pass; NULL when
-    either variance is zero."""
+    either variance is zero.
+
+    Domain: inputs are cast to decimal(18,4) (values up to ~10^14 at
+    4 dp); a column beyond that raises under ANSI mode rather than
+    silently truncating — rescale such columns before correlating."""
     # (18,4) inputs -> (37,8) products: inside both engines' 38-digit
     # decimal ceiling without overflow or silent rescaling
     x = F.col(x_col).cast("decimal(18,4)")
@@ -146,7 +150,12 @@ def mad_outliers(
     themselves; median and MAD have a 50% breakdown point. Two exact
     percentile passes (group medians broadcast between them), flagged
     rows only. `robust_z_micro` emits in micro-units; a zero-MAD
-    group yields NULL scores (try_divide) and flags nothing."""
+    group yields NULL scores (try_divide) and flags nothing.
+
+    Spark's exact `percentile` buffers each GROUP's values on one
+    executor — right for the certified path and the usual many-groups
+    shape; for a single corpus-sized group swap in approx_percentile
+    (same call shape, documented accuracy trade)."""
     gcols = [F.col(c) for c in group_cols]
     med = df.groupBy(*gcols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("__med")
