@@ -24,6 +24,7 @@ from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
 from gcp_data_pipeline_fyp_spark.queries_util import (
     dec_avg,
     roundn,
+    roundn_sql,
     dec_avg_sql,
     load,
     micro6,
@@ -1481,3 +1482,286 @@ ANALYTICS_QUERIES["part_metrics_unpivot"] = (
     q_part_metrics_unpivot,
     SQL_PART_METRICS_UNPIVOT,
 )
+
+
+# ------------------- TPC-H q17/q2/q11/q21 analytic shapes (r6 tail)
+def q_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (revenue impact of small-quantity orders): the
+    correlated "below 20% of this part's average quantity" predicate,
+    rewritten join-first — filter lineitem to the brand's parts via a
+    broadcast semi join, aggregate the per-part average ONCE, and
+    broadcast it back, instead of the literal per-row correlated
+    subquery (which a naive engine re-evaluates per lineitem). The
+    average is exact-decimal-sum / count so the 0.2x threshold is the
+    identical IEEE double in both engines. Output is the single
+    avg-yearly row. Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    parts = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#23")
+    li_b = li.join(
+        F.broadcast(parts.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    per_part = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("l_quantity")
+        ).alias("avg_qty")
+    )
+    small = li_b.join(
+        F.broadcast(per_part), li_b.l_partkey == F.col("pk")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        roundn(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.lit(7.0),
+            2,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = f"""
+WITH li_b AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#23'),
+per_part AS (
+  SELECT l_partkey AS pk,
+    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      / count(l_quantity) AS avg_qty
+  FROM li_b GROUP BY l_partkey)
+SELECT
+  {roundn_sql(
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0", 2
+  )} AS avg_yearly,
+  CAST(count(*) AS BIGINT) AS n_small
+FROM li_b JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+ANALYTICS_QUERIES["small_qty_revenue"] = (
+    q_small_qty_revenue,
+    SQL_SMALL_QTY_REVENUE,
+)
+
+
+def q_min_price_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region):
+    per-(part, supplier) offer prices reduce from lineitem (MIN — order
+    independent), the region gate is a two-hop broadcast (nation ->
+    region), and the correlated "price = min over this part's regional
+    suppliers" subquery is a window MIN + equality filter — one shuffle
+    on partkey, ties kept (all suppliers at the min survive, as in the
+    spec). No rounding needed: every emitted value is a stored raw or a
+    MIN of stored raws. Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_size") < 10)
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer_price")
+    )
+    regional = (
+        offers.join(F.broadcast(part), offers.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), offers.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        regional.withColumn("min_price", F.min("offer_price").over(w))
+        .filter(F.col("offer_price") == F.col("min_price"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name",
+            F.col("offer_price").alias("min_price"),
+        )
+    )
+
+
+SQL_MIN_PRICE_SUPPLIERS = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+regional AS (
+  SELECT p_partkey, p_brand, s_name, n_name, offer_price
+  FROM offers
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size < 10 AND r_name = 'EUROPE')
+SELECT p_partkey, p_brand, s_name, n_name, offer_price AS min_price
+FROM (SELECT *, min(offer_price) OVER (PARTITION BY p_partkey) AS mp
+      FROM regional) s
+WHERE offer_price = mp
+"""
+
+ANALYTICS_QUERIES["min_price_suppliers"] = (
+    q_min_price_suppliers,
+    SQL_MIN_PRICE_SUPPLIERS,
+)
+
+
+def q_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a global scalar): per-part
+    revenue vs 1.1x the MEAN per-part revenue (total / distinct parts
+    — the spec's fixed fraction would be scale-VARIANT selectivity on
+    the driver's uniform synthetic stream: all parts at sf0.001, none
+    at sf0.01). Both sides sum the identical per-row decimal(18,4)
+    product, so the comparison is between two exactly-computed values
+    cast to double the same way in both engines; the global scalar is
+    one extra reduction broadcast into the filter — never a per-group
+    re-scan. Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("rev_dec"))
+    total = li.agg(
+        (
+            F.sum(rev).cast("double")
+            / F.countDistinct("l_partkey")
+            * F.lit(1.1)
+        ).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("rev_dec").cast("double") > F.col("threshold"))
+        .select(
+            "l_partkey", F.col("rev_dec").cast("double").alias("part_rev")
+        )
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH t AS (
+  SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,4))) AS DOUBLE)
+         / count(DISTINCT l_partkey) * 1.1 AS threshold
+  FROM lineitem)
+SELECT l_partkey,
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS part_rev
+FROM lineitem, t
+GROUP BY l_partkey, threshold
+HAVING CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(18,4))) AS DOUBLE) > threshold
+"""
+
+ANALYTICS_QUERIES["important_parts"] = (
+    q_important_parts,
+    SQL_IMPORTANT_PARTS,
+)
+
+
+def q_waiting_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finalized orders with 2+ suppliers, find the supplier who was the
+    ONLY late shipper — the EXISTS (another supplier contributed) +
+    NOT EXISTS (another supplier was ALSO late) pair, rewritten as ONE
+    per-order aggregation (distinct suppliers, distinct late
+    suppliers) instead of two correlated re-scans of lineitem. Late =
+    shipped > 1800 days after the order date (the synthetic stream's
+    ~p96 lag; exact integer date arithmetic). Supplier and nation are
+    broadcast dims. Window is r7-queue."""
+    orders = load(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) > 1800,
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sole_late = (
+        j.filter(F.col("is_late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(F.broadcast(supp), sole_late.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_WAITING_SUPPLIERS = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      > 1800 AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY l_orderkey),
+sole_late AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN per_order ON j.l_orderkey = per_order.l_orderkey
+  WHERE is_late AND n_supp >= 2 AND n_late_supp = 1)
+SELECT s_name, n_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sole_late
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY s_name, n_name
+"""
+
+ANALYTICS_QUERIES["waiting_suppliers"] = (
+    q_waiting_suppliers,
+    SQL_WAITING_SUPPLIERS,
+)
+
+
+# ----------------------------------------- SCD Type 2 dimension (r6 tail)
+def q_scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 versioned dimension from the event stream: per user, every
+    run of a repeated event_type becomes one version row with its
+    [valid_from, valid_to) interval — the Type-2 complement of the
+    reference's Type-1 latest-wins dims (Delta Load Scripts/
+    dw2_delta_load2.py MERGE). One window pass keyed on the entity;
+    event_id is the tiebreak so equal-timestamp changes version
+    identically on every engine. Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+
+    ev = load(spark, sf, "events")
+    return scd2_snapshot(
+        ev.select("user_id", F.col("event_type").alias("state"), "ts", "event_id"),
+        key_cols=["user_id"],
+        attr_cols=["state"],
+        order_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+SQL_SCD2_USER_STATE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS prev
+  FROM events),
+vers AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM ordered WHERE prev IS DISTINCT FROM event_type)
+SELECT user_id, state, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id
+                         ORDER BY valid_from, event_id) AS valid_to,
+  lead(valid_from) OVER (PARTITION BY user_id
+                         ORDER BY valid_from, event_id) IS NULL
+    AS is_current
+FROM vers
+"""
+
+ANALYTICS_QUERIES["scd2_user_state"] = (q_scd2_user_state, SQL_SCD2_USER_STATE)
