@@ -1,0 +1,130 @@
+"""Slowly-changing-dimension Type 2 builder — versioned dimension rows.
+
+The reference's warehouse keeps Type-1 dims (latest value wins: the
+surrogate-key builds in `Full Load Scripts/dw_full_load2.py` and the
+delta MERGE in `Delta Load Scripts/dw2_delta_load2.py:101-131` simply
+upsert). SCD2 is the standard complement a production DW ships next to
+that: keep EVERY attribute version with its validity interval so facts
+can join the dimension "as of" their event time.
+
+Spark-native rendering: one window pass per build.
+
+- `scd2_snapshot` compresses an ordered change feed into versions —
+  a row starts a version iff its attribute tuple differs from the
+  previous row's (null-safe struct compare), then `lead(valid_from)`
+  closes each version. Two shuffles on the entity key (the two window
+  passes share the same partitioning, so Catalyst plans ONE exchange).
+- `scd2_apply` folds NEW changes into an existing SCD2 table without
+  touching closed history: the current rows are re-fed as the baseline
+  ahead of the changes, the snapshot recomputes over (current ∪
+  changes) only, and untouched historical versions union back as-is —
+  at 100 TB the recompute is sized by |current| + |delta|, never by
+  |history|. Re-applying the same delta is a no-op (the baseline
+  compare collapses equal-attribute runs), so at-least-once delivery
+  is safe.
+
+Determinism: version boundaries are decided by (order_col,
+*tiebreak_cols) — pass a unique tiebreak (an event id) so equal-
+timestamp changes order identically on every engine and run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_META = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_snapshot(
+    feed: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Compress a change feed into SCD2 version rows.
+
+    Returns one row per (entity, attribute-run): key columns, attribute
+    columns, `valid_from` (the order_col value that opened the run),
+    `valid_to` (the next run's valid_from; NULL for the open run) and
+    `is_current`.
+    """
+    for c in _META:
+        if c in feed.columns:
+            raise ValueError(f"feed already has a column named {c!r}")
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    order = [F.col(order_col), *[F.col(c) for c in tiebreak_cols]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    cur = F.struct(*[F.col(c) for c in attrs])
+    prev = F.lag(cur).over(w)
+    # null-safe struct compare: a NULL attribute value is a legitimate
+    # version state, and plain != would return NULL (dropping the row)
+    opens = prev.isNull() | ~prev.eqNullSafe(cur)
+    vers = (
+        feed.withColumn("__opens", opens)
+        .filter(F.col("__opens"))
+        .select(
+            *keys,
+            *attrs,
+            F.col(order_col).alias("valid_from"),
+            *[F.col(c) for c in tiebreak_cols],
+        )
+    )
+    w2 = Window.partitionBy(*keys).orderBy(
+        F.col("valid_from"), *[F.col(c) for c in tiebreak_cols]
+    )
+    valid_to = F.lead("valid_from").over(w2)
+    return vers.select(
+        *keys,
+        *attrs,
+        F.col("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    order_col: str,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fold new change rows into an existing SCD2 table.
+
+    `dim` is a prior `scd2_snapshot`/`scd2_apply` output; `changes` is
+    a fresh slice of the feed (each change at-or-after its entity's
+    current `valid_from`). Closed history passes through untouched;
+    only current rows and the delta are recomputed.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    hist = dim.filter(~F.col("is_current"))
+    # re-feed current rows as the baseline: their valid_from re-opens
+    # the run, so a change with identical attributes collapses into it
+    # (idempotent re-delivery) while a differing change closes it
+    tb_types = dict(changes.dtypes)
+    baseline = dim.filter(F.col("is_current")).select(
+        *keys,
+        *attrs,
+        F.col("valid_from").alias(order_col),
+        # typed NULL tiebreaks sort first (asc_nulls_first is the
+        # window default), so the baseline wins order ties against its
+        # own delta
+        *[
+            F.lit(None).cast(tb_types[c]).alias(c)
+            for c in tiebreak_cols
+        ],
+    )
+    feed = baseline.unionByName(
+        changes.select(*keys, *attrs, order_col, *tiebreak_cols)
+    )
+    recomputed = scd2_snapshot(
+        feed, keys, attrs, order_col, tiebreak_cols
+    )
+    return hist.unionByName(recomputed)

@@ -1782,3 +1782,67 @@ def test_length_bucketed_batches_shape_and_stability(spark):
     ).collect()
     key = lambda r: (r["doc_id"], r["len_bucket"], r["batch_id"])  # noqa: E731
     assert sorted(map(key, got)) == sorted(map(key, again))
+
+
+# ------------------------------------------------------- SCD2 (r6 tail)
+def test_scd2_snapshot_collapses_runs_and_handles_nulls(spark):
+    from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+
+    feed = spark.createDataFrame(
+        [
+            # entity 1: a, a, NULL, NULL, b  -> versions a, NULL, b
+            (1, "a", 10, 1), (1, "a", 20, 2), (1, None, 30, 3),
+            (1, None, 40, 4), (1, "b", 50, 5),
+            # entity 2: single row -> one open version
+            (2, "x", 15, 6),
+        ],
+        "uid int, attr string, t int, eid int",
+    )
+    out = scd2_snapshot(feed, ["uid"], ["attr"], "t", ["eid"]).collect()
+    rows = sorted(
+        [(r.uid, r.attr, r.valid_from, r.valid_to, r.is_current) for r in out]
+    , key=lambda x: (x[0], x[2]))
+    assert rows == [
+        (1, "a", 10, 30, False),
+        (1, None, 30, 50, False),
+        (1, "b", 50, None, True),
+        (2, "x", 15, None, True),
+    ]
+
+
+def test_scd2_apply_closes_current_and_is_replay_idempotent(spark):
+    from gcp_data_pipeline_fyp_spark.operators.scd import (
+        scd2_apply,
+        scd2_snapshot,
+    )
+
+    feed = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "b", 20, 2), (2, "x", 15, 3)],
+        "uid int, attr string, t int, eid int",
+    )
+    dim = scd2_snapshot(feed, ["uid"], ["attr"], "t", ["eid"])
+    changes = spark.createDataFrame(
+        # uid 1: real change (closes 'b'); uid 2: same attr (no-op)
+        [(1, "c", 30, 4), (2, "x", 40, 5)],
+        "uid int, attr string, t int, eid int",
+    )
+    out = scd2_apply(dim, changes, ["uid"], ["attr"], "t", ["eid"])
+    rows = sorted(
+        [(r.uid, r.attr, r.valid_from, r.valid_to, r.is_current)
+         for r in out.collect()],
+        key=lambda x: (x[0], x[2]),
+    )
+    assert rows == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, 30, False),
+        (1, "c", 30, None, True),
+        (2, "x", 15, None, True),
+    ]
+    # replaying the SAME delta changes nothing (at-least-once safe)
+    again = scd2_apply(out, changes, ["uid"], ["attr"], "t", ["eid"])
+    rows2 = sorted(
+        [(r.uid, r.attr, r.valid_from, r.valid_to, r.is_current)
+         for r in again.collect()],
+        key=lambda x: (x[0], x[2]),
+    )
+    assert rows2 == rows
