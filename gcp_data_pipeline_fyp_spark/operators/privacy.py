@@ -1,0 +1,69 @@
+"""k-anonymity suppression — group-size privacy gating for corpus export.
+
+Training-data pipelines ship slices of a corpus to third parties; the
+standard release gate next to span-level PII redaction
+(`functions/text.py` redact_pii) is row-level k-anonymity: a row may
+only be released if at least k rows share its quasi-identifier tuple
+(the attacker-joinable columns — language, source, size band, ...).
+Groups smaller than k are SUPPRESSED outright; numeric identifiers are
+first GENERALIZED into bands so grouping is coarse enough to be
+meaningful.
+
+Spark-native rendering: one aggregation for the group sizes, then a
+null-safe inner join back — never a window over the full frame (the
+counts side is |distinct quasi tuples| rows, typically ~10^2-10^6 at
+100 TB, so AQE broadcasts it; a window would shuffle every corpus row
+into quasi-tuple partitions AND carry full rows through the sort).
+NULL is a legitimate quasi value (groupBy keeps it as its own group;
+the join condition is eqNullSafe to match).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def generalize_band(col: Column | str, width: int) -> Column:
+    """Generalize a numeric quasi-identifier into a band floor
+    (`floor(v / width) * width` — exact integer arithmetic for integer
+    inputs, so every engine bands identically)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.floor(c / F.lit(width)) * F.lit(width)).cast("bigint")
+
+
+def _group_sizes(df: DataFrame, quasi_cols: Sequence[str]) -> DataFrame:
+    return df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gsize"))
+
+
+def suppress_small_groups(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Release only rows whose quasi-identifier group has >= k members.
+
+    Returns the input rows (original columns) of released groups.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sizes = _group_sizes(df, quasi_cols).filter(F.col("__gsize") >= k)
+    cond = None
+    for c in quasi_cols:
+        e = df[c].eqNullSafe(sizes[c])
+        cond = e if cond is None else cond & e
+    return df.join(sizes, cond, "left_semi")
+
+
+def kanonymity_report(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Release audit: per-group size and released/suppressed verdict —
+    the reviewable artifact that accompanies a gated export."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return _group_sizes(df, quasi_cols).select(
+        *quasi_cols,
+        F.col("__gsize").alias("group_size"),
+        (F.col("__gsize") >= k).alias("released"),
+    )

@@ -2857,3 +2857,72 @@ TEXT_QUERIES["length_bucketed_batches"] = (
     q_length_bucketed_batches,
     SQL_LENGTH_BUCKETED_BATCHES,
 )
+
+
+# ------------------------------------- k-anonymity release gate (r6 tail)
+def q_kanon_released_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity-gated corpus release: generalize the size
+    quasi-identifier into 1000-char bands, then release only documents
+    whose (lang, source, band) group has >= 5 members — one group-size
+    aggregation + a null-safe LEFT SEMI join back, never a window over
+    the corpus (operators/privacy.py). Row-level output so the hash
+    certifies the exact released set. Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        suppress_small_groups,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", "lang", "source",
+        generalize_band("n_chars", 1000).alias("chars_band"),
+    )
+    return suppress_small_groups(docs, ["lang", "source", "chars_band"], 5)
+
+
+SQL_KANON_RELEASED_DOCS = """
+WITH g AS (
+  SELECT doc_id, lang, source,
+    CAST(FLOOR(n_chars / 1000) * 1000 AS BIGINT) AS chars_band
+  FROM documents),
+sizes AS (
+  SELECT lang, source, chars_band
+  FROM g GROUP BY lang, source, chars_band
+  HAVING count(*) >= 5)
+SELECT doc_id, g.lang, g.source, g.chars_band
+FROM g SEMI JOIN sizes
+  ON g.lang IS NOT DISTINCT FROM sizes.lang
+ AND g.source IS NOT DISTINCT FROM sizes.source
+ AND g.chars_band IS NOT DISTINCT FROM sizes.chars_band
+"""
+
+TEXT_QUERIES["kanon_released_docs"] = (
+    q_kanon_released_docs,
+    SQL_KANON_RELEASED_DOCS,
+)
+
+
+def q_kanon_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The audit artifact for the k-anonymity gate: every quasi-
+    identifier group with its size and released/suppressed verdict.
+    Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        kanonymity_report,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "lang", "source", generalize_band("n_chars", 1000).alias("chars_band")
+    )
+    return kanonymity_report(docs, ["lang", "source", "chars_band"], 5)
+
+
+SQL_KANON_REPORT = """
+SELECT lang, source,
+  CAST(FLOOR(n_chars / 1000) * 1000 AS BIGINT) AS chars_band,
+  CAST(count(*) AS BIGINT) AS group_size,
+  count(*) >= 5 AS released
+FROM documents
+GROUP BY lang, source, chars_band
+"""
+
+TEXT_QUERIES["kanon_report"] = (q_kanon_report, SQL_KANON_REPORT)

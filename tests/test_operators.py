@@ -1846,3 +1846,45 @@ def test_scd2_apply_closes_current_and_is_replay_idempotent(spark):
         key=lambda x: (x[0], x[2]),
     )
     assert rows2 == rows
+
+
+# ------------------------------------------------- k-anonymity (r6 tail)
+def test_kanonymity_suppression_nullsafe_groups(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        kanonymity_report,
+        suppress_small_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # group ('en', 100-band): 3 rows -> released at k=3
+            (1, "en", 120), (2, "en", 150), (3, "en", 199),
+            # group (NULL, 100-band): 2 rows -> NULL is a real group,
+            # suppressed at k=3 but both rows match each other
+            (4, None, 110), (5, None, 140),
+            # singleton -> always suppressed
+            (6, "de", 500),
+        ],
+        "doc_id int, lang string, n_chars int",
+    )
+    g = df.select(
+        "doc_id", "lang", generalize_band("n_chars", 100).alias("band")
+    )
+    kept3 = suppress_small_groups(g, ["lang", "band"], 3)
+    assert sorted(r.doc_id for r in kept3.collect()) == [1, 2, 3]
+    kept2 = suppress_small_groups(g, ["lang", "band"], 2)
+    assert sorted(r.doc_id for r in kept2.collect()) == [1, 2, 3, 4, 5]
+    rep = {
+        (r.lang, r.band): (r.group_size, r.released)
+        for r in kanonymity_report(g, ["lang", "band"], 3).collect()
+    }
+    assert rep == {
+        ("en", 100): (3, True),
+        (None, 100): (2, False),
+        ("de", 500): (1, False),
+    }
+    with pytest.raises(ValueError):
+        suppress_small_groups(g, ["lang"], 0)
