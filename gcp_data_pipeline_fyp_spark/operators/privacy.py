@@ -47,10 +47,18 @@ def suppress_small_groups(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    sizes = _group_sizes(df, quasi_cols).filter(F.col("__gsize") >= k)
+    # re-alias the size side: groupBy keeps the grouping attributes'
+    # exprIds, so joining back on the bare names is the ambiguous
+    # self-join trap (Spark resolves it by plan id but warns
+    # "trivially true equals predicate")
+    sizes = (
+        _group_sizes(df, quasi_cols)
+        .filter(F.col("__gsize") >= k)
+        .select(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols])
+    )
     cond = None
     for c in quasi_cols:
-        e = df[c].eqNullSafe(sizes[c])
+        e = df[c].eqNullSafe(F.col(f"__q_{c}"))
         cond = e if cond is None else cond & e
     return df.join(sizes, cond, "left_semi")
 
