@@ -418,3 +418,75 @@ def kcore(
     return e.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iters: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Fixed-round synchronous label propagation — community structure
+    over the candidate-pair graph (node, community) after `iters`
+    rounds.
+
+    Each node starts labeled with its own id; every round it adopts
+    the most frequent label among its neighbors plus its own current
+    label (the self-vote damps the 2-cycle oscillation plain
+    synchronous LPA exhibits on bipartite regions), ties broken by the
+    SMALLEST label. Both rules are deterministic, so a single-threaded
+    oracle replaying the identical bounded rounds reproduces the exact
+    assignment — same certification pattern as the fixed-iteration
+    `pagerank` and `kcore`.
+
+    Per round: one edge-sized join + one (node, label)-keyed count +
+    one node-keyed max — the argmax label is picked with
+    max(struct(count, -label)) (max count, then min label), an
+    AGGREGATION, not a row_number window over every candidate row (no
+    per-node sort at 100 TB; partial aggregation combines map-side).
+    Complements `connected_components` (same closure for k=inf) by
+    splitting weakly-bridged near-dup families instead of chaining
+    them into one cluster.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = materialize(
+        und.select(F.col("a").alias("v")).distinct(), checkpoint_dir
+    ).withColumn("lbl", F.col("v"))
+    for it in range(iters):
+        contrib = (
+            und.join(labels, und.a == labels.v)
+            .select(F.col("b").alias("v"), F.col("lbl"))
+            .unionByName(labels.select("v", "lbl"))
+        )
+        counts = contrib.groupBy("v", "lbl").agg(F.count("*").alias("c"))
+        labels = counts.groupBy("v").agg(
+            F.max(
+                F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("m")
+        ).select("v", (-F.col("m.nl")).alias("lbl"))
+        if (it + 1) % max(checkpoint_every, 1) == 0 or it == iters - 1:
+            labels = materialize(labels, checkpoint_dir)
+    und.unpersist()
+    return labels.select(F.col("v").alias("node"), F.col("lbl").alias("community"))
+
+
+def label_propagation_iteration_sql(iters_done: int) -> str:
+    """One DuckDB CTE pair mirroring a `label_propagation` round
+    (oracle helper): the same count + (c DESC, lbl ASC) argmax."""
+    i = iters_done
+    return (
+        f"c{i} AS (SELECT v, lbl, count(*) AS c FROM ("
+        f"SELECT e0.b AS v, l{i - 1}.lbl FROM e0 JOIN l{i - 1} "
+        f"ON e0.a = l{i - 1}.v "
+        f"UNION ALL SELECT v, lbl FROM l{i - 1}) u GROUP BY v, lbl), "
+        f"l{i} AS (SELECT v, lbl FROM ("
+        f"SELECT v, lbl, row_number() OVER (PARTITION BY v "
+        f"ORDER BY c DESC, lbl ASC) AS rn FROM c{i}) s WHERE rn = 1)"
+    )

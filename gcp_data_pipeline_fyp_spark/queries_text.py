@@ -2926,3 +2926,44 @@ GROUP BY lang, source, chars_band
 """
 
 TEXT_QUERIES["kanon_report"] = (q_kanon_report, SQL_KANON_REPORT)
+
+
+# --------------------------- label-propagation communities (r6 tail)
+def q_label_prop_communities(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed 4-round synchronous label propagation over the LSH
+    candidate-pair graph: the community complement of the transitive
+    closure — weakly-bridged near-dup families split instead of
+    chaining into one cluster (operators/components.py
+    label_propagation; deterministic min-label tie-break, replayed
+    round-for-round by the oracle). Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        label_propagation,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = label_propagation(pairs, iters=4)
+    pairs.unpersist()
+    return out.select(F.col("node").alias("doc_id"), "community")
+
+
+from gcp_data_pipeline_fyp_spark.operators.components import (  # noqa: E402
+    label_propagation_iteration_sql as _lp_iter,
+)
+
+_LP_ITERS = ", ".join(_lp_iter(i) for i in range(1, 5))
+SQL_LABEL_PROP_COMMUNITIES = f"""
+WITH pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+e0 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+l0 AS (SELECT DISTINCT a AS v, a AS lbl FROM e0),
+{_LP_ITERS}
+SELECT v AS doc_id, lbl AS community FROM l4
+"""
+
+TEXT_QUERIES["label_prop_communities"] = (
+    q_label_prop_communities,
+    SQL_LABEL_PROP_COMMUNITIES,
+)

@@ -1888,3 +1888,21 @@ def test_kanonymity_suppression_nullsafe_groups(spark):
     }
     with pytest.raises(ValueError):
         suppress_small_groups(g, ["lang"], 0)
+
+
+# ------------------------------------------- label propagation (r6 tail)
+def test_label_propagation_two_bridged_triangles(spark):
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=4).collect()
+    }
+    # two communities survive the bridge; min-label representative wins
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
