@@ -101,7 +101,12 @@ _CHECK_FIRST = [
     "paragraph_dedup",
     "boilerplate_docs",
     "clean_text_docs",
-    # next round (r07), in priority order: (0) kmeans_embeddings,
+    # next round (r07), in priority order: (0) the r6-tail additions,
+    # never driver-checked (all mirror-certified at sf0.001/0.01/0.1
+    # this round): small_qty_revenue, min_price_suppliers,
+    # important_parts, waiting_suppliers, scd2_user_state,
+    # kanon_released_docs, kanon_report, label_prop_communities,
+    # length_bucketed_batches; then kmeans_embeddings,
     # incremental_dedup, filter_chain_report and temperature_mix,
     # rotated out of this window to fit the last four r6 additions
     # (triangle_counts, returnflag_correlation, mad_outlier_events,
