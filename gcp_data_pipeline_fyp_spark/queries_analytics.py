@@ -1765,3 +1765,42 @@ FROM vers
 """
 
 ANALYTICS_QUERIES["scd2_user_state"] = (q_scd2_user_state, SQL_SCD2_USER_STATE)
+
+
+def q_scd2_incremental_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SCD2 certification: build the dimension from the
+    feed UP TO Jan 16, fold the rest in with `scd2_apply`, and certify
+    the result against the ORACLE OF THE FULL-FEED SNAPSHOT — the
+    hash-equality proves apply-after-snapshot is byte-equivalent to
+    one snapshot over everything (closed history untouched, current
+    rows closed/extended correctly, re-fed attribute runs collapsed).
+    The apply recompute is sized by |current| + |delta|, never
+    |history| — the 100 TB property this probe certifies the algebra
+    of. Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import (
+        scd2_apply,
+        scd2_snapshot,
+    )
+
+    ev = load(spark, sf, "events").select(
+        "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    dim = scd2_snapshot(
+        ev.filter(F.col("ts") <= cutoff),
+        key_cols=["user_id"], attr_cols=["state"],
+        order_col="ts", tiebreak_cols=["event_id"],
+    )
+    return scd2_apply(
+        dim, ev.filter(F.col("ts") > cutoff),
+        key_cols=["user_id"], attr_cols=["state"],
+        order_col="ts", tiebreak_cols=["event_id"],
+    )
+
+
+# the oracle is the FULL-feed snapshot: equality certifies the
+# incremental fold, not just the window algebra
+ANALYTICS_QUERIES["scd2_incremental_state"] = (
+    q_scd2_incremental_state,
+    SQL_SCD2_USER_STATE,
+)
