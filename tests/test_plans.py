@@ -375,3 +375,56 @@ def test_dormant_customers_scalar_broadcast_anti_join(spark):
     p = _plan(spark, "dormant_rich_customers")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
+
+
+def test_kanon_suppression_is_semi_join_no_window(spark):
+    """The k-anonymity gate must stay an aggregation + LEFT SEMI join
+    back — a window count over the corpus would shuffle AND sort every
+    row into quasi-tuple partitions (operators/privacy.py docstring)."""
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        suppress_small_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 100), (3, "de", 200)],
+        "doc_id int, lang string, band int",
+    )
+    plan = (
+        suppress_small_groups(df, ["lang", "band"], 2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftSemi" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_label_propagation_round_has_no_window(spark):
+    """The per-round argmax label must be an aggregation
+    (max(struct(c,-lbl))), never a row_number window over candidate
+    rows — no per-node sort at scale."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    plan = (
+        label_propagation(edges, iters=1)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+
+
+def test_scd2_snapshot_single_exchange_for_both_windows(spark):
+    """scd2_snapshot's two window passes (lag to open versions, lead
+    to close them) partition on the same entity key — the physical
+    plan must contain exactly ONE exchange keyed on it, not two."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+
+    feed = spark.createDataFrame(
+        [(1, "a", 10, 1)], "uid int, attr string, t int, eid int"
+    )
+    out = scd2_snapshot(feed, ["uid"], ["attr"], "t", ["eid"])
+    phys = out._jdf.queryExecution().executedPlan().toString()
+    n_hash_exchanges = phys.count("hashpartitioning(uid")
+    assert n_hash_exchanges == 1, phys
