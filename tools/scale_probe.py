@@ -154,6 +154,18 @@ def main() -> None:
             "noop"
         ).save()
         t["kcore"] = round(time.perf_counter() - t0, 2)
+        # r6-tail: bounded-round label propagation — per round one
+        # edge-sized join + (node,label) count + node-keyed argmax
+        # aggregation; growth should track the candidate edge count
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.components import (
+            label_propagation,
+        )
+
+        label_propagation(pairs2, iters=4).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["label_propagation"] = round(time.perf_counter() - t0, 2)
         pairs2.unpersist()
 
         # round-3 ops: exact-substring windows (n_tokens x token-count
