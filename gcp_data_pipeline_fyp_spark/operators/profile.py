@@ -182,3 +182,48 @@ def mad_outliers(
     return scored.filter(
         (F.col("robust_z_micro") >= t) | (F.col("robust_z_micro") <= -t)
     )
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-group least-squares trend line (slope + intercept), exact
+    and deterministic — one row per group with `n`, `slope_micro`,
+    `intercept_micro`.
+
+    The closed form needs the same five sufficient statistics as
+    `exact_corr` and inherits its whole design: Σ as exact decimals
+    (order-independent on any partitioning), closed form evaluated
+    ONCE in double with a pinned expression order, try_divide ->
+    NULL on zero x-variance. One aggregation pass; no per-group
+    iteration, no driver loop — trend detection over a trillion-row
+    fact is a single groupBy at 100 TB. Same (18,4) input domain as
+    `exact_corr` (rescale wider columns first).
+    """
+    x = F.col(x_col).cast("decimal(18,4)")
+    y = F.col(y_col).cast("decimal(18,4)")
+    g = df.filter(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum((x * y).cast("decimal(38,8)")).cast("double").alias("__sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("__sxx"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = F.try_divide(cov, vx)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / nn
+    return g.select(
+        *group_cols,
+        "n",
+        micro6(slope).alias("slope_micro"),
+        micro6(intercept).alias("intercept_micro"),
+    )

@@ -1000,3 +1000,67 @@ MISC_QUERIES["mad_outlier_events"] = (
     q_mad_outlier_events,
     SQL_MAD_OUTLIER_EVENTS,
 )
+
+
+# ------------------------------- per-group OLS trend (r6 tail)
+def q_value_trend_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time (slope +
+    intercept vs day index): the drift detector next to
+    returnflag_correlation, same deterministic sufficient-statistics
+    design (operators/profile.py:grouped_ols) — exact decimal Σs, one
+    closed-form evaluation, ONE aggregation pass for any fact size.
+    x is the exact integer day offset from 2024-01-01 (identical in
+    both engines). Window is r7-queue."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import grouped_ols
+
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("int")
+        .alias("day_x"),
+        "value",
+    )
+    return grouped_ols(ev, "day_x", "value", group_cols=["event_type"])
+
+
+SQL_VALUE_TREND_BY_TYPE = f"""
+WITH b AS (
+  SELECT event_type,
+    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_x,
+    value
+  FROM events),
+g AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(CAST(day_x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+    -- (19,4) widening: DuckDB runs an (18,4)x(18,4) product in int64
+    -- and overflows; 19+19 digits forces int128 (same rationals as
+    -- Spark's (18,4) products) — the exact_corr oracle pattern
+    CAST(sum(CAST(CAST(day_x AS DECIMAL(19,4))
+              * CAST(value AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+         AS DOUBLE) AS sxy,
+    CAST(sum(CAST(CAST(day_x AS DECIMAL(19,4))
+              * CAST(day_x AS DECIMAL(19,4)) AS DECIMAL(38,8)))
+         AS DOUBLE) AS sxx
+  FROM b
+  WHERE day_x IS NOT NULL AND value IS NOT NULL
+  GROUP BY event_type)
+SELECT event_type, n,
+  {micro6_sql(
+      "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+      " / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)"
+  )} AS slope_micro,
+  {micro6_sql(
+      "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+      " / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0)) * sx)"
+      " / CAST(n AS DOUBLE)"
+  )} AS intercept_micro
+FROM g
+"""
+
+MISC_QUERIES["value_trend_by_type"] = (
+    q_value_trend_by_type,
+    SQL_VALUE_TREND_BY_TYPE,
+)

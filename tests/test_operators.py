@@ -1906,3 +1906,36 @@ def test_label_propagation_two_bridged_triangles(spark):
     }
     # two communities survive the bridge; min-label representative wins
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+
+
+# --------------------------------------------------- grouped OLS (r6 tail)
+def test_grouped_ols_numpy_parity_and_partition_invariance(spark):
+    import numpy as np
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import grouped_ols
+
+    rows = [
+        ("a", float(x), 2.5 * x + 7.0 + ((x * 37) % 5 - 2) * 0.25)
+        for x in range(40)
+    ] + [("b", float(x), -1.5 * x + 3.0) for x in range(10)] + [
+        ("c", 4.0, 9.0), ("c", 4.0, 11.0),  # zero x-variance -> NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {
+        r.g: (r.n, r.slope_micro, r.intercept_micro)
+        for r in grouped_ols(df, "x", "y", ["g"]).collect()
+    }
+    for g in ("a", "b"):
+        xs = np.array([r[1] for r in rows if r[0] == g])
+        ys = np.array([r[2] for r in rows if r[0] == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert out[g][0] == len(xs)
+        assert abs(out[g][1] - round(slope * 1e6)) <= 1
+        assert abs(out[g][2] - round(intercept * 1e6)) <= 1
+    assert out["c"] == (2, None, None)
+    # partition invariance: identical bytes on a different layout
+    out2 = {
+        r.g: (r.n, r.slope_micro, r.intercept_micro)
+        for r in grouped_ols(df.repartition(7), "x", "y", ["g"]).collect()
+    }
+    assert out2 == out
