@@ -1064,3 +1064,30 @@ MISC_QUERIES["value_trend_by_type"] = (
     q_value_trend_by_type,
     SQL_VALUE_TREND_BY_TYPE,
 )
+
+
+# ------------------------- blocked fuzzy matching / linkage (r6 tail)
+def q_fuzzy_supplier_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution on supplier names: every pair within
+    Levenshtein distance 1, found by SymSpell deletion-1 blocking +
+    exact verify (operators/linkage.py) — linear candidate generation,
+    never an n² stage. The ORACLE is the exhaustive all-pairs join, so
+    the hash match certifies the blocking is COMPLETE, not just that
+    the arithmetic agrees. Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.linkage import fuzzy_pairs
+
+    supp = load(spark, sf, "supplier")
+    return fuzzy_pairs(supp, "s_suppkey", "s_name", max_dist=1)
+
+
+SQL_FUZZY_SUPPLIER_PAIRS = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+MISC_QUERIES["fuzzy_supplier_pairs"] = (
+    q_fuzzy_supplier_pairs,
+    SQL_FUZZY_SUPPLIER_PAIRS,
+)

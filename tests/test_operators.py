@@ -1939,3 +1939,30 @@ def test_grouped_ols_numpy_parity_and_partition_invariance(spark):
         for r in grouped_ols(df.repartition(7), "x", "y", ["g"]).collect()
     }
     assert out2 == out
+
+
+# ------------------------------------------------ fuzzy linkage (r6 tail)
+def test_fuzzy_pairs_deletion_blocking_complete(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "acme corp"),
+            (2, "acme c0rp"),   # substitution -> dist 1
+            (3, "acme corps"),  # insertion    -> dist 1
+            (4, "acme cor"),    # deletion of 1 -> dist 1 (vs 3: dist 2)
+            (5, "acme!corp!"),  # dist 2 from 1 -> excluded
+            (6, None),          # null text ignored
+            (7, ""),            # empty string: no crash (sequence guard)
+        ],
+        "id int, name string",
+    )
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    )
+    assert got == [(1, 2, 1), (1, 3, 1), (1, 4, 1)]
+    with pytest.raises(NotImplementedError):
+        fuzzy_pairs(df, "id", "name", max_dist=2)
