@@ -66,23 +66,50 @@ def fuzzy_pairs(
     base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
     )
-    v = base.select(
-        "__id", "__t", F.explode(_deletion1_variants("__t")).alias("__v")
+    # block over DISTINCT texts: with duplicated strings (the common
+    # case in a dirty 100 TB corpus) a record-level variant join puts
+    # every copy in every bucket — |copies|² candidate rows before the
+    # verify even runs. Distinct-text blocking keeps the variant join
+    # |distinct|-sized; the expansions back to record pairs below are
+    # OUTPUT-sized joins (the n² of an identical-text group is
+    # irreducible — it is the answer — but it no longer inflates the
+    # blocking shuffle).
+    texts = base.select("__t").distinct()
+    v = texts.select(
+        "__t", F.explode(_deletion1_variants("__t")).alias("__v")
     )
-    a = v.select(
-        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "__v"
-    )
-    b = v.select(
-        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "__v"
-    )
-    cand = (
+    a = v.select(F.col("__t").alias("__ta"), "__v")
+    b = v.select(F.col("__t").alias("__tb"), "__v")
+    text_pairs = (
         a.join(b, "__v")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__ta", "__tb")
+        .filter(F.col("__ta") < F.col("__tb"))
+        .select("__ta", "__tb")
         .distinct()
+        .select(
+            "__ta", "__tb", F.levenshtein("__ta", "__tb").alias("dist")
+        )
+        .filter(F.col("dist") <= max_dist)
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.levenshtein("__ta", "__tb").alias("dist"),
-    ).filter(F.col("dist") <= max_dist)
+    ids_a = base.select(F.col("__id").alias("id_l"), F.col("__t").alias("__ta"))
+    ids_b = base.select(F.col("__id").alias("id_r"), F.col("__t").alias("__tb"))
+    cross_text = (
+        text_pairs.join(ids_a, "__ta")
+        .join(ids_b, "__tb")
+        .select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            "dist",
+        )
+    )
+    same_text = (
+        ids_a.join(
+            ids_b, F.col("__ta") == F.col("__tb")
+        )
+        .filter(F.col("id_l") < F.col("id_r"))
+        .select(
+            F.col("id_l").alias("id_a"),
+            F.col("id_r").alias("id_b"),
+            F.lit(0).alias("dist"),
+        )
+    )
+    return cross_text.unionByName(same_text)

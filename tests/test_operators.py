@@ -1956,6 +1956,8 @@ def test_fuzzy_pairs_deletion_blocking_complete(spark):
             (5, "acme!corp!"),  # dist 2 from 1 -> excluded
             (6, None),          # null text ignored
             (7, ""),            # empty string: no crash (sequence guard)
+            (8, "acme corp"),   # exact duplicate of 1: dist-0 pair +
+                                # inherits 1's fuzzy neighbors
         ],
         "id int, name string",
     )
@@ -1963,6 +1965,9 @@ def test_fuzzy_pairs_deletion_blocking_complete(spark):
         (r.id_a, r.id_b, r.dist)
         for r in fuzzy_pairs(df, "id", "name").collect()
     )
-    assert got == [(1, 2, 1), (1, 3, 1), (1, 4, 1)]
+    assert got == [
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 8, 0),
+        (2, 8, 1), (3, 8, 1), (4, 8, 1),
+    ]
     with pytest.raises(NotImplementedError):
         fuzzy_pairs(df, "id", "name", max_dist=2)
