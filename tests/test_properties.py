@@ -607,3 +607,92 @@ def test_roundn_negative_zero_sign_normalized(spark):
         assert repr(got[i]) == repr(want[i]), (i, got[i], want[i])
     # the sub-half-micro negatives land on POSITIVE zero in both engines
     assert repr(got[0]) == "0.0" and repr(got[1]) == "0.0"
+
+
+# ----------------------------------------------- r6-tail operator fuzz
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),    # entity
+            st.sampled_from(["a", "b", None]),         # attr (incl NULL)
+            st.integers(min_value=0, max_value=20),    # order
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_snapshot_fuzz_vs_reference(spark, rows):
+    """scd2_snapshot vs a pure-Python reference: run-collapse, interval
+    chaining, NULL attr states, duplicate order values (unique eid
+    tiebreak)."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+
+    feed = [(uid, attr, t, i) for i, (uid, attr, t) in enumerate(rows)]
+    df = spark.createDataFrame(feed, "uid int, attr string, t int, eid int")
+    key = lambda r: (r[0], r[2], (r[1] is None, r[1] or ""))  # noqa: E731
+    got = sorted(
+        (
+            (r.uid, r.attr, r.valid_from, r.valid_to, r.is_current)
+            for r in scd2_snapshot(
+                df, ["uid"], ["attr"], "t", ["eid"]
+            ).collect()
+        ),
+        key=key,
+    )
+    expect = []
+    by_uid: dict = {}
+    for uid, attr, t, eid in sorted(feed, key=lambda r: (r[0], r[2], r[3])):
+        by_uid.setdefault(uid, []).append((attr, t))
+    for uid, seq in by_uid.items():
+        opens = [
+            (attr, t)
+            for i, (attr, t) in enumerate(seq)
+            if i == 0 or attr != seq[i - 1][0]
+        ]
+        for i, (attr, t) in enumerate(opens):
+            vt = opens[i + 1][1] if i + 1 < len(opens) else None
+            expect.append((uid, attr, t, vt, vt is None))
+    assert got == sorted(expect, key=key)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_fuzzy_pairs_fuzz_complete_vs_bruteforce(spark, texts):
+    """Deletion-1 blocking completeness fuzz: on random short strings
+    (tiny alphabet -> dense distance-1 neighborhoods, duplicates
+    likely) the blocked operator must emit EXACTLY the exhaustive
+    O(n²) levenshtein pair set."""
+    from gcp_data_pipeline_fyp_spark.operators.linkage import fuzzy_pairs
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_pairs(df, "id", "name").collect()
+    )
+    expect = sorted(
+        (i, j, lev(texts[i], texts[j]))
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if lev(texts[i], texts[j]) <= 1
+    )
+    assert got == expect
