@@ -106,7 +106,9 @@ _CHECK_FIRST = [
     # this round): small_qty_revenue, min_price_suppliers,
     # important_parts, waiting_suppliers, scd2_user_state,
     # kanon_released_docs, kanon_report, label_prop_communities,
-    # length_bucketed_batches; then kmeans_embeddings,
+    # scd2_incremental_state, value_trend_by_type,
+    # fuzzy_supplier_pairs, length_bucketed_batches; then
+    # kmeans_embeddings,
     # incremental_dedup, filter_chain_report and temperature_mix,
     # rotated out of this window to fit the last four r6 additions
     # (triangle_counts, returnflag_correlation, mad_outlier_events,
