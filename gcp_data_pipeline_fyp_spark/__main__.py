@@ -19,6 +19,8 @@ five Dataflow jobs. The equivalent here:
     python3 -m gcp_data_pipeline_fyp_spark ann-query \
         --queries qs.parquet --id vec_id --vec embedding \
         --warehouse /data/wh --name ix --k 10 --rerank --corpus vecs.parquet
+    python3 -m gcp_data_pipeline_fyp_spark ann-delete \
+        --ids victims.parquet --id vec_id --warehouse /data/wh --name ix
 
 Mode (full/delta) is inferred from the filename exactly like the DAG's
 branch; `--mode` overrides.
@@ -98,6 +100,18 @@ def main(argv: list[str] | None = None) -> int:
     aq_p.add_argument("--corpus", default=None,
                       help="parquet path with full-precision corpus vectors (for --rerank)")
     aq_p.add_argument("--cpus", type=int, default=None)
+
+    ad_p = sub.add_parser(
+        "ann-delete",
+        help="delete ids from a persisted IVF-PQ index "
+             "(partition-scoped rewrite; right-to-be-forgotten)",
+    )
+    ad_p.add_argument("--ids", required=True,
+                      help="parquet path with the ids to delete")
+    ad_p.add_argument("--id", required=True)
+    ad_p.add_argument("--warehouse", required=True)
+    ad_p.add_argument("--name", required=True)
+    ad_p.add_argument("--cpus", type=int, default=None)
 
     args = ap.parse_args(argv)
 
@@ -191,6 +205,20 @@ def main(argv: list[str] | None = None) -> int:
                     args.id, args.vec, k=args.k,
                 )
             print(json.dumps([r.asDict() for r in out.collect()]))
+            return 0
+
+        if args.cmd == "ann-delete":
+            from gcp_data_pipeline_fyp_spark.operators.pq import (
+                delete_from_ivfpq_index,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            n = delete_from_ivfpq_index(
+                wh, spark.read.parquet(args.ids), args.id, args.name
+            )
+            print(json.dumps({"index": args.name,
+                              "partitions_rewritten": n}))
             return 0
 
         if args.cmd == "validate":

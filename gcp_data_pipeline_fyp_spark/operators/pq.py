@@ -772,3 +772,79 @@ def append_pq_index(
         codes.select(F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"),
         f"{name}__codes",
     )
+
+
+def delete_from_ivfpq_index(
+    wh,
+    ids: DataFrame,
+    id_col: str,
+    name: str,
+) -> int:
+    """Remove vectors from a persisted IVF-PQ index by id — the
+    right-to-be-forgotten path (pairs with the k-anonymity release
+    gate in operators/privacy.py: both treat removal as a first-class
+    pipeline operation, not a rebuild).
+
+    Partition-scoped: the victims' centroid lists are located by one
+    scan of the CODES table (PQ codes, ~100x smaller than the
+    vectors; no vector bytes are read), then ONLY those partitions
+    rewrite — staging write + rename promotion (`swap_partitions`),
+    so a reader never sees a torn list and a crash leaves either the
+    old or the new partition on disk. Partitions emptied entirely are
+    dropped explicitly (dynamic/staged overwrites cannot express "this
+    partition now has zero rows"). Idempotent: re-running with the
+    same ids is a no-op. Returns the number of rewritten (or dropped)
+    partitions.
+
+    Deletes are expected to be SMALL batches (the ids broadcast); a
+    mass purge should rebuild the index instead — same cadence
+    discipline as codebook drift.
+    """
+    codes = wh.read(f"{name}__codes")
+    victims = ids.select(F.col(id_col).alias("corpus_id")).distinct()
+    affected = [
+        r.centroid_id
+        for r in codes.join(F.broadcast(victims), "corpus_id", "left_semi")
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    # isin on the partition column -> static partition pruning: the
+    # rewrite scan reads only the affected lists
+    remaining = codes.filter(F.col("centroid_id").isin(affected)).join(
+        F.broadcast(victims), "corpus_id", "left_anti"
+    )
+    kept_parts = {
+        r.centroid_id
+        for r in remaining.select("centroid_id").distinct().collect()
+    }
+    staging = f"{name}__codes__delete_staging"
+    wh.overwrite(remaining, staging, partition_cols=["centroid_id"])
+    wh.swap_partitions(staging, f"{name}__codes", "centroid_id")
+    wh.drop_partitions(
+        f"{name}__codes", "centroid_id",
+        sorted(set(affected) - kept_parts),
+    )
+    return len(affected)
+
+
+def delete_from_pq_index(
+    wh,
+    ids: DataFrame,
+    id_col: str,
+    name: str,
+) -> None:
+    """Remove vectors from a persisted (unpartitioned) PQ index: one
+    anti-join rewrite of the codes table through a staging table +
+    rename promotion (`swap` — a reader never sees a half-written
+    table). The flat codes table has no list structure to scope the
+    rewrite to; for partition-scoped deletes use the IVF-PQ index."""
+    codes = wh.read(f"{name}__codes")
+    victims = ids.select(F.col(id_col).alias("corpus_id")).distinct()
+    staging = f"{name}__codes__delete_staging"
+    wh.overwrite(
+        codes.join(F.broadcast(victims), "corpus_id", "left_anti"), staging
+    )
+    wh.swap(staging, f"{name}__codes")

@@ -203,6 +203,20 @@ class Warehouse:
                 shutil.rmtree(backup)
         self.drop(staging_table)
 
+    def drop_partitions(
+        self, table: str, partition_col: str, values: Sequence
+    ) -> None:
+        """Remove whole `col=value` partition directories — the delete
+        path for partitions a rewrite emptied ENTIRELY (a dynamic
+        overwrite or `swap_partitions` can only replace partitions
+        present in the written frame; an all-rows-deleted partition is
+        present in neither). Idempotent: missing dirs are skipped, so
+        a crashed delete converges on re-run."""
+        for v in values:
+            d = os.path.join(self.path(table), f"{partition_col}={v}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+
     def compact(
         self,
         table: str,

@@ -74,3 +74,42 @@ def test_ann_build_and_query_roundtrip(spark, tmp_path):
         "--rerank",
     )
     assert bad.returncode == 2
+
+
+def test_ann_delete_cli(spark, tmp_path):
+    rng = random.Random(7)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(4)]
+    rows = [
+        (i, [centers[i % 4][d] + rng.gauss(0, 0.1) for d in range(DIM)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vec_path = str(tmp_path / "vecs.parquet")
+    ids_path = str(tmp_path / "victims.parquet")
+    df.write.parquet(vec_path)
+    df.filter("vec_id in (10, 11)").select("vec_id").write.parquet(ids_path)
+
+    wh = str(tmp_path / "wh")
+    built = _run_cli(
+        "ann-build", "--vectors", vec_path, "--id", "vec_id",
+        "--vec", "embedding", "--warehouse", wh, "--name", "ix",
+        "--dim", str(DIM), "--m", "4", "--codes", "8", "--centroids", "4",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+
+    deleted = _run_cli(
+        "ann-delete", "--ids", ids_path, "--id", "vec_id",
+        "--warehouse", wh, "--name", "ix",
+    )
+    assert deleted.returncode == 0, deleted.stderr[-2000:]
+    meta = json.loads(deleted.stdout.strip().splitlines()[-1])
+    assert meta["index"] == "ix" and meta["partitions_rewritten"] >= 1
+
+    queried = _run_cli(
+        "ann-query", "--queries", vec_path, "--id", "vec_id",
+        "--vec", "embedding", "--warehouse", wh, "--name", "ix",
+        "--k", "60", "--nprobe", "4",
+    )
+    assert queried.returncode == 0, queried.stderr[-2000:]
+    rows_out = json.loads(queried.stdout.strip().splitlines()[-1])
+    assert not ({r["corpus_id"] for r in rows_out} & {10, 11})

@@ -829,3 +829,101 @@ def test_ivfpq_indexed_query_prunes_code_partitions(spark, tmp_path):
     res = ivfpq_topk_indexed(wh, q, "vec_id", "embedding", "px", k=5, nprobe=2)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_ivfpq_index_delete_partition_scoped_and_idempotent(spark, tmp_path):
+    """Right-to-be-forgotten on the persisted IVF-PQ index: deleted
+    ids vanish from queries, untouched partitions keep their files
+    byte-identical (the rewrite is list-scoped — the 100 TB property),
+    a fully-emptied list's directory is dropped, and re-running the
+    same delete is a no-op."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+        ivfpq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=200)
+    q = df.filter(F.col("vec_id") < 3)
+    c = df.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 150))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivfpq_index(
+        wh, c, "vec_id", "embedding", "ivfpq",
+        m=4, n_codes=8, iters=3, dim=DIM, n_centroids=8,
+    )
+    codes_root = tmp_path / "wh" / "ivfpq__codes"
+
+    # victims: two ids from ONE list, so other lists must not rewrite
+    codes = wh.read("ivfpq__codes")
+    one_part = codes.select("centroid_id").distinct().orderBy("centroid_id").first().centroid_id
+    vic_ids = [
+        r.corpus_id
+        for r in codes.filter(F.col("centroid_id") == one_part)
+        .select("corpus_id").distinct().orderBy("corpus_id").limit(2).collect()
+    ]
+    untouched_snapshot = {}
+    for d in os.listdir(codes_root):
+        if d.startswith("centroid_id=") and d != f"centroid_id={one_part}":
+            pdir = codes_root / d
+            untouched_snapshot[d] = sorted(
+                (f, os.stat(pdir / f).st_ino) for f in os.listdir(pdir)
+            )
+
+    victims = spark.createDataFrame([(v,) for v in vic_ids], "vec_id long")
+    n = delete_from_ivfpq_index(wh, victims, "vec_id", "ivfpq")
+    assert n == 1  # exactly the one affected list rewrote
+    left = {r.corpus_id for r in wh.read("ivfpq__codes").select("corpus_id").distinct().collect()}
+    assert not (left & set(vic_ids))
+    assert len(left) == 147 - 2 + 0  # 3..149 minus the two victims
+    for d, snap in untouched_snapshot.items():
+        pdir = codes_root / d
+        assert sorted((f, os.stat(pdir / f).st_ino) for f in os.listdir(pdir)) == snap
+
+    # queries never return victims
+    hits = ivfpq_topk_indexed(
+        wh, q, "vec_id", "embedding", "ivfpq", k=200, nprobe=8
+    ).collect()
+    assert not ({r.corpus_id for r in hits} & set(vic_ids))
+
+    # idempotent re-run
+    assert delete_from_ivfpq_index(wh, victims, "vec_id", "ivfpq") == 0
+
+    # empty an entire list -> its partition directory is dropped
+    rest = [
+        r.corpus_id
+        for r in wh.read("ivfpq__codes")
+        .filter(F.col("centroid_id") == one_part)
+        .select("corpus_id").distinct().collect()
+    ]
+    if rest:  # the list had more members than the two victims
+        delete_from_ivfpq_index(
+            wh,
+            spark.createDataFrame([(v,) for v in rest], "vec_id long"),
+            "vec_id",
+            "ivfpq",
+        )
+    assert not (codes_root / f"centroid_id={one_part}").exists()
+
+
+def test_pq_index_delete_rewrites_flat_table(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.operators.pq import (
+        build_pq_index,
+        delete_from_pq_index,
+        pq_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    df = _blob_vectors(spark, n=80)
+    q = df.filter(F.col("vec_id") < 2)
+    c = df.filter(F.col("vec_id") >= 2)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_pq_index(wh, c, "vec_id", "embedding", "pq", m=4, n_codes=8, iters=2, dim=DIM)
+    victims = spark.createDataFrame([(2,), (3,)], "vec_id long")
+    delete_from_pq_index(wh, victims, "vec_id", "pq")
+    left = {r.corpus_id for r in wh.read("pq__codes").select("corpus_id").distinct().collect()}
+    assert left == {int(v) for v in range(4, 80)}
+    hits = pq_topk_indexed(wh, q, "vec_id", "embedding", "pq", k=100).collect()
+    assert not ({r.corpus_id for r in hits} & {2, 3})
