@@ -519,3 +519,78 @@ def stream_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_scd2_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    key_cols: list[str],
+    attr_cols: list[str],
+    order_col: str,
+    tiebreak_cols: list[str],
+    wh: Warehouse,
+    dim_table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming SCD Type 2 dimension maintenance: each micro-batch
+    folds into the persisted dimension with `scd2_apply`
+    (operators/scd.py) — the recompute is sized by |current rows| +
+    |batch|, never |history|, and the result is BYTE-EQUIVALENT to
+    rebuilding from the whole feed (certified by the
+    `scd2_incremental_state` probe's full-snapshot oracle).
+
+    The updated dimension promotes via staging + `Warehouse.swap`
+    (rename-with-backup): a reader sees the old or the new dimension,
+    never a torn table. Replay is safe by ALGEBRA, not bookkeeping —
+    re-applying a batch whose versions already landed collapses into
+    the baseline run-compare and changes nothing (unit-pinned in
+    tests/test_operators.py), so at-least-once foreachBatch delivery
+    needs no ledger.
+
+    Ordering contract: `order_col` must be non-decreasing per entity
+    beyond CLOSED history (the watermark bounds intra-stream disorder;
+    the apply folds intra-batch and batch-vs-current disorder
+    correctly, but an event older than an entity's already-CLOSED
+    interval lands as a new current-era version — retroactive
+    backfills that deep should rebuild with `scd2_snapshot`)."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import (
+        scd2_apply,
+        scd2_snapshot,
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = (
+        raw.csv(input_dir)
+        .withWatermark(order_col, watermark)
+        .dropDuplicatesWithinWatermark([*key_cols, *tiebreak_cols])
+    )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cols = [*key_cols, *attr_cols, order_col, *tiebreak_cols]
+        batch = batch.select(*cols)
+        if wh.exists(dim_table):
+            out = scd2_apply(
+                wh.read(dim_table), batch,
+                key_cols, attr_cols, order_col, tiebreak_cols,
+            )
+        else:
+            out = scd2_snapshot(
+                batch, key_cols, attr_cols, order_col, tiebreak_cols
+            )
+        staging = f"{dim_table}__scd2_staging"
+        wh.overwrite(out, staging)
+        wh.swap(staging, dim_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -659,3 +659,70 @@ def test_stream_dedup_ingest_replay_from_scratch_is_noop(spark, tmp_path):
     q2.awaitTermination(120)
     after = sorted(r["event_id"] for r in wh.read("T").collect())
     assert after == before
+
+
+def test_stream_scd2_ingest_matches_full_snapshot_and_replays_idempotent(
+    spark, tmp_path
+):
+    """Streaming SCD2 dimension maintenance: two micro-batches fold to
+    EXACTLY the full-feed snapshot (the scd2_apply algebra), and a
+    re-delivered batch under a new filename changes nothing."""
+    from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_scd2_ingest,
+    )
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    rows1 = [
+        (1, "2024-01-01 10:00:00", "a", 0.0),
+        (2, "2024-01-01 10:01:00", "a", 0.0),   # same state -> collapses
+        (3, "2024-01-01 10:02:00", "b", 0.0),
+    ]
+    rows2 = [
+        (4, "2024-01-02 10:00:00", "b", 0.0),   # no-op vs current 'b'
+        (5, "2024-01-02 10:01:00", "c", 0.0),   # closes 'b'
+    ]
+    _write_csv(in_dir / "f1.csv", [(i, ts, f"u0_{s}", v) for i, ts, s, v in rows1])
+    _write_csv(in_dir / "f2.csv", [(i, ts, f"u0_{s}", v) for i, ts, s, v in rows2])
+
+    def run():
+        q = stream_scd2_ingest(
+            spark, str(in_dir), schema,
+            key_cols=["value"], attr_cols=["event_type"],
+            order_col="ts", tiebreak_cols=["event_id"],
+            wh=wh, dim_table="DIM_STATE",
+            checkpoint_dir=str(tmp_path / "sckpt"),
+            max_files_per_trigger=1,  # force one fold per file
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = sorted(
+        (r.value, r.event_type, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in wh.read("DIM_STATE").collect()
+    )
+    full = spark.createDataFrame(
+        [(i, ts, f"u0_{s}", v) for i, ts, s, v in rows1 + rows2],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expect = sorted(
+        (r.value, r.event_type, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in scd2_snapshot(
+            full, ["value"], ["event_type"], "ts", ["event_id"]
+        ).collect()
+    )
+    assert got == expect
+    assert len(got) == 3  # a, b, c runs
+
+    # re-delivery of batch 2 under a NEW filename: pure replay, no-op
+    _write_csv(in_dir / "f3.csv", [(i, ts, f"u0_{s}", v) for i, ts, s, v in rows2])
+    run()
+    again = sorted(
+        (r.value, r.event_type, str(r.valid_from), str(r.valid_to), r.is_current)
+        for r in wh.read("DIM_STATE").collect()
+    )
+    assert again == got
