@@ -183,3 +183,47 @@ def test_warehouse_orc_format(spark, tmp_path):
     wh.overwrite(df.withColumn("v", F.lit("swapped")), "t__staging")
     wh.swap("t__staging", "t")
     assert {r["v"] for r in wh.read("t").collect()} == {"swapped"}
+
+
+def test_shard_manifest_write_and_verify(spark, tmp_path):
+    """The shard integrity contract: manifest matches the written
+    tree, verification is layout-independent (a recomputation over a
+    different session sees identical fingerprints), and corruption —
+    a deleted shard file — is detected and attributed."""
+    import os
+    import shutil
+
+    from gcp_data_pipeline_fyp_spark.sources.export import (
+        verify_shards,
+        write_shard_manifest,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(df, p, ["doc_id"], n_shards=4, max_records_per_file=20)
+    manifest = write_shard_manifest(spark, p)
+    assert manifest["total_rows"] == 200
+    assert manifest["n_shards"] == 4
+    assert manifest["columns"] == ["doc_id", "text"]
+    assert verify_shards(spark, p) == []
+
+    # corruption: drop one parquet file from one shard dir
+    shard_dirs = sorted(
+        d for d in os.listdir(p) if d.startswith("shard=")
+    )
+    victim_dir = os.path.join(p, shard_dirs[0])
+    victim_file = sorted(
+        f for f in os.listdir(victim_dir) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(victim_dir, victim_file))
+    problems = verify_shards(spark, p)
+    assert len(problems) == 1 and problems[0].startswith(
+        f"shard {shard_dirs[0].split('=')[1]}: n_rows"
+    )
+
+    # a fully missing shard is reported as missing
+    shutil.rmtree(victim_dir)
+    assert any("missing on disk" in s for s in verify_shards(spark, p))
