@@ -2967,3 +2967,58 @@ TEXT_QUERIES["label_prop_communities"] = (
     q_label_prop_communities,
     SQL_LABEL_PROP_COMMUNITIES,
 )
+
+
+# ------------------------ privacy-gated release pipeline (r6 tail)
+def q_release_gated_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The release composition: Gopher quality gate -> k-anonymity
+    suppression over (lang, source, size band) — one Catalyst plan, no
+    materialization between stages (the filter prunes BEFORE the
+    group-size aggregation, so the privacy pass is sized by the kept
+    set). The row-level released set certifies both stages and their
+    interaction (filtering changes group sizes, which changes what the
+    privacy gate releases). Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        suppress_small_groups,
+    )
+
+    d = _docs(spark, sf)
+    kept = d.filter(gopher_keep(F.col("text"))).select(
+        "doc_id", "lang", "source",
+        generalize_band("n_chars", 1000).alias("chars_band"),
+    )
+    return suppress_small_groups(kept, ["lang", "source", "chars_band"], 5)
+
+
+SQL_RELEASE_GATED_DOCS = f"""
+WITH t AS (SELECT doc_id, lang, source, n_chars, text,
+                  {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, lang, source, n_chars,
+  len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN_LIST})) AS stop_hits
+  FROM t),
+kept AS (SELECT doc_id, lang, source,
+  CAST(FLOOR(n_chars / 1000) * 1000 AS BIGINT) AS chars_band
+  FROM m
+  WHERE coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false)),
+sizes AS (SELECT lang, source, chars_band
+  FROM kept GROUP BY lang, source, chars_band HAVING count(*) >= 5)
+SELECT doc_id, kept.lang, kept.source, kept.chars_band
+FROM kept SEMI JOIN sizes
+  ON kept.lang IS NOT DISTINCT FROM sizes.lang
+ AND kept.source IS NOT DISTINCT FROM sizes.source
+ AND kept.chars_band IS NOT DISTINCT FROM sizes.chars_band
+"""
+
+TEXT_QUERIES["release_gated_docs"] = (
+    q_release_gated_docs,
+    SQL_RELEASE_GATED_DOCS,
+)
