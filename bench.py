@@ -78,6 +78,11 @@ HEADLINE = [
     # round-6: IVF-partitioned PQ — the composed 100 TB ANN layout
     # (coarse pruning x ADC compression)
     "ann_ivfpq_topk",
+    # round-6 tail: SCD2 versioned-dimension build (window family) and
+    # SymSpell-blocked fuzzy matching (linkage family) — new operator
+    # classes get tracked numbers from their first round
+    "scd2_user_state",
+    "fuzzy_supplier_pairs",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

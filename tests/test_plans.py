@@ -428,3 +428,22 @@ def test_scd2_snapshot_single_exchange_for_both_windows(spark):
     phys = out._jdf.queryExecution().executedPlan().toString()
     n_hash_exchanges = phys.count("hashpartitioning(uid")
     assert n_hash_exchanges == 1, phys
+
+
+def test_fuzzy_pairs_blocks_over_distinct_texts(spark):
+    """The variant join must run over DISTINCT texts (duplicate
+    strings would otherwise square inside every bucket before the
+    verify); the record-id expansion happens after. Guard: both join
+    inputs aggregate on the text before any id appears."""
+    from gcp_data_pipeline_fyp_spark.operators.linkage import fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "aa"), (3, "ab")], "id int, name string"
+    )
+    plan = (
+        fuzzy_pairs(df, "id", "name")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # the deduplicating aggregate over the text column survives
+    # optimization on both variant sides
+    assert plan.count("Aggregate [__t") >= 2, plan
