@@ -168,6 +168,31 @@ def main() -> None:
         t["label_propagation"] = round(time.perf_counter() - t0, 2)
         pairs2.unpersist()
 
+        # r6-tail ops: SCD2 version compression (two same-key window
+        # passes — per-entity rows grow with the data at fixed key
+        # count, the window-sort worst case) and SymSpell fuzzy
+        # matching (variant join runs over DISTINCT names — the
+        # id-shifted copies multiply records but not distinct texts,
+        # so candidate generation should stay ~flat while the
+        # output-sized id expansion grows)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.scd import scd2_snapshot
+
+        scd2_snapshot(
+            ev.select("user_id", "event_type", "ts", "event_id"),
+            ["user_id"], ["event_type"], "ts", ["event_id"],
+        ).write.mode("overwrite").format("noop").save()
+        t["scd2_snapshot"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.linkage import fuzzy_pairs
+
+        supp = scaled(load(spark, SF_DIR, "supplier"), copies, "s_suppkey")
+        fuzzy_pairs(supp, "s_suppkey", "s_name").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["fuzzy_pairs"] = round(time.perf_counter() - t0, 2)
+
         # round-3 ops: exact-substring windows (n_tokens x token-count
         # row blow-up, digest-keyed — the heaviest per-byte dedup op),
         # incremental dedup (distinct-digest anti-join; base = corpus,
