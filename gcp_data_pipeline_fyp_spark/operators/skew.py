@@ -87,3 +87,36 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = l_salted.join(r_salted, [*keys, "__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """One-row diagnostic of a prospective shuffle key's distribution
+    — the measurement you run BEFORE choosing plain shuffle vs
+    `salted_agg`/`salted_join` vs bucketing: total rows, distinct
+    keys, the largest key, exact p50/p90/p99 group sizes, and the
+    skew ratio (largest key / mean key). A ratio near 1 means salting
+    buys nothing; a ratio of 10^3 means one reducer owns a thousand
+    keys' worth of rows.
+
+    Two aggregations (key-size count, then a single-row reduce over
+    the key-size frame — |keys| rows, never |rows|). Exact
+    `percentile` over group sizes pairs with DuckDB's quantile_cont
+    (the mad_outliers parity pattern); ints up to 2^53 interpolate
+    identically.
+    """
+    sizes = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return sizes.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        micro6(F.expr("percentile(__c, 0.5)")).alias("p50_micro"),
+        micro6(F.expr("percentile(__c, 0.9)")).alias("p90_micro"),
+        micro6(F.expr("percentile(__c, 0.99)")).alias("p99_micro"),
+        micro6(
+            F.max("__c") / (F.sum("__c") / F.count(F.lit(1)))
+        ).alias("skew_ratio_micro"),
+    )

@@ -1091,3 +1091,33 @@ MISC_QUERIES["fuzzy_supplier_pairs"] = (
     q_fuzzy_supplier_pairs,
     SQL_FUZZY_SUPPLIER_PAIRS,
 )
+
+
+# ------------------------------------- shuffle-key skew report (r6 tail)
+def q_key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The pre-shuffle diagnostic (operators/skew.py:skew_report) on
+    the order key of lineitem — |keys|-sized second pass, exact
+    percentiles over group sizes (quantile_cont parity), skew ratio in
+    micro-units. Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.skew import skew_report
+
+    li = load(spark, sf, "lineitem")
+    return skew_report(li, ["l_orderkey"])
+
+
+SQL_KEY_SKEW_REPORT = f"""
+WITH sizes AS (
+  SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY l_orderkey)
+SELECT
+  CAST(sum(c) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_keys,
+  CAST(max(c) AS BIGINT) AS max_key_rows,
+  {micro6_sql("quantile_cont(c, 0.5)")} AS p50_micro,
+  {micro6_sql("quantile_cont(c, 0.9)")} AS p90_micro,
+  {micro6_sql("quantile_cont(c, 0.99)")} AS p99_micro,
+  {micro6_sql("max(c) / (CAST(sum(c) AS DOUBLE) / count(*))")}
+    AS skew_ratio_micro
+FROM sizes
+"""
+
+MISC_QUERIES["key_skew_report"] = (q_key_skew_report, SQL_KEY_SKEW_REPORT)

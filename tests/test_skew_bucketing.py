@@ -186,3 +186,16 @@ def test_zorder_layout_compact_2d_regions(spark, tmp_path):
     assert all(ex <= 32 and ey <= 32 for ex, ey in zx), zx
     # and the data round-trips
     assert spark.read.parquet(str(tmp_path / "wh" / "tz")).count() == 4096
+
+
+def test_skew_report_flags_hot_key(spark):
+    from gcp_data_pipeline_fyp_spark.operators.skew import skew_report
+
+    rows = [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    r = skew_report(df, ["k"]).first()
+    assert r.n_rows == 100 and r.n_keys == 11
+    assert r.max_key_rows == 90
+    assert r.p50_micro == 1_000_000  # median key has 1 row
+    # skew ratio = 90 / (100/11) = 9.9
+    assert r.skew_ratio_micro == 9_900_000
