@@ -1804,3 +1804,37 @@ ANALYTICS_QUERIES["scd2_incremental_state"] = (
     q_scd2_incremental_state,
     SQL_SCD2_USER_STATE,
 )
+
+
+def q_customer_spend_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile(4) quartile assignment over customer spend — the last
+    member of the window-function family (row_number/rank/
+    percent_rank/cume_dist/lag/lead/running sums are covered
+    elsewhere). Deterministic because the window order is TOTAL
+    (exact-decimal spend desc, then custkey). Window is r7-queue."""
+    orders = load(spark, sf, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return spend.select(
+        "o_custkey", "spend", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+SQL_CUSTOMER_SPEND_QUARTILES = """
+WITH s AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, spend,
+  CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INT) AS quartile
+FROM s
+"""
+
+ANALYTICS_QUERIES["customer_spend_quartiles"] = (
+    q_customer_spend_quartiles,
+    SQL_CUSTOMER_SPEND_QUARTILES,
+)
