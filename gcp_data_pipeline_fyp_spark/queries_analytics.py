@@ -1838,3 +1838,72 @@ ANALYTICS_QUERIES["customer_spend_quartiles"] = (
     q_customer_spend_quartiles,
     SQL_CUSTOMER_SPEND_QUARTILES,
 )
+
+
+def q_linear_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-touch LINEAR attribution: each purchase's credit splits
+    equally over the user's clicks in the preceding 24 h, aggregated
+    to (user, click-day) — the marketing rollup on top of the
+    interval join (`interval_attribution` certifies the raw pairs).
+    Credit math is EXACT integers: per-touch credit is
+    round(1e6 / n_touches) micro-units, summed as ints — a double
+    1/n sum would be partial-aggregation-order dependent and could
+    never hash-certify. Window is r7-queue."""
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("c_uid") == F.col("p_uid"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS")),
+    )
+    w = Window.partitionBy("p_id")
+    credited = touches.withColumn(
+        "credit_micro",
+        F.round(F.lit(1_000_000) / F.count(F.lit(1)).over(w), 0).cast(
+            "bigint"
+        ),
+    )
+    return credited.groupBy(
+        F.col("p_uid").alias("user_id"),
+        F.date_format("c_ts", "yyyy-MM-dd").alias("click_day"),
+    ).agg(
+        F.sum("credit_micro").alias("credit_micro"),
+        F.count(F.lit(1)).alias("n_touches"),
+    )
+
+
+SQL_LINEAR_ATTRIBUTION = """
+WITH clicks AS (
+  SELECT user_id AS c_uid, ts AS c_ts FROM events
+  WHERE event_type = 'click'),
+purchases AS (
+  SELECT event_id AS p_id, user_id AS p_uid, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'),
+touches AS (
+  SELECT p_id, p_uid, c_ts
+  FROM purchases JOIN clicks
+    ON c_uid = p_uid AND c_ts <= p_ts
+   AND c_ts >= p_ts - INTERVAL 24 HOUR),
+credited AS (
+  SELECT p_uid, c_ts,
+    CAST(round(1000000.0 / count(*) OVER (PARTITION BY p_id), 0)
+         AS BIGINT) AS credit_micro
+  FROM touches)
+SELECT p_uid AS user_id, strftime(c_ts, '%Y-%m-%d') AS click_day,
+  CAST(sum(credit_micro) AS BIGINT) AS credit_micro,
+  CAST(count(*) AS BIGINT) AS n_touches
+FROM credited GROUP BY p_uid, strftime(c_ts, '%Y-%m-%d')
+"""
+
+ANALYTICS_QUERIES["linear_attribution"] = (
+    q_linear_attribution,
+    SQL_LINEAR_ATTRIBUTION,
+)
