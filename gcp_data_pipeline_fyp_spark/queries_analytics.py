@@ -1907,3 +1907,159 @@ ANALYTICS_QUERIES["linear_attribution"] = (
     q_linear_attribution,
     SQL_LINEAR_ATTRIBUTION,
 )
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 shape (the canonical predicate-pushdown scan): one
+    filtered aggregation — year slice, discount band, quantity cap —
+    whose entire WHERE clause must reach the parquet scan as
+    PushedFilters (no join, no shuffle beyond the final reduce).
+    Revenue = sum(extendedprice * discount) as exact decimal.
+    Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    sel = li.filter(
+        (F.to_date("l_shipdate") >= F.lit("2001-01-01"))
+        & (F.to_date("l_shipdate") < F.lit("2002-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return sel.agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '2001-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '2002-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ANALYTICS_QUERIES["forecast_revenue_change"] = (
+    q_forecast_revenue_change,
+    SQL_FORECAST_REVENUE_CHANGE,
+)
+
+
+def q_promo_revenue_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional-aggregate share): promo parts'
+    percentage of total revenue in a month — numerator is a CASE
+    inside the SAME aggregation pass as the denominator (one scan,
+    one broadcast part join, never two). Share emitted via micro6 of
+    an exact-decimal ratio. Window is r7-queue."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("2001-03-01"))
+        & (F.to_date("l_shipdate") < F.lit("2001-04-01"))
+    )
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return j.agg(
+        micro6(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_share_micro"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = f"""
+WITH j AS (
+  SELECT p_type, l_extendedprice, l_discount
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE CAST(l_shipdate AS DATE) >= DATE '2001-03-01'
+    AND CAST(l_shipdate AS DATE) < DATE '2001-04-01')
+SELECT
+  {micro6_sql(
+    "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' "
+    "THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) "
+    "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) "
+    "/ CAST(sum(CAST(l_extendedprice * (1 - l_discount) "
+    "AS DECIMAL(18,4))) AS DOUBLE)"
+  )} AS promo_share_micro,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM j
+"""
+
+ANALYTICS_QUERIES["promo_revenue_share"] = (
+    q_promo_revenue_share,
+    SQL_PROMO_REVENUE_SHARE,
+)
+
+
+def q_discounted_shipment_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunction of conjunctions): three
+    brand/size/quantity bands OR-ed together — the predicate class
+    that tests whether the optimizer pushes a DNF filter into the
+    scan and the join instead of materializing the cross product.
+    One broadcast part join, one exact-decimal aggregate.
+    Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return j.filter(band).agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_DISCOUNTED_SHIPMENT_REVENUE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DOUBLE) AS revenue,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+ANALYTICS_QUERIES["discounted_shipment_revenue"] = (
+    q_discounted_shipment_revenue,
+    SQL_DISCOUNTED_SHIPMENT_REVENUE,
+)

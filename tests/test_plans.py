@@ -447,3 +447,33 @@ def test_fuzzy_pairs_blocks_over_distinct_texts(spark):
     # the deduplicating aggregate over the text column survives
     # optimization on both variant sides
     assert plan.count("Aggregate [__t") >= 2, plan
+
+
+def test_q6_shape_pushes_all_predicates_to_scan(spark):
+    """The Q6-shape probe's whole WHERE clause must reach the parquet
+    scan: Catalyst rewrites to_date(ts) >= d into pushable timestamp
+    bounds, and discount/quantity bands push as-is. ReadSchema stays
+    at the 4 referenced columns."""
+    from gcp_data_pipeline_fyp_spark.queries_analytics import (
+        q_forecast_revenue_change,
+    )
+
+    phys = (
+        q_forecast_revenue_change(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", phys)
+    assert m, phys
+    pushed = m.group(1)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, pushed
+    m2 = re.search(r"ReadSchema: struct<([^>]*)>", phys)
+    assert m2 and len(m2.group(1).split(",")) == 4, phys
