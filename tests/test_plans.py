@@ -454,16 +454,9 @@ def test_q6_shape_pushes_all_predicates_to_scan(spark):
     scan: Catalyst rewrites to_date(ts) >= d into pushable timestamp
     bounds, and discount/quantity bands push as-is. ReadSchema stays
     at the 4 referenced columns."""
-    from gcp_data_pipeline_fyp_spark.queries_analytics import (
-        q_forecast_revenue_change,
-    )
-
-    phys = (
-        q_forecast_revenue_change(spark, "/root/testdata/sf0.001")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
     import re
 
+    phys = _plan(spark, "forecast_revenue_change")
     m = re.search(r"PushedFilters: \[([^\]]*)\]", phys)
     assert m, phys
     pushed = m.group(1)
