@@ -2063,3 +2063,95 @@ ANALYTICS_QUERIES["discounted_shipment_revenue"] = (
     q_discounted_shipment_revenue,
     SQL_DISCOUNTED_SHIPMENT_REVENUE,
 )
+
+
+def q_brand_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association over order baskets: for every brand
+    pair bought together in >= 20 orders, the co-occurrence count and
+    LIFT (N * n_ab / (n_a * n_b)) in micro-units — the
+    association-rule class (support/lift) none of the other probes
+    cover. The pair join is per-ORDER (C(brands,2) with baskets of
+    ~4-7 brands — candidate-bounded, never brand x brand global), the
+    per-brand supports and N are one aggregation each, broadcast into
+    the final select. All counts are exact ints; lift's double
+    expression is pinned to one evaluation order. Window is
+    r7-queue."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand_a")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("o"), F.col("p_brand").alias("brand_b")
+    )
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 20)
+    )
+    support = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_s"))
+    total = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    sa = support.select(
+        F.col("p_brand").alias("brand_a"), F.col("n_s").alias("n_a")
+    )
+    sb = support.select(
+        F.col("p_brand").alias("brand_b"), F.col("n_s").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .join(F.broadcast(total))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            micro6(
+                F.col("n_orders").cast("double")
+                * F.col("n_ab").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift_micro"),
+        )
+    )
+
+
+SQL_BRAND_BASKET_LIFT = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING count(*) >= 20),
+support AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_s
+  FROM baskets GROUP BY p_brand),
+total AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM baskets)
+SELECT brand_a, brand_b, n_ab,
+  {micro6_sql(
+    "CAST(n_orders AS DOUBLE) * CAST(n_ab AS DOUBLE)"
+    " / (CAST(sa.n_s AS DOUBLE) * CAST(sb.n_s AS DOUBLE))"
+  )} AS lift_micro
+FROM pairs
+JOIN support sa ON sa.p_brand = brand_a
+JOIN support sb ON sb.p_brand = brand_b
+CROSS JOIN total
+"""
+
+ANALYTICS_QUERIES["brand_basket_lift"] = (
+    q_brand_basket_lift,
+    SQL_BRAND_BASKET_LIFT,
+)
