@@ -594,3 +594,69 @@ def stream_scd2_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_rollup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    keys: list[str],
+    sum_cols: list[str],
+    wh: Warehouse,
+    state_table: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming mergeable-rollup maintenance: each micro-batch
+    reduces to a partial-aggregate state (operators/rollup.py
+    rollup_state — count + exact decimal sums, group-key-sized) and
+    MERGES into the persisted state, so the serving table is always
+    one `finalize_state` read away and the per-batch work never
+    rescans history.
+
+    Count/sum merges are distributive but NOT idempotent — replaying
+    a merged batch double-counts, so unlike the SCD2 fold this needs
+    a replay guard. The guard is a `__last_batch_id` column stamped on
+    every state row and promoted in the SAME staging+swap as the data:
+    state and high-water mark can never disagree, even across a crash
+    mid-promotion. foreachBatch re-delivers only the LAST batch (and a
+    from-scratch checkpoint restarts renumber from 0), so `batch_id <=
+    max(__last_batch_id)` identifies every already-merged delivery."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        merge_states,
+        rollup_state,
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        part = rollup_state(batch, keys, sum_cols)
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            seen = prior.agg(
+                F.max("__last_batch_id").alias("m")
+            ).first()["m"]
+            if seen is not None and batch_id <= seen:
+                return
+            out = merge_states(
+                [prior.drop("__last_batch_id"), part], keys
+            )
+        else:
+            out = part
+        staging = f"{state_table}__rollup_staging"
+        wh.overwrite(
+            out.withColumn("__last_batch_id", F.lit(batch_id)), staging
+        )
+        wh.swap(staging, state_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -726,3 +726,62 @@ def test_stream_scd2_ingest_matches_full_snapshot_and_replays_idempotent(
         for r in wh.read("DIM_STATE").collect()
     )
     assert again == got
+
+
+def test_stream_rollup_ingest_matches_batch_and_replay_guarded(
+    spark, tmp_path
+):
+    """Streaming mergeable rollup: two micro-batches merge to exactly
+    the one-shot batch rollup, and a from-scratch checkpoint replay
+    (batch ids renumber from 0) is fully skipped by the in-table
+    high-water mark — no double counting."""
+    from gcp_data_pipeline_fyp_spark.operators.rollup import (
+        finalize_state,
+        rollup_state,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_rollup_ingest,
+    )
+
+    in_dir = tmp_path / "rin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    rows1 = [(1, "2024-01-01 10:00:00", "a", 1.5), (2, "2024-01-01 10:01:00", "b", 2.0)]
+    rows2 = [(3, "2024-01-02 10:00:00", "a", 4.0), (4, "2024-01-02 10:01:00", "a", 0.5)]
+    _write_csv(in_dir / "f1.csv", rows1)
+    _write_csv(in_dir / "f2.csv", rows2)
+
+    def run(ckpt):
+        q = stream_rollup_ingest(
+            spark, str(in_dir), schema, ["event_type"], ["value"],
+            wh, "ROLLUP", str(tmp_path / ckpt), max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("rckpt")
+
+    def read_final():
+        return sorted(
+            (r.event_type, r.n, r.sum_value)
+            for r in finalize_state(
+                wh.read("ROLLUP").drop("__last_batch_id"), ["value"]
+            ).collect()
+        )
+
+    got = read_final()
+    full = spark.createDataFrame(
+        rows1 + rows2, "event_id long, ts string, event_type string, value double"
+    )
+    expect = sorted(
+        (r.event_type, r.n, r.sum_value)
+        for r in finalize_state(
+            rollup_state(full, ["event_type"], ["value"]), ["value"]
+        ).collect()
+    )
+    assert got == expect == [("a", 3, 6.0), ("b", 1, 2.0)]
+
+    # from-scratch replay: NEW checkpoint, same input files -> batch
+    # ids restart at 0, every delivery must be skipped by the mark
+    run("rckpt2")
+    assert read_final() == got
