@@ -111,7 +111,7 @@ _CHECK_FIRST = [
     # customer_spend_quartiles, linear_attribution,
     # forecast_revenue_change, promo_revenue_share,
     # discounted_shipment_revenue, brand_basket_lift,
-    # length_bucketed_batches; then
+    # clustering_coefficients, length_bucketed_batches; then
     # kmeans_embeddings,
     # incremental_dedup, filter_chain_report and temperature_mix,
     # rotated out of this window to fit the last four r6 additions

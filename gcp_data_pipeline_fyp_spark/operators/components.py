@@ -490,3 +490,46 @@ def label_propagation_iteration_sql(iters_done: int) -> str:
         f"SELECT v, lbl, row_number() OVER (PARTITION BY v "
         f"ORDER BY c DESC, lbl ASC) AS rn FROM c{i}) s WHERE rn = 1)"
     )
+
+
+def clustering_coefficients(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected pair
+    set -> (node, degree, n_triangles, cc_micro) for nodes of degree
+    >= 2; cc = 2T / (deg * (deg - 1)) in micro-units.
+
+    The normalized form of `triangle_counts`: a coefficient near 1 is
+    a clique member (true near-dup family), near 0 a hub of spurious
+    band collisions — the per-node score a curation pass thresholds
+    on. Costs one degree aggregation on top of the triangle
+    enumeration; the join of the two is node-keyed."""
+    e = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    tri = triangle_counts(e, "a", "b")
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            micro6(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1))
+            ).alias("cc_micro"),
+        )
+    )

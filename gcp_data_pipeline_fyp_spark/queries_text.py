@@ -3022,3 +3022,54 @@ TEXT_QUERIES["release_gated_docs"] = (
     q_release_gated_docs,
     SQL_RELEASE_GATED_DOCS,
 )
+
+
+def q_clustering_coefficients(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient per doc over the LSH candidate
+    graph (operators/components.py:clustering_coefficients) — the
+    normalized closure score: ~1 = clique member (real near-dup
+    family), ~0 = hub of spurious band collisions. Window is
+    r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        clustering_coefficients,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = clustering_coefficients(pairs)
+    pairs.unpersist()
+    return out.select(
+        F.col("node").alias("doc_id"), "degree", "n_triangles", "cc_micro"
+    )
+
+
+SQL_CLUSTERING_COEFFICIENTS = f"""
+WITH pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+e AS (SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM pairs WHERE id_a <> id_b),
+und AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT a AS node, count(*) AS degree FROM und GROUP BY a),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+tcount AS (SELECT node, count(*) AS n_triangles FROM corners GROUP BY node)
+SELECT deg.node AS doc_id, CAST(degree AS BIGINT) AS degree,
+  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+  {micro6_sql(
+    "2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1))"
+  )} AS cc_micro
+FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+WHERE degree >= 2
+"""
+
+TEXT_QUERIES["clustering_coefficients"] = (
+    q_clustering_coefficients,
+    SQL_CLUSTERING_COEFFICIENTS,
+)

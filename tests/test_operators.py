@@ -1971,3 +1971,25 @@ def test_fuzzy_pairs_deletion_blocking_complete(spark):
     ]
     with pytest.raises(NotImplementedError):
         fuzzy_pairs(df, "id", "name", max_dist=2)
+
+
+# ------------------------------------- clustering coefficient (r6 tail)
+def test_clustering_coefficients_triangle_vs_chain(spark):
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        clustering_coefficients,
+    )
+
+    edges = spark.createDataFrame(
+        # triangle 1-2-3 plus a pendant chain 3-4-5
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {
+        r.node: (r.degree, r.n_triangles, r.cc_micro)
+        for r in clustering_coefficients(edges).collect()
+    }
+    assert out[1] == (2, 1, 1_000_000)   # pure triangle corner: cc=1
+    assert out[2] == (2, 1, 1_000_000)
+    assert out[3] == (3, 1, 333_333)     # 2*1/(3*2)
+    assert out[4] == (2, 0, 0)           # chain middle: no closure
+    assert 5 not in out                  # degree-1 nodes omitted
