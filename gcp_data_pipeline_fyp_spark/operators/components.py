@@ -335,7 +335,12 @@ def triangle_counts(
     CANDIDATE graph — LSH banding caps degrees, so this never
     approaches n²; the closing join is edge-keyed and co-partitioned
     with the wedge stream."""
-    e = (
+    e = _canonical_edges(pairs, src, dst)
+    return _triangle_counts_canonical(e)
+
+
+def _canonical_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    return (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
@@ -343,6 +348,13 @@ def triangle_counts(
         .filter(F.col("a") < F.col("b"))
         .distinct()
     )
+
+
+def _triangle_counts_canonical(e: DataFrame) -> DataFrame:
+    """Triangle enumeration over an ALREADY canonical (a < b,
+    deduplicated) edge frame — callers that canonicalized for their
+    own joins (clustering_coefficients) skip a second edge-set-wide
+    distinct shuffle."""
     wedges = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
@@ -504,19 +516,14 @@ def clustering_coefficients(
     band collisions — the per-node score a curation pass thresholds
     on. Costs one degree aggregation on top of the triangle
     enumeration; the join of the two is node-keyed."""
-    e = (
-        pairs.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
-        )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+    e = _canonical_edges(pairs, src, dst)
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
-    tri = triangle_counts(e, "a", "b")
+    # e is already canonical — skip triangle_counts' re-canonicalizing
+    # distinct over the edge set
+    tri = _triangle_counts_canonical(e)
     from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
     return (

@@ -800,32 +800,60 @@ def delete_from_ivfpq_index(
     mass purge should rebuild the index instead — same cadence
     discipline as codebook drift.
     """
+    import os
+
     codes = wh.read(f"{name}__codes")
     victims = ids.select(F.col(id_col).alias("corpus_id")).distinct()
-    affected = [
+    affected = {
         r.centroid_id
         for r in codes.join(F.broadcast(victims), "corpus_id", "left_semi")
         .select("centroid_id")
         .distinct()
         .collect()
-    ]
+    }
     if not affected:
         return 0
     # isin on the partition column -> static partition pruning: the
     # rewrite scan reads only the affected lists
-    remaining = codes.filter(F.col("centroid_id").isin(affected)).join(
-        F.broadcast(victims), "corpus_id", "left_anti"
-    )
-    kept_parts = {
-        r.centroid_id
-        for r in remaining.select("centroid_id").distinct().collect()
-    }
+    remaining = codes.filter(
+        F.col("centroid_id").isin(sorted(affected))
+    ).join(F.broadcast(victims), "corpus_id", "left_anti")
     staging = f"{name}__codes__delete_staging"
     wh.overwrite(remaining, staging, partition_cols=["centroid_id"])
+
+    def _partition_values(table: str) -> set:
+        root = wh.path(table)
+        return {
+            d.split("=", 1)[1]
+            for d in os.listdir(root)
+            if d.startswith("centroid_id=") and os.path.isdir(
+                os.path.join(root, d)
+            )
+        }
+
+    # kept/emptied derive from the STAGING LISTING, not a second run
+    # of the anti-join plan (the overwrite already executed it once)
+    kept_parts = _partition_values(staging)
+    untouched = {
+        v
+        for v in _partition_values(f"{name}__codes")
+        if v not in {str(a) for a in affected}
+    }
+    if not kept_parts and not untouched:
+        # the delete emptied the ENTIRE codes table: promoting nothing
+        # and dropping every partition dir would leave a directory no
+        # parquet reader can infer a schema from — write an empty but
+        # TYPED single-file table instead (repartition(1) forces one
+        # writer task, which emits a schema-bearing file even for
+        # zero rows)
+        wh.drop(staging)
+        wh.overwrite(remaining.repartition(1), staging)
+        wh.swap(staging, f"{name}__codes")
+        return len(affected)
     wh.swap_partitions(staging, f"{name}__codes", "centroid_id")
     wh.drop_partitions(
         f"{name}__codes", "centroid_id",
-        sorted(set(affected) - kept_parts),
+        sorted({str(a) for a in affected} - kept_parts),
     )
     return len(affected)
 

@@ -98,9 +98,18 @@ def scd2_apply(
     """Fold new change rows into an existing SCD2 table.
 
     `dim` is a prior `scd2_snapshot`/`scd2_apply` output; `changes` is
-    a fresh slice of the feed (each change at-or-after its entity's
-    current `valid_from`). Closed history passes through untouched;
-    only current rows and the delta are recomputed.
+    a fresh slice of the feed, each change STRICTLY AFTER its
+    entity's current `valid_from`. Closed history passes through
+    untouched; only current rows and the delta are recomputed.
+
+    Equal-order edge: a change whose order value EQUALS the current
+    `valid_from` ties against the re-fed baseline, whose tiebreak is
+    NULL (sorts first) because the dim does not store the opening
+    event's tiebreak — so such a change always sorts AFTER the
+    baseline, which matches the full-feed snapshot only when the
+    change's original tiebreak also sorted after the opener's. Feeds
+    whose order column is strictly increasing per entity (the normal
+    streaming contract) never hit this.
     """
     keys = list(key_cols)
     attrs = list(attr_cols)

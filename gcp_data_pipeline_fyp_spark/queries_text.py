@@ -3038,7 +3038,11 @@ def q_clustering_coefficients(spark: SparkSession, sf: str) -> DataFrame:
     pairs = minhash_lsh_candidates(
         d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
     )
-    out = clustering_coefficients(pairs)
+    # materialize before releasing the candidate cache: the operator
+    # references the edge set four times (wedge join x2, closing join,
+    # degrees), so dropping the cache on a still-lazy plan would
+    # recompute the whole MinHash/LSH pipeline per reference
+    out = clustering_coefficients(pairs).localCheckpoint()
     pairs.unpersist()
     return out.select(
         F.col("node").alias("doc_id"), "degree", "n_triangles", "cc_micro"

@@ -128,6 +128,18 @@ def verify_shards(spark, path: str) -> list[str]:
         return [f"no {MANIFEST_NAME} at {path}"]
     with open(mpath) as fh:
         manifest = json.load(fh)
+    on_disk_cols = [
+        c
+        for c in sorted(spark.read.parquet(path).columns)
+        if c != SHARD_COL
+    ]
+    if on_disk_cols != manifest.get("columns"):
+        # schema drift invalidates every fingerprint; report it ONCE
+        # instead of attributing a bogus mismatch to every shard
+        return [
+            f"schema mismatch: manifest columns {manifest.get('columns')} "
+            f"!= on-disk {on_disk_cols}"
+        ]
     actual = {
         str(r[SHARD_COL]): (r["n_rows"], str(r["fingerprint"]))
         for r in _shard_stats(spark, path).collect()

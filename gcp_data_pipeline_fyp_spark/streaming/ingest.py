@@ -567,7 +567,13 @@ def stream_scd2_ingest(
     feed = (
         raw.csv(input_dir)
         .withWatermark(order_col, watermark)
-        .dropDuplicatesWithinWatermark([*key_cols, *tiebreak_cols])
+        # order_col is part of the dedup key: without it, an entity's
+        # SECOND state change inside the watermark would be dropped as
+        # a "duplicate" of its first whenever tiebreak_cols is empty
+        # or non-unique — silent history loss, not dedup
+        .dropDuplicatesWithinWatermark(
+            [*key_cols, order_col, *tiebreak_cols]
+        )
     )
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
@@ -616,12 +622,22 @@ def stream_rollup_ingest(
 
     Count/sum merges are distributive but NOT idempotent — replaying
     a merged batch double-counts, so unlike the SCD2 fold this needs
-    a replay guard. The guard is a `__last_batch_id` column stamped on
-    every state row and promoted in the SAME staging+swap as the data:
-    state and high-water mark can never disagree, even across a crash
-    mid-promotion. foreachBatch re-delivers only the LAST batch (and a
-    from-scratch checkpoint restarts renumber from 0), so `batch_id <=
-    max(__last_batch_id)` identifies every already-merged delivery."""
+    a replay guard. The guard is `__stream_id` (the checkpoint's
+    persisted query id) + `__last_batch_id`, stamped on every state
+    row and promoted in the SAME staging+swap as the data, so state
+    and mark can never disagree even across a crash mid-promotion.
+    Within one checkpoint lineage foreachBatch re-delivers only the
+    LAST batch, so `batch_id <= max(__last_batch_id)` identifies
+    every already-merged delivery. Batch ids from a DIFFERENT
+    checkpoint (deleted/recreated) are NOT comparable — the source
+    renumbers and re-delivers everything, so silently applying the
+    id guard would both double-count replayed files and DROP files
+    that arrived after the old high-water mark. That case raises
+    instead: rebuild the state table with the new checkpoint, or
+    keep the original checkpoint directory."""
+    import json as _json
+    import os as _os
+
     from gcp_data_pipeline_fyp_spark.operators.rollup import (
         merge_states,
         rollup_state,
@@ -632,25 +648,48 @@ def stream_rollup_ingest(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
+    def _stream_id() -> str:
+        # Spark persists the query id in <checkpoint>/metadata at
+        # stream start (before the first batch), stable across
+        # restarts of the SAME checkpoint; a recreated checkpoint
+        # gets a fresh id — exactly the lineage boundary the batch-id
+        # guard must not cross
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        sid = _stream_id()
         part = rollup_state(batch, keys, sum_cols)
         if wh.exists(state_table):
             prior = wh.read(state_table)
-            seen = prior.agg(
-                F.max("__last_batch_id").alias("m")
-            ).first()["m"]
-            if seen is not None and batch_id <= seen:
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"rollup state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}: batch "
+                    "ids are not comparable across checkpoints (every "
+                    "file re-delivers under new numbering). Drop the "
+                    "state table to rebuild it under this checkpoint, "
+                    "or restart from the original checkpoint directory."
+                )
+            if mark["m"] is not None and batch_id <= mark["m"]:
                 return
             out = merge_states(
-                [prior.drop("__last_batch_id"), part], keys
+                [prior.drop("__stream_id", "__last_batch_id"), part], keys
             )
         else:
             out = part
         staging = f"{state_table}__rollup_staging"
         wh.overwrite(
-            out.withColumn("__last_batch_id", F.lit(batch_id)), staging
+            out.withColumn("__stream_id", F.lit(sid)).withColumn(
+                "__last_batch_id", F.lit(batch_id)
+            ),
+            staging,
         )
         wh.swap(staging, state_table)
 

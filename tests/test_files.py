@@ -227,3 +227,15 @@ def test_shard_manifest_write_and_verify(spark, tmp_path):
     # a fully missing shard is reported as missing
     shutil.rmtree(victim_dir)
     assert any("missing on disk" in s for s in verify_shards(spark, p))
+
+    # schema drift is attributed ONCE, not as per-shard fingerprint noise
+    import json
+
+    mpath = os.path.join(p, "_MANIFEST.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["columns"] = ["doc_id", "renamed_text"]
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    problems = verify_shards(spark, p)
+    assert len(problems) == 1 and problems[0].startswith("schema mismatch")

@@ -907,6 +907,16 @@ def test_ivfpq_index_delete_partition_scoped_and_idempotent(spark, tmp_path):
         )
     assert not (codes_root / f"centroid_id={one_part}").exists()
 
+    # delete EVERYTHING that remains: the codes table must stay
+    # readable (empty but typed), not a schema-less husk of dirs
+    everyone = wh.read("ivfpq__codes").select("corpus_id").distinct()
+    delete_from_ivfpq_index(wh, everyone, "corpus_id", "ivfpq")
+    emptied = wh.read("ivfpq__codes")
+    assert emptied.count() == 0
+    assert "corpus_id" in emptied.columns
+    # and idempotent on the empty table
+    assert delete_from_ivfpq_index(wh, victims, "vec_id", "ivfpq") == 0
+
 
 def test_pq_index_delete_rewrites_flat_table(spark, tmp_path):
     from gcp_data_pipeline_fyp_spark.operators.pq import (

@@ -781,7 +781,19 @@ def test_stream_rollup_ingest_matches_batch_and_replay_guarded(
     )
     assert got == expect == [("a", 3, 6.0), ("b", 1, 2.0)]
 
-    # from-scratch replay: NEW checkpoint, same input files -> batch
-    # ids restart at 0, every delivery must be skipped by the mark
-    run("rckpt2")
+    # from-scratch replay: NEW checkpoint, same input files. Batch ids
+    # renumber and every file re-delivers, so ids are NOT comparable —
+    # the fold must refuse loudly (silently applying the id guard
+    # would double-count replays AND drop any newer files) and leave
+    # the state untouched
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="not comparable"):
+        run("rckpt2")
+    assert read_final() == got
+
+    # restarting from the ORIGINAL checkpoint still works (same
+    # lineage: nothing new to process, state unchanged)
+    run("rckpt")
     assert read_final() == got
