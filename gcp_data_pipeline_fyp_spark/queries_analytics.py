@@ -2155,3 +2155,326 @@ ANALYTICS_QUERIES["brand_basket_lift"] = (
     q_brand_basket_lift,
     SQL_BRAND_BASKET_LIFT,
 )
+
+
+# ------------------------------------------- TPC-H Q8/Q9/Q15/Q16/Q20 shapes
+# These five close out the 22-query TPC-H shape set (adapted to the
+# driver's schema: no partsupp table, so supply cost/availability are
+# derived from lineitem; no comment columns, so the Q16 complaint
+# exclusion keys on s_name). Reference analog: the DAX measures'
+# slicing workload (`DAX Measures Used.txt`) — these prove the same
+# engine answers the canonical warehouse-benchmark shapes too.
+def q_market_share_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): revenue share of one
+    supplier nation within a customer region's PROMO-part market, per
+    order year. All dimension sides broadcast (part gate, two-hop
+    nation->region customer gate, supplier->nation map); the only
+    shuffles are the lineitem->orders->customer fact joins. Share =
+    conditional-decimal-sum / decimal-sum, both cast to double before
+    one IEEE divide, so a 1000-executor run returns identical bytes.
+    Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    sup = load(spark, sf, "supplier")
+    part = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    eu_keys = (
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        .filter(F.col("r_name") == "EUROPE")
+        .select("n_nationkey")
+    )
+    sup_nation = sup.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        sup.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    joined = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(eu_keys), cust.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    per_year = joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        )
+        .cast("double")
+        .alias("nation_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return per_year.select(
+        "o_year",
+        roundn(F.col("nation_rev") / F.col("total_rev"), 6).alias(
+            "mkt_share"
+        ),
+    )
+
+
+SQL_MARKET_SHARE_BY_YEAR = f"""
+WITH eu AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+j AS (
+  SELECT o_orderdate, supp_nation,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN eu ON c_nationkey = eu.n_nationkey
+    JOIN sn ON l_suppkey = sn.s_suppkey
+  WHERE p_type = 'PROMO')
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  {roundn_sql(
+    "CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev"
+    " ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)"
+    " / CAST(sum(rev) AS DOUBLE)", 6
+  )} AS mkt_share
+FROM j GROUP BY CAST(year(o_orderdate) AS INT)
+"""
+
+ANALYTICS_QUERIES["market_share_by_year"] = (
+    q_market_share_by_year,
+    SQL_MARKET_SHARE_BY_YEAR,
+)
+
+
+def q_nation_profit_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year). No
+    partsupp/supplycost column exists, so cost is the deterministic
+    proxy 0.1 * p_retailprice * l_quantity; profit = revenue - cost.
+    Both sides accumulate as exact decimal sums (order-independent),
+    subtract once in double at the end. Part gate and supplier->nation
+    map broadcast; one shuffle on the (nation, year) agg. Window is
+    r7-queue."""
+    li = load(spark, sf, "lineitem")
+    nation = load(spark, sf, "nation")
+    sup = load(spark, sf, "supplier")
+    part = load(spark, sf, "part").filter(F.col("p_name").like("%widget%"))
+    sup_nation = sup.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        sup.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    cost = (F.col("p_retailprice") * F.col("l_quantity")).cast(
+        "decimal(18,4)"
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_retailprice")),
+        li.l_partkey == F.col("p_partkey"),
+    ).join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+    grp = joined.groupBy(
+        "supp_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(rev).cast("double").alias("sum_rev"),
+        F.sum(cost).cast("double").alias("sum_cost"),
+    )
+    return grp.select(
+        "supp_nation",
+        "l_year",
+        roundn(F.col("sum_rev") - 0.1 * F.col("sum_cost"), 2).alias(
+            "profit"
+        ),
+    )
+
+
+SQL_NATION_PROFIT_BY_YEAR = f"""
+WITH sn AS (
+  SELECT s_suppkey, n_name AS supp_nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+j AS (
+  SELECT supp_nation, l_shipdate,
+    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+    CAST(p_retailprice * l_quantity AS DECIMAL(18,4)) AS cost
+  FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN sn ON l_suppkey = sn.s_suppkey
+  WHERE p_name LIKE '%widget%')
+SELECT supp_nation, CAST(year(l_shipdate) AS INT) AS l_year,
+  {roundn_sql(
+    "CAST(sum(rev) AS DOUBLE) - 0.1 * CAST(sum(cost) AS DOUBLE)", 2
+  )} AS profit
+FROM j GROUP BY supp_nation, CAST(year(l_shipdate) AS INT)
+"""
+
+ANALYTICS_QUERIES["nation_profit_by_year"] = (
+    q_nation_profit_by_year,
+    SQL_NATION_PROFIT_BY_YEAR,
+)
+
+
+def q_quarter_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier in a quarter): per-supplier
+    revenue over one ship-quarter, then the spec's scalar-max view
+    as a whole-frame window MAX + equality filter (the post-agg frame
+    is supplier-sized — the documented benign tiny-frame window).
+    Ties all survive, as in the spec. Supplier dim broadcast.
+    Window is r7-queue."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    sup = load(spark, sf, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("double").alias("total_revenue")
+    )
+    top = per.withColumn(
+        "mx", F.max("total_revenue").over(Window.partitionBy())
+    ).filter(F.col("total_revenue") == F.col("mx"))
+    return top.join(
+        F.broadcast(sup), top.l_suppkey == sup.s_suppkey
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+SQL_QUARTER_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ANALYTICS_QUERIES["quarter_top_supplier"] = (
+    q_quarter_top_supplier,
+    SQL_QUARTER_TOP_SUPPLIER,
+)
+
+
+def q_part_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier count by part attributes, with an
+    excluded-supplier anti join): distinct shippers per (brand, type,
+    size) for non-Brand#1, non-PROMO, square-size parts, excluding
+    suppliers whose name ends in '0' (the schema's stand-in for the
+    spec's complaint-comment gate — no comment column exists). Part
+    gate and exclusion list broadcast; COUNT(DISTINCT) is exact.
+    Window is r7-queue."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_name").like("%0"))
+        .select("s_suppkey")
+    )
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    ).join(
+        F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti"
+    )
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+SQL_PART_SUPPLIER_COUNTS = """
+SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN
+    (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%0')
+GROUP BY p_brand, p_type, p_size
+"""
+
+ANALYTICS_QUERIES["part_supplier_counts"] = (
+    q_part_supplier_counts,
+    SQL_PART_SUPPLIER_COUNTS,
+)
+
+
+def q_excess_ship_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with excess volume of a part class):
+    suppliers whose total 1997 shipped quantity of 'cold' parts
+    exceeds 1.2x the mean supplier total — a relative threshold, so
+    selectivity is scale-INVARIANT (~25-40%; the spec's
+    0.5 * availqty has no partsupp analog here). Quantities accumulate
+    as exact decimals; the global scalar is one tiny broadcast cross
+    join. Output is the qualifying suppliers. Window is r7-queue."""
+    li = load(spark, sf, "lineitem").filter(F.year("l_shipdate") == 1997)
+    part = load(spark, sf, "part").filter(F.col("p_name").like("cold%"))
+    sup = load(spark, sf, "supplier")
+    per = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+    )
+    scalar = per.agg(
+        (
+            F.sum("qty").cast("double")
+            / F.count(F.lit(1))
+            * F.lit(1.2)
+        ).alias("thr")
+    )
+    hits = (
+        per.crossJoin(F.broadcast(scalar))
+        .filter(F.col("qty").cast("double") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return hits.join(
+        F.broadcast(sup), hits.l_suppkey == sup.s_suppkey
+    ).select("s_suppkey", "s_name")
+
+
+SQL_EXCESS_SHIP_SUPPLIERS = """
+WITH per AS (
+  SELECT l_suppkey,
+    sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997 AND p_name LIKE 'cold%'
+  GROUP BY l_suppkey),
+thr AS (
+  SELECT CAST(sum(qty) AS DOUBLE) / count(*) * 1.2 AS thr FROM per)
+SELECT s_suppkey, s_name
+FROM per CROSS JOIN thr
+  JOIN supplier ON l_suppkey = s_suppkey
+WHERE CAST(qty AS DOUBLE) > thr.thr
+"""
+
+ANALYTICS_QUERIES["excess_ship_suppliers"] = (
+    q_excess_ship_suppliers,
+    SQL_EXCESS_SHIP_SUPPLIERS,
+)
