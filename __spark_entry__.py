@@ -103,7 +103,10 @@ _CHECK_FIRST = [
     "clean_text_docs",
     # next round (r07), in priority order: (0) the r6-tail additions,
     # never driver-checked (all mirror-certified at sf0.001/0.01/0.1
-    # this round): small_qty_revenue, min_price_suppliers,
+    # this round): market_share_by_year, nation_profit_by_year,
+    # quarter_top_supplier, part_supplier_counts,
+    # excess_ship_suppliers (the TPC-H 22-set closers),
+    # small_qty_revenue, min_price_suppliers,
     # important_parts, waiting_suppliers, scd2_user_state,
     # kanon_released_docs, kanon_report, label_prop_communities,
     # scd2_incremental_state, value_trend_by_type,
