@@ -227,3 +227,45 @@ def grouped_ols(
         micro6(slope).alias("slope_micro"),
         micro6(intercept).alias("intercept_micro"),
     )
+
+
+def group_znormalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    alias: str = "z_micro",
+) -> DataFrame:
+    """Per-row z-score against the row's group, deterministic — the
+    cross-source score calibration step of a corpus-mixing pipeline
+    (a length/quality score is only comparable across crawls after
+    per-source normalization).
+
+    Same design as `exact_corr`: the group's sufficient statistics
+    (n, Σx, Σx²) accumulate as EXACT decimals (order-independent),
+    then mean/variance/z evaluate once in double with a pinned
+    expression order — identical bytes on any partitioning and in any
+    engine. Population variance; `greatest(·, 0)` absorbs the tiny
+    negative fp residue of the two-pass-free var formula; try_divide
+    -> NULL z for constant groups. One shuffle (the group agg); the
+    stats side is |groups|-sized so the join back is a broadcast at
+    any corpus scale. Same (18,4) input domain as `exact_corr`.
+    """
+    x = F.col(value_col).cast("decimal(18,4)")
+    stats = df.filter(F.col(value_col).isNotNull()).groupBy(
+        *[F.col(c) for c in group_cols]
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).cast("double").alias("__sx"),
+        F.sum((x * x).cast("decimal(38,8)")).cast("double").alias("__sxx"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    nn = F.col("__n").cast("double")
+    mean = F.col("__sx") / nn
+    var = F.greatest(F.col("__sxx") / nn - mean * mean, F.lit(0.0))
+    z = F.try_divide(F.col(value_col).cast("double") - mean, F.sqrt(var))
+    keep = list(df.columns)
+    return (
+        df.join(F.broadcast(stats), list(group_cols))
+        .select(*keep, micro6(z).alias(alias))
+    )

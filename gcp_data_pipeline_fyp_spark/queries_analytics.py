@@ -2478,3 +2478,52 @@ ANALYTICS_QUERIES["excess_ship_suppliers"] = (
     q_excess_ship_suppliers,
     SQL_EXCESS_SHIP_SUPPLIERS,
 )
+
+
+def q_event_sequence_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Length-3 sequential patterns over per-user event streams
+    (PrefixSpan-lite for contiguous patterns): two LEADs over the
+    (ts, event_id)-ordered per-user window, then one small agg —
+    occurrences plus distinct-user support, gated at support >= 2.
+    The window partitions by user_id (real distribution, not the
+    tiny-frame case); the pattern-space agg is bounded by
+    |event_types|^3. NULL event types are dropped up front (the
+    event_transitions precedent). Window is r7-queue."""
+    ev = load(spark, sf, "events").filter(F.col("event_type").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("user_id").alias("user_support"),
+        )
+        .filter(F.col("user_support") >= 2)
+    )
+
+
+SQL_EVENT_SEQUENCE_PATTERNS = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events WHERE event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT e1, e2, e3,
+  CAST(count(*) AS BIGINT) AS occurrences,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS user_support
+FROM seq
+WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY e1, e2, e3
+HAVING count(DISTINCT user_id) >= 2
+"""
+
+ANALYTICS_QUERIES["event_sequence_patterns"] = (
+    q_event_sequence_patterns,
+    SQL_EVENT_SEQUENCE_PATTERNS,
+)

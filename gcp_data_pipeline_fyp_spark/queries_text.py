@@ -3077,3 +3077,50 @@ TEXT_QUERIES["clustering_coefficients"] = (
     q_clustering_coefficients,
     SQL_CLUSTERING_COEFFICIENTS,
 )
+
+
+# --------------------------------------- cross-source score calibration
+def q_source_znormalized_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source z-normalization of a per-doc score (token count) via
+    `operators/profile.py:group_znormalize` — the calibration step
+    before corpus mixing: raw length/quality scores are only
+    comparable across crawls after removing each source's own
+    location/scale. Exact-decimal sufficient statistics, one shuffle,
+    |sources|-sized broadcast back; z emitted in micro-units (the
+    hash-safe convention). Window is r7-queue."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        group_znormalize,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id",
+        "source",
+        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+    )
+    return group_znormalize(d, ["source"], "n_tokens", alias="z_micro")
+
+
+SQL_SOURCE_ZNORMALIZED_TOKENS = f"""
+WITH t AS (SELECT doc_id, source,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens FROM documents),
+stats AS (
+  SELECT source, count(*) AS n,
+    CAST(sum(CAST(n_tokens AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+    CAST(sum(CAST(CAST(n_tokens AS DECIMAL(18,4))
+      * CAST(n_tokens AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE)
+      AS sxx
+  FROM t GROUP BY source)
+SELECT doc_id, t.source, n_tokens,
+  {micro6_sql(
+    "(CAST(n_tokens AS DOUBLE) - sx / CAST(n AS DOUBLE))"
+    " / nullif(sqrt(greatest("
+    "sxx / CAST(n AS DOUBLE)"
+    " - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)), 0.0)), 0.0)"
+  )} AS z_micro
+FROM t JOIN stats ON t.source = stats.source
+"""
+
+TEXT_QUERIES["source_znormalized_tokens"] = (
+    q_source_znormalized_tokens,
+    SQL_SOURCE_ZNORMALIZED_TOKENS,
+)

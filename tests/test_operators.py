@@ -1993,3 +1993,34 @@ def test_clustering_coefficients_triangle_vs_chain(spark):
     assert out[3] == (3, 1, 333_333)     # 2*1/(3*2)
     assert out[4] == (2, 0, 0)           # chain middle: no closure
     assert 5 not in out                  # degree-1 nodes omitted
+
+
+def test_group_znormalize_matches_numpy_and_is_partition_invariant(spark):
+    """Per-group z-scores match numpy population z to 6 dp, constant
+    groups yield NULL z, NULL values are excluded from stats but kept
+    out of the joined output only if their value is NULL (they carry a
+    NULL z), and repartitioning changes nothing."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import group_znormalize
+
+    rows = [(i, "a", float(10 + (i * 7) % 13)) for i in range(40)]
+    rows += [(100 + i, "c", 5.0) for i in range(8)]  # constant group
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = {r["id"]: r["z_micro"] for r in group_znormalize(
+        df, ["g"], "v"
+    ).collect()}
+
+    vals = [r[2] for r in rows if r[1] == "a"]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum(v * v for v in vals) / n - mean * mean
+    sd = var ** 0.5
+    for i in range(40):
+        want = round((rows[i][2] - mean) / sd * 1_000_000)
+        assert abs(out[i] - want) <= 1, (i, out[i], want)
+    for i in range(8):
+        assert out[100 + i] is None  # constant group -> NULL z
+
+    again = {r["id"]: r["z_micro"] for r in group_znormalize(
+        df.repartition(5), ["g"], "v"
+    ).collect()}
+    assert again == out
