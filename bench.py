@@ -83,6 +83,11 @@ HEADLINE = [
     # classes get tracked numbers from their first round
     "scd2_user_state",
     "fuzzy_supplier_pairs",
+    # round-6 close: the TPC-H 22-set closer with the widest join fan
+    # (5-join star + conditional share), and the per-user sequential
+    # pattern miner (distributed window + bounded pattern agg)
+    "market_share_by_year",
+    "event_sequence_patterns",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
