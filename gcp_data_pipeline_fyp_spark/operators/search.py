@@ -144,3 +144,146 @@ def bm25_topk(
     out.count()
     tf.unpersist()
     return out
+
+
+# ----------------------------------------------- persisted inverted index
+def _term_bucket(term, n_buckets: int):
+    return F.pmod(F.xxhash64(term), F.lit(n_buckets)).cast("int")
+
+
+def build_text_index(
+    wh,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str,
+    n_buckets: int = 64,
+) -> None:
+    """Build-once inverted index for BM25: postings PARTITIONED BY a
+    term-hash bucket, plus a doc-length table and a 1-row stats table.
+
+    The 100 TB lever is the same as the IVF index family
+    (`similarity.py:build_ivf_index`): the build (one explode + one
+    (doc, term) aggregation) is amortized across every subsequent
+    query, and `query_text_index` reads ONLY the term buckets its
+    query terms hash to — ~|query terms|/n_buckets of the postings
+    bytes per search instead of re-tokenizing the corpus per query.
+    Document length is denormalized INTO the postings rows, so query
+    scoring never joins the corpus-sized doclen table (that table
+    exists to make `append_text_index`'s stats recompute exact).
+    """
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    dl = base.select("doc_id", F.size("__toks").alias("dl"))
+    tf = (
+        base.select("doc_id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    wh.overwrite(
+        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)),
+        f"{name}__postings",
+        partition_cols=["term_bucket"],
+    )
+    wh.overwrite(dl, f"{name}__doclen")
+    wh.overwrite(_text_stats(dl, n_buckets), f"{name}__stats")
+
+
+def _text_stats(dl: DataFrame, n_buckets: int) -> DataFrame:
+    # avg over bigint lengths = exact long sum / count: deterministic
+    # on any partitioning (same algebra bm25_topk certifies against)
+    return dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).withColumn("n_buckets", F.lit(n_buckets))
+
+
+def append_text_index(
+    wh, docs: DataFrame, id_col: str, text_col: str, name: str
+) -> None:
+    """Incremental add: append postings + doclens for the new docs,
+    recompute the 1-row stats from the doclen table (exact — no
+    drifting streamed averages). New terms need no special case: they
+    hash into the same bucket space."""
+    n_buckets = wh.read(f"{name}__stats").first()["n_buckets"]
+    toks = F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    tf = (
+        base.select("doc_id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+    )
+    wh.append(
+        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)),
+        f"{name}__postings",
+        partition_cols=["term_bucket"],
+    )
+    wh.append(base.select("doc_id", F.size("__toks").alias("dl")),
+              f"{name}__doclen")
+    wh.overwrite(
+        _text_stats(wh.read(f"{name}__doclen"), n_buckets),
+        f"{name}__stats",
+    )
+
+
+def query_text_index(
+    wh,
+    spark,
+    query_terms: Sequence[str],
+    name: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a persisted index. The query terms are
+    driver-known, so their buckets resolve to LITERALS (one tiny Spark
+    job on a |terms|-row frame — the same hash expression the build
+    used, never a reimplementation): the postings read carries a
+    STATIC `term_bucket IN (...)` partition filter plus a pushed
+    `term IN (...)` data filter — only the query's buckets are listed,
+    only its terms' row groups decode. df/idf derive from the pruned
+    rows (a term's postings live entirely in its bucket, so per-term
+    df is still GLOBALLY exact); scoring math is
+    expression-for-expression `bm25_topk`, so the two paths return
+    identical bytes."""
+    if not query_terms:
+        raise ValueError("query_text_index requires at least one query term")
+    stats = wh.read(f"{name}__stats").first()
+    n_buckets = stats["n_buckets"]
+    terms = sorted(set(query_terms))
+    buckets = sorted(
+        {
+            r["b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(_term_bucket(F.col("term"), n_buckets).alias("b"))
+            .collect()
+        }
+    )
+    tf = (
+        wh.read(f"{name}__postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    tf = tf.persist()
+    dfreq = F.broadcast(tf.groupBy("term").agg(F.count("*").alias("__df")))
+    joined = tf.join(dfreq, "term")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(stats["n_docs"]) - F.col("__df") + 0.5)
+        / (F.col("__df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(stats["avgdl"])
+    )
+    term_score = idf * F.col("tf") * (k1 + 1.0) / denom
+    out = (
+        joined.groupBy("doc_id")
+        .agg(roundn(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    out = out.persist()
+    out.count()
+    tf.unpersist()
+    return out

@@ -2024,3 +2024,58 @@ def test_group_znormalize_matches_numpy_and_is_partition_invariant(spark):
         df.repartition(5), ["g"], "v"
     ).collect()}
     assert again == out
+
+
+def test_text_index_build_query_append_matches_direct_bm25(spark, tmp_path):
+    """Persisted inverted index: query_text_index returns the identical
+    rows bm25_topk computes directly; append + query equals a fresh
+    rebuild over the union; and the postings FileScan carries a STATIC
+    term_bucket partition filter plus a pushed term filter — only the
+    query's buckets are listed, only its terms' row groups decode."""
+    from gcp_data_pipeline_fyp_spark.operators.search import (
+        append_text_index,
+        bm25_topk,
+        build_text_index,
+        query_text_index,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    head = docs.filter(F.col("doc_id") < 400)
+    tail = docs.filter(F.col("doc_id") >= 400)
+    terms = ["spark", "table", "join"]
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_text_index(wh, head, "doc_id", "text", "ix", n_buckets=16)
+    got = query_text_index(wh, spark, terms, "ix", k=10)
+    want = bm25_topk(head, "doc_id", "text", terms, k=10)
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    import re
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[term_bucket[^\]]*IN \(([^)]*)\)", plan)
+    assert m, plan[:2000]
+    # 3 terms -> at most 3 of the 16 buckets listed, never all of them
+    assert len(m.group(1).split(",")) <= 3
+    assert "PushedFilters: [In(term" in plan
+
+    append_text_index(wh, tail, "doc_id", "text", "ix")
+    got2 = query_text_index(wh, spark, terms, "ix", k=10)
+    wh2 = Warehouse(spark, str(tmp_path / "wh2"))
+    build_text_index(wh2, docs, "doc_id", "text", "ix", n_buckets=16)
+    want2 = query_text_index(wh2, spark, terms, "ix", k=10)
+    assert [tuple(r) for r in got2.collect()] == [
+        tuple(r) for r in want2.collect()
+    ]
+    # and the rebuilt union equals the direct computation too
+    direct = bm25_topk(docs, "doc_id", "text", terms, k=10)
+    assert [tuple(r) for r in want2.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]

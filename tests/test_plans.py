@@ -470,3 +470,28 @@ def test_q6_shape_pushes_all_predicates_to_scan(spark):
         assert frag in pushed, pushed
     m2 = re.search(r"ReadSchema: struct<([^>]*)>", phys)
     assert m2 and len(m2.group(1).split(",")) == 4, phys
+
+
+def test_registry_sample_has_no_cartesian_or_row_udf(spark):
+    """Registry-wide plan invariant, pinned on a fast cross-family
+    sample (the full 181-query sweep is tools/plan_audit.py, recorded
+    in PLANAUDIT.json): no CartesianProduct (a non-broadcast cross
+    join) and no BatchEvalPython (a row-at-a-time Python UDF) anywhere
+    in a probe's physical plan."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sample = [
+        "star_schema_fact", "pricing_summary", "market_share_by_year",
+        "quarter_top_supplier", "part_supplier_counts",
+        "excess_ship_suppliers", "event_sequence_patterns",
+        "source_znormalized_tokens", "minhash_lsh_pairs",
+        "ann_cosine_topk", "bm25_search", "retention_cohorts",
+    ]
+    for name in sample:
+        plan = (
+            qs[name](spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
