@@ -318,3 +318,91 @@ class Warehouse:
             .write.mode("overwrite")
             .format(self.fmt).save(self.path(table))
         )
+
+    # ----------------------------------------- versioned tables (time travel)
+    def _version_dirs(self, table: str) -> list[int]:
+        root = self.path(table)
+        if not os.path.exists(root):
+            return []
+        return sorted(
+            int(e[2:])
+            for e in os.listdir(root)
+            if e.startswith("_v") and e[2:].isdigit()
+            and os.path.isdir(os.path.join(root, e))
+        )
+
+    def current_version(self, table: str) -> int | None:
+        ptr = os.path.join(self.path(table), "_CURRENT")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as fh:
+            return int(fh.read().strip())
+
+    def _set_current(self, table: str, version: int) -> None:
+        # write-then-replace: readers see the old pointer or the new
+        # one, never a torn file (os.replace is atomic)
+        ptr = os.path.join(self.path(table), "_CURRENT")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, ptr)
+
+    def overwrite_versioned(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_cols: Sequence[str] | None = None,
+        keep_versions: int = 3,
+    ) -> int:
+        """Snapshot-isolated overwrite: write a NEW immutable version
+        directory, then flip a one-line pointer file. Returns the new
+        version number.
+
+        Plain `overwrite` deletes the old files before the new ones
+        commit — at 100 TB a long-running reader mid-scan of the old
+        snapshot dies, and a crashed write leaves no table at all.
+        Here every version dir is immutable once written (readers that
+        resolved the pointer keep reading intact files for as long as
+        they like), the flip is one atomic rename, a crashed write
+        leaves an orphan `_v` dir the next vacuum removes — and
+        `rollback` is a pointer flip, not a data rewrite. Version dirs
+        are underscore-prefixed, so a path reader pointed at the table
+        ROOT sees no data files at all rather than a mix of snapshots
+        — versioned tables are read via `read_versioned` only.
+
+        The last `keep_versions` versions are retained (the new one
+        included); older dirs are vacuumed unless the pointer still
+        references them.
+        """
+        versions = self._version_dirs(table)
+        new_v = (versions[-1] + 1) if versions else 1
+        vpath = os.path.join(self.path(table), f"_v{new_v}")
+        w = df.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.format(self.fmt).save(vpath)
+        self._set_current(table, new_v)
+        for old in self._version_dirs(table)[:-keep_versions]:
+            if old != new_v and old != self.current_version(table):
+                shutil.rmtree(os.path.join(self.path(table), f"_v{old}"))
+        return new_v
+
+    def read_versioned(self, table: str, version: int | None = None) -> DataFrame:
+        """Read the pointed-to snapshot (default) or a pinned older
+        `version` that vacuum still retains."""
+        v = version if version is not None else self.current_version(table)
+        if v is None:
+            raise ValueError(f"{table} has no versions")
+        vpath = os.path.join(self.path(table), f"_v{v}")
+        if not os.path.isdir(vpath):
+            raise ValueError(f"{table} version {v} does not exist (vacuumed?)")
+        return self.spark.read.format(self.fmt).load(vpath)
+
+    def rollback(self, table: str, version: int) -> None:
+        """Flip the pointer back to a retained older version — an O(1)
+        metadata operation, no data rewrite. The rolled-past version
+        dirs stay on disk until a later overwrite's vacuum."""
+        vpath = os.path.join(self.path(table), f"_v{version}")
+        if not os.path.isdir(vpath):
+            raise ValueError(f"{table} version {version} does not exist")
+        self._set_current(table, version)

@@ -239,3 +239,39 @@ def test_shard_manifest_write_and_verify(spark, tmp_path):
         json.dump(m, fh)
     problems = verify_shards(spark, p)
     assert len(problems) == 1 and problems[0].startswith("schema mismatch")
+
+
+def test_versioned_overwrite_time_travel_rollback_vacuum(spark, tmp_path):
+    """Versioned tables: each overwrite lands in a new immutable _v dir
+    + pointer flip; old snapshots stay readable (time travel), rollback
+    is a pointer flip, vacuum retains keep_versions, and a reader
+    pointed at the table ROOT sees no data files (underscore dirs)."""
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    v1 = wh.overwrite_versioned(
+        spark.range(5).withColumnRenamed("id", "k"), "t", keep_versions=2
+    )
+    v2 = wh.overwrite_versioned(
+        spark.range(9).withColumnRenamed("id", "k"), "t", keep_versions=2
+    )
+    assert (v1, v2) == (1, 2)
+    assert wh.current_version("t") == 2
+    assert wh.read_versioned("t").count() == 9
+    assert wh.read_versioned("t", version=1).count() == 5  # time travel
+
+    wh.rollback("t", 1)
+    assert wh.read_versioned("t").count() == 5
+    wh.rollback("t", 2)
+
+    v3 = wh.overwrite_versioned(
+        spark.range(3).withColumnRenamed("id", "k"), "t", keep_versions=2
+    )
+    assert v3 == 3
+    assert wh._version_dirs("t") == [2, 3]  # v1 vacuumed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        wh.read_versioned("t", version=1)
+    with _pytest.raises(ValueError):
+        wh.rollback("t", 1)
