@@ -699,3 +699,68 @@ def stream_rollup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_enriched_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    event_id_cols: list[str],
+    ts_col: str,
+    wh: Warehouse,
+    dim_table: str,
+    join_cols: list[str],
+    table: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    dim_versioned: bool = False,
+) -> StreamingQuery:
+    """Stream-static enrichment against the CURRENT dimension snapshot:
+    CSV directory -> watermarked dedup -> per-batch broadcast LEFT join
+    with `dim_table` -> append to `table`.
+
+    The dimension is re-read INSIDE foreachBatch, so every micro-batch
+    joins the dimension as of batch time — a dim update between batches
+    is visible to the next batch without restarting the stream (the
+    plan-cached stream-static join would pin the file listing;
+    re-reading per batch is the refresh contract, and the dim is
+    broadcast so the join adds no shuffle). With `dim_versioned=True`
+    the read goes through the versioned-table pointer
+    (`read_versioned`) — each batch joins one consistent SNAPSHOT,
+    never a half-overwritten directory, because published version dirs
+    are immutable (`overwrite_versioned`).
+
+    LEFT join: a fact row whose key has no dim row yet survives with
+    NULL attributes (late-arriving dimension; re-enrichment is a batch
+    backfill, not a streaming concern). Append sink + watermarked
+    dedup: replays within the watermark dedup upstream of the join, so
+    the at-least-once batch delivery does not double-append
+    (the `stream_dedup_ingest` discipline).
+    """
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(event_id_cols)
+    )
+
+    def _enrich_and_append(batch: DataFrame, batch_id: int) -> None:
+        dim = (
+            wh.read_versioned(dim_table)
+            if dim_versioned
+            else wh.read(dim_table)
+        )
+        out = batch.dropDuplicates(event_id_cols).join(
+            F.broadcast(dim), join_cols, "left"
+        )
+        wh.append(out, table)
+
+    return (
+        deduped.writeStream.foreachBatch(_enrich_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -797,3 +797,65 @@ def test_stream_rollup_ingest_matches_batch_and_replay_guarded(
     # lineage: nothing new to process, state unchanged)
     run("rckpt")
     assert read_final() == got
+
+
+def test_stream_enriched_ingest_sees_dim_updates_between_batches(
+    spark, tmp_path
+):
+    """Stream-static enrichment re-reads the dimension per micro-batch:
+    rows ingested before a dim update carry the old attributes, rows
+    after carry the new ones (no stream restart), an unmatched key
+    survives the LEFT join with NULLs — and with dim_versioned=True
+    each batch joins one immutable published snapshot."""
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_enriched_ingest,
+    )
+
+    in_dir = tmp_path / "ein"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "eckpt")
+
+    wh.overwrite_versioned(
+        spark.createDataFrame(
+            [("purchase", "BUY-V1"), ("signup", "NEW-V1")],
+            "event_type string, type_desc string",
+        ),
+        "dim_type",
+    )
+    _write_csv(
+        in_dir / "e1.csv",
+        [
+            (1, "2024-01-01 10:00:00", "purchase", 5.0),
+            (2, "2024-01-01 10:01:00", "mystery", 6.0),  # no dim row
+        ],
+    )
+    args = dict(
+        spark=spark, input_dir=str(in_dir), schema_ddl=SCHEMA,
+        event_id_cols=["event_id"], ts_col="ts", wh=wh,
+        dim_table="dim_type", join_cols=["event_type"],
+        table="enriched", checkpoint_dir=ckpt, dim_versioned=True,
+    )
+    stream_enriched_ingest(**args).awaitTermination()
+    got = {
+        r["event_id"]: r["type_desc"] for r in wh.read("enriched").collect()
+    }
+    assert got == {1: "BUY-V1", 2: None}
+
+    # publish dim v2, stream new rows WITHOUT clearing the checkpoint
+    wh.overwrite_versioned(
+        spark.createDataFrame(
+            [("purchase", "BUY-V2"), ("mystery", "SOLVED")],
+            "event_type string, type_desc string",
+        ),
+        "dim_type",
+    )
+    _write_csv(
+        in_dir / "e2.csv", [(3, "2024-01-01 11:00:00", "purchase", 7.0)]
+    )
+    stream_enriched_ingest(**args).awaitTermination()
+    got = {
+        r["event_id"]: r["type_desc"] for r in wh.read("enriched").collect()
+    }
+    # old rows keep batch-time attributes; the new row sees v2
+    assert got == {1: "BUY-V1", 2: None, 3: "BUY-V2"}
