@@ -2079,3 +2079,51 @@ def test_text_index_build_query_append_matches_direct_bm25(spark, tmp_path):
     assert [tuple(r) for r in want2.collect()] == [
         tuple(r) for r in direct.collect()
     ]
+
+
+def test_text_index_postings_compact_after_appends(spark, tmp_path):
+    """Append-heavy postings decay into small files; Warehouse.compact
+    with partition_col='term_bucket' coalesces per bucket dir and the
+    compacted index answers queries byte-identically."""
+    from gcp_data_pipeline_fyp_spark.operators.search import (
+        append_text_index,
+        build_text_index,
+        query_text_index,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+    from pyspark.sql import functions as F
+    import os
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_text_index(
+        wh, docs.filter(F.col("doc_id") < 300), "doc_id", "text", "ix",
+        n_buckets=8,
+    )
+    for lo in (300, 400):
+        append_text_index(
+            wh,
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+            ),
+            "doc_id", "text", "ix",
+        )
+    terms = ["spark", "table", "join"]
+    before = [tuple(r) for r in query_text_index(wh, spark, terms, "ix").collect()]
+
+    def _nfiles():
+        return sum(
+            1
+            for _dp, _dns, fns in os.walk(wh.path("ix__postings"))
+            for f in fns
+            if f.endswith(".parquet")
+        )
+
+    n_before = _nfiles()
+    wh.compact("ix__postings", partition_col="term_bucket")
+    assert _nfiles() < n_before  # the 3-generation small files merged
+    after = [tuple(r) for r in query_text_index(wh, spark, terms, "ix").collect()]
+    assert after == before
