@@ -106,6 +106,7 @@ _CHECK_FIRST = [
     # this round): market_share_by_year, nation_profit_by_year,
     # quarter_top_supplier, part_supplier_counts,
     # excess_ship_suppliers (the TPC-H 22-set closers),
+    # source_znormalized_tokens, event_sequence_patterns,
     # small_qty_revenue, min_price_suppliers,
     # important_parts, waiting_suppliers, scd2_user_state,
     # kanon_released_docs, kanon_report, label_prop_communities,

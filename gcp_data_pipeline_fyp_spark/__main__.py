@@ -22,6 +22,12 @@ five Dataflow jobs. The equivalent here:
     python3 -m gcp_data_pipeline_fyp_spark ann-delete \
         --ids victims.parquet --id vec_id --warehouse /data/wh --name ix
 
+    python3 -m gcp_data_pipeline_fyp_spark text-index-build \
+        --docs docs.parquet --id doc_id --text text \
+        --warehouse /data/wh --name tix [--append]
+    python3 -m gcp_data_pipeline_fyp_spark text-index-query \
+        --terms spark,table,join --warehouse /data/wh --name tix --k 10
+
 Mode (full/delta) is inferred from the filename exactly like the DAG's
 branch; `--mode` overrides.
 """
@@ -100,6 +106,31 @@ def main(argv: list[str] | None = None) -> int:
     aq_p.add_argument("--corpus", default=None,
                       help="parquet path with full-precision corpus vectors (for --rerank)")
     aq_p.add_argument("--cpus", type=int, default=None)
+
+    tb_p = sub.add_parser(
+        "text-index-build",
+        help="build (or append to) a persisted BM25 inverted index",
+    )
+    tb_p.add_argument("--docs", required=True, help="parquet path with (id, text) columns")
+    tb_p.add_argument("--id", required=True)
+    tb_p.add_argument("--text", required=True)
+    tb_p.add_argument("--warehouse", required=True)
+    tb_p.add_argument("--name", required=True)
+    tb_p.add_argument("--buckets", type=int, default=64)
+    tb_p.add_argument("--append", action="store_true",
+                      help="append the docs to an existing index instead of rebuilding")
+    tb_p.add_argument("--cpus", type=int, default=None)
+
+    tq_p = sub.add_parser(
+        "text-index-query",
+        help="BM25 top-k against a persisted inverted index (prints JSON rows)",
+    )
+    tq_p.add_argument("--terms", required=True,
+                      help="comma-separated query terms")
+    tq_p.add_argument("--warehouse", required=True)
+    tq_p.add_argument("--name", required=True)
+    tq_p.add_argument("--k", type=int, default=10)
+    tq_p.add_argument("--cpus", type=int, default=None)
 
     ad_p = sub.add_parser(
         "ann-delete",
@@ -204,6 +235,45 @@ def main(argv: list[str] | None = None) -> int:
                     out, q, spark.read.parquet(args.corpus),
                     args.id, args.vec, k=args.k,
                 )
+            print(json.dumps([r.asDict() for r in out.collect()]))
+            return 0
+
+        if args.cmd == "text-index-build":
+            from gcp_data_pipeline_fyp_spark.operators.search import (
+                append_text_index,
+                build_text_index,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            docs = spark.read.parquet(args.docs)
+            if args.append:
+                append_text_index(wh, docs, args.id, args.text, args.name)
+            else:
+                build_text_index(
+                    wh, docs, args.id, args.text, args.name,
+                    n_buckets=args.buckets,
+                )
+            stats = wh.read(f"{args.name}__stats").first()
+            print(json.dumps({
+                "index": args.name, "n_docs": stats["n_docs"],
+                "n_buckets": stats["n_buckets"],
+                "appended": bool(args.append),
+            }))
+            return 0
+
+        if args.cmd == "text-index-query":
+            from gcp_data_pipeline_fyp_spark.operators.search import (
+                query_text_index,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            out = query_text_index(
+                wh, spark,
+                [t for t in args.terms.split(",") if t],
+                args.name, k=args.k,
+            )
             print(json.dumps([r.asDict() for r in out.collect()]))
             return 0
 

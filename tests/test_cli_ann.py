@@ -113,3 +113,52 @@ def test_ann_delete_cli(spark, tmp_path):
     assert queried.returncode == 0, queried.stderr[-2000:]
     rows_out = json.loads(queried.stdout.strip().splitlines()[-1])
     assert not ({r["corpus_id"] for r in rows_out} & {10, 11})
+
+
+def test_text_index_cli_build_append_query(spark, tmp_path):
+    """text-index-build / --append / text-index-query drive the
+    persisted BM25 lifecycle end-to-end from the CLI."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    head_path = str(tmp_path / "head.parquet")
+    tail_path = str(tmp_path / "tail.parquet")
+    docs.filter("doc_id < 400").write.parquet(head_path)
+    docs.filter("doc_id >= 400").write.parquet(tail_path)
+
+    wh = str(tmp_path / "wh")
+    built = _run_cli(
+        "text-index-build", "--docs", head_path, "--id", "doc_id",
+        "--text", "text", "--warehouse", wh, "--name", "tix",
+        "--buckets", "16",
+    )
+    assert built.returncode == 0, built.stderr[-2000:]
+    meta = json.loads(built.stdout.strip().splitlines()[-1])
+    assert meta["n_buckets"] == 16 and meta["n_docs"] == 400
+
+    appended = _run_cli(
+        "text-index-build", "--docs", tail_path, "--id", "doc_id",
+        "--text", "text", "--warehouse", wh, "--name", "tix", "--append",
+    )
+    assert appended.returncode == 0, appended.stderr[-2000:]
+    meta2 = json.loads(appended.stdout.strip().splitlines()[-1])
+    assert meta2["n_docs"] == 500 and meta2["appended"] is True
+
+    queried = _run_cli(
+        "text-index-query", "--terms", "spark,table,join",
+        "--warehouse", wh, "--name", "tix", "--k", "5",
+    )
+    assert queried.returncode == 0, queried.stderr[-2000:]
+    rows = json.loads(queried.stdout.strip().splitlines()[-1])
+    assert len(rows) == 5
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+    # CLI result == direct operator result on the same corpus
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+
+    want = [
+        (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, "doc_id", "text", ["spark", "table", "join"], k=5).collect()
+    ]
+    assert [(r["doc_id"], r["score"]) for r in rows] == want
