@@ -306,6 +306,40 @@ def _bench_streaming(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_text_index(spark, sf_dir: str, timings: dict) -> None:
+    """Persisted inverted-index micro-bench: one build over the sf
+    documents table, then a 3-term BM25 query against it (static
+    bucket pruning). The build-once/query-many split is the index's
+    whole point — tracking both keeps the amortization claim honest
+    across rounds (r6)."""
+    import shutil
+    import tempfile
+
+    from gcp_data_pipeline_fyp_spark.operators.search import (
+        build_text_index,
+        query_text_index,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    work = tempfile.mkdtemp(prefix="bench_tix_")
+    try:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        wh = Warehouse(spark, os.path.join(work, "wh"))
+        t0 = time.perf_counter()
+        build_text_index(wh, docs, "doc_id", "text", "ix", n_buckets=64)
+        timings["text_index_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        out = query_text_index(
+            wh, spark, ["spark", "table", "join"], "ix", k=10
+        )
+        out.write.mode("overwrite").format("noop").save()
+        timings["text_index_query"] = round(time.perf_counter() - t0, 3)
+        out.unpersist()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -326,6 +360,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     _bench_pipeline(spark, sf_dir, timings)
     _bench_streaming(spark, sf_dir, timings)
+    _bench_text_index(spark, sf_dir, timings)
     total = round(sum(timings.values()), 3)
     # drift calibration: ratios vs pinned r01 numbers (only meaningful
     # at the canonical sf0.1 / 32-cpu config the pins were taken at)
