@@ -33,106 +33,77 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-6 WINDOW, in priority order (exactly 50):
-#   1. the 14 new-this-round probes: the IVF-PQ family (plain /
-#      sampled-fit / residual / rerank — the 100 TB ANN layout),
-#      per-source cap, TPC-H q13/q22 shapes, percent_rank+cume_dist,
-#      CUBE, unpivot, triangle counts, deterministic correlation,
-#      MAD outliers, k-core peel
-#   2. rolling re-cert: 36 of the 40 r03-rows, the oldest driver
-#      evidence, all touched or adjacent to the registry-wide roundn
-#      emission rewrite (commit 280b880) — full-load pipeline stages,
-#      TPC-H shapes, windowing, and the dedup/corpus family
-#      (kmeans_embeddings, incremental_dedup, filter_chain_report,
-#      temperature_mix carry to r07)
+# ROUND-7 WINDOW, in priority order (exactly 50):
+#   1. the 28 r6-tail additions, never driver-checked (all
+#      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
+#      22-set closers, z-normalization, sequence patterns, SCD2,
+#      k-anonymity, label propagation, fuzzy join, skew report,
+#      attribution, basket lift, clustering coefficients, batching
+#   2. the 4 probes rotated out of the r6 window to fit late r6
+#      additions: kmeans_embeddings, incremental_dedup,
+#      filter_chain_report, temperature_mix
+#   3. rolling re-cert: 18 of the r04 tail never re-checked since r04
 _CHECK_FIRST = [
-    # -- new this round
-    "ann_ivfpq_topk",
-    "ann_pq_topk_sampled",
-    "ann_ivfpq_residual_topk",
-    "ann_ivfpq_rerank_topk",
-    "source_capped_sample",
-    "customer_distribution",
-    "dormant_rich_customers",
-    "order_value_ranks",
-    "cube_type_day",
-    "part_metrics_unpivot",
-    "triangle_counts",
-    "returnflag_correlation",
-    "mad_outlier_events",
-    "kcore_docs",
-    # -- r03 rolling re-cert: full-load pipeline stages
-    "stg_null_coerce",
-    "ods_typed_banding",
-    "event_id_hash",
-    "tz_convert",
-    "date_dim",
-    "place_parse",
-    "surrogate_keys",
-    "surrogate_keys_incremental",
-    "anti_join_dedup",
-    "merge_upsert",
-    "merge_upsert_partitioned",
-    "quality_gate_accepted",
-    "quality_gate_rejected",
-    # -- r03 rolling re-cert: TPC-H shapes
-    "pricing_summary",
-    "top_revenue_orders",
-    "region_nation_revenue",
-    "order_priority_count",
-    "brand_revenue",
-    "top_suppliers",
-    # -- r03 rolling re-cert: windowing
-    "running_customer_spend",
-    "sessionize_events",
-    "rollup_type_day",
-    "customer_order_stats",
-    "large_orders",
-    # -- r03 rolling re-cert: dedup/corpus family
-    "dedup_exact_stats",
-    "dedup_exact_rows",
-    "minhash_lsh_pairs",
-    "gopher_filter",
-    "dedupe_corpus",
-    "corpus_prep",
-    "dup_clusters",
-    "canonical_docs",
-    "corpus_prep_full",
-    "paragraph_dedup",
-    "boilerplate_docs",
-    "clean_text_docs",
-    # next round (r07), in priority order: (0) the r6-tail additions,
-    # never driver-checked (all mirror-certified at sf0.001/0.01/0.1
-    # this round): market_share_by_year, nation_profit_by_year,
-    # quarter_top_supplier, part_supplier_counts,
-    # excess_ship_suppliers (the TPC-H 22-set closers),
-    # source_znormalized_tokens, event_sequence_patterns,
-    # small_qty_revenue, min_price_suppliers,
-    # important_parts, waiting_suppliers, scd2_user_state,
-    # kanon_released_docs, kanon_report, label_prop_communities,
-    # scd2_incremental_state, value_trend_by_type,
-    # fuzzy_supplier_pairs, release_gated_docs, key_skew_report,
-    # customer_spend_quartiles, linear_attribution,
-    # forecast_revenue_change, promo_revenue_share,
-    # discounted_shipment_revenue, brand_basket_lift,
-    # clustering_coefficients, length_bucketed_batches; then
-    # kmeans_embeddings,
-    # incremental_dedup, filter_chain_report and temperature_mix,
-    # rotated out of this window to fit the last four r6 additions
-    # (triangle_counts, returnflag_correlation, mad_outlier_events,
-    # kcore_docs) — re-cert them first; (1) anything red in r06;
-    # (2) rolling re-cert of the r04 tail never re-checked since —
-    # measure_latest_update, measure_avg_magnitude, measure_max_depth,
-    # measure_totals_by_type, measure_total_events,
-    # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk,
-    # semantic_neardup_kmeans,
-    # setops_buyers, approx_distinct_users, value_percentiles,
-    # nation_volume_by_year, top_returning_customers, date_scaffold,
-    # pivot_type_by_day, windowed_counts, lang_id, doc_fingerprint,
-    # minhash_signature, simhash, simhash_dup_groups, ngram_jaccard,
-    # vocabulary_top, chunk_documents, redact_pii, hash_sample,
-    # domain_stats, filter_fail_matrix, substring_dup_report,
-    # substring_filtered_docs, dedup_normalized,
+    # -- r6-tail additions, first driver check
+    "market_share_by_year",
+    "nation_profit_by_year",
+    "quarter_top_supplier",
+    "part_supplier_counts",
+    "excess_ship_suppliers",
+    "source_znormalized_tokens",
+    "event_sequence_patterns",
+    "small_qty_revenue",
+    "min_price_suppliers",
+    "important_parts",
+    "waiting_suppliers",
+    "scd2_user_state",
+    "kanon_released_docs",
+    "kanon_report",
+    "label_prop_communities",
+    "scd2_incremental_state",
+    "value_trend_by_type",
+    "fuzzy_supplier_pairs",
+    "release_gated_docs",
+    "key_skew_report",
+    "customer_spend_quartiles",
+    "linear_attribution",
+    "forecast_revenue_change",
+    "promo_revenue_share",
+    "discounted_shipment_revenue",
+    "brand_basket_lift",
+    "clustering_coefficients",
+    "length_bucketed_batches",
+    # -- rotated out of the r6 window, re-cert first
+    "kmeans_embeddings",
+    "incremental_dedup",
+    "filter_chain_report",
+    "temperature_mix",
+    # -- r04 tail rolling re-cert (oldest driver evidence after r6)
+    "measure_latest_update",
+    "measure_avg_magnitude",
+    "measure_max_depth",
+    "measure_totals_by_type",
+    "measure_total_events",
+    "measure_sliced_by_day",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    "semantic_neardup_kmeans",
+    "setops_buyers",
+    "approx_distinct_users",
+    "value_percentiles",
+    "nation_volume_by_year",
+    "top_returning_customers",
+    "date_scaffold",
+    "pivot_type_by_day",
+    "windowed_counts",
+    "lang_id",
+    # next round (r08), in priority order: (0) any new r07 probes;
+    # (1) anything red in r07; (2) rolling re-cert of the remaining
+    # r04 tail never re-checked since —
+    # doc_fingerprint, minhash_signature, simhash, simhash_dup_groups,
+    # ngram_jaccard, vocabulary_top, chunk_documents, redact_pii,
+    # hash_sample, domain_stats, filter_fail_matrix,
+    # substring_dup_report, substring_filtered_docs, dedup_normalized,
     # quality_weighted_sample, sentence_dedup, length_histogram,
     # ngram_novelty, embedding_neardup, embedding_neardup_lsh,
     # ann_lsh_topk, multimodal_byte_features, json_extract,
