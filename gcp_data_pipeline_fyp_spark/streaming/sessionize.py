@@ -22,6 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -55,14 +56,20 @@ def _sessionize_group(
         last_ts, session_id = None, 0
     frames = []
     for pdf in pdfs:
+        if not len(pdf):
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        out_sessions = []
-        for ts in pdf["ts"]:
-            t = ts.timestamp()
-            if last_ts is None or (t - last_ts) > gap_seconds:
-                session_id += 1
-            last_ts = t
-            out_sessions.append(session_id)
+        # Vectorized gap check: only the first row compares against the
+        # carried state; every other row compares against its
+        # predecessor in this batch, so a shift + cumsum is exact.
+        t = pdf["ts"].values.astype("datetime64[ns]").astype("int64") / 1e9
+        prev = np.empty_like(t)
+        prev[0] = last_ts if last_ts is not None else -np.inf
+        prev[1:] = t[:-1]
+        out_sessions = session_id + np.cumsum((t - prev) > gap_seconds)
+        if len(t):
+            last_ts = float(t[-1])
+            session_id = int(out_sessions[-1])
         frames.append(
             pd.DataFrame(
                 {
@@ -73,8 +80,9 @@ def _sessionize_group(
                 }
             )
         )
-    state.update((float(last_ts), int(session_id)))
-    state.setTimeoutDuration(int(gap_seconds * 2 * 1000))
+    if last_ts is not None:
+        state.update((float(last_ts), int(session_id)))
+        state.setTimeoutDuration(int(gap_seconds * 2 * 1000))
     yield from frames
 
 

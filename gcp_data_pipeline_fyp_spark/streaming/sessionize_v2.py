@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -56,14 +57,21 @@ class SessionizeProcessor(StatefulProcessor):
         last_ts = self._last_ts.get()[0] if self._last_ts.exists() else None
         ordinal = self._ordinal.get()[0] if self._ordinal.exists() else 0
         for pdf in rows:
+            if not len(pdf):
+                continue
             pdf = pdf.sort_values(["ts", "event_id"])
-            out = []
-            for ts in pdf["ts"]:
-                t = ts.timestamp()
-                if last_ts is None or (t - last_ts) > self._gap:
-                    ordinal += 1
-                last_ts = t
-                out.append(ordinal)
+            # Vectorized gap check (same derivation as sessionize.py):
+            # only row 0 sees the carried state; shift + cumsum is exact.
+            t = (
+                pdf["ts"].values.astype("datetime64[ns]").astype("int64")
+                / 1e9
+            )
+            prev = np.empty_like(t)
+            prev[0] = last_ts if last_ts is not None else -np.inf
+            prev[1:] = t[:-1]
+            out = ordinal + np.cumsum((t - prev) > self._gap)
+            last_ts = float(t[-1])
+            ordinal = int(out[-1])
             yield pd.DataFrame(
                 {
                     "user_id": user_id,
@@ -72,8 +80,9 @@ class SessionizeProcessor(StatefulProcessor):
                     "session_id": out,
                 }
             )
-        self._last_ts.update((float(last_ts),))
-        self._ordinal.update((int(ordinal),))
+        if last_ts is not None:
+            self._last_ts.update((float(last_ts),))
+            self._ordinal.update((int(ordinal),))
 
     def close(self) -> None:
         pass

@@ -196,3 +196,72 @@ def test_state_v2_sessionizer_matches_v1(spark, tmp_path):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for driving _sessionize_group purely."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_vectorized_group_matches_row_loop_reference():
+    """Differential unit test (no Spark): the numpy shift+cumsum
+    sessionizer must match the per-row reference loop across carried
+    state, ties, and empty micro-batches."""
+    import random
+
+    import pandas as pd
+
+    from gcp_data_pipeline_fyp_spark.streaming.sessionize import (
+        _sessionize_group,
+    )
+
+    def reference(batches, gap):
+        last, sid, out = None, 0, []
+        for batch in batches:
+            for eid, ts in sorted(batch, key=lambda r: (r[1], r[0])):
+                if last is None or (ts - last) > gap:
+                    sid += 1
+                last = ts
+                out.append((eid, sid))
+        return sorted(out)
+
+    rng = random.Random(7)
+    for _trial in range(100):
+        gap = rng.choice([1.0, 5.0, 30.0])
+        batches, t = [], 0.0
+        for _ in range(rng.randint(1, 3)):
+            rows = []
+            for _ in range(rng.randint(0, 20)):
+                t += rng.choice([0.1, 0.5, 2.0, 6.0, 40.0])
+                rows.append((len(rows) + rng.randint(0, 1000) * 100, t))
+            batches.append(rows)
+        st, got = _FakeGroupState(), []
+        for batch in batches:
+            pdf = pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in batch],
+                    "ts": pd.to_datetime([r[1] for r in batch], unit="s"),
+                }
+            )
+            for f in _sessionize_group((1,), iter([pdf]), st, gap):
+                got.extend(
+                    zip(f["event_id"].astype(int), f["session_id"].astype(int))
+                )
+        assert sorted(got) == reference(batches, gap)
