@@ -1,0 +1,188 @@
+"""Zone maps: per-file min/max statistics + file-granular scan pruning.
+
+The warehouse already writes skipping-friendly layouts
+(`overwrite_range_layout`, `overwrite_zorder_layout` — sources/
+tables.py), but a plain `spark.read.parquet(root)` still LISTS and
+OPENS every file: parquet row-group stats only help after the footer
+read. At 100 TB / ~1e6 files that footer storm is the scan's fixed
+cost. A zone map moves the min/max check in front of the file open —
+the same design as Delta Lake / Iceberg data skipping:
+
+- `build_zonemap` runs ONE distributed scan of the stat columns
+  (projection-pruned; `_metadata.file_path` is free) and stores one
+  row per data file — row count plus min/max/null-count per column —
+  under `<table>/_zonemap`. Underscore-prefixed, so root readers
+  never see it as data (same convention as the `_v{N}` snapshots).
+- `read_pruned` evaluates interval predicates against the map,
+  collects the SURVIVING file list (driver-side, one small row per
+  file — exactly what Delta's log replay does), and reads only those
+  files. The predicate is re-applied to the rows, so pruning is
+  purely an I/O optimization and the result is byte-equal to a full
+  scan + filter regardless of layout or map staleness.
+- Staleness is handled conservatively: data files NOT present in the
+  map (e.g. appended after the last build) are always read;
+  map entries whose file vanished (compaction, overwrite) are
+  ignored. `refresh_zonemap` stats only the unmapped files — an
+  incremental append to the map, not a rebuild.
+
+Pairing: `overwrite_range_layout(ts)` + zonemap on ts => a time-scoped
+query reads |range|/|table| of the files; zorder layout + zonemap on
+(x, y) => 2-D box queries skip whole plane regions. Without the
+layout the map is still correct, just less selective.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+ZONEMAP_DIR = "_zonemap"
+_FILE = "__file"
+
+
+def _zonemap_path(wh: Warehouse, table: str) -> str:
+    return os.path.join(wh.path(table), ZONEMAP_DIR)
+
+
+def _data_files(wh: Warehouse, table: str) -> list[str]:
+    """All data file paths of a table (skips _underscore/.hidden
+    entries, recurses into partition dirs)."""
+    out: list[str] = []
+    for root, dirs, files in os.walk(wh.path(table)):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(("_", "."))
+            and not f.endswith((".crc", "_SUCCESS"))
+        )
+    return sorted(out)
+
+
+def _stats_for_files(
+    wh: Warehouse, table: str, files: Sequence[str], cols: Sequence[str]
+) -> DataFrame:
+    """One projection-pruned scan -> one stats row per file."""
+    df = (
+        wh.spark.read.format(wh.fmt)
+        .option("basePath", wh.path(table))
+        .load(list(files))
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+        )
+    return (
+        df.select(F.col("_metadata.file_path").alias(_FILE), *cols)
+        .groupBy(_FILE)
+        .agg(*aggs)
+    )
+
+
+def build_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> None:
+    """(Re)build the zone map for `table` over `cols`."""
+    files = _data_files(wh, table)
+    stats = _stats_for_files(wh, table, files, cols)
+    stats.coalesce(1).write.mode("overwrite").format(wh.fmt).save(
+        _zonemap_path(wh, table)
+    )
+
+
+def refresh_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> int:
+    """Incrementally stat files appended since the last build; returns
+    the number of newly mapped files. Stale entries (vanished files)
+    are left in place — `read_pruned` ignores them."""
+    zp = _zonemap_path(wh, table)
+    if not os.path.exists(zp):
+        build_zonemap(wh, table, cols)
+        return len(_data_files(wh, table))
+    mapped = {
+        _norm(r[_FILE])
+        for r in wh.spark.read.format(wh.fmt).load(zp).select(_FILE).collect()
+    }
+    new = [f for f in _data_files(wh, table) if _norm(f) not in mapped]
+    if not new:
+        return 0
+    _stats_for_files(wh, table, new, cols).coalesce(1).write.mode(
+        "append"
+    ).format(
+        wh.fmt
+    ).save(zp)
+    return len(new)
+
+
+def _norm(path: str) -> str:
+    """`_metadata.file_path` is a file: URI (any number of slashes —
+    Spark emits `file:/tmp/...`); the os.walk listing is a plain path.
+    Compare on the plain-path form."""
+    if ":" in path.split("/", 1)[0]:
+        path = path.split(":", 1)[1]
+    return "/" + path.lstrip("/")
+
+
+def prune_files(
+    wh: Warehouse,
+    table: str,
+    intervals: dict[str, tuple],
+) -> tuple[list[str], int]:
+    """Zone-map file pruning for conjunctive interval predicates.
+
+    `intervals`: {col: (lo, hi)} — closed bounds, either side None for
+    open. A mapped file survives only if every predicate's [lo, hi]
+    overlaps the file's [min, max] (all-NULL columns never overlap).
+    Unmapped files always survive (conservative). Returns
+    (surviving file paths, total data file count).
+    """
+    files = _data_files(wh, table)
+    zp = _zonemap_path(wh, table)
+    if not os.path.exists(zp):
+        return files, len(files)
+    zm = wh.spark.read.format(wh.fmt).load(zp)
+    cond = F.lit(True)
+    for c, (lo, hi) in intervals.items():
+        if f"{c}__min" not in zm.columns:
+            continue  # column not mapped -> no pruning on it
+        if lo is not None:
+            cond = cond & (F.col(f"{c}__max") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(f"{c}__min") <= F.lit(hi))
+    mapped_rows = zm.select(_FILE).collect()
+    surviving_rows = zm.filter(cond).select(_FILE).collect()
+    mapped = {_norm(r[_FILE]) for r in mapped_rows}
+    surviving = {_norm(r[_FILE]) for r in surviving_rows}
+    out = [
+        f for f in files if _norm(f) not in mapped or _norm(f) in surviving
+    ]
+    return out, len(files)
+
+
+def read_pruned(
+    wh: Warehouse,
+    table: str,
+    intervals: dict[str, tuple],
+) -> DataFrame:
+    """Read `table` with zone-map file pruning, then re-apply the
+    predicate row-wise — result equals full scan + filter exactly."""
+    files, _total = prune_files(wh, table, intervals)
+    if files:
+        df = (
+            wh.spark.read.format(wh.fmt)
+            .option("basePath", wh.path(table))
+            .load(files)
+        )
+    else:
+        df = wh.read(table).limit(0)  # everything pruned: typed empty
+    for c, (lo, hi) in intervals.items():
+        if lo is not None:
+            df = df.filter(F.col(c) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(c) <= F.lit(hi))
+    return df

@@ -1121,3 +1121,45 @@ FROM sizes
 """
 
 MISC_QUERIES["key_skew_report"] = (q_key_skew_report, SQL_KEY_SKEW_REPORT)
+
+
+# ------------------------------------------------ zone-map data skipping (r7)
+def q_zonemap_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Zone-map file pruning end-to-end (operators/zonemap.py): write
+    events in a value-range layout, build the per-file min/max map,
+    then answer an interval query through `read_pruned` — the scan
+    lists only files whose [min, max] overlaps the predicate (the
+    pytest pins that this skips >half the files) and re-applies the
+    filter row-wise, so the result is byte-equal to a full scan +
+    WHERE regardless of layout. The 100 TB point: file-level skipping
+    happens BEFORE any parquet footer is opened."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        read_pruned,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    scratch = "/tmp/spark_graft_zonemap_" + os.path.basename(
+        sf.rstrip("/")
+    )
+    wh = Warehouse(spark, scratch)
+    ev = load(spark, sf, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    wh.overwrite_range_layout(ev, "EV", ["value"], n_files=16)
+    build_zonemap(wh, "EV", ["value"])
+    return read_pruned(wh, "EV", {"value": (100.0, 200.0)})
+
+
+SQL_ZONEMAP_PRUNED_SCAN = """
+SELECT event_id, ts, event_type, value
+FROM events
+WHERE value >= 100.0 AND value <= 200.0
+"""
+
+MISC_QUERIES["zonemap_pruned_scan"] = (
+    q_zonemap_pruned_scan,
+    SQL_ZONEMAP_PRUNED_SCAN,
+)
