@@ -340,6 +340,49 @@ def _bench_text_index(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_zonemap(spark, sf_dir: str, timings: dict) -> None:
+    """Zone-map micro-bench: one range-layout write + map build over
+    the sf events table, then an interval query through the pruned
+    scan vs the same filter over a full scan. The pruned/full pair is
+    the data-skipping claim made measurable per round (r7)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        read_pruned,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    work = tempfile.mkdtemp(prefix="bench_zm_")
+    try:
+        wh = Warehouse(spark, work)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        t0 = time.perf_counter()
+        wh.overwrite_range_layout(ev, "EV", ["value"], n_files=64)
+        build_zonemap(wh, "EV", ["value"])
+        timings["zonemap_build"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        read_pruned(wh, "EV", {"value": (100.0, 200.0)}).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        timings["zonemap_pruned_query"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        wh.read("EV").filter(
+            F.col("value").between(100.0, 200.0)
+        ).write.mode("overwrite").format("noop").save()
+        timings["zonemap_full_scan_query"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -361,6 +404,7 @@ def main() -> None:
     _bench_pipeline(spark, sf_dir, timings)
     _bench_streaming(spark, sf_dir, timings)
     _bench_text_index(spark, sf_dir, timings)
+    _bench_zonemap(spark, sf_dir, timings)
     total = round(sum(timings.values()), 3)
     # drift calibration: ratios vs pinned r01 numbers (only meaningful
     # at the canonical sf0.1 / 32-cpu config the pins were taken at)

@@ -154,10 +154,9 @@ def prune_files(
             cond = cond & (F.col(f"{c}__max") >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(f"{c}__min") <= F.lit(hi))
-    mapped_rows = zm.select(_FILE).collect()
-    surviving_rows = zm.filter(cond).select(_FILE).collect()
-    mapped = {_norm(r[_FILE]) for r in mapped_rows}
-    surviving = {_norm(r[_FILE]) for r in surviving_rows}
+    rows = zm.select(_FILE, cond.alias("__keep")).collect()
+    mapped = {_norm(r[_FILE]) for r in rows}
+    surviving = {_norm(r[_FILE]) for r in rows if r["__keep"]}
     out = [
         f for f in files if _norm(f) not in mapped or _norm(f) in surviving
     ]
