@@ -1163,3 +1163,60 @@ MISC_QUERIES["zonemap_pruned_scan"] = (
     q_zonemap_pruned_scan,
     SQL_ZONEMAP_PRUNED_SCAN,
 )
+
+
+def q_zonemap_zorder_box_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D data skipping end-to-end: Z-order layout (sources/tables.py:
+    zorder_value — bit-interleaved Morton key) + zone map answering a
+    box predicate on (value, user_id). Every output file covers a
+    compact plane REGION, so both intervals prune files — the pytest
+    pins >2x fewer files read than a 1-D range layout for the same
+    box. Bounds are domain fractions so the probe is non-trivial at
+    every sf; results are byte-equal to full scan + WHERE."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        read_pruned,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import (
+        Warehouse,
+        zorder_value,
+    )
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    d = ev.agg(
+        F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    u_lo = d[2] + 0.30 * (d[3] - d[2])
+    u_hi = d[2] + 0.60 * (d[3] - d[2])
+    scratch = "/tmp/spark_graft_zonemap_z_" + os.path.basename(
+        sf.rstrip("/")
+    )
+    wh = Warehouse(spark, scratch)
+    z = zorder_value(
+        F.col("value"), F.col("user_id"),
+        d[0], d[1], float(d[2]), float(d[3]), bits=12,
+    )
+    wh.overwrite_zorder_layout(ev, "EVZ", z, n_files=32)
+    build_zonemap(wh, "EVZ", ["value", "user_id"])
+    return read_pruned(
+        wh, "EVZ", {"value": (50.0, 120.0), "user_id": (u_lo, u_hi)}
+    )
+
+
+SQL_ZONEMAP_ZORDER_BOX_SCAN = """
+WITH d AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events)
+SELECT event_id, user_id, value
+FROM events, d
+WHERE value >= 50.0 AND value <= 120.0
+  AND user_id >= umin + 0.30 * (umax - umin)
+  AND user_id <= umin + 0.60 * (umax - umin)
+"""
+
+MISC_QUERIES["zonemap_zorder_box_scan"] = (
+    q_zonemap_zorder_box_scan,
+    SQL_ZONEMAP_ZORDER_BOX_SCAN,
+)

@@ -102,3 +102,41 @@ def test_zonemap_on_partitioned_table(spark, tmp_path):
     assert _ids(got) == _ids(exp)
     # partition column survives the file-list read (basePath)
     assert "p_day" in got.columns
+
+
+def test_zorder_zonemap_box_pruning_beats_range_layout(spark, tmp_path):
+    """The 2-D claim: for a box predicate on (value, user_id), a
+    Z-order layout + zone map skips strictly more files than a 1-D
+    value-range layout — every range file spans the full user_id
+    domain, so the second predicate can't prune there."""
+    # sf0.1: the z-curve needs enough rows per cell for region-compact
+    # files — at sf0.001/0.01 the 2-D granularity drowns in file count
+    ev = spark.read.parquet("/root/testdata/sf0.1/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    d = ev.agg(
+        F.min("value"), F.max("value"), F.min("user_id"), F.max("user_id")
+    ).collect()[0]
+    from gcp_data_pipeline_fyp_spark.sources.tables import zorder_value
+
+    w = Warehouse(spark, str(tmp_path / "whz"))
+    z = zorder_value(
+        F.col("value"), F.col("user_id"),
+        d[0], d[1], float(d[2]), float(d[3]), bits=14,
+    )
+    w.overwrite_zorder_layout(ev, "EVZ", z, n_files=256)
+    build_zonemap(w, "EVZ", ["value", "user_id"])
+    w.overwrite_range_layout(ev, "EVR", ["value"], n_files=256)
+    build_zonemap(w, "EVR", ["value", "user_id"])
+    box = {"value": (50.0, 120.0), "user_id": (200, 400)}
+    fz, tz = prune_files(w, "EVZ", box)
+    fr, tr = prune_files(w, "EVR", box)
+    assert tz == tr == 256
+    assert len(fz) < len(fr) / 2      # 2-D layout prunes >2x better
+    assert len(fz) < tz / 4           # and skips most files outright
+    exp = ev.filter(
+        F.col("value").between(50.0, 120.0)
+        & F.col("user_id").between(200, 400)
+    )
+    assert _ids(read_pruned(w, "EVZ", box)) == _ids(exp)
+    assert _ids(read_pruned(w, "EVR", box)) == _ids(exp)
