@@ -1220,3 +1220,113 @@ MISC_QUERIES["zonemap_zorder_box_scan"] = (
     q_zonemap_zorder_box_scan,
     SQL_ZONEMAP_ZORDER_BOX_SCAN,
 )
+
+
+# --------------------------------------- deterministic mergeable sketches (r7)
+def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.py) over document
+    tokens, built as TWO half-corpus states merged cell-wise — the
+    delta-maintenance path — then point-queried for every distinct
+    token; top 30 by estimate. md5-bucketed, so the oracle replicates
+    the full depth x width grid in SQL and certifies bit equality —
+    including collision behavior (width 512 << vocabulary)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        cms_estimate,
+        cms_state,
+        merge_cms_states,
+    )
+
+    d = load(spark, sf, "documents", spread=True)
+    toks = d.select(
+        F.col("doc_id"), F.explode(tokens("text")).alias("tok")
+    )
+    a = cms_state(toks.filter(F.col("doc_id") % 2 == 0), "tok", 4, 512)
+    b = cms_state(toks.filter(F.col("doc_id") % 2 == 1), "tok", 4, 512)
+    state = merge_cms_states([a, b])
+    est = cms_estimate(state, toks.select("tok").distinct(), "tok", 4, 512)
+    return est.orderBy(F.desc("est"), "tok").limit(30)
+
+
+SQL_CMS_TOKEN_COUNTS = r"""
+WITH e AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+cells AS (
+  SELECT d,
+         cast(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), '_', tok)),
+                                  1, 15)) AS BIGINT) % 512 AS bucket,
+         count(*) AS cnt
+  FROM e CROSS JOIN ds
+  GROUP BY 1, 2),
+probes AS (SELECT DISTINCT tok FROM e),
+pe AS (
+  SELECT p.tok, min(coalesce(c.cnt, 0)) AS est
+  FROM probes p
+  CROSS JOIN ds
+  LEFT JOIN cells c
+    ON c.d = ds.d
+   AND c.bucket = cast(concat('0x',
+         substr(md5(concat(CAST(ds.d AS VARCHAR), '_', p.tok)), 1, 15))
+         AS BIGINT) % 512
+  GROUP BY p.tok)
+SELECT tok, est FROM pe ORDER BY est DESC, tok LIMIT 30
+"""
+
+MISC_QUERIES["cms_token_counts"] = (q_cms_token_counts, SQL_CMS_TOKEN_COUNTS)
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (operators/sketch.py) per event
+    type over user_id: two half-feed states merged (union + re-take
+    k smallest), then (k-1)/h_k. Plain-row states — unlike HLL
+    binaries the sketch itself is SQL-replicable, so the ESTIMATE is
+    oracle-certified bit-exactly (micro-units)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_state,
+        merge_kmv_states,
+    )
+
+    ev = load(spark, sf, "events")
+    a = kmv_state(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"], 32
+    )
+    b = kmv_state(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id", ["event_type"], 32
+    )
+    merged = merge_kmv_states([a, b], ["event_type"], 32)
+    est = kmv_estimate(merged, ["event_type"], 32)
+    return est.select(
+        "event_type", micro6("est").alias("est_micro")
+    ).orderBy("event_type")
+
+
+SQL_KMV_DISTINCT_USERS = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         cast(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) / 1152921504606846976.0 AS h
+  FROM events),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+      FROM h),
+a AS (SELECT event_type, count(*) AS n, max(h) AS hk
+      FROM r WHERE rk <= 32 GROUP BY event_type)
+SELECT event_type,
+       CAST(round((CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                        ELSE 31.0 / hk END) * 1000000.0) AS BIGINT)
+         AS est_micro
+FROM a
+ORDER BY event_type
+"""
+
+MISC_QUERIES["kmv_distinct_users"] = (
+    q_kmv_distinct_users,
+    SQL_KMV_DISTINCT_USERS,
+)

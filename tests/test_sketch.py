@@ -1,0 +1,85 @@
+"""Count-min / KMV sketch guarantees beyond the oracle's bit-equality:
+upper-bound property, merge == full-build, and estimation error."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.sketch import (
+    cms_estimate,
+    cms_state,
+    kmv_estimate,
+    kmv_state,
+    merge_cms_states,
+    merge_kmv_states,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _toks(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    return d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    toks = _toks(spark)
+    n = toks.count()
+    width = 512
+    state = cms_state(toks, "tok", depth=4, width=width)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    est = cms_estimate(state, exact.select("tok"), "tok", 4, width)
+    j = est.join(exact, "tok").collect()
+    assert j
+    assert all(r["est"] >= r["cnt"] for r in j)  # one-sided error
+    # classic CM bound: err <= 2n/width w.h.p.; assert the 90th pct
+    errs = sorted(r["est"] - r["cnt"] for r in j)
+    assert errs[int(0.9 * len(errs))] <= 2 * n / width
+
+
+def test_cms_merge_equals_full_build(spark):
+    toks = _toks(spark)
+    full = cms_state(toks, "tok", 4, 256)
+    a = cms_state(toks.filter(F.col("doc_id") % 2 == 0), "tok", 4, 256)
+    b = cms_state(toks.filter(F.col("doc_id") % 2 == 1), "tok", 4, 256)
+    merged = merge_cms_states([a, b])
+    assert (
+        merged.exceptAll(full).count() == 0
+        and full.exceptAll(merged).count() == 0
+    )
+
+
+def test_kmv_exact_below_k_and_bounded_error_above(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # per-type distinct users: small at sf0.001 -> k=1024 is exact
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("nd")
+    )
+    big = kmv_state(ev, "user_id", ["event_type"], k=1024)
+    est_exact = kmv_estimate(big, ["event_type"], k=1024)
+    j = {r["event_type"]: r["est"] for r in est_exact.collect()}
+    for r in exact.collect():
+        assert j[r["event_type"]] == float(r["nd"])  # sketch not full
+    # k=16 over event_id (1000 distinct): estimate within 60% rel err
+    s = kmv_state(ev, "event_id", k=16)
+    est = kmv_estimate(s, k=16).collect()[0]["est"]
+    nd = ev.select("event_id").distinct().count()
+    assert 0.4 * nd <= est <= 1.6 * nd
+
+
+def test_kmv_merge_equals_full_build(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    full = kmv_state(ev, "user_id", ["event_type"], k=32)
+    a = kmv_state(
+        ev.filter(F.col("event_id") % 2 == 0), "user_id", ["event_type"], 32
+    )
+    b = kmv_state(
+        ev.filter(F.col("event_id") % 2 == 1), "user_id", ["event_type"], 32
+    )
+    merged = merge_kmv_states([a, b], ["event_type"], k=32)
+    assert (
+        merged.exceptAll(full).count() == 0
+        and full.exceptAll(merged).count() == 0
+    )
