@@ -185,3 +185,89 @@ def read_pruned(
         if hi is not None:
             df = df.filter(F.col(c) <= F.lit(hi))
     return df
+
+
+# ----------------------------------------- equality skipping (bucket index)
+def build_bucket_index(
+    wh: Warehouse, table: str, col: str, n_buckets: int = 4096
+) -> None:
+    """Per-file membership index for EQUALITY predicates: the set of
+    distinct `md5(col) % n_buckets` bucket ids per data file, stored
+    as one (file, bucket) row each under `<table>/_bucketindex_<col>`.
+
+    The bloom-filter role in the skipping family, but exact-on-buckets
+    and plain rows: a point lookup prunes every file whose bucket set
+    misses `bucket(key)` — zero false negatives by construction,
+    false-positive rate ~ distinct_keys_per_file / n_buckets. Zone
+    maps (above) skip on RANGES of clustered columns; this skips on
+    EQUALITY against any column, clustered or not. At most n_buckets
+    rows per file, heavily dictionary-compressed."""
+    files = _data_files(wh, table)
+    df = (
+        wh.spark.read.format(wh.fmt)
+        .option("basePath", wh.path(table))
+        .load(files)
+    )
+    idx = (
+        df.select(
+            F.col("_metadata.file_path").alias(_FILE),
+            (_h60(F.col(col).cast("string")) % n_buckets).alias("bucket"),
+        )
+        .distinct()
+    )
+    idx.coalesce(1).write.mode("overwrite").format(wh.fmt).save(
+        os.path.join(wh.path(table), f"_bucketindex_{col}")
+    )
+
+
+def read_point_lookup(
+    wh: Warehouse, table: str, col: str, values, n_buckets: int = 4096
+) -> DataFrame:
+    """Read rows where `col` IN `values`, skipping files whose bucket
+    index provably excludes every probe value. Unindexed files are
+    always read (conservative, same contract as read_pruned)."""
+    files = _data_files(wh, table)
+    ixp = os.path.join(wh.path(table), f"_bucketindex_{col}")
+    if os.path.exists(ixp):
+        probe_buckets = {
+            _bucket_of(v, n_buckets) for v in values
+        }
+        rows = (
+            wh.spark.read.format(wh.fmt)
+            .load(ixp)
+            .groupBy(_FILE)
+            .agg(
+                F.max(
+                    F.col("bucket").isin(*probe_buckets)
+                ).alias("__hit")
+            )
+            .collect()
+        )
+        mapped = {_norm(r[_FILE]) for r in rows}
+        hit = {_norm(r[_FILE]) for r in rows if r["__hit"]}
+        files = [
+            f for f in files if _norm(f) not in mapped or _norm(f) in hit
+        ]
+    if files:
+        df = (
+            wh.spark.read.format(wh.fmt)
+            .option("basePath", wh.path(table))
+            .load(files)
+        )
+    else:
+        df = wh.read(table).limit(0)
+    return df.filter(F.col(col).isin(*list(values)))
+
+
+def _h60(col):
+    """60-bit md5 hash (functions/ids.py convention — SQL-replicable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _bucket_of(value, n_buckets: int) -> int:
+    """Driver-side mirror of `_h60(str(value)) % n_buckets`."""
+    import hashlib
+
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16) % (
+        n_buckets
+    )

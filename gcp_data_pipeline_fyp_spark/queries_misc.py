@@ -1330,3 +1330,51 @@ MISC_QUERIES["kmv_distinct_users"] = (
     q_kmv_distinct_users,
     SQL_KMV_DISTINCT_USERS,
 )
+
+
+def q_bucket_index_lookup(spark: SparkSession, sf: str) -> DataFrame:
+    """Equality-predicate file skipping (operators/zonemap.py:
+    build_bucket_index/read_point_lookup): the table is laid out by
+    value, so a point lookup on event_id can't use min/max skipping —
+    the per-file md5-bucket membership index prunes instead (pytest
+    pins <half the files read). Keys are picked deterministically from
+    the data (5 smallest with event_id % 97 == 3) so the probe is
+    non-trivial at every sf; results equal a plain IN-filter scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_bucket_index,
+        read_point_lookup,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    keys = [
+        r["event_id"]
+        for r in ev.filter(F.col("event_id") % 97 == 3)
+        .orderBy("event_id")
+        .limit(5)
+        .collect()
+    ]
+    scratch = "/tmp/spark_graft_bucketix_" + os.path.basename(
+        sf.rstrip("/")
+    )
+    wh = Warehouse(spark, scratch)
+    wh.overwrite_range_layout(ev, "EV", ["value"], n_files=32)
+    build_bucket_index(wh, "EV", "event_id", n_buckets=16384)
+    return read_point_lookup(wh, "EV", "event_id", keys, n_buckets=16384)
+
+
+SQL_BUCKET_INDEX_LOOKUP = """
+WITH k AS (SELECT event_id FROM events
+           WHERE event_id % 97 = 3 ORDER BY event_id LIMIT 5)
+SELECT e.event_id, e.user_id, e.value
+FROM events e JOIN k USING (event_id)
+"""
+
+MISC_QUERIES["bucket_index_lookup"] = (
+    q_bucket_index_lookup,
+    SQL_BUCKET_INDEX_LOOKUP,
+)

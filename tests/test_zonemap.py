@@ -140,3 +140,38 @@ def test_zorder_zonemap_box_pruning_beats_range_layout(spark, tmp_path):
     )
     assert _ids(read_pruned(w, "EVZ", box)) == _ids(exp)
     assert _ids(read_pruned(w, "EVR", box)) == _ids(exp)
+
+
+def test_bucket_index_point_lookup_prunes_and_matches(spark, tmp_path):
+    """Equality skipping: layout clustered by value leaves event_id
+    scattered (zone map reads everything), but the per-file bucket
+    index prunes most files — with exact results, and appended
+    unindexed files still read conservatively."""
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        _bucket_of,
+        build_bucket_index,
+        read_point_lookup,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    w = Warehouse(spark, str(tmp_path / "whb"))
+    w.overwrite_range_layout(ev, "EV", ["value"], n_files=32)
+    build_bucket_index(w, "EV", "event_id", n_buckets=16384)
+    keys = [5, 777, 4242, 9999]
+    got = read_point_lookup(w, "EV", "event_id", keys, n_buckets=16384)
+    exp = ev.filter(F.col("event_id").isin(keys))
+    assert _ids(got) == _ids(exp) and got.count() == 4
+    # the index actually skips most files for this probe set
+    idx = spark.read.parquet(str(tmp_path / "whb" / "EV" / "_bucketindex_event_id"))
+    pb = {_bucket_of(v, 16384) for v in keys}
+    hits = idx.filter(F.col("bucket").isin(*pb)).select("__file").distinct()
+    assert hits.count() < 32 / 2
+    # append a NEW key in an unindexed file -> still found
+    extra = ev.limit(1).withColumn("event_id", F.lit(123_456_789).cast("long"))
+    w.append(extra.coalesce(1), "EV")
+    got2 = read_point_lookup(
+        w, "EV", "event_id", keys + [123_456_789], n_buckets=16384
+    )
+    assert got2.count() == 5
