@@ -130,6 +130,7 @@ def stream_validated_ingest(
     partition_col: str | None = None,
     report_table: str = "EXPECTATIONS_LOG",
     quarantine_table: str | None = None,
+    zonemap_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Validated streaming ingest: per micro-batch, the declarative
     expectations suite (operators/expectations.py) runs BEFORE the
@@ -147,6 +148,9 @@ def stream_validated_ingest(
 
     Aggregate-shaped rules (unique / row_count / referential) can't
     name individual rows; they gate via the report, not the split.
+    `zonemap_cols` keeps the table's skipping index (operators/
+    zonemap.py) fresh after each batch's merge, so interval reads on a
+    streamed table prune files without a manual rebuild.
     Scale: the report is rules-sized, the split is one filter over the
     batch, and the merge is the partition-scoped batch path — nothing
     here holds streaming state beyond the dedup watermark.
@@ -210,6 +214,17 @@ def stream_validated_ingest(
                 )
                 wh.append(report, report_table)
             _merge_into(wh, table, clean, event_id_cols, partition_col)
+            if zonemap_cols:
+                # keep the skipping index fresh as the stream appends:
+                # stats only the batch's new files (operators/zonemap.
+                # refresh_zonemap); entries for files the merge rewrote
+                # go stale and are ignored by prune_files, so pruned
+                # reads stay exact between (occasional) full rebuilds
+                from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+                    refresh_zonemap,
+                )
+
+                refresh_zonemap(wh, table, zonemap_cols)
         finally:
             batch.unpersist()
 

@@ -859,3 +859,48 @@ def test_stream_enriched_ingest_sees_dim_updates_between_batches(
     }
     # old rows keep batch-time attributes; the new row sees v2
     assert got == {1: "BUY-V1", 2: None, 3: "BUY-V2"}
+
+
+def test_stream_validated_ingest_maintains_zonemap(spark, tmp_path):
+    """zonemap_cols keeps the skipping index fresh across streamed
+    batches: after two restarts the map covers the table's current
+    files and a pruned interval read equals the plain filter."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import not_null
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        prune_files,
+        read_pruned,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_validated_ingest,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+    kw = dict(rules=[not_null("event_type")], zonemap_cols=["value"])
+    _write_csv(
+        in_dir / "b1.csv",
+        [(i, f"2024-01-01 10:{i:02d}:00", "click", float(i)) for i in range(20)],
+    )
+    q = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt, **kw
+    )
+    q.awaitTermination(120)
+    assert (tmp_path / "wh" / "ev" / "_zonemap").exists()
+    _write_csv(
+        in_dir / "b2.csv",
+        [(i, f"2024-01-01 11:{i - 20:02d}:00", "view", float(i)) for i in range(20, 40)],
+    )
+    q2 = stream_validated_ingest(
+        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt, **kw
+    )
+    q2.awaitTermination(120)
+    got = read_pruned(wh, "ev", {"value": (5.0, 25.0)})
+    exp = wh.read("ev").filter(F.col("value").between(5.0, 25.0))
+    assert sorted(r["event_id"] for r in got.collect()) == sorted(
+        r["event_id"] for r in exp.collect()
+    ) and exp.count() == 21
+    # the map is not vacuously empty and pruning is live on this table
+    files, total = prune_files(wh, "ev", {"value": (-1e9, -1.0)})
+    assert total > 0 and files == []
