@@ -3124,3 +3124,108 @@ TEXT_QUERIES["source_znormalized_tokens"] = (
     q_source_znormalized_tokens,
     SQL_SOURCE_ZNORMALIZED_TOKENS,
 )
+
+
+# ------------------------------------------- classifier calibration (r7)
+def q_classifier_reliability(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability table for the quality classifier — the standard
+    calibration eval (reliability diagram): score the corpus with the
+    certified hashing-trick classifier, rank docs into 10 score
+    deciles (ntile over (score, doc_id) — deterministic under ties),
+    and report per-bin size, mean score, and empirical positive rate
+    against the Gopher pseudo-labels. A well-calibrated scorer shows
+    frac_pos rising monotonically with the bin; the gate threshold
+    (score > 0) can then be read off the table instead of guessed.
+    Empty docs (no features) carry no score and are excluded.
+
+    Scale note: decile assignment is a GLOBAL rank window (one-task
+    sort) — correct practice is to calibrate on an eval sample, which
+    is what this computes; for full-corpus binning at 100 TB derive
+    boundaries from the mergeable quantile states
+    (operators/rollup.py:quantile_state) and assign by range."""
+    from pyspark.sql import Window
+
+    from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
+    from gcp_data_pipeline_fyp_spark.operators.classifier import (
+        bucketed_features,
+        score_from_buckets,
+        train_from_buckets,
+    )
+
+    d = _docs(spark, sf)
+    labeled = d.withColumn("__lbl", gopher_keep(F.col("text")))
+    feats = bucketed_features(
+        labeled, ["doc_id", "__lbl"], "text", n_buckets=4096, seed=11
+    ).localCheckpoint(eager=False)
+    weights = train_from_buckets(feats, "__lbl", n_buckets=4096, seed=11)
+    scored = score_from_buckets(
+        feats.select("doc_id", "__b"), "doc_id", weights, d.select("doc_id")
+    ).filter(F.col("label") != "empty")
+    sl = scored.join(labeled.select("doc_id", "__lbl"), "doc_id").withColumn(
+        "bin",
+        F.ntile(10).over(Window.orderBy("score_micro", "doc_id")),
+    )
+    return (
+        sl.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            micro6(F.avg("score_micro")).alias("mean_score_micro"),
+            micro6(F.avg(F.col("__lbl").cast("int"))).alias(
+                "frac_pos_micro"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+SQL_CLASSIFIER_RELIABILITY = f"""
+WITH t0 AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n,
+  cast(list_sum(list_transform(toks, t -> length(t))) AS double)
+    / nullif(len(toks), 0) AS mean_len,
+  cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double) AS symbols,
+  len(list_filter(toks, t -> t IN {_SQL_EN})) AS stop_hits
+  FROM t0),
+lab AS (SELECT doc_id,
+  coalesce(n >= 50 AND n <= 100000
+    AND mean_len >= 3 AND mean_len <= 10
+    AND symbols / nullif(n, 0) < 0.1
+    AND stop_hits >= 2, false) AS lbl
+  FROM m),
+{_SQL_CLS_FEATS},
+bl AS (SELECT b.doc_id, b.bucket, lab.lbl FROM b JOIN lab USING (doc_id)),
+counts AS (SELECT bucket,
+    sum(CASE WHEN lbl THEN 1 ELSE 0 END) AS n_pos,
+    sum(CASE WHEN lbl THEN 0 ELSE 1 END) AS n_neg
+  FROM bl GROUP BY bucket),
+tot AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM counts),
+w AS (SELECT bucket,
+  CAST(round(
+    (((n_pos + 1.0) / (tot_pos + 4096.0) - (n_neg + 1.0) / (tot_neg + 4096.0))
+    / ((n_pos + 1.0) / (tot_pos + 4096.0) + (n_neg + 1.0) / (tot_neg + 4096.0)))
+    * 1000.0) AS BIGINT) AS w_milli
+  FROM counts CROSS JOIN tot),
+s AS (SELECT b.doc_id,
+    sum(coalesce(w.w_milli, 0)) AS sum_w,
+    count(*) AS n_features
+  FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id),
+scored AS (SELECT s.doc_id,
+    CAST(round(s.sum_w * 1000.0 / s.n_features) AS BIGINT) AS score_micro
+  FROM s),
+sl AS (SELECT scored.doc_id, score_micro, lab.lbl,
+    ntile(10) OVER (ORDER BY score_micro, scored.doc_id) AS bin
+  FROM scored JOIN lab USING (doc_id))
+SELECT bin, count(*) AS n_docs,
+  {{mean_score}},
+  {{frac_pos}}
+FROM sl GROUP BY bin ORDER BY bin
+""".format(
+    mean_score=micro6_sql("avg(score_micro)") + " AS mean_score_micro",
+    frac_pos=micro6_sql("avg(CASE WHEN lbl THEN 1.0 ELSE 0.0 END)")
+    + " AS frac_pos_micro",
+)
+
+TEXT_QUERIES["classifier_reliability"] = (
+    q_classifier_reliability,
+    SQL_CLASSIFIER_RELIABILITY,
+)
