@@ -75,3 +75,48 @@ def kanonymity_report(
         F.col("__gsize").alias("group_size"),
         (F.col("__gsize") >= k).alias("released"),
     )
+
+
+def ldiversity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_distinct: int,
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007): k-anonymity
+    alone leaks when a released group is homogeneous in the SENSITIVE
+    attribute — every member shares it, so group membership reveals
+    it. A group is l-diverse when the sensitive column takes >= l
+    distinct values inside it. One exact groupBy — the same shape and
+    scale posture as `kanonymity_report`."""
+    if l_distinct < 1:
+        raise ValueError(f"l must be >= 1, got {l_distinct}")
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) >= l_distinct).alias("released"),
+    )
+
+
+def suppress_low_diversity(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l_distinct: int,
+) -> DataFrame:
+    """Release only rows whose quasi-group is l-diverse in
+    `sensitive_col` (null-safe semi join back, like
+    `suppress_small_groups`)."""
+    if l_distinct < 1:
+        raise ValueError(f"l must be >= 1, got {l_distinct}")
+    ok = (
+        df.groupBy(*quasi_cols)
+        .agg(F.countDistinct(sensitive_col).alias("__nd"))
+        .filter(F.col("__nd") >= l_distinct)
+        .select(*[F.col(c).alias(f"__q_{c}") for c in quasi_cols])
+    )
+    cond = None
+    for c in quasi_cols:
+        e = df[c].eqNullSafe(F.col(f"__q_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(ok, cond, "left_semi")

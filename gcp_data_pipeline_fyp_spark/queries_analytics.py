@@ -2527,3 +2527,74 @@ ANALYTICS_QUERIES["event_sequence_patterns"] = (
     q_event_sequence_patterns,
     SQL_EVENT_SEQUENCE_PATTERNS,
 )
+
+
+# -------------------------------------- seasonal decomposition (r7)
+def q_seasonal_decompose_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Classical additive decomposition of the daily event series:
+    trend = centered 7-row moving average, seasonal = per-weekday mean
+    of the detrended residual, remainder = the rest. All arithmetic in
+    exact integer micro-units — the window/group averages are
+    exact-integer-sum divisions, so every engine and partitioning
+    returns identical bytes. The windows run over the DAILY aggregate
+    (days-sized frame), never the event rows, so the single-partition
+    window is benign at any corpus scale."""
+    daily = (
+        load(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn(
+        "trend_micro",
+        micro6(F.avg("n").over(w7)),
+    ).withColumn(
+        "wd",
+        F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")) % 7,
+    ).withColumn(
+        "det_micro", F.col("n") * F.lit(1_000_000) - F.col("trend_micro")
+    )
+    ws = Window.partitionBy("wd")
+    out = t.withColumn(
+        "seasonal_micro",
+        F.round(F.avg("det_micro").over(ws)).cast("long"),
+    ).withColumn(
+        "remainder_micro",
+        F.col("n") * F.lit(1_000_000)
+        - F.col("trend_micro")
+        - F.col("seasonal_micro"),
+    )
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n", "trend_micro", "seasonal_micro", "remainder_micro",
+    ).orderBy("day")
+
+
+SQL_SEASONAL_DECOMPOSE_DAILY = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1),
+t AS (
+  SELECT day, n,
+    CAST(round(avg(n) OVER (ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) * 1000000.0)
+      AS BIGINT) AS trend_micro,
+    (day - DATE '1970-01-01') % 7 AS wd
+  FROM daily),
+d AS (
+  SELECT *, n * 1000000 - trend_micro AS det_micro FROM t),
+s AS (
+  SELECT *,
+    CAST(round(avg(det_micro) OVER (PARTITION BY wd)) AS BIGINT)
+      AS seasonal_micro
+  FROM d)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+  CAST(n AS BIGINT) AS n, trend_micro, seasonal_micro,
+  n * 1000000 - trend_micro - seasonal_micro AS remainder_micro
+FROM s ORDER BY day
+"""
+
+ANALYTICS_QUERIES["seasonal_decompose_daily"] = (
+    q_seasonal_decompose_daily,
+    SQL_SEASONAL_DECOMPOSE_DAILY,
+)

@@ -3229,3 +3229,78 @@ TEXT_QUERIES["classifier_reliability"] = (
     q_classifier_reliability,
     SQL_CLASSIFIER_RELIABILITY,
 )
+
+
+# ------------------------------------------------- l-diversity gate (r7)
+def q_ldiversity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit (operators/privacy.py:ldiversity_report):
+    k-anonymity's complement — a (source, chars_band) group releases
+    only if the sensitive `lang` attribute takes >= 5 distinct values
+    inside it, so membership in a released group cannot reveal a
+    document's language. One exact groupBy, group-count-sized."""
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        ldiversity_report,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "source",
+        generalize_band("n_chars", 2000).alias("chars_band"),
+        "lang",
+    )
+    return ldiversity_report(docs, ["source", "chars_band"], "lang", 5)
+
+
+SQL_LDIVERSITY_REPORT = """
+SELECT source,
+  CAST(FLOOR(n_chars / 2000) * 2000 AS BIGINT) AS chars_band,
+  CAST(count(*) AS BIGINT) AS group_size,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+  count(DISTINCT lang) >= 5 AS released
+FROM documents
+GROUP BY source, chars_band
+"""
+
+TEXT_QUERIES["ldiversity_report"] = (q_ldiversity_report, SQL_LDIVERSITY_REPORT)
+
+
+def q_ldiverse_released_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The releasable rows under the l-diversity gate — row-level so
+    the hash certifies the exact released set (the kanon_released_docs
+    companion)."""
+    from gcp_data_pipeline_fyp_spark.operators.privacy import (
+        generalize_band,
+        suppress_low_diversity,
+    )
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        generalize_band("n_chars", 2000).alias("chars_band"),
+        "lang",
+    )
+    return suppress_low_diversity(
+        docs, ["source", "chars_band"], "lang", 5
+    )
+
+
+SQL_LDIVERSE_RELEASED_DOCS = """
+WITH g AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(n_chars / 2000) * 2000 AS BIGINT) AS chars_band,
+    lang
+  FROM documents),
+ok AS (
+  SELECT source, chars_band
+  FROM g GROUP BY source, chars_band
+  HAVING count(DISTINCT lang) >= 5)
+SELECT doc_id, g.source, g.chars_band, g.lang
+FROM g SEMI JOIN ok
+  ON g.source IS NOT DISTINCT FROM ok.source
+ AND g.chars_band IS NOT DISTINCT FROM ok.chars_band
+"""
+
+TEXT_QUERIES["ldiverse_released_docs"] = (
+    q_ldiverse_released_docs,
+    SQL_LDIVERSE_RELEASED_DOCS,
+)
