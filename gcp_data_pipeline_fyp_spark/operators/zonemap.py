@@ -96,6 +96,19 @@ def build_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> None:
     )
 
 
+def zonemap_cols_of(wh: Warehouse, table: str) -> list[str]:
+    """The stat columns of an existing map (inferred from its
+    `<col>__min` schema); [] when the table has no map."""
+    zp = _zonemap_path(wh, table)
+    if not os.path.exists(zp):
+        return []
+    return [
+        c[: -len("__min")]
+        for c in wh.spark.read.format(wh.fmt).load(zp).columns
+        if c.endswith("__min")
+    ]
+
+
 def refresh_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> int:
     """Incrementally stat files appended since the last build; returns
     the number of newly mapped files. Stale entries (vanished files)

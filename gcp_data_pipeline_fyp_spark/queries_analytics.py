@@ -2598,3 +2598,70 @@ ANALYTICS_QUERIES["seasonal_decompose_daily"] = (
     q_seasonal_decompose_daily,
     SQL_SEASONAL_DECOMPOSE_DAILY,
 )
+
+
+# ----------------------------------- Catalyst-native session windows (r7)
+def q_session_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization through Spark's BUILT-IN
+    F.session_window — the Catalyst-native rendering of the same
+    semantics the engine also provides as a window-function query
+    (sessionize_events) and a stateful streaming operator
+    (streaming/sessionize.py). One aggregation, no window-function
+    sort: session merging happens inside the session-window exec node,
+    which also runs unchanged under readStream with a watermark. The
+    oracle derives identical sessions via the lag/cumsum islands
+    construction. Session end = last event + gap (Spark's closed-open
+    session interval contract)."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+SQL_SESSION_WINDOW_STATS = """
+WITH o AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS brk
+  FROM events),
+s AS (
+  SELECT user_id, ts, value,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+    AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  cast(sum(cast(value AS decimal(18,2))) AS double) AS session_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+ANALYTICS_QUERIES["session_window_stats"] = (
+    q_session_window_stats,
+    SQL_SESSION_WINDOW_STATS,
+)

@@ -249,6 +249,15 @@ class Warehouse:
                 if f.endswith(ext)
             )
 
+        # a zone map (operators/zonemap.py) lives inside the table dir
+        # and dies with the swap; remember its stat columns so the
+        # compacted layout comes back skippable
+        from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+            build_zonemap,
+            zonemap_cols_of,
+        )
+
+        zm_cols = zonemap_cols_of(self, table)
         n_out = max(1, math.ceil(_bytes(root) / target_file_bytes))
         df = self.read(table)
         if partition_col is None:
@@ -263,6 +272,8 @@ class Warehouse:
                 partition_cols=[partition_col],
             )
             self.swap_partitions(staging, table, partition_col)
+        if zm_cols:
+            build_zonemap(self, table, zm_cols)
         return sum(
             1
             for _dp, _dns, fns in os.walk(root)

@@ -175,3 +175,25 @@ def test_bucket_index_point_lookup_prunes_and_matches(spark, tmp_path):
         w, "EV", "event_id", keys + [123_456_789], n_buckets=16384
     )
     assert got2.count() == 5
+
+
+def test_compact_rebuilds_zonemap(spark, wh):
+    """Compaction swaps the table directory (the map dies with it);
+    compact() re-derives the stat columns from the old map and
+    rebuilds, so the compacted layout stays skippable."""
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        zonemap_cols_of,
+    )
+
+    assert zonemap_cols_of(wh, "EV") == ["value"]
+    before = read_pruned(wh, "EV", {"value": (100.0, 200.0)}).count()
+    wh.compact("EV", target_file_bytes=1 << 30)  # -> 1 file
+    assert zonemap_cols_of(wh, "EV") == ["value"]
+    files, total = prune_files(wh, "EV", {"value": (100.0, 200.0)})
+    assert total == 1 and len(files) == 1  # one file, still mapped
+    assert (
+        read_pruned(wh, "EV", {"value": (100.0, 200.0)}).count() == before
+    )
+    # an impossible interval prunes the single compacted file
+    f2, _ = prune_files(wh, "EV", {"value": (1e15, 2e15)})
+    assert f2 == []
