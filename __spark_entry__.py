@@ -34,6 +34,9 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-7 WINDOW, in priority order (exactly 50):
+#   0. the 10 NEW r7 probes (zone-map skipping family, bucket index,
+#      CM/KMV sketches, classifier reliability, l-diversity,
+#      seasonal decomposition, built-in session windows)
 #   1. the 28 r6-tail additions, never driver-checked (all
 #      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
 #      22-set closers, z-normalization, sequence patterns, SCD2,
@@ -42,8 +45,19 @@ _REGISTRIES = [
 #   2. the 4 probes rotated out of the r6 window to fit late r6
 #      additions: kmeans_embeddings, incremental_dedup,
 #      filter_chain_report, temperature_mix
-#   3. rolling re-cert: 18 of the r04 tail never re-checked since r04
+#   3. rolling re-cert: 8 of the r04 tail never re-checked since r04
 _CHECK_FIRST = [
+    # -- new this round (r7)
+    "zonemap_pruned_scan",
+    "zonemap_zorder_box_scan",
+    "bucket_index_lookup",
+    "cms_token_counts",
+    "kmv_distinct_users",
+    "classifier_reliability",
+    "ldiversity_report",
+    "ldiverse_released_docs",
+    "seasonal_decompose_daily",
+    "session_window_stats",
     # -- r6-tail additions, first driver check
     "market_share_by_year",
     "nation_profit_by_year",
@@ -87,19 +101,13 @@ _CHECK_FIRST = [
     "measure_sliced_by_day",
     "ann_ivf_topk",
     "ann_cosine_topk",
-    "semantic_neardup_kmeans",
-    "setops_buyers",
-    "approx_distinct_users",
-    "value_percentiles",
-    "nation_volume_by_year",
-    "top_returning_customers",
-    "date_scaffold",
-    "pivot_type_by_day",
-    "windowed_counts",
-    "lang_id",
-    # next round (r08), in priority order: (0) any new r07 probes;
+    # next round (r08), in priority order: (0) any new r08 probes;
     # (1) anything red in r07; (2) rolling re-cert of the remaining
     # r04 tail never re-checked since —
+    # semantic_neardup_kmeans, setops_buyers, approx_distinct_users,
+    # value_percentiles, nation_volume_by_year,
+    # top_returning_customers, date_scaffold, pivot_type_by_day,
+    # windowed_counts, lang_id,
     # doc_fingerprint, minhash_signature, simhash, simhash_dup_groups,
     # ngram_jaccard, vocabulary_top, chunk_documents, redact_pii,
     # hash_sample, domain_stats, filter_fail_matrix,
