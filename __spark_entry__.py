@@ -48,6 +48,9 @@ _REGISTRIES = [
 #   3. rolling re-cert: 8 of the r04 tail never re-checked since r04
 _CHECK_FIRST = [
     # -- new this round (r7)
+    "psi_drift_report",
+    "ks_drift_report",
+    "lang_mix_drift",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

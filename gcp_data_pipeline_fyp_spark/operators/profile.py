@@ -184,6 +184,249 @@ def mad_outliers(
     )
 
 
+def psi_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column, per group — the standard distribution-drift monitor run
+    between a training corpus and a fresh crawl (PSI < 0.1 stable,
+    0.1–0.25 moderate shift, > 0.25 retrain).
+
+    Design, pinned for cross-engine determinism:
+    - bin edges are FIXED-WIDTH over the BASE snapshot's [min, max]
+      (exact, order-independent aggregates), never quantiles — the
+      same rows always land in the same bins on any partitioning;
+      current-snapshot values outside the base range clamp to the
+      edge bins, which is exactly the drift signal PSI wants;
+    - per-bin probabilities use add-half Laplace smoothing
+      ((2c+1)/(2n+n_bins)) so empty bins contribute finitely and the
+      log never sees zero;
+    - each bin's contribution (p_cur - p_base)·ln(p_cur/p_base) is
+      rounded to integer micro-units FIRST and the per-group PSI is
+      the exact integer sum — no float summation order anywhere.
+
+    Scale: one aggregation over each snapshot (min/max, then
+    group×bin counts); everything after runs on |groups|·n_bins rows
+    with broadcast joins. Groups must appear in the base snapshot to
+    be reported (a brand-new group has no base distribution to
+    compare against — gate those separately on n_base).
+    """
+    gcols = list(group_cols)
+    b = base.filter(F.col(value_col).isNotNull())
+    c = current.filter(F.col(value_col).isNotNull())
+    rng = b.groupBy(*gcols).agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+
+    def binned(df: DataFrame, cnt_alias: str) -> DataFrame:
+        x = F.col(value_col).cast("double")
+        raw = F.floor(
+            (x - F.col("__lo"))
+            / (F.col("__hi") - F.col("__lo"))
+            * F.lit(float(n_bins))
+        )
+        bin_ = F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.greatest(raw, F.lit(0).cast("long")),
+                F.lit(n_bins - 1).cast("long"),
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return (
+            df.join(F.broadcast(rng), gcols)
+            .groupBy(*gcols, bin_.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(cnt_alias))
+        )
+
+    bb = binned(b, "__cb")
+    cc = binned(c, "__cc")
+    nb = bb.groupBy(*gcols).agg(F.sum("__cb").alias("n_base"))
+    nc = cc.groupBy(*gcols).agg(F.sum("__cc").alias("n_cur"))
+    scaffold = rng.select(
+        *gcols, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    ).withColumn("bin", F.col("bin").cast("long"))
+    pb = (2.0 * F.coalesce(F.col("__cb"), F.lit(0)) + 1.0) / (
+        2.0 * F.col("n_base") + float(n_bins)
+    )
+    pc = (2.0 * F.coalesce(F.col("__cc"), F.lit(0)) + 1.0) / (
+        2.0 * F.col("n_cur") + float(n_bins)
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    detail = (
+        scaffold.join(bb, [*gcols, "bin"], "left")
+        .join(cc, [*gcols, "bin"], "left")
+        .join(F.broadcast(nb), gcols)
+        .join(F.broadcast(nc), gcols)
+        .select(
+            *gcols,
+            "bin",
+            "n_base",
+            "n_cur",
+            micro6((pc - pb) * F.log(pc / pb)).alias("__contrib_micro"),
+        )
+    )
+    return detail.groupBy(*gcols, "n_base", "n_cur").agg(
+        F.sum("__contrib_micro").alias("psi_micro")
+    )
+
+
+def psi_categorical(
+    base: DataFrame,
+    current: DataFrame,
+    cat_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """PSI over a CATEGORICAL column's frequency mix, per group — the
+    language/source/format drift monitor (a new crawl whose language
+    mix shifted needs resampling before it joins the training mix).
+
+    No bins: the category set is the union observed across both
+    snapshots (a category seen only in one side is exactly the drift
+    signal, smoothed finitely rather than blowing up the log).
+    Same determinism contract as `psi_report`: add-half smoothing
+    over exact integer counts ((2c+1)/(2n+n_cats)), per-category
+    contributions micro6-rounded FIRST, PSI = exact integer sum.
+    Groups must appear in BOTH snapshots to be reported.
+
+    Scale: one count aggregation per snapshot, then everything runs
+    on |groups|·|categories| rows with broadcast joins.
+    """
+    gcols = list(group_cols)
+    b = (
+        base.filter(F.col(cat_col).isNotNull())
+        .groupBy(*gcols, F.col(cat_col).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    c = (
+        current.filter(F.col(cat_col).isNotNull())
+        .groupBy(*gcols, F.col(cat_col).alias("__cat"))
+        .agg(F.count(F.lit(1)).alias("__cc"))
+    )
+    pooled = b.join(c, [*gcols, "__cat"], "full").select(
+        *gcols,
+        "__cat",
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    tot = pooled.groupBy(*gcols).agg(
+        F.sum("__cb").alias("n_base"),
+        F.sum("__cc").alias("n_cur"),
+        F.count(F.lit(1)).alias("n_cats"),
+    ).filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+    pb = (2.0 * F.col("__cb") + 1.0) / (
+        2.0 * F.col("n_base") + F.col("n_cats").cast("double")
+    )
+    pc = (2.0 * F.col("__cc") + 1.0) / (
+        2.0 * F.col("n_cur") + F.col("n_cats").cast("double")
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    detail = pooled.join(F.broadcast(tot), gcols).select(
+        *gcols,
+        "n_base",
+        "n_cur",
+        "n_cats",
+        micro6((pc - pb) * F.log(pc / pb)).alias("__contrib_micro"),
+    )
+    return detail.groupBy(*gcols, "n_base", "n_cur", "n_cats").agg(
+        F.sum("__contrib_micro").alias("psi_micro")
+    )
+
+
+def ks_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per group — the
+    bin-free complement to `psi_report`: D = max |ECDF_base(x) -
+    ECDF_cur(x)| over the pooled distinct values, sensitive to any
+    distributional change (location, scale, shape) without choosing
+    bins.
+
+    Exact-integer core: at each pooled value the ECDF gap is
+    |cb·n_cur - cc·n_base| / (n_base·n_cur); the numerator is an
+    exact integer, so the per-group max is order-independent and the
+    single float division + micro6 rounding happens ONCE on the
+    winning value. No float comparisons anywhere.
+
+    Scale: counts reduce each snapshot to its per-(group, value)
+    distinct profile first (map-side combinable); the cumulative sums
+    run over that DISTINCT-VALUES frame partitioned by group — fine
+    whenever one group's distinct values fit an executor (the usual
+    many-groups shape). For a single corpus-sized group with
+    near-unique doubles, run `psi_report`'s fixed bins instead — at
+    that cardinality the exact KS frame is the wrong tool on any
+    engine.
+    """
+    gcols = list(group_cols)
+    from pyspark.sql import Window
+
+    def counts(df: DataFrame, alias: str) -> DataFrame:
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .select(*gcols, F.col(value_col).cast("double").alias("__v"))
+            .groupBy(*gcols, "__v")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    b = counts(base, "__b")
+    c = counts(current, "__c")
+    pooled = (
+        b.join(c, [*gcols, "__v"], "full")
+        .select(
+            *gcols,
+            "__v",
+            F.coalesce("__b", F.lit(0)).alias("__b"),
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+    )
+    w = Window.partitionBy(*gcols).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pooled.select(
+        *gcols,
+        F.sum("__b").over(w).alias("__cb"),
+        F.sum("__c").over(w).alias("__cc"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    wg = Window.partitionBy(*gcols)
+    gapped = cum.select(
+        *gcols,
+        "__cb",
+        "__cc",
+        F.max("__cb").over(wg).alias("__nb"),
+        F.max("__cc").over(wg).alias("__nc"),
+    )
+    return (
+        gapped.groupBy(*gcols)
+        .agg(
+            F.max("__nb").alias("n_base"),
+            F.max("__nc").alias("n_cur"),
+            F.max(
+                F.abs(F.col("__cb") * F.col("__nc") - F.col("__cc") * F.col("__nb"))
+            ).alias("__dnum"),
+        )
+        .select(
+            *gcols,
+            "n_base",
+            "n_cur",
+            micro6(
+                F.col("__dnum").cast("double")
+                / (F.col("n_base").cast("double") * F.col("n_cur").cast("double"))
+            ).alias("ks_micro"),
+        )
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

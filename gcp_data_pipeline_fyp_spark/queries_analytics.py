@@ -2665,3 +2665,140 @@ ANALYTICS_QUERIES["session_window_stats"] = (
     q_session_window_stats,
     SQL_SESSION_WINDOW_STATS,
 )
+
+
+# ------------------------------------------- PSI distribution drift (r7)
+def q_psi_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index per event type between the first and
+    second half of the month — the drift monitor a corpus pipeline
+    runs between its training snapshot and each fresh ingest. Fixed-
+    width bins over the BASE range (deterministic, quantile-free),
+    add-half smoothing, per-bin contributions rounded to micro-units
+    then integer-summed (no float summation order). Everything after
+    the two snapshot scans runs on |types|*10 rows."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_report
+
+    ev = load(spark, sf, "events")
+    out = psi_report(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        ["event_type"],
+        n_bins=10,
+    )
+    return out.select(
+        "event_type", "n_base", "n_cur", "psi_micro"
+    ).orderBy("event_type")
+
+
+SQL_PSI_DRIFT_REPORT = """
+WITH base AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND day(ts) <= 15),
+cur AS (
+  SELECT event_type, value FROM events
+  WHERE value IS NOT NULL AND day(ts) > 15),
+rng AS (
+  SELECT event_type, CAST(min(value) AS DOUBLE) AS lo,
+         CAST(max(value) AS DOUBLE) AS hi
+  FROM base GROUP BY 1),
+bb AS (
+  SELECT b.event_type,
+    CASE WHEN hi > lo
+      THEN CAST(least(greatest(
+             floor((value - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT)
+      ELSE 0 END AS bin,
+    count(*) AS c
+  FROM base b JOIN rng USING (event_type) GROUP BY 1, 2),
+cc AS (
+  SELECT c0.event_type,
+    CASE WHEN hi > lo
+      THEN CAST(least(greatest(
+             floor((value - lo) / (hi - lo) * 10.0), 0.0), 9.0) AS BIGINT)
+      ELSE 0 END AS bin,
+    count(*) AS c
+  FROM cur c0 JOIN rng USING (event_type) GROUP BY 1, 2),
+nb AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_base FROM bb GROUP BY 1),
+nc AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_cur FROM cc GROUP BY 1),
+sc AS (
+  SELECT event_type, CAST(bin AS BIGINT) AS bin
+  FROM rng CROSS JOIN (SELECT unnest(range(0, 10)) AS bin)),
+d AS (
+  SELECT sc.event_type, n_base, n_cur,
+    (2.0 * coalesce(bb.c, 0) + 1.0) / (2.0 * n_base + 10.0) AS pb,
+    (2.0 * coalesce(cc.c, 0) + 1.0) / (2.0 * n_cur + 10.0) AS pc
+  FROM sc
+  LEFT JOIN bb USING (event_type, bin)
+  LEFT JOIN cc USING (event_type, bin)
+  JOIN nb USING (event_type)
+  JOIN nc USING (event_type))
+SELECT event_type, n_base, n_cur,
+  CAST(sum(CAST(round(((pc - pb) * ln(pc / pb)) * 1000000.0) AS BIGINT))
+    AS BIGINT) AS psi_micro
+FROM d GROUP BY 1, 2, 3 ORDER BY event_type
+"""
+
+ANALYTICS_QUERIES["psi_drift_report"] = (
+    q_psi_drift_report,
+    SQL_PSI_DRIFT_REPORT,
+)
+
+
+def q_ks_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample KS statistic per event type over the same
+    half-month split as psi_drift_report — the bin-free drift check.
+    Exact-integer ECDF gaps (|cb*nc - cc*nb|, max'd as integers);
+    ONE float division + micro6 on the winning gap."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import ks_report
+
+    ev = load(spark, sf, "events")
+    out = ks_report(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        ["event_type"],
+    )
+    return out.select(
+        "event_type", "n_base", "n_cur", "ks_micro"
+    ).orderBy("event_type")
+
+
+SQL_KS_DRIFT_REPORT = """
+WITH base AS (
+  SELECT event_type, value AS v FROM events
+  WHERE value IS NOT NULL AND day(ts) <= 15),
+cur AS (
+  SELECT event_type, value AS v FROM events
+  WHERE value IS NOT NULL AND day(ts) > 15),
+b AS (SELECT event_type, v, count(*) AS cb FROM base GROUP BY 1, 2),
+c AS (SELECT event_type, v, count(*) AS cc FROM cur GROUP BY 1, 2),
+p AS (
+  SELECT coalesce(b.event_type, c.event_type) AS event_type,
+         coalesce(b.v, c.v) AS v,
+         coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+  FROM b FULL JOIN c ON b.event_type = c.event_type AND b.v = c.v),
+cum AS (
+  SELECT event_type,
+    sum(cb) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS ccb,
+    sum(cc) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS UNBOUNDED PRECEDING) AS ccc
+  FROM p),
+g AS (
+  SELECT event_type, ccb, ccc,
+    max(ccb) OVER (PARTITION BY event_type) AS nb,
+    max(ccc) OVER (PARTITION BY event_type) AS nc
+  FROM cum)
+SELECT event_type,
+  CAST(max(nb) AS BIGINT) AS n_base,
+  CAST(max(nc) AS BIGINT) AS n_cur,
+  CAST(round(CAST(max(abs(ccb * nc - ccc * nb)) AS DOUBLE)
+        / (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE))
+        * 1000000.0) AS BIGINT) AS ks_micro
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+ANALYTICS_QUERIES["ks_drift_report"] = (
+    q_ks_drift_report,
+    SQL_KS_DRIFT_REPORT,
+)

@@ -3304,3 +3304,60 @@ TEXT_QUERIES["ldiverse_released_docs"] = (
     q_ldiverse_released_docs,
     SQL_LDIVERSE_RELEASED_DOCS,
 )
+
+
+# --------------------------------------------- categorical drift (r7)
+def q_lang_mix_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI of the language mix per source between the even- and
+    odd-doc_id halves of the corpus — the categorical drift monitor a
+    mixing pipeline runs between its training snapshot and each fresh
+    crawl. Category set = union observed across both snapshots;
+    add-half smoothing over exact counts; contributions
+    micro6-rounded then integer-summed (no float summation order)."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
+
+    docs = load(spark, sf, "documents")
+    out = psi_categorical(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+        ["source"],
+    )
+    return out.select(
+        "source", "n_base", "n_cur", "n_cats", "psi_micro"
+    ).orderBy("source")
+
+
+SQL_LANG_MIX_DRIFT = """
+WITH base AS (
+  SELECT source, lang FROM documents
+  WHERE lang IS NOT NULL AND doc_id % 2 = 0),
+cur AS (
+  SELECT source, lang FROM documents
+  WHERE lang IS NOT NULL AND doc_id % 2 = 1),
+b AS (SELECT source, lang, count(*) AS cb FROM base GROUP BY 1, 2),
+c AS (SELECT source, lang, count(*) AS cc FROM cur GROUP BY 1, 2),
+p AS (
+  SELECT coalesce(b.source, c.source) AS source,
+         coalesce(b.lang, c.lang) AS lang,
+         coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+  FROM b FULL JOIN c ON b.source = c.source AND b.lang = c.lang),
+t AS (
+  SELECT source, sum(cb) AS n_base, sum(cc) AS n_cur,
+         count(*) AS n_cats
+  FROM p GROUP BY 1 HAVING sum(cb) > 0 AND sum(cc) > 0),
+d AS (
+  SELECT p.source, n_base, n_cur, n_cats,
+    (2.0 * cb + 1.0) / (2.0 * n_base + CAST(n_cats AS DOUBLE)) AS pb,
+    (2.0 * cc + 1.0) / (2.0 * n_cur + CAST(n_cats AS DOUBLE)) AS pc
+  FROM p JOIN t USING (source))
+SELECT source,
+  CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  CAST(n_cats AS BIGINT) AS n_cats,
+  CAST(sum(CAST(round(((pc - pb) * ln(pc / pb)) * 1000000.0) AS BIGINT))
+    AS BIGINT) AS psi_micro
+FROM d GROUP BY 1, 2, 3, 4 ORDER BY source
+"""
+
+TEXT_QUERIES["lang_mix_drift"] = (q_lang_mix_drift, SQL_LANG_MIX_DRIFT)

@@ -1739,6 +1739,94 @@ def test_mad_outliers_flags_planted_not_masked(spark):
     assert got == {1000, 1001}
 
 
+def test_psi_report_zero_on_identical_detects_shift(spark):
+    """Identical snapshots give exactly PSI 0 (equal counts -> equal
+    smoothed probabilities -> zero contribution per bin, no residue);
+    a planted distribution shift scores above the classic 0.25
+    retrain bar; the result is partition-invariant; a group absent
+    from the base snapshot is not reported."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_report
+
+    rows = [("a", float(i % 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    same = psi_report(df, df, "v", ["g"]).collect()
+    assert [(r["g"], r["n_base"], r["n_cur"], r["psi_micro"]) for r in same] == [
+        ("a", 500, 500, 0)
+    ]
+
+    shifted = spark.createDataFrame(
+        [("a", 40.0 + float(i % 10)) for i in range(500)] + [("new", 1.0)],
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in psi_report(df, shifted, "v", ["g"]).collect()}
+    assert set(got) == {"a"}  # base-absent group dropped
+    assert got["a"]["psi_micro"] > 250_000  # > 0.25: retrain-level drift
+    again = {
+        r["g"]: r["psi_micro"]
+        for r in psi_report(
+            df.repartition(7), shifted.repartition(5), "v", ["g"]
+        ).collect()
+    }
+    assert again == {g: r["psi_micro"] for g, r in got.items()}
+
+
+def test_ks_report_exact_bounds_and_invariance(spark):
+    """Identical snapshots -> D exactly 0; disjoint value ranges ->
+    D exactly 1 (1_000_000 micro); a half-overlap shift lands at the
+    exact rational gap; results are partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import ks_report
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(100)], "g string, v double"
+    )
+    same = ks_report(df, df, "v", ["g"]).collect()
+    assert [(r["g"], r["n_base"], r["n_cur"], r["ks_micro"]) for r in same] == [
+        ("a", 100, 100, 0)
+    ]
+    disjoint = spark.createDataFrame(
+        [("a", 1000.0 + i) for i in range(50)], "g string, v double"
+    )
+    d1 = ks_report(df, disjoint, "v", ["g"]).collect()[0]
+    assert (d1["n_base"], d1["n_cur"], d1["ks_micro"]) == (100, 50, 1_000_000)
+    # shift by 50: ECDF gap peaks at value 99 -> |100*100 - 50*100|/(100*100) = 0.5
+    shifted = spark.createDataFrame(
+        [("a", 50.0 + i) for i in range(100)], "g string, v double"
+    )
+    d2 = ks_report(df, shifted, "v", ["g"]).collect()[0]
+    assert d2["ks_micro"] == 500_000
+    again = ks_report(
+        df.repartition(7), shifted.repartition(5), "v", ["g"]
+    ).collect()[0]
+    assert again["ks_micro"] == d2["ks_micro"]
+
+
+def test_psi_categorical_zero_identical_flags_mix_shift(spark):
+    """Identical mixes -> PSI exactly 0; a flipped 90/10 mix scores
+    far above the 0.25 bar; a category present on only one side is
+    smoothed finitely (no infinities); partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
+
+    base = spark.createDataFrame(
+        [("s", "en")] * 90 + [("s", "fr")] * 10, "source string, lang string"
+    )
+    same = psi_categorical(base, base, "lang", ["source"]).collect()
+    assert [
+        (r["source"], r["n_base"], r["n_cur"], r["n_cats"], r["psi_micro"])
+        for r in same
+    ] == [("s", 100, 100, 2, 0)]
+    flipped = spark.createDataFrame(
+        [("s", "fr")] * 90 + [("s", "en")] * 5 + [("s", "de")] * 5,
+        "source string, lang string",
+    )
+    got = psi_categorical(base, flipped, "lang", ["source"]).collect()[0]
+    assert got["n_cats"] == 3  # union includes the one-sided 'de'
+    assert got["psi_micro"] > 250_000
+    again = psi_categorical(
+        base.repartition(7), flipped.repartition(5), "lang", ["source"]
+    ).collect()[0]
+    assert again["psi_micro"] == got["psi_micro"]
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
