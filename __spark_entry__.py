@@ -51,6 +51,7 @@ _CHECK_FIRST = [
     "psi_drift_report",
     "ks_drift_report",
     "lang_mix_drift",
+    "embedding_drift",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

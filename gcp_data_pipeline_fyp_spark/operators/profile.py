@@ -339,6 +339,71 @@ def psi_categorical(
     )
 
 
+def embedding_drift(
+    base: DataFrame,
+    current: DataFrame,
+    vec_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Centroid drift between two snapshots of an embedding column,
+    per group: the cosine between the snapshots' mean vectors — the
+    semantic counterpart of `psi_report` (a crawl whose topic mix
+    moved shows up as a mean-vector rotation long before any scalar
+    profile shifts).
+
+    Determinism chain, every step order-independent:
+    per-dimension means accumulate as exact decimals (the k-means
+    convention), each mean is pinned to an integer NANO grid
+    (round(m*1e9)), and the dot / norm sums over the 64-dim mean
+    vectors run in exact decimal — the single float expression is
+    the final cosine, micro6-rounded once. Identical bytes on any
+    partitioning and in any engine.
+
+    Scale: each snapshot reduces via one posexplode + groupBy to a
+    |groups|·dim frame; everything after is broadcast-sized. Groups
+    must appear in both snapshots.
+    """
+    gcols = list(group_cols)
+
+    def means(df: DataFrame, m_alias: str, n_alias: str) -> DataFrame:
+        ex = df.filter(F.col(vec_col).isNotNull()).select(
+            *gcols, F.posexplode(vec_col).alias("__pos", "__x")
+        )
+        return ex.groupBy(*gcols, "__pos").agg(
+            F.round(
+                F.sum(F.col("__x").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+                * F.lit(1_000_000_000.0)
+            ).cast("long").alias(m_alias),
+            F.count(F.lit(1)).alias(n_alias),
+        )
+
+    mb = means(base, "__mb", "__nb")
+    mc = means(current, "__mc", "__nc")
+    joined = mb.join(mc, [*gcols, "__pos"])
+    agg = joined.groupBy(*gcols).agg(
+        F.max("__nb").alias("n_base"),
+        F.max("__nc").alias("n_cur"),
+        F.sum(F.col("__mb").cast("decimal(38,0)") * F.col("__mc")).alias("__dot"),
+        F.sum(F.col("__mb").cast("decimal(38,0)") * F.col("__mb")).alias("__bb"),
+        F.sum(F.col("__mc").cast("decimal(38,0)") * F.col("__mc")).alias("__cc"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return agg.select(
+        *gcols,
+        "n_base",
+        "n_cur",
+        micro6(
+            F.col("__dot").cast("double")
+            / (
+                F.sqrt(F.col("__bb").cast("double"))
+                * F.sqrt(F.col("__cc").cast("double"))
+            )
+        ).alias("centroid_cos_micro"),
+    )
+
+
 def ks_report(
     base: DataFrame,
     current: DataFrame,

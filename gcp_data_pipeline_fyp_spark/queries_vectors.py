@@ -959,3 +959,65 @@ FROM ranked WHERE rn <= 5
 """
 
 VECTOR_QUERIES["hard_negatives"] = (q_hard_negatives, SQL_HARD_NEGATIVES)
+
+
+# ----------------------------------------- embedding centroid drift (r7)
+def q_embedding_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label cosine between the mean vectors of the even- and
+    odd-vec_id halves of the embedding corpus — the semantic drift
+    monitor next to psi/ks/lang_mix. Per-dim means in exact decimal,
+    pinned to an integer nano grid; dot/norms in exact decimal; ONE
+    float expression (the final cosine) micro6-rounded once."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import embedding_drift
+
+    e = _emb(spark, sf)
+    out = embedding_drift(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "embedding",
+        ["label"],
+    )
+    return out.select(
+        "label", "n_base", "n_cur", "centroid_cos_micro"
+    ).orderBy("label")
+
+
+SQL_EMBEDDING_DRIFT = """
+WITH b AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 2 = 0),
+c AS (
+  SELECT label, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE embedding IS NOT NULL AND vec_id % 2 = 1),
+mb AS (
+  SELECT label, idx.pos,
+    CAST(round(CAST(sum(CAST(v[idx.pos] AS DECIMAL(28,12))) AS DOUBLE)
+      / count(*) * 1000000000.0) AS BIGINT) AS m,
+    count(*) AS n
+  FROM b CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) idx
+  GROUP BY 1, 2),
+mc AS (
+  SELECT label, idx.pos,
+    CAST(round(CAST(sum(CAST(v[idx.pos] AS DECIMAL(28,12))) AS DOUBLE)
+      / count(*) * 1000000000.0) AS BIGINT) AS m,
+    count(*) AS n
+  FROM c CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) idx
+  GROUP BY 1, 2),
+j AS (
+  SELECT mb.label, mb.m AS mbm, mc.m AS mcm, mb.n AS nb, mc.n AS nc
+  FROM mb JOIN mc ON mb.label = mc.label AND mb.pos = mc.pos),
+a AS (
+  SELECT label, max(nb) AS n_base, max(nc) AS n_cur,
+    sum(CAST(mbm AS HUGEINT) * mcm) AS dot,
+    sum(CAST(mbm AS HUGEINT) * mbm) AS bb,
+    sum(CAST(mcm AS HUGEINT) * mcm) AS cc
+  FROM j GROUP BY 1)
+SELECT label,
+  CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  CAST(round((CAST(dot AS DOUBLE)
+    / (sqrt(CAST(bb AS DOUBLE)) * sqrt(CAST(cc AS DOUBLE))))
+    * 1000000.0) AS BIGINT) AS centroid_cos_micro
+FROM a ORDER BY label
+"""
+VECTOR_QUERIES["embedding_drift"] = (q_embedding_drift, SQL_EMBEDDING_DRIFT)

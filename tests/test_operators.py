@@ -1827,6 +1827,30 @@ def test_psi_categorical_zero_identical_flags_mix_shift(spark):
     assert again["psi_micro"] == got["psi_micro"]
 
 
+def test_embedding_drift_identity_orthogonal_invariance(spark):
+    """Identical snapshots -> cosine exactly 1e6 micro; snapshots
+    whose centroids are orthogonal -> 0; partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import embedding_drift
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 0.0, 2.0]), (1, [3.0, 0.0, 2.0])], "label int, v array<double>"
+    )
+    same = embedding_drift(a, a, "v", ["label"]).collect()
+    assert [
+        (r["label"], r["n_base"], r["n_cur"], r["centroid_cos_micro"])
+        for r in same
+    ] == [(1, 2, 2, 1_000_000)]
+    ortho = spark.createDataFrame(
+        [(1, [0.0, 5.0, 0.0]), (1, [0.0, 1.0, 0.0])], "label int, v array<double>"
+    )
+    got = embedding_drift(a, ortho, "v", ["label"]).collect()[0]
+    assert got["centroid_cos_micro"] == 0
+    again = embedding_drift(
+        a.repartition(3), ortho.repartition(2), "v", ["label"]
+    ).collect()[0]
+    assert again["centroid_cos_micro"] == 0
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
