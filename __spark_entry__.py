@@ -52,6 +52,7 @@ _CHECK_FIRST = [
     "ks_drift_report",
     "lang_mix_drift",
     "embedding_drift",
+    "kmv_overlap_users",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

@@ -161,3 +161,60 @@ def kmv_estimate(
         F.col("__n") < k, F.col("__n").cast("double")
     ).otherwise((F.lit(float(k - 1))) / F.col("__hk"))
     return agg.select(*keys, est.alias("est"))
+
+
+def kmv_set_estimates(
+    state_a: DataFrame,
+    state_b: DataFrame,
+    keys: Sequence[str] = (),
+    k: int = 64,
+) -> DataFrame:
+    """Union / intersection / Jaccard estimates from two bottom-k
+    sketches per group (Beyer et al. 2007's KMV synopsis algebra) —
+    the cross-corpus overlap question ("how much of crawl B is
+    already in crawl A?") answered from two O(k) states without ever
+    joining the corpora.
+
+    Combined sketch = bottom-k of the union of the two states;
+    rho = fraction of its hashes present in BOTH inputs (exact
+    membership joins on the 60-bit hash grid — plain-row states make
+    this a join, which binary HLL states cannot do);
+    union ~ (K-1)/h_K (exact K below fill), intersection ~
+    rho * union, Jaccard ~ rho. One pinned float chain per group.
+
+    Scale: inputs are |groups|*k rows regardless of corpus size; the
+    whole computation is sketch-sized.
+    """
+    gcols = [F.col(c) for c in keys]
+    u = merge_kmv_states([state_a, state_b], keys, k)
+    a_flag = state_a.select(*gcols, "h").withColumn("__in_a", F.lit(1))
+    b_flag = state_b.select(*gcols, "h").withColumn("__in_b", F.lit(1))
+    on = [*keys, "h"]
+    m = (
+        u.join(a_flag, on, "left")
+        .join(b_flag, on, "left")
+        .select(
+            *keys,
+            "h",
+            F.coalesce("__in_a", F.lit(0)).alias("__in_a"),
+            F.coalesce("__in_b", F.lit(0)).alias("__in_b"),
+        )
+    )
+    agg = m.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("k_filled"),
+        F.max("h").alias("__hk"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("__n_both"),
+    )
+    union_est = F.when(
+        F.col("k_filled") < k, F.col("k_filled").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("__hk"))
+    jac = F.col("__n_both").cast("double") / F.col("k_filled")
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return agg.select(
+        *keys,
+        "k_filled",
+        micro6(union_est).alias("union_est_micro"),
+        micro6(jac * union_est).alias("inter_est_micro"),
+        micro6(jac).alias("jaccard_micro"),
+    )

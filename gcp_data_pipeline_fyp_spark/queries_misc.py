@@ -1378,3 +1378,79 @@ MISC_QUERIES["bucket_index_lookup"] = (
     q_bucket_index_lookup,
     SQL_BUCKET_INDEX_LOOKUP,
 )
+
+
+def q_kmv_overlap_users(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV set algebra (operators/sketch.py:kmv_set_estimates): user
+    overlap between the two month-halves per event type, estimated
+    from two bottom-32 sketches — union, intersection, and Jaccard
+    from O(k) state with no corpus join. Plain-row sketches make the
+    membership test a join, so the DuckDB oracle replays the whole
+    synopsis bit-exactly."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_state,
+    )
+
+    ev = load(spark, sf, "events")
+    a = kmv_state(ev.filter(F.dayofmonth("ts") <= 15), "user_id",
+                  ["event_type"], 32)
+    b = kmv_state(ev.filter(F.dayofmonth("ts") > 15), "user_id",
+                  ["event_type"], 32)
+    return kmv_set_estimates(a, b, ["event_type"], 32).orderBy("event_type")
+
+
+SQL_KMV_OVERLAP_USERS = """
+WITH ha AS (
+  SELECT DISTINCT event_type,
+    cast(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / 1152921504606846976.0 AS h
+  FROM events WHERE day(ts) <= 15),
+hb AS (
+  SELECT DISTINCT event_type,
+    cast(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+         AS BIGINT) / 1152921504606846976.0 AS h
+  FROM events WHERE day(ts) > 15),
+ra AS (SELECT event_type, h FROM (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM ha) WHERE rk <= 32),
+rb AS (SELECT event_type, h FROM (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM hb) WHERE rk <= 32),
+u AS (SELECT event_type, h FROM ra UNION
+      SELECT event_type, h FROM rb),
+ru AS (SELECT event_type, h FROM (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+  FROM u) WHERE rk <= 32),
+m AS (
+  SELECT ru.event_type, ru.h,
+    CASE WHEN ra.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+    CASE WHEN rb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM ru
+  LEFT JOIN ra ON ra.event_type = ru.event_type AND ra.h = ru.h
+  LEFT JOIN rb ON rb.event_type = ru.event_type AND rb.h = ru.h),
+ag AS (
+  SELECT event_type, count(*) AS kf, max(h) AS hk,
+         sum(in_a * in_b) AS n_both
+  FROM m GROUP BY 1),
+e AS (
+  SELECT event_type, kf,
+    CASE WHEN kf < 32 THEN CAST(kf AS DOUBLE) ELSE 31.0 / hk END AS ue,
+    CAST(n_both AS DOUBLE) / kf AS jac
+  FROM ag)
+SELECT event_type, CAST(kf AS BIGINT) AS k_filled,
+  CAST(round(ue * 1000000.0) AS BIGINT) AS union_est_micro,
+  CAST(round((jac * ue) * 1000000.0) AS BIGINT) AS inter_est_micro,
+  CAST(round(jac * 1000000.0) AS BIGINT) AS jaccard_micro
+FROM e ORDER BY event_type
+"""
+
+MISC_QUERIES["kmv_overlap_users"] = (
+    q_kmv_overlap_users,
+    SQL_KMV_OVERLAP_USERS,
+)

@@ -83,3 +83,30 @@ def test_kmv_merge_equals_full_build(spark):
         merged.exceptAll(full).count() == 0
         and full.exceptAll(merged).count() == 0
     )
+
+
+def test_kmv_set_estimates_exact_below_fill_bounded_above(spark):
+    """Below fill the sketches ARE the sets: union/intersection/
+    Jaccard come back exact. Above fill, a controlled 1/3-Jaccard
+    overlap estimates within the KMV error envelope."""
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        kmv_set_estimates,
+        kmv_state,
+    )
+
+    small_a = spark.createDataFrame([(i,) for i in range(10)], "u long")
+    small_b = spark.createDataFrame([(i,) for i in range(5, 15)], "u long")
+    sa, sb = (kmv_state(d, "u", (), 64) for d in (small_a, small_b))
+    r = kmv_set_estimates(sa, sb, (), 64).collect()[0]
+    assert r["k_filled"] == 15
+    assert r["union_est_micro"] == 15_000_000
+    assert r["inter_est_micro"] == 5_000_000
+    assert r["jaccard_micro"] == 333_333
+
+    big_a = spark.createDataFrame([(i,) for i in range(1000)], "u long")
+    big_b = spark.createDataFrame([(i,) for i in range(500, 1500)], "u long")
+    ba, bb = (kmv_state(d, "u", (), 64) for d in (big_a, big_b))
+    e = kmv_set_estimates(ba, bb, (), 64).collect()[0]
+    assert abs(e["union_est_micro"] / 1e6 - 1500) / 1500 < 0.35
+    assert abs(e["jaccard_micro"] / 1e6 - 1 / 3) < 0.15
+    assert abs(e["inter_est_micro"] / 1e6 - 500) / 500 < 0.5
