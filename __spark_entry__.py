@@ -53,6 +53,8 @@ _CHECK_FIRST = [
     "lang_mix_drift",
     "embedding_drift",
     "kmv_overlap_users",
+    "winsorized_values",
+    "lineitem_corr_matrix",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

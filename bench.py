@@ -88,6 +88,13 @@ HEADLINE = [
     # pattern miner (distributed window + bounded pattern agg)
     "market_share_by_year",
     "event_sequence_patterns",
+    # round-7: the drift-monitor suite — PSI (two snapshot scans +
+    # groups*bins math), KS (the heaviest: pooled distinct-value
+    # ECDF windows), embedding centroid drift (posexplode + decimal
+    # means per snapshot)
+    "psi_drift_report",
+    "ks_drift_report",
+    "embedding_drift",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

@@ -492,6 +492,116 @@ def ks_report(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float = 0.01,
+    hi: float = 0.99,
+    alias: str = "winsorized_micro",
+) -> DataFrame:
+    """Clamp a value at its group's [lo, hi] percentiles — the
+    standard heavy-tail tamer before averaging/scaling a quality or
+    engagement score (a handful of 10^6-outliers otherwise own every
+    mean downstream).
+
+    The clamp runs ENTIRELY on the integer micro grid: value and both
+    exact-percentile cut points are micro6-pinned first, then
+    least/greatest compares integers — no raw-double comparison can
+    flip on an engine's last-ulp interpolation difference. Output is
+    the micro bigint (divide by 1e6 for a double at the documented
+    1e-6 grain).
+
+    Scale: one percentile aggregation per group (exact `percentile`
+    buffers each group's values — the mad_outliers contract: right
+    for many-groups shapes; swap approx_percentile for one
+    corpus-sized group), broadcast back, one integer expression.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    cuts = df.groupBy(*gcols).agg(
+        micro6(F.expr(f"percentile({value_col}, {lo})")).alias("__qlo"),
+        micro6(F.expr(f"percentile({value_col}, {hi})")).alias("__qhi"),
+    )
+    keep = list(df.columns)
+    return (
+        df.join(F.broadcast(cuts), list(group_cols))
+        .select(
+            *keep,
+            F.least(
+                F.greatest(micro6(F.col(value_col)), F.col("__qlo")),
+                F.col("__qhi"),
+            ).alias(alias),
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pearson correlation matrix over k columns in ONE aggregation
+    pass — row per unordered pair (col_x < col_y) with pairwise-
+    complete `n` and `corr_micro`.
+
+    `exact_corr` called per pair scans the fact k(k-1)/2 times; this
+    computes every pair's five sufficient statistics as conditional
+    aggregates in a single `agg` (one scan, one reduce — the
+    `profile_numeric` design), then evaluates each closed form once.
+    Same determinism contract as `exact_corr`: exact decimal sums
+    (order-independent on any partitioning), pinned double expression
+    order, try_divide -> NULL on zero variance, (18,4) input domain.
+    Pairwise-complete semantics: each pair's stats accumulate only
+    over rows where BOTH columns are non-null.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs: list = []
+    for x_col, y_col in pairs:
+        both = F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+        x = F.when(both, F.col(x_col)).cast("decimal(18,4)")
+        y = F.when(both, F.col(y_col)).cast("decimal(18,4)")
+        p = f"{x_col}__{y_col}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"{p}__n"),
+            F.sum(x).cast("double").alias(f"{p}__sx"),
+            F.sum(y).cast("double").alias(f"{p}__sy"),
+            F.sum((x * y).cast("decimal(38,8)")).cast("double").alias(f"{p}__sxy"),
+            F.sum((x * x).cast("decimal(38,8)")).cast("double").alias(f"{p}__sxx"),
+            F.sum((y * y).cast("decimal(38,8)")).cast("double").alias(f"{p}__syy"),
+        ]
+    row = df.agg(*aggs)
+    per_pair = F.array(
+        *[
+            F.struct(
+                F.lit(x_col).alias("col_x"),
+                F.lit(y_col).alias("col_y"),
+                F.col(f"{x_col}__{y_col}__n").alias("n"),
+                F.col(f"{x_col}__{y_col}__sx").alias("__sx"),
+                F.col(f"{x_col}__{y_col}__sy").alias("__sy"),
+                F.col(f"{x_col}__{y_col}__sxy").alias("__sxy"),
+                F.col(f"{x_col}__{y_col}__sxx").alias("__sxx"),
+                F.col(f"{x_col}__{y_col}__syy").alias("__syy"),
+            )
+            for x_col, y_col in pairs
+        ]
+    )
+    g = row.select(F.explode(per_pair).alias("p")).select("p.*")
+    nn = F.col("n").cast("double")
+    cov = nn * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = nn * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = nn * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return g.select(
+        "col_x",
+        "col_y",
+        "n",
+        micro6(F.try_divide(cov, F.sqrt(vx * vy))).alias("corr_micro"),
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

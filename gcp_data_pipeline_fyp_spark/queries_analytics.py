@@ -2802,3 +2802,38 @@ ANALYTICS_QUERIES["ks_drift_report"] = (
     q_ks_drift_report,
     SQL_KS_DRIFT_REPORT,
 )
+
+
+def q_winsorized_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-type winsorization of event values at the [0.05, 0.95]
+    percentiles (operators/profile.py:winsorize) — the heavy-tail
+    tamer. The clamp runs on the integer micro grid (value and both
+    exact-percentile cuts micro6-pinned first), so no raw-double
+    comparison exists to flip on interpolation ulps."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import winsorize
+
+    ev = load(spark, sf, "events").filter(F.col("value").isNotNull())
+    out = winsorize(ev, "value", ["event_type"], 0.05, 0.95)
+    return out.select(
+        "event_id", "event_type", "winsorized_micro"
+    ).orderBy("event_id")
+
+
+SQL_WINSORIZED_VALUES = """
+WITH cuts AS (
+  SELECT event_type,
+    CAST(round((quantile_cont(value, 0.05)) * 1000000.0) AS BIGINT) AS qlo,
+    CAST(round((quantile_cont(value, 0.95)) * 1000000.0) AS BIGINT) AS qhi
+  FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT event_id, e.event_type,
+  least(greatest(CAST(round(value * 1000000.0) AS BIGINT), qlo), qhi)
+    AS winsorized_micro
+FROM events e JOIN cuts USING (event_type)
+WHERE value IS NOT NULL
+ORDER BY event_id
+"""
+
+ANALYTICS_QUERIES["winsorized_values"] = (
+    q_winsorized_values,
+    SQL_WINSORIZED_VALUES,
+)

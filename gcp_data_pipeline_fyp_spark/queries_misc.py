@@ -1454,3 +1454,68 @@ MISC_QUERIES["kmv_overlap_users"] = (
     q_kmv_overlap_users,
     SQL_KMV_OVERLAP_USERS,
 )
+
+
+# ------------------------------- one-pass correlation matrix (r7)
+def q_lineitem_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson matrix over 4 lineitem measures in ONE scan
+    (operators/profile.py:corr_matrix): every pair's five sufficient
+    statistics as conditional exact-decimal aggregates in a single
+    agg — exact_corr per pair would scan the fact 6 times. Same
+    determinism chain (decimal sums, one pinned double expression)."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import corr_matrix
+
+    li = load(spark, sf, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_x", "col_y")
+
+
+def _corr_matrix_sql(cols: list[str]) -> str:
+    stats, rows = [], []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            x, y = cols[i], cols[j]
+            p = f"{x}__{y}"
+            both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+            cx = f"CAST(CASE WHEN {both} THEN {x} END AS DECIMAL(19,4))"
+            cy = f"CAST(CASE WHEN {both} THEN {y} END AS DECIMAL(19,4))"
+            stats += [
+                f"count(CASE WHEN {both} THEN 1 END) AS {p}__n",
+                f"CAST(sum(CAST(CASE WHEN {both} THEN {x} END"
+                f" AS DECIMAL(18,4))) AS DOUBLE) AS {p}__sx",
+                f"CAST(sum(CAST(CASE WHEN {both} THEN {y} END"
+                f" AS DECIMAL(18,4))) AS DOUBLE) AS {p}__sy",
+                f"CAST(sum(CAST({cx} * {cy} AS DECIMAL(38,8))) AS DOUBLE)"
+                f" AS {p}__sxy",
+                f"CAST(sum(CAST({cx} * {cx} AS DECIMAL(38,8))) AS DOUBLE)"
+                f" AS {p}__sxx",
+                f"CAST(sum(CAST({cy} * {cy} AS DECIMAL(38,8))) AS DOUBLE)"
+                f" AS {p}__syy",
+            ]
+            closed = micro6_sql(
+                f"(CAST({p}__n AS DOUBLE) * {p}__sxy - {p}__sx * {p}__sy)"
+                f" / nullif(sqrt((CAST({p}__n AS DOUBLE) * {p}__sxx"
+                f" - {p}__sx * {p}__sx)"
+                f" * (CAST({p}__n AS DOUBLE) * {p}__syy"
+                f" - {p}__sy * {p}__sy)), 0)"
+            )
+            rows.append(
+                f"SELECT '{x}' AS col_x, '{y}' AS col_y,"
+                f" CAST({p}__n AS BIGINT) AS n, {closed} AS corr_micro FROM s"
+            )
+    return (
+        "WITH s AS (SELECT " + ", ".join(stats) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY col_x, col_y"
+    )
+
+
+SQL_LINEITEM_CORR_MATRIX = _corr_matrix_sql(
+    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+MISC_QUERIES["lineitem_corr_matrix"] = (
+    q_lineitem_corr_matrix,
+    SQL_LINEITEM_CORR_MATRIX,
+)

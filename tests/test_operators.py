@@ -1851,6 +1851,56 @@ def test_embedding_drift_identity_orthogonal_invariance(spark):
     assert again["centroid_cos_micro"] == 0
 
 
+def test_winsorize_clamps_tails_keeps_interior(spark):
+    """Planted extreme tails clamp to the group's percentile cuts;
+    interior values pass through on the micro grid unchanged;
+    partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import winsorize
+
+    rows = [(i, "a", float(i)) for i in range(1, 100)]  # 1..99
+    rows += [(1000, "a", 1e9), (1001, "a", -1e9)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {r["id"]: r["winsorized_micro"] for r in winsorize(
+        df, "v", ["g"], 0.05, 0.95
+    ).collect()}
+    assert got[50] == 50_000_000  # interior untouched
+    assert got[1000] == max(got.values())  # clamped to the hi cut
+    assert got[1001] == min(got.values())  # clamped to the lo cut
+    assert got[1000] < 100_000_000 and got[1001] > 0
+    again = {r["id"]: r["winsorized_micro"] for r in winsorize(
+        df.repartition(7), "v", ["g"], 0.05, 0.95
+    ).collect()}
+    assert again == got
+
+
+def test_corr_matrix_matches_exact_corr_pairwise_complete(spark):
+    """The one-pass matrix equals per-pair exact_corr, including
+    pairwise-complete n under asymmetric nulls; partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        corr_matrix,
+        exact_corr,
+    )
+
+    rows = [(float(i), 2.0 * i + 1, float(i % 5)) for i in range(50)]
+    rows += [(None, 7.0, 1.0), (3.0, None, 2.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr_micro"])
+        for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert got[("a", "b")][0] == 50  # both-null rows excluded pairwise
+    for x, y in got:
+        ref = exact_corr(df, x, y).collect()[0]
+        assert got[(x, y)] == (ref["n"], ref["corr_micro"]), (x, y)
+    assert got[("a", "b")][1] == 1_000_000  # perfectly linear
+    again = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr_micro"])
+        for r in corr_matrix(df.repartition(7), ["a", "b", "c"]).collect()
+    }
+    assert again == got
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
