@@ -184,6 +184,119 @@ def mad_outliers(
     )
 
 
+def _psi_bin(value_col: str, lo_col: str, hi_col: str, n_bins: int):
+    """Fixed-width bin index over [lo, hi], clamped to the edge bins —
+    the one expression every PSI surface (batch report, persisted
+    profile, streaming monitor) must share byte-for-byte."""
+    x = F.col(value_col).cast("double")
+    raw = F.floor(
+        (x - F.col(lo_col)) / (F.col(hi_col) - F.col(lo_col)) * F.lit(float(n_bins))
+    )
+    return F.when(
+        F.col(hi_col) > F.col(lo_col),
+        F.least(
+            F.greatest(raw, F.lit(0).cast("long")),
+            F.lit(n_bins - 1).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def fit_psi_profile(
+    base: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Persistable PSI base profile: one row per (group, bin) with the
+    base bin count, group total, and the fixed-width [lo, hi] range —
+    the |groups|·n_bins state a drift monitor bins every future
+    snapshot or micro-batch against without rescanning the base
+    corpus. Binning contract identical to `psi_report` (same shared
+    expression)."""
+    gcols = list(group_cols)
+    b = base.filter(F.col(value_col).isNotNull())
+    rng = b.groupBy(*gcols).agg(
+        F.min(value_col).cast("double").alias("lo"),
+        F.max(value_col).cast("double").alias("hi"),
+    )
+    binned = (
+        b.join(F.broadcast(rng), gcols)
+        .groupBy(*gcols, _psi_bin(value_col, "lo", "hi", n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("base_cnt"))
+    )
+    scaffold = rng.select(
+        *gcols,
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+    ).withColumn("bin", F.col("bin").cast("long"))
+    prof = scaffold.join(binned, [*gcols, "bin"], "left").select(
+        *gcols,
+        "bin",
+        "lo",
+        "hi",
+        F.coalesce("base_cnt", F.lit(0)).alias("base_cnt"),
+    )
+    tot = prof.groupBy(*gcols).agg(F.sum("base_cnt").alias("n_base"))
+    return prof.join(F.broadcast(tot), gcols)
+
+
+def bin_against_profile(
+    df: DataFrame,
+    profile: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-(group, bin) counts of `df` binned by a fitted profile's
+    [lo, hi] ranges — the map-side-combinable reduction a streaming
+    monitor folds into its state table."""
+    gcols = list(group_cols)
+    rng = profile.select(*gcols, "lo", "hi").distinct()
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(rng), gcols)
+        .groupBy(*gcols, _psi_bin(value_col, "lo", "hi", n_bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cur_cnt"))
+    )
+
+
+def psi_from_profile(
+    profile: DataFrame,
+    cur_counts: DataFrame,
+    group_cols: Sequence[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per group from a fitted profile + current per-bin counts —
+    the read side of the streaming drift monitor. Identical smoothing
+    and micro6-then-integer-sum contract as `psi_report` (equivalence
+    test-pinned); groups with no current rows are not reported."""
+    gcols = list(group_cols)
+    j = profile.join(cur_counts, [*gcols, "bin"], "left").select(
+        *gcols,
+        "bin",
+        "base_cnt",
+        "n_base",
+        F.coalesce("cur_cnt", F.lit(0)).alias("__cc"),
+    )
+    tot = j.groupBy(*gcols).agg(F.sum("__cc").alias("n_cur")).filter(
+        F.col("n_cur") > 0
+    )
+    pb = (2.0 * F.col("base_cnt") + 1.0) / (2.0 * F.col("n_base") + float(n_bins))
+    pc = (2.0 * F.col("__cc") + 1.0) / (2.0 * F.col("n_cur") + float(n_bins))
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    detail = j.join(F.broadcast(tot), gcols).select(
+        *gcols,
+        "n_base",
+        "n_cur",
+        micro6((pc - pb) * F.log(pc / pb)).alias("__contrib_micro"),
+    )
+    return detail.groupBy(*gcols, "n_base", "n_cur").agg(
+        F.sum("__contrib_micro").alias("psi_micro")
+    )
+
+
 def psi_report(
     base: DataFrame,
     current: DataFrame,
@@ -224,22 +337,11 @@ def psi_report(
     )
 
     def binned(df: DataFrame, cnt_alias: str) -> DataFrame:
-        x = F.col(value_col).cast("double")
-        raw = F.floor(
-            (x - F.col("__lo"))
-            / (F.col("__hi") - F.col("__lo"))
-            * F.lit(float(n_bins))
-        )
-        bin_ = F.when(
-            F.col("__hi") > F.col("__lo"),
-            F.least(
-                F.greatest(raw, F.lit(0).cast("long")),
-                F.lit(n_bins - 1).cast("long"),
-            ),
-        ).otherwise(F.lit(0).cast("long"))
         return (
             df.join(F.broadcast(rng), gcols)
-            .groupBy(*gcols, bin_.alias("bin"))
+            .groupBy(
+                *gcols, _psi_bin(value_col, "__lo", "__hi", n_bins).alias("bin")
+            )
             .agg(F.count(F.lit(1)).alias(cnt_alias))
         )
 

@@ -779,3 +779,111 @@ def stream_enriched_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_drift_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    value_col: str,
+    group_cols: list[str],
+    wh: Warehouse,
+    profile_table: str,
+    state_table: str,
+    report_table: str,
+    checkpoint_dir: str,
+    n_bins: int = 10,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming PSI drift monitor: every micro-batch bins against the
+    PERSISTED base profile (operators/profile.py:fit_psi_profile — the
+    |groups|·n_bins state fitted once from the training snapshot),
+    folds its per-(group, bin) counts into a cumulative state table,
+    and appends the resulting per-group PSI to a report table — drift
+    of the ENTIRE streamed corpus vs the base, per batch, without ever
+    rescanning history.
+
+    Count folds are distributive but not idempotent, so the state
+    carries the `stream_rollup_ingest` replay guard: (__stream_id,
+    __last_batch_id) stamped in the SAME staging+swap as the counts —
+    a replayed batch is skipped before any merge, and a state table
+    from a different checkpoint lineage raises instead of silently
+    double-counting. The report row appends AFTER the state swap: a
+    crash inside that window loses one observability row, never
+    corrupts counts (the next batch's row reflects the healed state).
+
+    Scale: per batch, one scan of the batch (map-side-combinable
+    count), then profile-sized joins; state and report are
+    |groups|-sized. The base corpus is never re-read.
+    """
+    import json as _json
+    import os as _os
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        bin_against_profile,
+        psi_from_profile,
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _stream_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sid = _stream_id()
+        profile = wh.read(profile_table)
+        part = bin_against_profile(
+            batch, profile, value_col, group_cols, n_bins
+        )
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"drift state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}: batch "
+                    "ids are not comparable across checkpoints. Drop the "
+                    "state table to rebuild it under this checkpoint, or "
+                    "restart from the original checkpoint directory."
+                )
+            if mark["m"] is not None and batch_id <= mark["m"]:
+                return
+            merged = (
+                prior.select(*group_cols, "bin", "cur_cnt")
+                .unionByName(part)
+                .groupBy(*group_cols, "bin")
+                .agg(F.sum("cur_cnt").alias("cur_cnt"))
+            )
+        else:
+            merged = part
+        staging = f"{state_table}__drift_staging"
+        wh.overwrite(
+            merged.withColumn("__stream_id", F.lit(sid)).withColumn(
+                "__last_batch_id", F.lit(batch_id)
+            ),
+            staging,
+        )
+        wh.swap(staging, state_table)
+        report = psi_from_profile(
+            profile,
+            wh.read(state_table).select(*group_cols, "bin", "cur_cnt"),
+            group_cols,
+            n_bins,
+        ).withColumn("batch_id", F.lit(batch_id))
+        wh.append(report, report_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1901,6 +1901,35 @@ def test_corr_matrix_matches_exact_corr_pairwise_complete(spark):
     assert again == got
 
 
+def test_psi_profile_pipeline_equals_psi_report(spark):
+    """fit_psi_profile + bin_against_profile + psi_from_profile is
+    byte-equivalent to the one-shot psi_report across groups, and a
+    group with no current rows is not reported."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        bin_against_profile,
+        fit_psi_profile,
+        psi_from_profile,
+        psi_report,
+    )
+
+    base = spark.createDataFrame(
+        [("a", float(i % 30)) for i in range(300)]
+        + [("b", float(i % 7)) for i in range(70)],
+        "g string, v double",
+    )
+    cur = spark.createDataFrame(
+        [("a", 10.0 + i % 15) for i in range(120)], "g string, v double"
+    )
+    prof = fit_psi_profile(base, "v", ["g"], 10)
+    got = psi_from_profile(
+        prof, bin_against_profile(cur, prof, "v", ["g"], 10), ["g"], 10
+    ).collect()
+    want = psi_report(base, cur, "v", ["g"], 10).collect()
+    key = lambda r: (r["g"], r["n_base"], r["n_cur"], r["psi_micro"])
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert [r["g"] for r in got] == ["a"]  # 'b' has no current rows
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every

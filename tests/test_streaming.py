@@ -904,3 +904,78 @@ def test_stream_validated_ingest_maintains_zonemap(spark, tmp_path):
     # the map is not vacuously empty and pruning is live on this table
     files, total = prune_files(wh, "ev", {"value": (-1e9, -1.0)})
     assert total > 0 and files == []
+
+
+def test_stream_drift_monitor_matches_batch_psi_and_replays_safely(
+    spark, tmp_path
+):
+    """The streamed cumulative PSI equals the one-shot batch
+    psi_report of base vs everything streamed so far; a restart on
+    the same checkpoint folds only new files; the report history has
+    one row per (batch, group)."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        fit_psi_profile,
+        psi_report,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_drift_monitor,
+    )
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    base_rows = [(i, "2024-01-01 00:00:00", "a", float(i % 20)) for i in range(200)]
+    base = spark.createDataFrame(
+        base_rows, "event_id long, ts string, event_type string, value double"
+    )
+    wh.overwrite(fit_psi_profile(base, "value", ["event_type"], 10), "PROFILE")
+
+    rows1 = [(1000 + i, "2024-01-02 00:00:00", "a", float(i % 10)) for i in range(50)]
+    rows2 = [(2000 + i, "2024-01-03 00:00:00", "a", 15.0 + i % 5) for i in range(50)]
+    _write_csv(in_dir / "f1.csv", rows1)
+    _write_csv(in_dir / "f2.csv", rows2)
+    ckpt = str(tmp_path / "dckpt")
+
+    def run():
+        q = stream_drift_monitor(
+            spark, str(in_dir), schema, "value", ["event_type"],
+            wh, "PROFILE", "DRIFT_STATE", "DRIFT_REPORT", ckpt,
+            n_bins=10, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run()
+    streamed = spark.createDataFrame(
+        rows1 + rows2, "event_id long, ts string, event_type string, value double"
+    )
+    want = psi_report(base, streamed, "value", ["event_type"], 10).collect()[0]
+    state = wh.read("DRIFT_STATE")
+    assert state.agg(F.sum("cur_cnt")).first()[0] == 100
+    report = wh.read("DRIFT_REPORT").orderBy("batch_id").collect()
+    assert len(report) == 2  # one row per batch for the single group
+    last = report[-1]
+    assert (last["n_base"], last["n_cur"], last["psi_micro"]) == (
+        want["n_base"], want["n_cur"], want["psi_micro"],
+    )
+
+    # restart on the same checkpoint: only the new file folds in
+    rows3 = [(3000 + i, "2024-01-04 00:00:00", "a", 2.0) for i in range(25)]
+    _write_csv(in_dir / "f3.csv", rows3)
+    run()
+    assert wh.read("DRIFT_STATE").agg(F.sum("cur_cnt")).first()[0] == 125
+    streamed3 = spark.createDataFrame(
+        rows1 + rows2 + rows3,
+        "event_id long, ts string, event_type string, value double",
+    )
+    want3 = psi_report(base, streamed3, "value", ["event_type"], 10).collect()[0]
+    rep3 = wh.read("DRIFT_REPORT").orderBy("batch_id").collect()[-1]
+    assert (rep3["n_cur"], rep3["psi_micro"]) == (
+        want3["n_cur"], want3["psi_micro"],
+    )
+    # idle restart: nothing new, state and report untouched
+    n_rep = wh.read("DRIFT_REPORT").count()
+    run()
+    assert wh.read("DRIFT_STATE").agg(F.sum("cur_cnt")).first()[0] == 125
+    assert wh.read("DRIFT_REPORT").count() == n_rep
