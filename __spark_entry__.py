@@ -33,10 +33,13 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-7 WINDOW, in priority order (exactly 50):
-#   0. the 10 NEW r7 probes (zone-map skipping family, bucket index,
-#      CM/KMV sketches, classifier reliability, l-diversity,
-#      seasonal decomposition, built-in session windows)
+# ROUND-7 WINDOW, in priority order:
+#   0. the 20 NEW r7 probes (zone-map skipping family, bucket index,
+#      CM/KMV sketches + set algebra, classifier reliability,
+#      l-diversity, seasonal decomposition, built-in session windows,
+#      the drift-monitor suite psi/ks/lang-mix/embedding,
+#      winsorization, one-pass corr matrix, A/B z-test, Benford,
+#      target encoding)
 #   1. the 28 r6-tail additions, never driver-checked (all
 #      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
 #      22-set closers, z-normalization, sequence patterns, SCD2,
@@ -45,7 +48,9 @@ _REGISTRIES = [
 #   2. the 4 probes rotated out of the r6 window to fit late r6
 #      additions: kmeans_embeddings, incremental_dedup,
 #      filter_chain_report, temperature_mix
-#   3. rolling re-cert: 8 of the r04 tail never re-checked since r04
+#   3. the 8 r04-tail rows listed below overflow a 50-wide window
+#      (52 rows precede them) — they stay queued here and lead the
+#      r8 rotation with the rest of the r04 tail
 _CHECK_FIRST = [
     # -- new this round (r7)
     "psi_drift_report",
@@ -55,6 +60,9 @@ _CHECK_FIRST = [
     "kmv_overlap_users",
     "winsorized_values",
     "lineitem_corr_matrix",
+    "ab_test_purchases",
+    "benford_prices",
+    "target_encoded_events",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

@@ -704,6 +704,164 @@ def corr_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
 
 
+def ab_test(
+    df: DataFrame,
+    treatment_col: str,
+    success_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-proportion z-test per group — the experiment readout
+    (treatment vs control conversion) as ONE conditional aggregation
+    pass: arm counts and successes accumulate as exact integers, the
+    pooled-variance z evaluates once in a pinned double chain.
+    try_divide -> NULL z when an arm is empty or the pooled rate is
+    degenerate (0 or 1). Emits per-arm rates and z in micro-units.
+
+    |z| > 1.96 is the usual 95% bar; the statistic is deterministic
+    bytes on any partitioning, so the readout itself can gate a
+    pipeline promotion step.
+    """
+    t = F.col(treatment_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    g = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.when(t, F.lit(1))).alias("n_t"),
+        F.count(F.when(~t, F.lit(1))).alias("n_c"),
+        F.count(F.when(t & s, F.lit(1))).alias("s_t"),
+        F.count(F.when(~t & s, F.lit(1))).alias("s_c"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    nt = F.col("n_t").cast("double")
+    nc = F.col("n_c").cast("double")
+    pt = F.try_divide(F.col("s_t").cast("double"), nt)
+    pc = F.try_divide(F.col("s_c").cast("double"), nc)
+    pp = F.try_divide(
+        (F.col("s_t") + F.col("s_c")).cast("double"), nt + nc
+    )
+    z = F.try_divide(
+        pt - pc,
+        F.sqrt(
+            pp
+            * (1.0 - pp)
+            * (F.try_divide(F.lit(1.0), nt) + F.try_divide(F.lit(1.0), nc))
+        ),
+    )
+    return g.select(
+        *group_cols,
+        "n_t",
+        "n_c",
+        micro6(pt).alias("rate_t_micro"),
+        micro6(pc).alias("rate_c_micro"),
+        micro6(z).alias("z_micro"),
+    )
+
+
+def benford_audit(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Leading-digit distribution vs Benford's law, per group — the
+    classic fabricated-/synthetic-data smell test on any positive
+    measure (amounts, counts, magnitudes). One aggregation pass; a
+    1-9 scaffold keeps zero-count digits visible.
+
+    Digit = floor(|v| / 10^floor(log10(|v|))) — a pinned float
+    expression identical in both engines (a flip would need a value
+    within ~1 ulp of a power of ten). Zero/NULL values are excluded
+    (they have no leading digit). `obs_micro` is the exact-count
+    fraction rounded once; `exp_micro` = micro6(log10(1 + 1/d)).
+    """
+    gcols = list(group_cols)
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).alias("digit")
+    counts = (
+        df.filter(F.col(value_col).isNotNull() & (v > 0))
+        .groupBy(*gcols, digit)
+        .agg(F.count(F.lit(1)).alias("n_d"))
+    )
+    tot = counts.groupBy(*gcols).agg(F.sum("n_d").alias("__n"))
+    scaffold = tot.select(
+        *gcols,
+        "__n",
+        F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+    ).withColumn("digit", F.col("digit").cast("long"))
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    j = scaffold.join(counts, [*gcols, "digit"], "left").select(
+        *gcols,
+        "digit",
+        F.coalesce("n_d", F.lit(0)).alias("n_d"),
+        micro6(
+            F.coalesce("n_d", F.lit(0)).cast("double") / F.col("__n")
+        ).alias("obs_micro"),
+        micro6(
+            F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+        ).alias("exp_micro"),
+    )
+    return j
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    fold_col: str | None = None,
+    m: float = 20.0,
+    alias: str = "te_micro",
+) -> DataFrame:
+    """Smoothed target encoding of a categorical column — the
+    standard high-cardinality feature for the model-based quality
+    gates: enc(cat) = (Σy_cat + m·global_mean) / (n_cat + m), shrunk
+    toward the global mean for rare categories.
+
+    With `fold_col`, the encoding is LEAVE-FOLD-OUT — each row's
+    category statistics EXCLUDE its own fold (Σ_cat − Σ_cat,fold),
+    the standard leakage guard (in-fold means leak the row's own
+    label into its feature; the decontamination concern applied to
+    feature engineering). Still one stats pass: per-(cat, fold)
+    exact-decimal sums roll up to category totals by exact decimal
+    subtraction; the single float chain per row is the final ratio,
+    micro6-rounded once.
+
+    Scale: stats are |cats|·|folds| rows, broadcast back; no second
+    scan of the fact. Rows with a NULL category keep a NULL encoding.
+    """
+    fold = fold_col or "__fold0"
+    base = df if fold_col else df.withColumn(fold, F.lit(0))
+    y = F.when(F.col(target_col).isNotNull(), F.col(target_col)).cast(
+        "decimal(18,4)"
+    )
+    cf = base.groupBy(cat_col, fold).agg(
+        F.count(F.when(F.col(target_col).isNotNull(), F.lit(1))).alias("__n_cf"),
+        F.sum(y).alias("__s_cf"),
+    )
+    ct = cf.groupBy(cat_col).agg(
+        F.sum("__n_cf").alias("__n_c"), F.sum("__s_cf").alias("__s_c")
+    )
+    gl = ct.agg(
+        F.sum("__n_c").alias("__n_all"), F.sum("__s_c").alias("__s_all")
+    )
+    gm = F.col("__s_all").cast("double") / F.col("__n_all").cast("double")
+    if fold_col:
+        s_out = (F.col("__s_c") - F.col("__s_cf")).cast("double")
+        n_out = (F.col("__n_c") - F.col("__n_cf")).cast("double")
+    else:
+        s_out = F.col("__s_c").cast("double")
+        n_out = F.col("__n_c").cast("double")
+    enc = (s_out + F.lit(m) * gm) / (n_out + F.lit(m))
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    keep = list(df.columns)
+    out = (
+        base.join(F.broadcast(cf), [cat_col, fold], "left")
+        .join(F.broadcast(ct), [cat_col], "left")
+        .crossJoin(F.broadcast(gl))
+        .select(*keep, micro6(enc).alias(alias))
+    )
+    return out
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

@@ -2837,3 +2837,98 @@ ANALYTICS_QUERIES["winsorized_values"] = (
     q_winsorized_values,
     SQL_WINSORIZED_VALUES,
 )
+
+
+def q_ab_test_purchases(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-proportion z-test (operators/profile.py:ab_test) per
+    weekday: treatment = even user_id, success = purchase event. One
+    conditional-aggregation scan; exact integer arm counts; pooled z
+    evaluated once in a pinned double chain."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import ab_test
+
+    ev = load(spark, sf, "events").withColumn(
+        "wd",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7,
+    ).withColumn("treat", F.col("user_id") % 2 == 0).withColumn(
+        "success", F.col("event_type") == "purchase"
+    )
+    return ab_test(ev, "treat", "success", ["wd"]).orderBy("wd")
+
+
+SQL_AB_TEST_PURCHASES = """
+WITH e AS (
+  SELECT (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS wd,
+         user_id % 2 = 0 AS t,
+         event_type = 'purchase' AS s
+  FROM events),
+g AS (
+  SELECT wd,
+    count(CASE WHEN t THEN 1 END) AS n_t,
+    count(CASE WHEN NOT t THEN 1 END) AS n_c,
+    count(CASE WHEN t AND s THEN 1 END) AS s_t,
+    count(CASE WHEN NOT t AND s THEN 1 END) AS s_c
+  FROM e GROUP BY 1)
+SELECT CAST(wd AS BIGINT) AS wd,
+  CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+  CAST(round((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)) * 1000000.0)
+    AS BIGINT) AS rate_t_micro,
+  CAST(round((CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * 1000000.0)
+    AS BIGINT) AS rate_c_micro,
+  CAST(round(((CAST(s_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+     - CAST(s_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+    / sqrt((CAST(s_t + s_c AS DOUBLE) / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+      * (1.0 - CAST(s_t + s_c AS DOUBLE) / (CAST(n_t AS DOUBLE) + CAST(n_c AS DOUBLE)))
+      * (1.0 / CAST(n_t AS DOUBLE) + 1.0 / CAST(n_c AS DOUBLE))))
+    * 1000000.0) AS BIGINT) AS z_micro
+FROM g ORDER BY wd
+"""
+
+ANALYTICS_QUERIES["ab_test_purchases"] = (
+    q_ab_test_purchases,
+    SQL_AB_TEST_PURCHASES,
+)
+
+
+def q_target_encoded_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-fold-out target encoding (operators/profile.py:
+    target_encode) of event_type by value, folds = user_id % 3 —
+    each row's category statistic excludes its own fold (the leakage
+    guard). One stats pass; exact-decimal roll-ups; one float ratio
+    per row, micro6-rounded once."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import target_encode
+
+    ev = load(spark, sf, "events").withColumn(
+        "f", (F.col("user_id") % 3).cast("long")
+    )
+    out = target_encode(ev, "event_type", "value", fold_col="f", m=20.0)
+    return out.select("event_id", "event_type", "te_micro").orderBy("event_id")
+
+
+SQL_TARGET_ENCODED_EVENTS = """
+WITH b AS (
+  SELECT event_id, event_type, user_id % 3 AS f, value FROM events),
+cf AS (
+  SELECT event_type, f,
+    count(CASE WHEN value IS NOT NULL THEN 1 END) AS n_cf,
+    sum(CASE WHEN value IS NOT NULL
+             THEN CAST(value AS DECIMAL(18,4)) END) AS s_cf
+  FROM b GROUP BY 1, 2),
+ct AS (SELECT event_type, sum(n_cf) AS n_c, sum(s_cf) AS s_c
+       FROM cf GROUP BY 1),
+g AS (SELECT sum(n_c) AS n_all, sum(s_c) AS s_all FROM ct)
+SELECT event_id, b.event_type,
+  CAST(round(((CAST(s_c - s_cf AS DOUBLE)
+      + 20.0 * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+    / (CAST(n_c - n_cf AS DOUBLE) + 20.0)) * 1000000.0) AS BIGINT)
+    AS te_micro
+FROM b
+JOIN cf ON cf.event_type = b.event_type AND cf.f = b.f
+JOIN ct ON ct.event_type = b.event_type
+CROSS JOIN g
+ORDER BY event_id
+"""
+
+ANALYTICS_QUERIES["target_encoded_events"] = (
+    q_target_encoded_events,
+    SQL_TARGET_ENCODED_EVENTS,
+)

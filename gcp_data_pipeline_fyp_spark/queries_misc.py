@@ -1519,3 +1519,44 @@ MISC_QUERIES["lineitem_corr_matrix"] = (
     q_lineitem_corr_matrix,
     SQL_LINEITEM_CORR_MATRIX,
 )
+
+
+def q_benford_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford leading-digit audit (operators/profile.py:
+    benford_audit) of l_extendedprice per return flag — the
+    fabricated-data smell test as one aggregation pass with a 1-9
+    scaffold; observed fraction and Benford expectation in
+    micro-units."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import benford_audit
+
+    li = load(spark, sf, "lineitem")
+    return benford_audit(li, "l_extendedprice", ["l_returnflag"]).orderBy(
+        "l_returnflag", "digit"
+    )
+
+
+SQL_BENFORD_PRICES = """
+WITH v AS (
+  SELECT l_returnflag,
+    CAST(floor(abs(CAST(l_extendedprice AS DOUBLE))
+      / power(10.0, floor(log10(abs(CAST(l_extendedprice AS DOUBLE))))))
+      AS BIGINT) AS digit
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+    AND abs(CAST(l_extendedprice AS DOUBLE)) > 0),
+c AS (SELECT l_returnflag, digit, count(*) AS n_d FROM v GROUP BY 1, 2),
+t AS (SELECT l_returnflag, sum(n_d) AS n FROM c GROUP BY 1),
+sc AS (
+  SELECT l_returnflag, n, CAST(d AS BIGINT) AS digit
+  FROM t CROSS JOIN (SELECT unnest(range(1, 10)) AS d))
+SELECT sc.l_returnflag, sc.digit,
+  CAST(coalesce(c.n_d, 0) AS BIGINT) AS n_d,
+  CAST(round((CAST(coalesce(c.n_d, 0) AS DOUBLE) / n) * 1000000.0)
+    AS BIGINT) AS obs_micro,
+  CAST(round((log10(1.0 + 1.0 / CAST(sc.digit AS DOUBLE))) * 1000000.0)
+    AS BIGINT) AS exp_micro
+FROM sc LEFT JOIN c ON c.l_returnflag = sc.l_returnflag AND c.digit = sc.digit
+ORDER BY sc.l_returnflag, sc.digit
+"""
+
+MISC_QUERIES["benford_prices"] = (q_benford_prices, SQL_BENFORD_PRICES)

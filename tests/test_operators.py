@@ -1930,6 +1930,74 @@ def test_psi_profile_pipeline_equals_psi_report(spark):
     assert [r["g"] for r in got] == ["a"]  # 'b' has no current rows
 
 
+def test_ab_test_known_z_and_degenerate_arms(spark):
+    """A hand-computable 2x2 gives the textbook pooled z; an empty
+    arm and an all-success pool yield NULL z, not a crash."""
+    import math
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import ab_test
+
+    rows = [("t", True)] * 60 + [("t", False)] * 40  # p_t = 0.6, n=100
+    rows += [("c", True)] * 40 + [("c", False)] * 60  # p_c = 0.4, n=100
+    df = spark.createDataFrame(
+        [(g == "t", s) for g, s in rows], "treat boolean, success boolean"
+    )
+    r = ab_test(df, "treat", "success").collect()[0]
+    pp = 0.5
+    z = (0.6 - 0.4) / math.sqrt(pp * (1 - pp) * (2 / 100))
+    assert (r["n_t"], r["n_c"]) == (100, 100)
+    assert (r["rate_t_micro"], r["rate_c_micro"]) == (600_000, 400_000)
+    assert abs(r["z_micro"] - round(z * 1e6)) <= 1
+    empty_arm = spark.createDataFrame(
+        [(True, True), (True, False)], "treat boolean, success boolean"
+    )
+    assert ab_test(empty_arm, "treat", "success").collect()[0]["z_micro"] is None
+    all_succ = spark.createDataFrame(
+        [(True, True), (False, True)], "treat boolean, success boolean"
+    )
+    assert ab_test(all_succ, "treat", "success").collect()[0]["z_micro"] is None
+
+
+def test_benford_audit_scaffold_and_exact_fractions(spark):
+    """Digits extract correctly across magnitudes, zero-count digits
+    appear with obs 0, fractions are exact-count ratios, and the
+    expectation column is Benford's log10(1+1/d)."""
+    import math
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import benford_audit
+
+    vals = [1.0, 0.19, 123.0, 1e6, 9.5, 900.0, 0.0, None]  # digits 1,1,1,1,9,9
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_audit(df, "v").collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1]["n_d"] == 4 and got[9]["n_d"] == 2
+    assert got[2]["n_d"] == 0 and got[2]["obs_micro"] == 0
+    assert got[1]["obs_micro"] == round(4 / 6 * 1e6)
+    for d in range(1, 10):
+        assert got[d]["exp_micro"] == round(math.log10(1 + 1 / d) * 1e6)
+
+
+def test_target_encode_shrinks_and_excludes_own_fold(spark):
+    """Plain encoding shrinks rare categories toward the global mean;
+    fold-aware encoding of a row excludes its own fold's labels (the
+    leakage guard) — pinned on a hand-computable layout."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import target_encode
+
+    # cat 'a': 4 rows y=10 in fold 0, 4 rows y=20 in fold 1; global mean 15
+    rows = [("a", 0, 10.0)] * 4 + [("a", 1, 20.0)] * 4
+    df = spark.createDataFrame(rows, "c string, f long, y double")
+    plain = target_encode(df, "c", "y", m=2.0).collect()[0]["te_micro"]
+    # (120 + 2*15) / (8 + 2) = 15.0
+    assert plain == 15_000_000
+    foldy = {
+        (r["c"], r["f"]): r["te_micro"]
+        for r in target_encode(df, "c", "y", fold_col="f", m=2.0).collect()
+    }
+    # fold-0 rows see only fold-1 labels: (80 + 30) / (4 + 2)
+    assert foldy[("a", 0)] == round((80 + 30) / 6 * 1e6)
+    assert foldy[("a", 1)] == round((40 + 30) / 6 * 1e6)
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
