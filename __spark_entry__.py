@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "ab_test_purchases",
     "benford_prices",
     "target_encoded_events",
+    "media_phash_pairs",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

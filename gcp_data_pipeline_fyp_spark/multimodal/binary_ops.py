@@ -250,3 +250,111 @@ def resize_image(df: DataFrame, max_dim: int = 256) -> DataFrame:
             )
 
     return df.mapInPandas(resample, schema="media_id long, payload binary, n_bytes long")
+
+
+_PHASH_SCHEMA = "media_id long, phash long"
+
+
+def phash64(df: DataFrame) -> DataFrame:
+    """64-bit perceptual-style hash per payload via Arrow-batched
+    mapInPandas: the payload's bytes split into 64 equal chunks, a
+    per-chunk byte-sum profile, bit d = profile[d] > median(profile).
+    This is the DCT-free skeleton of a real pHash — identical batch
+    plumbing, identical output shape; swap the chunk-sum profile for
+    DCT coefficients of the decoded image when a codec is present
+    (`decode_image`'s gate). Locality: a local byte edit perturbs one
+    chunk, flipping at most a few bits, so near-identical payloads
+    land within a small Hamming distance. NULL payloads yield NULL
+    hashes. The hash lands in int64 with the sign bit used (bit 0 of
+    the profile maps to the MSB) — compare with XOR/bit_count, never
+    order.
+    """
+    import numpy as np
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                if b is None:
+                    out.append(None)
+                    continue
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    out.append(0)
+                    continue
+                pad = (-arr.size) % 64
+                if pad:
+                    arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+                profile = arr.reshape(64, -1).sum(axis=1, dtype=np.int64)
+                bits = profile > np.median(profile)
+                h = np.uint64(0)
+                for bit in bits:
+                    h = np.uint64(h << np.uint64(1)) | np.uint64(bool(bit))
+                out.append(int(np.int64(h)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash": out})
+
+    return df.mapInPandas(hash_batches, schema=_PHASH_SCHEMA)
+
+
+def media_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate payload pairs from 64-bit perceptual hashes:
+    banded candidate generation + exact Hamming verify — the image
+    counterpart of SimHash text dedup.
+
+    The 64-bit hash splits into 4 disjoint 16-bit bands; by
+    pigeonhole, any pair within Hamming distance 3 agrees EXACTLY on
+    at least one band, so the candidate join is an equality join on
+    (band_idx, band_value) — never an all-pairs scan — and the
+    verify stage computes bit_count(a XOR b) on candidates only.
+    Raising max_hamming above 3 needs more/narrower bands (k+1 bands
+    guarantee recall at Hamming k); the default matches the 4-band
+    layout. Scale: shuffle carries (id, 8-byte hash) pairs; bucket
+    sizes follow band-value frequencies (salt pathological constants
+    upstream if payload dedup wasn't run first).
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit banding guarantees recall only to Hamming 3; "
+            "use more bands for a looser threshold"
+        )
+    bands = F.array(
+        *[
+            (
+                F.shiftrightunsigned(F.col(hash_col), 16 * i)
+                .bitwiseAND(F.lit(0xFFFF))
+            )
+            for i in range(4)
+        ]
+    )
+    banded = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col),
+        F.col(hash_col),
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("__ha"),
+            F.col(f"b.{hash_col}").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

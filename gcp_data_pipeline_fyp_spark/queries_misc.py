@@ -1560,3 +1560,96 @@ ORDER BY sc.l_returnflag, sc.digit
 """
 
 MISC_QUERIES["benford_prices"] = (q_benford_prices, SQL_BENFORD_PRICES)
+
+
+# ----------------------------- multimodal perceptual near-dup (r7)
+def q_media_phash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over binary media payloads
+    (multimodal/binary_ops.py:phash64 + media_neardup_pairs): docs
+    wrapped as payloads, 64-bit chunk-sum pHash via Arrow-batched
+    mapInPandas, 4x16-bit banded candidates, exact Hamming verify at
+    <= 3. The probe gates on ASCII payloads (octet_length == length)
+    so the DuckDB oracle can replay the BYTE-level hash from
+    ord(char) — certifying the whole mapInPandas pipeline bit-exactly,
+    which the codec-gated ops can't do."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
+        media_neardup_pairs,
+        phash64,
+        with_media_column,
+    )
+
+    docs = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+        & (F.length("text") > 0)
+        & (F.octet_length("text") == F.length("text"))
+    )
+    media = with_media_column(docs, "text", "doc_id")
+    return media_neardup_pairs(phash64(media)).orderBy("id_a", "id_b")
+
+
+SQL_MEDIA_PHASH_PAIRS = """
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n,
+         (length(text) + 63) // 64 AS w
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+    AND octet_length(encode(text)) = length(text)),
+pos AS (
+  SELECT doc_id, w, text,
+         unnest(generate_series(1, n)) AS p
+  FROM docs),
+ch AS (
+  SELECT doc_id, (p - 1) // w AS chunk,
+         sum(ord(substr(text, CAST(p AS INT), 1))) AS s
+  FROM pos GROUP BY 1, 2),
+grid AS (
+  SELECT doc_id, unnest(range(0, 64)) AS chunk FROM docs),
+prof AS (
+  SELECT g.doc_id, g.chunk, CAST(coalesce(ch.s, 0) AS BIGINT) AS s
+  FROM grid g LEFT JOIN ch ON ch.doc_id = g.doc_id AND ch.chunk = g.chunk),
+med AS (SELECT doc_id, quantile_cont(s, 0.5) AS m FROM prof GROUP BY 1),
+bits AS (
+  SELECT p.doc_id, p.chunk,
+         CASE WHEN p.s > med.m THEN 1 ELSE 0 END AS b
+  FROM prof p JOIN med ON med.doc_id = p.doc_id),
+bands AS (
+  SELECT doc_id, (63 - chunk) // 16 AS band_idx,
+         sum(CAST(b AS BIGINT) << ((63 - chunk) % 16)) AS band_val
+  FROM bits GROUP BY 1, 2),
+halves AS (
+  SELECT doc_id,
+    sum(CASE WHEN chunk < 32
+        THEN CAST(b AS BIGINT) << (31 - chunk) ELSE 0 END) AS hi,
+    sum(CASE WHEN chunk >= 32
+        THEN CAST(b AS BIGINT) << (63 - chunk) ELSE 0 END) AS lo
+  FROM bits GROUP BY 1),
+ph AS (
+  SELECT doc_id,
+    CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+         THEN hu - CAST('18446744073709551616' AS HUGEINT)
+         ELSE hu END AS BIGINT) AS phash
+  FROM (SELECT doc_id,
+          CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT) AS hu
+        FROM halves)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id),
+pairs AS (
+  SELECT c.id_a, c.id_b,
+         bit_count(xor(pa.phash, pb.phash)) AS hamming
+  FROM cand c
+  JOIN ph pa ON pa.doc_id = c.id_a
+  JOIN ph pb ON pb.doc_id = c.id_b)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 3
+ORDER BY id_a, id_b
+"""
+
+MISC_QUERIES["media_phash_pairs"] = (
+    q_media_phash_pairs,
+    SQL_MEDIA_PHASH_PAIRS,
+)

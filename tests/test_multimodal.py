@@ -122,3 +122,47 @@ def test_audio_chunk_plan(spark):
     # shorter than one chunk -> single clipped window
     assert out[2] == [(0, 10_000)]
     assert 3 not in out  # video rows not in the audio plan
+
+
+def test_phash64_locality_and_neardup_banding(spark):
+    """Identical payloads hash identically (Hamming 0); a single-chunk
+    byte edit stays within the banded near-dup threshold; unrelated
+    payloads are rejected by the exact verify. Deterministic across
+    partitionings."""
+    from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
+        media_neardup_pairs,
+        phash64,
+        with_media_column,
+    )
+
+    base = "The quick brown fox jumps over the lazy dog. " * 40  # ~1.8 KB
+    edited = base[:100] + "X" + base[101:]  # one byte, one chunk
+    other = "".join(chr(97 + (i * 7) % 26) for i in range(1800))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, edited), (4, other)], "id long, t string"
+    )
+    media = with_media_column(df, "t", "id")
+    hashes = phash64(media)
+    got = {r["media_id"]: r["phash"] for r in hashes.collect()}
+    assert got[1] == got[2]
+    assert bin(got[1] ^ got[3]).count("1") <= 3  # single-chunk edit
+    assert bin(got[1] ^ got[4]).count("1") > 3  # unrelated
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_neardup_pairs(hashes).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
+
+    again = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_neardup_pairs(phash64(media.repartition(5))).collect()
+    }
+    assert again == pairs
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        media_neardup_pairs(hashes, max_hamming=5)

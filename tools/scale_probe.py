@@ -406,6 +406,28 @@ def main() -> None:
         finally:
             shutil.rmtree(ivfpq_work, ignore_errors=True)
 
+        # round-7 drift suite: PSI is two scans + groups*bins math
+        # (should track the scan cost); KS pools per-value distinct
+        # profiles (grows with distinct values — the documented
+        # many-groups contract)
+        from gcp_data_pipeline_fyp_spark.operators.profile import (
+            ks_report,
+            psi_report,
+        )
+
+        base_ev = ev.filter(F.dayofmonth("ts") <= 15)
+        cur_ev = ev.filter(F.dayofmonth("ts") > 15)
+        t0 = time.perf_counter()
+        psi_report(base_ev, cur_ev, "value", ["event_type"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["psi_drift"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        ks_report(base_ev, cur_ev, "value", ["event_type"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+        t["ks_drift"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
