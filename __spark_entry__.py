@@ -45,12 +45,12 @@ _REGISTRIES = [
 #      22-set closers, z-normalization, sequence patterns, SCD2,
 #      k-anonymity, label propagation, fuzzy join, skew report,
 #      attribution, basket lift, clustering coefficients, batching
-#   2. the 4 probes rotated out of the r6 window to fit late r6
-#      additions: kmeans_embeddings, incremental_dedup,
-#      filter_chain_report, temperature_mix
-#   3. the 8 r04-tail rows listed below overflow a 50-wide window
-#      (52 rows precede them) — they stay queued here and lead the
-#      r8 rotation with the rest of the r04 tail
+#   2. the 22 new probes + 28 r6-tail rows fill a 50-wide window
+#      exactly; the 4 r6 carries (kmeans_embeddings,
+#      incremental_dedup, filter_chain_report, temperature_mix) and
+#      the 8 r04-tail rows listed below overflow it — they stay
+#      queued here and lead the r8 rotation with the rest of the
+#      r04 tail
 _CHECK_FIRST = [
     # -- new this round (r7)
     "psi_drift_report",
@@ -64,6 +64,7 @@ _CHECK_FIRST = [
     "benford_prices",
     "target_encoded_events",
     "media_phash_pairs",
+    "cusum_changepoints",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

@@ -862,6 +862,65 @@ def target_encode(
     return out
 
 
+def cusum_changepoint(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Single most-likely mean-shift changepoint per group by CUSUM:
+    the time t maximizing |Σ_{i<=t} x_i − (t/n)·Σx| — where the
+    cumulative sum departs farthest from the no-change diagonal.
+
+    EXACT INTEGER arithmetic throughout: the statistic is scaled by
+    n (S_t = n·cum_t − t·total, all int64), so there is no division,
+    no float, and no tie ambiguity beyond the pinned earliest-time
+    tiebreak — identical bytes on any engine and partitioning.
+    Emits the argmax time, the scaled |S| at it, and n so callers
+    can normalize (|S|/n = classic CUSUM units) or bootstrap a
+    threshold.
+
+    Scale: one aggregation to the per-(group, time) series, then
+    windows over the SERIES frame (days-sized, never event rows) —
+    the seasonal_decompose contract.
+    """
+    gcols = list(group_cols)
+    from pyspark.sql import Window
+
+    series = df.groupBy(*gcols, F.col(time_col).alias("t")).agg(
+        F.sum(F.col(value_col).cast("long")).alias("__x")
+    )
+    wcum = (
+        Window.partitionBy(*gcols)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy(*gcols)
+    scored = series.select(
+        *gcols,
+        "t",
+        (
+            F.count(F.lit(1)).over(wall) * F.sum("__x").over(wcum)
+            - F.row_number().over(Window.partitionBy(*gcols).orderBy("t"))
+            * F.sum("__x").over(wall)
+        ).alias("__s"),
+        F.count(F.lit(1)).over(wall).alias("n_points"),
+    )
+    pick = Window.partitionBy(*gcols).orderBy(
+        F.abs(F.col("__s")).desc(), F.col("t")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(pick))
+        .filter(F.col("__rk") == 1)
+        .select(
+            *gcols,
+            F.col("t").alias("change_at"),
+            F.abs(F.col("__s")).alias("cusum_scaled"),
+            "n_points",
+        )
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

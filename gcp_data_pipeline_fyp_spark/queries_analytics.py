@@ -2932,3 +2932,58 @@ ANALYTICS_QUERIES["target_encoded_events"] = (
     q_target_encoded_events,
     SQL_TARGET_ENCODED_EVENTS,
 )
+
+
+def q_cusum_changepoints(spark: SparkSession, sf: str) -> DataFrame:
+    """Most-likely mean-shift day per event type by exact-integer
+    CUSUM over the daily count series (operators/profile.py:
+    cusum_changepoint): S_t = n*cum_t - t*total, argmax |S|, earliest
+    day on ties — no floats anywhere, so the result is identical
+    bytes on any engine. Windows run over the days-sized series."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        cusum_changepoint,
+    )
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = cusum_changepoint(daily, "day", "n", ["event_type"])
+    return out.select(
+        "event_type",
+        F.date_format("change_at", "yyyy-MM-dd").alias("change_day"),
+        "cusum_scaled",
+        "n_points",
+    ).orderBy("event_type")
+
+
+SQL_CUSUM_CHANGEPOINTS = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day,
+    count(*) OVER (PARTITION BY event_type)
+      * sum(x) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS UNBOUNDED PRECEDING)
+    - row_number() OVER (PARTITION BY event_type ORDER BY day)
+      * sum(x) OVER (PARTITION BY event_type) AS sc,
+    count(*) OVER (PARTITION BY event_type) AS n_points
+  FROM daily),
+r AS (
+  SELECT event_type, day, abs(sc) AS a, n_points,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs(sc) DESC, day) AS rk
+  FROM s)
+SELECT event_type,
+  strftime(day, '%Y-%m-%d') AS change_day,
+  CAST(a AS BIGINT) AS cusum_scaled,
+  CAST(n_points AS BIGINT) AS n_points
+FROM r WHERE rk = 1 ORDER BY event_type
+"""
+
+ANALYTICS_QUERIES["cusum_changepoints"] = (
+    q_cusum_changepoints,
+    SQL_CUSUM_CHANGEPOINTS,
+)

@@ -1998,6 +1998,31 @@ def test_target_encode_shrinks_and_excludes_own_fold(spark):
     assert foldy[("a", 1)] == round((40 + 30) / 6 * 1e6)
 
 
+def test_cusum_changepoint_finds_planted_shift(spark):
+    """A step from level 10 to level 30 at t=50 puts the CUSUM argmax
+    exactly at the last pre-shift point; a constant series has |S|=0
+    everywhere and ties break to the earliest time. Partition-
+    invariant by exact-integer construction."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        cusum_changepoint,
+    )
+
+    rows = [("a", i, 10) for i in range(50)] + [("a", i, 30) for i in range(50, 100)]
+    rows += [("flat", i, 7) for i in range(20)]
+    df = spark.createDataFrame(rows, "g string, t long, x long")
+    got = {r["g"]: r for r in cusum_changepoint(df, "t", "x", ["g"]).collect()}
+    assert got["a"]["change_at"] == 49  # last point of the old regime
+    # S_49 = 100*500 - 50*2000 = -50000
+    assert got["a"]["cusum_scaled"] == 50_000
+    assert got["a"]["n_points"] == 100
+    assert (got["flat"]["change_at"], got["flat"]["cusum_scaled"]) == (0, 0)
+    again = {
+        r["g"]: r["change_at"]
+        for r in cusum_changepoint(df.repartition(7), "t", "x", ["g"]).collect()
+    }
+    assert again == {g: r["change_at"] for g, r in got.items()}
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
