@@ -45,11 +45,11 @@ _REGISTRIES = [
 #      22-set closers, z-normalization, sequence patterns, SCD2,
 #      k-anonymity, label propagation, fuzzy join, skew report,
 #      attribution, basket lift, clustering coefficients, batching
-#   2. the 22 new probes + 28 r6-tail rows fill a 50-wide window
-#      exactly; the 4 r6 carries (kmeans_embeddings,
-#      incremental_dedup, filter_chain_report, temperature_mix) and
-#      the 8 r04-tail rows listed below overflow it — they stay
-#      queued here and lead the r8 rotation with the rest of the
+#   2. the 23 new probes + the first 27 r6-tail rows fill a 50-wide
+#      window; the overflow (the last r6-tail row, the 4 r6 carries
+#      kmeans_embeddings / incremental_dedup / filter_chain_report /
+#      temperature_mix, and the 8 r04-tail rows listed below) stays
+#      queued here and leads the r8 rotation with the rest of the
 #      r04 tail
 _CHECK_FIRST = [
     # -- new this round (r7)
@@ -65,6 +65,7 @@ _CHECK_FIRST = [
     "target_encoded_events",
     "media_phash_pairs",
     "cusum_changepoints",
+    "source_lang_association",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

@@ -921,6 +921,72 @@ def cusum_changepoint(
     )
 
 
+def contingency_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Association between two categorical columns — mutual
+    information (nats) and the chi-square statistic from ONE
+    contingency aggregation: the feature-relevance / independence
+    audit (is `source` informative about `lang`? did the split
+    preserve independence?).
+
+    Determinism contract: cell/margin counts are exact integers; MI
+    and chi-square accumulate per CELL as micro6-rounded terms and
+    sum as integers (the PSI convention — no float summation order).
+    Observed cells carry the MI sum (empty cells contribute 0 by
+    limit); chi-square runs over the FULL margin cross (empty cells
+    contribute their expectation), built by crossing the margin
+    tables — |X|·|Y| rows, never a fact-sized join.
+
+    Scale: one groupBy over the fact; everything after is
+    margin-sized with broadcast joins.
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    rx = cells.groupBy("__x").agg(F.sum("__c").alias("__rx"))
+    cy = cells.groupBy("__y").agg(F.sum("__c").alias("__cy"))
+    tot = cells.agg(F.sum("__c").alias("__n"))
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    nn = F.col("__n").cast("double")
+    grid = (
+        rx.crossJoin(cy)
+        .join(cells, ["__x", "__y"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__x",
+            "__y",
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+            "__rx",
+            "__cy",
+            "__n",
+        )
+    )
+    c = F.col("__c").cast("double")
+    e = F.col("__rx").cast("double") * F.col("__cy") / nn
+    mi_term = F.when(
+        F.col("__c") > 0,
+        micro6(
+            (c / nn)
+            * F.log(
+                c * nn / (F.col("__rx").cast("double") * F.col("__cy"))
+            )
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    chi_term = micro6((c - e) * (c - e) / e)
+    return grid.agg(
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(mi_term).alias("mi_micro"),
+        F.sum(chi_term).alias("chi2_micro"),
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

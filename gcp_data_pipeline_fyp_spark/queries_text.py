@@ -3361,3 +3361,57 @@ FROM d GROUP BY 1, 2, 3, 4 ORDER BY source
 """
 
 TEXT_QUERIES["lang_mix_drift"] = (q_lang_mix_drift, SQL_LANG_MIX_DRIFT)
+
+
+def q_source_lang_association(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information + chi-square between source and lang
+    (operators/profile.py:contingency_stats) — is the corpus's
+    language mix independent of its source? One contingency
+    aggregation; per-cell terms micro6-rounded then integer-summed
+    (no float summation order); chi-square over the full margin
+    cross so empty cells contribute their expectation."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        contingency_stats,
+    )
+
+    docs = load(spark, sf, "documents")
+    return contingency_stats(docs, "source", "lang")
+
+
+SQL_SOURCE_LANG_ASSOCIATION = """
+WITH cells AS (
+  SELECT source AS x, lang AS y, count(*) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+rx AS (SELECT x, sum(c) AS rx FROM cells GROUP BY 1),
+cy AS (SELECT y, sum(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT sum(c) AS n FROM cells),
+grid AS (
+  SELECT rx.x, cy.y, coalesce(cells.c, 0) AS c, rx.rx, cy.cy, tot.n
+  FROM rx CROSS JOIN cy
+  LEFT JOIN cells ON cells.x = rx.x AND cells.y = cy.y
+  CROSS JOIN tot),
+terms AS (
+  SELECT n, c, rx, cy,
+    CASE WHEN c > 0 THEN CAST(round(
+      ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(rx AS DOUBLE) * cy))) * 1000000.0) AS BIGINT)
+    ELSE 0 END AS mi_t,
+    CAST(round((
+      (CAST(c AS DOUBLE) - CAST(rx AS DOUBLE) * cy / CAST(n AS DOUBLE))
+      * (CAST(c AS DOUBLE) - CAST(rx AS DOUBLE) * cy / CAST(n AS DOUBLE))
+      / (CAST(rx AS DOUBLE) * cy / CAST(n AS DOUBLE))) * 1000000.0)
+      AS BIGINT) AS chi_t
+  FROM grid)
+SELECT CAST(max(n) AS BIGINT) AS n,
+  CAST(count(*) AS BIGINT) AS n_cells,
+  CAST(sum(mi_t) AS BIGINT) AS mi_micro,
+  CAST(sum(chi_t) AS BIGINT) AS chi2_micro
+FROM terms
+"""
+
+TEXT_QUERIES["source_lang_association"] = (
+    q_source_lang_association,
+    SQL_SOURCE_LANG_ASSOCIATION,
+)

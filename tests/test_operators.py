@@ -2023,6 +2023,37 @@ def test_cusum_changepoint_finds_planted_shift(spark):
     assert again == {g: r["change_at"] for g, r in got.items()}
 
 
+def test_contingency_stats_independence_and_identity(spark):
+    """Exactly independent columns give MI 0 and chi2 0; a perfect
+    1:1 mapping over k balanced categories gives MI = ln(k); empty
+    cells enter chi-square with their expectation."""
+    import math
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        contingency_stats,
+    )
+
+    indep = spark.createDataFrame(
+        [(x, y) for x in "ab" for y in "cd" for _ in range(25)],
+        "x string, y string",
+    )
+    r = contingency_stats(indep, "x", "y").collect()[0]
+    assert (r["n"], r["n_cells"]) == (100, 4)
+    assert r["mi_micro"] == 0 and r["chi2_micro"] == 0
+
+    ident = spark.createDataFrame(
+        [(c, c.upper()) for c in "abc" for _ in range(10)], "x string, y string"
+    )
+    r2 = contingency_stats(ident, "x", "y").collect()[0]
+    assert r2["n_cells"] == 9  # full 3x3 cross, 6 empty cells
+    # per-cell micro rounding: 3 cells of (1/3)ln(3), integer-summed
+    assert r2["mi_micro"] == 3 * round(math.log(3) / 3 * 1e6)
+    # chi2 for a perfect 3x3 mapping with n=30 is 2n = 60; the
+    # per-cell micro-rounding convention gives 3*round(40/3 * 1e6)
+    # + 6*round(10/3 * 1e6) = 59_999_997 (exact integers, any order)
+    assert r2["chi2_micro"] == 3 * 13_333_333 + 6 * 3_333_333
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
