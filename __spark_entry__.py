@@ -45,8 +45,8 @@ _REGISTRIES = [
 #      22-set closers, z-normalization, sequence patterns, SCD2,
 #      k-anonymity, label propagation, fuzzy join, skew report,
 #      attribution, basket lift, clustering coefficients, batching
-#   2. the 23 new probes + the first 27 r6-tail rows fill a 50-wide
-#      window; the overflow (the last r6-tail row, the 4 r6 carries
+#   2. the 24 new probes + the first 26 r6-tail rows fill a 50-wide
+#      window; the overflow (the last r6-tail rows, the 4 r6 carries
 #      kmeans_embeddings / incremental_dedup / filter_chain_report /
 #      temperature_mix, and the 8 r04-tail rows listed below) stays
 #      queued here and leads the r8 rotation with the rest of the
@@ -66,6 +66,7 @@ _CHECK_FIRST = [
     "media_phash_pairs",
     "cusum_changepoints",
     "source_lang_association",
+    "snapshot_diff",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

@@ -71,3 +71,58 @@ def merge_upsert_partitioned(
     parts = updates.select(partition_col).distinct()
     scoped = base.join(F.broadcast(parts), [partition_col], "left_semi")
     return merge_upsert(scoped, updates, keys)
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Key-level reconciliation of two table snapshots — the
+    regression diff a pipeline runs between yesterday's and today's
+    build (or between a MERGE result and its oracle): one row per
+    key that is `added` (right only), `removed` (left only), or
+    `changed` (both sides, any compared column differs, null-safely),
+    with the changed column names as a comma-joined list in column
+    order. Unchanged keys are not emitted.
+
+    One full-outer join on the keys — no second scan, no collect;
+    the column comparison is a codegen expression per column.
+    Null-safe semantics throughout (NULL == NULL is "same", NULL vs
+    value is a change) so nullable columns never false-positive.
+    """
+    klist = list(keys)
+    cols = list(compare_cols) if compare_cols is not None else [
+        c for c in right.columns if c not in klist
+    ]
+    l = left.select(
+        *klist,
+        F.lit(1).alias("__in_l"),
+        *[F.col(c).alias(f"__l_{c}") for c in cols],
+    )
+    r = right.select(
+        *klist,
+        F.lit(1).alias("__in_r"),
+        *[F.col(c).alias(f"__r_{c}") for c in cols],
+    )
+    j = l.join(r, klist, "full")
+    diffs = [
+        ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")) for c in cols
+    ]
+    any_diff = diffs[0]
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    status = (
+        F.when(F.col("__in_l").isNull(), F.lit("added"))
+        .when(F.col("__in_r").isNull(), F.lit("removed"))
+        .when(any_diff, F.lit("changed"))
+    )
+    changed_cols = F.when(
+        F.col("__in_l").isNotNull() & F.col("__in_r").isNotNull(),
+        F.concat_ws(",", *[F.when(d, F.lit(c)) for c, d in zip(cols, diffs)]),
+    )
+    return (
+        j.select(*klist, status.alias("status"), changed_cols.alias("changed_cols"))
+        .filter(F.col("status").isNotNull())
+    )

@@ -1653,3 +1653,65 @@ MISC_QUERIES["media_phash_pairs"] = (
     q_media_phash_pairs,
     SQL_MEDIA_PHASH_PAIRS,
 )
+
+
+# ------------------------------------- snapshot reconciliation (r7)
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Key-level diff between two deterministic snapshots of events
+    (operators/merge.py:table_diff): the regression reconciliation a
+    pipeline runs between consecutive builds. Left drops event_id %
+    13 == 0; right drops % 11 == 0 and doubles value where % 7 == 0 —
+    so the diff contains all three statuses plus per-row changed
+    column lists, from ONE full-outer join."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.merge import table_diff
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "event_type", "value", "user_id"
+    )
+    left = ev.filter(F.col("event_id") % 13 != 0)
+    right = ev.filter(F.col("event_id") % 11 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * 2.0).otherwise(
+            F.col("value")
+        ),
+    )
+    return table_diff(left, right, ["event_id"]).orderBy("event_id")
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH ev AS (
+  SELECT event_id, event_type, value, user_id FROM events),
+l AS (SELECT * FROM ev WHERE event_id % 13 != 0),
+r AS (
+  SELECT event_id, event_type,
+    CASE WHEN event_id % 7 = 0 THEN value * 2.0 ELSE value END AS value,
+    user_id
+  FROM ev WHERE event_id % 11 != 0),
+j AS (
+  SELECT coalesce(l.event_id, r.event_id) AS event_id,
+    l.event_id IS NOT NULL AS in_l, r.event_id IS NOT NULL AS in_r,
+    l.event_type IS NOT DISTINCT FROM r.event_type AS same_t,
+    l.value IS NOT DISTINCT FROM r.value AS same_v,
+    l.user_id IS NOT DISTINCT FROM r.user_id AS same_u
+  FROM l FULL JOIN r ON l.event_id = r.event_id)
+SELECT event_id,
+  CASE WHEN NOT in_l THEN 'added'
+       WHEN NOT in_r THEN 'removed'
+       WHEN NOT (same_t AND same_v AND same_u) THEN 'changed'
+  END AS status,
+  CASE WHEN in_l AND in_r THEN concat_ws(',',
+    CASE WHEN NOT same_t THEN 'event_type' END,
+    CASE WHEN NOT same_v THEN 'value' END,
+    CASE WHEN NOT same_u THEN 'user_id' END)
+  END AS changed_cols
+FROM j
+WHERE CASE WHEN NOT in_l THEN 'added'
+           WHEN NOT in_r THEN 'removed'
+           WHEN NOT (same_t AND same_v AND same_u) THEN 'changed'
+      END IS NOT NULL
+ORDER BY event_id
+"""
+
+MISC_QUERIES["snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)

@@ -2054,6 +2054,31 @@ def test_contingency_stats_independence_and_identity(spark):
     assert r2["chi2_micro"] == 3 * 13_333_333 + 6 * 3_333_333
 
 
+def test_table_diff_statuses_and_null_safety(spark):
+    """All three statuses, multi-column change lists in column order,
+    NULL==NULL counted as same, NULL vs value as changed, unchanged
+    keys absent."""
+    from gcp_data_pipeline_fyp_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, None, 4.0)],
+        "k long, s string, v double",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (4, "x", None), (5, "e", 5.0)],
+        "k long, s string, v double",
+    )
+    got = {
+        r["k"]: (r["status"], r["changed_cols"])
+        for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert got == {
+        3: ("removed", None),
+        4: ("changed", "s,v"),  # NULL->x and 4.0->NULL both flagged
+        5: ("added", None),
+    }  # keys 1 and 2 (NULL==NULL) are unchanged and absent
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
