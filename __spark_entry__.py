@@ -34,12 +34,13 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-7 WINDOW, in priority order:
-#   0. the 20 NEW r7 probes (zone-map skipping family, bucket index,
+#   0. the 24 NEW r7 probes (zone-map skipping family, bucket index,
 #      CM/KMV sketches + set algebra, classifier reliability,
 #      l-diversity, seasonal decomposition, built-in session windows,
 #      the drift-monitor suite psi/ks/lang-mix/embedding,
 #      winsorization, one-pass corr matrix, A/B z-test, Benford,
-#      target encoding)
+#      target encoding, media phash pairs, CUSUM changepoints,
+#      MI/chi-square association, snapshot diff)
 #   1. the 28 r6-tail additions, never driver-checked (all
 #      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
 #      22-set closers, z-normalization, sequence patterns, SCD2,
