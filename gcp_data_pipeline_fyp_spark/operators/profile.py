@@ -987,6 +987,96 @@ def contingency_stats(
     )
 
 
+def unigram_jsd_matrix(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (nats) between the sources'
+    unigram distributions — the corpus-mixing redundancy map (two
+    crawls with near-zero JSD are interchangeable; one near ln 2 adds
+    genuinely new text).
+
+    Decomposition that keeps everything exact until one pinned float
+    per part: tokens present in BOTH sources contribute
+    (p/2)·ln(p/m) + (q/2)·ln(q/m) — each term nano-rounded (1e-9;
+    micro would zero out 1/|vocab|-scale terms) and integer-summed;
+    tokens in only ONE source contribute in closed form
+    (ln2/2)·(single-source mass), computed from integer shared-count
+    totals with ONE division per side. JSD = shared + closed-form
+    parts, all integer nano-units.
+
+    Scale: one token-count aggregation (map-side combinable), then a
+    vocab-keyed inner self-join per source pair — shuffle carries
+    (token, count) rows, never documents. |sources| is assumed
+    small (the mixing-table shape); the join output is
+    |shared vocab|·|pairs|. Pairs sharing NO vocabulary do not emit
+    a row (their JSD is trivially ln 2).
+    """
+    import math
+
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(source_col).alias("__src"),
+        F.explode(
+            F.coalesce(tokens(text_col), F.array().cast("array<string>"))
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    counts = toks.groupBy("__src", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.groupBy("__src").agg(F.sum("__c").alias("__n"))
+    prof = counts.join(F.broadcast(totals), "__src")
+    a = prof.select(
+        F.col("__src").alias("source_a"),
+        F.col("__tok").alias("__tok"),
+        F.col("__c").alias("__ca"),
+        F.col("__n").alias("__na"),
+    )
+    b = prof.select(
+        F.col("__src").alias("source_b"),
+        F.col("__tok").alias("__tok"),
+        F.col("__c").alias("__cb"),
+        F.col("__n").alias("__nb"),
+    )
+    pa = F.col("__ca").cast("double") / F.col("__na").cast("double")
+    pb = F.col("__cb").cast("double") / F.col("__nb").cast("double")
+    m = (pa + pb) / 2.0
+    term = F.round(
+        ((pa / 2.0) * F.log(pa / m) + (pb / 2.0) * F.log(pb / m))
+        * F.lit(1_000_000_000.0),
+        0,
+    ).cast("bigint")
+    shared = (
+        a.join(b, ["__tok"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.max("__na").alias("n_a"),
+            F.max("__nb").alias("n_b"),
+            F.sum(term).alias("__t"),
+            F.sum("__ca").alias("__sca"),
+            F.sum("__cb").alias("__scb"),
+        )
+    )
+    only_a = (F.col("n_a") - F.col("__sca")).cast("double") / F.col("n_a").cast(
+        "double"
+    )
+    only_b = (F.col("n_b") - F.col("__scb")).cast("double") / F.col("n_b").cast(
+        "double"
+    )
+    closed = F.round(
+        F.lit(math.log(2.0) / 2.0) * (only_a + only_b) * F.lit(1_000_000_000.0),
+        0,
+    ).cast("bigint")
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_a",
+        "n_b",
+        (F.col("__t") + closed).alias("jsd_nano"),
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

@@ -3415,3 +3415,68 @@ TEXT_QUERIES["source_lang_association"] = (
     q_source_lang_association,
     SQL_SOURCE_LANG_ASSOCIATION,
 )
+
+
+# ------------------------------------- source redundancy map (r7)
+def q_source_jsd_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the sources'
+    unigram distributions (operators/profile.py:unigram_jsd_matrix) —
+    the corpus-mixing redundancy map. Shared-vocab terms nano-rounded
+    and integer-summed; single-source mass in closed form from
+    integer totals; all emissions integer nano-units."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        unigram_jsd_matrix,
+    )
+
+    docs = load(spark, sf, "documents")
+    return unigram_jsd_matrix(docs, "text", "source").orderBy(
+        "source_a", "source_b"
+    )
+
+
+import math as _math  # noqa: E402
+
+SQL_SOURCE_JSD_MATRIX = f"""
+WITH toks AS (
+  SELECT source AS src,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT src, tok, count(*) AS c FROM toks WHERE tok != '' GROUP BY 1, 2),
+totals AS (SELECT src, sum(c) AS n FROM counts GROUP BY 1),
+prof AS (SELECT counts.src, tok, c, n FROM counts JOIN totals USING (src)),
+pairs AS (
+  SELECT a.src AS source_a, b.src AS source_b,
+         a.c AS ca, a.n AS na, b.c AS cb, b.n AS nb
+  FROM prof a JOIN prof b ON a.tok = b.tok AND a.src < b.src),
+terms AS (
+  SELECT source_a, source_b, ca, na, cb, nb,
+    CAST(round((
+        (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE) / 2.0)
+          * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+               / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      + (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) / 2.0)
+          * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+               / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+                   + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))
+      ) * 1000000000.0) AS BIGINT) AS t
+  FROM pairs),
+agg AS (
+  SELECT source_a, source_b,
+    max(na) AS n_a, max(nb) AS n_b,
+    sum(t) AS t_sum, sum(ca) AS sca, sum(cb) AS scb
+  FROM terms GROUP BY 1, 2)
+SELECT source_a, source_b,
+  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  CAST(t_sum + CAST(round({_math.log(2.0) / 2.0!r}
+    * (CAST(n_a - sca AS DOUBLE) / CAST(n_a AS DOUBLE)
+       + CAST(n_b - scb AS DOUBLE) / CAST(n_b AS DOUBLE))
+    * 1000000000.0) AS BIGINT) AS BIGINT) AS jsd_nano
+FROM agg ORDER BY source_a, source_b
+"""
+
+TEXT_QUERIES["source_jsd_matrix"] = (
+    q_source_jsd_matrix,
+    SQL_SOURCE_JSD_MATRIX,
+)

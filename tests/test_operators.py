@@ -2079,6 +2079,34 @@ def test_table_diff_statuses_and_null_safety(spark):
     }  # keys 1 and 2 (NULL==NULL) are unchanged and absent
 
 
+def test_unigram_jsd_identical_zero_disjoint_ln2(spark):
+    """Identical sources give JSD exactly 0; disjoint vocabularies
+    give (by the closed form, when a third source bridges the join)
+    no shared row — and a half-overlap pair lands strictly between;
+    symmetric in source order by construction."""
+    import math
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        unigram_jsd_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z w"), ("c", "x y q r")],
+        "source string, text string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in unigram_jsd_matrix(docs, "text", "source").collect()
+    }
+    assert got[("a", "b")]["jsd_nano"] == 0  # identical distributions
+    half = got[("a", "c")]["jsd_nano"]
+    assert half == got[("b", "c")]["jsd_nano"]  # a == b
+    assert 0 < half < round(math.log(2) * 1e9)  # strictly between
+    # hand value: shared mass 1/2 each side at equal p -> shared terms 0;
+    # closed form = ln2/2 * (1/2 + 1/2) = ln2/2
+    assert half == round(math.log(2.0) / 2.0 * 1e9)
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
