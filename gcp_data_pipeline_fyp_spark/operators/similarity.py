@@ -634,3 +634,63 @@ def hard_negatives(
     return _topk_per_query(
         pairs.filter(F.col("cosine_micro") < dup_threshold_micro), k
     )
+
+
+def topk_overlap_report(
+    truth: DataFrame,
+    candidate: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    score_col: str = "cosine_micro",
+    k: int = 5,
+) -> DataFrame:
+    """Ranking-quality report between a ground-truth top-k (brute
+    force) and an approximate candidate top-k (LSH/IVF/PQ) — the
+    recall@k / MRR eval as a first-class distributed operator, so
+    index-quality regressions surface in the SAME certified pipeline
+    that serves queries instead of a side script.
+
+    Per query: `n_overlap` (truth ids the candidate list recovered,
+    exact integer — recall@k = n_overlap/k) and `mrr_micro`
+    (reciprocal rank of the truth's #1 in the candidate list, 0 when
+    missed; the single float is the one reciprocal, micro6-rounded).
+    Both lists re-rank internally by (score desc, id) so the report
+    never trusts input row order. Inputs are |queries|·k rows — every
+    join here is tiny regardless of corpus size.
+    """
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    wt = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    t = truth.select(query_col, id_col, score_col).withColumn(
+        "__rk_t", F.row_number().over(wt)
+    ).filter(F.col("__rk_t") <= k)
+    c = candidate.select(query_col, id_col, score_col).withColumn(
+        "__rk_c", F.row_number().over(wt)
+    ).filter(F.col("__rk_c") <= k)
+    overlap = (
+        t.join(c.select(query_col, id_col), [query_col, id_col], "left_semi")
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    top1 = t.filter(F.col("__rk_t") == 1).select(query_col, id_col)
+    hit = top1.join(
+        c.select(query_col, id_col, "__rk_c"), [query_col, id_col], "left"
+    ).select(
+        query_col,
+        F.coalesce(
+            micro6(F.lit(1.0) / F.col("__rk_c")), F.lit(0).cast("bigint")
+        ).alias("mrr_micro"),
+    )
+    base = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        base.join(overlap, [query_col], "left")
+        .join(hit, [query_col], "left")
+        .select(
+            query_col,
+            "n_truth",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("mrr_micro", F.lit(0).cast("bigint")).alias("mrr_micro"),
+        )
+    )

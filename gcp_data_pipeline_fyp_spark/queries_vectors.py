@@ -1021,3 +1021,60 @@ SELECT label,
 FROM a ORDER BY label
 """
 VECTOR_QUERIES["embedding_drift"] = (q_embedding_drift, SQL_EMBEDDING_DRIFT)
+
+
+# ------------------------------------------- ANN quality eval (r7)
+def q_ann_lsh_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/MRR report of the LSH top-k against brute-force ground
+    truth (operators/similarity.py:topk_overlap_report) — the index-
+    quality eval as a certified operator over |queries|*k rows. The
+    oracle composes the two certified rankings and replays the same
+    exact-integer overlap + one-reciprocal MRR."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        topk_overlap_report,
+    )
+
+    truth = q_ann_cosine_topk(spark, sf)
+    cand = q_ann_lsh_topk(spark, sf)
+    return topk_overlap_report(truth, cand, k=5).orderBy("query_id")
+
+
+SQL_ANN_LSH_EVAL = f"""
+WITH t0 AS (SELECT * FROM ({SQL_ANN_COSINE_TOPK}) x),
+c0_ AS (SELECT * FROM ({SQL_ANN_LSH_TOPK}) y),
+t AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM t0),
+c AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM c0_),
+tk AS (SELECT * FROM t WHERE rk <= 5),
+ck AS (SELECT * FROM c WHERE rk <= 5),
+ov AS (
+  SELECT tk.query_id, count(*) AS n_overlap
+  FROM tk JOIN ck ON ck.query_id = tk.query_id
+                 AND ck.corpus_id = tk.corpus_id
+  GROUP BY 1),
+hit AS (
+  SELECT tk.query_id,
+    coalesce(CAST(round((1.0 / ck.rk) * 1000000.0) AS BIGINT), 0)
+      AS mrr_micro
+  FROM tk LEFT JOIN ck ON ck.query_id = tk.query_id
+                      AND ck.corpus_id = tk.corpus_id
+  WHERE tk.rk = 1),
+base AS (SELECT query_id, count(*) AS n_truth FROM tk GROUP BY 1)
+SELECT base.query_id,
+  CAST(n_truth AS BIGINT) AS n_truth,
+  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+  coalesce(hit.mrr_micro, 0) AS mrr_micro
+FROM base
+LEFT JOIN ov ON ov.query_id = base.query_id
+LEFT JOIN hit ON hit.query_id = base.query_id
+ORDER BY base.query_id
+"""
+
+VECTOR_QUERIES["ann_lsh_eval"] = (q_ann_lsh_eval, SQL_ANN_LSH_EVAL)

@@ -937,3 +937,35 @@ def test_pq_index_delete_rewrites_flat_table(spark, tmp_path):
     assert left == {int(v) for v in range(4, 80)}
     hits = pq_topk_indexed(wh, q, "vec_id", "embedding", "pq", k=100).collect()
     assert not ({r.corpus_id for r in hits} & {2, 3})
+
+
+def test_topk_overlap_report_identity_miss_and_rank(spark):
+    """Identical rankings give full overlap + MRR 1e6; a candidate
+    missing the truth's #1 at rank 1 but holding it at rank 3 gives
+    mrr 333333; a fully disjoint candidate gives 0/0."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        topk_overlap_report,
+    )
+
+    truth = spark.createDataFrame(
+        [(1, i, 1000 - i) for i in range(1, 6)],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    same = topk_overlap_report(truth, truth, k=5).collect()[0]
+    assert (same["n_truth"], same["n_overlap"], same["mrr_micro"]) == (
+        5, 5, 1_000_000,
+    )
+    # candidate ranks truth's #1 (corpus 1) third
+    cand = spark.createDataFrame(
+        [(1, 7, 999), (1, 8, 998), (1, 1, 997), (1, 2, 996), (1, 9, 995)],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    r = topk_overlap_report(truth, cand, k=5).collect()[0]
+    assert r["n_overlap"] == 2  # corpus 1 and 2
+    assert r["mrr_micro"] == 333_333
+    disjoint = spark.createDataFrame(
+        [(1, 100 + i, 900 - i) for i in range(5)],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    z = topk_overlap_report(truth, disjoint, k=5).collect()[0]
+    assert (z["n_overlap"], z["mrr_micro"]) == (0, 0)
