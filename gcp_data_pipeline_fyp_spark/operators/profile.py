@@ -1077,6 +1077,61 @@ def unigram_jsd_matrix(
     )
 
 
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    t_col: str,
+    v_col: str,
+    alias: str = "v_interp_micro",
+) -> DataFrame:
+    """Linear interpolation of NULL gaps in a per-key numeric series —
+    the sensor-gap filler between `resample`'s forward-fill (steps)
+    and model-based imputation: each missing point takes the straight
+    line between its nearest known neighbors; edge gaps (no neighbor
+    on one side) take the single known side.
+
+    `t_col` must be numeric (cast timestamps to an epoch or day
+    index first). Two IGNORE-NULLS window passes find the bracketing
+    points; the single float chain va + (vb-va)·((t-ta)/(tb-ta))
+    is pinned and micro6-rounded once; try_divide + coalesce keep
+    duplicate-timestamp brackets finite (they fall back to the last
+    known value). Windows run per key over the series frame — the
+    seasonal_decompose contract (aggregate first; never event rows).
+    """
+    gcols = list(key_cols)
+    from pyspark.sql import Window
+
+    t = F.col(t_col).cast("double")
+    v = F.col(v_col).cast("double")
+    wb = (
+        Window.partitionBy(*gcols)
+        .orderBy(t_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*gcols)
+        .orderBy(t_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    va = F.last(v, ignorenulls=True).over(wb)
+    ta = F.last(F.when(v.isNotNull(), t), ignorenulls=True).over(wb)
+    vb = F.first(v, ignorenulls=True).over(wf)
+    tb = F.first(F.when(v.isNotNull(), t), ignorenulls=True).over(wf)
+    line = va + (vb - va) * F.coalesce(
+        F.try_divide(t - ta, tb - ta), F.lit(0.0)
+    )
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(va.isNull(), vb)
+        .when(vb.isNull(), va)
+        .otherwise(line)
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    keep = list(df.columns)
+    return df.select(*keep, micro6(interp).alias(alias))
+
+
 def grouped_ols(
     df: DataFrame,
     x_col: str,

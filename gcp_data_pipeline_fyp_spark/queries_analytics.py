@@ -2987,3 +2987,77 @@ ANALYTICS_QUERIES["cusum_changepoints"] = (
     q_cusum_changepoints,
     SQL_CUSUM_CHANGEPOINTS,
 )
+
+
+def q_interpolated_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear gap interpolation (operators/profile.py:
+    interpolate_linear) over the daily event-count series per type,
+    with every 5th day NULLed as a planted gap — each missing point
+    takes the straight line between its bracketing known days, edge
+    gaps take the single known side. One pinned float chain,
+    micro6-rounded once; windows over the days-sized series."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        interpolate_linear,
+    )
+
+    daily = (
+        load(spark, sf, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "di",
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")),
+        )
+        .withColumn(
+            "v",
+            F.when(F.col("di") % 5 != 0, F.col("n").cast("double")),
+        )
+    )
+    out = interpolate_linear(daily, ["event_type"], "di", "v")
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v_interp_micro",
+    ).orderBy("event_type", "day")
+
+
+SQL_INTERPOLATED_DAILY = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT event_type, day, (day - DATE '1970-01-01') AS di,
+    CASE WHEN (day - DATE '1970-01-01') % 5 != 0
+         THEN CAST(n AS DOUBLE) END AS v
+  FROM daily),
+w AS (
+  SELECT event_type, day, v, CAST(di AS DOUBLE) AS t,
+    last_value(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY di
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS va,
+    last_value(CASE WHEN v IS NOT NULL THEN CAST(di AS DOUBLE) END
+               IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY di
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ta,
+    first_value(v IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY di
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vb,
+    first_value(CASE WHEN v IS NOT NULL THEN CAST(di AS DOUBLE) END
+                IGNORE NULLS) OVER (
+      PARTITION BY event_type ORDER BY di
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tb
+  FROM s)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+  CAST(round((CASE WHEN v IS NOT NULL THEN v
+    WHEN va IS NULL THEN vb
+    WHEN vb IS NULL THEN va
+    ELSE va + (vb - va)
+         * coalesce((t - ta) / nullif(tb - ta, 0.0), 0.0) END)
+    * 1000000.0) AS BIGINT) AS v_interp_micro
+FROM w ORDER BY event_type, day
+"""
+
+ANALYTICS_QUERIES["interpolated_daily"] = (
+    q_interpolated_daily,
+    SQL_INTERPOLATED_DAILY,
+)

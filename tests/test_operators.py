@@ -2107,6 +2107,33 @@ def test_unigram_jsd_identical_zero_disjoint_ln2(spark):
     assert half == round(math.log(2.0) / 2.0 * 1e9)
 
 
+def test_interpolate_linear_gaps_edges_and_passthrough(spark):
+    """Interior gaps take the exact line between bracketing points
+    (including multi-point gaps), edge gaps take the single known
+    side, known points pass through, all-NULL keys stay NULL."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        interpolate_linear,
+    )
+
+    rows = [
+        ("a", 0, 10.0), ("a", 1, None), ("a", 2, None), ("a", 3, 40.0),
+        ("a", 4, None),  # trailing edge -> 40
+        ("b", 0, None), ("b", 1, 5.0),  # leading edge -> 5
+        ("c", 0, None),  # all-NULL key stays NULL
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    got = {
+        (r["g"], r["t"]): r["v_interp_micro"]
+        for r in interpolate_linear(df, ["g"], "t", "v").collect()
+    }
+    assert got[("a", 0)] == 10_000_000 and got[("a", 3)] == 40_000_000
+    assert got[("a", 1)] == 20_000_000  # 10 + 30*(1/3)
+    assert got[("a", 2)] == 30_000_000
+    assert got[("a", 4)] == 40_000_000  # trailing ffill
+    assert got[("b", 0)] == 5_000_000  # leading bfill
+    assert got[("c", 0)] is None
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
