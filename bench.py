@@ -309,6 +309,43 @@ def _bench_streaming(spark, sf_dir: str, timings: dict) -> None:
                 break
         timings["streaming_sessionize"] = round(time.perf_counter() - t0, 3)
         q2.stop()
+
+        # streaming drift monitor (r7): profile fitted once from the
+        # first month-half, the second half streamed as 4 files —
+        # per-batch bin counts fold into replay-guarded state and the
+        # per-group PSI appends to the report table
+        from gcp_data_pipeline_fyp_spark.operators.profile import (
+            fit_psi_profile,
+        )
+        from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+            stream_drift_monitor,
+        )
+
+        ev = load(spark, sf_dir, "events")
+        wh.overwrite(
+            fit_psi_profile(
+                ev.filter(F.dayofmonth("ts") <= 15), "value",
+                ["event_type"], 10,
+            ),
+            "DRIFT_PROFILE",
+        )
+        drift_in = os.path.join(work, "drift_in")
+        ev.filter(F.dayofmonth("ts") > 15).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+            "value",
+        ).repartition(4).write.option("header", True).csv(drift_in)
+        t0 = time.perf_counter()
+        q3 = stream_drift_monitor(
+            spark, drift_in, schema, "value", ["event_type"], wh,
+            "DRIFT_PROFILE", "DRIFT_STATE", "DRIFT_REPORT",
+            os.path.join(work, "ckpt_drift"), n_bins=10,
+        )
+        q3.awaitTermination(600)
+        timings["streaming_drift_monitor"] = round(
+            time.perf_counter() - t0, 3
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
