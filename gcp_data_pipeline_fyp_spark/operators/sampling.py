@@ -234,3 +234,48 @@ def temperature_mix_sample(
         .filter(bucket < F.col("__thresh"))
         .drop("__thresh")
     )
+
+
+def weighted_sample_wor(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    weight_col: str,
+    k: int,
+    group_cols: Sequence[str] = (),
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly k rows per
+    group, inclusion probability proportional to weight — the
+    Efraimidis-Spirakis A-ES scheme: each row draws u from its
+    content hash and ranks by -ln(u)/w; the k smallest ranks are the
+    sample. Unlike repeated weighted draws this never duplicates a
+    row, and unlike quota-by-weight it is exact for any weight skew.
+
+    Deterministic everywhere: u = (h60+1)/(2^60+1) from the keyed
+    md5 (never 0 or 1, so ln is finite), the rank is one pinned
+    float chain, and the per-group row_number tie-breaks by the key
+    hash then keys — same sample on any engine, partitioning, or
+    run. Zero/negative/NULL weights are excluded (they have no
+    inclusion probability). One window per group over rank-sorted
+    rows; at corpus scale prefer a groups-partitioned layout so the
+    sort shards.
+    """
+    gcols = [F.col(c) for c in group_cols]
+    cols = [F.col(c) for c in key_cols]
+    joined = F.concat(F.lit(f"{seed}|"), *[_key_token(c) for c in cols])
+    h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(1152921504606846977.0)
+    w = F.col(weight_col).cast("double")
+    rank = -F.log(u) / w
+    keep = list(df.columns)
+    ranked = df.filter(
+        F.col(weight_col).isNotNull() & (w > 0)
+    ).select(*keep, rank.alias("__es_rank"), h.alias("__es_h"))
+    win = Window.partitionBy(*gcols).orderBy(
+        F.col("__es_rank"), F.col("__es_h"), *cols
+    )
+    return (
+        ranked.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .select(*keep)
+    )

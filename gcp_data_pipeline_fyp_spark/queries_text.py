@@ -3480,3 +3480,50 @@ TEXT_QUERIES["source_jsd_matrix"] = (
     q_source_jsd_matrix,
     SQL_SOURCE_JSD_MATRIX,
 )
+
+
+def q_weighted_doc_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (operators/sampling.py:weighted_sample_wor): exactly 30 docs per
+    source, inclusion probability proportional to n_chars — the
+    long-doc-favoring curation sample with no duplicates. Rank
+    -ln(u)/w from the keyed md5; hash-deterministic across engines."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    docs = load(spark, sf, "documents")
+    out = weighted_sample_wor(
+        docs, ["doc_id"], "n_chars", 30, ["source"], seed=0
+    )
+    return out.select("doc_id", "source", "n_chars").orderBy(
+        "source", "doc_id"
+    )
+
+
+SQL_WEIGHTED_DOC_SAMPLE = """
+WITH h0 AS (
+  SELECT doc_id, source, n_chars,
+    cast(concat('0x', substr(md5(concat('0|',
+      CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':',
+      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM documents
+  WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0),
+r AS (
+  SELECT doc_id, source, n_chars, h,
+    -ln((h + 1.0) / 1152921504606846977.0)
+      / CAST(n_chars AS DOUBLE) AS es_rank
+  FROM h0),
+rn AS (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (PARTITION BY source
+                       ORDER BY es_rank, h, doc_id) AS rk
+  FROM r)
+SELECT doc_id, source, n_chars FROM rn WHERE rk <= 30
+ORDER BY source, doc_id
+"""
+
+TEXT_QUERIES["weighted_doc_sample"] = (
+    q_weighted_doc_sample,
+    SQL_WEIGHTED_DOC_SAMPLE,
+)

@@ -2134,6 +2134,32 @@ def test_interpolate_linear_gaps_edges_and_passthrough(spark):
     assert got[("c", 0)] is None
 
 
+def test_weighted_sample_wor_exact_k_weight_bias_deterministic(spark):
+    """Exactly k distinct rows per group; a dominant weight is always
+    included (its rank -ln(u)/w is ~1000x smaller than any unit
+    weight's); zero/NULL weights are excluded; the sample is
+    identical across partitionings and runs."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        weighted_sample_wor,
+    )
+
+    rows = [(0, "g", 100000.0)] + [(i, "g", 1.0) for i in range(1, 101)]
+    rows += [(200, "g", 0.0), (201, "g", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, w double")
+    got = weighted_sample_wor(df, ["id"], "w", 10, ["grp"]).collect()
+    ids = [r["id"] for r in got]
+    assert len(ids) == 10 and len(set(ids)) == 10
+    assert 0 in ids  # the 1e5-weight row is effectively certain
+    assert 200 not in ids and 201 not in ids
+    again = [
+        r["id"]
+        for r in weighted_sample_wor(
+            df.repartition(7), ["id"], "w", 10, ["grp"]
+        ).collect()
+    ]
+    assert sorted(again) == sorted(ids)
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
