@@ -270,3 +270,33 @@ def rules_from_spec(spec: list[dict]) -> list[Expectation]:
         else:
             raise ValueError(f"unknown expectation kind: {kind!r}")
     return out
+
+
+def table_fingerprint(df, cols=None):
+    """Order-independent content fingerprint of a table: n_rows plus
+    the exact integer SUM of each row's 60-bit keyed md5 — equal
+    tables produce equal fingerprints on any engine, partitioning,
+    or row order, so two clusters (or a migration's before/after)
+    can compare datasets by exchanging two numbers instead of rows.
+
+    Row canonicalization uses the sampling module's length-prefixed
+    key tokens (NULL-safe, collision-safe under concatenation); the
+    sum accumulates as decimal(38,0) — exact, commutative, room for
+    2^60 · 10^18 rows. The checksum emits as a STRING because both
+    engines render integral decimals identically while 128-bit
+    integers differ in driver type. Duplicate rows fold in by
+    multiplicity (a true multiset digest).
+
+    One scan, one reduce; nothing shuffles but partial sums.
+    """
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import _key_token
+
+    use = list(cols) if cols is not None else list(df.columns)
+    joined = F.concat(*[_key_token(F.col(c)) for c in use])
+    h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("checksum"),
+    )

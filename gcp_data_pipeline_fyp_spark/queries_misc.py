@@ -1715,3 +1715,45 @@ ORDER BY event_id
 """
 
 MISC_QUERIES["snapshot_diff"] = (q_snapshot_diff, SQL_SNAPSHOT_DIFF)
+
+
+def q_lineitem_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-independent multiset fingerprint of lineitem's key
+    columns (operators/expectations.py:table_fingerprint) — the
+    two-number dataset equality check for migrations and
+    cross-cluster reconciliation. Exact decimal sum of per-row keyed
+    md5 hashes; emitted as a string (integral decimals render
+    identically in both engines)."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        table_fingerprint,
+    )
+
+    li = load(spark, sf, "lineitem")
+    return table_fingerprint(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag",
+             "l_linestatus"]
+    )
+
+
+def _fp_tok(c: str) -> str:
+    return (
+        f"CASE WHEN {c} IS NULL THEN '-1:' ELSE concat("
+        f"CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR), ':', "
+        f"CAST({c} AS VARCHAR)) END"
+    )
+
+
+SQL_LINEITEM_FINGERPRINT = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CAST(cast(concat('0x', substr(md5(concat(
+    {_fp_tok('l_orderkey')}, {_fp_tok('l_partkey')},
+    {_fp_tok('l_suppkey')}, {_fp_tok('l_returnflag')},
+    {_fp_tok('l_linestatus')})), 1, 15)) AS BIGINT) AS HUGEINT))
+    AS VARCHAR) AS checksum
+FROM lineitem
+"""
+
+MISC_QUERIES["lineitem_fingerprint"] = (
+    q_lineitem_fingerprint,
+    SQL_LINEITEM_FINGERPRINT,
+)

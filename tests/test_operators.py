@@ -2160,6 +2160,35 @@ def test_weighted_sample_wor_exact_k_weight_bias_deterministic(spark):
     assert sorted(again) == sorted(ids)
 
 
+def test_table_fingerprint_order_invariant_multiset_sensitive(spark):
+    """Equal content (any row order / partitioning) -> equal
+    fingerprint; one changed value, a NULL-vs-empty swap, or a
+    duplicated row each change it."""
+    from gcp_data_pipeline_fyp_spark.operators.expectations import (
+        table_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, None), (3, "c")]
+    df = spark.createDataFrame(rows, "k long, s string")
+    base = table_fingerprint(df).collect()[0]
+    assert base["n_rows"] == 3
+    shuffled = spark.createDataFrame(rows[::-1], "k long, s string").repartition(3)
+    assert table_fingerprint(shuffled).collect()[0] == base
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "d")], "k long, s string"
+    )
+    assert table_fingerprint(changed).collect()[0]["checksum"] != base["checksum"]
+    null_vs_empty = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "c")], "k long, s string"
+    )
+    assert (
+        table_fingerprint(null_vs_empty).collect()[0]["checksum"]
+        != base["checksum"]
+    )
+    duped = spark.createDataFrame(rows + [rows[0]], "k long, s string")
+    assert table_fingerprint(duped).collect()[0]["checksum"] != base["checksum"]
+
+
 def test_kcore_peels_tails_keeps_cliques(spark):
     """A triangle attached to a pendant chain: the 2-core is exactly
     the triangle (the chain peels away over successive rounds), every
