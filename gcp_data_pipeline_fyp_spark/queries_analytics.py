@@ -3061,3 +3061,64 @@ ANALYTICS_QUERIES["interpolated_daily"] = (
     q_interpolated_daily,
     SQL_INTERPOLATED_DAILY,
 )
+
+
+def q_seasonal_anomaly_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Days whose seasonal-decomposition remainder is a robust
+    (median/MAD) outlier — the composition of the r7 decompose frame
+    with the mad_outliers discipline: seasonality and trend explained
+    away first, so a weekday-shaped spike doesn't mask a genuine
+    anomaly. All inputs integer micro-units; one float chain for the
+    modified z, micro6-rounded; emits the 5 most anomalous days by
+    |z| (deterministic day tie-break) so the ranking itself is
+    value-certified at every scale."""
+    dec = q_seasonal_decompose_daily(spark, sf)
+    med = dec.agg(
+        F.expr("percentile(remainder_micro, 0.5)").alias("med")
+    )
+    dev = dec.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("remainder_micro") - F.col("med"))
+    )
+    mad = dev.agg(F.expr("percentile(ad, 0.5)").alias("mad"))
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "remainder_micro",
+        micro6(
+            F.try_divide(
+                (F.col("remainder_micro") - F.col("med")),
+                F.lit(1.4826) * F.col("mad"),
+            )
+        ).alias("robust_z_micro"),
+    )
+    return (
+        scored.orderBy(
+            F.abs(F.col("robust_z_micro")).desc(), F.col("day")
+        )
+        .limit(5)
+        .orderBy("day")
+    )
+
+
+SQL_SEASONAL_ANOMALY_DAYS = f"""
+WITH dec AS (SELECT * FROM ({SQL_SEASONAL_DECOMPOSE_DAILY}) d),
+med AS (SELECT quantile_cont(remainder_micro, 0.5) AS med FROM dec),
+dev AS (
+  SELECT day, remainder_micro, med,
+         abs(remainder_micro - med) AS ad
+  FROM dec CROSS JOIN med),
+mad AS (SELECT quantile_cont(ad, 0.5) AS mad FROM dev),
+scored AS (
+  SELECT day, remainder_micro,
+    CAST(round(((remainder_micro - med) / (1.4826 * mad)) * 1000000.0)
+      AS BIGINT) AS robust_z_micro
+  FROM dev CROSS JOIN mad)
+SELECT day, remainder_micro, robust_z_micro FROM (
+  SELECT * FROM scored
+  ORDER BY abs(robust_z_micro) DESC, day LIMIT 5) t
+ORDER BY day
+"""
+
+ANALYTICS_QUERIES["seasonal_anomaly_days"] = (
+    q_seasonal_anomaly_days,
+    SQL_SEASONAL_ANOMALY_DAYS,
+)
