@@ -102,3 +102,84 @@ def range_join_points(
         (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
     )
     return out.drop("__bucket")
+
+
+def geo_radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_abs_lat: float = 70.0,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) point pairs within `radius_km` great-circle
+    distance — the spatial join, grid-bucketed so it NEVER compares
+    all pairs: left points explode into their 3x3 neighborhood of
+    grid cells, right points key on their own cell, the equality
+    join meets only nearby points, and exact haversine verifies
+    candidates.
+
+    The cell edge is sized so `radius_km` never spans more than one
+    cell in either axis up to `max_abs_lat` (longitude degrees
+    shrink by cos(lat), so the cell is sized for the worst latitude
+    you promise; points beyond it are excluded — raise the bound
+    for polar data and accept coarser cells). Recall is therefore
+    exact by construction inside the bound; the 3x3 explode is the
+    pigeonhole guarantee.
+
+    Determinism: cells are floor() of scaled doubles (identical IEEE
+    expressions both engines); the haversine is ONE pinned float
+    chain; `distance_km_micro` (integer micro-km) is the emission
+    and the radius gate compares in that integer domain. Shuffle
+    carries (cell, id, 2 doubles) rows; candidate density follows
+    cell occupancy — size radius/cells so a cell holds O(100)
+    points, the LSH-bucket discipline applied to space.
+    """
+    import math
+
+    cell_deg = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
+    lat_ok = (F.abs(F.col(lat_col)) <= max_abs_lat) & F.col(lat_col).isNotNull()
+
+    def cells(df: DataFrame, explode_neighbors: bool) -> DataFrame:
+        la = F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long")
+        lo = F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long")
+        base = df.filter(lat_ok & F.col(lon_col).isNotNull())
+        if not explode_neighbors:
+            return base.withColumn("__cla", la).withColumn("__clo", lo)
+        d = F.explode(
+            F.array(*[F.lit(i) for i in (-1, 0, 1)])
+        )
+        return (
+            base.withColumn("__dla", d)
+            .withColumn(
+                "__dlo", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+            )
+            .withColumn("__cla", la + F.col("__dla"))
+            .withColumn("__clo", lo + F.col("__dlo"))
+            .drop("__dla", "__dlo")
+        )
+
+    lcols = [F.col(c).alias(c) for c in left.columns]
+    rcols = [F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    lc = cells(left, True).select(*lcols, "__cla", "__clo")
+    rc = cells(right, False).select(*rcols, "__cla", "__clo")
+    # each (left, right) pair meets exactly once: the right point keys
+    # on its single cell and the left's 9 exploded cells are distinct
+    # keys — no dedup pass (and no extra shuffle) needed
+    cand = lc.join(rc, ["__cla", "__clo"]).drop("__cla", "__clo")
+    rlat1 = F.radians(F.col(lat_col))
+    rlat2 = F.radians(F.col(f"{lat_col}{suffix}"))
+    dlat = F.radians(F.col(f"{lat_col}{suffix}") - F.col(lat_col)) / 2.0
+    dlon = F.radians(F.col(f"{lon_col}{suffix}") - F.col(lon_col)) / 2.0
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    dist = 2.0 * F.lit(6371.0088) * F.asin(F.sqrt(a))
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    out = cand.withColumn("distance_km_micro", micro6(dist))
+    return out.filter(
+        F.col("distance_km_micro") <= int(round(radius_km * 1_000_000))
+    )

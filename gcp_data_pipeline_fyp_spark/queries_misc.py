@@ -1757,3 +1757,71 @@ MISC_QUERIES["lineitem_fingerprint"] = (
     q_lineitem_fingerprint,
     SQL_LINEITEM_FINGERPRINT,
 )
+
+
+# ------------------------------------------- spatial radius join (r7)
+def q_geo_radius_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-bucketed spatial join (operators/asof.py:geo_radius_join):
+    event pairs within 25 km great-circle distance, coordinates
+    derived deterministically from ids. The 3x3 cell explode is the
+    pigeonhole recall guarantee; exact haversine verifies candidates;
+    the radius gate compares integer micro-km. Never all-pairs —
+    shuffle carries (cell, id, 2 doubles)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.asof import geo_radius_join
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        ((F.col("user_id") % 12000) / 100.0 - 60.0).alias("lat"),
+        ((F.col("event_id") % 36000) / 100.0 - 180.0).alias("lon"),
+    )
+    left = ev.filter(F.col("event_id") % 97 == 0)
+    right = ev.filter(F.col("event_id") % 89 == 0)
+    out = geo_radius_join(left, right, 25.0)
+    return out.select(
+        "event_id", "event_id_r", "distance_km_micro"
+    ).orderBy("event_id", "event_id_r")
+
+
+SQL_GEO_RADIUS_PAIRS = """
+WITH pts AS (
+  SELECT event_id,
+    (user_id % 12000) / 100.0 - 60.0 AS lat,
+    (event_id % 36000) / 100.0 - 180.0 AS lon
+  FROM events),
+l AS (SELECT * FROM pts WHERE event_id % 97 = 0),
+r AS (SELECT * FROM pts WHERE event_id % 89 = 0),
+lc AS (
+  SELECT event_id, lat, lon,
+    CAST(floor(lat / 0.6566215415386019) AS BIGINT) + dla AS cla,
+    CAST(floor(lon / 0.6566215415386019) AS BIGINT) + dlo AS clo
+  FROM l
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dla)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlo)),
+rc AS (
+  SELECT event_id AS event_id_r, lat AS lat_r, lon AS lon_r,
+    CAST(floor(lat / 0.6566215415386019) AS BIGINT) AS cla,
+    CAST(floor(lon / 0.6566215415386019) AS BIGINT) AS clo
+  FROM r),
+cand AS (
+  SELECT lc.event_id, lc.lat, lc.lon, rc.event_id_r, rc.lat_r, rc.lon_r
+  FROM lc JOIN rc ON lc.cla = rc.cla AND lc.clo = rc.clo),
+d AS (
+  SELECT event_id, event_id_r,
+    CAST(round((2.0 * 6371.0088 * asin(sqrt(
+        sin(radians(lat_r - lat) / 2.0) * sin(radians(lat_r - lat) / 2.0)
+      + cos(radians(lat)) * cos(radians(lat_r))
+        * sin(radians(lon_r - lon) / 2.0)
+        * sin(radians(lon_r - lon) / 2.0)))) * 1000000.0) AS BIGINT)
+      AS distance_km_micro
+  FROM cand)
+SELECT event_id, event_id_r, distance_km_micro
+FROM d WHERE distance_km_micro <= 25000000
+ORDER BY event_id, event_id_r
+"""
+
+MISC_QUERIES["geo_radius_pairs"] = (
+    q_geo_radius_pairs,
+    SQL_GEO_RADIUS_PAIRS,
+)

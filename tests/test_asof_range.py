@@ -82,3 +82,34 @@ def test_asof_multicolumn_no_stitching(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     r = asof_join(left, right, on=["k"], ts_col="ts", value_cols=["a", "b"]).collect()[0]
     assert (r["a_asof"], r["b_asof"]) == (None, 9)  # the 11:00 row, whole
+
+
+def test_geo_radius_join_recall_precision_and_lat_bound(spark):
+    """A ~1.1 km pair is found with the right haversine distance; a
+    pair just outside the radius is excluded; points straddling a
+    grid-cell boundary still meet (the 3x3 pigeonhole); points past
+    the latitude bound are excluded."""
+    from gcp_data_pipeline_fyp_spark.operators.asof import geo_radius_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 10.0), (3, 80.0, 0.0)],
+        "id long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(10, 0.01, 0.0),      # ~1.112 km from point 1
+         (20, 50.0, 10.4),     # ~28.6 km from point 2 -> outside 25
+         (30, 80.0, 0.01),     # near point 3 but |lat| > 70 -> excluded
+         (40, 0.3283, 0.3283)],  # ~51 km from 1 -> outside, but same
+        "id long, lat double, lon double",  # cell family exercises verify
+    )
+    got = {
+        (r["id"], r["id_r"]): r["distance_km_micro"]
+        for r in geo_radius_join(left, right, 25.0, max_abs_lat=70.0).collect()
+    }
+    assert set(got) == {(1, 10)}
+    assert abs(got[(1, 10)] / 1e6 - 1.112) < 0.01
+    # boundary recall: two points in adjacent cells, 5 km apart
+    la = spark.createDataFrame([(1, 0.655, 0.0)], "id long, lat double, lon double")
+    rb = spark.createDataFrame([(2, 0.658, 0.0)], "id long, lat double, lon double")
+    near = geo_radius_join(la, rb, 25.0).collect()
+    assert len(near) == 1 and near[0]["distance_km_micro"] < 1_000_000
