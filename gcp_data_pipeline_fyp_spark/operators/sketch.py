@@ -218,3 +218,31 @@ def kmv_set_estimates(
         micro6(jac * union_est).alias("inter_est_micro"),
         micro6(jac).alias("jaccard_micro"),
     )
+
+
+def cms_join_size(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min states — the
+    AGMS/CM inner-product estimator: per depth row, Σ_buckets
+    cntA·cntB upper-bounds the true join size (colliding keys only
+    ADD mass), and the MIN over depths is the estimate. The
+    optimizer-style "how big would this join be?" question answered
+    from two O(depth·width) states without shuffling either table.
+
+    Exact integer arithmetic end to end (products in decimal so a
+    petabyte-scale cell pair cannot overflow); the estimate is exact
+    when no two distinct join keys collide in the winning depth row.
+    Same-(depth, width, hash) states required — they are whenever
+    both came from `cms_state`.
+    """
+    j = state_a.alias("a").join(
+        state_b.alias("b"),
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.bucket") == F.col("b.bucket")),
+    )
+    per_d = j.groupBy(F.col("a.d").alias("d")).agg(
+        F.sum(
+            F.col("a.cnt").cast("decimal(38,0)") * F.col("b.cnt")
+        ).alias("__ip")
+    )
+    return per_d.agg(
+        F.min("__ip").cast("decimal(38,0)").cast("string").alias("est_join_size")
+    )

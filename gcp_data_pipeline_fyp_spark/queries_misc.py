@@ -1825,3 +1825,68 @@ MISC_QUERIES["geo_radius_pairs"] = (
     q_geo_radius_pairs,
     SQL_GEO_RADIUS_PAIRS,
 )
+
+
+def q_cms_join_size(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-cardinality estimation from sketches (operators/sketch.py:
+    cms_join_size): how many row pairs would the user_id equi-join of
+    the two month-halves produce — answered from two count-min grids
+    without shuffling either side, beside the exact answer for
+    context. The CM inner product upper-bounds the truth; min over
+    depths is the estimate. All integers; emitted as strings (the
+    decimal/hugeint cross-engine render convention)."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        cms_join_size,
+        cms_state,
+    )
+
+    ev = load(spark, sf, "events")
+    a = ev.filter(F.dayofmonth("ts") <= 15)
+    b = ev.filter(F.dayofmonth("ts") > 15)
+    est = cms_join_size(
+        cms_state(a, "user_id", 4, 512), cms_state(b, "user_id", 4, 512)
+    )
+    ca = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("ca"))
+    cb = b.groupBy("user_id").agg(F.count(F.lit(1)).alias("cb"))
+    truth = ca.join(cb, "user_id").agg(
+        F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("true_join_size")
+    )
+    return est.crossJoin(F.broadcast(truth))
+
+
+SQL_CMS_JOIN_SIZE = """
+WITH a0 AS (SELECT user_id FROM events WHERE day(ts) <= 15),
+b0 AS (SELECT user_id FROM events WHERE day(ts) > 15),
+ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+sa AS (
+  SELECT d,
+    cast(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), '_',
+      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS bucket,
+    count(*) AS cnt
+  FROM a0 CROSS JOIN ds GROUP BY 1, 2),
+sb AS (
+  SELECT d,
+    cast(concat('0x', substr(md5(concat(CAST(d AS VARCHAR), '_',
+      CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 512 AS bucket,
+    count(*) AS cnt
+  FROM b0 CROSS JOIN ds GROUP BY 1, 2),
+ip AS (
+  SELECT sa.d, sum(CAST(sa.cnt AS HUGEINT) * sb.cnt) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY 1),
+est AS (SELECT CAST(min(ip) AS VARCHAR) AS est_join_size FROM ip),
+tr AS (
+  SELECT CAST(sum(CAST(ca AS HUGEINT) * cb) AS VARCHAR)
+    AS true_join_size
+  FROM (SELECT user_id, count(*) AS ca FROM a0 GROUP BY 1) x
+  JOIN (SELECT user_id, count(*) AS cb FROM b0 GROUP BY 1) y
+    USING (user_id))
+SELECT est_join_size, true_join_size FROM est CROSS JOIN tr
+"""
+
+MISC_QUERIES["cms_join_size"] = (q_cms_join_size, SQL_CMS_JOIN_SIZE)

@@ -110,3 +110,34 @@ def test_kmv_set_estimates_exact_below_fill_bounded_above(spark):
     assert abs(e["union_est_micro"] / 1e6 - 1500) / 1500 < 0.35
     assert abs(e["jaccard_micro"] / 1e6 - 1 / 3) < 0.15
     assert abs(e["inter_est_micro"] / 1e6 - 500) / 500 < 0.5
+
+
+def test_cms_join_size_upper_bounds_and_hits_exact_when_sparse(spark):
+    """The CM inner product never underestimates the true join size,
+    and with distinct keys far fewer than buckets it is exact."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sketch import (
+        cms_join_size,
+        cms_state,
+    )
+
+    a = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long"  # 10 keys x 10 rows
+    )
+    b = spark.createDataFrame(
+        [(i % 5,) for i in range(50)], "k long"  # 5 keys x 10 rows
+    )
+    est = int(
+        cms_join_size(
+            cms_state(a, "k", 4, 1024), cms_state(b, "k", 4, 1024)
+        ).collect()[0]["est_join_size"]
+    )
+    truth = (
+        a.groupBy("k").count().withColumnRenamed("count", "ca")
+        .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+        .agg(F.sum(F.col("ca") * F.col("cb"))).collect()[0][0]
+    )
+    assert truth == 500
+    assert est >= truth  # upper bound always
+    assert est == truth  # 15 distinct keys in 1024 buckets: no collision
