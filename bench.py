@@ -95,6 +95,12 @@ HEADLINE = [
     "psi_drift_report",
     "ks_drift_report",
     "embedding_drift",
+    # round-7 tail: the grid-bucketed spatial join (cell explode +
+    # equality join + haversine verify) and the key-level snapshot
+    # diff (fact-sized full-outer join) — the round's two heaviest
+    # new join shapes get tracked numbers from their first round
+    "geo_radius_pairs",
+    "snapshot_diff",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
