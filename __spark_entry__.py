@@ -34,19 +34,19 @@ _REGISTRIES = [
 # each round.
 #
 # ROUND-7 WINDOW, in priority order:
-#   0. the 32 NEW r7 probes (zone-map skipping family, bucket index,
+#   0. the 33 NEW r7 probes (zone-map skipping family, bucket index,
 #      CM/KMV sketches + set algebra, classifier reliability,
 #      l-diversity, seasonal decomposition, built-in session windows,
 #      the drift-monitor suite psi/ks/lang-mix/embedding,
 #      winsorization, one-pass corr matrix, A/B z-test, Benford,
 #      target encoding, media phash pairs, CUSUM changepoints,
-#      MI/chi-square association, snapshot diff, JSD source map, ANN eval, gap interpolation, A-ES weighted sampling, table fingerprint, seasonal anomaly ranking, spatial radius join, CMS join-size estimate)
+#      MI/chi-square association, snapshot diff, JSD source map, ANN eval, gap interpolation, A-ES weighted sampling, table fingerprint, seasonal anomaly ranking, spatial radius join, CMS join-size estimate, Gini concentration)
 #   1. the 28 r6-tail additions, never driver-checked (all
 #      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
 #      22-set closers, z-normalization, sequence patterns, SCD2,
 #      k-anonymity, label propagation, fuzzy join, skew report,
 #      attribution, basket lift, clustering coefficients, batching
-#   2. the 32 new probes + the first 18 r6-tail rows fill a 50-wide
+#   2. the 33 new probes + the first 17 r6-tail rows fill a 50-wide
 #      window; the overflow (the last r6-tail rows, the 4 r6 carries
 #      kmeans_embeddings / incremental_dedup / filter_chain_report /
 #      temperature_mix, and the 8 r04-tail rows listed below) stays
@@ -76,6 +76,7 @@ _CHECK_FIRST = [
     "seasonal_anomaly_days",
     "geo_radius_pairs",
     "cms_join_size",
+    "nation_spend_gini",
     "zonemap_pruned_scan",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",

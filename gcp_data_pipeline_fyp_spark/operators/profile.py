@@ -1217,3 +1217,58 @@ def group_znormalize(
         df.join(F.broadcast(stats), list(group_cols))
         .select(*keep, micro6(z).alias(alias))
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Gini concentration coefficient per group — the inequality
+    readout (how concentrated is revenue/token mass over customers/
+    sources?) via the exact rank formula G = 2·Σ(i·x_i)/(n·Σx) −
+    (n+1)/n over ascending-sorted values.
+
+    Exact integer/decimal core: values accumulate as decimal(18,4),
+    rank·value products as decimal(38,4) (both order-independent),
+    and the single float chain evaluates the closed form once,
+    micro6-rounded. Ranks tie-break on the value's group row order
+    by value then input order surrogate — ties share mass so any
+    consistent tie order yields the same G. NULL and negative
+    domains are the caller's problem (Gini is defined on
+    non-negative mass); NULLs are excluded.
+
+    Scale: one window rank per group over the VALUE-holder frame
+    (customers, not line items — aggregate first), then one
+    aggregation.
+    """
+    gcols = list(group_cols)
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("decimal(18,4)")
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*gcols).orderBy(
+        F.col(value_col), *[F.col(c) for c in df.columns if c != value_col]
+    )
+    ranked = base.select(
+        *gcols,
+        x.alias("__x"),
+        F.row_number().over(w).alias("__i"),
+    )
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__s0"),
+        F.sum(
+            (F.col("__i").cast("decimal(19,0)") * F.col("__x")).cast(
+                "decimal(38,4)"
+            )
+        ).alias("__s1"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    nn = F.col("n").cast("double")
+    g = (
+        2.0 * F.col("__s1").cast("double") / (nn * F.col("__s0").cast("double"))
+        - (nn + 1.0) / nn
+    )
+    return agg.select(*gcols, "n", micro6(g).alias("gini_micro"))

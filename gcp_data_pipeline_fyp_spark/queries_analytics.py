@@ -3122,3 +3122,59 @@ ANALYTICS_QUERIES["seasonal_anomaly_days"] = (
     q_seasonal_anomaly_days,
     SQL_SEASONAL_ANOMALY_DAYS,
 )
+
+
+def q_nation_spend_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Revenue-concentration Gini per nation (operators/profile.py:
+    gini_coefficient) over customer order spend — the inequality
+    readout behind per-source corpus caps. Exact rank formula with
+    decimal sums; customers without orders are out of scope (spend
+    mass, not census). Window ranks run over the customers frame,
+    never order lines."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    j = spend.join(F.broadcast(cust), "c_custkey").select(
+        "c_nationkey", "c_custkey", "spend"
+    )
+    return gini_coefficient(j, "spend", ["c_nationkey"]).orderBy(
+        "c_nationkey"
+    )
+
+
+SQL_NATION_SPEND_GINI = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1),
+j AS (
+  SELECT c_nationkey, s.c_custkey,
+         CAST(spend AS DECIMAL(18,4)) AS x
+  FROM spend s JOIN customer c ON c.c_custkey = s.c_custkey),
+r AS (
+  SELECT c_nationkey, x,
+    row_number() OVER (PARTITION BY c_nationkey
+                       ORDER BY x, c_custkey) AS i
+  FROM j),
+a AS (
+  SELECT c_nationkey, count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS s0,
+    CAST(sum(CAST(i * x AS DECIMAL(38,4))) AS DOUBLE) AS s1
+  FROM r GROUP BY 1)
+SELECT c_nationkey, CAST(n AS BIGINT) AS n,
+  CAST(round((2.0 * s1 / (CAST(n AS DOUBLE) * s0)
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000.0)
+    AS BIGINT) AS gini_micro
+FROM a ORDER BY c_nationkey
+"""
+
+ANALYTICS_QUERIES["nation_spend_gini"] = (
+    q_nation_spend_gini,
+    SQL_NATION_SPEND_GINI,
+)

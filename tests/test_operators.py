@@ -2577,3 +2577,36 @@ def test_text_index_postings_compact_after_appends(spark, tmp_path):
     assert _nfiles() < n_before  # the 3-generation small files merged
     after = [tuple(r) for r in query_text_index(wh, spark, terms, "ix").collect()]
     assert after == before
+
+
+def test_gini_coefficient_bounds_and_known_values(spark):
+    """Perfect equality -> 0; a single holder of all mass among n ->
+    (n-1)/n; a hand-computable split matches the rank formula;
+    partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    equal = spark.createDataFrame(
+        [("g", i, 5.0) for i in range(10)], "grp string, id long, v double"
+    )
+    r = gini_coefficient(equal, "v", ["grp"]).collect()[0]
+    assert (r["n"], r["gini_micro"]) == (10, 0)
+    oneall = spark.createDataFrame(
+        [("g", i, 0.0) for i in range(9)] + [("g", 9, 100.0)],
+        "grp string, id long, v double",
+    )
+    r2 = gini_coefficient(oneall, "v", ["grp"]).collect()[0]
+    assert r2["gini_micro"] == 900_000  # (n-1)/n = 0.9
+    # values 1..4: G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    ramp = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 5)],
+        "grp string, id long, v double",
+    )
+    assert gini_coefficient(ramp, "v", ["grp"]).collect()[0][
+        "gini_micro"
+    ] == 250_000
+    again = gini_coefficient(
+        oneall.repartition(7), "v", ["grp"]
+    ).collect()[0]
+    assert again["gini_micro"] == r2["gini_micro"]
