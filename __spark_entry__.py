@@ -33,78 +33,25 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-7 WINDOW, in priority order:
-#   0. the 33 NEW r7 probes (zone-map skipping family, bucket index,
-#      CM/KMV sketches + set algebra, classifier reliability,
-#      l-diversity, seasonal decomposition, built-in session windows,
-#      the drift-monitor suite psi/ks/lang-mix/embedding,
-#      winsorization, one-pass corr matrix, A/B z-test, Benford,
-#      target encoding, media phash pairs, CUSUM changepoints,
-#      MI/chi-square association, snapshot diff, JSD source map, ANN eval, gap interpolation, A-ES weighted sampling, table fingerprint, seasonal anomaly ranking, spatial radius join, CMS join-size estimate, Gini concentration)
-#   1. the 28 r6-tail additions, never driver-checked (all
-#      mirror-certified at sf0.001/0.01/0.1 in round 6): the TPC-H
-#      22-set closers, z-normalization, sequence patterns, SCD2,
-#      k-anonymity, label propagation, fuzzy join, skew report,
-#      attribution, basket lift, clustering coefficients, batching
-#   2. the 33 new probes + the first 17 r6-tail rows fill a 50-wide
-#      window; the overflow (the last r6-tail rows, the 4 r6 carries
-#      kmeans_embeddings / incremental_dedup / filter_chain_report /
-#      temperature_mix, and the 8 r04-tail rows listed below) stays
-#      queued here and leads the r8 rotation with the rest of the
-#      r04 tail
+# ROUND-8 WINDOW, in priority order:
+#   0. the 11 r6-tail probes that overflowed r7's 50-window and have
+#      NEVER had a driver row (VERDICT r7 gap #1);
+#   1. the 3 NEW r8 probes: measure_max_magnitude (closes the last §2
+#      cell without its own row, DAX Q4), customer_spend_gini_global
+#      (the distributed ungrouped-Gini path), ivf_retrain_decision
+#      (drift→index retrain trigger);
+#   2. the 4 probes whose plan or split CHANGED this round:
+#      lang_mix_drift (vacuous doc_id%2 split fixed to %40 — now
+#      emits 20 groups, was 0), geo_radius_pairs (antimeridian
+#      wrapped-cell recall fix), nation_spend_gini (gini module
+#      touched), snapshot_diff (table_diff empty-cols guard);
+#   3. the 4 probes rotated out of the r6 window still on r4 evidence
+#      (kmeans_embeddings, incremental_dedup, filter_chain_report,
+#      temperature_mix);
+#   4. 28 of the r04-tail backlog (oldest driver evidence), in the
+#      queued order.
 _CHECK_FIRST = [
-    # -- new this round (r7)
-    "psi_drift_report",
-    "ks_drift_report",
-    "lang_mix_drift",
-    "embedding_drift",
-    "kmv_overlap_users",
-    "winsorized_values",
-    "lineitem_corr_matrix",
-    "ab_test_purchases",
-    "benford_prices",
-    "target_encoded_events",
-    "media_phash_pairs",
-    "cusum_changepoints",
-    "source_lang_association",
-    "snapshot_diff",
-    "source_jsd_matrix",
-    "ann_lsh_eval",
-    "interpolated_daily",
-    "weighted_doc_sample",
-    "lineitem_fingerprint",
-    "seasonal_anomaly_days",
-    "geo_radius_pairs",
-    "cms_join_size",
-    "nation_spend_gini",
-    "zonemap_pruned_scan",
-    "zonemap_zorder_box_scan",
-    "bucket_index_lookup",
-    "cms_token_counts",
-    "kmv_distinct_users",
-    "classifier_reliability",
-    "ldiversity_report",
-    "ldiverse_released_docs",
-    "seasonal_decompose_daily",
-    "session_window_stats",
-    # -- r6-tail additions, first driver check
-    "market_share_by_year",
-    "nation_profit_by_year",
-    "quarter_top_supplier",
-    "part_supplier_counts",
-    "excess_ship_suppliers",
-    "source_znormalized_tokens",
-    "event_sequence_patterns",
-    "small_qty_revenue",
-    "min_price_suppliers",
-    "important_parts",
-    "waiting_suppliers",
-    "scd2_user_state",
-    "kanon_released_docs",
-    "kanon_report",
-    "label_prop_communities",
-    "scd2_incremental_state",
-    "value_trend_by_type",
+    # -- never driver-checked (r6-tail overflow)
     "fuzzy_supplier_pairs",
     "release_gated_docs",
     "key_skew_report",
@@ -116,37 +63,60 @@ _CHECK_FIRST = [
     "brand_basket_lift",
     "clustering_coefficients",
     "length_bucketed_batches",
-    # -- rotated out of the r6 window, re-cert first
+    # -- new this round (r8)
+    "measure_max_magnitude",
+    "customer_spend_gini_global",
+    "ivf_retrain_decision",
+    "bitext_margin_pairs",
+    "epoch_shuffle_order",
+    # -- changed this round, re-certify
+    "lang_mix_drift",
+    "geo_radius_pairs",
+    "nation_spend_gini",
+    "snapshot_diff",
+    # -- rotated out of the r6 window, still on r4 evidence
     "kmeans_embeddings",
     "incremental_dedup",
     "filter_chain_report",
     "temperature_mix",
-    # -- r04 tail rolling re-cert (oldest driver evidence after r6)
-    "measure_latest_update",
-    "measure_avg_magnitude",
-    "measure_max_depth",
-    "measure_totals_by_type",
-    "measure_total_events",
-    "measure_sliced_by_day",
-    "ann_ivf_topk",
-    "ann_cosine_topk",
-    # next round (r08), in priority order: (0) any new r08 probes;
-    # (1) anything red in r07; (2) rolling re-cert of the remaining
-    # r04 tail never re-checked since —
-    # semantic_neardup_kmeans, setops_buyers, approx_distinct_users,
-    # value_percentiles, nation_volume_by_year,
-    # top_returning_customers, date_scaffold, pivot_type_by_day,
-    # windowed_counts, lang_id,
-    # doc_fingerprint, minhash_signature, simhash, simhash_dup_groups,
-    # ngram_jaccard, vocabulary_top, chunk_documents, redact_pii,
-    # hash_sample, domain_stats, filter_fail_matrix,
-    # substring_dup_report, substring_filtered_docs, dedup_normalized,
-    # quality_weighted_sample, sentence_dedup, length_histogram,
-    # ngram_novelty, embedding_neardup, embedding_neardup_lsh,
-    # ann_lsh_topk, multimodal_byte_features, json_extract,
-    # asof_last_click, range_join_shipments, distinct_users_rollup,
-    # salted_agg_events, salted_join_events, missing_days,
-    # char_entropy, text_quality; (3) r05/r06-green tail on rotation
+    # -- r04 tail rolling re-cert (28 of 49; oldest first per queue)
+    "semantic_neardup_kmeans",
+    "setops_buyers",
+    "approx_distinct_users",
+    "value_percentiles",
+    "nation_volume_by_year",
+    "top_returning_customers",
+    "date_scaffold",
+    "pivot_type_by_day",
+    "windowed_counts",
+    "lang_id",
+    "doc_fingerprint",
+    "minhash_signature",
+    "simhash",
+    "simhash_dup_groups",
+    "ngram_jaccard",
+    "vocabulary_top",
+    "chunk_documents",
+    "redact_pii",
+    "hash_sample",
+    "domain_stats",
+    "filter_fail_matrix",
+    "substring_dup_report",
+    "substring_filtered_docs",
+    "dedup_normalized",
+    "quality_weighted_sample",
+    "sentence_dedup",
+    # next round (r09), in priority order: (0) any new r09 probes;
+    # (1) anything red in r08; (2) the remaining 23 r04-tail rows —
+    # length_histogram, ngram_novelty, embedding_neardup,
+    # embedding_neardup_lsh, ann_lsh_topk,
+    # multimodal_byte_features, json_extract, asof_last_click,
+    # range_join_shipments, distinct_users_rollup, salted_agg_events,
+    # salted_join_events, missing_days, char_entropy, text_quality,
+    # measure_latest_update, measure_avg_magnitude, measure_max_depth,
+    # measure_totals_by_type, measure_total_events,
+    # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk;
+    # (3) r05/r06-green tail on rotation
 ]
 
 

@@ -101,6 +101,15 @@ HEADLINE = [
     # new join shapes get tracked numbers from their first round
     "geo_radius_pairs",
     "snapshot_diff",
+    # round-8: label propagation (the star-contraction community
+    # rounds were previously untimed), the drift→retrain trigger (IVF
+    # fit + two broadcast assignment passes + PSI), and the
+    # distributed ungrouped Gini (tie-collapse + two-level prefix
+    # rank — the no-global-sort path)
+    "label_prop_communities",
+    "ivf_retrain_decision",
+    "customer_spend_gini_global",
+    "bitext_margin_pairs",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

@@ -42,3 +42,24 @@ def fast_event_id(*key_cols: Column | str) -> Column:
     """xxhash64 id, non-negative; Spark-internal fast path."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
     return F.abs(F.xxhash64(*cols))
+
+
+def stable_event_id_sha1(*key_cols: Column | str) -> Column:
+    """The reference's delta-load id, bit-exact (`Delta Load
+    Scripts/ods_delta_load2.py:21-24`): 63-bit slice of SHA-1 over the
+    '_'-joined key columns —
+    `int(sha1(f"{t}_{lat}_{lon}").hexdigest()[:16], 16) & 0x7FF...F`.
+
+    Offered for byte-parity with ids minted by the reference (e.g.
+    when merging into a table it populated); new pipelines should use
+    `stable_event_id` (md5-60-bit), the engine standard, which the
+    DuckDB oracle can replay. The &-mask keeps the low 63 bits, i.e.
+    `x mod 2^63`, computed in decimal because the 16-hex-char slice is
+    64 bits and would overflow a signed long before masking."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    joined = F.concat_ws("_", *[c.cast("string") for c in cols])
+    v = F.conv(F.substring(F.sha1(joined), 1, 16), 16, 10).cast(
+        "decimal(20,0)"
+    )
+    two63 = F.lit("9223372036854775808").cast("decimal(20,0)")  # 2^63
+    return F.pmod(v, two63).cast("long")

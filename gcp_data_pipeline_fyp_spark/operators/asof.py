@@ -126,7 +126,13 @@ def geo_radius_join(
     you promise; points beyond it are excluded — raise the bound
     for polar data and accept coarser cells). Recall is therefore
     exact by construction inside the bound; the 3x3 explode is the
-    pigeonhole guarantee.
+    pigeonhole guarantee. Left points within one cell of the ±180°
+    antimeridian additionally key on their wrapped cell (lon∓360 for
+    cell assignment only — output and haversine keep the raw lon, and
+    sin² is ±360°-shift invariant, so the distance is the true
+    great-circle one), closing the wraparound recall gap; the wrapped
+    neighborhood is ~360/cell_deg cells away from the raw one, so no
+    pair can meet twice.
 
     Determinism: cells are floor() of scaled doubles (identical IEEE
     expressions both engines); the haversine is ONE pinned float
@@ -141,12 +147,35 @@ def geo_radius_join(
     cell_deg = radius_km / (111.32 * math.cos(math.radians(max_abs_lat)))
     lat_ok = (F.abs(F.col(lat_col)) <= max_abs_lat) & F.col(lat_col).isNotNull()
 
+    # antimeridian wrap is only sound when the wrapped cell
+    # neighborhood cannot overlap the raw one (always true for
+    # realistic radii; a >40-cell-wide world would be near-all-pairs)
+    wrap = 3.0 * cell_deg < 360.0
+
     def cells(df: DataFrame, explode_neighbors: bool) -> DataFrame:
         la = F.floor(F.col(lat_col) / F.lit(cell_deg)).cast("long")
         lo = F.floor(F.col(lon_col) / F.lit(cell_deg)).cast("long")
         base = df.filter(lat_ok & F.col(lon_col).isNotNull())
         if not explode_neighbors:
             return base.withColumn("__cla", la).withColumn("__clo", lo)
+        if wrap:
+            shifts = (
+                F.when(
+                    F.col(lon_col) >= F.lit(180.0 - cell_deg),
+                    F.array(F.lit(0.0), F.lit(-360.0)),
+                )
+                .when(
+                    F.col(lon_col) <= F.lit(-180.0 + cell_deg),
+                    F.array(F.lit(0.0), F.lit(360.0)),
+                )
+                .otherwise(F.array(F.lit(0.0)))
+            )
+        else:
+            shifts = F.array(F.lit(0.0))
+        base = base.withColumn("__sh", F.explode(shifts))
+        lo = F.floor(
+            (F.col(lon_col) + F.col("__sh")) / F.lit(cell_deg)
+        ).cast("long")
         d = F.explode(
             F.array(*[F.lit(i) for i in (-1, 0, 1)])
         )
@@ -157,7 +186,7 @@ def geo_radius_join(
             )
             .withColumn("__cla", la + F.col("__dla"))
             .withColumn("__clo", lo + F.col("__dlo"))
-            .drop("__dla", "__dlo")
+            .drop("__dla", "__dlo", "__sh")
         )
 
     lcols = [F.col(c).alias(c) for c in left.columns]

@@ -110,7 +110,9 @@ def table_diff(
     diffs = [
         ~F.col(f"__l_{c}").eqNullSafe(F.col(f"__r_{c}")) for c in cols
     ]
-    any_diff = diffs[0]
+    # no compare columns (keys-only tables): a pure key-presence diff —
+    # both-sides keys are never "changed"
+    any_diff = diffs[0] if diffs else F.lit(False)
     for d in diffs[1:]:
         any_diff = any_diff | d
     status = (

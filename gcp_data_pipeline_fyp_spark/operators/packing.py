@@ -115,3 +115,68 @@ def length_bucketed_batches(
         bucket.alias("len_bucket"),
         F.floor((rn - 1) / batch_size).cast("int").alias("batch_id"),
     )
+
+
+def epoch_shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic per-epoch global training order — every training
+    run needs "shuffle the corpus differently each epoch, identically
+    on every retry/restart". Adds `global_pos` (0-based, a bijection
+    onto 0..n-1): the row's rank under the keyed permutation
+    md5(epoch || '_' || id), tie-broken by id.
+
+    A global `Window.orderBy(key)` is the same single-partition trap
+    pack_sequences documents; the rank here uses the same two-level
+    escape, with a twist that makes it UNCONDITIONALLY balanced: the
+    bucket is the hash key's high bits, and the key is uniform by
+    construction, so bucket occupancy is ~n/n_buckets REGARDLESS of
+    the id distribution (the id-div bucketing above is only as
+    balanced as the ids). Intra-bucket ranks run parallel per bucket;
+    only the n_buckets-sized totals table sees a window.
+
+    The key is the md5-60-bit engine standard (functions/ids.py), so
+    a DuckDB oracle replays the exact permutation; chain the output
+    into `pack_sequences` (ordered by global_pos) to get the epoch's
+    packed layout.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.lit(int(epoch)), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span = (1 << 60) // n_buckets
+    keyed = df.withColumn("__key", key).withColumn(
+        "__b", F.expr(f"__key div {span}")
+    )
+    w_intra = Window.partitionBy("__b").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    totals = keyed.groupBy("__b").agg(F.count(F.lit(1)).alias("__bt"))
+    w_bucket = (
+        Window.orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    return (
+        keyed.join(F.broadcast(offsets), "__b")
+        .withColumn(
+            "global_pos",
+            (F.col("__off") + F.row_number().over(w_intra) - 1).cast("long"),
+        )
+        .drop("__key", "__b", "__off")
+    )

@@ -694,3 +694,146 @@ def topk_overlap_report(
             F.coalesce("mrr_micro", F.lit(0).cast("bigint")).alias("mrr_micro"),
         )
     )
+
+
+# ------------------------------------------- index-drift retrain trigger
+def ivf_retrain_decision(
+    base: DataFrame,
+    current: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    psi_threshold_micro: int = 250_000,
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """Should the ANN index be retrained? Wire the embedding-drift
+    monitor to the IVF index family: fit centroids on the BASE
+    snapshot (the corpus the live index was trained on), assign both
+    snapshots to those centroids, and run PSI over the centroid-id
+    mix (operators/profile.py:psi_categorical — union category set,
+    add-half smoothing, micro6-then-integer-sum determinism). A
+    shifted assignment distribution means queries now probe lists the
+    codebook no longer balances — the operational retrain signal.
+
+    Emits ONE row: (n_base, n_cur, n_cats, psi_micro, retrain) with
+    `retrain = psi_micro > psi_threshold_micro` (default 0.25, the
+    classic "significant shift" PSI rule).
+
+    Scale: the fit is sample-able (`train_sample_frac`, the 100 TB
+    path), both assignment passes are broadcast-centroid map-side
+    scoring (no shuffle of the vectors), and the PSI runs on
+    n_centroids-sized counts. Nothing here exceeds the cost of the
+    index build it guards.
+    """
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
+
+    b = base.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cur = current.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cent = fit_ivf_centroids(b, n_centroids, refine_iters, train_sample_frac)
+    ab = _assign(b, cent).select(
+        F.lit("all").alias("__scope"), "centroid_id"
+    )
+    ac = _assign(cur, cent).select(
+        F.lit("all").alias("__scope"), "centroid_id"
+    )
+    psi = psi_categorical(ab, ac, "centroid_id", ["__scope"])
+    return psi.select(
+        "n_base",
+        "n_cur",
+        "n_cats",
+        "psi_micro",
+        (F.col("psi_micro") > F.lit(psi_threshold_micro)).alias("retrain"),
+    )
+
+
+# ------------------------------------------------- bitext margin mining
+def bitext_margin_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    margin_threshold_micro: int = 1_020_000,
+    n_centroids: int | None = None,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Margin-based parallel-pair mining between two embedding sides —
+    the public CCMatrix/LASER method (Artetxe & Schwenk 2019): a
+    candidate (x, y) is a translation pair when cos(x, y) clearly
+    beats the DENSITY of both neighborhoods, margin = cos(x, y) /
+    ((mean top-k cos of x in RIGHT + mean top-k cos of y in LEFT)/2).
+    Raw cosine thresholds fail on hubness (dense regions score high
+    everywhere); the ratio margin normalizes it away.
+
+    Emits the best right match per left row with `margin_micro >=
+    margin_threshold_micro` (default 1.02; the paper operates around
+    1.06): (query_id, corpus_id, cosine_micro, margin_micro).
+
+    Scale: `n_centroids=None` runs exact brute-force top-k (the
+    certification path); set it to mine through the IVF index
+    (coarse-pruned candidate lists, the 100 TB path — both directions
+    reuse `ivf_topk`'s broadcast-codebook assignment, so neither
+    corpus ever shuffles by pair). The margin algebra afterwards runs
+    on top-k-sized lists: two tiny aggregations and one join, never a
+    second pass over the vectors.
+
+    Determinism: cosines live in integer micro-units, the two
+    neighborhood means are (exact int sum)/count in ONE pinned double
+    expression each, and `margin_micro` is micro6 of the single ratio
+    — DuckDB replays it bit-for-bit. try_divide: a degenerate
+    all-orthogonal neighborhood (mean 0) yields NULL margin and the
+    pair drops rather than dividing by zero.
+    """
+    if n_centroids is not None:
+        def topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            return ivf_topk(
+                q, c, id_col, vec_col, k=k,
+                n_centroids=n_centroids, nprobe=nprobe,
+            )
+    else:
+        def topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            return brute_force_topk(q, c, id_col, vec_col, k=k)
+
+    fwd = topk(left, right)
+    bwd = topk(right, left)
+    fmean = fwd.groupBy("query_id").agg(
+        (F.sum("cosine_micro") / F.count(F.lit(1))).alias("__fmean")
+    )
+    bmean = bwd.groupBy("query_id").agg(
+        (F.sum("cosine_micro") / F.count(F.lit(1))).alias("__bmean")
+    ).withColumnRenamed("query_id", "corpus_id")
+    # NOT forced broadcast: the mean tables are node-count-sized (one
+    # row per left/right vector) — broadcastable at probe scale but
+    # not at 100 TB; AQE picks broadcast when they fit
+    scored = (
+        fwd.join(fmean, "query_id")
+        .join(bmean, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            "cosine_micro",
+            micro6(
+                F.try_divide(
+                    F.col("cosine_micro"),
+                    (F.col("__fmean") + F.col("__bmean")) / 2.0,
+                )
+            ).alias("margin_micro"),
+        )
+        .filter(F.col("margin_micro").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin_micro").desc(), F.col("corpus_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(
+            (F.col("__rn") == 1)
+            & (F.col("margin_micro") >= margin_threshold_micro)
+        )
+        .drop("__rn")
+    )

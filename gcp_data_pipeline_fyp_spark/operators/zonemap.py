@@ -239,6 +239,12 @@ def read_point_lookup(
     """Read rows where `col` IN `values`, skipping files whose bucket
     index provably excludes every probe value. Unindexed files are
     always read (conservative, same contract as read_pruned)."""
+    # materialize once: `values` may be a generator, and it is consumed
+    # twice (probe-bucket set, final isin); empty probes short-circuit
+    # to the typed empty frame (isin() with no args raises)
+    values = list(values)
+    if not values:
+        return wh.read(table).limit(0)
     files = _data_files(wh, table)
     ixp = os.path.join(wh.path(table), f"_bucketindex_{col}")
     if os.path.exists(ixp):
@@ -269,7 +275,7 @@ def read_point_lookup(
         )
     else:
         df = wh.read(table).limit(0)
-    return df.filter(F.col(col).isin(*list(values)))
+    return df.filter(F.col(col).isin(*values))
 
 
 def _h60(col):

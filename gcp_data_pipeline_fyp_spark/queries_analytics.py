@@ -453,12 +453,24 @@ FROM big JOIN orders ON l_orderkey = o_orderkey
 
 # ----------------------------------------------------- intersect/except set ops
 def q_setops_buyers(spark: SparkSession, sf: str) -> DataFrame:
-    """Users who clicked AND purchased minus users who errored (set algebra)."""
+    """Users who clicked AND purchased minus REPEAT error offenders
+    (>= 8 errors) — set algebra. The except side is thresholded
+    because the synthetic generator gives nearly every user at least
+    one error, so "any error" drains the intersect to a perpetually
+    0-row (vacuous) result; at >= 8 both operators do real work: the
+    intersect keeps ~1.5k users at sf0.1 and the except removes most
+    but not all (r8 fix, same class as the lang_mix_drift split)."""
     ev = load(spark, sf, "events")
     clickers = ev.filter(F.col("event_type") == "click").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    errored = ev.filter(F.col("event_type") == "error").select("user_id")
-    return clickers.intersect(buyers).exceptAll(errored.distinct())
+    repeat_err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 8)
+        .select("user_id")
+    )
+    return clickers.intersect(buyers).exceptAll(repeat_err)
 
 
 SQL_SETOPS_BUYERS = """
@@ -466,7 +478,8 @@ SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING count(*) >= 8
 """
 
 
@@ -3177,4 +3190,50 @@ FROM a ORDER BY c_nationkey
 ANALYTICS_QUERIES["nation_spend_gini"] = (
     q_nation_spend_gini,
     SQL_NATION_SPEND_GINI,
+)
+
+
+def q_customer_spend_gini_global(spark: SparkSession, sf: str) -> DataFrame:
+    """UNGROUPED (whole-corpus) spend Gini — exercises the
+    distributed global-rank path (operators/profile.py:
+    _gini_ungrouped): tie-collapse to distinct spend values, range
+    buckets from the exact min/max, two-level prefix counts — the
+    rank never sorts all value holders in one partition (the grouped
+    path's window would). The oracle ranks globally with row_number;
+    tied runs share mass so any consistent tie order yields the same
+    G, making the two formulations byte-comparable."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    orders = load(spark, sf, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    return gini_coefficient(spend, "spend")
+
+
+SQL_CUSTOMER_SPEND_GINI_GLOBAL = """
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              AS DECIMAL(18,4)) AS x
+  FROM orders GROUP BY 1),
+r AS (
+  SELECT x, row_number() OVER (ORDER BY x, c_custkey) AS i FROM spend),
+a AS (
+  SELECT count(*) AS n,
+    CAST(sum(x) AS DOUBLE) AS s0,
+    CAST(sum(CAST(i * x AS DECIMAL(38,4))) AS DOUBLE) AS s1
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+  CAST(round((2.0 * s1 / (CAST(n AS DOUBLE) * s0)
+    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) * 1000000.0)
+    AS BIGINT) AS gini_micro
+FROM a
+"""
+
+ANALYTICS_QUERIES["customer_spend_gini_global"] = (
+    q_customer_spend_gini_global,
+    SQL_CUSTOMER_SPEND_GINI_GLOBAL,
 )

@@ -1795,10 +1795,14 @@ r AS (SELECT * FROM pts WHERE event_id % 89 = 0),
 lc AS (
   SELECT event_id, lat, lon,
     CAST(floor(lat / 0.6566215415386019) AS BIGINT) + dla AS cla,
-    CAST(floor(lon / 0.6566215415386019) AS BIGINT) + dlo AS clo
+    CAST(floor((lon + sh) / 0.6566215415386019) AS BIGINT) + dlo AS clo
   FROM l
   CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dla)
-  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlo)),
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dlo)
+  CROSS JOIN (SELECT unnest([0.0, -360.0, 360.0]) AS sh)
+  WHERE sh = 0.0
+     OR (sh = -360.0 AND lon >= 179.3433784584614)
+     OR (sh = 360.0 AND lon <= -179.3433784584614)),
 rc AS (
   SELECT event_id AS event_id_r, lat AS lat_r, lon AS lon_r,
     CAST(floor(lat / 0.6566215415386019) AS BIGINT) AS cla,

@@ -451,6 +451,35 @@ SQL_MEASURE_MAX_DEPTH = (
 )
 
 
+def q_measure_max_magnitude(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 MAX magnitude (plans/measures.py:max_earthquake_magnitude;
+    reference `DAX Measures Used.txt:20-23`): exercised through the
+    actual plan function — events columns renamed to the star schema
+    it aggregates (LB_type/VL_n_mag), 'purchase' standing in for the
+    'earthquake' type literal on the synthetic tables."""
+    from gcp_data_pipeline_fyp_spark.plans.measures import (
+        max_earthquake_magnitude,
+    )
+
+    star = _events(spark, sf).select(
+        F.col("event_type").alias("LB_type"),
+        F.col("value").alias("VL_n_mag"),
+    )
+    mapped = star.withColumn(
+        "LB_type",
+        F.when(F.col("LB_type") == "purchase", "earthquake").otherwise(
+            F.col("LB_type")
+        ),
+    )
+    return max_earthquake_magnitude(mapped)
+
+
+SQL_MEASURE_MAX_MAGNITUDE = (
+    "SELECT max(value) AS max_earthquake_magnitude "
+    "FROM events WHERE event_type = 'purchase'"
+)
+
+
 def q_measure_totals_by_type(spark: SparkSession, sf: str) -> DataFrame:
     return (
         _events(spark, sf)
@@ -509,6 +538,7 @@ PIPELINE_QUERIES: dict[str, tuple] = {
     "measure_latest_update": (q_measure_latest_update, SQL_MEASURE_LATEST_UPDATE),
     "measure_avg_magnitude": (q_measure_avg_magnitude, SQL_MEASURE_AVG_MAGNITUDE),
     "measure_max_depth": (q_measure_max_depth, SQL_MEASURE_MAX_DEPTH),
+    "measure_max_magnitude": (q_measure_max_magnitude, SQL_MEASURE_MAX_MAGNITUDE),
     "measure_totals_by_type": (q_measure_totals_by_type, SQL_MEASURE_TOTALS_BY_TYPE),
     "measure_total_events": (q_measure_total_events, SQL_MEASURE_TOTAL_EVENTS),
     "measure_sliced_by_day": (q_measure_sliced_by_day, SQL_MEASURE_SLICED_BY_DAY),

@@ -3313,13 +3313,20 @@ def q_lang_mix_drift(spark: SparkSession, sf: str) -> DataFrame:
     mixing pipeline runs between its training snapshot and each fresh
     crawl. Category set = union observed across both snapshots;
     add-half smoothing over exact counts; contributions
-    micro6-rounded then integer-summed (no float summation order)."""
+    micro6-rounded then integer-summed (no float summation order).
+
+    The split key is ``doc_id % 40 < 20``: the synthetic corpus sets
+    ``source = src{doc_id % 20}``, so an even/odd split would place
+    each source entirely in one half and psi_categorical's
+    both-snapshots gate would drop every group (a vacuous 0-row
+    probe). Splitting on the mod-40 residue puts every mod-20 source
+    class in both halves."""
     from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
 
     docs = load(spark, sf, "documents")
     out = psi_categorical(
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 40 < 20),
+        docs.filter(F.col("doc_id") % 40 >= 20),
         "lang",
         ["source"],
     )
@@ -3331,10 +3338,10 @@ def q_lang_mix_drift(spark: SparkSession, sf: str) -> DataFrame:
 SQL_LANG_MIX_DRIFT = """
 WITH base AS (
   SELECT source, lang FROM documents
-  WHERE lang IS NOT NULL AND doc_id % 2 = 0),
+  WHERE lang IS NOT NULL AND doc_id % 40 < 20),
 cur AS (
   SELECT source, lang FROM documents
-  WHERE lang IS NOT NULL AND doc_id % 2 = 1),
+  WHERE lang IS NOT NULL AND doc_id % 40 >= 20),
 b AS (SELECT source, lang, count(*) AS cb FROM base GROUP BY 1, 2),
 c AS (SELECT source, lang, count(*) AS cc FROM cur GROUP BY 1, 2),
 p AS (
@@ -3526,4 +3533,41 @@ ORDER BY source, doc_id
 TEXT_QUERIES["weighted_doc_sample"] = (
     q_weighted_doc_sample,
     SQL_WEIGHTED_DOC_SAMPLE,
+)
+
+
+# ------------------------------------- epoch shuffle order (r8)
+def q_epoch_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-3 training permutation (operators/
+    packing.py:epoch_shuffle_order): global_pos is the rank under the
+    md5(epoch_id)-keyed order — computed with uniform hash-bucket
+    two-level prefix ranks, never a global sort. The oracle is the
+    plain global row_number over the same key; chaining the epoch
+    into the key makes every epoch a fresh, restart-stable
+    permutation."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        epoch_shuffle_order,
+    )
+
+    d = _docs(spark, sf).select("doc_id")
+    out = epoch_shuffle_order(d, "doc_id", epoch=3)
+    return out.select("doc_id", "global_pos")
+
+
+SQL_EPOCH_SHUFFLE_ORDER = """
+WITH k AS (
+  SELECT doc_id,
+    cast(concat('0x',
+      substr(md5(concat('3_', cast(doc_id AS varchar))), 1, 15))
+      AS bigint) AS key
+  FROM documents)
+SELECT doc_id,
+  cast(row_number() OVER (ORDER BY key, doc_id) - 1 AS bigint)
+    AS global_pos
+FROM k
+"""
+
+TEXT_QUERIES["epoch_shuffle_order"] = (
+    q_epoch_shuffle_order,
+    SQL_EPOCH_SHUFFLE_ORDER,
 )

@@ -1078,3 +1078,144 @@ ORDER BY base.query_id
 """
 
 VECTOR_QUERIES["ann_lsh_eval"] = (q_ann_lsh_eval, SQL_ANN_LSH_EVAL)
+
+
+def q_ivf_retrain_decision(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrain trigger (operators/similarity.py:ivf_retrain_decision):
+    centroids fitted on the even-vec_id half (the live index's
+    training snapshot), both halves assigned, PSI over the
+    centroid-id mix, retrain = psi > 0.25. The oracle replays the
+    identical seeded fit + assignment (the certified `_ivf_ctes`
+    chain) and the identical smoothed-PSI algebra — the DECISION
+    itself is hash-checked, not just the statistic."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        ivf_retrain_decision,
+    )
+
+    e = _emb(spark, sf)
+    return ivf_retrain_decision(
+        e.filter(F.col("vec_id") % 2 == 0),
+        e.filter(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        n_centroids=16,
+    )
+
+
+SQL_IVF_RETRAIN_DECISION = f"""
+WITH {_ivf_ctes(
+    "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+    " FROM embeddings WHERE vec_id % 2 = 0",
+    n_centroids=16,
+)},
+cur0 AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+         FROM embeddings WHERE vec_id % 2 = 1),
+curasg AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT c.corpus_id, i.centroid_id, row_number() OVER (
+      PARTITION BY c.corpus_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+                 j__ -> c.cv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM cur0 c CROSS JOIN cent i) s WHERE rn = 1),
+bc AS (SELECT centroid_id, count(*) AS cb FROM assigned GROUP BY 1),
+cc AS (SELECT centroid_id, count(*) AS ccnt FROM curasg GROUP BY 1),
+p AS (
+  SELECT coalesce(bc.centroid_id, cc.centroid_id) AS cat,
+         coalesce(cb, 0) AS cb, coalesce(ccnt, 0) AS ccnt
+  FROM bc FULL JOIN cc ON bc.centroid_id = cc.centroid_id),
+t AS (
+  SELECT sum(cb) AS n_base, sum(ccnt) AS n_cur, count(*) AS n_cats
+  FROM p),
+d AS (
+  SELECT n_base, n_cur, n_cats,
+    (2.0 * cb + 1.0) / (2.0 * n_base + CAST(n_cats AS DOUBLE)) AS pb,
+    (2.0 * ccnt + 1.0) / (2.0 * n_cur + CAST(n_cats AS DOUBLE)) AS pc
+  FROM p CROSS JOIN t),
+s AS (
+  SELECT n_base, n_cur, n_cats,
+    sum(CAST(round(((pc - pb) * ln(pc / pb)) * 1000000.0) AS BIGINT))
+      AS psi_micro
+  FROM d GROUP BY 1, 2, 3)
+SELECT CAST(n_base AS BIGINT) AS n_base,
+  CAST(n_cur AS BIGINT) AS n_cur,
+  CAST(n_cats AS BIGINT) AS n_cats,
+  CAST(psi_micro AS BIGINT) AS psi_micro,
+  psi_micro > 250000 AS retrain
+FROM s
+"""
+
+VECTOR_QUERIES["ivf_retrain_decision"] = (
+    q_ivf_retrain_decision,
+    SQL_IVF_RETRAIN_DECISION,
+)
+
+
+def q_bitext_margin_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Margin-based bitext mining (operators/similarity.py:
+    bitext_margin_pairs — the public CCMatrix/LASER ratio-margin
+    method) between the label-0 and label-1 embedding sides: best
+    right match per left vector whose cosine beats both neighborhood
+    densities by >= 1.02. The oracle replays the exact brute-force
+    top-k lists, the two neighborhood means, and the single-ratio
+    margin bit-for-bit."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    e = _emb(spark, sf)
+    out = bitext_margin_pairs(
+        e.filter(F.col("label") == 0),
+        e.filter(F.col("label") == 1),
+        "vec_id",
+        "embedding",
+        k=4,
+        margin_threshold_micro=1_020_000,
+    )
+    return out.orderBy("query_id")
+
+
+SQL_BITEXT_MARGIN_PAIRS = f"""
+WITH a0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE label = 0),
+b0 AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+       FROM embeddings WHERE label = 1),
+fp0 AS (
+  SELECT query_id, corpus_id, {_SQL_COS} AS cosine
+  FROM a0 CROSS JOIN b0),
+fp AS (SELECT query_id, corpus_id, {_MICRO_COS} AS cm FROM fp0),
+ftop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cm DESC, corpus_id) AS rn
+    FROM fp) s WHERE rn <= 4),
+fmean AS (
+  SELECT query_id, sum(cm) / count(*) AS fm FROM ftop GROUP BY 1),
+btop AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY corpus_id ORDER BY cm DESC, query_id) AS rn
+    FROM fp) s WHERE rn <= 4),
+bmean AS (
+  SELECT corpus_id, sum(cm) / count(*) AS bm FROM btop GROUP BY 1),
+m AS (
+  SELECT f.query_id, f.corpus_id, f.cm AS cosine_micro,
+    CAST(round((f.cm / ((fm + bm) / 2.0)) * 1000000.0) AS BIGINT)
+      AS margin_micro
+  FROM ftop f
+  JOIN fmean USING (query_id)
+  JOIN bmean USING (corpus_id)
+  WHERE (fm + bm) <> 0),
+sel AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY margin_micro DESC, corpus_id) AS rn
+  FROM m)
+SELECT query_id, corpus_id, cosine_micro, margin_micro
+FROM sel WHERE rn = 1 AND margin_micro >= 1020000
+ORDER BY query_id
+"""
+
+VECTOR_QUERIES["bitext_margin_pairs"] = (
+    q_bitext_margin_pairs,
+    SQL_BITEXT_MARGIN_PAIRS,
+)

@@ -182,25 +182,29 @@ def stream_validated_ingest(
                 return
             # foreachBatch is at-least-once: on a replay after a
             # mid-batch failure the MERGE is naturally idempotent, but
-            # the two appends are not — the audit log is the replay
-            # ledger (one batch_id row set per processed batch), so a
-            # batch already logged skips straight to the merge
-            already_logged = wh.exists(report_table) and (
-                wh.read(report_table)
-                .filter(SF.col("batch_id") == batch_id)
-                .limit(1)
-                .count()
-                > 0
-            )
+            # the appends are not — each append-only table is its OWN
+            # replay ledger (probe its batch_id before appending).
+            # Guarding quarantine with the report ledger would leave a
+            # crash window between the two appends that duplicates
+            # dead-letter rows on replay.
+            def _batch_seen(t: str) -> bool:
+                return wh.exists(t) and (
+                    wh.read(t)
+                    .filter(SF.col("batch_id") == batch_id)
+                    .limit(1)
+                    .count()
+                    > 0
+                )
+
+            already_logged = _batch_seen(report_table)
             clean = batch
             if row_rules:
                 violated = SF.lit(False)
                 for r in row_rules:
                     violated = violated | SF.coalesce(r.violated, SF.lit(False))
-                if quarantine_table is not None and not already_logged:
-                    # batch_id stamp makes replayed quarantine rows
-                    # identifiable even if a crash lands between the
-                    # two appends
+                if quarantine_table is not None and not _batch_seen(
+                    quarantine_table
+                ):
                     wh.append(
                         batch.filter(violated).withColumn(
                             "batch_id", SF.lit(batch_id).cast("long")

@@ -113,3 +113,25 @@ def test_geo_radius_join_recall_precision_and_lat_bound(spark):
     rb = spark.createDataFrame([(2, 0.658, 0.0)], "id long, lat double, lon double")
     near = geo_radius_join(la, rb, 25.0).collect()
     assert len(near) == 1 and near[0]["distance_km_micro"] < 1_000_000
+
+
+def test_geo_radius_join_antimeridian_wrap(spark):
+    """Points straddling ±180° within the radius still pair (the
+    wrapped-cell duplicate), the reported distance is the true
+    ~11 km great-circle one, and the pair is emitted exactly once."""
+    from gcp_data_pipeline_fyp_spark.operators.asof import geo_radius_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, 179.95), (2, -5.0, -179.98)],
+        "id long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(10, 10.0, -179.95), (20, -5.0, 179.99)],
+        "id long, lat double, lon double",
+    )
+    rows = geo_radius_join(left, right, 25.0).collect()
+    got = {(r["id"], r["id_r"]): r["distance_km_micro"] for r in rows}
+    assert set(got) == {(1, 10), (2, 20)}
+    assert len(rows) == 2  # exactly once each — no double meet
+    assert abs(got[(1, 10)] / 1e6 - 10.95) < 0.05
+    assert abs(got[(2, 20)] / 1e6 - 3.32) < 0.05

@@ -2079,6 +2079,24 @@ def test_table_diff_statuses_and_null_safety(spark):
     }  # keys 1 and 2 (NULL==NULL) are unchanged and absent
 
 
+def test_table_diff_keys_only_presence(spark):
+    """No compare columns (keys-only tables, or compare_cols=[]) is a
+    pure key-presence diff: added/removed emit, both-sides keys are
+    never 'changed' — no IndexError on the empty column list."""
+    from gcp_data_pipeline_fyp_spark.operators.merge import table_diff
+
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {
+        r["k"]: r["status"] for r in table_diff(left, right, ["k"]).collect()
+    }
+    assert got == {1: "removed", 3: "added"}
+    # explicit empty compare_cols over wider tables: same contract
+    l2 = spark.createDataFrame([(1, "a")], "k long, s string")
+    r2 = spark.createDataFrame([(1, "CHANGED")], "k long, s string")
+    assert table_diff(l2, r2, ["k"], compare_cols=[]).count() == 0
+
+
 def test_unigram_jsd_identical_zero_disjoint_ln2(spark):
     """Identical sources give JSD exactly 0; disjoint vocabularies
     give (by the closed form, when a third source bridges the join)
@@ -2610,3 +2628,67 @@ def test_gini_coefficient_bounds_and_known_values(spark):
         oneall.repartition(7), "v", ["grp"]
     ).collect()[0]
     assert again["gini_micro"] == r2["gini_micro"]
+
+
+def test_gini_ungrouped_distributed_matches_grouped(spark):
+    """Empty group_cols routes to the distributed global-rank path
+    (tie-collapse + two-level prefix count) — it must agree exactly
+    with the grouped closed form over a constant group, including
+    heavy ties, and stay partition-invariant. Pins the
+    giant-group contract: the ungrouped case never runs the
+    single-partition per-group rank window."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    rng = random.Random(11)
+    vals = [round(rng.expovariate(0.01), 4) for _ in range(800)]
+    vals += [42.0] * 150  # heavy tie run straddling range buckets
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    u = gini_coefficient(df, "v").collect()[0]
+    g = gini_coefficient(
+        df.withColumn("k", F.lit(1)), "v", ["k"]
+    ).collect()[0]
+    assert (u["n"], u["gini_micro"]) == (g["n"], g["gini_micro"])
+    again = gini_coefficient(df.repartition(13), "v").collect()[0]
+    assert again["gini_micro"] == u["gini_micro"]
+    # all-equal edge: span 0 -> one bucket, G = 0
+    eq = spark.createDataFrame(
+        [(i, 5.0) for i in range(10)], "id long, v double"
+    )
+    r = gini_coefficient(eq, "v").collect()[0]
+    assert (r["n"], r["gini_micro"]) == (10, 0)
+
+
+def test_epoch_shuffle_order_bijection_and_epoch_variation(spark):
+    """global_pos is a bijection onto 0..n-1, stable across
+    partitionings, different between epochs (a real reshuffle), and
+    identical when recomputed (restart determinism)."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        epoch_shuffle_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    e1 = {
+        r["id"]: r["global_pos"]
+        for r in epoch_shuffle_order(df, "id", epoch=1).collect()
+    }
+    assert sorted(e1.values()) == list(range(500))
+    again = {
+        r["id"]: r["global_pos"]
+        for r in epoch_shuffle_order(df.repartition(17), "id", epoch=1).collect()
+    }
+    assert again == e1
+    e2 = {
+        r["id"]: r["global_pos"]
+        for r in epoch_shuffle_order(df, "id", epoch=2).collect()
+    }
+    assert sorted(e2.values()) == list(range(500))
+    moved = sum(1 for i in e1 if e1[i] != e2[i])
+    assert moved > 450  # a fresh permutation, not a nudge

@@ -969,3 +969,87 @@ def test_topk_overlap_report_identity_miss_and_rank(spark):
     )
     z = topk_overlap_report(truth, disjoint, k=5).collect()[0]
     assert (z["n_overlap"], z["mrr_micro"]) == (0, 0)
+
+
+def test_ivf_retrain_decision_flips_under_drift(spark):
+    """The retrain trigger says NO for an iid half-split of the same
+    blob corpus (assignment mix stable) and YES when the current
+    snapshot collapses onto a single blob (the mix concentrates into
+    few centroid lists) — and the PSI statistic itself orders the two
+    cases. Pins the decision semantics, not just the plumbing."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        ivf_retrain_decision,
+    )
+
+    blobs = _blob_vectors(spark, n=400)
+    # split on mod-40 so each mod-20 blob lands in BOTH halves (an
+    # even/odd id split would give the halves disjoint blob sets —
+    # genuine drift, not an iid control)
+    base = blobs.filter(F.col("vec_id") % 40 < 20)
+    same = blobs.filter(F.col("vec_id") % 40 >= 20)
+    r_same = ivf_retrain_decision(
+        base, same, "vec_id", "embedding", n_centroids=8
+    ).collect()[0]
+    assert r_same["retrain"] is False
+    # drifted current: every vector from one blob (vec_id % 20 == 3)
+    drifted = blobs.filter(F.col("vec_id") % 20 == 3)
+    r_drift = ivf_retrain_decision(
+        base, drifted, "vec_id", "embedding", n_centroids=8
+    ).collect()[0]
+    assert r_drift["retrain"] is True
+    assert r_drift["psi_micro"] > r_same["psi_micro"]
+
+
+def test_bitext_margin_mining_semantics(spark):
+    """A planted near-parallel pair is mined; a HUB vector (high
+    cosine to everything on the other side) is rejected by the ratio
+    margin even though its raw cosines beat the threshold — the
+    hubness property that makes margin scoring the method of record
+    over raw-cosine mining."""
+    import math
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+
+    rng = random.Random(5)
+    dim = 16
+
+    def rand_unit():
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    def jitter(v, eps):
+        w = [x + rng.gauss(0, eps) for x in v]
+        n = math.sqrt(sum(x * x for x in w))
+        return [x / n for x in w]
+
+    base = [rand_unit() for _ in range(10)]
+    hub = [1.0 / math.sqrt(dim)] * dim
+    # left: 10 distinct vectors + 4 near-copies of a hub region;
+    # right: the jittered translations + 4 MORE hub near-copies. The
+    # hub region is dense on BOTH sides, so every hub pair's cosine
+    # only matches its neighborhood means — margin ~1.0, rejected —
+    # while each planted pair towers over both neighborhoods.
+    left = [(i, base[i]) for i in range(10)]
+    left += [(90 + j, jitter(hub, 0.05)) for j in range(4)]
+    right = [(100 + i, jitter(base[i], 0.05)) for i in range(10)]
+    right += [(200 + j, jitter(hub, 0.05)) for j in range(4)]
+    ldf = spark.createDataFrame(left, "vec_id long, embedding array<double>")
+    rdf = spark.createDataFrame(right, "vec_id long, embedding array<double>")
+    got = {
+        r["query_id"]: r["corpus_id"]
+        for r in bitext_margin_pairs(
+            ldf, rdf, "vec_id", "embedding", k=4,
+            margin_threshold_micro=1_020_000,
+        ).collect()
+    }
+    # every planted pair mined to ITS translation
+    for i in range(10):
+        assert got.get(i) == 100 + i, (i, got.get(i))
+    # the hub-region vectors are rejected: their best cosines only
+    # match their (both-sides-dense) neighborhood means
+    for j in range(4):
+        assert 90 + j not in got, (90 + j, got.get(90 + j))

@@ -397,47 +397,62 @@ def test_stream_validated_ingest_quarantines_and_logs(spark, tmp_path):
 
 
 def test_stream_validated_ingest_replay_skips_duplicate_appends(spark, tmp_path):
-    """foreachBatch is at-least-once: a batch whose batch_id already
-    appears in the audit log must not re-append log or quarantine rows
-    (the log is the replay ledger) while the idempotent merge still
-    lands the clean rows."""
-    from pyspark.sql import functions as SF
-
+    """foreachBatch is at-least-once, and each append-only table is its
+    OWN replay ledger (r8: guarding quarantine with the report ledger
+    left a crash window between the two appends that duplicated
+    dead-letter rows). Crash after BOTH appends: neither re-appends.
+    Crash BETWEEN them (quarantine landed, report did not): the report
+    row lands on replay and the quarantine rows do NOT duplicate. The
+    idempotent merge lands the clean rows in every scenario."""
     from gcp_data_pipeline_fyp_spark.operators.expectations import in_range
     from gcp_data_pipeline_fyp_spark.streaming.ingest import (
         stream_validated_ingest,
     )
 
-    in_dir = tmp_path / "in"
-    in_dir.mkdir()
-    wh = Warehouse(spark, str(tmp_path / "wh"))
-    ckpt = str(tmp_path / "ckpt")
-    # pre-seed the ledger as if batch 0 already ran (crash after the
-    # appends, before the stream's commit log advanced)
-    seeded = spark.createDataFrame(
+    rows = [
+        (1, "2024-01-01 10:00:00", "click", 1.0),
+        (2, "2024-01-01 10:01:00", "view", 99.0),  # violator
+    ]
+    seeded_log = spark.createDataFrame(
         [("value_in_range", "in_range", "value", 1, False, 0)],
         "rule string, kind string, target string, n_violations long, "
         "passed boolean, batch_id long",
     )
-    wh.append(seeded, "LOG")
-    _write_csv(
-        in_dir / "b1.csv",
-        [
-            (1, "2024-01-01 10:00:00", "click", 1.0),
-            (2, "2024-01-01 10:01:00", "view", 99.0),  # violator
-        ],
-    )
-    q = stream_validated_ingest(
-        spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev", ckpt,
-        rules=[in_range("value", 0, 10)], quarantine_table="Q",
-        report_table="LOG",
-    )
-    q.awaitTermination(120)
-    # merge still happened (clean row only), but no new LOG rows and no
-    # quarantine rows were appended for the replayed batch id
+    seeded_q = spark.createDataFrame(
+        [(2, "2024-01-01 10:01:00", "view", 99.0, 0)],
+        "event_id long, ts string, event_type string, value double, "
+        "batch_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def replay(tag, seed_log, seed_q):
+        in_dir = tmp_path / f"in_{tag}"
+        in_dir.mkdir()
+        wh = Warehouse(spark, str(tmp_path / f"wh_{tag}"))
+        if seed_log:
+            wh.append(seeded_log, "LOG")
+        if seed_q:
+            wh.append(seeded_q, "Q")
+        _write_csv(in_dir / "b1.csv", rows)
+        q = stream_validated_ingest(
+            spark, str(in_dir), SCHEMA, ["event_id"], "ts", wh, "ev",
+            str(tmp_path / f"ckpt_{tag}"),
+            rules=[in_range("value", 0, 10)], quarantine_table="Q",
+            report_table="LOG",
+        )
+        q.awaitTermination(120)
+        return wh
+
+    # crash after BOTH appends: nothing re-appends
+    wh = replay("both", seed_log=True, seed_q=True)
     assert {r["event_id"] for r in wh.read("ev").collect()} == {1}
     assert wh.read("LOG").count() == 1
-    assert not wh.exists("Q")
+    assert wh.read("Q").count() == 1
+    # crash BETWEEN the appends (quarantine landed, report did not):
+    # replay must complete the report WITHOUT duplicating quarantine
+    wh = replay("between", seed_log=False, seed_q=True)
+    assert {r["event_id"] for r in wh.read("ev").collect()} == {1}
+    assert wh.read("LOG").count() == 1
+    assert wh.read("Q").count() == 1
 
 
 def test_reprocess_quarantine_releases_now_clean_rows(spark, tmp_path):

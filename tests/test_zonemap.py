@@ -175,6 +175,14 @@ def test_bucket_index_point_lookup_prunes_and_matches(spark, tmp_path):
         w, "EV", "event_id", keys + [123_456_789], n_buckets=16384
     )
     assert got2.count() == 5
+    # generator probes are consumed once then reused (materialized up
+    # front); empty probes return the typed empty frame, not an error
+    gen = read_point_lookup(
+        w, "EV", "event_id", (k for k in keys), n_buckets=16384
+    )
+    assert _ids(gen) == _ids(exp)
+    empty = read_point_lookup(w, "EV", "event_id", [], n_buckets=16384)
+    assert empty.count() == 0 and empty.columns == got2.columns
 
 
 def test_compact_rebuilds_zonemap(spark, wh):

@@ -199,7 +199,7 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    ok = fail = skipped = 0
+    ok = fail = skipped = empty = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -231,10 +231,19 @@ def main() -> int:
             for p in problems:
                 print(f"    {p}")
             fail += 1
+        elif len(sdf) == 0:
+            # a 0-row match certifies nothing about the operator's
+            # algebra (both engines agreeing on "no rows" is how the
+            # vacuous lang_mix_drift/setops_buyers probes hid) — count
+            # it OK but shout, so probe authors fix the predicate
+            print(f"[OK-EMPTY] {name}: 0 rows on BOTH engines — "
+                  "vacuous certification, rewrite the probe predicate")
+            ok += 1
+            empty += 1
         else:
             print(f"[OK] {name} ({len(sdf)} rows)")
             ok += 1
-    print(f"\n{ok} ok, {fail} fail, {skipped} rows-only")
+    print(f"\n{ok} ok, {fail} fail, {skipped} rows-only, {empty} vacuous-empty")
     spark.stop()
     return 1 if fail else 0
 
