@@ -184,6 +184,96 @@ def mad_outliers(
     )
 
 
+def ks_binned_report(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    n_bins: int = 100,
+) -> DataFrame:
+    """KS statistic evaluated on FIXED-WIDTH bin boundaries — the
+    bounded-state variant of `ks_report` for the single-giant-group /
+    continuous-values shape where the exact per-(group, value)
+    distinct profile is unbounded. ECDFs are compared only at the
+    n_bins boundaries over the BASE range (the `_psi_bin` expression,
+    shared byte-for-byte with every PSI surface), so shuffle state is
+    |groups|·n_bins REGARDLESS of value cardinality.
+
+    The emitted statistic underestimates the exact D by at most the
+    largest single-bin probability mass (ECDFs are monotone between
+    evaluation points); at n_bins=100 that is <= max(p_bin) — tighten
+    by raising n_bins, each bin costing one counter, not one value.
+    Same exact-integer core as `ks_report`: the gap numerator
+    |cb·n_cur - cc·n_base| is an exact integer, max is taken in that
+    integer domain, ONE float division + micro6 at the end.
+    """
+    gcols = list(group_cols)
+    from pyspark.sql import Window
+
+    b = base.filter(F.col(value_col).isNotNull())
+    c = current.filter(F.col(value_col).isNotNull())
+    rng = b.groupBy(*gcols).agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+    )
+
+    def binned(df: DataFrame, alias: str) -> DataFrame:
+        # crossJoin for the ungrouped (single-giant-group) case: the
+        # range frame is one row, and an equi-join on an empty key
+        # list is not a join
+        j = (
+            df.join(F.broadcast(rng), gcols)
+            if gcols
+            else df.crossJoin(F.broadcast(rng))
+        )
+        return (
+            j.groupBy(
+                *gcols,
+                _psi_bin(value_col, "__lo", "__hi", n_bins).alias("bin"),
+            )
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    pooled = (
+        binned(b, "__b")
+        .join(binned(c, "__c"), [*gcols, "bin"], "full")
+        .select(
+            *gcols,
+            "bin",
+            F.coalesce("__b", F.lit(0)).alias("__b"),
+            F.coalesce("__c", F.lit(0)).alias("__c"),
+        )
+    )
+    w = Window.partitionBy(*gcols).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = pooled.select(
+        *gcols,
+        F.sum("__b").over(w).alias("__cb"),
+        F.sum("__c").over(w).alias("__cc"),
+    )
+    wg = Window.partitionBy(*gcols)
+    gapped = cum.select(
+        *gcols,
+        F.max("__cb").over(wg).alias("n_base"),
+        F.max("__cc").over(wg).alias("n_cur"),
+        F.abs(
+            F.col("__cb") * F.max("__cc").over(wg)
+            - F.col("__cc") * F.max("__cb").over(wg)
+        ).alias("__num"),
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    agg = gapped.groupBy(*gcols, "n_base", "n_cur").agg(
+        F.max("__num").alias("__mx")
+    ).filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+    ks = micro6(
+        F.col("__mx").cast("double")
+        / (F.col("n_base").cast("double") * F.col("n_cur").cast("double"))
+    )
+    return agg.select(*gcols, "n_base", "n_cur", ks.alias("ks_micro"))
+
+
 def _psi_bin(value_col: str, lo_col: str, hi_col: str, n_bins: int):
     """Fixed-width bin index over [lo, hi], clamped to the edge bins —
     the one expression every PSI surface (batch report, persisted
@@ -529,9 +619,10 @@ def ks_report(
     run over that DISTINCT-VALUES frame partitioned by group — fine
     whenever one group's distinct values fit an executor (the usual
     many-groups shape). For a single corpus-sized group with
-    near-unique doubles, run `psi_report`'s fixed bins instead — at
-    that cardinality the exact KS frame is the wrong tool on any
-    engine.
+    near-unique doubles, run `ks_binned_report` (bounded |groups|·bins
+    state, underestimate bounded by the largest single-bin mass) or
+    `psi_report`'s fixed bins — at that cardinality the exact KS
+    frame is the wrong tool on any engine.
     """
     gcols = list(group_cols)
     from pyspark.sql import Window

@@ -3237,3 +3237,72 @@ ANALYTICS_QUERIES["customer_spend_gini_global"] = (
     q_customer_spend_gini_global,
     SQL_CUSTOMER_SPEND_GINI_GLOBAL,
 )
+
+
+def q_ks_binned_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned KS over the WHOLE value stream, ungrouped — the
+    bounded-state drift check for exactly the single-giant-group shape
+    ks_report documents away (operators/profile.py:ks_binned_report):
+    ECDFs compared at 100 fixed-width bin boundaries over the base
+    range, shuffle state 100 counters regardless of value
+    cardinality. The underestimate bound is the largest single-bin
+    mass; the oracle replays bins, cumulative counts, and the
+    exact-integer gap max bit-for-bit."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        ks_binned_report,
+    )
+
+    ev = load(spark, sf, "events")
+    return ks_binned_report(
+        ev.filter(F.dayofmonth("ts") <= 15),
+        ev.filter(F.dayofmonth("ts") > 15),
+        "value",
+        [],
+        n_bins=100,
+    )
+
+
+SQL_KS_BINNED_DRIFT = """
+WITH base AS (
+  SELECT value FROM events WHERE value IS NOT NULL AND day(ts) <= 15),
+cur AS (
+  SELECT value FROM events WHERE value IS NOT NULL AND day(ts) > 15),
+rng AS (
+  SELECT CAST(min(value) AS DOUBLE) AS lo,
+         CAST(max(value) AS DOUBLE) AS hi
+  FROM base),
+bb AS (
+  SELECT CASE WHEN hi > lo
+      THEN CAST(least(greatest(
+             floor((value - lo) / (hi - lo) * 100.0), 0.0), 99.0) AS BIGINT)
+      ELSE 0 END AS bin, count(*) AS b
+  FROM base CROSS JOIN rng GROUP BY 1),
+cc AS (
+  SELECT CASE WHEN hi > lo
+      THEN CAST(least(greatest(
+             floor((value - lo) / (hi - lo) * 100.0), 0.0), 99.0) AS BIGINT)
+      ELSE 0 END AS bin, count(*) AS c
+  FROM cur CROSS JOIN rng GROUP BY 1),
+pooled AS (
+  SELECT coalesce(bb.bin, cc.bin) AS bin,
+         coalesce(b, 0) AS b, coalesce(c, 0) AS c
+  FROM bb FULL JOIN cc ON bb.bin = cc.bin),
+cum AS (
+  SELECT sum(b) OVER (ORDER BY bin) AS cb,
+         sum(c) OVER (ORDER BY bin) AS cc
+  FROM pooled),
+tot AS (SELECT max(cb) AS nb, max(cc) AS nc FROM cum),
+gaps AS (
+  SELECT abs(cb * nc - cc * nb) AS num FROM cum CROSS JOIN tot)
+SELECT CAST(nb AS BIGINT) AS n_base, CAST(nc AS BIGINT) AS n_cur,
+  CAST(round((CAST(max(num) AS DOUBLE)
+    / (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE))) * 1000000.0) AS BIGINT)
+    AS ks_micro
+FROM gaps CROSS JOIN tot
+GROUP BY nb, nc
+"""
+
+ANALYTICS_QUERIES["ks_binned_drift"] = (
+    q_ks_binned_drift,
+    SQL_KS_BINNED_DRIFT,
+)

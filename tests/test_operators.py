@@ -2692,3 +2692,42 @@ def test_epoch_shuffle_order_bijection_and_epoch_variation(spark):
     assert sorted(e2.values()) == list(range(500))
     moved = sum(1 for i in e1 if e1[i] != e2[i])
     assert moved > 450  # a fresh permutation, not a nudge
+
+
+def test_ks_binned_bounds_exact_ks(spark):
+    """The binned statistic never exceeds the exact KS, lands within
+    the largest-single-bin-mass bound of it, converges to it as
+    n_bins grows, and handles the grouped + ungrouped shapes."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        ks_binned_report,
+        ks_report,
+    )
+
+    rng = random.Random(3)
+    base = spark.createDataFrame(
+        [("g", rng.gauss(0, 1)) for _ in range(2000)], "k string, v double"
+    )
+    cur = spark.createDataFrame(
+        [("g", rng.gauss(0.4, 1.2)) for _ in range(2000)],
+        "k string, v double",
+    )
+    exact = ks_report(base, cur, "v", ["k"]).collect()[0]["ks_micro"]
+    b100 = ks_binned_report(base, cur, "v", ["k"], n_bins=100).collect()[0]
+    b1000 = ks_binned_report(base, cur, "v", ["k"], n_bins=1000).collect()[0][
+        "ks_micro"
+    ]
+    assert b100["ks_micro"] <= exact + 1  # never exceeds (micro slack)
+    assert b1000 <= exact + 1
+    # more bins -> closer to exact
+    assert exact - b1000 <= exact - b100["ks_micro"] + 1
+    assert exact - b100["ks_micro"] < 100_000  # coarse-bin bound here
+    # ungrouped (single giant group): same numbers, no group column
+    u = ks_binned_report(
+        base.drop("k"), cur.drop("k"), "v", [], n_bins=100
+    ).collect()[0]
+    assert u["ks_micro"] == b100["ks_micro"]
+    assert (u["n_base"], u["n_cur"]) == (2000, 2000)
