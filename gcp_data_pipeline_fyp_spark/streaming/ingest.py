@@ -891,3 +891,179 @@ def stream_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_retrain_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    id_col: str,
+    vec_col: str,
+    wh: Warehouse,
+    index_name: str,
+    state_table: str,
+    report_table: str,
+    checkpoint_dir: str,
+    psi_threshold_micro: int = 250_000,
+    vec_sep: str | None = "|",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming ANN-index retrain trigger: every micro-batch of new
+    embeddings is assigned against the PERSISTED IVF codebook
+    (`build_ivf_index`'s `{name}__centroids` — no refit, the DEPLOY.md
+    cadence), the per-centroid counts fold into a cumulative state
+    table, and a report row lands per batch with the PSI between the
+    index's TRAINING assignment distribution (counted once from the
+    persisted postings) and the streamed-so-far distribution —
+    `retrain = psi > threshold`, the streaming rendition of
+    `similarity.ivf_retrain_decision`.
+
+    State discipline is `stream_drift_monitor`'s exactly: counts fold
+    via staging+swap stamped with (__stream_id, __last_batch_id), so
+    a replayed batch is skipped before any merge and a state table
+    from a foreign checkpoint lineage raises instead of silently
+    double-counting. The report appends AFTER the swap — a crash in
+    that window loses one observability row, never corrupts counts.
+
+    Scale: per batch, one broadcast-codebook assignment scan of the
+    batch plus n_centroids-sized math; the training distribution is
+    counted from the postings ONCE at stream construction
+    (n_centroids rows held on the driver); the corpus is never
+    re-read. `vec_sep` parses a delimited-string vector column from
+    CSV feeds; pass None when the stream already carries
+    array<double> (parquet feeds).
+    """
+    import json as _json
+    import os as _os
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import _assign
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    cent = wh.read(f"{index_name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    base_rows = [
+        (int(r["centroid_id"]), int(r["n"]))
+        for r in wh.read(f"{index_name}__postings")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # n_centroids rows — scalar-bounded
+    ]
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _stream_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sid = _stream_id()
+        vec = (
+            F.transform(
+                F.split(F.col(vec_col), _re_escape(vec_sep)),
+                lambda x: x.cast("double"),
+            )
+            if vec_sep is not None
+            else F.col(vec_col)
+        )
+        vecs = batch.select(
+            F.col(id_col).alias("corpus_id"), vec.alias("__cv")
+        ).filter(F.col("__cv").isNotNull())
+        part = (
+            _assign(vecs, cent)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("cur_cnt"))
+        )
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"retrain state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}; drop "
+                    "the state table or restart from the original "
+                    "checkpoint directory."
+                )
+            if mark["m"] is not None and batch_id <= mark["m"]:
+                return
+            merged = (
+                prior.select("centroid_id", "cur_cnt")
+                .unionByName(part)
+                .groupBy("centroid_id")
+                .agg(F.sum("cur_cnt").alias("cur_cnt"))
+            )
+        else:
+            merged = part
+        staging = f"{state_table}__retrain_staging"
+        wh.overwrite(
+            merged.withColumn("__stream_id", F.lit(sid)).withColumn(
+                "__last_batch_id", F.lit(batch_id)
+            ),
+            staging,
+        )
+        wh.swap(staging, state_table)
+        # PSI over the centroid-id mix: training distribution vs the
+        # streamed-so-far cumulative — psi_categorical's exact algebra
+        # (union category set, add-half smoothing, micro6-then-sum)
+        base = spark.createDataFrame(base_rows, "centroid_id int, __cb long")
+        cur = wh.read(state_table).select(
+            "centroid_id", F.col("cur_cnt").alias("__cc")
+        )
+        pooled = base.join(cur, "centroid_id", "full").select(
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+            F.coalesce("__cc", F.lit(0)).alias("__cc"),
+        )
+        tot = pooled.agg(
+            F.sum("__cb").alias("n_base"),
+            F.sum("__cc").alias("n_cur"),
+            F.count(F.lit(1)).alias("n_cats"),
+        )
+        d = pooled.crossJoin(F.broadcast(tot))
+        pb = (2.0 * F.col("__cb") + 1.0) / (
+            2.0 * F.col("n_base") + F.col("n_cats").cast("double")
+        )
+        pc = (2.0 * F.col("__cc") + 1.0) / (
+            2.0 * F.col("n_cur") + F.col("n_cats").cast("double")
+        )
+        report = (
+            d.select(
+                "n_base",
+                "n_cur",
+                "n_cats",
+                micro6((pc - pb) * F.log(pc / pb)).alias("__contrib"),
+            )
+            .groupBy("n_base", "n_cur", "n_cats")
+            .agg(F.sum("__contrib").alias("psi_micro"))
+            .select(
+                "n_base",
+                "n_cur",
+                "n_cats",
+                "psi_micro",
+                (F.col("psi_micro") > F.lit(psi_threshold_micro)).alias(
+                    "retrain"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        wh.append(report, report_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _re_escape(sep: str) -> str:
+    import re as _re
+
+    return _re.escape(sep)

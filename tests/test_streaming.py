@@ -994,3 +994,70 @@ def test_stream_drift_monitor_matches_batch_psi_and_replays_safely(
     run()
     assert wh.read("DRIFT_STATE").agg(F.sum("cur_cnt")).first()[0] == 125
     assert wh.read("DRIFT_REPORT").count() == n_rep
+
+
+def test_stream_retrain_monitor_decides_and_replays_safely(spark, tmp_path):
+    """Streaming retrain trigger: batches matching the index's
+    training distribution keep retrain=False; after a collapsed
+    (single-blob) batch floods the cumulative mix the decision flips
+    to True; a restart on the same checkpoint folds only new files
+    (no double counting) and the report has one row per batch."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_retrain_monitor,
+    )
+
+    rng = random.Random(9)
+    dim = 8
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(6)]
+
+    def vec(blob):
+        return [centers[blob][d] + rng.gauss(0, 0.1) for d in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 6)) for i in range(240)],
+        "vec_id long, embedding array<double>",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_ivf_index(wh, corpus, "vec_id", "embedding", "ix", n_centroids=6)
+
+    in_dir = tmp_path / "vin"
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        lines = ["vec_id,emb"]
+        lines += [f"{i},{'|'.join(str(x) for x in v)}" for i, v in rows]
+        (in_dir / name).write_text("\n".join(lines) + "\n")
+
+    # batch 1: same mix as training -> stable
+    write_batch("b1.csv", [(1000 + i, vec(i % 6)) for i in range(120)])
+    ckpt = str(tmp_path / "vckpt")
+    schema = "vec_id long, emb string"
+
+    def run():
+        q = stream_retrain_monitor(
+            spark, str(in_dir), schema, "vec_id", "emb", wh, "ix",
+            "RETRAIN_STATE", "RETRAIN_REPORT", ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run()
+    rep = {r["batch_id"]: r for r in wh.read("RETRAIN_REPORT").collect()}
+    assert len(rep) == 1
+    first = list(rep.values())[0]
+    assert first["retrain"] is False and first["n_cur"] == 120
+    # batch 2: collapse onto blob 2 — the cumulative mix concentrates
+    write_batch("b2.csv", [(5000 + i, vec(2)) for i in range(600)])
+    run()  # restart from checkpoint: folds ONLY the new file
+    rep = sorted(
+        wh.read("RETRAIN_REPORT").collect(), key=lambda r: r["batch_id"]
+    )
+    assert len(rep) == 2
+    assert rep[-1]["n_cur"] == 720  # cumulative, not double-counted
+    assert rep[-1]["retrain"] is True
+    assert rep[-1]["psi_micro"] > rep[0]["psi_micro"]
