@@ -70,6 +70,8 @@ _CHECK_FIRST = [
     "bitext_margin_pairs",
     "epoch_shuffle_order",
     "ks_binned_drift",
+    "doc_repetition_report",
+    "tokenizer_fertility",
     # -- changed this round, re-certify
     "lang_mix_drift",
     "geo_radius_pairs",
@@ -104,11 +106,10 @@ _CHECK_FIRST = [
     "filter_fail_matrix",
     "substring_dup_report",
     "substring_filtered_docs",
-    "dedup_normalized",
-    "quality_weighted_sample",
     # next round (r09), in priority order: (0) any new r09 probes;
-    # (1) anything red in r08; (2) the remaining 24 r04-tail rows —
-    # sentence_dedup, length_histogram, ngram_novelty,
+    # (1) anything red in r08; (2) the remaining 26 r04-tail rows —
+    # dedup_normalized, quality_weighted_sample, sentence_dedup,
+    # length_histogram, ngram_novelty,
     # embedding_neardup, embedding_neardup_lsh, ann_lsh_topk,
     # multimodal_byte_features, json_extract, asof_last_click,
     # range_join_shipments, distinct_users_rollup, salted_agg_events,

@@ -382,3 +382,33 @@ def dedup_normalize(text: Column | str) -> Column:
     c = F.regexp_replace(c, "[^\\p{L}\\p{N}\\s]", " ")
     c = F.regexp_replace(c, "\\s+", " ")
     return F.trim(c)
+
+
+def ngram_repetition_frac(toks: Column, n: int) -> Column:
+    """Within-document duplicate n-gram fraction — the Gopher/
+    MassiveText repetition filters (public heuristics): the share of a
+    document's token n-grams that are repeats of an earlier n-gram,
+    1 - distinct/total. Degenerate looping text (boilerplate stutter,
+    decoding loops) scores high while normal prose stays near 0. Pure
+    column algebra (transform + array_distinct on the per-row token
+    array) - no explode, no shuffle, no UDF; NULL for documents
+    shorter than n tokens (no n-grams to judge)."""
+    grams = F.filter(
+        F.transform(
+            toks,
+            lambda _t, i: F.when(
+                i <= F.size(toks) - n,
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            ),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        1.0
+        - F.size(F.array_distinct(grams)).cast("double")
+        / total.cast("double"),
+    )

@@ -3571,3 +3571,106 @@ TEXT_QUERIES["epoch_shuffle_order"] = (
     q_epoch_shuffle_order,
     SQL_EPOCH_SHUFFLE_ORDER,
 )
+
+
+# ------------------------------------- within-doc repetition (r8)
+def q_doc_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (public
+    heuristics; functions/text.py:ngram_repetition_frac): per doc, the
+    duplicate bigram/trigram fraction — decoding loops and boilerplate
+    stutter score high, prose stays near 0. Pure per-row column
+    algebra: no explode, no shuffle, the whole report is one scan;
+    docs shorter than n tokens emit NULL for that n."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        ngram_repetition_frac,
+        tokens,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    d = _docs(spark, sf)
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        micro6(ngram_repetition_frac(toks, 2)).alias("rep2_micro"),
+        micro6(ngram_repetition_frac(toks, 3)).alias("rep3_micro"),
+    ).orderBy("doc_id")
+
+
+SQL_DOC_REPETITION_REPORT = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(toks) - 1),
+      i -> concat(toks[i], ' ', toks[i + 1])) AS g2,
+    list_transform(generate_series(1, len(toks) - 2),
+      i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])) AS g3
+  FROM t)
+SELECT doc_id,
+  CASE WHEN len(g2) > 0 THEN CAST(round(
+    (1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2)) * 1000000.0)
+    AS BIGINT) END AS rep2_micro,
+  CASE WHEN len(g3) > 0 THEN CAST(round(
+    (1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3)) * 1000000.0)
+    AS BIGINT) END AS rep3_micro
+FROM g ORDER BY doc_id
+"""
+
+TEXT_QUERIES["doc_repetition_report"] = (
+    q_doc_repetition_report,
+    SQL_DOC_REPETITION_REPORT,
+)
+
+
+# ------------------------------------- tokenizer fertility (r8)
+def q_tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fertility report per language — the standard
+    tokenizer-eval statistic (sub-word tokens per whitespace word):
+    languages the vocabulary under-serves show fertility creep, the
+    signal that drives vocab rebalancing before a training run. One
+    scan: per-doc counts are column expressions, the report is one
+    |langs|-sized aggregation with exact integer sums and ONE division
+    at the end."""
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    d = _docs(spark, sf).filter(
+        F.col("lang").isNotNull() & F.col("text").isNotNull()
+    )
+    per = d.select(
+        "lang",
+        token_count("text").alias("__w"),
+        bpe_ish_token_count("text").alias("__t"),
+    ).filter(F.col("__w") > 0)
+    agg = per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").cast("long").alias("n_words"),
+        F.sum("__t").cast("long").alias("n_subword_tokens"),
+    )
+    fert = micro6(
+        F.col("n_subword_tokens").cast("double")
+        / F.col("n_words").cast("double")
+    )
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_subword_tokens",
+        fert.alias("fertility_micro"),
+    ).orderBy("lang")
+
+
+SQL_TOKENIZER_FERTILITY = f"""
+WITH t AS (
+  SELECT lang, len({_SQL_TOKS}) AS w,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS tk
+  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+f AS (SELECT * FROM t WHERE w > 0)
+SELECT lang,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS n_words,
+  CAST(sum(tk) AS BIGINT) AS n_subword_tokens,
+  CAST(round((CAST(sum(tk) AS DOUBLE) / CAST(sum(w) AS DOUBLE))
+    * 1000000.0) AS BIGINT) AS fertility_micro
+FROM f GROUP BY lang ORDER BY lang
+"""
+
+TEXT_QUERIES["tokenizer_fertility"] = (
+    q_tokenizer_fertility,
+    SQL_TOKENIZER_FERTILITY,
+)

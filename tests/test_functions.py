@@ -237,3 +237,39 @@ def test_dedup_normalize_canonicalizes_variants(spark):
     assert got[0] == got[1] == got[2] == "hello world"
     assert got[3] == "naïve café"
     assert got[4] is None
+
+
+def test_ngram_repetition_frac_flags_loops(spark):
+    """Gopher repetition filters: looping text scores high, prose
+    near 0, docs shorter than n tokens emit NULL — and the expression
+    is pure column algebra (one select, no shuffle)."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        ngram_repetition_frac,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "go go go go go"),
+            (3, "one two"),
+            (4, "a"),
+            (5, "stop me stop me stop me"),
+        ],
+        "id long, text string",
+    )
+    toks = tokens("text")
+    got = {
+        r["id"]: (r["r2"], r["r3"])
+        for r in df.select(
+            "id",
+            ngram_repetition_frac(toks, 2).alias("r2"),
+            ngram_repetition_frac(toks, 3).alias("r3"),
+        ).collect()
+    }
+    assert got[1] == (0.0, 0.0)
+    assert abs(got[2][0] - 0.75) < 1e-9          # 4 bigrams, 1 distinct
+    assert abs(got[2][1] - 2.0 / 3.0) < 1e-9     # 3 trigrams, 1 distinct
+    assert got[3] == (0.0, None)                 # 1 bigram, no trigram
+    assert got[4] == (None, None)
+    assert got[5][0] > 0.5                       # the loop is caught
