@@ -837,3 +837,32 @@ def bitext_margin_pairs(
         )
         .drop("__rn")
     )
+
+
+def dedup_index_postings(wh, name: str) -> None:
+    """Heal duplicate postings rows (one corpus_id, several identical
+    rows) left by a crash in `stream_index_ingest`'s
+    postings-then-ledger window: rewrite each affected centroid
+    partition with a corpus_id-distinct frame. Partition-scoped — only
+    centroid directories that actually contain duplicates are
+    rewritten (the same touch-what-changed discipline as
+    `Warehouse.compact`); a clean index is a no-op beyond the
+    duplicate scan."""
+    postings = wh.read(f"{name}__postings")
+    dup_parts = (
+        postings.groupBy("centroid_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("centroid_id")
+        .distinct()
+    )
+    parts = [int(r["centroid_id"]) for r in dup_parts.collect()]
+    if not parts:
+        return
+    healed = (
+        postings.filter(F.col("centroid_id").isin(parts))
+        .dropDuplicates(["corpus_id"])
+    )
+    wh.overwrite_partitions(
+        healed, f"{name}__postings", partition_cols=["centroid_id"]
+    )

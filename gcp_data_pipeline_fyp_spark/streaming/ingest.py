@@ -1067,3 +1067,85 @@ def _re_escape(sep: str) -> str:
     import re as _re
 
     return _re.escape(sep)
+
+
+def stream_index_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    id_col: str,
+    vec_col: str,
+    wh: Warehouse,
+    index_name: str,
+    ledger_table: str,
+    checkpoint_dir: str,
+    vec_sep: str | None = "|",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming vector-index ingest: each micro-batch of embeddings
+    folds into the persisted IVF index via `append_ivf_index` — assign
+    against the STORED centroids (no refit; rebuild cadence handles
+    drift, see DEPLOY.md), append only the centroid partitions the
+    batch touches. Queries through `ivf_topk_indexed` see new vectors
+    as soon as their batch lands.
+
+    Postings appends are not idempotent, so the fold is guarded by an
+    append-only LEDGER table (batch_id rows, the `_batch_seen`
+    discipline): a replayed batch is skipped before the append. Order
+    matters for the crash window between the two writes: ledger-first
+    would silently DROP a batch whose postings append then crashed;
+    postings-first can only DUPLICATE rows, which
+    `similarity.dedup_index_postings` heals (and which queries
+    over-recall rather than miss in the meantime) — so postings go
+    first, the recoverable failure mode, and the trade-off is stated
+    here rather than hidden.
+
+    Completes the streaming vector pipeline: scored ingest →
+    stream_index_ingest → stream_retrain_monitor → rebuild.
+    """
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if wh.exists(ledger_table) and (
+            wh.read(ledger_table)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return
+        vec = (
+            F.transform(
+                F.split(F.col(vec_col), _re_escape(vec_sep)),
+                lambda x: x.cast("double"),
+            )
+            if vec_sep is not None
+            else F.col(vec_col)
+        )
+        vecs = batch.select(
+            F.col(id_col).alias("__vid"), vec.alias("__vec")
+        ).filter(F.col("__vec").isNotNull())
+        append_ivf_index(wh, vecs, "__vid", "__vec", index_name)
+        n = vecs.count()
+        wh.append(
+            spark.createDataFrame(
+                [(int(batch_id), int(n))], "batch_id long, n_vectors long"
+            ),
+            ledger_table,
+        )
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1061,3 +1061,78 @@ def test_stream_retrain_monitor_decides_and_replays_safely(spark, tmp_path):
     assert rep[-1]["n_cur"] == 720  # cumulative, not double-counted
     assert rep[-1]["retrain"] is True
     assert rep[-1]["psi_micro"] > rep[0]["psi_micro"]
+
+
+def test_stream_index_ingest_appends_replays_and_heals(spark, tmp_path):
+    """Streaming IVF ingest: streamed vectors become queryable through
+    the persisted index; a restart on the same checkpoint skips
+    already-folded batches (ledger guard, no duplicate postings); a
+    planted crash-window duplicate is healed by dedup_index_postings
+    rewriting only the affected centroid partition."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+        dedup_index_postings,
+        ivf_topk_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_index_ingest,
+    )
+
+    rng = random.Random(13)
+    dim = 8
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+
+    def vec(blob):
+        return [centers[blob][d] + rng.gauss(0, 0.1) for d in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec(i % 4)) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    wh = Warehouse(spark, str(tmp_path / "xwh"))
+    build_ivf_index(wh, corpus, "vec_id", "embedding", "ix", n_centroids=4)
+    base_count = wh.read("ix__postings").count()
+
+    in_dir = tmp_path / "xin"
+    in_dir.mkdir()
+
+    def write_batch(name, rows):
+        lines = ["vec_id,emb"]
+        lines += [f"{i},{'|'.join(str(x) for x in v)}" for i, v in rows]
+        (in_dir / name).write_text("\n".join(lines) + "\n")
+
+    new_vecs = [(9000 + i, vec(i % 4)) for i in range(40)]
+    write_batch("b1.csv", new_vecs)
+    ckpt = str(tmp_path / "xckpt")
+
+    def run():
+        q = stream_index_ingest(
+            spark, str(in_dir), "vec_id long, emb string", "vec_id", "emb",
+            wh, "ix", "IX_LEDGER", ckpt, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert wh.read("ix__postings").count() == base_count + 40
+    assert wh.read("IX_LEDGER").count() == 1
+    # a streamed vector is found by the indexed query, exact-scored
+    probe = spark.createDataFrame(
+        [(1, new_vecs[0][1])], "vec_id long, embedding array<double>"
+    )
+    top = ivf_topk_indexed(wh, probe, "vec_id", "embedding", "ix", k=1)
+    assert top.collect()[0]["corpus_id"] == 9000
+    # replay: same checkpoint, no new files -> nothing re-appends
+    run()
+    assert wh.read("ix__postings").count() == base_count + 40
+    # crash-window duplicate: re-append one streamed row by hand, heal
+    dup = wh.read("ix__postings").filter(F.col("corpus_id") == 9000)
+    wh.append(dup, "ix__postings", partition_cols=["centroid_id"])
+    assert wh.read("ix__postings").count() == base_count + 41
+    dedup_index_postings(wh, "ix")
+    assert wh.read("ix__postings").count() == base_count + 40
+    assert (
+        wh.read("ix__postings").filter(F.col("corpus_id") == 9000).count()
+        == 1
+    )
