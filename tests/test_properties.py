@@ -696,3 +696,70 @@ def test_fuzzy_pairs_fuzz_complete_vs_bruteforce(spark, texts):
         if lev(texts[i], texts[j]) <= 1
     )
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(10 ** 12), max_value=10 ** 12),
+        min_size=1, max_size=60, unique=True,
+    ),
+    st.integers(min_value=0, max_value=5),
+)
+@settings(max_examples=12, deadline=None)
+def test_epoch_shuffle_is_bijection_for_any_id_set(spark, ids, epoch):
+    """For ANY distinct id set (negative, huge, sparse) and any epoch,
+    epoch_shuffle_order emits a bijection onto 0..n-1 and matches the
+    plain sorted-by-keyed-hash rank computed independently."""
+    import hashlib
+
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        epoch_shuffle_order,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = {
+        r["id"]: r["global_pos"]
+        for r in epoch_shuffle_order(df, "id", epoch=epoch).collect()
+    }
+    assert sorted(got.values()) == list(range(len(ids)))
+
+    def key(i):
+        return int(
+            hashlib.md5(f"{epoch}_{i}".encode()).hexdigest()[:15], 16
+        )
+
+    expect = {
+        i: pos
+        for pos, i in enumerate(sorted(ids, key=lambda i: (key(i), i)))
+    }
+    assert got == expect
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False),
+        min_size=2, max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_gini_ungrouped_matches_naive_for_any_values(spark, vals):
+    """Distributed ungrouped Gini == the naive sorted-rank formula for
+    arbitrary non-negative value multisets (ties, zeros, extremes) —
+    at the decimal(18,4) input grain the engine pins."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        gini_coefficient,
+    )
+
+    qvals = [round(v, 4) for v in vals]
+    if sum(qvals) == 0:
+        return  # zero total mass: G undefined (0/0), out of domain
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qvals)], "id long, v double"
+    )
+    got = gini_coefficient(df, "v").collect()[0]
+    s = sorted(qvals)
+    n, s0 = len(s), sum(s)
+    s1 = sum((i + 1) * x for i, x in enumerate(s))
+    expect = round((2.0 * s1 / (n * s0) - (n + 1.0) / n) * 1e6)
+    assert got["n"] == n
+    assert abs(got["gini_micro"] - expect) <= 1
