@@ -144,6 +144,20 @@ def main(argv: list[str] | None = None) -> int:
     ad_p.add_argument("--name", required=True)
     ad_p.add_argument("--cpus", type=int, default=None)
 
+    dr_p = sub.add_parser(
+        "ann-drift",
+        help="retrain check: PSI between a persisted IVF index's "
+             "stored assignment mix and a new vector batch (no refit)",
+    )
+    dr_p.add_argument("--vectors", required=True,
+                      help="parquet path with the new vector batch")
+    dr_p.add_argument("--id", required=True)
+    dr_p.add_argument("--vec", required=True)
+    dr_p.add_argument("--warehouse", required=True)
+    dr_p.add_argument("--name", required=True)
+    dr_p.add_argument("--threshold-micro", type=int, default=250_000)
+    dr_p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "ingest":
@@ -289,6 +303,27 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps({"index": args.name,
                               "partitions_rewritten": n}))
+            return 0
+
+        if args.cmd == "ann-drift":
+            from gcp_data_pipeline_fyp_spark.operators.similarity import (
+                ivf_retrain_decision_indexed,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            row = ivf_retrain_decision_indexed(
+                wh, spark.read.parquet(args.vectors), args.id, args.vec,
+                args.name, psi_threshold_micro=args.threshold_micro,
+            ).first()
+            print(json.dumps({
+                "index": args.name,
+                "n_base": row["n_base"],
+                "n_cur": row["n_cur"],
+                "n_cats": row["n_cats"],
+                "psi_micro": row["psi_micro"],
+                "retrain": bool(row["retrain"]),
+            }))
             return 0
 
         if args.cmd == "validate":

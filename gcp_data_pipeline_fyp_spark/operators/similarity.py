@@ -866,3 +866,52 @@ def dedup_index_postings(wh, name: str) -> None:
     wh.overwrite_partitions(
         healed, f"{name}__postings", partition_cols=["centroid_id"]
     )
+
+
+def ivf_retrain_decision_indexed(
+    wh,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    name: str,
+    psi_threshold_micro: int = 250_000,
+) -> DataFrame:
+    """Retrain check against a PERSISTED index, no refit (the
+    operational cadence DEPLOY.md prescribes): the base distribution
+    is the postings table's stored centroid assignments (one count
+    scan), the current distribution is the new batch assigned against
+    the stored codebook (one broadcast-assign pass), and the verdict
+    is the same smoothed centroid-mix PSI as `ivf_retrain_decision`.
+    One row: (n_base, n_cur, n_cats, psi_micro, retrain).
+
+    Works against both persisted layouts sharing the
+    `{name}__centroids` codebook: the raw/SQ8 IVF index
+    (`{name}__postings`, one row per vector) and the IVF-PQ index
+    (`{name}__codes`, m rows per vector — subspace 0 taken as the
+    one-row-per-vector view). Assignment by max dot is invariant
+    under the positive per-vector scaling the PQ path's unit
+    normalization applies, so the mixes are comparable."""
+    from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
+
+    cent = wh.read(f"{name}__centroids").select(
+        "centroid_id", F.col("centroid").alias("__centroid")
+    )
+    if wh.exists(f"{name}__postings"):
+        stored = wh.read(f"{name}__postings")
+    else:
+        stored = wh.read(f"{name}__codes").filter(F.col("subspace") == 0)
+    base = stored.select(F.lit("all").alias("__scope"), "centroid_id")
+    b = batch.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cur = _assign(b, cent).select(
+        F.lit("all").alias("__scope"), "centroid_id"
+    )
+    psi = psi_categorical(base, cur, "centroid_id", ["__scope"])
+    return psi.select(
+        "n_base",
+        "n_cur",
+        "n_cats",
+        "psi_micro",
+        (F.col("psi_micro") > F.lit(psi_threshold_micro)).alias("retrain"),
+    )

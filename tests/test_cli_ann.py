@@ -162,3 +162,52 @@ def test_text_index_cli_build_append_query(spark, tmp_path):
         for r in bm25_topk(docs, "doc_id", "text", ["spark", "table", "join"], k=5).collect()
     ]
     assert [(r["doc_id"], r["score"]) for r in rows] == want
+
+
+def test_ann_drift_cli(spark, tmp_path):
+    """ann-drift reports the retrain verdict from the persisted
+    index's stored assignment mix: a batch matching the training
+    distribution says no; a single-blob batch says yes."""
+    rng = random.Random(17)
+    centers = [[rng.gauss(0, 1) for _ in range(DIM)] for _ in range(6)]
+
+    def vec(blob):
+        return [centers[blob][d] + rng.gauss(0, 0.1) for d in range(DIM)]
+
+    rows = [(i, vec(i % 6)) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    vecs = str(tmp_path / "vecs.parquet")
+    df.write.parquet(vecs)
+    wh = str(tmp_path / "wh")
+    r = _run_cli(
+        "ann-build", "--vectors", vecs, "--id", "vec_id", "--vec",
+        "embedding", "--warehouse", wh, "--name", "ix", "--dim", str(DIM),
+        "--centroids", "6",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    same = str(tmp_path / "same.parquet")
+    spark.createDataFrame(
+        [(1000 + i, vec(i % 6)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(same)
+    r = _run_cli(
+        "ann-drift", "--vectors", same, "--id", "vec_id", "--vec",
+        "embedding", "--warehouse", wh, "--name", "ix",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["retrain"] is False and out["n_cur"] == 60
+
+    drifted = str(tmp_path / "drift.parquet")
+    spark.createDataFrame(
+        [(2000 + i, vec(3)) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(drifted)
+    r = _run_cli(
+        "ann-drift", "--vectors", drifted, "--id", "vec_id", "--vec",
+        "embedding", "--warehouse", wh, "--name", "ix",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["retrain"] is True
