@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "ks_binned_drift",
     "doc_repetition_report",
     "tokenizer_fertility",
+    "weighted_interleave_order",
     # -- changed this round, re-certify
     "lang_mix_drift",
     "geo_radius_pairs",
@@ -105,10 +106,10 @@ _CHECK_FIRST = [
     "domain_stats",
     "filter_fail_matrix",
     "substring_dup_report",
-    "substring_filtered_docs",
     # next round (r09), in priority order: (0) any new r09 probes;
-    # (1) anything red in r08; (2) the remaining 26 r04-tail rows —
-    # dedup_normalized, quality_weighted_sample, sentence_dedup,
+    # (1) anything red in r08; (2) the remaining 27 r04-tail rows —
+    # substring_filtered_docs, dedup_normalized,
+    # quality_weighted_sample, sentence_dedup,
     # length_histogram, ngram_novelty,
     # embedding_neardup, embedding_neardup_lsh, ann_lsh_topk,
     # multimodal_byte_features, json_extract, asof_last_click,

@@ -180,3 +180,89 @@ def epoch_shuffle_order(
         )
         .drop("__key", "__b", "__off")
     )
+
+
+def interleave_by_source(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    epoch: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Mixture-preserving training order — stride scheduling over
+    sources: within each source rows take a seeded random order
+    (rank_in_source, the same md5(epoch_id) permutation as
+    `epoch_shuffle_order`), and the cross-source order key is
+    `(rank_in_source + 0.5) / weight` — a weight-2 source appears
+    twice as often as a weight-1 source at EVERY prefix of the stream,
+    not just in expectation (the classic stride-scheduler invariant).
+    `epoch_shuffle_order` randomizes globally; this keeps the mixture
+    locally uniform, which is what curriculum-free training schedules
+    want from a source mix.
+
+    Emits `rank_in_source` (dense 0-based within source) and
+    `interleave_micro` (the stride key in integer micro-units — write
+    shards ordered by it; ties share a micro grain only when strides
+    collide exactly, broken by id downstream). Ranks use the
+    uniform-hash-bucket two-level pattern partitioned by (source,
+    bucket): parallel within every source, only (sources·buckets)-
+    sized frames see windows — no per-source single-partition sort.
+
+    Unknown sources (no weight entry) are dropped with the filter
+    stated here: a silent weight default would skew the mixture.
+    """
+    src_w = [(s, float(w)) for s, w in sorted(weights.items())]
+    wmap = F.create_map(
+        *[F.lit(x) for sw in src_w for x in sw]
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(int(epoch)),
+                    F.col(source_col).cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span = (1 << 60) // n_buckets
+    keyed = (
+        df.filter(F.col(source_col).isin([s for s, _ in src_w]))
+        .withColumn("__key", key)
+        .withColumn("__b", F.expr(f"__key div {span}"))
+    )
+    w_intra = Window.partitionBy(source_col, "__b").orderBy(
+        F.col("__key").asc(), F.col(id_col).asc()
+    )
+    totals = keyed.groupBy(source_col, "__b").agg(
+        F.count(F.lit(1)).alias("__bt")
+    )
+    w_bucket = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        source_col,
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    ranked = keyed.join(F.broadcast(offsets), [source_col, "__b"]).withColumn(
+        "rank_in_source",
+        (F.col("__off") + F.row_number().over(w_intra) - 1).cast("long"),
+    )
+    stride = (F.col("rank_in_source").cast("double") + 0.5) / wmap[
+        F.col(source_col)
+    ]
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    return ranked.withColumn(
+        "interleave_micro", micro6(stride)
+    ).drop("__key", "__b", "__off")

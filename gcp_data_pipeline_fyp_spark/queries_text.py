@@ -3674,3 +3674,52 @@ TEXT_QUERIES["tokenizer_fertility"] = (
     q_tokenizer_fertility,
     SQL_TOKENIZER_FERTILITY,
 )
+
+
+# ------------------------------------- weighted interleave (r8)
+def q_weighted_interleave_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture-preserving training order (operators/packing.py:
+    interleave_by_source): seeded per-source permutation ranks via
+    uniform-hash two-level prefix counts, stride key
+    (rank+0.5)/weight — a weight-2 source appears twice as often at
+    EVERY stream prefix. Sources without a weight entry drop (stated,
+    not defaulted). The oracle replays the md5 permutation and the
+    stride algebra exactly."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        interleave_by_source,
+    )
+
+    d = _docs(spark, sf).select("doc_id", "source")
+    out = interleave_by_source(
+        d, "doc_id", "source",
+        {"src0": 2.0, "src1": 1.0, "src2": 0.5}, epoch=1,
+    )
+    return out.select(
+        "doc_id", "source", "rank_in_source", "interleave_micro"
+    ).orderBy("doc_id")
+
+
+SQL_WEIGHTED_INTERLEAVE_ORDER = """
+WITH k AS (
+  SELECT doc_id, source,
+    CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 1.0
+                WHEN 'src2' THEN 0.5 END AS w,
+    cast(concat('0x', substr(md5(concat('1_', source, '_',
+      cast(doc_id AS varchar))), 1, 15)) AS bigint) AS key
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')),
+r AS (
+  SELECT doc_id, source, w,
+    cast(row_number() OVER (PARTITION BY source ORDER BY key, doc_id)
+      - 1 AS bigint) AS rank_in_source
+  FROM k)
+SELECT doc_id, source, rank_in_source,
+  CAST(round(((CAST(rank_in_source AS DOUBLE) + 0.5) / w) * 1000000.0)
+    AS BIGINT) AS interleave_micro
+FROM r ORDER BY doc_id
+"""
+
+TEXT_QUERIES["weighted_interleave_order"] = (
+    q_weighted_interleave_order,
+    SQL_WEIGHTED_INTERLEAVE_ORDER,
+)

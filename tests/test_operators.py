@@ -2731,3 +2731,44 @@ def test_ks_binned_bounds_exact_ks(spark):
     ).collect()[0]
     assert u["ks_micro"] == b100["ks_micro"]
     assert (u["n_base"], u["n_cur"]) == (2000, 2000)
+
+
+def test_interleave_by_source_stride_invariant(spark):
+    """Stride scheduling: every prefix of the interleaved stream holds
+    the source mixture (a weight-2 source appears ~2x a weight-1
+    source at ANY cutoff, +-1 per stride law); ranks are dense
+    per-source bijections; unknown sources are dropped; the order is
+    partition-invariant."""
+    from gcp_data_pipeline_fyp_spark.operators.packing import (
+        interleave_by_source,
+    )
+
+    rows = [(i, "a") for i in range(200)]
+    rows += [(1000 + i, "b") for i in range(200)]
+    rows += [(9000 + i, "zz") for i in range(10)]  # no weight -> dropped
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = interleave_by_source(
+        df, "id", "src", {"a": 2.0, "b": 1.0}, epoch=1
+    ).collect()
+    assert all(r["src"] != "zz" for r in out)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["src"], []).append(r["rank_in_source"])
+    assert sorted(by_src["a"]) == list(range(200))
+    assert sorted(by_src["b"]) == list(range(200))
+    # prefix mixture: order by the stride key, check every prefix
+    ordered = sorted(out, key=lambda r: (r["interleave_micro"], r["id"]))
+    na = nb = 0
+    for r in ordered[:150]:
+        if r["src"] == "a":
+            na += 1
+        else:
+            nb += 1
+        if na + nb >= 3:  # stride law: |na - 2*nb| bounded by strides
+            assert abs(na - 2 * nb) <= 2, (na, nb)
+    again = interleave_by_source(
+        df.repartition(13), "id", "src", {"a": 2.0, "b": 1.0}, epoch=1
+    ).collect()
+    assert sorted((r["id"], r["interleave_micro"]) for r in again) == sorted(
+        (r["id"], r["interleave_micro"]) for r in out
+    )
