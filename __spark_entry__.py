@@ -33,13 +33,17 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-8 WINDOW, in priority order:
+# ROUND-8 WINDOW, in priority order (11 + 9 + 4 + 4 + 22 = 50):
 #   0. the 11 r6-tail probes that overflowed r7's 50-window and have
 #      NEVER had a driver row (VERDICT r7 gap #1);
-#   1. the 3 NEW r8 probes: measure_max_magnitude (closes the last §2
-#      cell without its own row, DAX Q4), customer_spend_gini_global
-#      (the distributed ungrouped-Gini path), ivf_retrain_decision
-#      (drift→index retrain trigger);
+#   1. the 9 NEW r8 probes: measure_max_magnitude (DAX Q4, the last
+#      §2 cell without its own row), customer_spend_gini_global
+#      (distributed ungrouped Gini), ivf_retrain_decision (drift →
+#      index retrain trigger), bitext_margin_pairs (ratio-margin
+#      mining), epoch_shuffle_order, ks_binned_drift (bounded-state
+#      KS), doc_repetition_report (Gopher repetition),
+#      tokenizer_fertility, weighted_interleave_order (stride
+#      scheduling);
 #   2. the 4 probes whose plan or split CHANGED this round:
 #      lang_mix_drift (vacuous doc_id%2 split fixed to %40 — now
 #      emits 20 groups, was 0), geo_radius_pairs (antimeridian
@@ -48,8 +52,8 @@ _REGISTRIES = [
 #   3. the 4 probes rotated out of the r6 window still on r4 evidence
 #      (kmeans_embeddings, incremental_dedup, filter_chain_report,
 #      temperature_mix);
-#   4. 28 of the r04-tail backlog (oldest driver evidence), in the
-#      queued order.
+#   4. 22 of the r04-tail backlog (oldest driver evidence), in the
+#      queued order; the remaining 27 are named at the list's tail.
 _CHECK_FIRST = [
     # -- never driver-checked (r6-tail overflow)
     "fuzzy_supplier_pairs",

@@ -316,6 +316,14 @@ def main(argv: list[str] | None = None) -> int:
                 wh, spark.read.parquet(args.vectors), args.id, args.vec,
                 args.name, psi_threshold_micro=args.threshold_micro,
             ).first()
+            if row is None:
+                # zero assignable vectors in the batch (empty file or
+                # all-NULL vec column): no distribution to compare
+                print(json.dumps({
+                    "index": args.name,
+                    "error": "empty batch: no assignable vectors",
+                }))
+                return 1
             print(json.dumps({
                 "index": args.name,
                 "n_base": row["n_base"],

@@ -506,6 +506,22 @@ def psi_categorical(
         F.coalesce("__cb", F.lit(0)).alias("__cb"),
         F.coalesce("__cc", F.lit(0)).alias("__cc"),
     )
+    return psi_from_joint_counts(pooled, gcols)
+
+
+def psi_from_joint_counts(
+    pooled: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """The smoothed-PSI algebra over already-joined category counts —
+    THE single definition every categorical-PSI surface shares
+    (psi_categorical, the streaming retrain monitor): add-half
+    smoothing (2c+1)/(2n+n_cats) over exact integer counts,
+    per-category contributions micro6-rounded FIRST, PSI = exact
+    integer sum. `pooled` carries (group_cols…, __cb, __cc), one row
+    per observed category; groups must have mass in BOTH snapshots to
+    be reported. Empty `group_cols` = one global group (broadcast
+    crossJoin of the 1-row totals)."""
+    gcols = list(group_cols)
     tot = pooled.groupBy(*gcols).agg(
         F.sum("__cb").alias("n_base"),
         F.sum("__cc").alias("n_cur"),
@@ -519,7 +535,12 @@ def psi_categorical(
     )
     from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
-    detail = pooled.join(F.broadcast(tot), gcols).select(
+    joined = (
+        pooled.join(F.broadcast(tot), gcols)
+        if gcols
+        else pooled.crossJoin(F.broadcast(tot))
+    )
+    detail = joined.select(
         *gcols,
         "n_base",
         "n_cur",

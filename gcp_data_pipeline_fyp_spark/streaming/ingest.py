@@ -937,7 +937,6 @@ def stream_retrain_monitor(
     import os as _os
 
     from gcp_data_pipeline_fyp_spark.operators.similarity import _assign
-    from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
     cent = wh.read(f"{index_name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
@@ -950,10 +949,9 @@ def stream_retrain_monitor(
         .collect()  # n_centroids rows — scalar-bounded
     ]
 
-    raw = spark.readStream.schema(schema_ddl).option("header", True)
-    if max_files_per_trigger is not None:
-        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
-    feed = raw.csv(input_dir)
+    feed = _vector_feed(
+        spark, input_dir, schema_ddl, vec_sep, max_files_per_trigger
+    )
 
     def _stream_id() -> str:
         with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
@@ -963,16 +961,9 @@ def stream_retrain_monitor(
         if batch.isEmpty():
             return
         sid = _stream_id()
-        vec = (
-            F.transform(
-                F.split(F.col(vec_col), _re_escape(vec_sep)),
-                lambda x: x.cast("double"),
-            )
-            if vec_sep is not None
-            else F.col(vec_col)
-        )
         vecs = batch.select(
-            F.col(id_col).alias("corpus_id"), vec.alias("__cv")
+            F.col(id_col).alias("corpus_id"),
+            _vec_expr(vec_col, vec_sep).alias("__cv")
         ).filter(F.col("__cv").isNotNull())
         part = (
             _assign(vecs, cent)
@@ -1011,8 +1002,9 @@ def stream_retrain_monitor(
         )
         wh.swap(staging, state_table)
         # PSI over the centroid-id mix: training distribution vs the
-        # streamed-so-far cumulative — psi_categorical's exact algebra
-        # (union category set, add-half smoothing, micro6-then-sum)
+        # streamed-so-far cumulative — THE shared counts-level algebra
+        # (operators/profile.py:psi_from_joint_counts), so this can
+        # never drift from psi_categorical / ivf_retrain_decision
         base = spark.createDataFrame(base_rows, "centroid_id int, __cb long")
         cur = wh.read(state_table).select(
             "centroid_id", F.col("cur_cnt").alias("__cc")
@@ -1021,27 +1013,12 @@ def stream_retrain_monitor(
             F.coalesce("__cb", F.lit(0)).alias("__cb"),
             F.coalesce("__cc", F.lit(0)).alias("__cc"),
         )
-        tot = pooled.agg(
-            F.sum("__cb").alias("n_base"),
-            F.sum("__cc").alias("n_cur"),
-            F.count(F.lit(1)).alias("n_cats"),
+        from gcp_data_pipeline_fyp_spark.operators.profile import (
+            psi_from_joint_counts,
         )
-        d = pooled.crossJoin(F.broadcast(tot))
-        pb = (2.0 * F.col("__cb") + 1.0) / (
-            2.0 * F.col("n_base") + F.col("n_cats").cast("double")
-        )
-        pc = (2.0 * F.col("__cc") + 1.0) / (
-            2.0 * F.col("n_cur") + F.col("n_cats").cast("double")
-        )
+
         report = (
-            d.select(
-                "n_base",
-                "n_cur",
-                "n_cats",
-                micro6((pc - pb) * F.log(pc / pb)).alias("__contrib"),
-            )
-            .groupBy("n_base", "n_cur", "n_cats")
-            .agg(F.sum("__contrib").alias("psi_micro"))
+            psi_from_joint_counts(pooled, [])
             .select(
                 "n_base",
                 "n_cur",
@@ -1063,10 +1040,36 @@ def stream_retrain_monitor(
     )
 
 
-def _re_escape(sep: str) -> str:
+def _vector_feed(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    vec_sep: str | None,
+    max_files_per_trigger: int | None,
+):
+    """Streaming source for embedding feeds, keyed off `vec_sep`:
+    a separator means a CSV feed carrying the vector as a delimited
+    string; None means a parquet feed already carrying array<double>
+    (CSV cannot represent arrays — the two options are one choice)."""
+    raw = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    if vec_sep is not None:
+        return raw.option("header", True).csv(input_dir)
+    return raw.parquet(input_dir)
+
+
+def _vec_expr(vec_col: str, vec_sep: str | None):
+    """The batch-side reading of `vec_sep`: parse the delimited string
+    (CSV feeds) or pass the array column through (parquet feeds)."""
     import re as _re
 
-    return _re.escape(sep)
+    if vec_sep is None:
+        return F.col(vec_col)
+    return F.transform(
+        F.split(F.col(vec_col), _re.escape(vec_sep)),
+        lambda x: x.cast("double"),
+    )
 
 
 def stream_index_ingest(
@@ -1107,10 +1110,9 @@ def stream_index_ingest(
         append_ivf_index,
     )
 
-    raw = spark.readStream.schema(schema_ddl).option("header", True)
-    if max_files_per_trigger is not None:
-        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
-    feed = raw.csv(input_dir)
+    feed = _vector_feed(
+        spark, input_dir, schema_ddl, vec_sep, max_files_per_trigger
+    )
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1123,16 +1125,9 @@ def stream_index_ingest(
             > 0
         ):
             return
-        vec = (
-            F.transform(
-                F.split(F.col(vec_col), _re_escape(vec_sep)),
-                lambda x: x.cast("double"),
-            )
-            if vec_sep is not None
-            else F.col(vec_col)
-        )
         vecs = batch.select(
-            F.col(id_col).alias("__vid"), vec.alias("__vec")
+            F.col(id_col).alias("__vid"),
+            _vec_expr(vec_col, vec_sep).alias("__vec"),
         ).filter(F.col("__vec").isNotNull())
         append_ivf_index(wh, vecs, "__vid", "__vec", index_name)
         n = vecs.count()

@@ -1136,3 +1136,53 @@ def test_stream_index_ingest_appends_replays_and_heals(spark, tmp_path):
         wh.read("ix__postings").filter(F.col("corpus_id") == 9000).count()
         == 1
     )
+
+
+def test_stream_index_ingest_parquet_feed(spark, tmp_path):
+    """The vec_sep=None mode reads a parquet feed already carrying
+    array<double> — the reader must follow the separator choice (CSV
+    cannot represent arrays)."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_index_ingest,
+    )
+
+    rng = random.Random(23)
+    dim = 8
+
+    def vec():
+        return [rng.gauss(0, 1) for _ in range(dim)]
+
+    corpus = spark.createDataFrame(
+        [(i, vec()) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    wh = Warehouse(spark, str(tmp_path / "pwh"))
+    build_ivf_index(wh, corpus, "vec_id", "embedding", "ix", n_centroids=4)
+    base = wh.read("ix__postings").count()
+
+    in_dir = tmp_path / "pqin"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(500 + i, vec()) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    # the file source wants a flat dir of parquet files
+    import glob
+    import shutil
+
+    for i, f in enumerate(glob.glob(str(in_dir / "b1" / "*.parquet"))):
+        shutil.move(f, str(in_dir / f"b1_{i}.parquet"))
+    shutil.rmtree(str(in_dir / "b1"))
+
+    q = stream_index_ingest(
+        spark, str(in_dir), "vec_id long, embedding array<double>",
+        "vec_id", "embedding", wh, "ix", "L", str(tmp_path / "pqckpt"),
+        vec_sep=None,
+    )
+    q.awaitTermination(120)
+    assert wh.read("ix__postings").count() == base + 30
