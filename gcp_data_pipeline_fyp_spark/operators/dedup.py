@@ -732,3 +732,71 @@ def incremental_neardup_indexed(
         wh.append(nb, f"{name}__bands", partition_cols=["band"])
     nb.unpersist()
     return pairs
+
+
+def minhash_recall_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    sample_mod: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Measured recall/precision of the MinHash-LSH config against
+    exact n-gram Jaccard ground truth on an id-keyed SAMPLE — the
+    dedup counterpart of the ANN quality eval: before trusting a
+    band/hash configuration over a corpus, measure what fraction of
+    true near-dup pairs (Jaccard >= threshold) its buckets actually
+    surface, and how many candidates it spends doing so.
+
+    The ground truth is exhaustive pairs WITHIN THE SAMPLE ONLY
+    (1/sample_mod of docs, id-keyed so it is deterministic and
+    engine-replicable): the all-pairs cost is (n/sample_mod)^2 —
+    `sample_mod` is the evaluation budget knob, and at 100 TB you
+    size it so the sample is a few thousand docs (the standard eval
+    discipline; the production dedup itself stays banded, never
+    all-pairs).
+
+    One row: (n_docs, n_true_pairs, n_candidates, n_hits,
+    recall_micro, precision_micro). recall = hits/true_pairs;
+    precision = hits/candidates (candidates below threshold are the
+    verify stage's wasted work, not errors). NULL recall when the
+    sample has no true pairs — widen the sample instead of trusting
+    a 0/0.
+    """
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    sample = df.filter(F.col(id_col) % sample_mod == 0)
+    truth = ngram_jaccard_pairs(
+        sample, id_col, text_col, [], n=shingle_n, threshold=threshold
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_candidates(
+        sample, id_col, text_col, num_hashes, bands, shingle_n
+    ).select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"], "left_semi")
+    agg = (
+        sample.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_true_pairs")))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+    )
+    return agg.select(
+        "n_docs",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        micro6(
+            F.try_divide(
+                F.col("n_hits").cast("double"),
+                F.col("n_true_pairs").cast("double"),
+            )
+        ).alias("recall_micro"),
+        micro6(
+            F.try_divide(
+                F.col("n_hits").cast("double"),
+                F.col("n_candidates").cast("double"),
+            )
+        ).alias("precision_micro"),
+    )

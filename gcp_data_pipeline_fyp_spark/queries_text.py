@@ -3723,3 +3723,69 @@ TEXT_QUERIES["weighted_interleave_order"] = (
     q_weighted_interleave_order,
     SQL_WEIGHTED_INTERLEAVE_ORDER,
 )
+
+
+# ------------------------------------- LSH dedup quality eval (r8)
+def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-config quality eval (operators/dedup.py:
+    minhash_recall_eval) — the ANN-eval discipline applied to LSH
+    dedup: exact 3-gram Jaccard ground truth on a 1-in-2 id-keyed
+    sample of the neardup-planted corpus, measured recall/precision
+    of the production band config (8 hashes x 4 bands). The oracle
+    replays the sample, the exhaustive truth pairs, the banded
+    candidates, and both ratios bit-for-bit."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        minhash_recall_eval,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    return minhash_recall_eval(
+        d, "doc_id", "text", threshold=0.5, sample_mod=2,
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+
+
+SQL_MINHASH_RECALL_EVAL = f"""
+WITH u0 AS ({_SQL_DOCS_WITH_NEARDUPS}),
+u AS (SELECT * FROM u0 WHERE doc_id % 2 = 0),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+g AS (SELECT doc_id, {_SQL_SHINGLES} AS grams FROM t),
+truth AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE ((round((cast(len(list_intersect(a.grams, b.grams)) AS double)
+        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0))
+        * 1000000.0) / 1000000.0) + 0.0) >= 0.5),
+bb AS (SELECT doc_id, {_SQL_BASE} AS base
+       FROM (SELECT doc_id, grams AS sh FROM g) s),
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM bb),
+bands AS (
+  SELECT doc_id, b,
+    concat_ws('|', sig[b*2+1], sig[b*2+2]) AS bsig
+  FROM sig, unnest(generate_series(0, 3)) AS gg(b)),
+nz AS (SELECT * FROM bands WHERE bsig <> ''),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nz a JOIN nz b
+    ON a.b = b.b AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+hits AS (SELECT * FROM truth SEMI JOIN cand USING (id_a, id_b)),
+c AS (
+  SELECT (SELECT count(*) FROM u) AS n_docs,
+         (SELECT count(*) FROM truth) AS n_true_pairs,
+         (SELECT count(*) FROM cand) AS n_candidates,
+         (SELECT count(*) FROM hits) AS n_hits)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+  CAST(n_candidates AS BIGINT) AS n_candidates,
+  CAST(n_hits AS BIGINT) AS n_hits,
+  CAST(round((CAST(n_hits AS DOUBLE) / nullif(n_true_pairs, 0))
+    * 1000000.0) AS BIGINT) AS recall_micro,
+  CAST(round((CAST(n_hits AS DOUBLE) / nullif(n_candidates, 0))
+    * 1000000.0) AS BIGINT) AS precision_micro
+FROM c
+"""
+
+TEXT_QUERIES["minhash_recall_eval"] = (
+    q_minhash_recall_eval,
+    SQL_MINHASH_RECALL_EVAL,
+)

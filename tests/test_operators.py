@@ -2772,3 +2772,41 @@ def test_interleave_by_source_stride_invariant(spark):
     assert sorted((r["id"], r["interleave_micro"]) for r in again) == sorted(
         (r["id"], r["interleave_micro"]) for r in out
     )
+
+
+def test_minhash_recall_eval_sensitivity(spark):
+    """The eval is a real instrument: the production 8x4 config on a
+    planted-dup corpus reports high recall; a crippled 1-band config
+    (one 8-row band = AND of 8 hashes) reports strictly lower recall
+    on the same truth set — the statistic moves with the knob it
+    evaluates."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        minhash_recall_eval,
+    )
+
+    base = [
+        (i, f"alpha beta gamma delta epsilon zeta eta theta doc{i} "
+            f"iota kappa lambda mu nu xi omicron pi rho")
+        for i in range(40)
+    ]
+    # near-dups: same text with one token tweaked
+    dups = [
+        (1000 + i, t.replace("gamma", "gamma2"))
+        for i, t in base[::2]
+    ]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    good = minhash_recall_eval(
+        df, "doc_id", "text", threshold=0.5, sample_mod=2,
+        num_hashes=8, bands=4,
+    ).collect()[0]
+    assert good["n_true_pairs"] > 0
+    # the shared-vocabulary base docs are all ~0.67-Jaccard of each
+    # other, so truth is pair-dense; the 8x4 config measures 0.89
+    # recall on it (deterministic — content-seeded)
+    assert good["recall_micro"] == 890_000
+    strict = minhash_recall_eval(
+        df, "doc_id", "text", threshold=0.5, sample_mod=2,
+        num_hashes=8, bands=1,
+    ).collect()[0]
+    assert strict["n_true_pairs"] == good["n_true_pairs"]
+    assert strict["recall_micro"] < good["recall_micro"]
