@@ -3789,3 +3789,99 @@ TEXT_QUERIES["minhash_recall_eval"] = (
     q_minhash_recall_eval,
     SQL_MINHASH_RECALL_EVAL,
 )
+
+
+# ------------------------------------- corpus data card (r8)
+def q_corpus_datacard(spark: SparkSession, sf: str) -> DataFrame:
+    """The release data card in one pass: corpus size, token mass,
+    exact-dup rate, Gopher quality pass rate, and language-mix
+    entropy — the summary table a dataset publication ships. One
+    scan computes per-doc columns (digest, token count, gopher flag);
+    one digest aggregation and one |langs|-sized aggregation follow.
+    Entropy follows the engine's integer-sum convention: per-language
+    contributions micro6-rounded FIRST, then exact integer sum."""
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        gopher_keep,
+        token_count,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    d = _docs(spark, sf).filter(F.col("text").isNotNull())
+    per = d.select(
+        F.md5(F.col("text")).alias("__dig"),
+        F.coalesce(token_count("text"), F.lit(0)).alias("__tok"),
+        gopher_keep("text").cast("int").alias("__keep"),
+        "lang",
+    )
+    base = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__tok").cast("long").alias("n_tokens"),
+        F.countDistinct("__dig").alias("__uniq"),
+        F.sum("__keep").alias("__kept"),
+    )
+    lang = (
+        per.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ltot = lang.agg(F.sum("__c").alias("__lt"))
+    p = F.col("__c").cast("double") / F.col("__lt").cast("double")
+    ent = (
+        lang.crossJoin(F.broadcast(ltot))
+        .select(micro6(-p * F.log(p)).alias("__e"))
+        .agg(F.sum("__e").alias("lang_entropy_micro"))
+    )
+    return base.crossJoin(ent).select(
+        "n_docs",
+        "n_tokens",
+        micro6(
+            1.0
+            - F.col("__uniq").cast("double") / F.col("n_docs").cast("double")
+        ).alias("dup_frac_micro"),
+        micro6(
+            F.col("__kept").cast("double") / F.col("n_docs").cast("double")
+        ).alias("gopher_pass_micro"),
+        "lang_entropy_micro",
+    )
+
+
+SQL_CORPUS_DATACARD = f"""
+WITH per AS (
+  SELECT md5(text) AS dig,
+    coalesce(len({_SQL_TOKS}), 0) AS tok,
+    CASE WHEN
+      len({_SQL_TOKS}) BETWEEN 50 AND 100000
+      AND (cast(list_sum(list_transform({_SQL_TOKS}, t -> length(t)))
+           AS double) / nullif(len({_SQL_TOKS}), 0)) BETWEEN 3 AND 10
+      AND (cast(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS double)
+           / nullif(len({_SQL_TOKS}), 0)) < 0.1
+      AND len(list_filter({_SQL_TOKS}, t -> t IN {_SQL_EN})) >= 2
+    THEN 1 ELSE 0 END AS keep,
+    lang
+  FROM documents WHERE text IS NOT NULL),
+base AS (
+  SELECT count(*) AS n_docs, sum(tok) AS n_tokens,
+         count(DISTINCT dig) AS uniq, sum(keep) AS kept
+  FROM per),
+lang AS (
+  SELECT lang, count(*) AS c FROM per WHERE lang IS NOT NULL GROUP BY 1),
+ltot AS (SELECT sum(c) AS lt FROM lang),
+ent AS (
+  SELECT sum(CAST(round((-(CAST(c AS DOUBLE) / lt)
+      * ln(CAST(c AS DOUBLE) / lt)) * 1000000.0) AS BIGINT))
+    AS lang_entropy_micro
+  FROM lang CROSS JOIN ltot)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(round((1.0 - CAST(uniq AS DOUBLE) / n_docs) * 1000000.0) AS BIGINT)
+    AS dup_frac_micro,
+  CAST(round((CAST(kept AS DOUBLE) / n_docs) * 1000000.0) AS BIGINT)
+    AS gopher_pass_micro,
+  CAST(lang_entropy_micro AS BIGINT) AS lang_entropy_micro
+FROM base CROSS JOIN ent
+"""
+
+TEXT_QUERIES["corpus_datacard"] = (
+    q_corpus_datacard,
+    SQL_CORPUS_DATACARD,
+)
