@@ -33,10 +33,10 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-8 WINDOW, in priority order (11 + 11 + 4 + 4 + 20 = 50):
+# ROUND-8 WINDOW, in priority order (11 + 12 + 4 + 4 + 19 = 50):
 #   0. the 11 r6-tail probes that overflowed r7's 50-window and have
 #      NEVER had a driver row (VERDICT r7 gap #1);
-#   1. the 11 NEW r8 probes: measure_max_magnitude (DAX Q4, the last
+#   1. the 12 NEW r8 probes: measure_max_magnitude (DAX Q4, the last
 #      §2 cell without its own row), customer_spend_gini_global
 #      (distributed ungrouped Gini), ivf_retrain_decision (drift →
 #      index retrain trigger), bitext_margin_pairs (ratio-margin
@@ -44,7 +44,8 @@ _REGISTRIES = [
 #      KS), doc_repetition_report (Gopher repetition),
 #      tokenizer_fertility, weighted_interleave_order (stride
 #      scheduling), minhash_recall_eval (LSH dedup quality eval),
-#      corpus_datacard (one-pass release report);
+#      corpus_datacard (one-pass release report),
+#      salted_topk_orders (skew-resistant two-phase top-k);
 #   2. the 4 probes whose plan or split CHANGED this round:
 #      lang_mix_drift (vacuous doc_id%2 split fixed to %40 — now
 #      emits 20 groups, was 0), geo_radius_pairs (antimeridian
@@ -53,8 +54,8 @@ _REGISTRIES = [
 #   3. the 4 probes rotated out of the r6 window still on r4 evidence
 #      (kmeans_embeddings, incremental_dedup, filter_chain_report,
 #      temperature_mix);
-#   4. 20 of the r04-tail backlog (oldest driver evidence), in the
-#      queued order; the remaining 29 are named at the list's tail.
+#   4. 19 of the r04-tail backlog (oldest driver evidence), in the
+#      queued order; the remaining 30 are named at the list's tail.
 _CHECK_FIRST = [
     # -- never driver-checked (r6-tail overflow)
     "fuzzy_supplier_pairs",
@@ -80,6 +81,7 @@ _CHECK_FIRST = [
     "weighted_interleave_order",
     "minhash_recall_eval",
     "corpus_datacard",
+    "salted_topk_orders",
     # -- changed this round, re-certify
     "lang_mix_drift",
     "geo_radius_pairs",
@@ -90,7 +92,7 @@ _CHECK_FIRST = [
     "incremental_dedup",
     "filter_chain_report",
     "temperature_mix",
-    # -- r04 tail rolling re-cert (20 of 49; oldest first per queue)
+    # -- r04 tail rolling re-cert (19 of 49; oldest first per queue)
     "semantic_neardup_kmeans",
     "setops_buyers",
     "approx_distinct_users",
@@ -110,10 +112,9 @@ _CHECK_FIRST = [
     "chunk_documents",
     "redact_pii",
     "hash_sample",
-    "domain_stats",
     # next round (r09), in priority order: (0) any new r09 probes;
-    # (1) anything red in r08; (2) the remaining 29 r04-tail rows —
-    # filter_fail_matrix, substring_dup_report,
+    # (1) anything red in r08; (2) the remaining 30 r04-tail rows —
+    # domain_stats, filter_fail_matrix, substring_dup_report,
     # substring_filtered_docs, dedup_normalized,
     # quality_weighted_sample, sentence_dedup,
     # length_histogram, ngram_novelty,

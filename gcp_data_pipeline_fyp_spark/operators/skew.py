@@ -120,3 +120,54 @@ def skew_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
             F.max("__c") / (F.sum("__c") / F.count(F.lit(1)))
         ).alias("skew_ratio_micro"),
     )
+
+
+def salted_topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    id_col: str,
+    k: int,
+    buckets: int = 32,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows per group WITHOUT a per-group global sort — the
+    skew-resistant rendering of `row_number().over(partitionBy(keys))
+    <= k`, whose plain form funnels every hot group onto one reducer
+    and sorts all of it. Two pruned phases instead:
+
+    1. rows salt into `buckets` sub-groups (deterministic id-hash, the
+       module's salting convention) and a window ranks WITHIN
+       (keys, salt) — parallelism is groups x buckets, and each
+       sub-sort handles ~group/buckets rows; everything past rank k is
+       dropped there, map-side;
+    2. the survivors (at most buckets x k per group — bounded, tiny)
+       rank once more per group for the final top-k.
+
+    Any row in a group's true top-k is in its salt bucket's top-k
+    (pigeonhole), so phase 1 never discards a winner — the result is
+    EXACTLY the naive window's. Ties break on `id_col` ascending in
+    both phases, making the result set deterministic on any
+    partitioning and oracle-replicable. Cost: the same single shuffle
+    of the raw rows (keyed finer), plus a bounded second shuffle of
+    groups x buckets x k survivors.
+    """
+    from pyspark.sql import Window
+
+    klist = list(keys)
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    salted = df.withColumn("__salt", _salt(id_col, buckets))
+    w1 = Window.partitionBy(*klist, "__salt").orderBy(
+        oc, F.col(id_col).asc()
+    )
+    stage1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*klist).orderBy(oc, F.col(id_col).asc())
+    return (
+        stage1.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .withColumnRenamed("__rn", "rank_in_group")
+    )

@@ -1894,3 +1894,62 @@ SELECT est_join_size, true_join_size FROM est CROSS JOIN tr
 """
 
 MISC_QUERIES["cms_join_size"] = (q_cms_join_size, SQL_CMS_JOIN_SIZE)
+
+
+# ------------------------------------- salted top-k per group (r8)
+def q_salted_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-resistant top-k (operators/skew.py:salted_topk_per_group):
+    the 3 highest-value orders per customer segment, ranked in two
+    pruned phases (per-(group, salt) window then a buckets*k-bounded
+    final window) instead of one per-group global sort. The oracle IS
+    the naive row_number form — certifying the salted plan's exact
+    output equality, the same invariance discipline as
+    salted_agg_events."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    orders = load(spark, sf, "orders").join(
+        F.broadcast(
+            load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+        ),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    out = salted_topk_per_group(
+        orders.select(
+            "c_mktsegment", "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        ),
+        ["c_mktsegment"], "price", "o_orderkey", k=3, buckets=8,
+    )
+    return out.select(
+        "c_mktsegment",
+        "o_orderkey",
+        (F.col("price") * 100).cast("long").alias("price_cents"),
+        "rank_in_group",
+    ).orderBy("c_mktsegment", "rank_in_group")
+
+
+SQL_SALTED_TOPK_ORDERS = """
+WITH j AS (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY c_mktsegment ORDER BY price DESC, o_orderkey)
+    AS rank_in_group
+  FROM j)
+SELECT c_mktsegment, o_orderkey,
+  CAST(price * 100 AS BIGINT) AS price_cents,
+  CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM r WHERE rank_in_group <= 3
+ORDER BY c_mktsegment, rank_in_group
+"""
+
+MISC_QUERIES["salted_topk_orders"] = (
+    q_salted_topk_orders,
+    SQL_SALTED_TOPK_ORDERS,
+)

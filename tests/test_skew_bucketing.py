@@ -199,3 +199,46 @@ def test_skew_report_flags_hot_key(spark):
     assert r.p50_micro == 1_000_000  # median key has 1 row
     # skew ratio = 90 / (100/11) = 9.9
     assert r.skew_ratio_micro == 9_900_000
+
+
+def test_salted_topk_equals_naive_window(spark):
+    """The two-phase salted top-k returns EXACTLY the naive per-group
+    window's rows (pigeonhole: a true top-k row is in its salt
+    bucket's top-k), including under a pathological hot group, any
+    bucket count, and ties — and is partition-invariant."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.skew import (
+        salted_topk_per_group,
+    )
+
+    rng = random.Random(31)
+    rows = [("hot", i, float(rng.randrange(100))) for i in range(5000)]
+    rows += [("cold", 100_000 + i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, id long, v double")
+    def salted(frame, k, buckets):
+        return sorted(
+            (r["grp"], r["id"], r["rank_in_group"])
+            for r in salted_topk_per_group(
+                frame, ["grp"], "v", "id", k=k, buckets=buckets
+            ).collect()
+        )
+
+    def naive(k):
+        w = Window.partitionBy("grp").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        return sorted(
+            (r["grp"], r["id"], r["rn"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+
+    for k, buckets in ((3, 8), (10, 4), (1, 32)):
+        assert salted(df, k, buckets) == naive(k), (k, buckets)
+    # partition-invariant
+    assert salted(df.repartition(17), 3, 8) == naive(3)
