@@ -1053,3 +1053,34 @@ def test_bitext_margin_mining_semantics(spark):
     # match their (both-sides-dense) neighborhood means
     for j in range(4):
         assert 90 + j not in got, (90 + j, got.get(90 + j))
+
+
+def test_ivf_retrain_decision_indexed_postings_layout(spark, tmp_path):
+    """The no-refit retrain check against the raw-postings IVF layout
+    (the CLI test covers the IVF-PQ codes layout): stable batch says
+    no, collapsed batch says yes, and the base distribution comes from
+    the persisted postings, not a refit."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_retrain_decision_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    all_vecs = _blob_vectors(spark, n=360, n_blobs=6)
+    blobs = all_vecs.filter(F.col("vec_id") < 240)
+    # same centers, fresh noise draws — the iid continuation
+    same = all_vecs.filter(F.col("vec_id") >= 240)
+    wh = Warehouse(spark, str(tmp_path / "rwh"))
+    build_ivf_index(wh, blobs, "vec_id", "embedding", "ix", n_centroids=6)
+    r = ivf_retrain_decision_indexed(
+        wh, same, "vec_id", "embedding", "ix"
+    ).collect()[0]
+    assert r["retrain"] is False and r["n_base"] == 240 and r["n_cur"] == 120
+    drifted = blobs.filter(F.col("vec_id") % 6 == 2).withColumn(
+        "vec_id", F.col("vec_id") + 10_000
+    )
+    r2 = ivf_retrain_decision_indexed(
+        wh, drifted, "vec_id", "embedding", "ix"
+    ).collect()[0]
+    assert r2["retrain"] is True
+    assert r2["psi_micro"] > r["psi_micro"]
