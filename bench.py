@@ -110,6 +110,10 @@ HEADLINE = [
     "ivf_retrain_decision",
     "customer_spend_gini_global",
     "bitext_margin_pairs",
+    # round-8 tail: the two training-order ops (both are the
+    # two-level-prefix shuffle shape over the full documents table)
+    "epoch_shuffle_order",
+    "weighted_interleave_order",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
