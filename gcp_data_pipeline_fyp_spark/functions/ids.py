@@ -53,7 +53,20 @@ def stable_event_id_sha1(*key_cols: Column | str) -> Column:
     Offered for byte-parity with ids minted by the reference (e.g.
     when merging into a table it populated); new pipelines should use
     `stable_event_id` (md5-60-bit), the engine standard, which the
-    DuckDB oracle can replay. The &-mask keeps the low 63 bits, i.e.
+    DuckDB oracle can replay.
+
+    Parity scope: the reference hashes PYTHON f-string renderings of
+    its key values, while this column hashes Spark's cast-to-string.
+    The two renderings agree for strings and integers but NOT for all
+    doubles (Java's Double.toString emits '1.0E-4' where Python str()
+    emits '0.0001'), so bit-parity with reference-minted ids holds
+    only when the key columns are string-typed (the reference's own
+    case — its CSV stage stringifies everything before hashing, see
+    P5) or pre-formatted with format_string/format_number to the
+    exact Python rendering. Hashing raw float lat/lon columns through
+    this function can silently mint ids the reference never would.
+
+    The &-mask keeps the low 63 bits, i.e.
     `x mod 2^63`, computed in decimal because the 16-hex-char slice is
     64 bits and would overflow a signed long before masking."""
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]

@@ -211,7 +211,17 @@ def interleave_by_source(
 
     Unknown sources (no weight entry) are dropped with the filter
     stated here: a silent weight default would skew the mixture.
+    Weights must be strictly positive, enforced eagerly: a 0.0 weight
+    would make the stride division yield NULL interleave_micro
+    (rows silently unsortable, not an error) and a negative weight
+    would invert the source's order — both are configuration bugs,
+    rejected with the same strictness as unknown sources.
     """
+    bad = {s: w for s, w in weights.items() if not float(w) > 0.0}
+    if bad:
+        raise ValueError(
+            f"interleave_by_source weights must be > 0; got {bad!r}"
+        )
     src_w = [(s, float(w)) for s, w in sorted(weights.items())]
     wmap = F.create_map(
         *[F.lit(x) for sw in src_w for x in sw]

@@ -674,6 +674,18 @@ def build_ivfpq_index(
             F.col(id_col).alias("corpus_id"), "subspace", "cluster_id"
         ).join(assigned.select("corpus_id", "centroid_id"), "corpus_id")
     wh.overwrite(codes, f"{name}__codes", partition_cols=["centroid_id"])
+    # training-mix snapshot (one row per coarse centroid, counted from
+    # the subspace-0 view of the just-written codes = one row per
+    # vector): the frozen baseline the retrain monitors PSI against —
+    # live codes counts would absorb appended drift and damp the
+    # trigger (see similarity.build_ivf_index for the full rationale)
+    wh.overwrite(
+        wh.read(f"{name}__codes")
+        .filter(F.col("subspace") == 0)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+        f"{name}__train_mix",
+    )
 
 
 def ivfpq_topk_indexed(

@@ -320,6 +320,16 @@ def build_ivf_index(
     Centroid assignment still uses full-precision vectors (assignment
     quality is the recall lever; storage is the cost lever).
     `ivf_topk_indexed` detects the layout from the postings schema.
+
+    Also persists `{name}__train_mix` — the TRAINING-TIME per-centroid
+    assignment counts (n_centroids rows). The retrain monitors
+    (`ivf_retrain_decision_indexed`, `stream_retrain_monitor`) PSI
+    against this frozen snapshot, NOT against live postings counts:
+    `append_ivf_index`/`stream_index_ingest` fold every new batch into
+    the postings, so a postings-derived baseline would progressively
+    absorb the drifted data and damp the PSI the longer the stream
+    runs — the trigger would fire latest exactly when drift has run
+    longest. The snapshot is only rewritten by the rebuild itself.
     """
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
@@ -349,6 +359,15 @@ def build_ivf_index(
             f"{name}__postings",
             partition_cols=["centroid_id"],
         )
+    # training-mix snapshot, counted from the just-written postings
+    # (no second assignment pass; the scan touches the partition
+    # column only) — the retrain monitors' frozen baseline
+    wh.overwrite(
+        wh.read(f"{name}__postings")
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n")),
+        f"{name}__train_mix",
+    )
 
 
 def ivf_topk_indexed(
@@ -441,7 +460,11 @@ def append_ivf_index(
     table — the daily-ingest shape, matching the incremental digest and
     LSH-band indexes (operators/dedup.py).
 
-    Centroids are deliberately not refit: an append is batch-sized
+    Centroids are deliberately not refit, and `{name}__train_mix` is
+    deliberately not updated: the snapshot is the retrain monitors'
+    fixed baseline — folding appended (possibly drifted) batches into
+    it would damp the very PSI signal that decides when to rebuild.
+    An append is batch-sized
     (one broadcast-assign pass + a partitioned append that touches only
     the centroid directories present in the batch), and queries see the
     new vectors immediately. Drift is handled by periodically
@@ -847,7 +870,16 @@ def dedup_index_postings(wh, name: str) -> None:
     centroid directories that actually contain duplicates are
     rewritten (the same touch-what-changed discipline as
     `Warehouse.compact`); a clean index is a no-op beyond the
-    duplicate scan."""
+    duplicate scan.
+
+    The heal key is (centroid_id, corpus_id) — the SAME key the dup
+    scan groups by. Healing on corpus_id alone would also collapse a
+    corpus_id legitimately present under two different centroids (an
+    id re-ingested with an updated embedding lands in a new partition
+    while the old row persists), dropping one of the two
+    nondeterministically; that cross-centroid shape is a re-ingest
+    artifact for `build_ivf_index`'s rebuild cadence to resolve, not
+    a crash dup for this heal to guess at."""
     postings = wh.read(f"{name}__postings")
     dup_parts = (
         postings.groupBy("centroid_id", "corpus_id")
@@ -861,7 +893,7 @@ def dedup_index_postings(wh, name: str) -> None:
         return
     healed = (
         postings.filter(F.col("centroid_id").isin(parts))
-        .dropDuplicates(["corpus_id"])
+        .dropDuplicates(["centroid_id", "corpus_id"])
     )
     wh.overwrite_partitions(
         healed, f"{name}__postings", partition_cols=["centroid_id"]
@@ -878,11 +910,22 @@ def ivf_retrain_decision_indexed(
 ) -> DataFrame:
     """Retrain check against a PERSISTED index, no refit (the
     operational cadence DEPLOY.md prescribes): the base distribution
-    is the postings table's stored centroid assignments (one count
-    scan), the current distribution is the new batch assigned against
-    the stored codebook (one broadcast-assign pass), and the verdict
-    is the same smoothed centroid-mix PSI as `ivf_retrain_decision`.
-    One row: (n_base, n_cur, n_cats, psi_micro, retrain).
+    is the index's TRAINING-TIME assignment mix (`{name}__train_mix`,
+    snapshotted by `build_ivf_index`/`build_ivfpq_index` and never
+    touched by appends), the current distribution is the new batch
+    assigned against the stored codebook (one broadcast-assign pass),
+    and the verdict is the same smoothed centroid-mix PSI as
+    `ivf_retrain_decision`. One row:
+    (n_base, n_cur, n_cats, psi_micro, retrain).
+
+    Why the snapshot and not live postings counts: the ingest loop
+    (`append_ivf_index` / `stream_index_ingest`) folds every new
+    batch into the postings, so a live-counted baseline progressively
+    absorbs the drifted data — PSI damps toward zero the longer the
+    stream runs, delaying the trigger exactly when drift has
+    accumulated most. For a legacy index persisted before the
+    snapshot existed, the live postings counts remain the fallback
+    (stated caveat: rebuild once to pin the baseline).
 
     Works against both persisted layouts sharing the
     `{name}__centroids` codebook: the raw/SQ8 IVF index
@@ -891,23 +934,38 @@ def ivf_retrain_decision_indexed(
     one-row-per-vector view). Assignment by max dot is invariant
     under the positive per-vector scaling the PQ path's unit
     normalization applies, so the mixes are comparable."""
-    from gcp_data_pipeline_fyp_spark.operators.profile import psi_categorical
+    from gcp_data_pipeline_fyp_spark.operators.profile import (
+        psi_from_joint_counts,
+    )
 
     cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
-    if wh.exists(f"{name}__postings"):
-        stored = wh.read(f"{name}__postings")
+    if wh.exists(f"{name}__train_mix"):
+        base_counts = wh.read(f"{name}__train_mix").select(
+            "centroid_id", F.col("n").alias("__cb")
+        )
     else:
-        stored = wh.read(f"{name}__codes").filter(F.col("subspace") == 0)
-    base = stored.select(F.lit("all").alias("__scope"), "centroid_id")
+        if wh.exists(f"{name}__postings"):
+            stored = wh.read(f"{name}__postings")
+        else:
+            stored = wh.read(f"{name}__codes").filter(F.col("subspace") == 0)
+        base_counts = stored.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).alias("__cb")
+        )
     b = batch.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
-    cur = _assign(b, cent).select(
-        F.lit("all").alias("__scope"), "centroid_id"
+    cur_counts = (
+        _assign(b, cent)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("__cc"))
     )
-    psi = psi_categorical(base, cur, "centroid_id", ["__scope"])
+    pooled = base_counts.join(cur_counts, "centroid_id", "full").select(
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    psi = psi_from_joint_counts(pooled, [])
     return psi.select(
         "n_base",
         "n_cur",

@@ -913,8 +913,13 @@ def stream_retrain_monitor(
     (`build_ivf_index`'s `{name}__centroids` — no refit, the DEPLOY.md
     cadence), the per-centroid counts fold into a cumulative state
     table, and a report row lands per batch with the PSI between the
-    index's TRAINING assignment distribution (counted once from the
-    persisted postings) and the streamed-so-far distribution —
+    index's TRAINING assignment distribution (the
+    `{index_name}__train_mix` snapshot `build_ivf_index` persists —
+    frozen at build time, so the baseline never absorbs the very
+    drift being measured even while `stream_index_ingest` appends
+    every batch into the postings; a legacy index without the
+    snapshot falls back to one postings count) and the
+    streamed-so-far distribution —
     `retrain = psi > threshold`, the streaming rendition of
     `similarity.ivf_retrain_decision`.
 
@@ -927,11 +932,10 @@ def stream_retrain_monitor(
 
     Scale: per batch, one broadcast-codebook assignment scan of the
     batch plus n_centroids-sized math; the training distribution is
-    counted from the postings ONCE at stream construction
-    (n_centroids rows held on the driver); the corpus is never
-    re-read. `vec_sep` parses a delimited-string vector column from
-    CSV feeds; pass None when the stream already carries
-    array<double> (parquet feeds).
+    read ONCE at stream construction (n_centroids rows held on the
+    driver); the corpus is never re-read. `vec_sep` parses a
+    delimited-string vector column from CSV feeds; pass None when the
+    stream already carries array<double> (parquet feeds).
     """
     import json as _json
     import os as _os
@@ -941,12 +945,19 @@ def stream_retrain_monitor(
     cent = wh.read(f"{index_name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
+    if wh.exists(f"{index_name}__train_mix"):
+        base_df = wh.read(f"{index_name}__train_mix")
+    else:
+        # legacy index persisted before the snapshot existed: one live
+        # count (caveat stated in the docstring — rebuild to pin it)
+        base_df = (
+            wh.read(f"{index_name}__postings")
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     base_rows = [
         (int(r["centroid_id"]), int(r["n"]))
-        for r in wh.read(f"{index_name}__postings")
-        .groupBy("centroid_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()  # n_centroids rows — scalar-bounded
+        for r in base_df.collect()  # n_centroids rows — scalar-bounded
     ]
 
     feed = _vector_feed(

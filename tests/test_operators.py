@@ -2772,6 +2772,14 @@ def test_interleave_by_source_stride_invariant(spark):
     assert sorted((r["id"], r["interleave_micro"]) for r in again) == sorted(
         (r["id"], r["interleave_micro"]) for r in out
     )
+    # non-positive weights are configuration bugs, rejected eagerly
+    # (a 0.0 weight would silently NULL the stride key; a negative one
+    # would invert the source's order)
+    import pytest as _pytest
+
+    for bad in ({"a": 0.0, "b": 1.0}, {"a": 2.0, "b": -1.0}):
+        with _pytest.raises(ValueError, match="must be > 0"):
+            interleave_by_source(df, "id", "src", bad)
 
 
 def test_minhash_recall_eval_sensitivity(spark):

@@ -1084,3 +1084,21 @@ def test_ivf_retrain_decision_indexed_postings_layout(spark, tmp_path):
     ).collect()[0]
     assert r2["retrain"] is True
     assert r2["psi_micro"] > r["psi_micro"]
+    # the baseline is the build-time snapshot ({name}__train_mix), not
+    # live postings: ingesting the drifted batch into the index must
+    # NOT damp the trigger — the verdict on the same batch is
+    # bit-identical after the append (a live-counted baseline would
+    # absorb the drift and lower the PSI)
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        append_ivf_index,
+    )
+
+    mix = wh.read("ix__train_mix")
+    assert mix.agg(F.sum("n")).collect()[0][0] == 240
+    append_ivf_index(wh, drifted, "vec_id", "embedding", "ix")
+    r3 = ivf_retrain_decision_indexed(
+        wh, drifted, "vec_id", "embedding", "ix"
+    ).collect()[0]
+    assert r3 == r2
+    # and the snapshot itself is untouched by the append
+    assert wh.read("ix__train_mix").agg(F.sum("n")).collect()[0][0] == 240

@@ -1130,11 +1130,30 @@ def test_stream_index_ingest_appends_replays_and_heals(spark, tmp_path):
     dup = wh.read("ix__postings").filter(F.col("corpus_id") == 9000)
     wh.append(dup, "ix__postings", partition_cols=["centroid_id"])
     assert wh.read("ix__postings").count() == base_count + 41
+    # plus a CROSS-centroid shape: the same corpus_id under a second
+    # centroid (a re-ingest with an updated embedding) — NOT a crash
+    # dup, and the heal must leave both rows alone (its key is
+    # (centroid_id, corpus_id), matching the dup scan's)
+    row9001 = wh.read("ix__postings").filter(F.col("corpus_id") == 9001)
+    other = (
+        wh.read("ix__centroids")
+        .filter(F.col("centroid_id") != row9001.first()["centroid_id"])
+        .first()["centroid_id"]
+    )
+    wh.append(
+        row9001.withColumn("centroid_id", F.lit(other).cast("int")),
+        "ix__postings",
+        partition_cols=["centroid_id"],
+    )
     dedup_index_postings(wh, "ix")
-    assert wh.read("ix__postings").count() == base_count + 40
+    assert wh.read("ix__postings").count() == base_count + 41
     assert (
         wh.read("ix__postings").filter(F.col("corpus_id") == 9000).count()
         == 1
+    )
+    assert (
+        wh.read("ix__postings").filter(F.col("corpus_id") == 9001).count()
+        == 2
     )
 
 
