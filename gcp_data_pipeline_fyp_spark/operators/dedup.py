@@ -752,12 +752,15 @@ def minhash_recall_eval(
     surface, and how many candidates it spends doing so.
 
     The ground truth is exhaustive pairs WITHIN THE SAMPLE ONLY
-    (1/sample_mod of docs, id-keyed so it is deterministic and
-    engine-replicable): the all-pairs cost is (n/sample_mod)^2 —
-    `sample_mod` is the evaluation budget knob, and at 100 TB you
-    size it so the sample is a few thousand docs (the standard eval
-    discipline; the production dedup itself stays banded, never
-    all-pairs).
+    (1/sample_mod of docs, selected by `stable_event_id(id) %
+    sample_mod` — the md5-hash-mod engine standard, deterministic and
+    engine-replicable AND uniform on any id distribution; a raw
+    `id % sample_mod` would bias the sample on structured id spaces,
+    e.g. all-even ids or ids striped by source): the all-pairs cost
+    is (n/sample_mod)^2 — `sample_mod` is the evaluation budget knob,
+    and at 100 TB you size it so the sample is a few thousand docs
+    (the standard eval discipline; the production dedup itself stays
+    banded, never all-pairs).
 
     One row: (n_docs, n_true_pairs, n_candidates, n_hits,
     recall_micro, precision_micro). recall = hits/true_pairs;
@@ -766,9 +769,10 @@ def minhash_recall_eval(
     sample has no true pairs — widen the sample instead of trusting
     a 0/0.
     """
+    from gcp_data_pipeline_fyp_spark.functions.ids import stable_event_id
     from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
-    sample = df.filter(F.col(id_col) % sample_mod == 0)
+    sample = df.filter(stable_event_id(id_col) % sample_mod == 0)
     truth = ngram_jaccard_pairs(
         sample, id_col, text_col, [], n=shingle_n, threshold=threshold
     ).select("id_a", "id_b")

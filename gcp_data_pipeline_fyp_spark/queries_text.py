@@ -3729,11 +3729,13 @@ TEXT_QUERIES["weighted_interleave_order"] = (
 def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Dedup-config quality eval (operators/dedup.py:
     minhash_recall_eval) — the ANN-eval discipline applied to LSH
-    dedup: exact 3-gram Jaccard ground truth on a 1-in-2 id-keyed
-    sample of the neardup-planted corpus, measured recall/precision
-    of the production band config (8 hashes x 4 bands). The oracle
-    replays the sample, the exhaustive truth pairs, the banded
-    candidates, and both ratios bit-for-bit."""
+    dedup: exact 3-gram Jaccard ground truth on a 1-in-2 sample of
+    the neardup-planted corpus (selected by stable_event_id(doc_id) %
+    2, the md5-hash-mod standard — uniform on any id space, r9
+    hardening of the raw id-mod), measured recall/precision of the
+    production band config (8 hashes x 4 bands). The oracle replays
+    the sample, the exhaustive truth pairs, the banded candidates,
+    and both ratios bit-for-bit."""
     from gcp_data_pipeline_fyp_spark.operators.dedup import (
         minhash_recall_eval,
     )
@@ -3747,7 +3749,9 @@ def q_minhash_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
 
 SQL_MINHASH_RECALL_EVAL = f"""
 WITH u0 AS ({_SQL_DOCS_WITH_NEARDUPS}),
-u AS (SELECT * FROM u0 WHERE doc_id % 2 = 0),
+u AS (SELECT * FROM u0
+      WHERE cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 15))
+            AS bigint) % 2 = 0),
 t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
 g AS (SELECT doc_id, {_SQL_SHINGLES} AS grams FROM t),
 truth AS (

@@ -2809,9 +2809,11 @@ def test_minhash_recall_eval_sensitivity(spark):
     ).collect()[0]
     assert good["n_true_pairs"] > 0
     # the shared-vocabulary base docs are all ~0.67-Jaccard of each
-    # other, so truth is pair-dense; the 8x4 config measures 0.89
-    # recall on it (deterministic — content-seeded)
-    assert good["recall_micro"] == 890_000
+    # other, so truth is pair-dense; the 8x4 config measures 0.859
+    # recall on it (deterministic — content-seeded; the sample is the
+    # stable_event_id hash-mod, so the pinned value moved when r9
+    # replaced the raw id-mod)
+    assert good["recall_micro"] == 859_438
     strict = minhash_recall_eval(
         df, "doc_id", "text", threshold=0.5, sample_mod=2,
         num_hashes=8, bands=1,
