@@ -775,6 +775,19 @@ def ivf_retrain_decision(
 
 
 # ------------------------------------------------- bitext margin mining
+def auto_n_centroids(n: int) -> int:
+    """The FAISS sizing rule for IVF list counts: ~sqrt(n) centroids
+    balances list length (n/sqrt(n) vectors probed per list) against
+    codebook size — and, at 100 TB, IS the parallelism knob: a fixed
+    small centroid count collapses the probed-partition fan-out no
+    matter how many executors exist (the BASELINE.md round-8
+    anti-lesson: 16 fixed centroids mined slower than brute). Floor of
+    2 so degenerate corpora still get a real coarse split."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(max(n, 0))))
+
+
 def bitext_margin_pairs(
     left: DataFrame,
     right: DataFrame,
@@ -782,7 +795,7 @@ def bitext_margin_pairs(
     vec_col: str,
     k: int = 4,
     margin_threshold_micro: int = 1_020_000,
-    n_centroids: int | None = None,
+    n_centroids: int | str | None = "auto",
     nprobe: int = 4,
 ) -> DataFrame:
     """Margin-based parallel-pair mining between two embedding sides —
@@ -797,13 +810,18 @@ def bitext_margin_pairs(
     margin_threshold_micro` (default 1.02; the paper operates around
     1.06): (query_id, corpus_id, cosine_micro, margin_micro).
 
-    Scale: `n_centroids=None` runs exact brute-force top-k (the
-    certification path); set it to mine through the IVF index
-    (coarse-pruned candidate lists, the 100 TB path — both directions
+    Scale: the DEFAULT path is IVF — `n_centroids="auto"` sizes the
+    codebook as ceil(sqrt(max(|left|, |right|))) per `auto_n_centroids`
+    (the FAISS rule; costs one count() per side), so the scale path is
+    the easy path and nobody inherits the round-8 anti-lesson of a
+    fixed tiny codebook collapsing parallelism. Pass an int to pin the
+    codebook size, or `None` to run exact brute-force top-k — the
+    certification override the oracle probes replay (both directions
     reuse `ivf_topk`'s broadcast-codebook assignment, so neither
-    corpus ever shuffles by pair). The margin algebra afterwards runs
-    on top-k-sized lists: two tiny aggregations and one join, never a
-    second pass over the vectors.
+    corpus ever shuffles by pair; `bitext_ivf_agreement` certifies the
+    IVF path's top-1 agreement against brute). The margin algebra
+    afterwards runs on top-k-sized lists: two tiny aggregations and
+    one join, never a second pass over the vectors.
 
     Determinism: cosines live in integer micro-units, the two
     neighborhood means are (exact int sum)/count in ONE pinned double
@@ -812,6 +830,8 @@ def bitext_margin_pairs(
     all-orthogonal neighborhood (mean 0) yields NULL margin and the
     pair drops rather than dividing by zero.
     """
+    if n_centroids == "auto":
+        n_centroids = auto_n_centroids(max(left.count(), right.count()))
     if n_centroids is not None:
         def topk(q: DataFrame, c: DataFrame) -> DataFrame:
             return ivf_topk(

@@ -154,42 +154,45 @@ FROM ranked WHERE rn <= 5
 
 
 def _ivf_ctes(
-    corpus_sql: str, n_centroids: int, dim: int = 64
+    corpus_sql: str, n_centroids: int, dim: int = 64, prefix: str = ""
 ) -> str:
     """CTE chain mirroring operators/similarity.py:fit_ivf_centroids +
     _assign with refine_iters=1: seeded init (n smallest ids), one
     Lloyd refinement with decimal-exact means, assignment by max dot
-    (ties to the lower centroid id)."""
+    (ties to the lower centroid id). `prefix` namespaces the CTEs so
+    two chains (e.g. the bitext probe's per-side fits) can coexist in
+    one statement."""
+    p = prefix
     return f"""
-c0 AS ({corpus_sql}),
-init AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,
+{p}c0 AS ({corpus_sql}),
+{p}init AS (SELECT row_number() OVER (ORDER BY corpus_id) AS centroid_id,
                 cv AS centroid
-         FROM (SELECT corpus_id, cv FROM c0
+         FROM (SELECT corpus_id, cv FROM {p}c0
                ORDER BY corpus_id LIMIT {n_centroids}) s),
-asg0 AS (
+{p}asg0 AS (
   SELECT corpus_id, cv, centroid_id FROM (
     SELECT c.corpus_id, c.cv, i.centroid_id, row_number() OVER (
       PARTITION BY c.corpus_id ORDER BY
         list_sum(list_transform(generate_series(1, {dim}),
                  j__ -> c.cv[j__] * i.centroid[j__])) DESC,
         i.centroid_id) AS rn
-    FROM c0 c CROSS JOIN init i) s WHERE rn = 1),
-cent AS (
+    FROM {p}c0 c CROSS JOIN {p}init i) s WHERE rn = 1),
+{p}cent AS (
   SELECT centroid_id, list(m ORDER BY pos) AS centroid FROM (
     SELECT centroid_id, idx.pos,
       CAST(sum(CAST(cv[idx.pos] AS DECIMAL(28,12))) AS DOUBLE)
       / count(*) AS m
-    FROM asg0 CROSS JOIN
+    FROM {p}asg0 CROSS JOIN
       (SELECT unnest(generate_series(1, {dim})) AS pos) idx
     GROUP BY centroid_id, idx.pos) s GROUP BY centroid_id),
-assigned AS (
+{p}assigned AS (
   SELECT corpus_id, cv, centroid_id FROM (
     SELECT c.corpus_id, c.cv, i.centroid_id, row_number() OVER (
       PARTITION BY c.corpus_id ORDER BY
         list_sum(list_transform(generate_series(1, {dim}),
                  j__ -> c.cv[j__] * i.centroid[j__])) DESC,
         i.centroid_id) AS rn
-    FROM c0 c CROSS JOIN cent i) s WHERE rn = 1)
+    FROM {p}c0 c CROSS JOIN {p}cent i) s WHERE rn = 1)
 """
 
 
@@ -1156,8 +1159,11 @@ def q_bitext_margin_pairs(spark: SparkSession, sf: str) -> DataFrame:
     bitext_margin_pairs — the public CCMatrix/LASER ratio-margin
     method) between the label-0 and label-1 embedding sides: best
     right match per left vector whose cosine beats both neighborhood
-    densities by >= 1.02. The oracle replays the exact brute-force
-    top-k lists, the two neighborhood means, and the single-ratio
+    densities by >= 1.02. `n_centroids=None` is the explicit
+    certification override (exact brute-force top-k lists — the
+    operator's DEFAULT is the auto-sized IVF scale path, certified
+    separately by `bitext_ivf_agreement`): the oracle replays the
+    brute lists, the two neighborhood means, and the single-ratio
     margin bit-for-bit."""
     from gcp_data_pipeline_fyp_spark.operators.similarity import (
         bitext_margin_pairs,
@@ -1171,6 +1177,7 @@ def q_bitext_margin_pairs(spark: SparkSession, sf: str) -> DataFrame:
         "embedding",
         k=4,
         margin_threshold_micro=1_020_000,
+        n_centroids=None,
     )
     return out.orderBy("query_id")
 
@@ -1218,4 +1225,145 @@ ORDER BY query_id
 VECTOR_QUERIES["bitext_margin_pairs"] = (
     q_bitext_margin_pairs,
     SQL_BITEXT_MARGIN_PAIRS,
+)
+
+
+# --------------------------- bitext IVF-path agreement vs brute (r9)
+def q_bitext_ivf_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality certification of the bitext SCALE path: the same margin
+    mining run through the IVF candidate lists (pinned 8 centroids,
+    nprobe=4 — the oracle replays both per-side seeded fits via the
+    prefixed `_ivf_ctes` chains) against the exact brute-force run.
+    One row: pair counts of both paths, the pairs they share, and
+    top-1 agreement = |common| / |brute| in micro-units — the same
+    measured-recall discipline the LSH family gets from
+    `minhash_recall_eval`/`ann_lsh_eval`. The auto-√n sizing rule
+    itself (`auto_n_centroids`) is pinned by pytest; this probe
+    certifies what the IVF lists do to the mined pairs."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        bitext_margin_pairs,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    e = _emb(spark, sf)
+    left = e.filter(F.col("label") == 0)
+    right = e.filter(F.col("label") == 1)
+    kw = dict(k=4, margin_threshold_micro=1_020_000)
+    brute = bitext_margin_pairs(
+        left, right, "vec_id", "embedding", n_centroids=None, **kw
+    ).select("query_id", "corpus_id")
+    ivf = bitext_margin_pairs(
+        left, right, "vec_id", "embedding", n_centroids=8, nprobe=4, **kw
+    ).select("query_id", "corpus_id")
+    common = brute.join(ivf, ["query_id", "corpus_id"], "left_semi")
+    agg = (
+        brute.agg(F.count(F.lit(1)).alias("n_brute"))
+        .crossJoin(ivf.agg(F.count(F.lit(1)).alias("n_ivf")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+    )
+    return agg.select(
+        "n_brute",
+        "n_ivf",
+        "n_common",
+        micro6(
+            F.try_divide(
+                F.col("n_common").cast("double"),
+                F.col("n_brute").cast("double"),
+            )
+        ).alias("agreement_micro"),
+    )
+
+
+def _sql_bitext_ivf_sel(n_centroids: int = 8, nprobe: int = 4, k: int = 4) -> str:
+    """The IVF-path bitext pair set as a CTE block (names prefixed
+    ivf_*/r_*/l_* to coexist with the brute subquery's CTEs): two
+    per-side seeded IVF fits, probed top-k lists both directions, the
+    same neighborhood-mean margin algebra as SQL_BITEXT_MARGIN_PAIRS."""
+    probes = """
+ivf_{d}prob AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, i.centroid_id, row_number() OVER (
+      PARTITION BY q.query_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+                 j__ -> q.qv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM {qsrc} q CROSS JOIN {p}cent i) s WHERE rn <= {nprobe}),
+ivf_{d}p0 AS (
+  SELECT query_id, a.corpus_id, {cos} AS cosine
+  FROM ivf_{d}prob p JOIN {p}assigned a ON p.centroid_id = a.centroid_id),
+ivf_{d}pairs AS (SELECT query_id, corpus_id, {mic} AS cm FROM ivf_{d}p0),
+ivf_{d}top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cm DESC, corpus_id) AS rn
+    FROM ivf_{d}pairs) s WHERE rn <= {k})"""
+    fwd = probes.format(
+        d="f", qsrc="ivf_lq", p="r_", nprobe=nprobe, k=k,
+        cos=_SQL_COS.replace("qv", "p.qv").replace("cv", "a.cv"),
+        mic=_MICRO_COS,
+    )
+    bwd = probes.format(
+        d="b", qsrc="ivf_rq", p="l_", nprobe=nprobe, k=k,
+        cos=_SQL_COS.replace("qv", "p.qv").replace("cv", "a.cv"),
+        mic=_MICRO_COS,
+    )
+    return f"""
+{_ivf_ctes(
+    "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+    " FROM embeddings WHERE label = 1",
+    n_centroids=n_centroids, prefix="r_",
+)},
+{_ivf_ctes(
+    "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+    " FROM embeddings WHERE label = 0",
+    n_centroids=n_centroids, prefix="l_",
+)},
+ivf_lq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE label = 0),
+ivf_rq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE label = 1),
+{fwd},
+{bwd},
+ivf_fmean AS (
+  SELECT query_id, sum(cm) / count(*) AS fm FROM ivf_ftop GROUP BY 1),
+ivf_bmean AS (
+  SELECT query_id AS corpus_id, sum(cm) / count(*) AS bm
+  FROM ivf_btop GROUP BY 1),
+ivf_m AS (
+  SELECT f.query_id, f.corpus_id, f.cm AS cosine_micro,
+    CAST(round((f.cm / ((fm + bm) / 2.0)) * 1000000.0) AS BIGINT)
+      AS margin_micro
+  FROM ivf_ftop f
+  JOIN ivf_fmean USING (query_id)
+  JOIN ivf_bmean USING (corpus_id)
+  WHERE (fm + bm) <> 0),
+ivf_sel AS (
+  SELECT query_id, corpus_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY margin_micro DESC, corpus_id) AS rn
+    FROM ivf_m) s
+  WHERE rn = 1 AND margin_micro >= 1020000)"""
+
+
+SQL_BITEXT_IVF_AGREEMENT = f"""
+WITH {_sql_bitext_ivf_sel()},
+brute_sel AS (
+  SELECT query_id, corpus_id FROM ({SQL_BITEXT_MARGIN_PAIRS}) b),
+agr AS (
+  SELECT
+    (SELECT count(*) FROM brute_sel) AS n_brute,
+    (SELECT count(*) FROM ivf_sel) AS n_ivf,
+    (SELECT count(*) FROM brute_sel SEMI JOIN ivf_sel
+       USING (query_id, corpus_id)) AS n_common)
+SELECT CAST(n_brute AS BIGINT) AS n_brute,
+  CAST(n_ivf AS BIGINT) AS n_ivf,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST(round((CAST(n_common AS DOUBLE) / nullif(n_brute, 0))
+    * 1000000.0) AS BIGINT) AS agreement_micro
+FROM agr
+"""
+
+VECTOR_QUERIES["bitext_ivf_agreement"] = (
+    q_bitext_ivf_agreement,
+    SQL_BITEXT_IVF_AGREEMENT,
 )

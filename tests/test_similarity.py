@@ -1055,6 +1055,41 @@ def test_bitext_margin_mining_semantics(spark):
         assert 90 + j not in got, (90 + j, got.get(90 + j))
 
 
+def test_bitext_auto_centroid_sizing(spark):
+    """The default n_centroids='auto' resolves to ceil(sqrt(max side))
+    (the FAISS sizing rule, floor 2) and mines exactly the pairs the
+    same explicit codebook size mines — the scale path is the default
+    path, with the sizing pinned here and the IVF-vs-brute pair
+    agreement certified by the bitext_ivf_agreement oracle probe."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        auto_n_centroids,
+        bitext_margin_pairs,
+    )
+
+    assert [auto_n_centroids(n) for n in (0, 1, 4, 5, 16, 100, 101)] == [
+        2, 2, 2, 3, 4, 10, 11,
+    ]
+    import random
+
+    rng = random.Random(11)
+    mk = lambda lo, n: [  # noqa: E731
+        (lo + i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(30)
+    ]
+    ldf = spark.createDataFrame(mk(0, 30), "vec_id long, embedding array<double>")
+    rdf = spark.createDataFrame(mk(100, 30), "vec_id long, embedding array<double>")
+    got_auto = sorted(
+        (r["query_id"], r["corpus_id"], r["margin_micro"])
+        for r in bitext_margin_pairs(ldf, rdf, "vec_id", "embedding").collect()
+    )
+    got_pinned = sorted(
+        (r["query_id"], r["corpus_id"], r["margin_micro"])
+        for r in bitext_margin_pairs(
+            ldf, rdf, "vec_id", "embedding", n_centroids=auto_n_centroids(30)
+        ).collect()
+    )
+    assert got_auto == got_pinned
+
+
 def test_ivf_retrain_decision_indexed_postings_layout(spark, tmp_path):
     """The no-refit retrain check against the raw-postings IVF layout
     (the CLI test covers the IVF-PQ codes layout): stable batch says
