@@ -1083,6 +1083,99 @@ ORDER BY base.query_id
 VECTOR_QUERIES["ann_lsh_eval"] = (q_ann_lsh_eval, SQL_ANN_LSH_EVAL)
 
 
+def _sql_topk_eval(truth_sql: str, cand_sql: str, k: int = 5) -> str:
+    """Compose two certified (query_id, corpus_id, cosine_micro)
+    rankings into the recall/MRR report SQL — the same overlap + one-
+    reciprocal algebra as SQL_ANN_LSH_EVAL, parameterized so every
+    approximate family (PQ, IVF-PQ, ...) gets the eval against
+    brute-force ground truth without hand-copying the report CTEs."""
+    return f"""
+WITH t0 AS (SELECT * FROM ({truth_sql}) x),
+c0_ AS (SELECT * FROM ({cand_sql}) y),
+t AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM t0),
+c AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM c0_),
+tk AS (SELECT * FROM t WHERE rk <= {k}),
+ck AS (SELECT * FROM c WHERE rk <= {k}),
+ov AS (
+  SELECT tk.query_id, count(*) AS n_overlap
+  FROM tk JOIN ck ON ck.query_id = tk.query_id
+                 AND ck.corpus_id = tk.corpus_id
+  GROUP BY 1),
+hit AS (
+  SELECT tk.query_id,
+    coalesce(CAST(round((1.0 / ck.rk) * 1000000.0) AS BIGINT), 0)
+      AS mrr_micro
+  FROM tk LEFT JOIN ck ON ck.query_id = tk.query_id
+                      AND ck.corpus_id = tk.corpus_id
+  WHERE tk.rk = 1),
+base AS (SELECT query_id, count(*) AS n_truth FROM tk GROUP BY 1)
+SELECT base.query_id,
+  CAST(n_truth AS BIGINT) AS n_truth,
+  CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+  coalesce(hit.mrr_micro, 0) AS mrr_micro
+FROM base
+LEFT JOIN ov ON ov.query_id = base.query_id
+LEFT JOIN hit ON hit.query_id = base.query_id
+ORDER BY base.query_id
+"""
+
+
+# --------------------- quantized-family recall evals vs brute (r9)
+def q_ann_pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/MRR of the PQ/ADC top-k against brute-force ground truth
+    (operators/similarity.py:topk_overlap_report over the two certified
+    rankings) — the quantized family gets the same measured-recall
+    discipline as LSH (`ann_lsh_eval`): compression is a storage
+    lever, and this row is what it costs in ranking quality."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        topk_overlap_report,
+    )
+
+    truth = q_ann_cosine_topk(spark, sf)
+    cand = q_ann_pq_topk(spark, sf)
+    return topk_overlap_report(truth, cand, k=5).orderBy("query_id")
+
+
+SQL_ANN_PQ_RECALL_EVAL = _sql_topk_eval(SQL_ANN_COSINE_TOPK, SQL_ANN_PQ_TOPK)
+
+VECTOR_QUERIES["ann_pq_recall_eval"] = (
+    q_ann_pq_recall_eval,
+    SQL_ANN_PQ_RECALL_EVAL,
+)
+
+
+def q_ann_ivfpq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall/MRR of the composed 100 TB layout — IVF coarse pruning x
+    PQ/ADC compression (`ann_ivfpq_topk`) — against brute-force ground
+    truth: the production index's quality row, measuring BOTH loss
+    sources together (unprobed lists and code quantization)."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        topk_overlap_report,
+    )
+
+    truth = q_ann_cosine_topk(spark, sf)
+    cand = q_ann_ivfpq_topk(spark, sf)
+    return topk_overlap_report(truth, cand, k=5).orderBy("query_id")
+
+
+SQL_ANN_IVFPQ_RECALL_EVAL = _sql_topk_eval(
+    SQL_ANN_COSINE_TOPK, SQL_ANN_IVFPQ_TOPK
+)
+
+VECTOR_QUERIES["ann_ivfpq_recall_eval"] = (
+    q_ann_ivfpq_recall_eval,
+    SQL_ANN_IVFPQ_RECALL_EVAL,
+)
+
+
 def q_ivf_retrain_decision(spark: SparkSession, sf: str) -> DataFrame:
     """Retrain trigger (operators/similarity.py:ivf_retrain_decision):
     centroids fitted on the even-vec_id half (the live index's
