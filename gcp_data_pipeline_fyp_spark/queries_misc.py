@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
     byte_features,
@@ -1121,6 +1122,82 @@ FROM sizes
 """
 
 MISC_QUERIES["key_skew_report"] = (q_key_skew_report, SQL_KEY_SKEW_REPORT)
+
+
+# ------------------------------------ measure-then-choose plan demo (r9)
+def q_skew_plan_choice(spark: SparkSession, sf: str) -> DataFrame:
+    """The skew toolkit's plan-choice discipline end-to-end
+    (operators/skew.py:topk_plan_decision): measure the prospective
+    shuffle key, emit the decision NEXT TO the evidence. Two keysets
+    over events — the real near-uniform event_type mix (ratio ~1 →
+    plain_window) and a banded hot key concentrating ~95% of rows
+    (ratio ~8 → salted_two_phase) — so BOTH branches of the decision
+    are driver-certified, threshold 5x mean (Spark AQE's
+    skewedPartitionFactor). `adaptive_topk_per_group` dispatches on
+    this same row; its plan-equivalence is pinned in pytest."""
+    from gcp_data_pipeline_fyp_spark.operators.skew import (
+        topk_plan_decision,
+    )
+
+    ev = load(spark, sf, "events")
+    uniform = topk_plan_decision(ev, ["event_type"]).withColumn(
+        "keyset", F.lit("events.event_type")
+    )
+    banded = ev.withColumn(
+        "__hot",
+        F.when(F.col("user_id") % 20 != 0, F.lit("hot")).otherwise(
+            F.concat_ws("", F.lit("u"), F.col("user_id").cast("string"))
+        ),
+    )
+    skewed = topk_plan_decision(banded, ["__hot"]).withColumn(
+        "keyset", F.lit("events.hot_banded")
+    )
+    return (
+        uniform.unionByName(skewed)
+        .select(
+            "keyset",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            "skew_ratio_micro",
+            "use_salted",
+            "plan",
+        )
+        .orderBy("keyset")
+    )
+
+
+_SQL_SKEW_DECISION = """
+  SELECT '{keyset}' AS keyset,
+    CAST(sum(c) AS BIGINT) AS n_rows,
+    CAST(count(*) AS BIGINT) AS n_keys,
+    CAST(max(c) AS BIGINT) AS max_key_rows,
+    {ratio} AS skew_ratio_micro
+  FROM {src}"""
+
+SQL_SKEW_PLAN_CHOICE = f"""
+WITH s1 AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),
+b AS (SELECT CASE WHEN user_id % 20 <> 0 THEN 'hot'
+             ELSE 'u' || CAST(user_id AS varchar) END AS k FROM events),
+s2 AS (SELECT k, count(*) AS c FROM b GROUP BY 1),
+d AS (
+{_SQL_SKEW_DECISION.format(
+    keyset="events.event_type", src="s1",
+    ratio=micro6_sql("max(c) / (CAST(sum(c) AS DOUBLE) / count(*))"),
+)}
+  UNION ALL
+{_SQL_SKEW_DECISION.format(
+    keyset="events.hot_banded", src="s2",
+    ratio=micro6_sql("max(c) / (CAST(sum(c) AS DOUBLE) / count(*))"),
+)})
+SELECT keyset, n_rows, n_keys, max_key_rows, skew_ratio_micro,
+  skew_ratio_micro > 5000000 AS use_salted,
+  CASE WHEN skew_ratio_micro > 5000000 THEN 'salted_two_phase'
+       ELSE 'plain_window' END AS plan
+FROM d ORDER BY keyset
+"""
+
+MISC_QUERIES["skew_plan_choice"] = (q_skew_plan_choice, SQL_SKEW_PLAN_CHOICE)
 
 
 # ------------------------------------------------ zone-map data skipping (r7)

@@ -242,3 +242,50 @@ def test_salted_topk_equals_naive_window(spark):
         assert salted(df, k, buckets) == naive(k), (k, buckets)
     # partition-invariant
     assert salted(df.repartition(17), 3, 8) == naive(3)
+
+
+def test_adaptive_topk_measures_then_chooses(spark):
+    """The measure-then-choose wrapper: topk_plan_decision flags the
+    hot-key frame salted and the balanced frame plain (threshold 5x
+    mean, the AQE skewedPartitionFactor), and adaptive_topk_per_group
+    returns the naive window's exact rows under BOTH decisions — the
+    plan choice is a cost call, never a semantics change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.skew import (
+        adaptive_topk_per_group,
+        topk_plan_decision,
+    )
+
+    hot_rows = [("hot", i, float(i % 97)) for i in range(900)]
+    hot_rows += [(f"c{j}", 10_000 + j, float(j)) for j in range(10)]
+    hot = spark.createDataFrame(hot_rows, "grp string, id long, v double")
+    flat = spark.createDataFrame(
+        [(f"g{i % 20}", i, float(i % 13)) for i in range(400)],
+        "grp string, id long, v double",
+    )
+    d_hot = topk_plan_decision(hot, ["grp"]).first()
+    d_flat = topk_plan_decision(flat, ["grp"]).first()
+    assert d_hot["use_salted"] is True and d_hot["plan"] == "salted_two_phase"
+    assert d_flat["use_salted"] is False and d_flat["plan"] == "plain_window"
+
+    def naive(frame, k):
+        w = Window.partitionBy("grp").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        return sorted(
+            (r["grp"], r["id"], r["rn"])
+            for r in frame.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        )
+
+    for frame in (hot, flat):
+        got = sorted(
+            (r["grp"], r["id"], r["rank_in_group"])
+            for r in adaptive_topk_per_group(
+                frame, ["grp"], "v", "id", k=4
+            ).collect()
+        )
+        assert got == naive(frame, 4)
