@@ -33,99 +33,80 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-8 WINDOW, in priority order (11 + 12 + 4 + 4 + 19 = 50):
-#   0. the 11 r6-tail probes that overflowed r7's 50-window and have
-#      NEVER had a driver row (VERDICT r7 gap #1);
-#   1. the 12 NEW r8 probes: measure_max_magnitude (DAX Q4, the last
-#      §2 cell without its own row), customer_spend_gini_global
-#      (distributed ungrouped Gini), ivf_retrain_decision (drift →
-#      index retrain trigger), bitext_margin_pairs (ratio-margin
-#      mining), epoch_shuffle_order, ks_binned_drift (bounded-state
-#      KS), doc_repetition_report (Gopher repetition),
-#      tokenizer_fertility, weighted_interleave_order (stride
-#      scheduling), minhash_recall_eval (LSH dedup quality eval),
-#      corpus_datacard (one-pass release report),
-#      salted_topk_orders (skew-resistant two-phase top-k);
-#   2. the 4 probes whose plan or split CHANGED this round:
-#      lang_mix_drift (vacuous doc_id%2 split fixed to %40 — now
-#      emits 20 groups, was 0), geo_radius_pairs (antimeridian
-#      wrapped-cell recall fix), nation_spend_gini (gini module
-#      touched), snapshot_diff (table_diff empty-cols guard);
-#   3. the 4 probes rotated out of the r6 window still on r4 evidence
-#      (kmeans_embeddings, incremental_dedup, filter_chain_report,
-#      temperature_mix);
-#   4. 19 of the r04-tail backlog (oldest driver evidence), in the
-#      queued order; the remaining 30 are named at the list's tail.
+# ROUND-9 WINDOW, in priority order (4 + 2 + 30 + 14 = 50):
+#   0. the 4 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+#      top-1 agreement vs brute), ann_pq_recall_eval and
+#      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
+#      skew_plan_choice (measure-then-choose decision, both branches);
+#   1. the 2 probes whose code CHANGED this round:
+#      minhash_recall_eval (sampling hardened to the md5-hash-mod
+#      standard), bitext_margin_pairs (explicit n_centroids=None
+#      certification override after the auto-IVF default);
+#   2. ALL 30 probes still on round-4 driver evidence (VERDICT r8
+#      ask #1 — this drains the r04 tail completely; histogram
+#      minimum rises to r5);
+#   3. 14 of the 50 r05-evidence probes (alphabetical rotation head)
+#      so the rolling re-cert cadence continues behind the backlog.
 _CHECK_FIRST = [
-    # -- never driver-checked (r6-tail overflow)
-    "fuzzy_supplier_pairs",
-    "release_gated_docs",
-    "key_skew_report",
-    "customer_spend_quartiles",
-    "linear_attribution",
-    "forecast_revenue_change",
-    "promo_revenue_share",
-    "discounted_shipment_revenue",
-    "brand_basket_lift",
-    "clustering_coefficients",
-    "length_bucketed_batches",
-    # -- new this round (r8)
-    "measure_max_magnitude",
-    "customer_spend_gini_global",
-    "ivf_retrain_decision",
-    "bitext_margin_pairs",
-    "epoch_shuffle_order",
-    "ks_binned_drift",
-    "doc_repetition_report",
-    "tokenizer_fertility",
-    "weighted_interleave_order",
-    "minhash_recall_eval",
-    "corpus_datacard",
-    "salted_topk_orders",
+    # -- new this round (r9)
+    "bitext_ivf_agreement",
+    "ann_pq_recall_eval",
+    "ann_ivfpq_recall_eval",
+    "skew_plan_choice",
     # -- changed this round, re-certify
-    "lang_mix_drift",
-    "geo_radius_pairs",
-    "nation_spend_gini",
-    "snapshot_diff",
-    # -- rotated out of the r6 window, still on r4 evidence
-    "kmeans_embeddings",
-    "incremental_dedup",
-    "filter_chain_report",
-    "temperature_mix",
-    # -- r04 tail rolling re-cert (19 of 49; oldest first per queue)
-    "semantic_neardup_kmeans",
-    "setops_buyers",
-    "approx_distinct_users",
-    "value_percentiles",
-    "nation_volume_by_year",
-    "top_returning_customers",
-    "date_scaffold",
-    "pivot_type_by_day",
-    "windowed_counts",
-    "lang_id",
-    "doc_fingerprint",
-    "minhash_signature",
-    "simhash",
-    "simhash_dup_groups",
-    "ngram_jaccard",
-    "vocabulary_top",
-    "chunk_documents",
-    "redact_pii",
-    "hash_sample",
-    # next round (r09), in priority order: (0) any new r09 probes;
-    # (1) anything red in r08; (2) the remaining 30 r04-tail rows —
-    # domain_stats, filter_fail_matrix, substring_dup_report,
-    # substring_filtered_docs, dedup_normalized,
-    # quality_weighted_sample, sentence_dedup,
-    # length_histogram, ngram_novelty,
-    # embedding_neardup, embedding_neardup_lsh, ann_lsh_topk,
-    # multimodal_byte_features, json_extract, asof_last_click,
-    # range_join_shipments, distinct_users_rollup, salted_agg_events,
-    # salted_join_events, missing_days, char_entropy, text_quality,
-    # measure_latest_update, measure_avg_magnitude, measure_max_depth,
-    # measure_totals_by_type, measure_total_events,
-    # measure_sliced_by_day, ann_ivf_topk, ann_cosine_topk;
-    # (3) r05/r06-green tail on rotation
+    "minhash_recall_eval",
+    "bitext_margin_pairs",
+    # -- the full r04-evidence tail (30)
+    "domain_stats",
+    "filter_fail_matrix",
+    "substring_dup_report",
+    "substring_filtered_docs",
+    "dedup_normalized",
+    "quality_weighted_sample",
+    "sentence_dedup",
+    "length_histogram",
+    "ngram_novelty",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+    "ann_lsh_topk",
+    "multimodal_byte_features",
+    "json_extract",
+    "asof_last_click",
+    "range_join_shipments",
+    "distinct_users_rollup",
+    "salted_agg_events",
+    "salted_join_events",
+    "missing_days",
+    "char_entropy",
+    "text_quality",
+    "measure_latest_update",
+    "measure_avg_magnitude",
+    "measure_max_depth",
+    "measure_totals_by_type",
+    "measure_total_events",
+    "measure_sliced_by_day",
+    "ann_ivf_topk",
+    "ann_cosine_topk",
+    # -- r05-evidence rolling re-cert (14 of 50, alphabetical head)
+    "ann_pq_topk",
+    "ann_sq8_topk",
+    "bigram_logprob_score",
+    "bm25_search",
+    "bpe_pair_counts",
+    "bpe_segment_counts",
+    "cdc_snapshot",
+    "clean_html_docs",
+    "contamination_report",
+    "corpus_mix_report",
+    "corpus_prep_v2",
+    "daily_p95_sliding",
+    "dax_q12_total",
+    "dax_q1_latest_update",
+    # next round (r10), in priority order: (0) any new r10 probes;
+    # (1) anything red in r09; (2) the remaining 36 r05-evidence rows
+    # (dax_q2_avg_mag ... wow_growth, alphabetical) — after r9 the
+    # histogram minimum is r5 and the backlog is a pure rotation;
+    # (3) r06-green tail on rotation
 ]
 
 
