@@ -129,8 +129,8 @@ def token_budget_sample(
 
     One shuffle (partition by stratum) + per-stratum sort. Strata are
     sorted independently, but a single giant stratum serializes into
-    one partition's sort — for that shape use the two-level prefix sum
-    in operators/packing.py over pre-bucketed hash ranges instead.
+    one partition's sort — for that shape use `token_budget_mix`
+    (the two-level-prefix distributed form, with per-stratum budgets).
     """
     bucket = hash_bucket(key_cols, seed)
     w = (
@@ -140,6 +140,100 @@ def token_budget_sample(
     )
     cum = F.sum(F.col(weight_col).cast("long")).over(w)
     return df.withColumn("cum_weight", cum).filter(F.col("cum_weight") <= budget)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_col: str,
+    budgets: dict[str, int],
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Token-budgeted prefix PER STRATUM with per-stratum budgets and
+    NO single-partition sort — the distributed form of
+    `token_budget_sample`, for the shape its docstring warns about
+    (one giant stratum serializing into one partition's window).
+    This is the literal data-recipe operator: budgets are the mix
+    spec ("50 B tokens of web, 5 B of code") keyed by stratum value.
+
+    Rows order inside each stratum by the md5-60-bit key of
+    (seed, id) — uniform by construction, so the key's high bits
+    bucket rows into ~|stratum|/n_buckets slices REGARDLESS of the id
+    distribution (the epoch_shuffle_order escape, summed over weights
+    instead of counted): the running token total is intra-bucket
+    cumulative sum (parallel per (stratum, bucket)) + the bucket's
+    offset from a |strata|·n_buckets-sized prefix table. A row is
+    kept while its inclusive cumulative `cum_weight` stays within its
+    stratum's budget — deterministic and NESTED (raising a budget
+    only appends rows; the order is a pure function of seed and ids).
+
+    Strata without a budget entry are dropped with the filter stated
+    here (a silent default would skew the mix); non-positive budgets
+    are configuration bugs, rejected eagerly; NULL weights count 0.
+    """
+    bad = {s: b for s, b in budgets.items() if not int(b) > 0}
+    if bad:
+        raise ValueError(
+            f"token_budget_mix budgets must be > 0; got {bad!r}"
+        )
+    srt = sorted(budgets.items())
+    bmap = F.create_map(
+        *[F.lit(x) for sb in srt for x in (sb[0], int(sb[1]))]
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_", F.lit(int(seed)), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span = (1 << 60) // n_buckets
+    keyed = (
+        df.filter(F.col(strata_col).isin([s for s, _ in srt]))
+        .withColumn("__key", key)
+        .withColumn("__b", F.expr(f"__key div {span}"))
+    )
+    w_intra = (
+        Window.partitionBy(strata_col, "__b")
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = keyed.groupBy(strata_col, "__b").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__bt")
+    )
+    w_bucket = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        strata_col,
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    return (
+        keyed.join(F.broadcast(offsets), [strata_col, "__b"])
+        .withColumn(
+            "cum_weight",
+            (
+                F.col("__off")
+                + F.coalesce(
+                    F.sum(F.col(weight_col).cast("long")).over(w_intra),
+                    F.lit(0),
+                )
+            ).cast("long"),
+        )
+        .filter(F.col("cum_weight") <= bmap[F.col(strata_col)])
+        .drop("__key", "__b", "__off")
+    )
 
 
 def cap_per_group(

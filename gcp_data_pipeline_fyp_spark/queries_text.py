@@ -936,6 +936,53 @@ WHERE cum_weight <= {_BUDGET}
 TEXT_QUERIES["token_budget_sample"] = (q_token_budget_sample, SQL_TOKEN_BUDGET_SAMPLE)
 
 
+# ----------------------- distributed per-stratum budget mix (r9)
+def q_token_budget_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """The data-recipe mix operator (operators/sampling.py:
+    token_budget_mix): per-language token budgets ("8k of en, 2k of
+    de, 1.5k of zh"; es/fr carry no budget and are dropped — the
+    stated-filter discipline), selection = budgeted prefix in the
+    seeded md5-key order, computed with the two-level-prefix rank (no
+    per-stratum single-partition sort — the giant-stratum shape
+    token_budget_sample documents). The oracle replays the identical
+    key order with DuckDB's plain per-stratum window: naive ==
+    two-level by construction, which is exactly what the hash check
+    certifies."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id", "lang",
+        F.coalesce(token_count("text"), F.lit(0)).alias("n_tokens"),
+    )
+    out = token_budget_mix(
+        d, "doc_id", "n_tokens", "lang",
+        {"en": 8000, "de": 2000, "zh": 1500}, seed=3,
+    )
+    return out.select("doc_id", "lang", "n_tokens", "cum_weight")
+
+
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH t AS (SELECT doc_id, lang,
+  coalesce(cast(len({_SQL_TOKS}) AS int), 0) AS n_tokens,
+  cast(concat('0x', substr(md5('3_' || cast(doc_id AS varchar)), 1, 15))
+    AS bigint) AS k
+  FROM documents WHERE lang IN ('de', 'en', 'zh')),
+s AS (SELECT doc_id, lang, n_tokens,
+  cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+    AS cum_weight
+  FROM t)
+SELECT doc_id, lang, n_tokens, cum_weight FROM s
+WHERE cum_weight <= CASE lang WHEN 'en' THEN 8000
+                              WHEN 'de' THEN 2000
+                              ELSE 1500 END
+"""
+
+TEXT_QUERIES["token_budget_mix"] = (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX)
+
+
 # -------------------------------------------------- corpus mix report
 def q_corpus_mix_report(spark: SparkSession, sf: str) -> DataFrame:
     """Mixture dashboard: per (lang, length bucket) doc count, token

@@ -452,6 +452,68 @@ def test_token_budget_sample_prefix_and_nesting(spark):
     assert small.filter("cum_weight > 100").count() == 0
 
 
+def test_token_budget_mix_matches_naive_window(spark):
+    """The two-level distributed budget prefix returns EXACTLY the
+    naive per-stratum cumulative window's rows (same md5-key order),
+    is nested in the budget, partition-invariant, drops unbudgeted
+    strata, and rejects non-positive budgets."""
+    import pytest as _pytest
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3], 5 + i % 7) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w int")
+    budgets = {"a": 120, "b": 60}
+
+    def got(frame, b):
+        return sorted(
+            (r["doc_id"], r["cum_weight"])
+            for r in token_budget_mix(
+                frame, "doc_id", "w", "lang", b, seed=3
+            ).collect()
+        )
+
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("_", F.lit(3), F.col("doc_id").cast("string"))),
+            1, 15,
+        ), 16, 10,
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(key.asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = sorted(
+        (r["doc_id"], r["cum_weight"])
+        for r in df.filter(F.col("lang").isin("a", "b"))
+        .withColumn("cum_weight", F.sum(F.col("w").cast("long")).over(w))
+        .filter(
+            F.col("cum_weight")
+            <= F.when(F.col("lang") == "a", 120).otherwise(60)
+        )
+        .collect()
+    )
+    assert got(df, budgets) == naive
+    assert got(df.repartition(13), budgets) == naive  # partition-invariant
+    # "c" carries no budget -> dropped entirely
+    assert all(
+        r["lang"] != "c"
+        for r in token_budget_mix(
+            df, "doc_id", "w", "lang", budgets, seed=3
+        ).collect()
+    )
+    # nested: raising budgets only appends
+    bigger = got(df, {"a": 240, "b": 120})
+    assert set(x[0] for x in got(df, budgets)) <= set(x[0] for x in bigger)
+    with _pytest.raises(ValueError, match="must be > 0"):
+        token_budget_mix(df, "doc_id", "w", "lang", {"a": 0}, seed=3)
+
+
 def test_tfidf_ranks_rare_terms_first(spark):
     from gcp_data_pipeline_fyp_spark.operators.search import tfidf_top_terms
 
