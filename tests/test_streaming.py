@@ -1061,6 +1061,33 @@ def test_stream_retrain_monitor_decides_and_replays_safely(spark, tmp_path):
     assert rep[-1]["n_cur"] == 720  # cumulative, not double-counted
     assert rep[-1]["retrain"] is True
     assert rep[-1]["psi_micro"] > rep[0]["psi_micro"]
+    # the DEPLOY.md loop (ingest THEN monitor) must not damp its own
+    # trigger: fold the drifted vectors into the postings via the
+    # ingest path, then run a FRESH monitor over the same feed — the
+    # baseline is the build-time train_mix snapshot, so the verdict
+    # and PSI are unchanged even though live postings now contain the
+    # drift (the r9 ADVICE fix, pinned at the streaming level)
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_index_ingest,
+    )
+
+    qi = stream_index_ingest(
+        spark, str(in_dir), schema, "vec_id", "emb", wh, "ix",
+        "IX_LEDGER2", str(tmp_path / "ickpt"),
+    )
+    qi.awaitTermination(120)
+    assert wh.read("ix__postings").count() == 240 + 720
+    q2 = stream_retrain_monitor(
+        spark, str(in_dir), schema, "vec_id", "emb", wh, "ix",
+        "RETRAIN_STATE2", "RETRAIN_REPORT2", str(tmp_path / "vckpt2"),
+    )
+    q2.awaitTermination(120)
+    rep2 = sorted(
+        wh.read("RETRAIN_REPORT2").collect(), key=lambda r: r["batch_id"]
+    )
+    assert rep2[-1]["retrain"] is True
+    assert rep2[-1]["psi_micro"] == rep[-1]["psi_micro"]
+    assert rep2[-1]["n_base"] == 240  # frozen training mass, not 960
 
 
 def test_stream_index_ingest_appends_replays_and_heals(spark, tmp_path):
