@@ -33,11 +33,15 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (4 + 2 + 30 + 14 = 50):
-#   0. the 4 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (6 + 2 + 30 + 12 = 50):
+#   0. the 6 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
-#      skew_plan_choice (measure-then-choose decision, both branches);
+#      skew_plan_choice (measure-then-choose decision, both branches),
+#      token_budget_mix (per-stratum token-budget prefixes — landed
+#      after the first window cut, pulled forward so no registered
+#      probe is ever outside its birth-round window),
+#      semantic_contamination (embedding-space benchmark scrub);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -53,6 +57,8 @@ _CHECK_FIRST = [
     "ann_pq_recall_eval",
     "ann_ivfpq_recall_eval",
     "skew_plan_choice",
+    "token_budget_mix",
+    "semantic_contamination",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -100,12 +106,10 @@ _CHECK_FIRST = [
     "corpus_mix_report",
     "corpus_prep_v2",
     "daily_p95_sliding",
-    "dax_q12_total",
-    "dax_q1_latest_update",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 36 r05-evidence rows
-    # (dax_q2_avg_mag ... wow_growth, alphabetical) — after r9 the
-    # histogram minimum is r5 and the backlog is a pure rotation;
+    # (1) anything red in r09; (2) the remaining 38 r05-evidence rows
+    # (dax_q12_total ... wow_growth, alphabetical) — after r9
+    # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]
 

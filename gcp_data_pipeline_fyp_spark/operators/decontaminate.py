@@ -205,3 +205,99 @@ def split_leakage_report(
             F.coalesce("n_leaked", F.lit(0)).cast("double") / F.col("n_docs")
         ).alias("leak_ratio_micro"),
     )
+
+
+# ------------------------------------------ embedding-space (semantic)
+def semantic_contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Embedding-based contamination: corpus rows whose max cosine
+    similarity against ANY benchmark embedding reaches `threshold`
+    -> (corpus_id, bench_id, max_cosine_micro), one row per
+    contaminated corpus doc, bench_id = the closest benchmark doc
+    (ties -> smallest bench_id).
+
+    The semantic complement of the n-gram scrub above: n-gram overlap
+    misses paraphrased / translated eval leakage; embedding cosine
+    catches it (the "fuzzy dedup against the test set" step of recent
+    dataset audits). The reference has no analogue; this extends its
+    quality-gate family (stg_full_load.py FilterTransform) to vector
+    space.
+
+    Scale shape, same argument as `decontaminate`: eval sets are tiny
+    (thousands of vectors) vs the 100 TB corpus, so the benchmark side
+    is BROADCAST and the corpus side is ONE scan — the pair stage is a
+    broadcast nested loop whose output never materializes (map-side
+    partial `max`/`max_by` collapse it to one slim row per corpus doc
+    before the only shuffle, which carries |corpus| x 3 columns, no
+    vectors). No corpus-side vector ever shuffles. Set
+    `broadcast=False` only if the benchmark genuinely exceeds executor
+    memory; the crossJoin then falls back to a shuffled nested loop.
+
+    Zero-norm vectors have no defined cosine (NULL, try_divide parity
+    with the ANN family) and are skipped on either side.
+    """
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        _fast_dot,
+        _unit,
+    )
+    from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    thr = int(round(threshold * 1_000_000))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _unit(as_double_vec(vec_col)).alias("__cv"),
+    )
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        _unit(as_double_vec(vec_col)).alias("__bv"),
+    )
+    if broadcast:
+        b = F.broadcast(b)
+    pairs = c.crossJoin(b).select(
+        "corpus_id",
+        "bench_id",
+        micro6(_fast_dot(F.col("__cv"), F.col("__bv"))).alias(
+            "cosine_micro"
+        ),
+    )
+    top = (
+        pairs.filter(F.col("cosine_micro").isNotNull())
+        .groupBy("corpus_id")
+        .agg(
+            F.max("cosine_micro").alias("max_cosine_micro"),
+            # lexicographic struct max: highest cosine first, then
+            # smallest bench_id (negated) — deterministic under ties
+            F.max_by(
+                "bench_id",
+                F.struct(F.col("cosine_micro"), -F.col("bench_id")),
+            ).alias("bench_id"),
+        )
+    )
+    return top.filter(F.col("max_cosine_micro") >= F.lit(thr)).select(
+        "corpus_id", "bench_id", "max_cosine_micro"
+    )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Corpus minus rows semantically too close to the benchmark —
+    the scrub built on `semantic_contamination_report`. The anti join
+    keys on `id_col` only; the flagged-id set is bounded by the
+    contaminated count (small by construction), so AQE broadcasts it."""
+    bad = semantic_contamination_report(
+        corpus, benchmark, id_col, vec_col, threshold, broadcast
+    ).select(F.col("corpus_id").alias(id_col))
+    return corpus.join(bad, id_col, "left_anti")

@@ -1460,3 +1460,54 @@ VECTOR_QUERIES["bitext_ivf_agreement"] = (
     q_bitext_ivf_agreement,
     SQL_BITEXT_IVF_AGREEMENT,
 )
+
+
+# ------------------------------------------ semantic decontamination
+def q_semantic_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/
+    decontaminate.py: semantic_contamination_report): benchmark = every
+    25th vector; corpus = the rest PLUS planted exact copies of the
+    benchmark (ids +1_000_000) that MUST flag at cosine 1.0. The
+    broadcast-benchmark / one-corpus-scan shape is the same as the
+    n-gram scrub; threshold 0.98 also catches natural same-cluster
+    neighbors, so the report is non-trivial beyond the plants."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    e = _emb(spark, sf)
+    bench = e.filter(F.col("vec_id") % 25 == 0)
+    planted = bench.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    corpus = e.filter(F.col("vec_id") % 25 != 0).unionByName(planted)
+    return semantic_contamination_report(
+        corpus, bench, "vec_id", "embedding", threshold=0.98
+    ).orderBy("corpus_id")
+
+
+SQL_SEMANTIC_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT vec_id AS bench_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % 25 = 0),
+corpus AS (
+  SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 25 <> 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS corpus_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT corpus_id, bench_id, {_SQL_COS} AS cosine
+  FROM corpus CROSS JOIN bench),
+ranked AS (
+  SELECT corpus_id, bench_id, {_MICRO_COS} AS max_cosine_micro,
+    row_number() OVER (
+      PARTITION BY corpus_id ORDER BY {_MICRO_COS} DESC, bench_id) AS rn
+  FROM pairs WHERE cosine IS NOT NULL)
+SELECT corpus_id, bench_id, max_cosine_micro
+FROM ranked WHERE rn = 1 AND max_cosine_micro >= 980000
+ORDER BY corpus_id
+"""
+
+VECTOR_QUERIES["semantic_contamination"] = (
+    q_semantic_contamination,
+    SQL_SEMANTIC_CONTAMINATION,
+)

@@ -2882,3 +2882,62 @@ def test_minhash_recall_eval_sensitivity(spark):
     ).collect()[0]
     assert strict["n_true_pairs"] == good["n_true_pairs"]
     assert strict["recall_micro"] < good["recall_micro"]
+
+
+def test_semantic_contamination_flags_and_scrubs(spark):
+    """Exact copies flag at cosine 1.0 with the NEAREST bench id
+    (ties -> smallest); orthogonal rows never flag; zero vectors are
+    skipped (undefined cosine); the scrub drops exactly the flagged
+    ids."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        semantic_contamination_report,
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vid long, vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),     # parallel to bench 100 -> cos 1.0
+            (2, [0.0, -3.0]),    # anti-parallel to 200 -> cos -1.0
+            (3, [1.0, 1.0]),     # cos ~0.707 to both -> below 0.95
+            (4, [0.0, 0.0]),     # zero vector -> NULL cosine, skipped
+            (5, [0.0, 0.5]),     # parallel to bench 200 -> cos 1.0
+        ],
+        "vid long, vec array<double>",
+    )
+    got = {
+        r["corpus_id"]: (r["bench_id"], r["max_cosine_micro"])
+        for r in semantic_contamination_report(
+            corpus, bench, "vid", "vec", threshold=0.95
+        ).collect()
+    }
+    assert got == {1: (100, 1_000_000), 5: (200, 1_000_000)}
+    kept = sorted(
+        r["vid"]
+        for r in semantic_decontaminate(
+            corpus, bench, "vid", "vec", threshold=0.95
+        ).collect()
+    )
+    assert kept == [2, 3, 4]
+
+
+def test_semantic_contamination_tie_breaks_to_smallest_bench_id(spark):
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    # two identical benchmark vectors: the flag must name the SMALLER id
+    bench = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [1.0, 0.0])],
+        "vid long, vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(1, [5.0, 0.0])], "vid long, vec array<double>"
+    )
+    rows = semantic_contamination_report(
+        corpus, bench, "vid", "vec", threshold=0.9
+    ).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in rows] == [(1, 3)]
