@@ -33,15 +33,16 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (6 + 2 + 30 + 12 = 50):
-#   0. the 6 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (7 + 2 + 30 + 11 = 50):
+#   0. the 7 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
 #      skew_plan_choice (measure-then-choose decision, both branches),
 #      token_budget_mix (per-stratum token-budget prefixes — landed
 #      after the first window cut, pulled forward so no registered
 #      probe is ever outside its birth-round window),
-#      semantic_contamination (embedding-space benchmark scrub);
+#      semantic_contamination (embedding-space benchmark scrub),
+#      incremental_neardup (persisted-LSH-index daily near-dup gate);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -59,6 +60,7 @@ _CHECK_FIRST = [
     "skew_plan_choice",
     "token_budget_mix",
     "semantic_contamination",
+    "incremental_neardup",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -105,10 +107,9 @@ _CHECK_FIRST = [
     "contamination_report",
     "corpus_mix_report",
     "corpus_prep_v2",
-    "daily_p95_sliding",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 38 r05-evidence rows
-    # (dax_q12_total ... wow_growth, alphabetical) — after r9
+    # (1) anything red in r09; (2) the remaining 39 r05-evidence rows
+    # (daily_p95_sliding ... wow_growth, alphabetical) — after r9
     # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]

@@ -3936,3 +3936,83 @@ TEXT_QUERIES["corpus_datacard"] = (
     q_corpus_datacard,
     SQL_CORPUS_DATACARD,
 )
+
+
+# ------------------------------------------ incremental NEAR-dup gate
+def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily-ingest near-dup candidates against a PERSISTED LSH band
+    index (operators/dedup.py: build_lsh_index +
+    incremental_neardup_indexed): the base corpus is signed ONCE at
+    build time; the batch signs only itself and joins the (band, sig)
+    table — the 100 TB property is that yesterday's corpus is never
+    re-tokenized. Batch plants: near-copies of base docs (must pair
+    via the index) and in-batch near-copies (must pair batch-vs-batch);
+    base-vs-base pairs must NOT appear."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_neardup_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 250)
+    fresh = d.filter(F.col("doc_id") >= 250)
+    vs_base_plants = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq zr zs")))
+    )
+    in_batch_plants = (
+        fresh.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq zr zs")))
+    )
+    batch = fresh.unionByName(vs_base_plants).unionByName(in_batch_plants)
+    scratch = "/tmp/spark_graft_ndup_" + os.path.basename(sf.rstrip("/"))
+    wh = Warehouse(spark, scratch)
+    build_lsh_index(
+        wh, base, "doc_id", "text", "NDUP",
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    pairs = incremental_neardup_indexed(
+        wh, batch, "doc_id", "text", "NDUP",
+        num_hashes=_NUM_HASHES, bands=_BANDS,
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || ' zq zr zs' AS text
+  FROM documents WHERE doc_id < 250 AND doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' zq zr zs' AS text
+  FROM documents WHERE doc_id >= 250 AND doc_id % 7 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM batch),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+s AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM t),
+bb AS (SELECT doc_id, {_SQL_BASE} AS base FROM s),
+sig AS (SELECT doc_id, {_SQL_SIG} AS sig FROM bb),
+bands AS (
+  SELECT doc_id, b,
+    concat_ws('|', sig[b*2+1], sig[b*2+2]) AS bsig
+  FROM sig, unnest(generate_series(0, 3)) AS g(b)),
+nz AS (SELECT * FROM bands WHERE bsig <> ''),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nz a JOIN nz b ON a.b = b.b AND a.bsig = b.bsig
+                     AND a.doc_id < b.doc_id)
+SELECT id_a, id_b FROM pairs
+WHERE NOT (id_a < 250 AND id_b < 250)
+ORDER BY id_a, id_b
+"""
+
+TEXT_QUERIES["incremental_neardup"] = (
+    q_incremental_neardup,
+    SQL_INCREMENTAL_NEARDUP,
+)
