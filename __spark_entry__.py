@@ -33,8 +33,8 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (7 + 2 + 30 + 11 = 50):
-#   0. the 7 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (9 + 2 + 30 + 9 = 50):
+#   0. the 9 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
 #      skew_plan_choice (measure-then-choose decision, both branches),
@@ -42,7 +42,8 @@ _REGISTRIES = [
 #      after the first window cut, pulled forward so no registered
 #      probe is ever outside its birth-round window),
 #      semantic_contamination (embedding-space benchmark scrub),
-#      incremental_neardup (persisted-LSH-index daily near-dup gate);
+#      incremental_neardup (persisted-LSH-index daily near-dup gate),
+#      canonical_urls + url_host_stats (web-corpus URL hygiene);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -61,6 +62,8 @@ _CHECK_FIRST = [
     "token_budget_mix",
     "semantic_contamination",
     "incremental_neardup",
+    "canonical_urls",
+    "url_host_stats",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -105,11 +108,9 @@ _CHECK_FIRST = [
     "cdc_snapshot",
     "clean_html_docs",
     "contamination_report",
-    "corpus_mix_report",
-    "corpus_prep_v2",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 39 r05-evidence rows
-    # (daily_p95_sliding ... wow_growth, alphabetical) — after r9
+    # (1) anything red in r09; (2) the remaining 41 r05-evidence rows
+    # (corpus_mix_report ... wow_growth, alphabetical) — after r9
     # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]

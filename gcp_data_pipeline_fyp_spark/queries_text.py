@@ -4016,3 +4016,146 @@ TEXT_QUERIES["incremental_neardup"] = (
     q_incremental_neardup,
     SQL_INCREMENTAL_NEARDUP,
 )
+
+
+# ------------------------------------------------- URL canonicalization
+def _doc_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """documents + a deterministically constructed messy URL per doc
+    (mixed-case scheme/host, www., default and explicit ports, tracking
+    params, trailing slashes, fragments) — documents carry no URL
+    column, so the probe manufactures the full mess the canonicalizer
+    must survive, identically in both engines."""
+    d = _docs(spark, sf).select("doc_id", "source")
+    i = F.col("doc_id")
+    return d.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://WWW.Site"),
+            (i % 7).cast("string"),
+            F.lit(".Example.COM"),
+            F.when(i % 3 == 0, F.lit(":80"))
+            .when(i % 3 == 1, F.lit(":8080"))
+            .otherwise(F.lit("")),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/Doc/"),
+            i.cast("string"),
+            F.when(
+                i % 2 == 0, F.lit("/?utm_source=feed&b=2&a=1")
+            ).otherwise(
+                F.concat(
+                    F.lit("?id="), i.cast("string"),
+                    F.lit("&utm_campaign=x&ref=rss"),
+                )
+            ),
+            F.when(i % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_SQL_DOC_URLS = """
+  SELECT doc_id, source,
+    'HTTP://WWW.Site' || (doc_id % 7) || '.Example.COM' ||
+    CASE WHEN doc_id % 3 = 0 THEN ':80'
+         WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+    '/' || source || '/Doc/' || doc_id ||
+    CASE WHEN doc_id % 2 = 0 THEN '/?utm_source=feed&b=2&a=1'
+         ELSE '?id=' || doc_id || '&utm_campaign=x&ref=rss' END ||
+    CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents
+"""
+
+# the oracle's replay of functions/web.py: same regex grammar (RE2 and
+# Java regex agree on this subset), coalesce('') because DuckDB's
+# array_to_string of an EMPTY list is NULL where Spark's array_join
+# is ''
+_SQL_URL_CANON = r"""
+  SELECT doc_id, url,
+    scheme || '://' || host ||
+    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+              OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE ':' || port END || path ||
+    CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS url_canonical,
+    host
+  FROM (
+    SELECT *, regexp_replace(lower(regexp_extract(auth, '^([^:]*)', 1)),
+                             '^www\.', '') AS host,
+      regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+      coalesce(array_to_string(list_sort(list_filter(
+        string_split(query, '&'),
+        q -> q <> '' AND NOT (starts_with(split_part(q, '=', 1), 'utm_')
+          OR split_part(q, '=', 1) IN
+             ('fbclid','gclid','msclkid','mc_eid','igshid','ref')))),
+        '&'), '') AS cq
+    FROM (
+      SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+          AS scheme,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)
+          AS auth,
+        regexp_replace(
+          regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', '') AS path,
+        regexp_extract(url, '\?([^#]*)', 1) AS query
+      FROM u))
+"""
+
+
+def q_canonical_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-URL canonical form (functions/web.py: canonicalize_url) —
+    pure whole-stage-codegen column expressions, zero shuffle; at
+    100 TB this is a flat map riding the scan."""
+    from gcp_data_pipeline_fyp_spark.functions.web import (
+        canonicalize_url,
+        url_host,
+    )
+
+    return _doc_urls(spark, sf).select(
+        "doc_id",
+        canonicalize_url("url").alias("url_canonical"),
+        url_host("url").alias("host"),
+    )
+
+
+SQL_CANONICAL_URLS = f"""
+WITH u AS ({_SQL_DOC_URLS}),
+c AS ({_SQL_URL_CANON})
+SELECT doc_id, url_canonical, host FROM c
+"""
+
+TEXT_QUERIES["canonical_urls"] = (q_canonical_urls, SQL_CANONICAL_URLS)
+
+
+def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level crawl stats over canonical URLs — the aggregation
+    behind per-host caps and host-level dedup (cap_per_group keys on
+    exactly this). One shuffle on the (low-cardinality) host key with
+    map-side partial aggregation."""
+    from gcp_data_pipeline_fyp_spark.functions.web import (
+        canonicalize_url,
+        url_host,
+    )
+
+    return (
+        _doc_urls(spark, sf)
+        .select(
+            url_host("url").alias("host"),
+            canonicalize_url("url").alias("cu"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cu").alias("n_urls"),
+        )
+        .orderBy("host")
+    )
+
+
+SQL_URL_HOST_STATS = f"""
+WITH u AS ({_SQL_DOC_URLS}),
+c AS ({_SQL_URL_CANON})
+SELECT host, count(*) AS n_docs, count(DISTINCT url_canonical) AS n_urls
+FROM c GROUP BY host ORDER BY host
+"""
+
+TEXT_QUERIES["url_host_stats"] = (q_url_host_stats, SQL_URL_HOST_STATS)

@@ -273,3 +273,40 @@ def test_ngram_repetition_frac_flags_loops(spark):
     assert got[3] == (0.0, None)                 # 1 bigram, no trigram
     assert got[4] == (None, None)
     assert got[5][0] > 0.5                       # the loop is caught
+
+
+def test_canonicalize_url_rules(spark):
+    """Tracking params dropped, survivors sorted; default port dropped,
+    explicit non-default kept; www./case/fragment/trailing-slash
+    normalization — one pin per rule."""
+    from gcp_data_pipeline_fyp_spark.functions.web import (
+        canonicalize_url,
+        url_host,
+        url_port,
+    )
+
+    cases = {
+        # case + www + default port + tracking + sort + fragment
+        "HTTP://WWW.Ex.COM:80/A/?utm_source=x&b=2&a=1#f": "http://ex.com/A?a=1&b=2",
+        # https default port; double trailing slash
+        "https://Sub.Ex.com:443/p//": "https://sub.ex.com/p",
+        # non-default port survives; bare click-id param dropped
+        "https://ex.com:8443/p?fbclid=1": "https://ex.com:8443/p",
+        # ref + gclid dropped, bare key param kept and sorted
+        "http://ex.com/a?keyonly&z=1&ref=tw&gclid=2": "http://ex.com/a?keyonly&z=1",
+        # root slash trims to bare authority
+        "https://ex.com/": "https://ex.com",
+        # non-http scheme: port never default-dropped
+        "ftp://Files.Ex.org:21/pub/": "ftp://files.ex.org:21/pub",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got == cases
+    one = spark.range(1).select(
+        url_host(F.lit("https://WWW.A.example.com:8080/x")).alias("h"),
+        url_port(F.lit("https://WWW.A.example.com:8080/x")).alias("p"),
+    ).first()
+    assert (one["h"], one["p"]) == ("a.example.com", "8080")
