@@ -77,10 +77,39 @@ def salted_join(
 
     `salt_from` is a left-side column giving each left row a
     deterministic bucket; the (smaller) right side is replicated
-    `buckets`x. Supported how: inner / left.
+    `buckets`x. Supported how: inner / left / right / full.
+
+    Right/full need the right-side rows with NO left match, which the
+    replicate-right trick cannot produce directly (every unmatched
+    replica would surface as its own NULL-left row, `buckets` of
+    them). They are computed separately: the salted INNER (for right)
+    or LEFT (for full) part, unioned with right rows anti-joined
+    against the DISTINCT left key set. The distinct collapses the hot
+    key map-side before its shuffle, and the anti join keys on a
+    deduplicated (small) frame AQE will broadcast — neither leg
+    re-creates the skew the salt just removed.
     """
-    if how not in ("inner", "left"):
-        raise ValueError("salted_join supports inner and left joins")
+    if how in ("outer", "full_outer"):
+        how = "full"
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            "salted_join supports inner, left, right and full joins"
+        )
+    if how in ("right", "full"):
+        matched = salted_join(
+            left,
+            right,
+            keys,
+            salt_from,
+            buckets,
+            how="inner" if how == "right" else "left",
+        )
+        unmatched_r = right.join(
+            left.select(*keys).distinct(), list(keys), "left_anti"
+        )
+        # missing left columns fill as NULL — exactly the plain
+        # right/full join's shape for matchless right rows
+        return matched.unionByName(unmatched_r, allowMissingColumns=True)
     l_salted = left.withColumn("__salt", _salt(salt_from, buckets))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

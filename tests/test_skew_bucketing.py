@@ -5,6 +5,7 @@ from __future__ import annotations
 import contextlib
 import io
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.operators.skew import salted_agg, salted_join
@@ -289,3 +290,34 @@ def test_adaptive_topk_measures_then_chooses(spark):
             ).collect()
         )
         assert got == naive(frame, 4)
+
+
+def test_salted_join_right_and_full_equal_plain(spark):
+    """Differential pin for the right/full extension: every how must be
+    row-multiset-equal to the plain join, including matchless right
+    rows (NULL left side, exactly ONE row each — not buckets copies)."""
+    left = _skewed(spark)
+    right = spark.createDataFrame(
+        [("hot", 1), ("k1", 2), ("k11", 3), ("zz", 9), ("zz2", 10)],
+        "k string, dim long",
+    )
+    for how in ("inner", "left", "right", "full", "outer"):
+        plain_how = "full" if how == "outer" else how
+        plain = sorted(
+            (r["k"], r["id"], r["dim"])
+            for r in left.join(right, "k", plain_how).collect()
+        )
+        salted = sorted(
+            (r["k"], r["id"], r["dim"])
+            for r in salted_join(
+                left, right, ["k"], salt_from="id", buckets=8, how=how
+            ).collect()
+        )
+        assert salted == plain, how
+
+
+def test_salted_join_rejects_unknown_how(spark):
+    left = _skewed(spark)
+    right = spark.createDataFrame([("hot", 1)], "k string, dim long")
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], salt_from="id", how="left_semi")
