@@ -704,7 +704,13 @@ def incremental_neardup_indexed(
     nb = _lsh_band_rows(
         batch, id_col, text_col, num_hashes, bands, shingle_n
     ).persist()
-    old = wh.read(f"{name}__bands")
+    try:
+        old = wh.read(f"{name}__bands")
+    except Exception:
+        # cold start: a band index built from an EMPTY corpus writes
+        # zero part files (partitioned empty write), which parquet
+        # cannot infer a schema from — treat as an empty index
+        old = nb.limit(0)
     vs_old = (
         nb.alias("n")
         .join(

@@ -540,6 +540,134 @@ def stream_dedup_ingest(
     )
 
 
+def stream_neardup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    id_col: str,
+    text_col: str,
+    ts_col: str,
+    wh: Warehouse,
+    table: str,
+    index_name: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> StreamingQuery:
+    """Streaming ingest with history-aware NEAR-dup suppression — the
+    streaming composition of the two persisted indexes
+    (operators/dedup.py): the 16-byte content-digest index is the
+    exact gate AND the replay ledger, the MinHash band index is the
+    near-dup gate. `stream_dedup_ingest` only stops byte-identical
+    re-deliveries; this also stops the near-copies (boilerplate
+    re-wraps, tail edits) that dominate crawled feeds.
+
+    Per micro-batch: (1) in-batch exact dedup, (2) digest anti-join
+    against `{index_name}__digests` (drops exact re-deliveries AND
+    makes a fully-replayed batch a no-op — band matching alone cannot
+    self-suppress a replay because same-id pairs are filtered),
+    (3) band-match the remainder against `{index_name}__bands` plus
+    itself via `incremental_neardup_indexed` (the batch signs ONLY
+    itself; the corpus is never re-tokenized), (4) suppress every doc
+    banded with an indexed doc or with a smaller-id batch doc,
+    (5) append survivors, then fold ONLY the survivors' digests and
+    band rows into the indexes.
+
+    Suppression is pair-greedy, not transitive-closure: in a batch
+    chain a<b<c with pairs (a,b),(b,c) only `a` survives — `c` is
+    suppressed by the already-suppressed `b`. Deliberately
+    conservative (never ingests anything banded with a smaller id);
+    chains that straddle batches converge through the index anyway.
+
+    Scale: batch-sized signing + index-sized joins (band rows are
+    partition-pruned on `band`); nothing corpus-sized is read except
+    the two slim indexes."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        _content_digest,
+        _lsh_band_rows,
+        exact_dedup,
+        incremental_dedup_indexed,
+        incremental_neardup_indexed,
+    )
+
+    raw = (
+        spark.readStream.schema(schema_ddl)
+        .option("header", True)
+        .csv(input_dir)
+    )
+    deduped = (
+        raw.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+
+    def _gate_and_append(batch: DataFrame, batch_id: int) -> None:
+        batch = exact_dedup(
+            batch.dropDuplicates([id_col]), [text_col], id_col
+        ).persist()
+        try:
+            if batch.isEmpty():
+                return
+            fresh = incremental_dedup_indexed(
+                wh, batch, [text_col], index_name, update_index=False
+            ).localCheckpoint()
+            if fresh.isEmpty():
+                return
+            pairs = incremental_neardup_indexed(
+                wh,
+                fresh,
+                id_col,
+                text_col,
+                index_name,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_n=shingle_n,
+                update_index=False,
+            )
+            batch_ids = fresh.select(F.col(id_col).alias("__bid"))
+            # every pair involves the batch on >=1 side (operator
+            # contract), and id_a < id_b. If id_b is a batch doc its
+            # partner is either indexed or a smaller batch doc — drop
+            # id_b either way. If id_b is NOT in the batch, id_a is a
+            # batch doc banded with an indexed doc — drop id_a.
+            suppress_b = pairs.join(
+                batch_ids, pairs["id_b"] == batch_ids["__bid"], "left_semi"
+            ).select(F.col("id_b").alias("__drop"))
+            suppress_a = pairs.join(
+                batch_ids, pairs["id_b"] == batch_ids["__bid"], "left_anti"
+            ).select(F.col("id_a").alias("__drop"))
+            drops = suppress_b.unionByName(suppress_a).distinct()
+            survivors = fresh.join(
+                drops, fresh[id_col] == drops["__drop"], "left_anti"
+            ).localCheckpoint()
+            if survivors.isEmpty():
+                return
+            wh.append(survivors, table)
+            wh.append(
+                survivors.select(
+                    _content_digest([text_col]).alias("digest")
+                ).distinct(),
+                f"{index_name}__digests",
+            )
+            wh.append(
+                _lsh_band_rows(
+                    survivors, id_col, text_col, num_hashes, bands, shingle_n
+                ),
+                f"{index_name}__bands",
+                partition_cols=["band"],
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(_gate_and_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_scd2_ingest(
     spark: SparkSession,
     input_dir: str,

@@ -1232,3 +1232,121 @@ def test_stream_index_ingest_parquet_feed(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert wh.read("ix__postings").count() == base + 30
+
+
+def test_stream_neardup_ingest_suppresses_near_copies(spark, tmp_path):
+    """Streaming NEAR-dup gate: exact re-deliveries drop via the digest
+    index, near-copies of indexed docs drop via the band index,
+    in-batch near-pairs keep only the smallest id, genuinely new text
+    lands — and only survivors fold into both indexes."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        build_lsh_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    in_dir = tmp_path / "nin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "nwh"))
+    ckpt = str(tmp_path / "nckpt")
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [(1, "2023-01-01 10:00:00", base_text, 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    )
+    build_digest_index(wh, hist, ["event_type"], "nd")
+    build_lsh_index(wh, hist, "event_id", "event_type", "nd")
+
+    fresh_a = "completely different subject matter with zero shared shingles one"
+    fresh_b = fresh_a + " tail"   # near-copy of fresh_a, larger id
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (10, "2024-01-01 10:00:00", base_text, 5.0),            # exact dup
+            (11, "2024-01-01 10:01:00", base_text + " zz", 6.0),    # near-copy of indexed
+            (12, "2024-01-01 10:02:00", fresh_a, 7.0),              # new -> keep
+            (13, "2024-01-01 10:03:00", fresh_b, 8.0),              # near-copy of 12 -> drop
+        ],
+    )
+    q = stream_neardup_ingest(
+        spark, str(in_dir), schema, "event_id", "event_type", "ts",
+        wh, "NDOCS", "nd", ckpt,
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in wh.read("NDOCS").collect()}
+    assert got == {12}
+    # index grew by the single survivor only
+    assert wh.read("nd__digests").distinct().count() == 2
+    assert (
+        wh.read("nd__bands").select("event_id").distinct().count() == 2
+    )
+
+    # next run: a near-copy of the batch-1 SURVIVOR (now indexed) must
+    # drop even though batch 1's state is long gone; new content lands
+    _write_csv(
+        in_dir / "b2.csv",
+        [
+            (20, "2024-03-01 10:00:00", fresh_a + " coda", 9.0),
+            (21, "2024-03-01 10:01:00",
+             "yet another wholly novel document body two", 2.0),
+        ],
+    )
+    q2 = stream_neardup_ingest(
+        spark, str(in_dir), schema, "event_id", "event_type", "ts",
+        wh, "NDOCS", "nd", ckpt,
+    )
+    q2.awaitTermination(120)
+    got2 = {r["event_id"] for r in wh.read("NDOCS").collect()}
+    assert got2 == {12, 21}
+
+
+def test_stream_neardup_ingest_full_replay_is_noop(spark, tmp_path):
+    """Checkpoint loss + full feed replay: the digest index (the replay
+    ledger) drops every already-ingested row BEFORE band matching, so
+    nothing duplicates — band matching alone could not self-suppress
+    (same-id pairs are filtered by the pair operator)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        build_lsh_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    in_dir = tmp_path / "rnin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "rnwh"))
+    empty = spark.createDataFrame(
+        [], "event_id long, ts string, event_type string, value double"
+    )
+    build_digest_index(wh, empty, ["event_type"], "nd")
+    build_lsh_index(wh, empty, "event_id", "event_type", "nd")
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    _write_csv(
+        in_dir / "b1.csv",
+        [
+            (30, "2024-01-01 10:00:00",
+             "document alpha beta gamma delta epsilon zeta", 1.0),
+            (31, "2024-01-01 10:01:00",
+             "unrelated words entirely separate content here", 2.0),
+        ],
+    )
+    q = stream_neardup_ingest(
+        spark, str(in_dir), schema, "event_id", "event_type", "ts",
+        wh, "RNDOCS", "nd", str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+    assert wh.read("RNDOCS").count() == 2
+
+    # fresh checkpoint -> the file source re-reads EVERYTHING
+    q2 = stream_neardup_ingest(
+        spark, str(in_dir), schema, "event_id", "event_type", "ts",
+        wh, "RNDOCS", "nd", str(tmp_path / "ck2"),
+    )
+    q2.awaitTermination(120)
+    assert wh.read("RNDOCS").count() == 2
