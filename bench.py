@@ -118,6 +118,14 @@ HEADLINE = [
     # probe times brute + IVF + the agreement join in one plan — the
     # honest cost of the certification itself)
     "bitext_ivf_agreement",
+    # round-9 tail: embedding-space decontamination (broadcast-bench
+    # nested loop + map-side max), the persisted-LSH incremental
+    # near-dup gate (index build + batch sign + band join in one
+    # timed plan), and the pure-codegen URL canonicalizer riding a
+    # full documents scan
+    "semantic_contamination",
+    "incremental_neardup",
+    "url_host_stats",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
