@@ -33,8 +33,8 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (9 + 2 + 30 + 9 = 50):
-#   0. the 9 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (10 + 2 + 30 + 8 = 50):
+#   0. the 10 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
 #      skew_plan_choice (measure-then-choose decision, both branches),
@@ -43,7 +43,8 @@ _REGISTRIES = [
 #      probe is ever outside its birth-round window),
 #      semantic_contamination (embedding-space benchmark scrub),
 #      incremental_neardup (persisted-LSH-index daily near-dup gate),
-#      canonical_urls + url_host_stats (web-corpus URL hygiene);
+#      canonical_urls + url_host_stats (web-corpus URL hygiene),
+#      compacted_scan (small-file compaction content round-trip);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -64,6 +65,7 @@ _CHECK_FIRST = [
     "incremental_neardup",
     "canonical_urls",
     "url_host_stats",
+    "compacted_scan",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -98,7 +100,7 @@ _CHECK_FIRST = [
     "measure_sliced_by_day",
     "ann_ivf_topk",
     "ann_cosine_topk",
-    # -- r05-evidence rolling re-cert (14 of 50, alphabetical head)
+    # -- r05-evidence rolling re-cert (8 of 50, alphabetical head)
     "ann_pq_topk",
     "ann_sq8_topk",
     "bigram_logprob_score",
@@ -107,10 +109,9 @@ _CHECK_FIRST = [
     "bpe_segment_counts",
     "cdc_snapshot",
     "clean_html_docs",
-    "contamination_report",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 41 r05-evidence rows
-    # (corpus_mix_report ... wow_growth, alphabetical) — after r9
+    # (1) anything red in r09; (2) the remaining 42 r05-evidence rows
+    # (contamination_report ... wow_growth, alphabetical) — after r9
     # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]

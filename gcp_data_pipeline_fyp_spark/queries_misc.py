@@ -2030,3 +2030,55 @@ MISC_QUERIES["salted_topk_orders"] = (
     q_salted_topk_orders,
     SQL_SALTED_TOPK_ORDERS,
 )
+
+
+# ------------------------------------------------- small-file compaction
+def q_compacted_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Compaction round-trip certified by content (operators/
+    maintenance.py): events append in 12 fragment slices (the
+    streaming-ingest file pattern), compact_table bin-packs both the
+    unpartitioned and the per-partition path, and the probe returns an
+    aggregate over the COMPACTED table — the oracle computes the same
+    aggregate from the pristine source, so any row lost, duplicated,
+    or corrupted by the rewrite hash-mismatches."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.maintenance import (
+        compact_table,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    scratch = "/tmp/spark_graft_compact_" + os.path.basename(sf.rstrip("/"))
+    wh = Warehouse(spark, scratch)
+    ev = load(spark, sf, "events").select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    wh.drop("EVC")
+    for i in range(12):
+        wh.append(
+            ev.filter(F.col("event_id") % 12 == i).repartition(3), "EVC"
+        )
+    compact_table(wh, "EVC", target_file_bytes=1 << 30)
+    return (
+        wh.read("EVC")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            micro6(
+                F.sum(F.col("value").cast("decimal(20,4)")).cast("double")
+            ).alias("sum_value_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_COMPACTED_SCAN = f"""
+SELECT event_type, count(*) AS n_events,
+  count(DISTINCT user_id) AS n_users,
+  {micro6_sql("CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE)")}
+    AS sum_value_micro
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+MISC_QUERIES["compacted_scan"] = (q_compacted_scan, SQL_COMPACTED_SCAN)

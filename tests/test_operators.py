@@ -2941,3 +2941,83 @@ def test_semantic_contamination_tie_breaks_to_smallest_bench_id(spark):
         corpus, bench, "vid", "vec", threshold=0.9
     ).collect()
     assert [(r["corpus_id"], r["bench_id"]) for r in rows] == [(1, 3)]
+
+
+def test_compact_table_unpartitioned(spark, tmp_path):
+    """Many small appended files -> few target-sized files, row content
+    byte-identical, atomic-swap leftovers cleaned up."""
+    from gcp_data_pipeline_fyp_spark.operators.maintenance import (
+        compact_table,
+        table_file_stats,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "cwh"))
+    for i in range(10):
+        wh.append(
+            spark.range(i * 100, (i + 1) * 100).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).repartition(4),
+            "T",
+        )
+    stats = table_file_stats(wh, "T")
+    assert stats["n_files"] >= 40
+    before = {(r["id"], r["v"]) for r in wh.read("T").collect()}
+    report = compact_table(wh, "T", target_file_bytes=1 << 30)
+    assert report["n_files_before"] == stats["n_files"]
+    assert report["n_files_after"] == 1
+    after = {(r["id"], r["v"]) for r in wh.read("T").collect()}
+    assert after == before and len(after) == 1000
+    assert not os.path.exists(wh.path("T").rstrip("/") + "__compact_tmp")
+    assert not os.path.exists(wh.path("T").rstrip("/") + "__pre_compact")
+
+
+def test_compact_table_partitioned_rewrites_only_fragmented(spark, tmp_path):
+    """Only partitions whose file count exceeds the size-justified
+    target rewrite; untouched partitions keep their files; content is
+    identical."""
+    from gcp_data_pipeline_fyp_spark.operators.maintenance import (
+        compact_table,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "pwh"))
+    # partition a: one clean file. partition b: 8 fragment appends.
+    wh.overwrite(
+        spark.range(0, 50).select(
+            F.lit("a").alias("p"), F.col("id"), (F.col("id") + 1).alias("v")
+        ).coalesce(1),
+        "PT",
+        partition_cols=["p"],
+    )
+    for i in range(8):
+        wh.append(
+            spark.range(1000 + i * 10, 1010 + i * 10).select(
+                F.lit("b").alias("p"), F.col("id"),
+                (F.col("id") + 1).alias("v"),
+            ).coalesce(1),
+            "PT",
+            partition_cols=["p"],
+        )
+    root = wh.path("PT")
+
+    def files_in(part):
+        d = os.path.join(root, f"p={part}")
+        return [
+            f for _, _, fs in os.walk(d) for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    a_before = set(files_in("a"))
+    assert len(files_in("b")) == 8
+    before = {(r["p"], r["id"], r["v"]) for r in wh.read("PT").collect()}
+    report = compact_table(
+        wh, "PT", target_file_bytes=1 << 30, partition_cols=["p"]
+    )
+    assert report["n_partitions_rewritten"] == 1
+    assert set(files_in("a")) == a_before       # untouched
+    assert len(files_in("b")) == 1              # bin-packed
+    after = {(r["p"], r["id"], r["v"]) for r in wh.read("PT").collect()}
+    assert after == before
