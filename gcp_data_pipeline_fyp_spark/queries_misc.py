@@ -2082,3 +2082,52 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 MISC_QUERIES["compacted_scan"] = (q_compacted_scan, SQL_COMPACTED_SCAN)
+
+
+# ------------------------------------------------- JSONL validated scan
+def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL source certified by content (sources/files.py:
+    read_jsonl_validated): documents round-trip through a JSONL
+    directory with 3 planted malformed lines; the probe aggregates the
+    GOOD route per lang and carries the bad-route count — the oracle
+    computes the same aggregate from the pristine parquet plus the
+    literal plant count, so a lost/dup/mis-typed row or a mis-routed
+    corrupt line hash-mismatches."""
+    import os
+    import shutil
+
+    from gcp_data_pipeline_fyp_spark.sources.files import (
+        read_jsonl_validated,
+    )
+
+    scratch = "/tmp/spark_graft_jsonl_" + os.path.basename(sf.rstrip("/"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    d = load(spark, sf, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    d.write.mode("overwrite").json(scratch)
+    with open(os.path.join(scratch, "zz_bad_lines.json"), "w") as fh:
+        fh.write(
+            "{broken line one\n"
+            '{"doc_id": "not a number", "text": "x", "lang": "en", "n_chars": "y"}\n'
+            "[1, 2, 3\n"
+        )
+    good, bad = read_jsonl_validated(
+        spark, scratch, "doc_id long, text string, lang string, n_chars long"
+    )
+    agg = good.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    n_bad = bad.agg(F.count(F.lit(1)).alias("n_rejected"))
+    return agg.crossJoin(n_bad).orderBy("lang")
+
+
+SQL_JSONL_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  CAST(3 AS BIGINT) AS n_rejected
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+MISC_QUERIES["jsonl_roundtrip"] = (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP)
