@@ -158,6 +158,23 @@ def main(argv: list[str] | None = None) -> int:
     dr_p.add_argument("--threshold-micro", type=int, default=250_000)
     dr_p.add_argument("--cpus", type=int, default=None)
 
+    mt_p = sub.add_parser(
+        "maintain",
+        help="small-file census of a warehouse table, optionally "
+             "compacting it to ~target-sized files",
+    )
+    mt_p.add_argument("--warehouse", required=True)
+    mt_p.add_argument("--table", required=True)
+    mt_p.add_argument("--compact", action="store_true")
+    mt_p.add_argument("--target-mb", type=int, default=128)
+    mt_p.add_argument("--small-mb", type=int, default=32)
+    mt_p.add_argument(
+        "--partition-cols", default=None,
+        help="comma-separated partitionBy columns (enables the "
+             "fragmented-partitions-only rewrite path)",
+    )
+    mt_p.add_argument("--cpus", type=int, default=None)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "ingest":
@@ -332,6 +349,37 @@ def main(argv: list[str] | None = None) -> int:
                 "psi_micro": row["psi_micro"],
                 "retrain": bool(row["retrain"]),
             }))
+            return 0
+
+        if args.cmd == "maintain":
+            from gcp_data_pipeline_fyp_spark.operators.maintenance import (
+                compact_table,
+                table_file_stats,
+            )
+            from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+            wh = Warehouse(spark, args.warehouse)
+            out = {
+                "table": args.table,
+                "before": table_file_stats(
+                    wh, args.table, small_file_bytes=args.small_mb << 20
+                ),
+            }
+            if args.compact:
+                pcols = (
+                    [c for c in args.partition_cols.split(",") if c]
+                    if args.partition_cols
+                    else None
+                )
+                out["compaction"] = compact_table(
+                    wh, args.table,
+                    target_file_bytes=args.target_mb << 20,
+                    partition_cols=pcols,
+                )
+                out["after"] = table_file_stats(
+                    wh, args.table, small_file_bytes=args.small_mb << 20
+                )
+            print(json.dumps(out))
             return 0
 
         if args.cmd == "validate":

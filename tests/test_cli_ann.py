@@ -211,3 +211,32 @@ def test_ann_drift_cli(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["retrain"] is True
+
+
+def test_maintain_cli_census_and_compact(spark, tmp_path):
+    """maintain: census-only leaves files alone; --compact bin-packs
+    and reports before/after through the same JSON surface."""
+    wh_dir = str(tmp_path / "mwh")
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, wh_dir)
+    for i in range(6):
+        wh.append(
+            spark.range(i * 10, (i + 1) * 10).repartition(3), "TBL"
+        )
+
+    census = _run_cli("maintain", "--warehouse", wh_dir, "--table", "TBL")
+    assert census.returncode == 0, census.stderr[-2000:]
+    rep = json.loads(census.stdout.strip().splitlines()[-1])
+    n0 = rep["before"]["n_files"]
+    assert n0 >= 12 and "compaction" not in rep
+
+    compacted = _run_cli(
+        "maintain", "--warehouse", wh_dir, "--table", "TBL",
+        "--compact", "--target-mb", "1024",
+    )
+    assert compacted.returncode == 0, compacted.stderr[-2000:]
+    rep2 = json.loads(compacted.stdout.strip().splitlines()[-1])
+    assert rep2["compaction"]["n_files_before"] == n0
+    assert rep2["after"]["n_files"] == 1
+    assert wh.read("TBL").count() == 60
