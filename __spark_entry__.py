@@ -33,8 +33,8 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (11 + 2 + 30 + 7 = 50):
-#   0. the 11 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (12 + 2 + 30 + 6 = 50):
+#   0. the 12 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
 #      skew_plan_choice (measure-then-choose decision, both branches),
@@ -45,7 +45,8 @@ _REGISTRIES = [
 #      incremental_neardup (persisted-LSH-index daily near-dup gate),
 #      canonical_urls + url_host_stats (web-corpus URL hygiene),
 #      compacted_scan (small-file compaction content round-trip),
-#      jsonl_roundtrip (validated JSONL source + dead-letter route);
+#      jsonl_roundtrip (validated JSONL source + dead-letter route),
+#      jl_projection (seeded JL random projection, component-exact);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -68,6 +69,7 @@ _CHECK_FIRST = [
     "url_host_stats",
     "compacted_scan",
     "jsonl_roundtrip",
+    "jl_projection",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -102,17 +104,16 @@ _CHECK_FIRST = [
     "measure_sliced_by_day",
     "ann_ivf_topk",
     "ann_cosine_topk",
-    # -- r05-evidence rolling re-cert (7 of 50, alphabetical head)
+    # -- r05-evidence rolling re-cert (6 of 50, alphabetical head)
     "ann_pq_topk",
     "ann_sq8_topk",
     "bigram_logprob_score",
     "bm25_search",
     "bpe_pair_counts",
     "bpe_segment_counts",
-    "cdc_snapshot",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 43 r05-evidence rows
-    # (clean_html_docs ... wow_growth, alphabetical) — after r9
+    # (1) anything red in r09; (2) the remaining 44 r05-evidence rows
+    # (cdc_snapshot ... wow_growth, alphabetical) — after r9
     # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]

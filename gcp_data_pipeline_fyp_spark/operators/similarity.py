@@ -993,3 +993,44 @@ def ivf_retrain_decision_indexed(
         "psi_micro",
         (F.col("psi_micro") > F.lit(psi_threshold_micro)).alias("retrain"),
     )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    seed: int = 42,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: replace `vec_col` with
+    its seeded Gaussian projection to `out_dim` components (scaled
+    1/sqrt(out_dim), the distance-preserving normalization).
+
+    The standard 100 TB pre-step before LSH bucketing / k-means
+    blocking / drift monitoring: a d=1024 float corpus projected to 64
+    dims cuts vector bytes 16x while preserving pairwise distances to
+    within JL tolerance — every downstream shuffle, broadcast, and
+    codebook fit gets 16x cheaper, and exact re-rank against the full
+    vectors restores precision where it matters (`rerank_exact`).
+
+    Pure column expressions over a broadcast-literal plane matrix
+    (same seeded-Gaussian source as the LSH hyperplanes, so plans are
+    rerun-stable and oracle-replayable); no shuffle, no Python — the
+    projection rides the scan. Deterministic for a given (dim,
+    out_dim, seed).
+    """
+    if in_dim is None:
+        # one-row dimension probe (a `first()` = limit-1 scan); pass
+        # `in_dim` explicitly to keep the plan action-free
+        first = df.select(F.size(as_double_vec(vec_col))).first()
+        if first is None or first[0] is None:
+            return df.withColumn(vec_col, as_double_vec(vec_col))
+        in_dim = first[0]
+    planes = make_hyperplanes(in_dim, out_dim, seed)
+    s = 1.0 / (out_dim ** 0.5)
+    v = as_double_vec(vec_col)
+    comps = [
+        (dot(v, F.array(*[F.lit(x) for x in p])) * s).alias(f"_c{i}")
+        for i, p in enumerate(planes)
+    ]
+    return df.withColumn(vec_col, F.array(*comps))

@@ -1511,3 +1511,42 @@ VECTOR_QUERIES["semantic_contamination"] = (
     q_semantic_contamination,
     SQL_SEMANTIC_CONTAMINATION,
 )
+
+
+# ------------------------------------------ JL random projection
+def q_jl_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Seeded JL projection certified component-exact (operators/
+    similarity.py: jl_project): 64-dim embeddings -> 16 components,
+    emitted (vec_id, comp_idx, comp_micro) — the oracle replays the
+    identical literal plane matrix, so both the Gaussian source and
+    the 1/sqrt(k) scaling are pinned. Distance-preservation quality is
+    separately asserted in pytest (it is a property of JL, not of this
+    implementation's determinism)."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import jl_project
+
+    e = _emb(spark, sf).filter(F.col("vec_id") < 100)
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    proj = jl_project(e, "embedding", out_dim=16, seed=7, in_dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("embedding").alias("comp_idx", "__c")
+    ).select("vec_id", "comp_idx", micro6("__c").alias("comp_micro"))
+
+
+_JL_MICRO = micro6_sql("comp")
+SQL_JL_PROJECTION = f"""
+WITH p AS ({_planes_literal(dim=64, n_planes=16, seed=7)}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      FROM embeddings WHERE vec_id < 100),
+x AS (
+  SELECT vec_id, g.k AS comp_idx,
+    list_sum(list_transform(generate_series(1, len(v)),
+                            i -> v[i] * pl[g.k+1][i])) * (1.0 / sqrt(16.0))
+      AS comp
+  FROM e, p, unnest(generate_series(0, 15)) AS g(k))
+SELECT vec_id, CAST(comp_idx AS INT) AS comp_idx,
+  {_JL_MICRO} AS comp_micro
+FROM x
+"""
+
+VECTOR_QUERIES["jl_projection"] = (q_jl_projection, SQL_JL_PROJECTION)

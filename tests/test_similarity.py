@@ -1137,3 +1137,56 @@ def test_ivf_retrain_decision_indexed_postings_layout(spark, tmp_path):
     assert r3 == r2
     # and the snapshot itself is untouched by the append
     assert wh.read("ix__train_mix").agg(F.sum("n")).collect()[0][0] == 240
+
+
+def test_jl_project_preserves_distances(spark):
+    """JL quality: 32 seeded 64-dim vectors projected to 24 dims keep
+    pairwise squared distances within a loose (eps=0.6) band — the
+    property the operator exists for — and the projection is
+    deterministic across invocations."""
+    import itertools
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import jl_project
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0.0, 1.0) for _ in range(64)]) for i in range(32)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["embedding"]
+        for r in jl_project(df, "embedding", out_dim=24, seed=5).collect()
+    }
+    assert all(len(v) == 24 for v in got.values())
+    got2 = {
+        r["vec_id"]: r["embedding"]
+        for r in jl_project(df, "embedding", out_dim=24, seed=5).collect()
+    }
+    assert got == got2
+
+    orig = dict(rows)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    violations = 0
+    pairs = list(itertools.combinations(range(32), 2))
+    for i, j in pairs:
+        do, dp = d2(orig[i], orig[j]), d2(got[i], got[j])
+        if not (0.4 * do <= dp <= 1.6 * do):
+            violations += 1
+    # JL is probabilistic: allow a small tail, require the bulk to hold
+    assert violations <= len(pairs) * 0.02, violations
+
+
+def test_jl_project_empty_and_explicit_dim(spark):
+    from gcp_data_pipeline_fyp_spark.operators.similarity import jl_project
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert jl_project(empty, "embedding", out_dim=4).count() == 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = jl_project(df, "embedding", out_dim=2, seed=3, in_dim=4).first()
+    assert len(out["embedding"]) == 2
