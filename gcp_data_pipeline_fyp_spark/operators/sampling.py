@@ -373,3 +373,42 @@ def weighted_sample_wor(
         .filter(F.col("__rn") <= k)
         .select(*keep)
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    seed: int = 0,
+    split_col: str = "split",
+    keep_cluster: bool = False,
+) -> DataFrame:
+    """`hash_split` keyed on the NEAR-DUP CLUSTER instead of the row id.
+
+    Splitting on doc_id scatters near-duplicates across train and test
+    — the leakage hole `split_leakage_report` exists to audit. Keying
+    the split on the transitive closure of the candidate-pair graph
+    (`pairs`: (id_a, id_b) from any dedup family — MinHash LSH,
+    embedding near-dup, simhash groups) puts every member of a cluster
+    in the SAME split, closing the hole BY CONSTRUCTION rather than
+    detecting it after the fact. Docs in no pair split on their own id
+    (singleton cluster), so the weights are honored over clusters.
+
+    Same stability contract as `hash_split`: a cluster lands in the
+    same split forever (reprocessing cannot contaminate), provided the
+    pair graph is stable; new edges can merge clusters, which MOVES
+    the merged cluster as a unit — never splits one across sets.
+
+    Scale: the closure runs over the candidate graph (LSH-bounded,
+    orders of magnitude smaller than the corpus —
+    `connected_components` picks driver union-find vs distributed star
+    contraction adaptively); the split itself is one md5 expression.
+    """
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        dup_clusters,
+    )
+
+    with_c = dup_clusters(df, pairs, id_col)
+    out = hash_split(with_c, ["cluster_id"], weights, seed, split_col)
+    return out if keep_cluster else out.drop("cluster_id")

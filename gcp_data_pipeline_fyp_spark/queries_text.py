@@ -4159,3 +4159,62 @@ FROM c GROUP BY host ORDER BY host
 """
 
 TEXT_QUERIES["url_host_stats"] = (q_url_host_stats, SQL_URL_HOST_STATS)
+
+
+# ------------------------------------------ leakage-safe split
+def q_leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-keyed train/val/test split (operators/sampling.py:
+    leakage_safe_split): near-dup plants and their originals must land
+    in the SAME split by construction — the oracle replays the LSH
+    pairs, the recursive closure, and the md5 bucket split, so both
+    the clustering and the assignment are pinned. Emits per-split doc
+    and cluster counts (the weights apply over clusters)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = leakage_safe_split(
+        d, "doc_id", pairs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=7, keep_cluster=True,
+    )
+    pairs.unpersist()
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    ).orderBy("split")
+
+
+_BC7 = hash_bucket_sql(["cluster_id"], seed=7)
+SQL_LEAKAGE_SAFE_SPLIT = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+u2 AS ({_SQL_DOCS_WITH_NEARDUPS}),
+ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT e.a, r.l FROM ed e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+cl AS (
+  SELECT u2.doc_id, coalesce(comp.component, u2.doc_id) AS cluster_id
+  FROM u2 LEFT JOIN comp ON u2.doc_id = comp.v),
+s AS (
+  SELECT cluster_id,
+    CASE WHEN {_BC7} < 800000 THEN 'train'
+         WHEN {_BC7} < 900000 THEN 'val'
+         ELSE 'test' END AS split
+  FROM cl)
+SELECT split, count(*) AS n_docs,
+  count(DISTINCT cluster_id) AS n_clusters
+FROM s GROUP BY split ORDER BY split
+"""
+
+TEXT_QUERIES["leakage_safe_split"] = (
+    q_leakage_safe_split,
+    SQL_LEAKAGE_SAFE_SPLIT,
+)

@@ -3021,3 +3021,39 @@ def test_compact_table_partitioned_rewrites_only_fragmented(spark, tmp_path):
     assert len(files_in("b")) == 1              # bin-packed
     after = {(r["p"], r["id"], r["v"]) for r in wh.read("PT").collect()}
     assert after == before
+
+
+def test_leakage_safe_split_colocates_near_dups(spark):
+    """Every pair-connected doc lands in the same split (the property
+    hash_split on doc_id violates); singletons split on their own id
+    identically to hash_split; weights honored over clusters."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chain 0-1-2 plus pair (10, 11); everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(
+        docs, "doc_id", pairs, {"train": 0.6, "test": 0.4}, seed=3,
+        keep_cluster=True,
+    )
+    rows = {r["doc_id"]: (r["split"], r["cluster_id"]) for r in out.collect()}
+    assert rows[0][0] == rows[1][0] == rows[2][0]
+    assert rows[0][1] == rows[1][1] == rows[2][1] == 0
+    assert rows[10][0] == rows[11][0]
+    # singleton assignment == plain hash_split keyed on the id value
+    singles = hash_split(
+        docs.filter("doc_id >= 20").withColumnRenamed(
+            "doc_id", "cluster_id"
+        ),
+        ["cluster_id"], {"train": 0.6, "test": 0.4}, seed=3,
+    )
+    want = {r["cluster_id"]: r["split"] for r in singles.collect()}
+    for i in range(20, 40):
+        assert rows[i][0] == want[i], i
