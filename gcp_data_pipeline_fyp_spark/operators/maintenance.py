@@ -14,11 +14,12 @@ Scale shape:
   asymptotics as a Delta transaction log replay, and the report it
   feeds is what tells you compaction is NEEDED (run it cheaply from a
   cron; compact only when `n_small_files` says so).
-- Unpartitioned compaction is ONE shuffle: `repartition(ceil(bytes /
-  target))` then an atomic directory swap — readers see the old files
-  or the new files, never a mix. (Directory rename is atomic on local
-  FS / HDFS; on object stores use a manifest or Delta-style commit
-  protocol instead — documented limitation, not hidden.)
+- Unpartitioned compaction delegates to `Warehouse.compact`
+  (sources/tables.py): coalesce (no shuffle) + the warehouse's
+  crash-safe rename promotion — readers see the old files or the new
+  files, never a mix. (Rename is atomic on local FS / HDFS; on object
+  stores use a manifest or Delta-style commit protocol instead —
+  documented limitation, not hidden.)
 - Partitioned compaction rewrites ONLY partitions whose file count
   exceeds their size-justified target (dynamic partition overwrite,
   `overwrite_partitions`): a 10,000-partition table with 3 hot
@@ -34,7 +35,6 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -94,68 +94,71 @@ def compact_table(
     partition_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite `table` into ~target-sized files; row-content identical.
+    Returns {n_files_before, n_files_after, n_partitions_rewritten}.
 
-    Unpartitioned: one `repartition(n)` pass into a temp directory,
-    then an atomic swap (old dir is kept as `<table>__pre_compact`
-    until the swap completes, then removed — a crash mid-swap leaves
-    either the old or the new table intact, never neither).
+    The reporting layer over the warehouse's own compaction: the
+    unpartitioned path DELEGATES to `Warehouse.compact`
+    (sources/tables.py — coalesce to ceil(bytes/target), crash-safe
+    rename promotion, zone map rebuilt if one existed), deliberately
+    not a second implementation.
 
-    Partitioned (`partition_cols` given, in the table's partitionBy
-    order): only partitions whose current file count exceeds
-    `ceil(partition_bytes / target)` are rewritten, each through
-    dynamic partition overwrite. Returns a report dict
-    {n_files_before, n_files_after, n_partitions_rewritten}.
+    What this adds is the partitioned path (`partition_cols`, in the
+    table's partitionBy order): `Warehouse.compact(partition_col=...)`
+    rewrites the WHOLE table; here only partitions whose current file
+    count exceeds `ceil(partition_bytes / target)` are rewritten, each
+    through dynamic partition overwrite — a streaming table with 3
+    hot date partitions rewrites 3 partitions, not 10,000. Zone maps
+    are rebuilt after the last partition rewrite when present (same
+    stats columns), so the compacted layout stays skippable.
+
+    Hive-dir parsing caveat: partition VALUES are compared as their
+    directory-encoded strings — tables partitioned on values needing
+    URL escapes (spaces, '=') or NULL (__HIVE_DEFAULT_PARTITION__)
+    should use `Warehouse.compact` instead.
     """
     root = wh.path(table)
     before = _count_files(root)
-    if partition_cols:
-        sizes = _walk_parquet(root)
-        rewritten = 0
-        for rel, nbytes in sorted(sizes.items()):
-            if not rel:
-                continue
-            part_dir = os.path.join(root, rel)
-            n_cur = _count_files(part_dir)
-            n_target = max(1, math.ceil(nbytes / target_file_bytes))
-            if n_cur <= n_target:
-                continue
-            # hive-style dir name -> literal filter values
-            df = wh.read(table)
-            for piece in rel.split(os.sep):
-                k, _, v = piece.partition("=")
-                df = df.filter(F.col(k).cast("string") == v)
-            # localCheckpoint breaks lineage to the files being
-            # replaced: Spark refuses to overwrite a path it is
-            # reading from, and the materialization is bounded by the
-            # one partition being rewritten
-            wh.overwrite_partitions(
-                df.repartition(n_target).localCheckpoint(), table,
-                partition_cols,
-            )
-            rewritten += 1
+    if not partition_cols:
+        wh.compact(table, target_file_bytes=target_file_bytes)
         return {
             "n_files_before": before,
             "n_files_after": _count_files(root),
-            "n_partitions_rewritten": rewritten,
+            "n_partitions_rewritten": 0,
         }
-    total = sum(_walk_parquet(root).values())
-    n_target = max(1, math.ceil(total / target_file_bytes))
-    tmp = root.rstrip("/") + "__compact_tmp"
-    old = root.rstrip("/") + "__pre_compact"
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
-    (
-        wh.read(table)
-        .repartition(n_target)
-        .write.mode("overwrite")
-        .format(wh.fmt)
-        .save(tmp)
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        zonemap_cols_of,
     )
-    os.rename(root, old)
-    os.rename(tmp, root)
-    shutil.rmtree(old)
+
+    zm_cols = zonemap_cols_of(wh, table)
+    sizes = _walk_parquet(root)
+    rewritten = 0
+    for rel, nbytes in sorted(sizes.items()):
+        if not rel:
+            continue
+        part_dir = os.path.join(root, rel)
+        n_cur = _count_files(part_dir)
+        n_target = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_cur <= n_target:
+            continue
+        # hive-style dir name -> literal filter values
+        df = wh.read(table)
+        for piece in rel.split(os.sep):
+            k, _, v = piece.partition("=")
+            df = df.filter(F.col(k).cast("string") == v)
+        # localCheckpoint breaks lineage to the files being
+        # replaced: Spark refuses to overwrite a path it is
+        # reading from, and the materialization is bounded by the
+        # one partition being rewritten
+        wh.overwrite_partitions(
+            df.repartition(n_target).localCheckpoint(), table,
+            partition_cols,
+        )
+        rewritten += 1
+    if rewritten and zm_cols:
+        build_zonemap(wh, table, zm_cols)
     return {
         "n_files_before": before,
         "n_files_after": _count_files(root),
-        "n_partitions_rewritten": 0,
+        "n_partitions_rewritten": rewritten,
     }
