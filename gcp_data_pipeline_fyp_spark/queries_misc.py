@@ -2086,18 +2086,22 @@ MISC_QUERIES["compacted_scan"] = (q_compacted_scan, SQL_COMPACTED_SCAN)
 
 # ------------------------------------------------- JSONL validated scan
 def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
-    """JSONL source certified by content (sources/files.py:
-    read_jsonl_validated): documents round-trip through a JSONL
-    directory with 3 planted malformed lines; the probe aggregates the
-    GOOD route per lang and carries the bad-route count — the oracle
-    computes the same aggregate from the pristine parquet plus the
-    literal plant count, so a lost/dup/mis-typed row or a mis-routed
-    corrupt line hash-mismatches."""
+    """JSONL source certified by content (sources/jsonl.py: read_jsonl
+    + split_corrupt + write_jsonl — the module public corpora flow
+    through): documents round-trip through a JSONL directory with 3
+    planted malformed lines; the probe aggregates the GOOD route per
+    lang and carries the bad-route count — the oracle computes the
+    same aggregate from the pristine parquet plus the literal plant
+    count, so a lost/dup/mis-typed row or a mis-routed corrupt line
+    hash-mismatches."""
+    import gzip
     import os
     import shutil
 
-    from gcp_data_pipeline_fyp_spark.sources.files import (
-        read_jsonl_validated,
+    from gcp_data_pipeline_fyp_spark.sources.jsonl import (
+        read_jsonl,
+        split_corrupt,
+        write_jsonl,
     )
 
     scratch = "/tmp/spark_graft_jsonl_" + os.path.basename(sf.rstrip("/"))
@@ -2105,15 +2109,20 @@ def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents").select(
         "doc_id", "text", "lang", "n_chars"
     )
-    d.write.mode("overwrite").json(scratch)
-    with open(os.path.join(scratch, "zz_bad_lines.json"), "w") as fh:
+    write_jsonl(d, scratch)  # gzip, the public-corpus convention
+    with gzip.open(
+        os.path.join(scratch, "zz_bad_lines.json.gz"), "wt"
+    ) as fh:
         fh.write(
             "{broken line one\n"
             '{"doc_id": "not a number", "text": "x", "lang": "en", "n_chars": "y"}\n'
             "[1, 2, 3\n"
         )
-    good, bad = read_jsonl_validated(
-        spark, scratch, "doc_id long, text string, lang string, n_chars long"
+    good, bad = split_corrupt(
+        read_jsonl(
+            spark, scratch,
+            "doc_id long, text string, lang string, n_chars long",
+        )
     )
     agg = good.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

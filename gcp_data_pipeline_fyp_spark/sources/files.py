@@ -134,46 +134,3 @@ def fetch_feed(now: "datetime.datetime", rawdata_dir: str) -> str:
     with open(dest, "w") as f:
         f.write(resp.text)
     return dest
-
-
-def read_jsonl_validated(
-    spark: SparkSession,
-    path: str,
-    schema_ddl: str,
-    corrupt_col: str = "_corrupt_record",
-) -> tuple[DataFrame, DataFrame]:
-    """JSONL scan with dead-letter routing -> (good, bad).
-
-    The JSONL rendering of the reference's rejected-rows discipline
-    (S4/S10: PERMISSIVE parse, quality gate, REJECTED sink): lines
-    that fail to parse as JSON — or parse but violate the declared
-    schema's field types — surface in `bad` with the RAW line intact
-    (one `value` column, ready for `write_rejected`-style text sinks
-    and later `reprocess_quarantine`); `good` carries exactly the
-    declared schema.
-
-    Scale: the JSON datasource splits by line across executors like
-    any text scan; the explicit schema avoids the schema-inference
-    pre-pass (which reads the whole dataset TWICE at 100 TB).
-
-    Implementation note: Spark disallows filtering on the internal
-    corrupt-record column straight off the scan (SPARK-21610) — the
-    parsed frame is persisted before the split, which also means good
-    and bad come from ONE parse of the input, not two.
-    """
-    from pyspark.sql.types import StructType as _St
-
-    base = _St.fromDDL(schema_ddl).add(corrupt_col, StringType(), True)
-    parsed = (
-        spark.read.schema(base)
-        .options(
-            mode="PERMISSIVE", columnNameOfCorruptRecord=corrupt_col
-        )
-        .json(path)
-        .persist()
-    )
-    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = parsed.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("value")
-    )
-    return good, bad

@@ -276,31 +276,3 @@ def test_versioned_overwrite_time_travel_rollback_vacuum(spark, tmp_path):
     with _pytest.raises(ValueError):
         wh.rollback("t", 1)
 
-
-def test_read_jsonl_validated_routes_corrupt_lines(spark, tmp_path):
-    """Well-formed rows land in `good` with the declared schema; broken
-    JSON and type-violating rows land in `bad` with the raw line
-    preserved for the dead-letter sink."""
-    from gcp_data_pipeline_fyp_spark.sources.files import (
-        read_jsonl_validated,
-    )
-
-    p = tmp_path / "feed.jsonl"
-    p.write_text(
-        '{"doc_id": 1, "text": "alpha", "n": 10}\n'
-        '{"doc_id": 2, "text": "beta", "n": 20}\n'
-        "{not json at all\n"
-        '{"doc_id": "NaN-ish", "text": "gamma", "n": "not a number"}\n'
-    )
-    good, bad = read_jsonl_validated(
-        spark, str(p), "doc_id long, text string, n long"
-    )
-    assert good.columns == ["doc_id", "text", "n"]
-    assert {(r["doc_id"], r["text"], r["n"]) for r in good.collect()} == {
-        (1, "alpha", 10),
-        (2, "beta", 20),
-    }
-    bad_lines = sorted(r["value"] for r in bad.collect())
-    assert len(bad_lines) == 2
-    assert "{not json at all" in bad_lines
-    assert any("gamma" in line for line in bad_lines)
