@@ -371,6 +371,83 @@ def registered_domain(host: Column | str) -> Column:
     return F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
 
 
+# click-tracking params every major curation pipeline strips
+TRACKING_KEYS = ("fbclid", "gclid", "msclkid", "mc_eid", "igshid", "ref")
+TRACKING_PREFIXES = ("utm_",)
+
+
+def canonical_host(url: Column | str) -> Column:
+    """Host for URL-identity purposes: lowercased, `www.` stripped,
+    explicit port stripped. Contrast `url_host` above, which keeps the
+    raw authority (www + port) for crawl-stat rollups."""
+    auth = F.regexp_extract(
+        _c(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    h = F.lower(F.regexp_extract(auth, "^([^:]*)", 1))
+    return F.regexp_replace(h, "^www\\.", "")
+
+
+def _url_port(url: Column | str) -> Column:
+    auth = F.regexp_extract(
+        _c(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    return F.regexp_extract(auth, ":([0-9]+)$", 1)
+
+
+def _is_tracking(param: Column) -> Column:
+    key = F.split_part(param, F.lit("="), F.lit(1))
+    cond = F.lit(False)
+    for p in TRACKING_PREFIXES:
+        cond = cond | key.startswith(p)
+    return cond | key.isin(*TRACKING_KEYS)
+
+
+def canonical_query(url: Column | str) -> Column:
+    """Query string for URL identity: tracking params dropped,
+    survivors sorted; '' when nothing remains."""
+    q = F.regexp_extract(_c(url), "\\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"), lambda p: (p != "") & ~_is_tracking(p)
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """The FULL canonical form for crawl curation — the aggressive
+    superset of `normalize_url` above (which lowercases scheme/host,
+    drops the fragment, and trims trailing slashes but deliberately
+    preserves the query verbatim). This one additionally strips
+    `www.`, drops default ports (http:80 / https:443), removes
+    tracking params (`utm_*`, click ids), and sorts surviving params —
+    so the same resource always maps to the same string for host-level
+    caps, exact URL dedup, and per-host stats.
+
+    Pure regexp/array expressions (whole-stage codegen, zero shuffle);
+    the regex grammar is RFC-3986's common subset chosen to run
+    identically on Spark (Java regex) and DuckDB (RE2) for oracle
+    certification. Userinfo (`user@host`) is not handled — crawl URLs
+    carrying credentials are dropped upstream by quality gates.
+    """
+    scheme = F.lower(
+        F.regexp_extract(_c(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    host = canonical_host(url)
+    port = _url_port(url)
+    path = F.regexp_extract(
+        _c(url), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, "/+$", "")
+    q = canonical_query(url)
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    q_part = F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+
+
 def dedup_normalize(text: Column | str) -> Column:
     """Canonical form for DEDUP KEYS (C4's dedup normalized text before
     hashing: lowercase, punctuation removed, whitespace collapsed):

@@ -4065,7 +4065,7 @@ _SQL_DOC_URLS = """
   FROM documents
 """
 
-# the oracle's replay of functions/web.py: same regex grammar (RE2 and
+# the oracle's replay of functions/text.py's canonicalizer: same regex grammar (RE2 and
 # Java regex agree on this subset), coalesce('') because DuckDB's
 # array_to_string of an EMPTY list is NULL where Spark's array_join
 # is ''
@@ -4102,18 +4102,18 @@ _SQL_URL_CANON = r"""
 
 
 def q_canonical_urls(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-URL canonical form (functions/web.py: canonicalize_url) —
-    pure whole-stage-codegen column expressions, zero shuffle; at
+    """Per-URL canonical form (functions/text.py:
+    canonicalize_url) — pure whole-stage-codegen column expressions, zero shuffle; at
     100 TB this is a flat map riding the scan."""
-    from gcp_data_pipeline_fyp_spark.functions.web import (
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        canonical_host,
         canonicalize_url,
-        url_host,
     )
 
     return _doc_urls(spark, sf).select(
         "doc_id",
         canonicalize_url("url").alias("url_canonical"),
-        url_host("url").alias("host"),
+        canonical_host("url").alias("host"),
     )
 
 
@@ -4131,15 +4131,15 @@ def q_url_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     behind per-host caps and host-level dedup (cap_per_group keys on
     exactly this). One shuffle on the (low-cardinality) host key with
     map-side partial aggregation."""
-    from gcp_data_pipeline_fyp_spark.functions.web import (
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        canonical_host,
         canonicalize_url,
-        url_host,
     )
 
     return (
         _doc_urls(spark, sf)
         .select(
-            url_host("url").alias("host"),
+            canonical_host("url").alias("host"),
             canonicalize_url("url").alias("cu"),
         )
         .groupBy("host")

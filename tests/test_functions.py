@@ -279,10 +279,10 @@ def test_canonicalize_url_rules(spark):
     """Tracking params dropped, survivors sorted; default port dropped,
     explicit non-default kept; www./case/fragment/trailing-slash
     normalization — one pin per rule."""
-    from gcp_data_pipeline_fyp_spark.functions.web import (
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        _url_port,
+        canonical_host,
         canonicalize_url,
-        url_host,
-        url_port,
     )
 
     cases = {
@@ -306,7 +306,7 @@ def test_canonicalize_url_rules(spark):
     }
     assert got == cases
     one = spark.range(1).select(
-        url_host(F.lit("https://WWW.A.example.com:8080/x")).alias("h"),
-        url_port(F.lit("https://WWW.A.example.com:8080/x")).alias("p"),
+        canonical_host(F.lit("https://WWW.A.example.com:8080/x")).alias("h"),
+        _url_port(F.lit("https://WWW.A.example.com:8080/x")).alias("p"),
     ).first()
     assert (one["h"], one["p"]) == ("a.example.com", "8080")
