@@ -810,3 +810,106 @@ def minhash_recall_eval(
             )
         ).alias("precision_micro"),
     )
+
+
+# ------------------------------------------------ winnowing (MOSS)
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowed substring fingerprints -> (id_col, fp) rows.
+
+    The MOSS local fingerprinting method (Schleimer/Wilkerson/Aiken
+    2003, public): hash every overlapping `n_tokens`-token window,
+    then keep only the MINIMUM hash of each run of `window` consecutive
+    window-hashes (value-distinct per doc). Guarantee: any shared
+    token run of length >= n_tokens + window - 1 shares at least one
+    fingerprint; density is ~2/(window+1) of the full window set.
+
+    The scale story vs `substring_dup_stats`: that operator ships
+    EVERY window digest through the shuffle (~n_tokens x corpus tokens
+    rows); winnowing cuts the shuffled fingerprint rows ~2/(window+1)x
+    (w=4 -> ~2.5x fewer, w=9 -> 5x) while preserving detection of any
+    >= (n_tokens+window-1)-token overlap — the standard
+    accuracy-for-volume dial of substring-level dedup at corpus scale.
+    All selection is per-doc column expressions (one md5 per window,
+    pure int64 min-folds); only the selected fingerprints shuffle.
+
+    Docs shorter than n_tokens + window - 1 tokens emit no rows.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    t = df.select(F.col(id_col), toks.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    # length-prefixed token encoding before hashing — same uniquely-
+    # decodable concatenation as substring_dup_stats above
+    win_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.slice(F.col("__toks"), i, n_tokens),
+                        lambda tok: F.concat_ws(":", F.length(tok), tok),
+                    ),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    hashed = t.filter(F.col("__n") >= n_tokens + window - 1).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.col("__n") - n_tokens + 1), win_hash
+        ).alias("__h"),
+    )
+    sel = hashed.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("__h") - F.lit(window - 1)
+                    ),
+                    lambda p: F.array_min(F.slice(F.col("__h"), p, window)),
+                )
+            )
+        ).alias("fp"),
+    )
+    return sel
+
+
+def winnow_dup_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_tokens: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-doc shared-fingerprint statistics over the winnowed set ->
+    (id_col, n_fps, n_shared, shared_ratio_micro), docs with >= 1
+    fingerprint only. `n_shared` counts this doc's fingerprints that
+    also occur in ANY other doc — the winnowed analogue of
+    `substring_dup_stats`'s dup_ratio, at ~2/(window+1) the shuffle
+    volume. The fp-frequency frame is fingerprint-sized; the join back
+    keys on fp (both sides already fingerprint-shaped)."""
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    fps = winnow_fingerprints(df, id_col, text_col, n_tokens, window)
+    freq = fps.groupBy("fp").agg(
+        F.count_distinct(id_col).alias("__nd")
+    )
+    joined = fps.join(freq, "fp")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum((F.col("__nd") > 1).cast("long")).alias("n_shared"),
+        micro6(
+            F.sum((F.col("__nd") > 1).cast("long")) / F.count(F.lit(1))
+        ).alias("shared_ratio_micro"),
+    )

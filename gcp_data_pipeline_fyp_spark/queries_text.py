@@ -4218,3 +4218,55 @@ TEXT_QUERIES["leakage_safe_split"] = (
     q_leakage_safe_split,
     SQL_LEAKAGE_SAFE_SPLIT,
 )
+
+
+# ------------------------------------------------ winnowing (MOSS)
+def q_winnow_dup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowed substring-dup statistics (operators/dedup.py:
+    winnow_fingerprints / winnow_dup_report — the MOSS method): the
+    near-dup plants share long token runs with their originals, so
+    both sides must report shared fingerprints; the oracle replays the
+    window hashing, the min-of-each-w-run selection, and the sharing
+    rollup exactly. ~2/(window+1) the shuffle volume of
+    substring_dup_report for the same >= (n+w-1)-token detection
+    guarantee."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        winnow_dup_report,
+    )
+
+    d = _docs_with_neardups(spark, sf)
+    return winnow_dup_report(
+        d, "doc_id", "text", n_tokens=8, window=4
+    ).orderBy("doc_id")
+
+
+SQL_WINNOW_DUP_REPORT = f"""
+WITH u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM u),
+g AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 11),
+h AS (SELECT doc_id,
+  list_transform(generate_series(1, CAST(n - 7 AS INT)),
+    i -> CAST(concat('0x', substr(md5(
+           array_to_string(list_transform(toks[i:i+7],
+             tk -> concat(length(tk), ':', tk)), '')
+         ), 1, 8)) AS BIGINT)) AS hs
+  FROM g),
+s AS (SELECT doc_id,
+  list_distinct(list_transform(generate_series(1, len(hs) - 3),
+    p -> list_aggregate(hs[p:p+3], 'min'))) AS fps
+  FROM h),
+f AS (SELECT doc_id, unnest(fps) AS fp FROM s),
+fr AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM f GROUP BY fp),
+j AS (SELECT f.doc_id, fr.nd FROM f JOIN fr USING (fp)),
+r AS (SELECT doc_id, count(*) AS n_fps,
+        CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+      FROM j GROUP BY doc_id)
+SELECT doc_id, n_fps, n_shared,
+  {micro6_sql("CAST(n_shared AS DOUBLE) / n_fps")} AS shared_ratio_micro
+FROM r ORDER BY doc_id
+"""
+
+TEXT_QUERIES["winnow_dup_report"] = (
+    q_winnow_dup_report,
+    SQL_WINNOW_DUP_REPORT,
+)

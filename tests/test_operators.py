@@ -3057,3 +3057,53 @@ def test_leakage_safe_split_colocates_near_dups(spark):
     want = {r["cluster_id"]: r["split"] for r in singles.collect()}
     for i in range(20, 40):
         assert rows[i][0] == want[i], i
+
+
+def test_winnow_guarantee_and_density(spark):
+    """The MOSS guarantee: two docs sharing a run of >= n_tokens +
+    window - 1 tokens share >= 1 fingerprint; disjoint docs share
+    none; the winnowed set is smaller than the full window set."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(11))     # n+w-1 = 11 tokens
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail one extra words here"),
+            (2, "lead in tokens " + shared),
+            (3, " ".join(f"z{i}" for i in range(20))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", n_tokens=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    # density: winnowed fps <= full window count, and strictly fewer
+    # for a long doc
+    long_doc = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    n_fps = winnow_fingerprints(
+        long_doc, "doc_id", "text", n_tokens=8, window=4
+    ).count()
+    n_windows = 200 - 8 + 1
+    assert n_fps < n_windows / 2, (n_fps, n_windows)
+
+
+def test_winnow_short_doc_emits_nothing(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "only ten tokens a b c d e f g"), (2, None)],
+        "doc_id long, text string",
+    )
+    assert winnow_fingerprints(
+        df, "doc_id", "text", n_tokens=8, window=4
+    ).count() == 0
