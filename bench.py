@@ -126,6 +126,11 @@ HEADLINE = [
     "semantic_contamination",
     "incremental_neardup",
     "url_host_stats",
+    # winnowed substring dedup: same detection guarantee as
+    # substring_dup_report at ~2/(w+1) the shuffled fingerprints —
+    # the tracked number should show it cheaper than the full-window
+    # leg it complements
+    "winnow_dup_report",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
