@@ -574,11 +574,14 @@ def format_output_lines(
         out["value_normalized"] = value_normalized
     if queries_normalized:
         out["queries_normalized"] = queries_normalized
-    line = json.dumps(out)
+    # compact separators throughout: at 60+ legs the default ", "/": "
+    # spacing alone costs ~130 chars of the 1900-char budget
+    compact = {"separators": (",", ":")}
+    line = json.dumps(out, **compact)
     if len(line) > 1900 and "queries_normalized" in out:
-        lines.append("BENCH_QUERIES: " + json.dumps(timings))
+        lines.append("BENCH_QUERIES: " + json.dumps(timings, **compact))
         out.pop("queries")
-        line = json.dumps(out)
+        line = json.dumps(out, **compact)
     if len(line) > 1900:
         # stay inside the driver's tail window no matter how many
         # queries the headline set grows to: drop per-query detail from
@@ -587,11 +590,13 @@ def format_output_lines(
         if "queries_normalized" in out:
             lines.append(
                 "BENCH_QUERIES_NORMALIZED: "
-                + json.dumps(out.pop("queries_normalized"))
+                + json.dumps(out.pop("queries_normalized"), **compact)
             )
         if "queries" in out:
-            lines.append("BENCH_QUERIES: " + json.dumps(out.pop("queries")))
-        line = json.dumps(out)
+            lines.append(
+                "BENCH_QUERIES: " + json.dumps(out.pop("queries"), **compact)
+            )
+        line = json.dumps(out, **compact)
     lines.append(line)
     return lines
 

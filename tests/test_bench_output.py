@@ -14,45 +14,67 @@ def _parse_final(lines):
     return json.loads(lines[-1])
 
 
+REAL_AUX_LEGS = [
+    # every non-HEADLINE timing main() adds — keep in sync with
+    # _bench_pipeline/_bench_streaming/_bench_text_index/_bench_zonemap
+    "pipeline_full_load", "pipeline_delta_load",
+    "streaming_validated_ingest", "streaming_sessionize",
+    "streaming_drift_monitor",
+    "text_index_build", "text_index_query",
+    "zonemap_build", "zonemap_pruned_query", "zonemap_full_scan_query",
+]
+
+
+def _recover_map(lines, prefix, final_key):
+    """The map must be recoverable: inline on the final line, or on
+    its own earlier `prefix` line — wherever the cascade put it."""
+    d = _parse_final(lines)
+    if final_key in d:
+        return d[final_key]
+    for ln in lines[:-1]:
+        if ln.startswith(prefix):
+            return json.loads(ln[len(prefix):])
+    raise AssertionError(f"{final_key} not recoverable from any line")
+
+
 def test_final_line_compact_at_current_headline_size():
-    """At the CURRENT headline size (plus pipeline + streaming
-    entries) the final line keeps the per-query map and stays well
-    inside the tail window."""
-    names = list(bench.HEADLINE) + [
-        "pipeline_full_load", "pipeline_delta_load",
-        "streaming_validated_ingest", "streaming_sessionize",
-    ]
+    """At the REAL current emission size (HEADLINE + every auxiliary
+    leg main() adds) the final line stays inside the tail window and
+    the raw map is recoverable — inline while it fits, from the
+    BENCH_QUERIES line once the set outgrows the window."""
+    names = list(bench.HEADLINE) + REAL_AUX_LEGS
     timings = {n: 123.456 for n in names}
     lines = bench.format_output_lines(timings, 999.999, 0.1, 1.234, 810.5)
-    assert len(lines) == 1
     final = lines[-1]
     assert len(final) <= 1900, len(final)
     d = _parse_final(lines)
-    assert d["queries"] == timings
     assert d["n_queries"] == len(names)
     assert d["drift_median"] == 1.234 and d["value_normalized"] == 810.5
+    assert _recover_map(lines, "BENCH_QUERIES: ", "queries") == timings
 
 
 def test_final_line_keeps_normalized_map_at_current_headline_size():
     """With the drift-normalized per-query map present (the r9
-    contract: the driver-parsed line carries the regression signal),
-    the final line holds queries_normalized; the raw map — too big to
-    share the line — moves to the earlier BENCH_QUERIES line and
-    BENCH_DETAIL.json, recoverable as normalized * drift_median."""
-    names = list(bench.HEADLINE) + [
-        "pipeline_full_load", "pipeline_delta_load",
-        "streaming_validated_ingest", "streaming_sessionize",
-    ]
+    contract), the normalized map is the priority occupant of the
+    final line; the raw map moves to the earlier BENCH_QUERIES line
+    (recoverable as normalized * drift_median). At the real current
+    size the cascade may demote both — the contract is the ≤1900-char
+    final line plus full recoverability, pinned here."""
+    names = list(bench.HEADLINE) + REAL_AUX_LEGS
     timings = {n: 123.456 for n in names}
     qn = {n: 100.046 for n in names}
     lines = bench.format_output_lines(timings, 999.999, 0.1, 1.234, 810.5, qn)
     final = lines[-1]
     assert len(final) <= 1900, len(final)
     d = _parse_final(lines)
-    assert d["queries_normalized"] == qn
     assert d["drift_median"] == 1.234
-    assert lines[0].startswith("BENCH_QUERIES: ")
-    assert json.loads(lines[0][len("BENCH_QUERIES: "):]) == timings
+    # the normalized map is the priority occupant of the final line;
+    # once even it outgrows the window it moves to its own line —
+    # either way BOTH maps must be recoverable from stdout
+    assert _recover_map(
+        lines, "BENCH_QUERIES_NORMALIZED: ", "queries_normalized"
+    ) == qn
+    assert _recover_map(lines, "BENCH_QUERIES: ", "queries") == timings
 
 
 def test_final_line_drops_query_map_when_oversized():
