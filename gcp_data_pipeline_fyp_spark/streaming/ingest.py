@@ -555,6 +555,7 @@ def stream_neardup_ingest(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    feed_format: str = "csv",
 ) -> StreamingQuery:
     """Streaming ingest with history-aware NEAR-dup suppression — the
     streaming composition of the two persisted indexes
@@ -583,7 +584,17 @@ def stream_neardup_ingest(
 
     Scale: batch-sized signing + index-sized joins (band rows are
     partition-pruned on `band`); nothing corpus-sized is read except
-    the two slim indexes."""
+    the two slim indexes.
+
+    `feed_format`: "csv" (headered, the delta-chain convention) or
+    "jsonl" (the public-corpus convention, sources/jsonl.py) —
+    document feeds overwhelmingly land as JSONL. Parse-corrupt lines
+    surface as all-NULL rows; a row with no id cannot be deduplicated,
+    watermarked, or healed, so NULL-id rows are dropped at the source
+    (torn lines never crash the stream and never land in the table —
+    E2E-pinned). Feeds that must QUARANTINE torn lines instead go
+    through `stream_validated_ingest` / sources/jsonl.split_corrupt.
+    """
     from gcp_data_pipeline_fyp_spark.operators.dedup import (
         _content_digest,
         _lsh_band_rows,
@@ -592,11 +603,17 @@ def stream_neardup_ingest(
         incremental_neardup_indexed,
     )
 
-    raw = (
-        spark.readStream.schema(schema_ddl)
-        .option("header", True)
-        .csv(input_dir)
-    )
+    if feed_format == "jsonl":
+        raw = spark.readStream.schema(schema_ddl).json(input_dir)
+    elif feed_format == "csv":
+        raw = (
+            spark.readStream.schema(schema_ddl)
+            .option("header", True)
+            .csv(input_dir)
+        )
+    else:
+        raise ValueError(f"unknown feed_format: {feed_format!r}")
+    raw = raw.filter(F.col(id_col).isNotNull())
     deduped = (
         raw.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark([id_col])

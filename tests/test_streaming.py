@@ -1350,3 +1350,44 @@ def test_stream_neardup_ingest_full_replay_is_noop(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert wh.read("RNDOCS").count() == 2
+
+
+def test_stream_neardup_ingest_jsonl_feed(spark, tmp_path):
+    """The JSONL feed path: same gates, document-corpus format; a torn
+    JSON line must not crash the stream or land in the table."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_digest_index,
+        build_lsh_index,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_neardup_ingest,
+    )
+
+    in_dir = tmp_path / "jnin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "jnwh"))
+    base_text = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [(1, "2023-01-01 10:00:00", base_text, 1.0)],
+        "event_id long, ts string, event_type string, value double",
+    )
+    build_digest_index(wh, hist, ["event_type"], "jnd")
+    build_lsh_index(wh, hist, "event_id", "event_type", "jnd")
+
+    fresh = "entirely novel jsonl document body with plenty of words one"
+    (in_dir / "b1.jsonl").write_text(
+        '{"event_id": 10, "ts": "2024-01-01T10:00:00", '
+        f'"event_type": "{base_text} zz", "value": 5.0}}\n'  # near-copy
+        '{"event_id": 11, "ts": "2024-01-01T10:01:00", '
+        f'"event_type": "{fresh}", "value": 6.0}}\n'
+        "{torn json line\n"
+    )
+    q = stream_neardup_ingest(
+        spark, str(in_dir), 
+        "event_id long, ts timestamp, event_type string, value double",
+        "event_id", "event_type", "ts", wh, "JDOCS", "jnd",
+        str(tmp_path / "jck"), feed_format="jsonl",
+    )
+    q.awaitTermination(120)
+    got = {r["event_id"] for r in wh.read("JDOCS").collect()}
+    assert got == {11}
