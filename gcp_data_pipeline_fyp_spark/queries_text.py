@@ -4270,3 +4270,48 @@ TEXT_QUERIES["winnow_dup_report"] = (
     q_winnow_dup_report,
     SQL_WINNOW_DUP_REPORT,
 )
+
+
+# --------------------------------------------- per-host doc cap (composed)
+def q_host_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The URL family's purpose end-to-end: canonical_host extracts
+    the host, cap_per_group keeps at most 3 docs per host by stable
+    content-hash rank — the per-domain cap every web corpus applies so
+    one SEO farm can't dominate the mix. Pure composition of certified
+    operators; the oracle replays the host extraction, the md5 bucket
+    rank, and the cap."""
+    from gcp_data_pipeline_fyp_spark.functions.text import canonical_host
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        cap_per_group,
+    )
+
+    d = _doc_urls(spark, sf)
+    with_host = d.select(
+        "doc_id", canonical_host("url").alias("host")
+    )
+    return cap_per_group(
+        with_host, ["host"], ["doc_id"], n=3, seed=5
+    ).select("doc_id", "host").orderBy("doc_id")
+
+
+_HB5 = hash_bucket_sql(["doc_id"], seed=5)
+SQL_HOST_CAPPED_DOCS = f"""
+WITH u AS ({_SQL_DOC_URLS}),
+h AS (
+  SELECT doc_id,
+    regexp_replace(lower(regexp_extract(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      '^([^:]*)', 1)), '^www\\.', '') AS host
+  FROM u),
+r AS (
+  SELECT doc_id, host,
+    row_number() OVER (
+      PARTITION BY host ORDER BY {_HB5} ASC, doc_id ASC) AS rk
+  FROM h)
+SELECT doc_id, host FROM r WHERE rk <= 3 ORDER BY doc_id
+"""
+
+TEXT_QUERIES["host_capped_docs"] = (
+    q_host_capped_docs,
+    SQL_HOST_CAPPED_DOCS,
+)
