@@ -540,3 +540,74 @@ def clustering_coefficients(
             ).alias("cc_micro"),
         )
     )
+
+
+# -------------------------------------------- incremental components
+def build_components_index(
+    wh,
+    pairs: DataFrame,
+    name: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
+) -> None:
+    """Materialize the transitive closure of `pairs` as a warehouse
+    table `{name}__components` (node, component) — the build-once half
+    of INCREMENTAL clustering (same persisted-index pattern as the
+    digest/band/IVF indexes)."""
+    comp = connected_components(
+        pairs, src, dst,
+        checkpoint_dir=checkpoint_dir,
+        driver_threshold=driver_threshold,
+    )
+    wh.overwrite(comp, f"{name}__components")
+
+
+def incremental_components(
+    wh,
+    new_pairs: DataFrame,
+    name: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    update_index: bool = True,
+    checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Fold a batch of new candidate pairs into the persisted
+    components WITHOUT re-closing the historical pair graph.
+
+    Correctness: a (node -> component) labeling IS a spanning star of
+    each historical cluster, and connected components are invariant
+    under replacing a cluster's edges with any spanning structure —
+    so closing (star edges) ∪ (new pairs) yields exactly the closure
+    of (all historical pairs) ∪ (new pairs). The recompute input is
+    |nodes| + |batch pairs| edges, never the full historical EDGE set
+    — at 100 TB the daily near-dup batch folds in at index size, the
+    original corpus-scale candidate graph is never re-read. Labels
+    stay canonical (component = min reachable node id), so merging
+    two old clusters relabels the larger-rooted one, the same result
+    a full recompute would produce.
+
+    Returns the updated (node, component) frame; with `update_index`
+    it also replaces `{name}__components`. Same cold-start contract
+    as the band index: a missing/empty index table is an empty graph.
+    """
+    table = f"{name}__components"
+    np_edges = new_pairs.select(
+        F.col(src).alias("id_a"), F.col(dst).alias("id_b")
+    )
+    try:
+        old = wh.read(table).select(
+            F.col("node").alias("id_a"), F.col("component").alias("id_b")
+        )
+    except Exception:
+        old = np_edges.limit(0)
+    merged = connected_components(
+        old.unionByName(np_edges), "id_a", "id_b",
+        checkpoint_dir=checkpoint_dir,
+        driver_threshold=driver_threshold,
+    ).localCheckpoint()
+    if update_index:
+        wh.overwrite(merged, table)
+    return merged

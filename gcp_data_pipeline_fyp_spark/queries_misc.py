@@ -2140,3 +2140,68 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 MISC_QUERIES["jsonl_roundtrip"] = (q_jsonl_roundtrip, SQL_JSONL_ROUNDTRIP)
+
+
+# --------------------------------------- incremental dedup-graph closure
+def q_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental transitive closure (operators/components.py:
+    build_components_index + incremental_components): the base pair
+    graph closes once and persists as a (node, component) star; a
+    daily batch folds in at |nodes| + |batch| edges — the historical
+    EDGE set is never re-read. The oracle closes base ∪ batch in one
+    recursive CTE, so the spanning-star invariance argument is
+    certified, not assumed (merges across the old/new boundary
+    included by construction: batch pairs bridge id ranges)."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        build_components_index,
+        incremental_components,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    d = load(spark, sf, "documents").select("doc_id")
+    base = (
+        d.filter(F.col("doc_id") % 10 < 3)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+    )
+    batch = (
+        d.filter(F.col("doc_id") % 17 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 5).alias("id_b"),
+        )
+    )
+    scratch = "/tmp/spark_graft_cc_" + os.path.basename(sf.rstrip("/"))
+    wh = Warehouse(spark, scratch)
+    build_components_index(wh, base, "CC")
+    out = incremental_components(wh, batch, "CC", update_index=False)
+    return out.orderBy("node")
+
+
+SQL_INCREMENTAL_COMPONENTS = """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents
+  WHERE doc_id % 10 < 3),
+batch AS (
+  SELECT doc_id AS id_a, doc_id + 5 AS id_b FROM documents
+  WHERE doc_id % 17 = 0),
+allp AS (SELECT * FROM base UNION SELECT * FROM batch),
+ed AS (SELECT id_a AS a, id_b AS b FROM allp
+       UNION SELECT id_b, id_a FROM allp),
+reach(v, l) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT e.a, r.l FROM ed e JOIN reach r ON e.b = r.v)
+SELECT v AS node, min(l) AS component FROM reach GROUP BY v
+ORDER BY node
+"""
+
+MISC_QUERIES["incremental_components"] = (
+    q_incremental_components,
+    SQL_INCREMENTAL_COMPONENTS,
+)

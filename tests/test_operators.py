@@ -3107,3 +3107,50 @@ def test_winnow_short_doc_emits_nothing(spark):
     assert winnow_fingerprints(
         df, "doc_id", "text", n_tokens=8, window=4
     ).count() == 0
+
+
+def test_incremental_components_equals_full_recompute(spark, tmp_path):
+    """Folding a batch into the persisted star labeling must equal the
+    closure over ALL pairs (spanning-star invariance), including
+    cluster merges across the old/new boundary and cold start."""
+    from gcp_data_pipeline_fyp_spark.operators.components import (
+        build_components_index,
+        connected_components,
+        incremental_components,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "cwh"))
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    build_components_index(wh, base, "g")
+    # batch merges {1,2,3} with {10,11} and adds a fresh pair
+    batch = spark.createDataFrame(
+        [(3, 10), (30, 31)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in incremental_components(wh, batch, "g").collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            base.unionByName(batch), "id_a", "id_b"
+        ).collect()
+    }
+    assert got == want
+    # the index was updated in place: a second fold sees merged state
+    got2 = {
+        (r["node"], r["component"])
+        for r in wh.read("g__components").collect()
+    }
+    assert got2 == want
+    # cold start: missing index table = empty graph
+    cold = {
+        (r["node"], r["component"])
+        for r in incremental_components(
+            wh, batch, "nothing_here", update_index=False
+        ).collect()
+    }
+    assert cold == {(3, 3), (10, 3), (30, 30), (31, 30)}
