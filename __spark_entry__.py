@@ -33,8 +33,8 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (16 + 2 + 30 + 2 = 50):
-#   0. the 16 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
+# ROUND-9 WINDOW, in priority order (17 + 2 + 30 + 1 = 50):
+#   0. the 17 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
 #      top-1 agreement vs brute), ann_pq_recall_eval and
 #      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
 #      skew_plan_choice (measure-then-choose decision, both branches),
@@ -50,7 +50,8 @@ _REGISTRIES = [
 #      leakage_safe_split (near-dup-cluster-keyed train/val/test),
 #      winnow_dup_report (MOSS winnowed substring fingerprints),
 #      host_capped_docs (canonical-host x cap_per_group composition),
-#      incremental_components (persisted-star dedup-graph fold);
+#      incremental_components (persisted-star dedup-graph fold),
+#      schema_evolution_scan (mergeSchema additive evolution);
 #   1. the 2 probes whose code CHANGED this round:
 #      minhash_recall_eval (sampling hardened to the md5-hash-mod
 #      standard), bitext_margin_pairs (explicit n_centroids=None
@@ -78,6 +79,7 @@ _CHECK_FIRST = [
     "winnow_dup_report",
     "host_capped_docs",
     "incremental_components",
+    "schema_evolution_scan",
     # -- changed this round, re-certify
     "minhash_recall_eval",
     "bitext_margin_pairs",
@@ -112,12 +114,11 @@ _CHECK_FIRST = [
     "measure_sliced_by_day",
     "ann_ivf_topk",
     "ann_cosine_topk",
-    # -- r05-evidence rolling re-cert (2 of 50, alphabetical head)
+    # -- r05-evidence rolling re-cert (1 of 50, alphabetical head)
     "ann_pq_topk",
-    "ann_sq8_topk",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 48 r05-evidence rows
-    # (bigram_logprob_score ... wow_growth, alphabetical) — after r9
+    # (1) anything red in r09; (2) the remaining 49 r05-evidence rows
+    # (ann_sq8_topk ... wow_growth, alphabetical) — after r9
     # the histogram minimum is r5 and the backlog is a pure rotation;
     # (3) r06-green tail on rotation
 ]

@@ -2205,3 +2205,60 @@ MISC_QUERIES["incremental_components"] = (
     q_incremental_components,
     SQL_INCREMENTAL_COMPONENTS,
 )
+
+
+# ------------------------------------------------- schema evolution
+def q_schema_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive schema evolution without a metastore (sources/
+    tables.py: read_evolved): v1 files carry (doc_id, lang), a later
+    append adds a quality column; the mergeSchema read unions every
+    footer so v1 rows surface quality = NULL — the oracle computes
+    the identical union view from the pristine table, so a dropped
+    column, a missed late column, or wrong NULL semantics all
+    hash-mismatch."""
+    import os
+
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    scratch = "/tmp/spark_graft_evo_" + os.path.basename(sf.rstrip("/"))
+    wh = Warehouse(spark, scratch)
+    d = load(spark, sf, "documents")
+    wh.drop("EVO")
+    wh.overwrite(
+        d.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang"), "EVO"
+    )
+    wh.append(
+        d.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", (F.col("n_chars") * 10).alias("quality")
+        ),
+        "EVO",
+    )
+    return (
+        wh.read_evolved("EVO")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum("quality").alias("sum_quality"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_SCHEMA_EVOLUTION_SCAN = """
+WITH v AS (
+  SELECT doc_id, lang, NULL::BIGINT AS quality FROM documents
+  WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, n_chars * 10 AS quality FROM documents
+  WHERE doc_id % 2 = 1)
+SELECT lang, count(*) AS n_docs,
+  count(quality) AS n_with_quality,
+  CAST(sum(quality) AS BIGINT) AS sum_quality
+FROM v GROUP BY lang ORDER BY lang
+"""
+
+MISC_QUERIES["schema_evolution_scan"] = (
+    q_schema_evolution_scan,
+    SQL_SCHEMA_EVOLUTION_SCAN,
+)

@@ -84,6 +84,23 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(table))
 
+    def read_evolved(self, table: str) -> DataFrame:
+        """Schema-evolution-aware read: the schema is the UNION of
+        every file footer's columns (`mergeSchema`), so columns added
+        by later appends read back as NULL for pre-existing files —
+        the additive-evolution contract (Delta/Iceberg's default)
+        without a metastore. Plain `read` samples ONE footer and may
+        miss late columns, which is also why it is the default: at
+        100 TB mergeSchema reads every footer up front, a listing-
+        scale cost you opt into only on evolved tables. Incompatible
+        type changes across files (int -> string) still fail loudly —
+        additive evolution only; widen via a rewrite."""
+        return (
+            self.spark.read.option("mergeSchema", True)
+            .format(self.fmt)
+            .load(self.path(table))
+        )
+
     def overwrite(
         self, df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
     ) -> None:

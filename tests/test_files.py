@@ -276,3 +276,26 @@ def test_versioned_overwrite_time_travel_rollback_vacuum(spark, tmp_path):
     with _pytest.raises(ValueError):
         wh.rollback("t", 1)
 
+
+
+def test_read_evolved_unions_footers(spark, tmp_path):
+    """Columns added by later appends read back NULL for old files;
+    plain read's one-footer sampling is exactly why read_evolved
+    exists (additive evolution only — the contract)."""
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "evwh"))
+    wh.overwrite(
+        spark.createDataFrame([(1, "a")], "id long, v string"), "T"
+    )
+    wh.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, extra double"
+        ),
+        "T",
+    )
+    got = {
+        r["id"]: (r["v"], r["extra"])
+        for r in wh.read_evolved("T").collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
