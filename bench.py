@@ -131,6 +131,9 @@ HEADLINE = [
     # the tracked number should show it cheaper than the full-window
     # leg it complements
     "winnow_dup_report",
+    # incremental closure: index build + star-union-batch re-close in
+    # one timed plan (the steady-state fold is the second half only)
+    "incremental_components",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
