@@ -404,8 +404,12 @@ def _is_tracking(param: Column) -> Column:
 
 def canonical_query(url: Column | str) -> Column:
     """Query string for URL identity: tracking params dropped,
-    survivors sorted; '' when nothing remains."""
-    q = F.regexp_extract(_c(url), "\\?([^#]*)", 1)
+    survivors sorted; '' when nothing remains. The fragment is
+    stripped FIRST — per RFC 3986 everything after '#' is fragment,
+    so a '?' inside it (the SPA pattern '#/route?tab=1') is fragment
+    content, not a query."""
+    pre_frag = F.regexp_replace(_c(url), "#.*$", "")
+    q = F.regexp_extract(pre_frag, "\\?(.*)$", 1)
     params = F.filter(
         F.split(q, "&"), lambda p: (p != "") & ~_is_tracking(p)
     )

@@ -607,7 +607,10 @@ def incremental_components(
         old.unionByName(np_edges), "id_a", "id_b",
         checkpoint_dir=checkpoint_dir,
         driver_threshold=driver_threshold,
-    ).localCheckpoint()
+    )
     if update_index:
+        # lineage break only where it is needed: the overwrite
+        # replaces the very files `old` was read from
+        merged = merged.localCheckpoint()
         wh.overwrite(merged, table)
     return merged

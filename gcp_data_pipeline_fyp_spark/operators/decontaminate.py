@@ -272,11 +272,14 @@ def semantic_contamination_report(
         .groupBy("corpus_id")
         .agg(
             F.max("cosine_micro").alias("max_cosine_micro"),
-            # lexicographic struct max: highest cosine first, then
-            # smallest bench_id (negated) — deterministic under ties
-            F.max_by(
+            # lexicographic struct MIN: smallest negated cosine
+            # (= highest cosine) first, then smallest bench_id.
+            # Negation goes on the cosine (always numeric) rather
+            # than the id, so string/opaque id columns tie-break
+            # deterministically too.
+            F.min_by(
                 "bench_id",
-                F.struct(F.col("cosine_micro"), -F.col("bench_id")),
+                F.struct(-F.col("cosine_micro"), F.col("bench_id")),
             ).alias("bench_id"),
         )
     )

@@ -606,7 +606,14 @@ def incremental_dedup_indexed(
     caller's frame must not re-run the anti-join against the now-grown
     index (which would wrongly drop every row).
     """
-    digests = wh.read(f"{name}__digests")
+    try:
+        digests = wh.read(f"{name}__digests")
+    except Exception:
+        # cold start: same contract as the band index below — a
+        # missing/unreadable digest table is an empty index
+        digests = batch.select(
+            _content_digest(key_cols).alias("digest")
+        ).limit(0)
     out = batch.join(
         digests,
         _content_digest(key_cols) == digests["digest"],

@@ -41,25 +41,27 @@ from pyspark.sql import functions as F
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
 
-def _walk_parquet(root: str) -> dict[str, int]:
-    """{relative_dir: bytes} over data files; '' = table root."""
+def _walk_data_files(root: str, ext: str) -> dict[str, int]:
+    """{relative_dir: bytes} over data files; '' = table root. `ext`
+    comes from the warehouse format (Warehouse.compact's own rule) so
+    orc warehouses census correctly too."""
     out: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(root):
         rel = os.path.relpath(dirpath, root)
         rel = "" if rel == "." else rel
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(ext):
                 out.setdefault(rel, 0)
                 out[rel] += os.path.getsize(os.path.join(dirpath, f))
     return out
 
 
-def _count_files(root: str) -> int:
+def _count_files(root: str, ext: str) -> int:
     return sum(
         1
         for dirpath, _d, files in os.walk(root)
         for f in files
-        if f.endswith(".parquet")
+        if f.endswith(ext)
     )
 
 
@@ -69,12 +71,13 @@ def table_file_stats(
     """Driver-side file census: the measurement that decides whether
     compaction pays. O(files) listing, no Spark job."""
     root = wh.path(table)
+    ext = f".{wh.fmt}"
     n_files = 0
     total = 0
     n_small = 0
     for dirpath, _d, files in os.walk(root):
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(ext):
                 sz = os.path.getsize(os.path.join(dirpath, f))
                 n_files += 1
                 total += sz
@@ -117,12 +120,13 @@ def compact_table(
     should use `Warehouse.compact` instead.
     """
     root = wh.path(table)
-    before = _count_files(root)
+    ext = f".{wh.fmt}"
+    before = _count_files(root, ext)
     if not partition_cols:
         wh.compact(table, target_file_bytes=target_file_bytes)
         return {
             "n_files_before": before,
-            "n_files_after": _count_files(root),
+            "n_files_after": _count_files(root, ext),
             "n_partitions_rewritten": 0,
         }
     from gcp_data_pipeline_fyp_spark.operators.zonemap import (
@@ -131,13 +135,13 @@ def compact_table(
     )
 
     zm_cols = zonemap_cols_of(wh, table)
-    sizes = _walk_parquet(root)
+    sizes = _walk_data_files(root, ext)
     rewritten = 0
     for rel, nbytes in sorted(sizes.items()):
         if not rel:
             continue
         part_dir = os.path.join(root, rel)
-        n_cur = _count_files(part_dir)
+        n_cur = _count_files(part_dir, ext)
         n_target = max(1, math.ceil(nbytes / target_file_bytes))
         if n_cur <= n_target:
             continue
@@ -159,6 +163,6 @@ def compact_table(
         build_zonemap(wh, table, zm_cols)
     return {
         "n_files_before": before,
-        "n_files_after": _count_files(root),
+        "n_files_after": _count_files(root, ext),
         "n_partitions_rewritten": rewritten,
     }

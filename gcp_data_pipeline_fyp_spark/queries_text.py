@@ -4096,7 +4096,8 @@ _SQL_URL_CANON = r"""
         regexp_replace(
           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1),
           '/+$', '') AS path,
-        regexp_extract(url, '\?([^#]*)', 1) AS query
+        regexp_extract(regexp_replace(url, '#.*$', ''),
+                       '\?(.*)$', 1) AS query
       FROM u))
 """
 

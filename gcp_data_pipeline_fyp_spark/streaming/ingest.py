@@ -567,8 +567,13 @@ def stream_neardup_ingest(
 
     Per micro-batch: (1) in-batch exact dedup, (2) digest anti-join
     against `{index_name}__digests` (drops exact re-deliveries AND
-    makes a fully-replayed batch a no-op — band matching alone cannot
-    self-suppress a replay because same-id pairs are filtered),
+    makes a FULLY-COMPLETED batch's replay a no-op — band matching
+    alone cannot self-suppress a replay because same-id pairs are
+    filtered; honest at-least-once window: a crash AFTER the data
+    append but BEFORE the digest append re-appends that batch's
+    survivors on retry — plain parquet has no two-table transaction;
+    run the exact digest dedup over the table, or rebuild via
+    `build_digest_index`, to reap that window after a crash),
     (3) band-match the remainder against `{index_name}__bands` plus
     itself via `incremental_neardup_indexed` (the batch signs ONLY
     itself; the corpus is never re-tokenized), (4) suppress every doc

@@ -310,3 +310,21 @@ def test_canonicalize_url_rules(spark):
         _url_port(F.lit("https://WWW.A.example.com:8080/x")).alias("p"),
     ).first()
     assert (one["h"], one["p"]) == ("a.example.com", "8080")
+
+
+def test_canonicalize_url_fragment_query_is_fragment(spark):
+    """RFC 3986: everything after '#' is fragment — a '?' inside it
+    (SPA routes) must not leak into the canonical query."""
+    from gcp_data_pipeline_fyp_spark.functions.text import canonicalize_url
+
+    cases = {
+        "https://ex.com/p#sec?a=1": "https://ex.com/p",
+        "https://ex.com/p#/route?tab=1&utm_source=x": "https://ex.com/p",
+        "https://ex.com/p?a=1#frag?b=2": "https://ex.com/p?a=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["c"]
+        for r in df.select("url", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got == cases

@@ -3154,3 +3154,47 @@ def test_incremental_components_equals_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert cold == {(3, 3), (10, 3), (30, 30), (31, 30)}
+
+
+def test_semantic_contamination_string_ids_tie_break(spark):
+    """Tie-break must hold for NON-numeric id columns too (negation
+    lives on the cosine, never the id): two identical benchmark
+    vectors with string ids -> the lexicographically smaller id."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        semantic_contamination_report,
+    )
+
+    bench = spark.createDataFrame(
+        [("doc-b", [1.0, 0.0]), ("doc-a", [1.0, 0.0])],
+        "vid string, vec array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [("doc-x", [3.0, 0.0])], "vid string, vec array<double>"
+    )
+    rows = semantic_contamination_report(
+        corpus, bench, "vid", "vec", threshold=0.9
+    ).collect()
+    assert [(r["corpus_id"], r["bench_id"]) for r in rows] == [
+        ("doc-x", "doc-a")
+    ]
+
+
+def test_incremental_dedup_indexed_cold_start(spark, tmp_path):
+    """A missing digest table is an empty index (same contract as the
+    band index) — the first batch passes through and, with
+    update_index, seeds the table."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        incremental_dedup_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "cdwh"))
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    out = incremental_dedup_indexed(wh, batch, ["text"], "cold")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert wh.read("cold__digests").count() == 2
+    # second identical batch now drops entirely via the seeded index
+    again = incremental_dedup_indexed(wh, batch, ["text"], "cold")
+    assert again.count() == 0
