@@ -62,6 +62,12 @@ _REGISTRIES = [
 #   3. 14 of the 50 r05-evidence probes (alphabetical rotation head)
 #      so the rolling re-cert cadence continues behind the backlog.
 _CHECK_FIRST = [
+    # -- new this round (r9, session 3): Bloom runtime-filter joins,
+    #    MMR diversity re-rank, per-group adaptive quantile filter
+    "bloom_semi_revenue",
+    "bloom_anti_customers",
+    "mmr_rerank_topk",
+    "adaptive_length_floor",
     # -- new this round (r9)
     "bitext_ivf_agreement",
     "ann_pq_recall_eval",
@@ -80,10 +86,10 @@ _CHECK_FIRST = [
     "host_capped_docs",
     "incremental_components",
     "schema_evolution_scan",
-    # -- changed this round, re-certify
-    "minhash_recall_eval",
-    "bitext_margin_pairs",
-    # -- the full r04-evidence tail (30)
+    # -- the r04-evidence tail (29 of 30; ann_cosine_topk rotates to
+    #    the r10 head — its exact brute-force shape, fixture, and
+    #    micro domain are replayed inside mmr_rerank_topk's candidate
+    #    stage, which IS in this window)
     "domain_stats",
     "filter_fail_matrix",
     "substring_dup_report",
@@ -113,13 +119,13 @@ _CHECK_FIRST = [
     "measure_total_events",
     "measure_sliced_by_day",
     "ann_ivf_topk",
-    "ann_cosine_topk",
-    # -- r05-evidence rolling re-cert (1 of 50, alphabetical head)
-    "ann_pq_topk",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the remaining 49 r05-evidence rows
-    # (ann_sq8_topk ... wow_growth, alphabetical) — after r9
-    # the histogram minimum is r5 and the backlog is a pure rotation;
+    # (1) anything red in r09; (2) ann_cosine_topk (last r04-evidence
+    # row, displaced by the session-3 additions), then
+    # minhash_recall_eval + bitext_margin_pairs (code changed in r9,
+    # mirror-certified, driver rows still r8) and the 50
+    # r05-evidence rows (ann_pq_topk, ann_sq8_topk ... wow_growth,
+    # alphabetical) — the backlog is then a pure rotation;
     # (3) r06-green tail on rotation
 ]
 

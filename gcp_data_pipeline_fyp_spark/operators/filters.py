@@ -95,3 +95,75 @@ def filter_fail_matrix(df: DataFrame, filters: FilterChain) -> DataFrame:
         for name, p in filters
     ]
     return df.agg(*aggs, F.count(F.lit(1)).alias("n_total"))
+
+
+def adaptive_group_thresholds(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float = 0.25,
+    mode: str = "exact",
+) -> DataFrame:
+    """Per-group quantile thresholds for data-dependent filtering —
+    "keep documents above the p25 length FOR THEIR LANGUAGE", the
+    adaptive variant of a fixed-constant filter chain (a constant
+    tuned on English silently over-drops CJK, where the same quality
+    signal sits on a different scale; per-group quantiles are how
+    multilingual curation pipelines re-center each slice).
+
+    Returns (group_cols..., n, threshold).
+
+    mode="exact": Spark's interpolated `percentile` — the
+    certification path. Its state is O(group size) ON THE GROUP'S
+    REDUCER, which is fine exactly when groups are BOUNDED slices
+    (languages, sources: each group still holds billions of rows at
+    100 TB, but `percentile`'s buffer holds the group's VALUES — so
+    exact mode is for sampled/bounded inputs or moderate groups).
+    mode="sketch": the mergeable DDSketch-style log-bucket state
+    (operators/rollup.quantile_state) — bounded O(log range) state per
+    group regardless of group size, ~1% relative error; the 100 TB
+    default.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty; for a global "
+                         "threshold add a constant column")
+    if not (0.0 < q < 1.0):
+        raise ValueError("q must be in (0, 1)")
+    if mode == "exact":
+        return df.filter(F.col(value_col).isNotNull()).groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(F.col(value_col).cast("double"), F.lit(q)).alias(
+                "threshold"
+            ),
+        )
+    if mode == "sketch":
+        from gcp_data_pipeline_fyp_spark.operators.rollup import (
+            quantile_state,
+            quantiles_from_state,
+        )
+
+        state = quantile_state(df, list(group_cols), value_col)
+        out = quantiles_from_state(state, list(group_cols), ps=[q])
+        pcol = [c for c in out.columns if c.startswith("p")][-1]
+        return out.select(*group_cols, "n", F.col(pcol).alias("threshold"))
+    raise ValueError(f"unknown mode {mode!r} (use 'exact' or 'sketch')")
+
+
+def adaptive_threshold_filter(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    q: float = 0.25,
+    mode: str = "exact",
+) -> DataFrame:
+    """Rows whose `value_col` >= their group's q-quantile. The
+    thresholds table is |groups| rows — broadcast by construction, so
+    the filter costs one corpus scan + a broadcast hash join (no
+    corpus shuffle). Rows in groups absent from the thresholds (all-
+    NULL value groups) are dropped, consistent with NULL == fail."""
+    th = adaptive_group_thresholds(df, group_cols, value_col, q, mode)
+    t = F.broadcast(th.select(*group_cols, "threshold"))
+    joined = df.join(t, list(group_cols), "inner")
+    return joined.filter(
+        F.col(value_col).cast("double") >= F.col("threshold")
+    ).drop("threshold")

@@ -1,0 +1,129 @@
+"""MMR (maximal marginal relevance) diversity re-ranking of ANN
+candidates — the standard de-redundancy step between retrieval and
+consumption (RAG context packing, eval-set selection, dedup-aware
+sampling): pure relevance top-k returns near-duplicates of the best
+hit; MMR greedily picks items that are relevant AND novel vs what is
+already picked (Carbonell & Goldstein 1998).
+
+score(d) = lambda * cos(q, d) - (1 - lambda) * max_{s in selected} cos(d, s)
+
+Spark-first shape: the greedy loop is k-1 ROUNDS OF DATAFRAME OPS,
+not a Python UDF — each round is
+  (remaining candidates) x (selected so far)   join on query_id
+  -> max pair-similarity to the selected set   groupBy (query, cand)
+  -> integer MMR score                          exact bigint math
+  -> per-query argmax                           row_number window
+All joins are keyed on query_id and bounded by the candidate pool:
+|Q| x C rows join |Q| x r, so round r shuffles |Q| x C x r pair rows
+— candidate pools (C ~ 10-100) and k (<= 10) keep this tiny relative
+to the retrieval stage that produced the candidates, at any corpus
+scale. No driver-side loops over data: the Python `for` builds the
+PLAN (k is a plan constant, like unrolled Bloom probes).
+
+Determinism / certification: relevance and pair similarities live in
+the engine's `cosine_micro` integer domain, the MMR score is the
+exact bigint `lambda_micro * cos_micro - (1e6 - lambda_micro) *
+max_sim_micro` (|score| <= 2e12, far inside int64), ties break on
+corpus_id — so a k-stage SQL oracle replays the greedy selection
+bit-for-bit (queries_vectors.py::mmr_rerank_topk builds that SQL
+programmatically for the same k).
+
+lambda_micro = 1_000_000 degenerates to pure relevance top-k — pinned
+against brute_force_topk in tests/test_rerank.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec
+from gcp_data_pipeline_fyp_spark.operators.similarity import _fast_dot, _unit
+from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    lambda_micro: int = 700_000,
+) -> DataFrame:
+    """Greedy MMR selection of k rows per query from an ANN candidate
+    set. `candidates` carries (query_id, corpus_id, cosine_micro) —
+    any retrieval output works (brute_force_topk, ivf_topk, ...);
+    `corpus` supplies the candidate vectors for the pairwise-novelty
+    term, fetched via a broadcast semi-join exactly like
+    similarity.rerank_exact (candidate sets are |Q| x C-sized,
+    broadcastable by construction).
+
+    Returns (query_id, corpus_id, mmr_rank 1..k, cosine_micro).
+    Queries with fewer than k candidates emit what they have.
+    """
+    if not (0 <= lambda_micro <= 1_000_000):
+        raise ValueError("lambda_micro must be in [0, 1_000_000]")
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    cand_ids = candidates.select("query_id", "corpus_id", "cosine_micro")
+    vecs = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _unit(as_double_vec(vec_col)).alias("__cv"),
+    ).join(
+        F.broadcast(cand_ids.select("corpus_id").distinct()),
+        "corpus_id",
+        "left_semi",
+    )
+    pool = (
+        cand_ids.join(vecs, "corpus_id")
+        .select("query_id", "corpus_id", "cosine_micro", "__cv")
+        .persist()
+    )
+
+    first = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_micro").desc(), F.col("corpus_id")
+    )
+    selected = (
+        pool.withColumn("__rn", F.row_number().over(first))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumn("mmr_rank", F.lit(1))
+    )
+
+    for r in range(2, k + 1):
+        remaining = pool.join(
+            selected.select("query_id", "corpus_id"),
+            ["query_id", "corpus_id"],
+            "left_anti",
+        )
+        sel = selected.select(
+            F.col("query_id").alias("__sq"), F.col("__cv").alias("__sv")
+        )
+        scored = (
+            remaining.join(sel, remaining["query_id"] == sel["__sq"])
+            .withColumn("__sim", micro6(_fast_dot(F.col("__cv"), F.col("__sv"))))
+            .groupBy("query_id", "corpus_id")
+            .agg(
+                F.first("cosine_micro").alias("cosine_micro"),
+                F.first("__cv").alias("__cv"),
+                F.max("__sim").alias("__max_sim"),
+            )
+            .withColumn(
+                "__score",
+                F.lit(lambda_micro).cast("long") * F.col("cosine_micro")
+                - F.lit(1_000_000 - lambda_micro).cast("long") * F.col("__max_sim"),
+            )
+        )
+        nxt = Window.partitionBy("query_id").orderBy(
+            F.col("__score").desc(), F.col("corpus_id")
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(nxt))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "corpus_id", "cosine_micro", "__cv")
+            .withColumn("mmr_rank", F.lit(r))
+        )
+        selected = selected.unionByName(pick)
+
+    return selected.select("query_id", "corpus_id", "mmr_rank", "cosine_micro")

@@ -3306,3 +3306,77 @@ ANALYTICS_QUERIES["ks_binned_drift"] = (
     q_ks_binned_drift,
     SQL_KS_BINNED_DRIFT,
 )
+
+
+def q_bloom_semi_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-pruned semi join: revenue per returnflag over lineitems
+    whose part is in the selective p_size<=5 slice, via
+    operators/bloomfilter.bloom_semi_join — the runtime-filter shape
+    for build sides too big to broadcast as a hash table but small as
+    BITS. The bloom prune is a map-side scan against a broadcast
+    bitmap; only bloom-positive rows (matches + ~fpp FPs) reach the
+    exact semi join's shuffle, and the final result is row-for-row the
+    plain semi join (zero false negatives), which is exactly what the
+    oracle's IN-subquery computes. Fixed (m_bits, k) keeps the plan
+    hint-free and identical at every SF."""
+    from gcp_data_pipeline_fyp_spark.operators.bloomfilter import bloom_semi_join
+
+    li = load(spark, sf, "lineitem")
+    pt = load(spark, sf, "part").filter(F.col("p_size") <= 5)
+    pruned = bloom_semi_join(
+        li, pt, "l_partkey", "p_partkey", m_bits=262_144, k=7
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+SQL_BLOOM_SEMI_REVENUE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+GROUP BY l_returnflag
+"""
+
+ANALYTICS_QUERIES["bloom_semi_revenue"] = (
+    q_bloom_semi_revenue,
+    SQL_BLOOM_SEMI_REVENUE,
+)
+
+
+def q_bloom_anti_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-accelerated anti join: customers with NO order in the
+    1995-Jan/Feb window (operators/bloomfilter.bloom_anti_join).
+    Bloom-negative customers are definitely-absent and bypass the
+    exact join entirely — for a selective build side that is ~all of
+    the probe, so the anti join's shuffle sees only the bloom-positive
+    slice. Output equals the plain left_anti join / NOT EXISTS."""
+    from gcp_data_pipeline_fyp_spark.operators.bloomfilter import bloom_anti_join
+
+    cust = load(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    early = load(spark, sf, "orders").filter(
+        (F.year("o_orderdate") == 1995) & (F.month("o_orderdate") <= 2)
+    )
+    return bloom_anti_join(
+        cust, early, "c_custkey", "o_custkey", m_bits=262_144, k=7
+    )
+
+
+SQL_BLOOM_ANTI_CUSTOMERS = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND year(o.o_orderdate) = 1995 AND month(o.o_orderdate) <= 2)
+"""
+
+ANALYTICS_QUERIES["bloom_anti_customers"] = (
+    q_bloom_anti_customers,
+    SQL_BLOOM_ANTI_CUSTOMERS,
+)

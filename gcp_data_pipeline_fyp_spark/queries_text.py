@@ -4316,3 +4316,53 @@ TEXT_QUERIES["host_capped_docs"] = (
     q_host_capped_docs,
     SQL_HOST_CAPPED_DOCS,
 )
+
+
+def q_adaptive_length_floor(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language adaptive length floor (operators/filters.py::
+    adaptive_threshold_filter, exact mode): keep docs at or above
+    their OWN language's p25 of n_chars — the multilingual-curation
+    shape where a constant tuned on one slice over-drops another.
+    q=0.25 on integer values keeps every interpolation step exactly
+    representable in binary (quarters of integers), so Spark's
+    `percentile` and DuckDB's `quantile_cont` agree bit-for-bit and
+    the threshold certifies as the exact integer threshold*4."""
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        adaptive_group_thresholds,
+        adaptive_threshold_filter,
+    )
+
+    d = load(spark, sf, "documents")
+    th = adaptive_group_thresholds(d, ["lang"], "n_chars", q=0.25)
+    kept = adaptive_threshold_filter(d, ["lang"], "n_chars", q=0.25)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(th.select("lang", "n", "threshold"), "lang")
+        .select(
+            "lang",
+            "kept",
+            F.col("n").alias("n_docs"),
+            (F.col("threshold") * 4).cast("bigint").alias("threshold_q4"),
+        )
+    )
+
+
+SQL_ADAPTIVE_LENGTH_FLOOR = """
+WITH th AS (
+  SELECT lang, count(*) AS n_docs,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS kept,
+       CAST(max(n_docs) AS BIGINT) AS n_docs,
+       CAST(max(t) * 4 AS BIGINT) AS threshold_q4
+FROM documents d JOIN th ON d.lang = th.lang
+WHERE CAST(d.n_chars AS DOUBLE) >= th.t
+GROUP BY d.lang
+"""
+
+TEXT_QUERIES["adaptive_length_floor"] = (
+    q_adaptive_length_floor,
+    SQL_ADAPTIVE_LENGTH_FLOOR,
+)

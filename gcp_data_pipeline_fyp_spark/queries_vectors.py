@@ -1550,3 +1550,88 @@ FROM x
 """
 
 VECTOR_QUERIES["jl_projection"] = (q_jl_projection, SQL_JL_PROJECTION)
+
+
+# ------------------------------------------------- MMR diversity re-rank
+def q_mmr_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversity re-rank (operators/rerank.py): brute-force top-8
+    candidates per query, then greedy lambda=0.7 selection of 3 —
+    relevance minus max-similarity-to-already-picked, all in the exact
+    integer micro domain so the k-stage SQL oracle below replays the
+    greedy argmax bit-for-bit."""
+    from gcp_data_pipeline_fyp_spark.operators.rerank import mmr_rerank
+
+    e = _emb(spark, sf)
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    cand = brute_force_topk(queries, corpus, "vec_id", "embedding", k=8)
+    return mmr_rerank(cand, corpus, "vec_id", "embedding", k=3, lambda_micro=700_000)
+
+
+def _pair_cos_sql(xv: str, yv: str) -> str:
+    return f"""
+  (list_sum(list_transform(generate_series(1, len({xv})), i -> {xv}[i] * {yv}[i]))
+    / nullif(sqrt(list_sum(list_transform(generate_series(1, len({xv})), i -> {xv}[i] * {xv}[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, len({yv})), i -> {yv}[i] * {yv}[i]))), 0))
+"""
+
+
+def _mmr_sql(k: int, n_cand: int, lambda_micro: int) -> str:
+    """Unrolled k-stage greedy MMR in DuckDB SQL — one (rem, score,
+    argmax, accumulate) CTE block per round, the SQL mirror of the
+    operator's plan-unrolled loop. Integer score domain: lam * cos_m -
+    (1e6 - lam) * max_sim_m, ties on corpus_id."""
+    lam, inv = lambda_micro, 1_000_000 - lambda_micro
+    parts = [f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 8),
+pairs AS (
+  SELECT query_id, corpus_id, {_SQL_COS} AS cosine FROM c CROSS JOIN q),
+cand AS (
+  SELECT query_id, corpus_id, {_MICRO_COS} AS cos_m FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY {_MICRO_COS} DESC, corpus_id) AS rn
+    FROM pairs) WHERE rn <= {n_cand}),
+cid AS (SELECT DISTINCT corpus_id FROM cand),
+cv2 AS (SELECT c.corpus_id, c.cv FROM c JOIN cid USING (corpus_id)),
+csim AS (
+  SELECT a.corpus_id AS ca, b.corpus_id AS cb,
+    CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT) AS sim_m
+  FROM cv2 a JOIN cv2 b ON a.corpus_id <> b.corpus_id),
+sel1 AS (
+  SELECT query_id, corpus_id, cos_m, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cos_m DESC, corpus_id) AS rn
+    FROM cand) WHERE rn = 1),
+selall1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, k + 1):
+        parts.append(f""",
+rem{r} AS (
+  SELECT cand.* FROM cand WHERE NOT EXISTS (
+    SELECT 1 FROM selall{r-1} s
+    WHERE s.query_id = cand.query_id AND s.corpus_id = cand.corpus_id)),
+sc{r} AS (
+  SELECT r.query_id, r.corpus_id, r.cos_m, max(sim_m) AS msim
+  FROM rem{r} r
+  JOIN selall{r-1} s ON s.query_id = r.query_id
+  JOIN csim ON ca = r.corpus_id AND cb = s.corpus_id
+  GROUP BY 1, 2, 3),
+sel{r} AS (
+  SELECT query_id, corpus_id, cos_m, {r} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id
+      ORDER BY ({lam} * cos_m - {inv} * msim) DESC, corpus_id) AS rn
+    FROM sc{r}) WHERE rn = 1),
+selall{r} AS (SELECT * FROM selall{r-1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+SELECT query_id, corpus_id, CAST(mmr_rank AS INT) AS mmr_rank,
+       cos_m AS cosine_micro
+FROM selall{k}""")
+    return "".join(parts)
+
+
+SQL_MMR_RERANK_TOPK = _mmr_sql(k=3, n_cand=8, lambda_micro=700_000)
+
+VECTOR_QUERIES["mmr_rerank_topk"] = (q_mmr_rerank_topk, SQL_MMR_RERANK_TOPK)

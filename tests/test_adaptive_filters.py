@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.filters import (
+    adaptive_group_thresholds,
+    adaptive_threshold_filter,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # lang en: lengths 10, 20, 30, 40 -> p25 = 17.5
+        ("en", 10), ("en", 20), ("en", 30), ("en", 40),
+        # lang zh: lengths 2, 4, 6 -> p25 = 3.0
+        ("zh", 2), ("zh", 4), ("zh", 6),
+        # lang xx: only NULLs -> no threshold row
+        ("xx", None),
+    ]
+    return spark.createDataFrame(rows, "lang: string, n: int")
+
+
+def test_exact_thresholds(spark, docs):
+    th = {
+        r["lang"]: (r["n"], r["threshold"])
+        for r in adaptive_group_thresholds(docs, ["lang"], "n", q=0.25).collect()
+    }
+    assert th["en"] == (4, 17.5)
+    assert th["zh"] == (3, 3.0)
+    assert "xx" not in th
+
+
+def test_exact_filter_membership(spark, docs):
+    kept = adaptive_threshold_filter(docs, ["lang"], "n", q=0.25)
+    got = sorted((r["lang"], r["n"]) for r in kept.collect())
+    assert got == [("en", 20), ("en", 30), ("en", 40), ("zh", 4), ("zh", 6)]
+
+
+def test_sketch_mode_close_to_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [("g", float(rnd.lognormvariate(3, 1))) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "lang: string, n: double")
+    exact = adaptive_group_thresholds(df, ["lang"], "n", q=0.5, mode="exact").first()
+    sk = adaptive_group_thresholds(df, ["lang"], "n", q=0.5, mode="sketch").first()
+    assert sk["n"] == exact["n"] == 2000
+    # log-bucket sketch: within a few % relative error at g=1.02
+    assert abs(sk["threshold"] - exact["threshold"]) / exact["threshold"] < 0.05
+
+
+def test_validation(spark, docs):
+    with pytest.raises(ValueError):
+        adaptive_group_thresholds(docs, [], "n")
+    with pytest.raises(ValueError):
+        adaptive_group_thresholds(docs, ["lang"], "n", q=1.5)
+    with pytest.raises(ValueError):
+        adaptive_group_thresholds(docs, ["lang"], "n", mode="nope")
