@@ -134,6 +134,13 @@ HEADLINE = [
     # incremental closure: index build + star-union-batch re-close in
     # one timed plan (the steady-state fold is the second half only)
     "incremental_components",
+    # round-9 session 3: the Bloom runtime-filter semi join (bitmap
+    # build + map-side prune + exact join on survivors — the shape
+    # that replaces a fact-sized shuffle at 100 TB) and the MMR
+    # diversity re-rank (k rounds of candidate-pool joins riding on a
+    # brute-force retrieval stage)
+    "bloom_semi_revenue",
+    "mmr_rerank_topk",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

@@ -118,36 +118,61 @@ def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> DataFram
         .groupBy("__w")
         .agg(F.expr("bit_or(__b)").alias("__word"))
     )
-    sparse = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("__w", "__word"))).alias("__m")
+    # densify: left-join the word frame [0, n_words) against the
+    # non-zero words, then collect in word order. (A map + per-index
+    # element_at would be O(n_words * occupied) linear probes inside
+    # one task — measurably slow already at 4k words.)
+    spark = build.sparkSession
+    frame = spark.range(n_words).select(F.col("id").cast("int").alias("__w"))
+    dense = frame.join(words, "__w", "left").select(
+        "__w", F.coalesce(F.col("__word"), F.lit(0).cast("long")).alias("__word")
     )
-    return sparse.select(
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__w", "__word"))),
+            lambda s: s["__word"],
+        ).alias("bits")
+    ).select(
         F.lit(m_bits).alias("m_bits"),
         F.lit(k).alias("k"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                # try_element_at: ANSI-mode element_at throws on a map
-                # miss, and most words of a sparse bitmap ARE misses
-                F.try_element_at(F.col("__m"), i.cast("int")),
-                F.lit(0).cast("long"),
-            ),
-        ).alias("bits"),
+        "bits",
     )
 
 
-def _might_contain(key: Column, bits: Column, m_bits: int, k: int) -> Column:
+def _hash_cols(key: Column, m_bits: int) -> tuple[Column, Column]:
+    """(base, stride) for double hashing; see `_position_list`."""
+    base = F.pmod(F.xxhash64(key), F.lit(m_bits))
+    stride = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits - 1)) + 1
+    return base, stride
+
+
+def _might_contain_pre(
+    base: Column, stride: Column, key: Column, bits: Column, m_bits: int, k: int
+) -> Column:
     """TRUE if every probe bit is set (possible member), FALSE if any
     is clear (definitely absent), NULL for NULL keys. Unrolled AND
-    chain — see `_position_list` for why no forall."""
-    checks = [
-        F.element_at(bits, (p / 64).cast("int") + 1)
-        .bitwiseAND(
-            F.call_function("shiftleft", F.lit(1).cast("long"), (p % 64).cast("int"))
+    chain — see `_position_list` for why no forall.
+
+    Takes PRE-HASHED (base, stride) columns rather than hashing the
+    key inline: Catalyst folds the downstream `filter(__bloom_hit)`
+    into the scalar crossJoin as a BroadcastNestedLoopJoin CONDITION,
+    which is evaluated interpreted (outside whole-stage codegen, no
+    common-subexpression elimination) — inline hashing would re-run
+    2k xxhash64 calls per row there. With the two hashes computed in
+    the codegen'd Project below the join, the interpreted condition
+    is k cheap element_at + bit tests."""
+    checks = []
+    for i in range(k):
+        p = F.pmod(base + F.lit(i).cast("long") * stride, F.lit(m_bits))
+        checks.append(
+            F.element_at(bits, (p / 64).cast("int") + 1)
+            .bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
         )
-        != 0
-        for p in _position_list(key, m_bits, k)
-    ]
     out = checks[0]
     for c in checks[1:]:
         out = out & c
@@ -175,17 +200,24 @@ def bloom_flag(
     # localCheckpoint truncates the bitmap's lineage: when probe and
     # build share a plan (self-referential prune), the un-truncated
     # crossJoin is a self-join whose attribute dedup miscompiles the
-    # forall closure over the bitmap column. The bitmap is one row —
+    # probe expressions over the bitmap column. The bitmap is one row —
     # checkpointing it is free and makes the scalar side plan-opaque.
     b = F.broadcast(
         bloom.select(F.col("bits").alias("__bloom_bits")).localCheckpoint(eager=True)
     )
-    joined = probe.crossJoin(b)
+    base, stride = _hash_cols(F.col(key_col), m_bits)
+    hashed = probe.withColumn("__bf_base", base).withColumn("__bf_stride", stride)
+    joined = hashed.crossJoin(b)
     return joined.select(
         *[joined[c] for c in probe.columns],
-        _might_contain(joined[key_col], joined["__bloom_bits"], m_bits, k).alias(
-            flag_col
-        ),
+        _might_contain_pre(
+            joined["__bf_base"],
+            joined["__bf_stride"],
+            joined[key_col],
+            joined["__bloom_bits"],
+            m_bits,
+            k,
+        ).alias(flag_col),
     )
 
 

@@ -75,8 +75,10 @@ def mmr_rerank(
         "corpus_id",
         "left_semi",
     )
+    # the vectors side is candidate-sized (|Q| x C rows at most) —
+    # broadcast it so the pool build never shuffles the candidate set
     pool = (
-        cand_ids.join(vecs, "corpus_id")
+        cand_ids.join(F.broadcast(vecs), "corpus_id")
         .select("query_id", "corpus_id", "cosine_micro", "__cv")
         .persist()
     )
@@ -92,8 +94,10 @@ def mmr_rerank(
     )
 
     for r in range(2, k + 1):
+        # selected is |Q| x (r-1) rows — broadcast on both uses so each
+        # round is a map-side join over the (already small) pool
         remaining = pool.join(
-            selected.select("query_id", "corpus_id"),
+            F.broadcast(selected.select("query_id", "corpus_id")),
             ["query_id", "corpus_id"],
             "left_anti",
         )
@@ -101,7 +105,7 @@ def mmr_rerank(
             F.col("query_id").alias("__sq"), F.col("__cv").alias("__sv")
         )
         scored = (
-            remaining.join(sel, remaining["query_id"] == sel["__sq"])
+            remaining.join(F.broadcast(sel), remaining["query_id"] == sel["__sq"])
             .withColumn("__sim", micro6(_fast_dot(F.col("__cv"), F.col("__sv"))))
             .groupBy("query_id", "corpus_id")
             .agg(
