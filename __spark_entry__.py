@@ -68,6 +68,8 @@ _CHECK_FIRST = [
     "bloom_anti_customers",
     "mmr_rerank_topk",
     "adaptive_length_floor",
+    "classifier_auc",
+    "classifier_calibration",
     # -- new this round (r9)
     "bitext_ivf_agreement",
     "ann_pq_recall_eval",
@@ -86,10 +88,14 @@ _CHECK_FIRST = [
     "host_capped_docs",
     "incremental_components",
     "schema_evolution_scan",
-    # -- the r04-evidence tail (29 of 30; ann_cosine_topk rotates to
-    #    the r10 head — its exact brute-force shape, fixture, and
-    #    micro domain are replayed inside mmr_rerank_topk's candidate
-    #    stage, which IS in this window)
+    # -- the r04-evidence tail (27 of 30; displaced to the r10 head
+    #    by session-3 births, which outrank re-certs — a probe with
+    #    NO driver row is the worse evidence class: ann_cosine_topk
+    #    (brute-force shape replayed inside mmr_rerank_topk's
+    #    candidate stage, in-window), ann_ivf_topk (IVF assign+probe
+    #    shape driver-covered by bitext_ivf_agreement, in-window),
+    #    measure_sliced_by_day (grouped-measure shape covered by
+    #    measure_totals_by_type, in-window))
     "domain_stats",
     "filter_fail_matrix",
     "substring_dup_report",
@@ -117,16 +123,14 @@ _CHECK_FIRST = [
     "measure_max_depth",
     "measure_totals_by_type",
     "measure_total_events",
-    "measure_sliced_by_day",
-    "ann_ivf_topk",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) ann_cosine_topk (last r04-evidence
-    # row, displaced by the session-3 additions), then
-    # minhash_recall_eval + bitext_margin_pairs (code changed in r9,
-    # mirror-certified, driver rows still r8) and the 50
-    # r05-evidence rows (ann_pq_topk, ann_sq8_topk ... wow_growth,
-    # alphabetical) — the backlog is then a pure rotation;
-    # (3) r06-green tail on rotation
+    # (1) anything red in r09; (2) the 3 r04-evidence rows displaced
+    # by the session-3 additions (ann_cosine_topk, ann_ivf_topk,
+    # measure_sliced_by_day), then minhash_recall_eval +
+    # bitext_margin_pairs (code changed in r9, mirror-certified,
+    # driver rows still r8) and the 50 r05-evidence rows
+    # (ann_pq_topk, ann_sq8_topk ... wow_growth, alphabetical) — the
+    # backlog is then a pure rotation; (3) r06-green tail on rotation
 ]
 
 

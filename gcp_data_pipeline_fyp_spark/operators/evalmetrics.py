@@ -1,0 +1,164 @@
+"""Classifier evaluation metrics at corpus scale: ROC-AUC and
+calibration — the measurement half of the quality-classifier loop
+(operators/classifier.py trains and scores; these certify whether the
+scores are worth filtering on, and whether "0.9" means 90%).
+
+- `roc_auc`: exact tie-aware Mann-Whitney AUC. AUC = P(score_pos >
+  score_neg) + P(equal)/2, computed from the rank-sum identity
+    AUC = (S_pos - P(P+1)/2) / (P * N)
+  with S_pos = sum of AVERAGE ranks of the positives (average over
+  tie runs — the standard tie correction). No global sort of rows
+  anywhere: scores collapse to DISTINCT values first (per tie run of
+  c rows after C smaller rows, the positives' rank contribution
+  closes to p * (C + (c+1)/2), order-invariant), then the prefix
+  count C(v) comes from the same two-level range-bucket discipline as
+  the distributed ungrouped Gini (operators/profile.py:_gini_ungrouped):
+  intra-bucket cumulative counts parallel per bucket, a global window
+  only over the n_buckets-sized totals table. Everything until the
+  final division is exact integer arithmetic (2*S_pos is an integer:
+  p*(2C + c + 1)), so the micro6 emission is engine-independent.
+
+- `calibration_report`: fixed-width score bins -> (bin, n, mean
+  predicted score, observed positive rate) plus each bin's |gap| —
+  the reliability-diagram table; ECE is the n-weighted mean of the
+  gaps, computable from the report without another scan. Means go
+  through the exact-decimal route (queries_util discipline) so the
+  report is partial-aggregation-order independent.
+
+Scale: roc_auc's shuffles carry distinct-score rows (value, p, n),
+never raw rows; calibration is a |bins|-group aggregate, one scan.
+Both are pure column expressions — no UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """One-row (n_pos, n_neg, auc_micro) for a boolean/0-1 label.
+
+    NULL scores and NULL labels are excluded (a row you cannot place
+    on either axis is not evidence). Degenerate inputs (no positives
+    or no negatives) yield auc_micro NULL — AUC is undefined there,
+    and a silent 0 or 1 would read as a (terrible|perfect) classifier.
+    """
+    lab = F.col(label_col).cast("boolean")
+    base = df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+    v = F.col(score_col).cast("double")
+
+    # collapse to distinct score values: per value, positive and total
+    # holder counts — the only frame any shuffle carries from here on
+    vc = base.groupBy(v.alias("__v")).agg(
+        F.sum(lab.cast("long")).alias("__p"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+
+    # two-level prefix count of rows below each distinct value
+    mm = vc.agg(F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax"))
+    span = F.col("__vmax") - F.col("__vmin")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("__v") - F.col("__vmin")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = vc.crossJoin(F.broadcast(mm)).select(
+        "__v", "__p", "__c", bucket.alias("__b")
+    )
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.coalesce(F.sum("__c").over(w_intra), F.lit(0))
+    totals = bucketed.groupBy("__b").agg(F.sum("__c").alias("__bt"))
+    w_bucket = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off")
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "__b").select(
+        "__p",
+        "__c",
+        (F.col("__off") + intra).cast("decimal(19,0)").alias("__cb"),
+    )
+
+    # 2*S_pos = sum over tie runs of p * (2*C + c + 1) — exact integers
+    pp = F.col("__p").cast("decimal(19,0)")
+    cc = F.col("__c").cast("decimal(19,0)")
+    two_s_pos = (pp * (F.lit(2) * F.col("__cb") + cc + F.lit(1))).cast(
+        "decimal(38,0)"
+    )
+    agg = ranked.agg(
+        F.sum("__p").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__p")).alias("n_neg"),
+        F.sum(two_s_pos).alias("__2sp"),
+    )
+    p_tot = F.col("n_pos").cast("decimal(19,0)")
+    num = (
+        F.col("__2sp") - (p_tot * (p_tot + F.lit(1))).cast("decimal(38,0)")
+    ).cast("double")
+    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den)
+    return agg.select("n_pos", "n_neg", micro6(auc).alias("auc_micro"))
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+) -> DataFrame:
+    """(bin, n, mean_score_micro, pos_rate_micro, gap_micro) per
+    fixed-width score bin over [lo, hi] — the reliability diagram.
+    Scores outside [lo, hi] clamp into the edge bins (a calibrated
+    probability should not leave [0,1]; clamping keeps stray values
+    visible in the edge rows instead of silently dropping them).
+    ECE = sum(n * gap) / sum(n) — computable from this report.
+    """
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    lab = F.col(label_col).cast("boolean")
+    base = df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
+    v = F.col(score_col).cast("double")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(lo)) / F.lit(hi - lo) * n_bins)
+        ),
+    ).cast("int")
+    # exact-decimal means (order-independent), one shuffle of n_bins
+    # groups; micro6 once at emission
+    agg = base.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(18,6)")).alias("__sv"),
+        F.sum(lab.cast("long")).alias("__np"),
+    )
+    mean_score = F.col("__sv").cast("double") / F.col("n").cast("double")
+    pos_rate = F.col("__np").cast("double") / F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        micro6(mean_score).alias("mean_score_micro"),
+        micro6(pos_rate).alias("pos_rate_micro"),
+        micro6(F.abs(mean_score - pos_rate)).alias("gap_micro"),
+    )

@@ -3380,3 +3380,87 @@ ANALYTICS_QUERIES["bloom_anti_customers"] = (
     q_bloom_anti_customers,
     SQL_BLOOM_ANTI_CUSTOMERS,
 )
+
+
+def q_classifier_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed tie-aware ROC-AUC (operators/evalmetrics.py:
+    roc_auc): does `value` separate purchase events from the rest?
+    No global row sort: distinct-score collapse + the two-level
+    range-bucket prefix count (the Gini discipline), exact integer
+    rank-sum until the single final division. The oracle replays the
+    identity 2*avg_rank = 2*rank() + tiecount - 1 with window
+    functions — integer domain on both sides, so the micro emission
+    is engine-exact."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import roc_auc
+
+    ev = load(spark, sf, "events")
+    labeled = ev.withColumn("__y", F.col("event_type") == "purchase")
+    return roc_auc(labeled, "value", "__y")
+
+
+SQL_CLASSIFIER_AUC = """
+WITH b AS (
+  SELECT CAST(value AS DOUBLE) AS v, (event_type = 'purchase') AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT y, rank() OVER (ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY v) AS c
+  FROM b),
+s AS (
+  SELECT sum(CASE WHEN y THEN 2 * (rk - 1) + c + 1 ELSE 0 END) AS two_sp,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         count(*) AS n
+  FROM r)
+SELECT CAST(p AS BIGINT) AS n_pos,
+       CAST(n - p AS BIGINT) AS n_neg,
+       CAST(round(((CAST(two_sp AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))
+         / (2.0 * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE))) * 1000000.0) AS BIGINT)
+         AS auc_micro
+FROM s
+"""
+
+ANALYTICS_QUERIES["classifier_auc"] = (q_classifier_auc, SQL_CLASSIFIER_AUC)
+
+
+def q_classifier_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability-diagram table (operators/evalmetrics.py:
+    calibration_report) over a synthetic calibrated scorer: score =
+    (event_id % 100)/100, label = (user_id % 100) < (event_id % 100)
+    — P(label | score s) ~ s by construction, so the per-bin gaps are
+    small but non-zero (integer-lattice construction, exact in both
+    engines). 10 fixed-width bins, decimal-exact means, micro6
+    emissions."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        calibration_report,
+    )
+
+    ev = load(spark, sf, "events")
+    scored = ev.select(
+        ((F.col("event_id") % 100) / 100.0).alias("score"),
+        ((F.col("user_id") % 100) < (F.col("event_id") % 100)).alias("y"),
+    )
+    return calibration_report(scored, "score", "y", n_bins=10)
+
+
+SQL_CLASSIFIER_CALIBRATION = """
+WITH b AS (
+  SELECT (event_id % 100) / 100.0 AS v,
+         ((user_id % 100) < (event_id % 100)) AS y
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+g AS (
+  SELECT CAST(least(9, greatest(0, floor((v - 0.0) / 1.0 * 10))) AS INT) AS bin,
+         count(*) AS n,
+         CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+  FROM b GROUP BY 1)
+SELECT bin, CAST(n AS BIGINT) AS n,
+  CAST(round((sv / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS mean_score_micro,
+  CAST(round((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS pos_rate_micro,
+  CAST(round(abs(sv / CAST(n AS DOUBLE) - CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS gap_micro
+FROM g
+"""
+
+ANALYTICS_QUERIES["classifier_calibration"] = (
+    q_classifier_calibration,
+    SQL_CLASSIFIER_CALIBRATION,
+)

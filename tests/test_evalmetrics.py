@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import pytest
+
+from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+    calibration_report,
+    roc_auc,
+)
+
+
+def _naive_auc(pairs):
+    """Pair-counting AUC with half-credit ties (the definition)."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def _spark_auc(spark, pairs, n_buckets=4096):
+    df = spark.createDataFrame(pairs, "score: double, label: boolean")
+    return roc_auc(df, "score", "label", n_buckets=n_buckets).first()
+
+
+def test_auc_perfect_separation(spark):
+    pairs = [(float(i), i >= 5) for i in range(10)]
+    r = _spark_auc(spark, pairs)
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (5, 5, 1_000_000)
+
+
+def test_auc_random_interleave_matches_naive(spark):
+    import random
+
+    rnd = random.Random(42)
+    pairs = [(round(rnd.random(), 2), rnd.random() < 0.3) for _ in range(400)]
+    want = _naive_auc(pairs)
+    r = _spark_auc(spark, pairs)
+    assert r["auc_micro"] == round(want * 1_000_000)
+
+
+def test_auc_with_heavy_ties(spark):
+    # many duplicate scores -> tie correction must match pair counting
+    pairs = [(float(s % 3), s % 2 == 0) for s in range(30)]
+    want = _naive_auc(pairs)
+    r = _spark_auc(spark, pairs)
+    assert r["auc_micro"] == round(want * 1_000_000)
+
+
+def test_auc_bucket_count_invariance(spark):
+    import random
+
+    rnd = random.Random(7)
+    pairs = [(rnd.gauss(0, 1), rnd.random() < 0.5) for _ in range(300)]
+    a = _spark_auc(spark, pairs, n_buckets=4)["auc_micro"]
+    b = _spark_auc(spark, pairs, n_buckets=4096)["auc_micro"]
+    assert a == b == round(_naive_auc(pairs) * 1_000_000)
+
+
+def test_auc_degenerate_single_class(spark):
+    r = _spark_auc(spark, [(0.1, True), (0.9, True)])
+    assert r["auc_micro"] is None and r["n_neg"] == 0
+
+
+def test_auc_null_rows_excluded(spark):
+    df = spark.createDataFrame(
+        [(0.9, True), (0.1, False), (None, True), (0.5, None)],
+        "score: double, label: boolean",
+    )
+    r = roc_auc(df, "score", "label").first()
+    assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (1, 1, 1_000_000)
+
+
+def test_calibration_bins_and_gaps(spark):
+    rows = (
+        [(0.05, False)] * 8 + [(0.05, True)] * 2   # bin 0: rate .2, mean .05
+        + [(0.95, True)] * 9 + [(0.95, False)]     # bin 9: rate .9, mean .95
+    )
+    df = spark.createDataFrame(rows, "score: double, label: boolean")
+    rep = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(rep) == {0, 9}
+    assert rep[0]["n"] == 10 and rep[0]["pos_rate_micro"] == 200_000
+    assert rep[0]["mean_score_micro"] == 50_000
+    assert rep[0]["gap_micro"] == 150_000
+    assert rep[9]["pos_rate_micro"] == 900_000 and rep[9]["gap_micro"] == 50_000
+
+
+def test_calibration_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-0.5, False), (1.7, True)], "score: double, label: boolean"
+    )
+    rep = {r["bin"]: r for r in calibration_report(df, "score", "label").collect()}
+    assert set(rep) == {0, 9}
+
+
+def test_calibration_validation(spark):
+    df = spark.createDataFrame([(0.5, True)], "score: double, label: boolean")
+    with pytest.raises(ValueError):
+        calibration_report(df, "score", "label", n_bins=0)
+    with pytest.raises(ValueError):
+        calibration_report(df, "score", "label", lo=1.0, hi=0.0)
