@@ -1305,3 +1305,109 @@ def stream_index_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_monitor(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    score_col: str,
+    label_col: str,
+    wh: Warehouse,
+    state_table: str,
+    report_table: str,
+    checkpoint_dir: str,
+    n_bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming model-quality monitor: every micro-batch folds its
+    calibration partial state (operators/evalmetrics.py:
+    calibration_state — per-bin counts + exact-decimal score sums,
+    distributive) into a persisted cumulative state, then appends one
+    (batch_id, n, n_pos, ece_micro, auc_binned_micro) row to a report
+    table — "is the quality classifier still calibrated, and does it
+    still rank?" over the ENTIRE stream so far, per batch, with
+    |bins|-sized state and no history rescans. The production loop
+    this renders: score -> route (classifier_filter) -> monitor; when
+    ECE or binned AUC degrades past a threshold, retrain/recalibrate
+    — the model-quality sibling of stream_drift_monitor (input drift)
+    and stream_retrain_monitor (index drift).
+
+    Replay discipline is stream_drift_monitor's exactly: counts fold
+    distributively but not idempotently, so (__stream_id,
+    __last_batch_id) ride the SAME staging+swap as the state —
+    replayed batches are skipped before any merge, and a state table
+    from a different checkpoint lineage raises instead of silently
+    double-counting. The report row appends AFTER the swap: a crash
+    in that window loses one observability row, never corrupts state.
+
+    `auc_binned` treats the bin as the score (within-bin order is
+    lost) — the bounded-underestimate contract of ks_binned_report,
+    tightened by n_bins; the batch-side exact `roc_auc` is the
+    certification-grade reading when a full snapshot is worth a scan.
+    """
+    import json as _json
+    import os as _os
+
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        calibration_state,
+        merge_calibration_states,
+        quality_summary_from_state,
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _stream_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sid = _stream_id()
+        part = calibration_state(batch, score_col, label_col, n_bins, lo, hi)
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"quality state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}: batch "
+                    "ids are not comparable across checkpoints. Drop the "
+                    "state table to rebuild it under this checkpoint, or "
+                    "restart from the original checkpoint directory."
+                )
+            if mark["m"] is not None and batch_id <= mark["m"]:
+                return
+            merged = merge_calibration_states(
+                [prior.select("bin", "n", "__sv", "__np"), part]
+            )
+        else:
+            merged = part
+        staging = f"{state_table}__quality_staging"
+        wh.overwrite(
+            merged.withColumn("__stream_id", F.lit(sid)).withColumn(
+                "__last_batch_id", F.lit(batch_id)
+            ),
+            staging,
+        )
+        wh.swap(staging, state_table)
+        report = quality_summary_from_state(
+            wh.read(state_table).select("bin", "n", "__sv", "__np")
+        ).withColumn("batch_id", F.lit(batch_id))
+        wh.append(report, report_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

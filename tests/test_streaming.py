@@ -1391,3 +1391,74 @@ def test_stream_neardup_ingest_jsonl_feed(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["event_id"] for r in wh.read("JDOCS").collect()}
     assert got == {11}
+
+
+def _write_score_csv(path, rows):
+    path.write_text(
+        "doc_id,score,label\n" + "\n".join(",".join(map(str, r)) for r in rows)
+    )
+
+
+def test_stream_quality_monitor_matches_batch_and_replays_safely(
+    spark, tmp_path
+):
+    """The streamed cumulative state read through
+    quality_summary_from_state equals the one-shot batch summary over
+    everything streamed so far; a restart folds only new files; the
+    report has one row per batch."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        calibration_state,
+        quality_summary_from_state,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_quality_monitor,
+    )
+
+    in_dir = tmp_path / "qin"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "qwh"))
+    schema = "doc_id long, score double, label boolean"
+
+    rows1 = [(i, round(0.05 + (i % 10) / 10.0, 2), i % 3 == 0) for i in range(60)]
+    rows2 = [(100 + i, round((i % 5) / 5.0, 2), i % 2 == 0) for i in range(40)]
+    _write_score_csv(in_dir / "f1.csv", rows1)
+    _write_score_csv(in_dir / "f2.csv", rows2)
+    ckpt = str(tmp_path / "qckpt")
+
+    def run():
+        q = stream_quality_monitor(
+            spark, str(in_dir), schema, "score", "label",
+            wh, "Q_STATE", "Q_REPORT", ckpt,
+            n_bins=10, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    want = quality_summary_from_state(
+        calibration_state(all_rows, "score", "label", 10)
+    ).first()
+    report = wh.read("Q_REPORT").orderBy("batch_id").collect()
+    assert len(report) == 2
+    last = report[-1]
+    assert (last["n"], last["n_pos"]) == (100, want["n_pos"])
+    assert last["ece_micro"] == want["ece_micro"]
+    assert last["auc_binned_micro"] == want["auc_binned_micro"]
+
+    # restart: only the new file folds in
+    rows3 = [(200 + i, 0.9, True) for i in range(20)]
+    _write_score_csv(in_dir / "f3.csv", rows3)
+    run()
+    assert wh.read("Q_STATE").agg(F.sum("n")).first()[0] == 120
+    rep3 = wh.read("Q_REPORT").orderBy("batch_id").collect()[-1]
+    all3 = spark.createDataFrame(rows1 + rows2 + rows3, schema)
+    want3 = quality_summary_from_state(
+        calibration_state(all3, "score", "label", 10)
+    ).first()
+    assert (rep3["n"], rep3["auc_binned_micro"]) == (120, want3["auc_binned_micro"])
+
+    # idle restart: nothing new, state and report untouched
+    n_rep = wh.read("Q_REPORT").count()
+    run()
+    assert wh.read("Q_STATE").agg(F.sum("n")).first()[0] == 120
+    assert wh.read("Q_REPORT").count() == n_rep
