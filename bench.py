@@ -141,6 +141,9 @@ HEADLINE = [
     # brute-force retrieval stage)
     "bloom_semi_revenue",
     "mmr_rerank_topk",
+    # canonical election: LSH pairs + closure + per-cluster argmax in
+    # one timed plan (the election increment itself is cluster-sized)
+    "quality_canonical_docs",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

@@ -920,3 +920,63 @@ def winnow_dup_report(
             F.sum((F.col("__nd") > 1).cast("long")) / F.count(F.lit(1))
         ).alias("shared_ratio_micro"),
     )
+
+
+def elect_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    quality_col: str,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Keep ONE representative per near-dup cluster — the election
+    step between detection and deletion. Naive dedup keeps an
+    arbitrary member (min id); when members differ (truncated
+    mirrors, boilerplate-wrapped copies, re-crawls), the corpus
+    should keep the BEST one. Winner per cluster = highest
+    `quality_col`, ties broken on lowest id — deterministic, so
+    re-running the election on the same graph keeps the same docs
+    (stable against reprocessing, like leakage_safe_split's
+    contract; new edges can merge clusters, which re-elects over the
+    merged membership as a unit).
+
+    `pairs` is any candidate-pair frame (MinHash LSH, embedding
+    near-dup, simhash groups); docs in no pair are their own cluster
+    and survive unconditionally. Returns the winners' full rows +
+    `cluster_id` + `n_members`.
+
+    Scale: the closure runs on the LSH-bounded candidate graph
+    (operators/components.py:dup_clusters); the election is one
+    groupBy(cluster_id) with a min_by struct argmax — no window over
+    the corpus, no sort. The winners join back by id (semi-ish inner
+    join on the cluster winners frame, |clusters| rows).
+    """
+    from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
+
+    clustered = dup_clusters(df, pairs, id_col, checkpoint_dir=checkpoint_dir)
+    q = F.col(quality_col).cast("double")
+    # winners derives from `clustered` — rename its columns so the
+    # join back is not a self-join with ambiguous attributes
+    winners = (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                F.col(id_col), F.struct((-q).alias("nq"), F.col(id_col).alias("i"))
+            ).alias("__winner"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            F.col("cluster_id").alias("__wc"),
+            "__winner",
+            "n_members",
+        )
+    )
+    return clustered.join(
+        winners,
+        (clustered["cluster_id"] == F.col("__wc"))
+        & (clustered[id_col] == F.col("__winner")),
+    ).select(
+        *[clustered[c] for c in df.columns],
+        clustered["cluster_id"],
+        F.col("n_members"),
+    )

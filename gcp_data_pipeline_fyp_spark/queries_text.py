@@ -4366,3 +4366,55 @@ TEXT_QUERIES["adaptive_length_floor"] = (
     q_adaptive_length_floor,
     SQL_ADAPTIVE_LENGTH_FLOOR,
 )
+
+
+# ------------------------------------------ canonical-doc election
+def q_quality_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """One representative per near-dup cluster (operators/dedup.py:
+    elect_canonical): highest n_chars wins, ties on lowest doc_id —
+    in this fixture the planted copies share n_chars with their
+    originals, so the election certifies the deterministic tie-break
+    (original survives) plus singleton passthrough. Emitted as
+    (winner doc_id, n_members) — invariant to the clustering's
+    internal component-id convention, which the oracle need not
+    replicate."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import elect_canonical
+
+    d = _docs_with_neardups(spark, sf)
+    pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS
+    )
+    out = elect_canonical(d, pairs, "doc_id", "n_chars")
+    pairs.unpersist()
+    return out.select("doc_id", "n_members").orderBy("doc_id")
+
+
+SQL_QUALITY_CANONICAL_DOCS = f"""
+WITH RECURSIVE pairs AS ({SQL_MINHASH_LSH_PAIRS}),
+u2 AS ({_SQL_DOCS_WITH_NEARDUPS}),
+ed AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION SELECT id_b, id_a FROM pairs),
+reach(v, l) AS (
+  SELECT a, a FROM ed
+  UNION
+  SELECT e.a, r.l FROM ed e JOIN reach r ON e.b = r.v),
+comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
+cl AS (
+  SELECT u2.doc_id, u2.n_chars,
+         coalesce(comp.component, u2.doc_id) AS cluster_id
+  FROM u2 LEFT JOIN comp ON u2.doc_id = comp.v),
+w AS (
+  SELECT doc_id, cluster_id,
+    row_number() OVER (
+      PARTITION BY cluster_id
+      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+    count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM cl)
+SELECT doc_id, CAST(n_members AS BIGINT) AS n_members
+FROM w WHERE rk = 1 ORDER BY doc_id
+"""
+
+TEXT_QUERIES["quality_canonical_docs"] = (
+    q_quality_canonical_docs,
+    SQL_QUALITY_CANONICAL_DOCS,
+)

@@ -3198,3 +3198,22 @@ def test_incremental_dedup_indexed_cold_start(spark, tmp_path):
     # second identical batch now drops entirely via the seeded index
     again = incremental_dedup_indexed(wh, batch, ["text"], "cold")
     assert again.count() == 0
+
+
+def test_elect_canonical_quality_and_singletons(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import elect_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, 100), (2, 300), (3, 200),   # cluster {1,2,3}: 2 wins on quality
+            (10, 50), (11, 50),             # cluster {10,11}: tie -> min id 10
+            (99, 10),                        # singleton survives
+        ],
+        "doc_id: bigint, quality: bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a: bigint, id_b: bigint"
+    )
+    out = {r["doc_id"]: r["n_members"] for r in
+           elect_canonical(docs, pairs, "doc_id", "quality").collect()}
+    assert out == {2: 3, 10: 2, 99: 1}
