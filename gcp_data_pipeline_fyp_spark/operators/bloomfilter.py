@@ -80,15 +80,17 @@ def _position_list(key: Column, m_bits: int, k: int) -> list[Column]:
     `!Filter`, failing at execution with INTERNAL_ERROR_ATTRIBUTE_NOT_
     FOUND. k is <= ~20 for any sane fpp, so the unrolled tree is small.
     """
-    base = F.pmod(F.xxhash64(key), F.lit(m_bits))
-    stride = F.pmod(F.xxhash64(key, F.lit(0x9E3779B9)), F.lit(m_bits - 1)) + 1
+    base, stride = _hash_cols(key, m_bits)
     return [F.pmod(base + F.lit(i).cast("long") * stride, F.lit(m_bits)) for i in range(k)]
 
 
 def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
     """One-row DataFrame (m_bits, k, bits: array<long>) — the Bloom
-    bitmap of `build[key_col]` (NULL keys contribute nothing, matching
-    join semantics where NULL never matches).
+    bitmap of `build[key_col]`. NULL keys are dropped BEFORE hashing
+    (xxhash64 hashes NULL to the bare seed hash, so an unfiltered
+    NULL would set k phantom bits and quietly inflate the FP rate
+    past the bloom_params sizing; join semantics never match NULL
+    anyway).
 
     Plan shape: keys -> explode k positions -> groupBy word index ->
     bit_or partial+final (map-side combine; at most m/64 groups
@@ -102,7 +104,8 @@ def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> DataFram
         raise ValueError("k must be positive")
     n_words = m_bits // 64
     words = (
-        build.select(
+        build.filter(F.col(key_col).isNotNull())
+        .select(
             F.explode(F.array(*_position_list(F.col(key_col), m_bits, k))).alias(
                 "__pos"
             )
@@ -194,17 +197,19 @@ def bloom_flag(
     one-row bitmap rides in as a broadcast scalar crossJoin — the
     same 1-row-scalar shape PLANAUDIT whitelists everywhere else.
     Pass (m_bits, k) when known to skip the 1-row metadata fetch."""
-    if m_bits is None or k is None:
-        row = bloom.first()
-        m_bits, k = int(row["m_bits"]), int(row["k"])
     # localCheckpoint truncates the bitmap's lineage: when probe and
     # build share a plan (self-referential prune), the un-truncated
     # crossJoin is a self-join whose attribute dedup miscompiles the
     # probe expressions over the bitmap column. The bitmap is one row —
     # checkpointing it is free and makes the scalar side plan-opaque.
-    b = F.broadcast(
-        bloom.select(F.col("bits").alias("__bloom_bits")).localCheckpoint(eager=True)
-    )
+    # Checkpoint BEFORE any metadata fetch: a bare bloom.first() would
+    # run the whole build aggregation once for the fetch and again for
+    # the checkpoint.
+    cp = bloom.localCheckpoint(eager=True)
+    if m_bits is None or k is None:
+        row = cp.first()
+        m_bits, k = int(row["m_bits"]), int(row["k"])
+    b = F.broadcast(cp.select(F.col("bits").alias("__bloom_bits")))
     base, stride = _hash_cols(F.col(key_col), m_bits)
     hashed = probe.withColumn("__bf_base", base).withColumn("__bf_stride", stride)
     joined = hashed.crossJoin(b)

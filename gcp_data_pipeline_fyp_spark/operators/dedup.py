@@ -954,14 +954,21 @@ def elect_canonical(
     from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
 
     clustered = dup_clusters(df, pairs, id_col, checkpoint_dir=checkpoint_dir)
-    q = F.col(quality_col).cast("double")
+    # NULL quality must LOSE, not win: struct ordering is nulls-first,
+    # so a bare -quality of NULL would sort below every real score and
+    # take the argmax; +inf makes unscored members sort last (they
+    # still survive as singletons or when the whole cluster is
+    # unscored — then ties fall to the lowest id)
+    q = F.coalesce(
+        -F.col(quality_col).cast("double"), F.lit(float("inf"))
+    )
     # winners derives from `clustered` — rename its columns so the
     # join back is not a self-join with ambiguous attributes
     winners = (
         clustered.groupBy("cluster_id")
         .agg(
             F.min_by(
-                F.col(id_col), F.struct((-q).alias("nq"), F.col(id_col).alias("i"))
+                F.col(id_col), F.struct(q.alias("nq"), F.col(id_col).alias("i"))
             ).alias("__winner"),
             F.count(F.lit(1)).alias("n_members"),
         )

@@ -52,8 +52,13 @@ def roc_auc(
     and a silent 0 or 1 would read as a (terrible|perfect) classifier.
     """
     lab = F.col(label_col).cast("boolean")
-    base = df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
     v = F.col(score_col).cast("double")
+    # NaN is excluded like NULL (a row you cannot place on the score
+    # axis is not evidence); unfiltered, NaN would survive isNotNull
+    # and rank as the largest double
+    base = df.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(v) & lab.isNotNull()
+    )
 
     # collapse to distinct score values: per value, positive and total
     # holder counts — the only frame any shuffle carries from here on
@@ -139,8 +144,14 @@ def calibration_state(
     if not hi > lo:
         raise ValueError("hi must exceed lo")
     lab = F.col(label_col).cast("boolean")
-    base = df.filter(F.col(score_col).isNotNull() & lab.isNotNull())
     v = F.col(score_col).cast("double")
+    # NaN excluded like NULL: it would land in bin 0 (floor(NaN) casts
+    # to 0) and count in n/__np while vanishing from the decimal score
+    # sum — a silently biased bin-0 mean. Clamping keeps finite strays
+    # visible; non-values are dropped.
+    base = df.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(v) & lab.isNotNull()
+    )
     b = F.least(
         F.lit(n_bins - 1),
         F.greatest(

@@ -162,8 +162,20 @@ def adaptive_threshold_filter(
     corpus shuffle). Rows in groups absent from the thresholds (all-
     NULL value groups) are dropped, consistent with NULL == fail."""
     th = adaptive_group_thresholds(df, group_cols, value_col, q, mode)
-    t = F.broadcast(th.select(*group_cols, "threshold"))
-    joined = df.join(t, list(group_cols), "inner")
-    return joined.filter(
-        F.col(value_col).cast("double") >= F.col("threshold")
-    ).drop("threshold")
+    # null-safe equi-join: a NULL group key (undetected language) is a
+    # real slice with its own threshold row; a plain equi-join would
+    # silently drop every such row (NULL != NULL)
+    t = F.broadcast(
+        th.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols], "threshold"
+        )
+    )
+    cond = None
+    for c in group_cols:
+        term = df[c].eqNullSafe(F.col(f"__g_{c}"))
+        cond = term if cond is None else cond & term
+    joined = df.join(t, cond, "inner")
+    return (
+        joined.filter(F.col(value_col).cast("double") >= F.col("threshold"))
+        .drop("threshold", *[f"__g_{c}" for c in group_cols])
+    )

@@ -58,3 +58,13 @@ def test_validation(spark, docs):
         adaptive_group_thresholds(docs, ["lang"], "n", q=1.5)
     with pytest.raises(ValueError):
         adaptive_group_thresholds(docs, ["lang"], "n", mode="nope")
+
+
+def test_null_group_key_is_a_real_slice(spark):
+    rows = [(None, 1), (None, 10), (None, 100), ("en", 5), ("en", 50)]
+    df = spark.createDataFrame(rows, "lang: string, n: int")
+    kept = adaptive_threshold_filter(df, ["lang"], "n", q=0.25)
+    got = sorted(((r["lang"], r["n"]) for r in kept.collect()), key=repr)
+    # NULL-lang docs filter against their OWN p25, not vanish
+    assert (None, 100) in got and (None, 10) in got and (None, 1) not in got
+    assert ("en", 50) in got and ("en", 5) not in got

@@ -114,3 +114,12 @@ def test_bloom_build_string_keys(spark):
         for r in bloom_flag(probe, "k", bloom, m_bits=640, k=4).collect()
     }
     assert hits["a"] is True and hits["b"] is True
+
+
+def test_bloom_build_drops_null_keys(spark):
+
+    with_null = spark.createDataFrame([(1,), (None,), (2,)], "k: bigint")
+    without = spark.createDataFrame([(1,), (2,)], "k: bigint")
+    a = bloom_build(with_null, "k", 640, 3).first()["bits"]
+    b = bloom_build(without, "k", 640, 3).first()["bits"]
+    assert a == b  # NULL set no phantom bits

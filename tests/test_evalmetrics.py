@@ -1,6 +1,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
     calibration_report,
@@ -145,3 +146,16 @@ def test_binned_auc_tracks_exact_auc(spark):
     # at 20 bins over this spread it stays within a few points
     assert abs(binned - exact) < 30_000
     assert binned <= exact  # understates toward 0.5 for AUC > 0.5
+
+
+def test_nan_scores_excluded_everywhere(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        calibration_state,
+    )
+
+    rows = [(0.9, True), (0.1, False), (float("nan"), True)]
+    df = spark.createDataFrame(rows, "score: double, label: boolean")
+    r = roc_auc(df, "score", "label").first()
+    assert (r["n_pos"], r["n_neg"]) == (1, 1)
+    st = calibration_state(df, "score", "label")
+    assert st.agg(F.sum("n")).first()[0] == 2

@@ -3217,3 +3217,20 @@ def test_elect_canonical_quality_and_singletons(spark):
     out = {r["doc_id"]: r["n_members"] for r in
            elect_canonical(docs, pairs, "doc_id", "quality").collect()}
     assert out == {2: 3, 10: 2, 99: 1}
+
+
+def test_elect_canonical_null_quality_loses(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dedup import elect_canonical
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 300), (3, 200), (7, None), (8, None)],
+        "doc_id: bigint, quality: bigint",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a: bigint, id_b: bigint"
+    )
+    out = {r["doc_id"]: r["n_members"] for r in
+           elect_canonical(docs, pairs, "doc_id", "quality").collect()}
+    # scored member 2 beats the NULL-quality 1; an all-NULL cluster
+    # falls back to the lowest id
+    assert out == {2: 3, 7: 2}
