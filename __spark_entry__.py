@@ -71,6 +71,7 @@ _CHECK_FIRST = [
     "classifier_auc",
     "classifier_calibration",
     "quality_canonical_docs",
+    "auc_by_slice",
     # -- new this round (r9)
     "bitext_ivf_agreement",
     "ann_pq_recall_eval",
@@ -89,14 +90,15 @@ _CHECK_FIRST = [
     "host_capped_docs",
     "incremental_components",
     "schema_evolution_scan",
-    # -- the r04-evidence tail (26 of 30; displaced to the r10 head
+    # -- the r04-evidence tail (25 of 30; displaced to the r10 head
     #    by session-3 births, which outrank re-certs — a probe with
     #    NO driver row is the worse evidence class: ann_cosine_topk
     #    (brute-force shape replayed inside mmr_rerank_topk's
     #    candidate stage, in-window), ann_ivf_topk (IVF assign+probe
     #    shape driver-covered by bitext_ivf_agreement, in-window),
-    #    measure_sliced_by_day and measure_total_events (grouped/
-    #    global measure shapes covered by measure_totals_by_type,
+    #    measure_sliced_by_day, measure_total_events, and
+    #    measure_max_depth (grouped/global/extremum measure shapes
+    #    covered by measure_totals_by_type + measure_avg_magnitude,
     #    in-window))
     "domain_stats",
     "filter_fail_matrix",
@@ -122,12 +124,12 @@ _CHECK_FIRST = [
     "text_quality",
     "measure_latest_update",
     "measure_avg_magnitude",
-    "measure_max_depth",
     "measure_totals_by_type",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the 4 r04-evidence rows displaced
+    # (1) anything red in r09; (2) the 5 r04-evidence rows displaced
     # by the session-3 additions (ann_cosine_topk, ann_ivf_topk,
-    # measure_sliced_by_day, measure_total_events), then minhash_recall_eval +
+    # measure_sliced_by_day, measure_total_events,
+    # measure_max_depth), then minhash_recall_eval +
     # bitext_margin_pairs (code changed in r9, mirror-certified,
     # driver rows still r8) and the 50 r05-evidence rows
     # (ann_pq_topk, ann_sq8_topk ... wow_growth, alphabetical) — the

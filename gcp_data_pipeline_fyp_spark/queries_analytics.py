@@ -3464,3 +3464,52 @@ ANALYTICS_QUERIES["classifier_calibration"] = (
     q_classifier_calibration,
     SQL_CLASSIFIER_CALIBRATION,
 )
+
+
+def q_auc_by_slice(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-slice AUC (operators/evalmetrics.py:roc_auc_by_group):
+    does `value` separate purchases WITHIN each day-of-month slice — the
+    per-slice ranking readout the aggregate classifier_auc hides.
+    Distinct-(group, score) collapse, per-group prefix window, exact
+    integer rank-sum; the oracle replays rank()/tie-count windows
+    partitioned by the same slice."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        roc_auc_by_group,
+    )
+
+    ev = load(spark, sf, "events")
+    labeled = ev.select(
+        (F.dayofmonth("ts") % 7).alias("m"),
+        F.col("value"),
+        (F.col("event_type") == "purchase").alias("__y"),
+    )
+    return roc_auc_by_group(labeled, "value", "__y", ["m"])
+
+
+SQL_AUC_BY_SLICE = """
+WITH b AS (
+  SELECT day(ts) % 7 AS m, CAST(value AS DOUBLE) AS v,
+         (event_type = 'purchase') AS y
+  FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+r AS (
+  SELECT m, y, rank() OVER (PARTITION BY m ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY m, v) AS c
+  FROM b),
+s AS (
+  SELECT m,
+         sum(CASE WHEN y THEN 2 * (rk - 1) + c + 1 ELSE 0 END) AS two_sp,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS p,
+         count(*) AS n
+  FROM r GROUP BY m)
+SELECT CAST(m AS INT) AS m,
+       CAST(p AS BIGINT) AS n_pos,
+       CAST(n - p AS BIGINT) AS n_neg,
+       CASE WHEN p > 0 AND n - p > 0 THEN
+         CAST(round(((CAST(two_sp AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))
+           / (2.0 * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE))) * 1000000.0) AS BIGINT)
+       END AS auc_micro
+FROM s
+"""
+
+ANALYTICS_QUERIES["auc_by_slice"] = (q_auc_by_slice, SQL_AUC_BY_SLICE)

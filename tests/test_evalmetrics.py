@@ -159,3 +159,41 @@ def test_nan_scores_excluded_everywhere(spark):
     assert (r["n_pos"], r["n_neg"]) == (1, 1)
     st = calibration_state(df, "score", "label")
     assert st.agg(F.sum("n")).first()[0] == 2
+
+
+def test_grouped_auc_matches_per_group_naive(spark):
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        roc_auc_by_group,
+    )
+
+    rnd = random.Random(11)
+    rows = []
+    for g in ("a", "b", "c"):
+        sep = {"a": 0.4, "b": 0.1, "c": 0.0}[g]
+        for _ in range(120):
+            y = rnd.random() < 0.5
+            rows.append((g, round(rnd.random() + (sep if y else 0), 3), y))
+    df = spark.createDataFrame(rows, "g: string, score: double, label: boolean")
+    got = {
+        r["g"]: r["auc_micro"]
+        for r in roc_auc_by_group(df, "score", "label", ["g"]).collect()
+    }
+    for g in ("a", "b", "c"):
+        want = _naive_auc([(s, y) for gg, s, y in rows if gg == g])
+        assert got[g] == round(want * 1_000_000), g
+
+
+def test_grouped_auc_degenerate_slice_null(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        roc_auc_by_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0.2, True), ("a", 0.9, True), ("b", 0.5, True), ("b", 0.1, False)],
+        "g: string, score: double, label: boolean",
+    )
+    got = {r["g"]: r["auc_micro"] for r in
+           roc_auc_by_group(df, "score", "label", ["g"]).collect()}
+    assert got["a"] is None and got["b"] == 1_000_000
