@@ -144,6 +144,10 @@ HEADLINE = [
     # canonical election: LSH pairs + closure + per-cluster argmax in
     # one timed plan (the election increment itself is cluster-sized)
     "quality_canonical_docs",
+    # exact distributed AUC: distinct-score collapse + two-level
+    # prefix rank over 10^5 continuous values — the no-global-sort
+    # rank shape applied to model evaluation
+    "classifier_auc",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
