@@ -72,6 +72,7 @@ _CHECK_FIRST = [
     "classifier_calibration",
     "quality_canonical_docs",
     "auc_by_slice",
+    "orc_roundtrip",
     # -- new this round (r9)
     "bitext_ivf_agreement",
     "ann_pq_recall_eval",
@@ -90,7 +91,7 @@ _CHECK_FIRST = [
     "host_capped_docs",
     "incremental_components",
     "schema_evolution_scan",
-    # -- the r04-evidence tail (25 of 30; displaced to the r10 head
+    # -- the r04-evidence tail (24 of 30; displaced to the r10 head
     #    by session-3 births, which outrank re-certs — a probe with
     #    NO driver row is the worse evidence class: ann_cosine_topk
     #    (brute-force shape replayed inside mmr_rerank_topk's
@@ -99,7 +100,8 @@ _CHECK_FIRST = [
     #    measure_sliced_by_day, measure_total_events, and
     #    measure_max_depth (grouped/global/extremum measure shapes
     #    covered by measure_totals_by_type + measure_avg_magnitude,
-    #    in-window))
+    #    in-window), char_entropy (per-doc text-metric shape covered
+    #    by text_quality, in-window))
     "domain_stats",
     "filter_fail_matrix",
     "substring_dup_report",
@@ -120,16 +122,15 @@ _CHECK_FIRST = [
     "salted_agg_events",
     "salted_join_events",
     "missing_days",
-    "char_entropy",
     "text_quality",
     "measure_latest_update",
     "measure_avg_magnitude",
     "measure_totals_by_type",
     # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the 5 r04-evidence rows displaced
+    # (1) anything red in r09; (2) the 6 r04-evidence rows displaced
     # by the session-3 additions (ann_cosine_topk, ann_ivf_topk,
-    # measure_sliced_by_day, measure_total_events,
-    # measure_max_depth), then minhash_recall_eval +
+    # measure_sliced_by_day, measure_total_events, measure_max_depth,
+    # char_entropy), then minhash_recall_eval +
     # bitext_margin_pairs (code changed in r9, mirror-certified,
     # driver rows still r8) and the 50 r05-evidence rows
     # (ann_pq_topk, ann_sq8_topk ... wow_growth, alphabetical) — the

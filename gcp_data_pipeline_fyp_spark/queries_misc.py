@@ -2262,3 +2262,40 @@ MISC_QUERIES["schema_evolution_scan"] = (
     q_schema_evolution_scan,
     SQL_SCHEMA_EVOLUTION_SCAN,
 )
+
+
+def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC format round-trip certified by content: documents written
+    to ORC (Spark-native columnar alternative to parquet — ACID
+    Hive-ecosystem interchange), read back, and aggregated — the
+    oracle computes the same aggregate from the pristine parquet, so
+    any row lost, truncated, or type-mangled by the ORC encode/decode
+    hash-mismatches. Deterministic fresh scratch dir per (sf) run,
+    the compacted_scan discipline."""
+    import os
+    import shutil
+
+    d = load(spark, sf, "documents")
+    scratch = "/tmp/spark_graft_orc_" + os.path.basename(sf.rstrip("/"))
+    shutil.rmtree(scratch, ignore_errors=True)
+    d.write.mode("overwrite").orc(scratch)
+    back = spark.read.orc(scratch)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.sum(F.length("text")).alias("text_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+MISC_QUERIES["orc_roundtrip"] = (q_orc_roundtrip, SQL_ORC_ROUNDTRIP)
