@@ -428,6 +428,36 @@ def main() -> None:
         ).format("noop").save()
         t["ks_drift"] = round(time.perf_counter() - t0, 2)
 
+        # round-9 session-3 ops: bloom prune (build side FIXED while
+        # the probe side scales — the runtime-filter shape; expect a
+        # fixed multi-stage latency floor + flat per-row prune, see
+        # BASELINE session-3 rows) and exact distributed AUC
+        # (distinct-score collapse + two-level prefix — the no-sort
+        # rank shape; distinct values here repeat across copies, so
+        # growth tracks the scan, like the ungrouped Gini row)
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.bloomfilter import (
+            bloom_semi_join,
+        )
+
+        li = scaled(load(spark, SF_DIR, "lineitem"), copies, "l_orderkey")
+        pt = load(spark, SF_DIR, "part").filter(F.col("p_size") <= 5)
+        bloom_semi_join(
+            li, pt, "l_partkey", "p_partkey", m_bits=262_144, k=7
+        ).groupBy("l_returnflag").count().write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["bloom_semi_join"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.evalmetrics import roc_auc
+
+        labeled = ev.withColumn("__y", F.col("event_type") == "purchase")
+        roc_auc(labeled, "value", "__y").write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["roc_auc"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
