@@ -33,34 +33,22 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, in priority order (17 + 2 + 30 + 1 = 50):
-#   0. the 17 NEW r9 probes: bitext_ivf_agreement (IVF-path bitext
-#      top-1 agreement vs brute), ann_pq_recall_eval and
-#      ann_ivfpq_recall_eval (quantized-family recall@k vs brute),
-#      skew_plan_choice (measure-then-choose decision, both branches),
-#      token_budget_mix (per-stratum token-budget prefixes — landed
-#      after the first window cut, pulled forward so no registered
-#      probe is ever outside its birth-round window),
-#      semantic_contamination (embedding-space benchmark scrub),
-#      incremental_neardup (persisted-LSH-index daily near-dup gate),
-#      canonical_urls + url_host_stats (web-corpus URL hygiene),
-#      compacted_scan (small-file compaction content round-trip),
-#      jsonl_roundtrip (validated JSONL source + dead-letter route),
-#      jl_projection (seeded JL random projection, component-exact),
-#      leakage_safe_split (near-dup-cluster-keyed train/val/test),
-#      winnow_dup_report (MOSS winnowed substring fingerprints),
-#      host_capped_docs (canonical-host x cap_per_group composition),
-#      incremental_components (persisted-star dedup-graph fold),
-#      schema_evolution_scan (mergeSchema additive evolution);
-#   1. the 2 probes whose code CHANGED this round:
-#      minhash_recall_eval (sampling hardened to the md5-hash-mod
-#      standard), bitext_margin_pairs (explicit n_centroids=None
-#      certification override after the auto-IVF default);
-#   2. ALL 30 probes still on round-4 driver evidence (VERDICT r8
-#      ask #1 — this drains the r04 tail completely; histogram
-#      minimum rises to r5);
-#   3. 14 of the 50 r05-evidence probes (alphabetical rotation head)
-#      so the rolling re-cert cadence continues behind the backlog.
+# ROUND-9 WINDOW, final composition (9 + 17 + 24 = 50), in priority
+# order — births outrank re-certs, because a probe with NO driver row
+# is the worse evidence class:
+#   0. the 9 session-3 births (bloom joins, MMR, adaptive quantile
+#      filter, AUC/calibration family, canonical election, ORC
+#      round-trip);
+#   1. the 17 session-1/2 births (recall evals, skew plan choice,
+#      token budget mix, semantic contamination, incremental
+#      near-dup/components, URL hygiene, compaction, JSONL, JL,
+#      leakage split, winnowing, host cap, schema evolution);
+#   2. 24 of the 30 r04-evidence rows (VERDICT r8 ask #1). The other
+#      6 rotate to the r10 head — displaced by the session-3 births,
+#      each with its shape driver-covered by an in-window relative
+#      (named at the tail comment below). The 2 code-changed probes
+#      (minhash_recall_eval, bitext_margin_pairs) also rotate to r10:
+#      r8 driver rows + this round's full mirror sweeps cover them.
 _CHECK_FIRST = [
     # -- new this round (r9, session 3): Bloom runtime-filter joins,
     #    MMR diversity re-rank, per-group adaptive quantile filter

@@ -38,6 +38,29 @@ from pyspark.sql import functions as F
 from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
 
+def _two_s_pos(p: "F.Column", c: "F.Column", c_before: "F.Column"):
+    """Exact-integer rank-sum contribution of one tie run: positives
+    times twice-the-average-rank, 2*avg_rank = 2*C + c + 1."""
+    pp = p.cast("decimal(19,0)")
+    cc = c.cast("decimal(19,0)")
+    return (pp * (F.lit(2) * c_before + cc + F.lit(1))).cast("decimal(38,0)")
+
+
+def _finalize_auc(agg: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shared AUC tail: (keys..., n_pos, n_neg, auc_micro) off an
+    aggregate carrying n_pos/n_neg/__2sp — NULL on degenerate inputs
+    (single-class), exact integers until the one division."""
+    p_tot = F.col("n_pos").cast("decimal(19,0)")
+    num = (
+        F.col("__2sp") - (p_tot * (p_tot + F.lit(1))).cast("decimal(38,0)")
+    ).cast("double")
+    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den)
+    return agg.select(
+        *key_cols, "n_pos", "n_neg", micro6(auc).alias("auc_micro")
+    )
+
+
 def roc_auc(
     df: DataFrame,
     score_col: str,
@@ -103,24 +126,14 @@ def roc_auc(
         (F.col("__off") + intra).cast("decimal(19,0)").alias("__cb"),
     )
 
-    # 2*S_pos = sum over tie runs of p * (2*C + c + 1) — exact integers
-    pp = F.col("__p").cast("decimal(19,0)")
-    cc = F.col("__c").cast("decimal(19,0)")
-    two_s_pos = (pp * (F.lit(2) * F.col("__cb") + cc + F.lit(1))).cast(
-        "decimal(38,0)"
-    )
     agg = ranked.agg(
         F.sum("__p").alias("n_pos"),
         F.sum(F.col("__c") - F.col("__p")).alias("n_neg"),
-        F.sum(two_s_pos).alias("__2sp"),
+        F.sum(_two_s_pos(F.col("__p"), F.col("__c"), F.col("__cb"))).alias(
+            "__2sp"
+        ),
     )
-    p_tot = F.col("n_pos").cast("decimal(19,0)")
-    num = (
-        F.col("__2sp") - (p_tot * (p_tot + F.lit(1))).cast("decimal(38,0)")
-    ).cast("double")
-    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
-    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den)
-    return agg.select("n_pos", "n_neg", micro6(auc).alias("auc_micro"))
+    return _finalize_auc(agg, [])
 
 
 def calibration_state(
@@ -228,11 +241,7 @@ def quality_summary_from_state(state: DataFrame) -> DataFrame:
         "__np",
         F.coalesce(F.sum("n").over(w), F.lit(0)).cast("decimal(19,0)").alias("__cb"),
     )
-    pp = F.col("__np").cast("decimal(19,0)")
-    cc = F.col("n").cast("decimal(19,0)")
-    two_s_pos = (pp * (F.lit(2) * F.col("__cb") + cc + F.lit(1))).cast(
-        "decimal(38,0)"
-    )
+    two_s_pos = _two_s_pos(F.col("__np"), F.col("n"), F.col("__cb"))
     gap = F.abs(
         F.col("__sv").cast("double") / F.col("n").cast("double")
         - F.col("__np").cast("double") / F.col("n").cast("double")
@@ -297,22 +306,11 @@ def roc_auc_by_group(
     ranked = vc.withColumn(
         "__cb", F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("decimal(19,0)")
     )
-    pp = F.col("__p").cast("decimal(19,0)")
-    cc = F.col("__c").cast("decimal(19,0)")
-    two_s_pos = (pp * (F.lit(2) * F.col("__cb") + cc + F.lit(1))).cast(
-        "decimal(38,0)"
-    )
     agg = ranked.groupBy(*group_cols).agg(
         F.sum("__p").alias("n_pos"),
         F.sum(F.col("__c") - F.col("__p")).alias("n_neg"),
-        F.sum(two_s_pos).alias("__2sp"),
+        F.sum(_two_s_pos(F.col("__p"), F.col("__c"), F.col("__cb"))).alias(
+            "__2sp"
+        ),
     )
-    p_tot = F.col("n_pos").cast("decimal(19,0)")
-    num = (
-        F.col("__2sp") - (p_tot * (p_tot + F.lit(1))).cast("decimal(38,0)")
-    ).cast("double")
-    den = 2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
-    auc = F.when((F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den)
-    return agg.select(
-        *group_cols, "n_pos", "n_neg", micro6(auc).alias("auc_micro")
-    )
+    return _finalize_auc(agg, list(group_cols))

@@ -3478,7 +3478,10 @@ def q_auc_by_slice(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = load(spark, sf, "events")
-    labeled = ev.select(
+    # mirror the oracle's row universe exactly: ts NOT NULL (a NULL
+    # ts has no slice) — NaN values are dropped by roc_auc_by_group
+    # and by the oracle's isnan guard
+    labeled = ev.filter(F.col("ts").isNotNull()).select(
         (F.dayofmonth("ts") % 7).alias("m"),
         F.col("value"),
         (F.col("event_type") == "purchase").alias("__y"),
@@ -3491,7 +3494,8 @@ WITH b AS (
   SELECT day(ts) % 7 AS m, CAST(value AS DOUBLE) AS v,
          (event_type = 'purchase') AS y
   FROM events
-  WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL),
+  WHERE value IS NOT NULL AND NOT isnan(value)
+    AND event_type IS NOT NULL AND ts IS NOT NULL),
 r AS (
   SELECT m, y, rank() OVER (PARTITION BY m ORDER BY v) AS rk,
          count(*) OVER (PARTITION BY m, v) AS c

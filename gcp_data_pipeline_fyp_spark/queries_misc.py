@@ -2273,11 +2273,9 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     hash-mismatches. Deterministic fresh scratch dir per (sf) run,
     the compacted_scan discipline."""
     import os
-    import shutil
 
     d = load(spark, sf, "documents")
     scratch = "/tmp/spark_graft_orc_" + os.path.basename(sf.rstrip("/"))
-    shutil.rmtree(scratch, ignore_errors=True)
     d.write.mode("overwrite").orc(scratch)
     back = spark.read.orc(scratch)
     return (
