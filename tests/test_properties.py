@@ -763,3 +763,54 @@ def test_gini_ungrouped_matches_naive_for_any_values(spark, vals):
     expect = round((2.0 * s1 / (n * s0) - (n + 1.0) / n) * 1e6)
     assert got["n"] == n
     assert abs(got["gini_micro"] - expect) <= 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=40, unique=True),
+    probes=st.lists(st.integers(-(2**40), 2**40), max_size=30),
+    k=st.integers(1, 9),
+)
+def test_bloom_never_false_negative_fuzz(spark, keys, probes, k):
+    """Every inserted key passes the bloom regardless of key values,
+    bit width, or probe count — the zero-false-negative guarantee the
+    semi/anti join exactness rests on."""
+    from pyspark.sql import functions as SF
+
+    from gcp_data_pipeline_fyp_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_flag,
+    )
+
+    build = spark.createDataFrame([(x,) for x in keys], "k: bigint")
+    bloom = bloom_build(build, "k", 640, k)
+    flagged = bloom_flag(build, "k", bloom, m_bits=640, k=k)
+    assert flagged.filter(~SF.col("__bloom_hit")).count() == 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1000), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ),
+)
+def test_roc_auc_fuzz_vs_pair_counting(spark, rows):
+    """Distributed rank-sum AUC == naive pair counting with half-credit
+    ties, on arbitrary integer score multisets."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(s), y) for s, y in rows], "score: double, label: boolean"
+    )
+    r = roc_auc(df, "score", "label", n_buckets=8).first()
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    if not pos or not neg:
+        assert r["auc_micro"] is None
+    else:
+        wins = sum(1 for p in pos for n in neg if p > n)
+        ties = sum(1 for p in pos for n in neg if p == n)
+        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
+        assert r["auc_micro"] == round(want * 1_000_000)
