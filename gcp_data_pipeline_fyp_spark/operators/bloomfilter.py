@@ -51,6 +51,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+_FRACTIONAL_TYPES = {"float", "double"}
+
+
+def _hash_cast_type(probe_dtype: str, build_dtype: str) -> str | None:
+    """Common type both join keys are cast to BEFORE hashing, or None
+    when none is needed. xxhash64 is TYPE-sensitive (an int 7 and a
+    bigint 7 hash to different values), so a probe/build dtype mismatch
+    would set and test DIFFERENT bit positions for equal values —
+    silent false negatives, violating the zero-false-negative contract
+    that makes the semi/anti joins exact. Integral pairs widen to
+    bigint and float/double pairs widen to double (both lossless,
+    matching the equi-join's own coercion); any other mismatch (string
+    vs int, decimal precision drift, integral vs fractional — where a
+    bigint -> double cast loses exactness past 2^53) raises instead of
+    guessing."""
+    if probe_dtype == build_dtype:
+        return None
+    if probe_dtype in _INTEGRAL_TYPES and build_dtype in _INTEGRAL_TYPES:
+        return "bigint"
+    if probe_dtype in _FRACTIONAL_TYPES and build_dtype in _FRACTIONAL_TYPES:
+        return "double"
+    raise ValueError(
+        f"bloom join key types differ ({probe_dtype} probe vs "
+        f"{build_dtype} build) and have no lossless common hash type; "
+        "cast the keys to a common type before the bloom join"
+    )
+
+
+def _key_expr(key_col: str, hash_cast: str | None) -> Column:
+    c = F.col(key_col)
+    return c.cast(hash_cast) if hash_cast else c
+
+
 def bloom_params(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
     """(m_bits, k) for a target false-positive rate; m rounded up to a
     multiple of 64 so the word array is exact."""
@@ -84,9 +118,20 @@ def _position_list(key: Column, m_bits: int, k: int) -> list[Column]:
     return [F.pmod(base + F.lit(i).cast("long") * stride, F.lit(m_bits)) for i in range(k)]
 
 
-def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> DataFrame:
+def bloom_build(
+    build: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    hash_cast: str | None = None,
+) -> DataFrame:
     """One-row DataFrame (m_bits, k, bits: array<long>) — the Bloom
-    bitmap of `build[key_col]`. NULL keys are dropped BEFORE hashing
+    bitmap of `build[key_col]`. `hash_cast` (a type name) casts the
+    key before hashing — xxhash64 is type-sensitive, so when build and
+    probe key dtypes differ BOTH sides must hash the same widened type
+    (the joins derive it via `_hash_cast_type`; standalone callers
+    pairing bloom_build with bloom_flag across dtypes must pass the
+    same value to both). NULL keys are dropped BEFORE hashing
     (xxhash64 hashes NULL to the bare seed hash, so an unfiltered
     NULL would set k phantom bits and quietly inflate the FP rate
     past the bloom_params sizing; join semantics never match NULL
@@ -106,9 +151,9 @@ def bloom_build(build: DataFrame, key_col: str, m_bits: int, k: int) -> DataFram
     words = (
         build.filter(F.col(key_col).isNotNull())
         .select(
-            F.explode(F.array(*_position_list(F.col(key_col), m_bits, k))).alias(
-                "__pos"
-            )
+            F.explode(
+                F.array(*_position_list(_key_expr(key_col, hash_cast), m_bits, k))
+            ).alias("__pos")
         )
         .select(
             (F.col("__pos") / 64).cast("int").alias("__w"),
@@ -192,11 +237,14 @@ def bloom_flag(
     flag_col: str = "__bloom_hit",
     m_bits: int | None = None,
     k: int | None = None,
+    hash_cast: str | None = None,
 ) -> DataFrame:
     """`probe` + a boolean `flag_col` (NULL key -> NULL flag). The
     one-row bitmap rides in as a broadcast scalar crossJoin — the
     same 1-row-scalar shape PLANAUDIT whitelists everywhere else.
-    Pass (m_bits, k) when known to skip the 1-row metadata fetch."""
+    Pass (m_bits, k) when known to skip the 1-row metadata fetch.
+    `hash_cast` must match whatever `bloom_build` hashed when probe
+    and build key dtypes differ (see bloom_build)."""
     # localCheckpoint truncates the bitmap's lineage: when probe and
     # build share a plan (self-referential prune), the un-truncated
     # crossJoin is a self-join whose attribute dedup miscompiles the
@@ -210,7 +258,7 @@ def bloom_flag(
         row = cp.first()
         m_bits, k = int(row["m_bits"]), int(row["k"])
     b = F.broadcast(cp.select(F.col("bits").alias("__bloom_bits")))
-    base, stride = _hash_cols(F.col(key_col), m_bits)
+    base, stride = _hash_cols(_key_expr(key_col, hash_cast), m_bits)
     hashed = probe.withColumn("__bf_base", base).withColumn("__bf_stride", stride)
     joined = hashed.crossJoin(b)
     return joined.select(
@@ -245,10 +293,17 @@ def bloom_semi_join(
     `bloom_params` size it. The hint path costs no extra job; an
     unhinted build falls back to a distinct-count job first — fine
     interactively, pass the hint in pipelines.
+
+    Mismatched key dtypes hash through a lossless common type
+    (`_hash_cast_type`), so an int probe against a bigint build keeps
+    the zero-false-negative contract; incompatible pairs raise.
     """
+    cast_t = _hash_cast_type(
+        dict(probe.dtypes)[probe_key], dict(build.dtypes)[build_key]
+    )
     m_bits, k = _resolve_size(build, build_key, m_bits, k, n_keys_hint, fpp)
-    bloom = bloom_build(build, build_key, m_bits, k)
-    flagged = bloom_flag(probe, probe_key, bloom, m_bits=m_bits, k=k)
+    bloom = bloom_build(build, build_key, m_bits, k, hash_cast=cast_t)
+    flagged = bloom_flag(probe, probe_key, bloom, m_bits=m_bits, k=k, hash_cast=cast_t)
     candidates = flagged.filter(F.col("__bloom_hit")).drop("__bloom_hit")
     return candidates.join(
         build.select(F.col(build_key).alias("__bk")).distinct(),
@@ -272,10 +327,26 @@ def bloom_anti_join(
     (for a selective build side that is ~all of the probe); NULL-key
     rows never match anything and also bypass (NOT-EXISTS semantics,
     same as Spark's left_anti); only bloom-positive rows pay the exact
-    anti join. Output equals the plain left_anti join."""
+    anti join. Output equals the plain left_anti join.
+
+    The flagged frame feeds BOTH union branches and is deliberately
+    NOT cached: at scale, materializing the whole probe (persist or
+    checkpoint) costs more than re-running two pruned columnar scans
+    plus k hashes per row, and a library-level persist with no
+    unpersist accumulates CacheManager entries across calls (the r2
+    dedupe_corpus lesson). The bitmap itself IS shared — bloom_flag
+    localCheckpoints it eagerly, so the build aggregation runs once.
+    Callers who prefer one probe scan can persist upstream and
+    unpersist after their final action.
+
+    Mismatched key dtypes hash through a lossless common type — see
+    `bloom_semi_join`."""
+    cast_t = _hash_cast_type(
+        dict(probe.dtypes)[probe_key], dict(build.dtypes)[build_key]
+    )
     m_bits, k = _resolve_size(build, build_key, m_bits, k, n_keys_hint, fpp)
-    bloom = bloom_build(build, build_key, m_bits, k)
-    flagged = bloom_flag(probe, probe_key, bloom, m_bits=m_bits, k=k).persist()
+    bloom = bloom_build(build, build_key, m_bits, k, hash_cast=cast_t)
+    flagged = bloom_flag(probe, probe_key, bloom, m_bits=m_bits, k=k, hash_cast=cast_t)
     definite_absent = flagged.filter(
         ~F.col("__bloom_hit") | F.col("__bloom_hit").isNull()
     ).drop("__bloom_hit")

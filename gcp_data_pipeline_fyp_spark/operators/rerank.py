@@ -76,11 +76,17 @@ def mmr_rerank(
         "left_semi",
     )
     # the vectors side is candidate-sized (|Q| x C rows at most) —
-    # broadcast it so the pool build never shuffles the candidate set
+    # broadcast it so the pool build never shuffles the candidate set.
+    # localCheckpoint (not persist): the pool is read k times and its
+    # build subplan would otherwise be embedded in every round of the
+    # unrolled greedy plan; eager materialization of a pool-sized frame
+    # is free, truncates that lineage, and leaves no CacheManager entry
+    # behind (checkpoint blocks are GC-cleaned, a persist with no
+    # unpersist accumulates across calls — the r2 dedupe_corpus lesson)
     pool = (
         cand_ids.join(F.broadcast(vecs), "corpus_id")
         .select("query_id", "corpus_id", "cosine_micro", "__cv")
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     first = Window.partitionBy("query_id").orderBy(

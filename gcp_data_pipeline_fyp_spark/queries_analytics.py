@@ -3401,7 +3401,9 @@ def q_classifier_auc(spark: SparkSession, sf: str) -> DataFrame:
 SQL_CLASSIFIER_AUC = """
 WITH b AS (
   SELECT CAST(value AS DOUBLE) AS v, (event_type = 'purchase') AS y
-  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(CAST(value AS DOUBLE))
+    AND event_type IS NOT NULL),
 r AS (
   SELECT y, rank() OVER (ORDER BY v) AS rk,
          count(*) OVER (PARTITION BY v) AS c
@@ -3413,9 +3415,10 @@ s AS (
   FROM r)
 SELECT CAST(p AS BIGINT) AS n_pos,
        CAST(n - p AS BIGINT) AS n_neg,
-       CAST(round(((CAST(two_sp AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))
-         / (2.0 * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE))) * 1000000.0) AS BIGINT)
-         AS auc_micro
+       CASE WHEN p > 0 AND n - p > 0 THEN
+         CAST(round(((CAST(two_sp AS DOUBLE) - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0))
+           / (2.0 * CAST(p AS DOUBLE) * CAST(n - p AS DOUBLE))) * 1000000.0) AS BIGINT)
+       END AS auc_micro
 FROM s
 """
 

@@ -9,7 +9,13 @@ from gcp_data_pipeline_fyp_spark.multimodal.binary_ops import (
     byte_features,
     with_media_column,
 )
-from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql, roundn
+from gcp_data_pipeline_fyp_spark.queries_util import (
+    load,
+    micro6,
+    micro6_sql,
+    roundn,
+    scratch_dir,
+)
 from gcp_data_pipeline_fyp_spark.streaming.ingest import windowed_event_counts
 
 
@@ -1218,9 +1224,7 @@ def q_zonemap_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
     from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
-    scratch = "/tmp/spark_graft_zonemap_" + os.path.basename(
-        sf.rstrip("/")
-    )
+    scratch = scratch_dir(spark, "zonemap", sf)
     wh = Warehouse(spark, scratch)
     ev = load(spark, sf, "events").select(
         "event_id", "ts", "event_type", "value"
@@ -1269,9 +1273,7 @@ def q_zonemap_zorder_box_scan(spark: SparkSession, sf: str) -> DataFrame:
     ).collect()[0]
     u_lo = d[2] + 0.30 * (d[3] - d[2])
     u_hi = d[2] + 0.60 * (d[3] - d[2])
-    scratch = "/tmp/spark_graft_zonemap_z_" + os.path.basename(
-        sf.rstrip("/")
-    )
+    scratch = scratch_dir(spark, "zonemap_z", sf)
     wh = Warehouse(spark, scratch)
     z = zorder_value(
         F.col("value"), F.col("user_id"),
@@ -1435,9 +1437,7 @@ def q_bucket_index_lookup(spark: SparkSession, sf: str) -> DataFrame:
         .limit(5)
         .collect()
     ]
-    scratch = "/tmp/spark_graft_bucketix_" + os.path.basename(
-        sf.rstrip("/")
-    )
+    scratch = scratch_dir(spark, "bucketix", sf)
     wh = Warehouse(spark, scratch)
     wh.overwrite_range_layout(ev, "EV", ["value"], n_files=32)
     build_bucket_index(wh, "EV", "event_id", n_buckets=16384)
@@ -2048,7 +2048,7 @@ def q_compacted_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
     from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
-    scratch = "/tmp/spark_graft_compact_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "compact", sf)
     wh = Warehouse(spark, scratch)
     ev = load(spark, sf, "events").select(
         "event_id", "event_type", "user_id", "value"
@@ -2104,7 +2104,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         write_jsonl,
     )
 
-    scratch = "/tmp/spark_graft_jsonl_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "jsonl", sf)
     shutil.rmtree(scratch, ignore_errors=True)
     d = load(spark, sf, "documents").select(
         "doc_id", "text", "lang", "n_chars"
@@ -2175,7 +2175,7 @@ def q_incremental_components(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("doc_id") + 5).alias("id_b"),
         )
     )
-    scratch = "/tmp/spark_graft_cc_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "cc", sf)
     wh = Warehouse(spark, scratch)
     build_components_index(wh, base, "CC")
     out = incremental_components(wh, batch, "CC", update_index=False)
@@ -2220,7 +2220,7 @@ def q_schema_evolution_scan(spark: SparkSession, sf: str) -> DataFrame:
 
     from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
-    scratch = "/tmp/spark_graft_evo_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "evo", sf)
     wh = Warehouse(spark, scratch)
     d = load(spark, sf, "documents")
     wh.drop("EVO")
@@ -2270,12 +2270,12 @@ def q_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     Hive-ecosystem interchange), read back, and aggregated — the
     oracle computes the same aggregate from the pristine parquet, so
     any row lost, truncated, or type-mangled by the ORC encode/decode
-    hash-mismatches. Deterministic fresh scratch dir per (sf) run,
-    the compacted_scan discipline."""
-    import os
-
+    hash-mismatches. Scratch dir keyed on (applicationId, sf
+    basename) so concurrent runs — or distinct sf dirs sharing a
+    basename — never race on each other's partially-overwritten
+    output (ADVICE r9)."""
     d = load(spark, sf, "documents")
-    scratch = "/tmp/spark_graft_orc_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "orc", sf)
     d.write.mode("overwrite").orc(scratch)
     back = spark.read.orc(scratch)
     return (

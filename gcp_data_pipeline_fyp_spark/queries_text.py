@@ -30,7 +30,13 @@ from gcp_data_pipeline_fyp_spark.operators.dedup import (
     simhash_groups,
 )
 from gcp_data_pipeline_fyp_spark.functions.text import minhash_signature, shingles, simhash16
-from gcp_data_pipeline_fyp_spark.queries_util import load, micro6, micro6_sql, roundn
+from gcp_data_pipeline_fyp_spark.queries_util import (
+    load,
+    micro6,
+    micro6_sql,
+    roundn,
+    scratch_dir,
+)
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -3970,7 +3976,7 @@ def q_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("text", F.concat(F.col("text"), F.lit(" zq zr zs")))
     )
     batch = fresh.unionByName(vs_base_plants).unionByName(in_batch_plants)
-    scratch = "/tmp/spark_graft_ndup_" + os.path.basename(sf.rstrip("/"))
+    scratch = scratch_dir(spark, "ndup", sf)
     wh = Warehouse(spark, scratch)
     build_lsh_index(
         wh, base, "doc_id", "text", "NDUP",

@@ -65,6 +65,19 @@ def load(
     return df
 
 
+def scratch_dir(spark: SparkSession, tag: str, sf_dir: str) -> str:
+    """Per-application /tmp scratch path for probes that round-trip
+    through a write: keyed on (tag, applicationId, sf basename) so two
+    concurrent sessions — or distinct sf dirs sharing a basename —
+    never read each other's partially-overwritten output (ADVICE r9,
+    the orc_roundtrip race, fixed for every scratch site)."""
+    return (
+        f"/tmp/spark_graft_{tag}_"
+        f"{spark.sparkContext.applicationId}_"
+        f"{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
 def dec_sum(col: Column | str, alias: str) -> Column:
     """Order-independent double sum: exact decimal(18,2) sum cast back to double."""
     c = F.col(col) if isinstance(col, str) else col

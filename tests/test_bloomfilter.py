@@ -116,6 +116,50 @@ def test_bloom_build_string_keys(spark):
     assert hits["a"] is True and hits["b"] is True
 
 
+def test_bloom_join_mixed_integral_key_types(spark):
+    # xxhash64 is type-sensitive: without the common-type hash cast an
+    # int probe vs bigint build sets/tests different bits and silently
+    # drops every match (ADVICE r9, high). Both joins must stay
+    # row-equal to the plain joins across the integral widths.
+    probe = spark.range(0, 200).select(F.col("id").cast("int").alias("pk"))
+    build = spark.range(0, 100).select((F.col("id") * 3).alias("bk"))  # bigint
+    semi = bloom_semi_join(probe, build, "pk", "bk", n_keys_hint=100)
+    want_semi = probe.join(build, probe["pk"] == build["bk"], "left_semi")
+    assert sorted(r["pk"] for r in semi.collect()) == sorted(
+        r["pk"] for r in want_semi.collect()
+    )
+    anti = bloom_anti_join(probe, build, "pk", "bk", n_keys_hint=100)
+    want_anti = probe.join(build, probe["pk"] == build["bk"], "left_anti")
+    assert sorted(r["pk"] for r in anti.collect()) == sorted(
+        r["pk"] for r in want_anti.collect()
+    )
+
+
+def test_bloom_join_incompatible_key_types_raise(spark):
+    probe = spark.createDataFrame([("7",)], "pk: string")
+    build = spark.createDataFrame([(7,)], "bk: bigint")
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_semi_join(probe, build, "pk", "bk", n_keys_hint=1)
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_anti_join(probe, build, "pk", "bk", n_keys_hint=1)
+    # integral vs fractional: bigint -> double loses exactness past
+    # 2^53, so the pair is refused rather than guessed
+    fprobe = spark.createDataFrame([(7.0,)], "pk: double")
+    with pytest.raises(ValueError, match="key types differ"):
+        bloom_semi_join(fprobe, build, "pk", "bk", n_keys_hint=1)
+
+
+def test_bloom_anti_join_leaves_no_cache_entries(spark):
+    # library contract: no CacheManager entries survive the call (the
+    # r2 dedupe_corpus leak class) — repeated invocations in a long
+    # session must not accumulate cached plans
+    spark.catalog.clearCache()
+    probe = spark.range(0, 500).select(F.col("id").alias("pk"))
+    build = spark.range(0, 50).select((F.col("id") * 2).alias("bk"))
+    bloom_anti_join(probe, build, "pk", "bk", n_keys_hint=50).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_bloom_build_drops_null_keys(spark):
 
     with_null = spark.createDataFrame([(1,), (None,), (2,)], "k: bigint")

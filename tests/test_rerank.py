@@ -65,6 +65,14 @@ def test_mmr_validates_args(spark, corpus_df, cands):
         mmr_rerank(cands, corpus_df, "vec_id", "embedding", k=2, lambda_micro=2_000_000)
 
 
+def test_mmr_leaves_no_cache_entries(spark, corpus_df, cands):
+    # the pool is localCheckpoint'ed, not persisted: no CacheManager
+    # entry may survive the call (the r2 dedupe_corpus leak class)
+    spark.catalog.clearCache()
+    mmr_rerank(cands, corpus_df, "vec_id", "embedding", k=3).count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_mmr_multi_query_independent(spark, corpus_df):
     q = _emb(spark, [(1, [1.0, 0.05, 0.0]), (2, [0.0, 0.1, 1.0])])
     c = brute_force_topk(q, corpus_df, "vec_id", "embedding", k=6)
