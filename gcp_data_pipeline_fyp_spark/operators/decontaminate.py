@@ -76,6 +76,66 @@ def decontaminate(
     return corpus.join(bad, id_col, "left_anti")
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 13,
+    m_bits: int | None = None,
+    k: int | None = None,
+    n_grams_hint: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """`decontaminate` for a benchmark n-gram set PAST broadcast size —
+    the composition DEPLOY.md prescribes (bloomfilter.py:31): when the
+    union of eval sets holds billions of distinct n-grams (~8 GB+ as a
+    broadcast hash relation), the exact-set broadcast in `decontaminate`
+    stops being an option, but the same keys as Bloom BITS stay
+    broadcastable (1B grams @ 1% fpp ~ 1.2 GB). The corpus gram stream
+    is pruned map-side against the bits BEFORE the exact semi join, so
+    the join's shuffle sees only (true hits + ~fpp of the stream)
+    instead of every corpus n-gram.
+
+    Output is row-for-row equal to `decontaminate` (Bloom has zero
+    false negatives; the exact semi join on the digest removes the
+    false positives). Both sides key on the 16-byte md5 digest of the
+    gram — the exact-dedup shuffle-compression rule (operators/
+    dedup.py): raw n-gram text never keys a shuffle or a hash.
+
+    Sizing: pass (m_bits, k), or n_grams_hint (+ fpp) for
+    `bloom_params`; unhinted falls back to a distinct-count job over
+    the benchmark grams (fine interactively — the benchmark side is
+    the small one).
+    """
+    from gcp_data_pipeline_fyp_spark.operators.bloomfilter import (
+        bloom_semi_join,
+    )
+
+    bench_digests = benchmark_ngrams(benchmark, bench_text_col, n).select(
+        F.unhex(F.md5("ngram")).alias("__d")
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("ngram")
+    ).select(id_col, F.unhex(F.md5("ngram")).alias("__d"))
+    bad = (
+        bloom_semi_join(
+            corpus_grams,
+            bench_digests,
+            "__d",
+            "__d",
+            m_bits=m_bits,
+            k=k,
+            n_keys_hint=n_grams_hint,
+            fpp=fpp,
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def contamination_report(
     corpus: DataFrame,
     id_col: str,

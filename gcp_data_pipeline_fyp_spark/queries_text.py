@@ -639,6 +639,32 @@ WHERE doc_id NOT IN (SELECT doc_id FROM bad)
 """
 
 
+def q_bloom_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """The Bloom x decontamination composition (operators/
+    decontaminate.py::bloom_decontaminate): same benchmark slice and
+    5-gram rule as decontaminate_corpus, but the bench gram set rides
+    in as Bloom BITS and the corpus gram stream is pruned map-side
+    before the exact digest semi join — the plan for eval-set unions
+    past broadcast size. The oracle is the PLAIN decontamination SQL:
+    any bloom false negative, digest mismatch, or fp leaking through
+    the exact join hash-mismatches."""
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        bloom_decontaminate,
+    )
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    kept = bloom_decontaminate(
+        d, "doc_id", "text", bench, "text", n=5, m_bits=65_536, k=7
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
+# any row lost to a bloom false negative (or an FP surviving the exact
+# join) diverges from the plain decontamination result — same oracle
+SQL_BLOOM_DECONTAMINATE = SQL_DECONTAMINATE_CORPUS
+
+
 # ------------------------------------------------- sequence packing
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concatenate-and-chunk packing into 2048-token examples via the
@@ -730,6 +756,7 @@ JOIN lines ON t.doc_id = lines.doc_id
 TEXT_QUERIES.update(
     {
         "decontaminate_corpus": (q_decontaminate_corpus, SQL_DECONTAMINATE_CORPUS),
+        "bloom_decontaminate": (q_bloom_decontaminate, SQL_BLOOM_DECONTAMINATE),
         "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
         "repetition_metrics": (q_repetition_metrics, SQL_REPETITION_METRICS),
     }
@@ -4371,6 +4398,76 @@ GROUP BY d.lang
 TEXT_QUERIES["adaptive_length_floor"] = (
     q_adaptive_length_floor,
     SQL_ADAPTIVE_LENGTH_FLOOR,
+)
+
+
+def q_adaptive_floor_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Certifies the 100 TB default of the adaptive filter —
+    adaptive_group_thresholds(mode="sketch"), the mergeable log-bucket
+    quantile state (operators/rollup.py:quantile_state) — against the
+    EXACT nearest-rank quantile. The sketch's read rule picks the
+    bucket containing the ceil(q*n)-th smallest value and returns its
+    geometric midpoint, so |sketch - v*| / v* <= sqrt(growth) - 1
+    (~0.995% at growth=1.02) is a GUARANTEE, not a statistic; the
+    probe emits the exact rank value (integer, engine-independent)
+    plus the in-band verdict, and the oracle replays the rank value
+    and asserts TRUE — a sketch drifting out of its documented band
+    hash-mismatches. Rank selection uses distinct-value cumulative
+    counts, not a row window (the scan-shaped plan)."""
+    from pyspark.sql import Window
+
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        adaptive_group_thresholds,
+    )
+
+    d = load(spark, sf, "documents")
+    sk = adaptive_group_thresholds(d, ["lang"], "n_chars", q=0.25, mode="sketch")
+    nn = d.filter(F.col("n_chars").isNotNull())
+    vc = nn.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = vc.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_tot)
+    )
+    rank_q = (
+        cum.filter(F.col("__cum") >= F.ceil(F.lit(0.25) * F.col("__n")))
+        .groupBy("lang")
+        .agg(
+            F.min("n_chars").cast("bigint").alias("rank_q25"),
+            F.max("__n").alias("n_docs"),
+        )
+    )
+    joined = rank_q.join(sk.select("lang", F.col("threshold").alias("__sk")), "lang")
+    rk = F.col("rank_q25").cast("double")
+    in_band = F.when(rk == 0, F.col("__sk") == 0).otherwise(
+        F.abs(F.col("__sk") - rk) / rk <= F.lit(0.011)
+    )
+    return joined.select(
+        "lang", "n_docs", "rank_q25", in_band.alias("sketch_in_band")
+    ).orderBy("lang")
+
+
+SQL_ADAPTIVE_FLOOR_SKETCH = """
+WITH nn AS (SELECT lang, n_chars FROM documents WHERE n_chars IS NOT NULL),
+n AS (SELECT lang, count(*) AS n_docs FROM nn GROUP BY lang),
+r AS (SELECT lang, n_chars,
+        row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk
+      FROM nn),
+q AS (SELECT r.lang, min(n_chars) AS rank_q25
+      FROM r JOIN n USING (lang)
+      WHERE rk >= ceil(0.25 * n_docs) GROUP BY r.lang)
+SELECT q.lang, n.n_docs, CAST(rank_q25 AS BIGINT) AS rank_q25,
+       TRUE AS sketch_in_band
+FROM q JOIN n USING (lang) ORDER BY q.lang
+"""
+
+TEXT_QUERIES["adaptive_floor_sketch"] = (
+    q_adaptive_floor_sketch,
+    SQL_ADAPTIVE_FLOOR_SKETCH,
 )
 
 

@@ -51,6 +51,27 @@ def test_sketch_mode_close_to_exact(spark):
     assert abs(sk["threshold"] - exact["threshold"]) / exact["threshold"] < 0.05
 
 
+def test_sketch_within_band_of_nearest_rank(spark):
+    """The sketch's documented guarantee: its read is the geometric
+    midpoint of the bucket holding the ceil(q*n)-th smallest value, so
+    |sketch - v*| / v* <= sqrt(1.02) - 1 (~0.995%) — a bound, not a
+    statistic. Checked over several q on a 5-decade value spread."""
+    import math
+    import random
+
+    rnd = random.Random(13)
+    rows = [("g", float(10 ** rnd.uniform(0, 5))) for _ in range(1500)]
+    vals = sorted(v for _, v in rows)
+    df = spark.createDataFrame(rows, "lang: string, n: double")
+    band = math.sqrt(1.02) - 1 + 1e-6  # + roundn(6) slack
+    for q in (0.1, 0.25, 0.5, 0.9, 0.99):
+        sk = adaptive_group_thresholds(
+            df, ["lang"], "n", q=q, mode="sketch"
+        ).first()["threshold"]
+        v_star = vals[math.ceil(q * len(vals)) - 1]
+        assert abs(sk - v_star) / v_star <= band, (q, sk, v_star)
+
+
 def test_validation(spark, docs):
     with pytest.raises(ValueError):
         adaptive_group_thresholds(docs, [], "n")

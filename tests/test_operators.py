@@ -158,6 +158,31 @@ def test_decontaminate_drops_overlapping_docs(spark):
     assert {r["doc_id"] for r in kept.collect()} == {2, 4}
 
 
+def test_bloom_decontaminate_equals_plain(spark):
+    # the Bloom-pruned path must be row-for-row equal to decontaminate
+    # (zero false negatives; the exact digest semi join kills the FPs)
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common tail {i % 5}") for i in range(40)]
+        + [(100, "alpha beta gamma delta"), (101, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "w3 w4 w5")], "bid long, text string"
+    )
+    from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+
+    got = bloom_decontaminate(
+        corpus, "doc_id", "text", bench, "text", n=3, m_bits=4096, k=5
+    )
+    want = decontaminate(corpus, "doc_id", "text", bench, "text", n=3)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+
 def test_pack_sequences_matches_global_cumsum(spark):
     rows = [(i, (i * 7) % 13 + 1) for i in range(50)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
