@@ -30,9 +30,20 @@ programmatically for the same k).
 
 lambda_micro = 1_000_000 degenerates to pure relevance top-k — pinned
 against brute_force_topk in tests/test_rerank.py.
+
+`rrf_fuse` is the other standard retrieval post-processor: reciprocal
+rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009) merges rankings
+from heterogeneous systems — BM25 and dense ANN disagree on score
+SCALE but agree on rank quality, and sum(1/(k0+rank)) is the
+scale-free combiner hybrid search engines standardized on. Everything
+lives in the integer domain (floor(1e9/(k0+rank)) nano-contributions,
+micro weights), so the fused order is deterministic on any
+partitioning and bit-replayable in SQL.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -137,3 +148,88 @@ def mmr_rerank(
         selected = selected.unionByName(pick)
 
     return selected.select("query_id", "corpus_id", "mmr_rank", "cosine_micro")
+
+
+def rrf_fuse(
+    systems: Sequence[tuple[str, DataFrame, str]],
+    id_cols: Sequence[str],
+    query_cols: Sequence[str] = (),
+    k0: int = 60,
+    weights_micro: dict[str, int] | None = None,
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal rank fusion of retrieval outputs.
+
+    `systems` is (name, frame, score_col) per ranking; each frame
+    carries `id_cols` (the candidate identity, e.g. ["query_id",
+    "corpus_id"] or just ["doc_id"]) plus its own score column —
+    BM25 scores, cosine micros, recency priors, anything: RRF never
+    compares scores across systems, only ranks within one.
+    `query_cols` (subset of id_cols, empty for a single implicit
+    query) partitions the per-system rank.
+
+    Per system: rank = row_number over (score desc, remaining id_cols
+    asc — deterministic ties); contribution = w_micro *
+    (10^9 div (k0 + rank)) div 10^6, all bigint — exact on any
+    partitioning and bit-replayable in ANSI SQL (certified by the
+    rrf_hybrid_search probe). Fused rows carry (id_cols...,
+    n_systems, rrf_nano) plus `rrf_rank` when `topk` is set
+    (rrf_nano desc, id_cols asc, top `topk` per query group).
+
+    Scale shape: inputs are top-k RETRIEVAL OUTPUTS (|Q| x k rows, not
+    corpora), so every window and the fusion groupBy are candidate-
+    pool-sized; per-query partitioning keeps the windows parallel. k0
+    = 60 is the paper's constant; weights default to 1_000_000 (=1.0)
+    per system.
+    """
+    if not systems:
+        raise ValueError("rrf_fuse requires at least one system")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    ids = list(id_cols)
+    qcols = list(query_cols)
+    if not set(qcols) <= set(ids):
+        raise ValueError("query_cols must be a subset of id_cols")
+    tie_cols = [c for c in ids if c not in qcols]
+    weights_micro = weights_micro or {}
+    parts = []
+    for name, frame, score_col in systems:
+        w_micro = int(weights_micro.get(name, 1_000_000))
+        if qcols:
+            win = Window.partitionBy(*qcols)
+        else:
+            win = Window.partitionBy(F.lit(1))
+        win = win.orderBy(
+            F.col("__s").desc(), *[F.col(c).asc() for c in tie_cols]
+        )
+        parts.append(
+            frame.select(*ids, F.col(score_col).alias("__s"))
+            .withColumn("__rrf_rank", F.row_number().over(win))
+            .select(
+                *ids,
+                F.expr(
+                    f"({w_micro}L * (1000000000L div ({k0} + __rrf_rank)))"
+                    " div 1000000L"
+                ).alias("__contrib"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(*ids).agg(
+        F.count(F.lit(1)).alias("n_systems"),
+        F.sum("__contrib").alias("rrf_nano"),
+    )
+    if topk is None:
+        return fused
+    if qcols:
+        w_out = Window.partitionBy(*qcols)
+    else:
+        w_out = Window.partitionBy(F.lit(1))
+    w_out = w_out.orderBy(
+        F.col("rrf_nano").desc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w_out))
+        .filter(F.col("rrf_rank") <= topk)
+    )

@@ -242,6 +242,8 @@ def cap_per_group(
     key_cols: Sequence[str],
     n: int,
     seed: int = 0,
+    adaptive: bool = False,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Keep at most `n` rows per group, chosen by content-hash rank —
     the per-domain/per-source cap every web corpus applies so one SEO
@@ -256,14 +258,45 @@ def cap_per_group(
     One shuffle (partition by group) + per-group rank with
     WindowGroupLimit pruning (rank <= n cuts each partition's stream
     before the full sort materializes). A single giant group
-    serializes into one partition — at web scale group first by
-    (domain, hash_bucket range) if one domain holds a measurable
-    corpus fraction.
+    serializes into one partition — `adaptive=True` measures the
+    group-size distribution first (operators/skew.topk_plan_decision,
+    one |groups|-sized pre-aggregation) and, when one group dominates
+    (skew ratio past AQE's 5x factor), switches to the two-phase
+    salted plan of salted_topk_per_group: rows rank within (group,
+    salt) and only the per-salt top-n survivors (<= salt_buckets * n
+    per group, bounded) reach the final per-group rank. Any row in a
+    group's true top-n is in its salt bucket's top-n (pigeonhole), so
+    the kept set is IDENTICAL either way — the choice is purely a
+    cost call, made from evidence instead of a config guess.
     """
     bucket = hash_bucket(key_cols, seed)
-    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
-        bucket.asc(), *[F.col(c).asc() for c in key_cols]
-    )
+    order = [bucket.asc(), *[F.col(c).asc() for c in key_cols]]
+    if adaptive:
+        from gcp_data_pipeline_fyp_spark.operators.skew import (
+            topk_plan_decision,
+        )
+
+        decision = topk_plan_decision(df, group_cols).first()
+        if decision is not None and decision["use_salted"]:
+            # salt basis: the same content hash under a different seed
+            # — deterministic (rerun/retry-stable), never rand()
+            salt = F.pmod(
+                hash_bucket(key_cols, seed ^ 0x5BD1E9), F.lit(salt_buckets)
+            ).cast("int")
+            salted = df.withColumn("__cap_salt", salt)
+            w1 = Window.partitionBy(*group_cols, "__cap_salt").orderBy(*order)
+            stage1 = (
+                salted.withColumn("__rk", F.row_number().over(w1))
+                .filter(F.col("__rk") <= n)
+                .drop("__rk", "__cap_salt")
+            )
+            w2 = Window.partitionBy(*group_cols).orderBy(*order)
+            return (
+                stage1.withColumn("__rk", F.row_number().over(w2))
+                .filter(F.col("__rk") <= n)
+                .drop("__rk")
+            )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= n)

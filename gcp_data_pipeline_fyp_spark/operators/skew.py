@@ -167,7 +167,16 @@ def topk_plan_decision(
     reducer owns the job's tail latency.
 
     Same cost as `skew_report` (one |keys|-sized aggregation); the
-    decision itself is column math on the one-row report."""
+    decision itself is column math on the one-row report.
+
+    Known bias, harmless by construction: the ratio compares max to
+    MEAN group size, so a corpus of millions of tiny groups plus one
+    big one depresses the mean and fires the salted plan earlier than
+    a median-based rule would. Since the salted plan is exact (same
+    rows), an early fire costs only the bounded second shuffle — the
+    failure mode this guards against (one reducer owning the job's
+    tail) is the expensive direction, so the rule deliberately errs
+    toward salting."""
     rep = skew_report(df, key_cols)
     use = F.col("skew_ratio_micro") > F.lit(skew_threshold_micro)
     return rep.select(

@@ -896,6 +896,94 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 TEXT_QUERIES["bm25_search"] = (q_bm25_search, SQL_BM25_SEARCH)
 
 
+# ------------------------------------------ hybrid retrieval fusion
+def q_rrf_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search end-to-end (operators/rerank.py::rrf_fuse):
+    BM25 top-20 (lexical) fused with exact-cosine top-20 (dense,
+    vec_id 0 as the query over the aligned embeddings table) by
+    reciprocal rank fusion — the scale-free combiner hybrid engines
+    standardized on. All contributions are exact integers
+    (floor(1e9/(60+rank))), so the fused order and scores replay
+    bit-for-bit in the oracle, which re-derives BOTH input rankings
+    from scratch."""
+    from gcp_data_pipeline_fyp_spark.operators.rerank import rrf_fuse
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = _docs(spark, sf)
+    lex = bm25_topk(d, "doc_id", "text", ["spark", "table", "join"], k=20)
+    e = load(spark, sf, "embeddings", spread=True)
+    vec = brute_force_topk(
+        e.filter(F.col("vec_id") == 0),
+        e.filter(F.col("vec_id") > 0),
+        "vec_id",
+        "embedding",
+        k=20,
+    ).select(F.col("corpus_id").alias("doc_id"), "cosine_micro")
+    fused = rrf_fuse(
+        [("lex", lex, "score"), ("vec", vec, "cosine_micro")],
+        id_cols=["doc_id"],
+        k0=60,
+        topk=10,
+    )
+    return fused.select("doc_id", "n_systems", "rrf_nano", "rrf_rank")
+
+
+def _sql_rrf_hybrid() -> str:
+    from gcp_data_pipeline_fyp_spark.queries_vectors import (
+        _MICRO_COS,
+        _SQL_COS,
+    )
+
+    return f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+gs AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+tf AS (SELECT ex.doc_id, ex.term, count(*) AS tf
+       FROM ex WHERE ex.term IN ('spark', 'table', 'join')
+       GROUP BY ex.doc_id, ex.term),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+    ((round((sum(ln(1.0 + (gs.n - dfq.df + 0.5) / (dfq.df + 0.5))
+        * tf.tf * (1.2 + 1.0)
+        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / gs.avgdl)))) * 1000000.0)
+      / 1000000.0) + 0.0) AS score
+  FROM tf JOIN dfq USING (term) JOIN dl ON tf.doc_id = dl.doc_id, gs
+  GROUP BY tf.doc_id),
+lex AS (SELECT doc_id,
+    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM s),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id > 0),
+pairs AS (
+  SELECT corpus_id, {_SQL_COS} AS cosine FROM c CROSS JOIN q),
+vec AS (SELECT corpus_id AS doc_id,
+    row_number() OVER (ORDER BY {_MICRO_COS} DESC, corpus_id ASC) AS r
+  FROM pairs),
+u AS (
+  SELECT doc_id, (1000000 * (1000000000 // (60 + r))) // 1000000 AS contrib
+  FROM lex WHERE r <= 20
+  UNION ALL
+  SELECT doc_id, (1000000 * (1000000000 // (60 + r))) // 1000000 AS contrib
+  FROM vec WHERE r <= 20),
+f AS (SELECT doc_id, count(*) AS n_systems,
+        CAST(sum(contrib) AS BIGINT) AS rrf_nano
+      FROM u GROUP BY doc_id),
+rk AS (SELECT *, row_number() OVER
+        (ORDER BY rrf_nano DESC, doc_id ASC) AS rrf_rank FROM f)
+SELECT doc_id, n_systems, rrf_nano, CAST(rrf_rank AS INT) AS rrf_rank
+FROM rk WHERE rrf_rank <= 10
+"""
+
+
+TEXT_QUERIES["rrf_hybrid_search"] = (q_rrf_hybrid_search, _sql_rrf_hybrid())
+
+
 # ------------------------------------------------- TF-IDF top terms
 def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 characteristic terms per doc; vocabulary-sized df join is
@@ -4311,8 +4399,11 @@ def q_host_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
     """The URL family's purpose end-to-end: canonical_host extracts
     the host, cap_per_group keeps at most 3 docs per host by stable
     content-hash rank — the per-domain cap every web corpus applies so
-    one SEO farm can't dominate the mix. Pure composition of certified
-    operators; the oracle replays the host extraction, the md5 bucket
+    one SEO farm can't dominate the mix. `adaptive=True`: the plan is
+    CHOSEN by measurement (operators/skew.topk_plan_decision) — plain
+    window on balanced hosts, two-phase salted rank when one host
+    dominates; both return the identical row set, so the oracle is
+    unchanged. The oracle replays the host extraction, the md5 bucket
     rank, and the cap."""
     from gcp_data_pipeline_fyp_spark.functions.text import canonical_host
     from gcp_data_pipeline_fyp_spark.operators.sampling import (
@@ -4324,7 +4415,7 @@ def q_host_capped_docs(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", canonical_host("url").alias("host")
     )
     return cap_per_group(
-        with_host, ["host"], ["doc_id"], n=3, seed=5
+        with_host, ["host"], ["doc_id"], n=3, seed=5, adaptive=True
     ).select("doc_id", "host").orderBy("doc_id")
 
 

@@ -1761,6 +1761,39 @@ def test_cap_per_group_nested_and_stable(spark):
     assert "WindowGroupLimit" in buf.getvalue()
 
 
+def test_cap_per_group_adaptive_equals_plain_both_branches(spark):
+    """adaptive=True must return EXACTLY the plain cap's rows on both
+    sides of the measured decision: a skewed fixture (one group owns
+    ~90% of rows -> salted two-phase fires) and a balanced one (plain
+    window)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import cap_per_group
+
+    skewed = spark.createDataFrame(
+        [(i, "hot" if i < 900 else f"g{i % 7}") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    balanced = spark.createDataFrame(
+        [(i, f"g{i % 10}") for i in range(1000)], "doc_id long, source string"
+    )
+    for df in (skewed, balanced):
+        plain = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_group(df, ["source"], ["doc_id"], n=4, seed=3).collect()
+        }
+        adapt = {
+            (r["doc_id"], r["source"])
+            for r in cap_per_group(
+                df, ["source"], ["doc_id"], n=4, seed=3, adaptive=True
+            ).collect()
+        }
+        assert adapt == plain
+    # sanity: the skewed fixture really does trip the decision
+    from gcp_data_pipeline_fyp_spark.operators.skew import topk_plan_decision
+
+    assert topk_plan_decision(skewed, ["source"]).first()["use_salted"]
+    assert not topk_plan_decision(balanced, ["source"]).first()["use_salted"]
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 has 4 triangles with every node in exactly 3; a path closes
     none; edge direction/duplication must not double-count."""

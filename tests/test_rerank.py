@@ -3,7 +3,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from gcp_data_pipeline_fyp_spark.operators.rerank import mmr_rerank
+from gcp_data_pipeline_fyp_spark.operators.rerank import mmr_rerank, rrf_fuse
 from gcp_data_pipeline_fyp_spark.operators.similarity import brute_force_topk
 
 
@@ -82,3 +82,79 @@ def test_mmr_multi_query_independent(spark, corpus_df):
         per_q[r["query_id"]].append(r["mmr_rank"])
     assert sorted(per_q.keys()) == [1, 2]
     assert all(sorted(v) == [1, 2] for v in per_q.values())
+
+
+# ------------------------------------------------------------- RRF
+def _rank_df(spark, rows, schema="doc_id long, score double"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_rrf_known_fusion(spark):
+    # system A ranks 1,2,3; system B ranks 3,2,1. Expected nano scores:
+    # doc1: 1e9//61 + 1e9//63; doc2: 2*(1e9//62); doc3: symmetric to 1
+    a = _rank_df(spark, [(1, 9.0), (2, 8.0), (3, 7.0)])
+    b = _rank_df(spark, [(3, 0.9), (2, 0.8), (1, 0.7)])
+    got = {
+        r["doc_id"]: (r["n_systems"], r["rrf_nano"])
+        for r in rrf_fuse(
+            [("a", a, "score"), ("b", b, "score")], ["doc_id"]
+        ).collect()
+    }
+    edge = 10**9 // 61 + 10**9 // 63
+    mid = 2 * (10**9 // 62)
+    assert got == {1: (2, edge), 2: (2, mid), 3: (2, edge)}
+    assert edge > mid  # agreeing extremes beat the consistent middle
+
+
+def test_rrf_weights_and_topk(spark):
+    a = _rank_df(spark, [(1, 9.0), (2, 8.0)])
+    b = _rank_df(spark, [(2, 0.9), (1, 0.8)])
+    out = rrf_fuse(
+        [("a", a, "score"), ("b", b, "score")],
+        ["doc_id"],
+        weights_micro={"a": 2_000_000},
+        topk=1,
+    ).collect()
+    assert len(out) == 1
+    # doc1: 2*(1e9//61) + 1e9//62 beats doc2: 2*(1e9//62) + 1e9//61
+    assert out[0]["doc_id"] == 1 and out[0]["rrf_rank"] == 1
+
+
+def test_rrf_per_query_grouping(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 4.0), (2, 12, 9.0), (2, 10, 1.0)],
+        "query_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 0.9), (2, 12, 0.8)],
+        "query_id long, doc_id long, score double",
+    )
+    got = rrf_fuse(
+        [("a", a, "score"), ("b", b, "score")],
+        ["query_id", "doc_id"],
+        query_cols=["query_id"],
+        topk=1,
+    ).collect()
+    top = {r["query_id"]: r["doc_id"] for r in got}
+    # q1: doc11 (rank2 + rank1) beats doc10 (rank1 alone);
+    # q2: doc12 top in both systems
+    assert top == {1: 11, 2: 12}
+
+
+def test_rrf_single_system_rank_identity(spark):
+    a = _rank_df(spark, [(i, float(100 - i)) for i in range(5)])
+    got = sorted(
+        (r["doc_id"], r["rrf_rank"])
+        for r in rrf_fuse([("a", a, "score")], ["doc_id"], topk=5).collect()
+    )
+    assert got == [(i, i + 1) for i in range(5)]
+
+
+def test_rrf_validation(spark):
+    a = _rank_df(spark, [(1, 1.0)])
+    with pytest.raises(ValueError):
+        rrf_fuse([], ["doc_id"])
+    with pytest.raises(ValueError):
+        rrf_fuse([("a", a, "score")], ["doc_id"], k0=0)
+    with pytest.raises(ValueError):
+        rrf_fuse([("a", a, "score")], ["doc_id"], query_cols=["nope"])
