@@ -18,7 +18,12 @@ All joins are keyed on query_id and bounded by the candidate pool:
 — candidate pools (C ~ 10-100) and k (<= 10) keep this tiny relative
 to the retrieval stage that produced the candidates, at any corpus
 scale. No driver-side loops over data: the Python `for` builds the
-PLAN (k is a plan constant, like unrolled Bloom probes).
+PLAN. Each round's `selected` frame is localCheckpoint'ed: it feeds
+TWO joins in the next round, so a lazy unroll doubles the plan per
+round (2^k branches — measured driver OOM at k=10, tools/
+mmr_probe.py); the per-round checkpoint materializes a |Q| x r frame
+(trivial) and keeps the plan CONSTANT-size per round, making cost
+linear in k as the round structure claims.
 
 Determinism / certification: relevance and pair similarities live in
 the engine's `cosine_micro` integer domain, the MMR score is the
@@ -108,6 +113,7 @@ def mmr_rerank(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("mmr_rank", F.lit(1))
+        .localCheckpoint(eager=True)
     )
 
     for r in range(2, k + 1):
@@ -145,7 +151,9 @@ def mmr_rerank(
             .select("query_id", "corpus_id", "cosine_micro", "__cv")
             .withColumn("mmr_rank", F.lit(r))
         )
-        selected = selected.unionByName(pick)
+        # checkpoint per round: `selected` feeds two joins next round —
+        # see the module docstring's 2^k plan-depth note
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
 
     return selected.select("query_id", "corpus_id", "mmr_rank", "cosine_micro")
 
