@@ -33,96 +33,88 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-9 WINDOW, final composition (9 + 17 + 24 = 50), in priority
-# order — births outrank re-certs, because a probe with NO driver row
-# is the worse evidence class:
-#   0. the 9 session-3 births (bloom joins, MMR, adaptive quantile
-#      filter, AUC/calibration family, canonical election, ORC
-#      round-trip);
-#   1. the 17 session-1/2 births (recall evals, skew plan choice,
-#      token budget mix, semantic contamination, incremental
-#      near-dup/components, URL hygiene, compaction, JSONL, JL,
-#      leakage split, winnowing, host cap, schema evolution);
-#   2. 24 of the 30 r04-evidence rows (VERDICT r8 ask #1). The other
-#      6 rotate to the r10 head — displaced by the session-3 births,
-#      each with its shape driver-covered by an in-window relative
-#      (named at the tail comment below). The 2 code-changed probes
-#      (minhash_recall_eval, bitext_margin_pairs) also rotate to r10:
-#      r8 driver rows + this round's full mirror sweeps cover them.
+# ROUND-10 WINDOW, composition (3 + 6 + 6 + 2 + 33 = 50), in priority
+# order — births outrank code-changes outrank re-certs, because a
+# probe with NO driver row is the worst evidence class:
+#   0. the 3 r10 births (bloom_decontaminate, adaptive_floor_sketch,
+#      rrf_hybrid_search);
+#   1. the 6 probes whose code or oracle changed this round (bloom
+#      join type-cast fix + persist removal; MMR per-round checkpoint;
+#      classifier_auc oracle NaN/degenerate guards; host cap adaptive
+#      plan choice; orc scratch-path race fix) — all r9-green, but
+#      the r10 rows must certify the CHANGED code;
+#   2. the 6 r04-evidence rows displaced from the r9 window (VERDICT
+#      r9 ask #1);
+#   3. the 2 probes whose code changed in r9 with driver rows still
+#      r8 (minhash_recall_eval, bitext_margin_pairs);
+#   4. the first 33 of the 50 r05-evidence rows, alphabetical
+#      (ann_pq_topk .. quantile_rollup); the remaining 17
+#      (repetition_metrics .. wow_growth) head the r11 window.
 _CHECK_FIRST = [
-    # -- new this round (r9, session 3): Bloom runtime-filter joins,
-    #    MMR diversity re-rank, per-group adaptive quantile filter
+    # -- 0. new this round (r10)
+    "bloom_decontaminate",
+    "adaptive_floor_sketch",
+    "rrf_hybrid_search",
+    # -- 1. code/oracle changed this round
     "bloom_semi_revenue",
     "bloom_anti_customers",
     "mmr_rerank_topk",
-    "adaptive_length_floor",
     "classifier_auc",
-    "classifier_calibration",
-    "quality_canonical_docs",
-    "auc_by_slice",
-    "orc_roundtrip",
-    # -- new this round (r9)
-    "bitext_ivf_agreement",
-    "ann_pq_recall_eval",
-    "ann_ivfpq_recall_eval",
-    "skew_plan_choice",
-    "token_budget_mix",
-    "semantic_contamination",
-    "incremental_neardup",
-    "canonical_urls",
-    "url_host_stats",
-    "compacted_scan",
-    "jsonl_roundtrip",
-    "jl_projection",
-    "leakage_safe_split",
-    "winnow_dup_report",
     "host_capped_docs",
-    "incremental_components",
-    "schema_evolution_scan",
-    # -- the r04-evidence tail (24 of 30; displaced to the r10 head
-    #    by session-3 births, which outrank re-certs — a probe with
-    #    NO driver row is the worse evidence class: ann_cosine_topk
-    #    (brute-force shape replayed inside mmr_rerank_topk's
-    #    candidate stage, in-window), ann_ivf_topk (IVF assign+probe
-    #    shape driver-covered by bitext_ivf_agreement, in-window),
-    #    measure_sliced_by_day, measure_total_events, and
-    #    measure_max_depth (grouped/global/extremum measure shapes
-    #    covered by measure_totals_by_type + measure_avg_magnitude,
-    #    in-window), char_entropy (per-doc text-metric shape covered
-    #    by text_quality, in-window))
-    "domain_stats",
-    "filter_fail_matrix",
-    "substring_dup_report",
-    "substring_filtered_docs",
-    "dedup_normalized",
-    "quality_weighted_sample",
-    "sentence_dedup",
-    "length_histogram",
-    "ngram_novelty",
-    "embedding_neardup",
-    "embedding_neardup_lsh",
-    "ann_lsh_topk",
-    "multimodal_byte_features",
-    "json_extract",
-    "asof_last_click",
-    "range_join_shipments",
-    "distinct_users_rollup",
-    "salted_agg_events",
-    "salted_join_events",
-    "missing_days",
-    "text_quality",
-    "measure_latest_update",
-    "measure_avg_magnitude",
-    "measure_totals_by_type",
-    # next round (r10), in priority order: (0) any new r10 probes;
-    # (1) anything red in r09; (2) the 6 r04-evidence rows displaced
-    # by the session-3 additions (ann_cosine_topk, ann_ivf_topk,
-    # measure_sliced_by_day, measure_total_events, measure_max_depth,
-    # char_entropy), then minhash_recall_eval +
-    # bitext_margin_pairs (code changed in r9, mirror-certified,
-    # driver rows still r8) and the 50 r05-evidence rows
-    # (ann_pq_topk, ann_sq8_topk ... wow_growth, alphabetical) — the
-    # backlog is then a pure rotation; (3) r06-green tail on rotation
+    "orc_roundtrip",
+    # -- 2. the r04-evidence tail (VERDICT r9 ask #1)
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "measure_sliced_by_day",
+    "measure_total_events",
+    "measure_max_depth",
+    "char_entropy",
+    # -- 3. r9 code-changes whose driver rows are r8
+    "minhash_recall_eval",
+    "bitext_margin_pairs",
+    # -- 4. r05-evidence tail, alphabetical (33 of 50)
+    "ann_pq_topk",
+    "ann_sq8_topk",
+    "bigram_logprob_score",
+    "bm25_search",
+    "bpe_pair_counts",
+    "bpe_segment_counts",
+    "cdc_snapshot",
+    "clean_html_docs",
+    "contamination_report",
+    "corpus_mix_report",
+    "corpus_prep_v2",
+    "daily_p95_sliding",
+    "dax_q12_total",
+    "dax_q1_latest_update",
+    "dax_q2_avg_mag",
+    "dax_q3_max_depth",
+    "dax_q4_max_mag",
+    "dax_q5_11_totals",
+    "decontaminate_corpus",
+    "embedding_pool",
+    "event_transitions",
+    "expectations_report",
+    "funnel_conversion",
+    "hard_negatives",
+    "heavy_hitter_tokens",
+    "interval_attribution",
+    "lsh_recall_report",
+    "numeric_profile",
+    "outlier_events",
+    "pack_sequences",
+    "pagerank_sim_graph",
+    "quality_classifier_scores",
+    "quantile_rollup",
+    # next round (r11), in priority order: (0) any new r11 probes;
+    # (1) anything red in r10; (2) the remaining 17 r05-evidence rows
+    # (repetition_metrics, resample_ffill, retention_cohorts,
+    # rfm_segments, rolling_anomaly, rollup_incremental,
+    # schema_contract, ship_lag_by_priority, split_leakage_report,
+    # sql_interface, star_schema_fact, stratified_sample,
+    # tfidf_top_terms, token_budget_sample, train_val_test_split,
+    # unigram_logprob_score, wow_growth); (3) the r06-green tail on
+    # rotation, alphabetical — the backlog is then a pure rotation.
 ]
 
 
