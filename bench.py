@@ -148,6 +148,12 @@ HEADLINE = [
     # prefix rank over 10^5 continuous values — the no-global-sort
     # rank shape applied to model evaluation
     "classifier_auc",
+    # round-10: the Bloom x decontamination composition (bench-digest
+    # bitmap build + map-side gram prune + exact digest semi join +
+    # id anti join in one timed plan) and hybrid retrieval fusion
+    # (BM25 chain + brute cosine + integer RRF windows in one plan)
+    "bloom_decontaminate",
+    "rrf_hybrid_search",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

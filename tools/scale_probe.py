@@ -458,6 +458,25 @@ def main() -> None:
         ).save()
         t["roc_auc"] = round(time.perf_counter() - t0, 2)
 
+        # round-10: the Bloom x decontamination composition — same
+        # FIXED 200-doc benchmark as the plain decontaminate leg
+        # above, so the two rows are directly comparable: the bloom
+        # variant adds the bitmap build (fixed cost) and prunes the
+        # scaled gram stream map-side before the exact digest join.
+        # On one box the plain broadcast path wins (the bloom row's
+        # win condition is an unbroadcastable bench side — documented
+        # honest negative); what must hold here is scan-bound growth.
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.decontaminate import (
+            bloom_decontaminate,
+        )
+
+        bloom_decontaminate(
+            docs, "doc_id", "text", bench, "text", n=5,
+            m_bits=262_144, k=7,
+        ).write.mode("overwrite").format("noop").save()
+        t["bloom_decontaminate"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
