@@ -25,12 +25,19 @@ scores are worth filtering on, and whether "0.9" means 90%).
   through the exact-decimal route (queries_util discipline) so the
   report is partial-aggregation-order independent.
 
+- `threshold_sweep`: exact confusion counts + precision/recall/F1 at
+  each candidate threshold, one corpus scan (conditional sums as plan
+  constants, stack to long form) — the operating-point table that
+  turns "the classifier ranks well" (AUC) into "filter at 0.73".
+
 Scale: roc_auc's shuffles carry distinct-score rows (value, p, n),
 never raw rows; calibration is a |bins|-group aggregate, one scan.
 Both are pure column expressions — no UDFs, no driver loops.
 """
 
 from __future__ import annotations
+
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -265,6 +272,93 @@ def quality_summary_from_state(state: DataFrame) -> DataFrame:
         "n_pos",
         micro6(ece).alias("ece_micro"),
         micro6(auc).alias("auc_binned_micro"),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: Sequence[float],
+) -> DataFrame:
+    """Operating-point table: one row per threshold t with the exact
+    confusion counts for the rule `predict positive iff score >= t`,
+    plus precision/recall/F1 — the table you read to PICK the filter
+    threshold that AUC (ranking quality) and calibration (probability
+    quality) deliberately don't give you.
+
+    (threshold_micro, tp, fp, fn, tn, precision_micro, recall_micro,
+    f1_micro) — thresholds are emitted in micro units so the row key
+    is integer-exact; degenerate denominators (no predicted positives
+    / no actual positives / P+R = 0) yield NULL rather than a silent
+    0 or 1.
+
+    Scale shape: ONE corpus scan — |thresholds| conditional sums in a
+    single aggregate row (thresholds are a plan constant, like
+    unrolled Bloom probes), unpivoted to long form with a stack over
+    the one-row frame. Row universe matches `roc_auc`: NULL/NaN
+    scores and NULL labels are excluded.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    ts = sorted({float(t) for t in thresholds})
+    lab = F.col(label_col).cast("boolean")
+    v = F.col(score_col).cast("double")
+    base = df.filter(
+        F.col(score_col).isNotNull() & ~F.isnan(v) & lab.isNotNull()
+    )
+    aggs = []
+    for i, t in enumerate(ts):
+        pred = v >= F.lit(t)
+        aggs.append(
+            F.sum((pred & lab).cast("long")).alias(f"__tp_{i}")
+        )
+        aggs.append(
+            F.sum((pred & ~lab).cast("long")).alias(f"__fp_{i}")
+        )
+        aggs.append(
+            F.sum(((~pred) & lab).cast("long")).alias(f"__fn_{i}")
+        )
+        aggs.append(
+            F.sum(((~pred) & (~lab)).cast("long")).alias(f"__tn_{i}")
+        )
+    one = base.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) as (threshold_micro, tp, fp, fn, tn)".format(
+                n=len(ts),
+                args=", ".join(
+                    f"{int(round(t * 1_000_000))}L, "
+                    f"coalesce(__tp_{i}, 0L), coalesce(__fp_{i}, 0L), "
+                    f"coalesce(__fn_{i}, 0L), coalesce(__tn_{i}, 0L)"
+                    for i, t in enumerate(ts)
+                ),
+            )
+        )
+    )
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+    )
+    f1 = F.when(
+        (F.col("tp") + F.col("fp") > 0)
+        & (F.col("tp") + F.col("fn") > 0)
+        & (prec + rec > 0),
+        2.0 * prec * rec / (prec + rec),
+    )
+    return stacked.select(
+        "threshold_micro",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        micro6(prec).alias("precision_micro"),
+        micro6(rec).alias("recall_micro"),
+        micro6(f1).alias("f1_micro"),
     )
 
 

@@ -3469,6 +3469,54 @@ ANALYTICS_QUERIES["classifier_calibration"] = (
 )
 
 
+def q_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Operating-point table (operators/evalmetrics.py:
+    threshold_sweep) over the same integer-lattice calibrated scorer
+    as classifier_calibration: exact confusion counts and P/R/F1 at 9
+    candidate thresholds, ONE scan (conditional sums as plan
+    constants, stacked to long form). Counts are exact integers on
+    both engines; the divisions are single micro6 emissions."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        threshold_sweep,
+    )
+
+    ev = load(spark, sf, "events")
+    scored = ev.select(
+        ((F.col("event_id") % 100) / 100.0).alias("score"),
+        ((F.col("user_id") % 100) < (F.col("event_id") % 100)).alias("y"),
+    )
+    return threshold_sweep(
+        scored, "score", "y", [i / 10.0 for i in range(1, 10)]
+    )
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH b AS (
+  SELECT (event_id % 100) / 100.0 AS v,
+         ((user_id % 100) < (event_id % 100)) AS y
+  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL),
+t AS (SELECT unnest([1,2,3,4,5,6,7,8,9]) / 10.0 AS th),
+c AS (
+  SELECT CAST(round(th * 1000000) AS BIGINT) AS threshold_micro,
+    CAST(sum(CASE WHEN v >= th AND y THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN v >= th AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN v < th AND y THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(sum(CASE WHEN v < th AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM b CROSS JOIN t GROUP BY th)
+SELECT threshold_micro, tp, fp, fn, tn,
+  CASE WHEN tp + fp > 0 THEN CAST(round((CAST(tp AS DOUBLE) / (tp + fp)) * 1000000.0) AS BIGINT) END AS precision_micro,
+  CASE WHEN tp + fn > 0 THEN CAST(round((CAST(tp AS DOUBLE) / (tp + fn)) * 1000000.0) AS BIGINT) END AS recall_micro,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0
+        AND (CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn)) > 0
+    THEN CAST(round((2.0 * (CAST(tp AS DOUBLE) / (tp + fp)) * (CAST(tp AS DOUBLE) / (tp + fn))
+      / ((CAST(tp AS DOUBLE) / (tp + fp)) + (CAST(tp AS DOUBLE) / (tp + fn)))) * 1000000.0) AS BIGINT)
+  END AS f1_micro
+FROM c
+"""
+
+ANALYTICS_QUERIES["threshold_sweep"] = (q_threshold_sweep, SQL_THRESHOLD_SWEEP)
+
+
 def q_auc_by_slice(spark: SparkSession, sf: str) -> DataFrame:
     """Per-slice AUC (operators/evalmetrics.py:roc_auc_by_group):
     does `value` separate purchases WITHIN each day-of-month slice — the

@@ -197,3 +197,71 @@ def test_grouped_auc_degenerate_slice_null(spark):
     got = {r["g"]: r["auc_micro"] for r in
            roc_auc_by_group(df, "score", "label", ["g"]).collect()}
     assert got["a"] is None and got["b"] == 1_000_000
+
+
+def test_threshold_sweep_known_counts(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        threshold_sweep,
+    )
+
+    # scores 0.1..1.0 over 10 rows; positives are the top 4 scores
+    rows = [((i + 1) / 10.0, i >= 6) for i in range(10)]
+    df = spark.createDataFrame(rows, "score: double, label: boolean")
+    got = {
+        r["threshold_micro"]: (r["tp"], r["fp"], r["fn"], r["tn"])
+        for r in threshold_sweep(df, "score", "label", [0.5, 0.75]).collect()
+    }
+    # t=0.5: predicted positive = scores .5..1.0 (6 rows: 4 tp, 2 fp)
+    assert got[500_000] == (4, 2, 0, 4)
+    # t=0.75: predicted positive = .8,.9,1.0 (3 rows, all true)
+    assert got[750_000] == (3, 0, 1, 6)
+
+
+def test_threshold_sweep_micro_metrics_and_degenerates(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        threshold_sweep,
+    )
+
+    rows = [(0.2, False), (0.4, False), (0.6, True)]
+    df = spark.createDataFrame(rows, "score: double, label: boolean")
+    out = {
+        r["threshold_micro"]: r
+        for r in threshold_sweep(df, "score", "label", [0.5, 0.9]).collect()
+    }
+    r5 = out[500_000]
+    assert (r5["precision_micro"], r5["recall_micro"], r5["f1_micro"]) == (
+        1_000_000,
+        1_000_000,
+        1_000_000,
+    )
+    # t=0.9: nothing predicted positive -> precision undefined (NULL),
+    # recall 0, F1 undefined
+    r9 = out[900_000]
+    assert r9["precision_micro"] is None
+    assert r9["recall_micro"] == 0
+    assert r9["f1_micro"] is None
+
+
+def test_threshold_sweep_excludes_nan_null_and_validates(spark):
+    import math
+
+    import pytest as _pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        threshold_sweep,
+    )
+
+    rows = [
+        (0.9, True),
+        (float("nan"), True),
+        (None, False),
+        (0.1, None),
+        (0.2, False),
+    ]
+    df = spark.createDataFrame(rows, "score: double, label: boolean")
+    out = threshold_sweep(df, "score", "label", [0.5]).first()
+    # only (0.9, True) and (0.2, False) count
+    assert (out["tp"], out["fp"], out["fn"], out["tn"]) == (1, 0, 0, 1)
+    assert not math.isnan(out["tp"])
+    with _pytest.raises(ValueError):
+        threshold_sweep(df, "score", "label", [])
