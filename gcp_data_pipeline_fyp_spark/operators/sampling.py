@@ -445,3 +445,118 @@ def leakage_safe_split(
     with_c = dup_clusters(df, pairs, id_col)
     out = hash_split(with_c, ["cluster_id"], weights, seed, split_col)
     return out if keep_cluster else out.drop("cluster_id")
+
+
+# ------------------------------------------- distribution matching
+def distribution_match_rates(
+    df: DataFrame,
+    bucket_col: str,
+    reference: DataFrame,
+    ref_bucket_col: str | None = None,
+) -> DataFrame:
+    """Per-bucket keep rates that reshape `df`'s bucket distribution to
+    `reference`'s — "make the kept corpus's length / quality / domain
+    profile look like the curated reference corpus", the
+    distribution-matching step of corpus reshaping (a filter cascade
+    skews the length profile; this un-skews it against a target).
+
+    Math: with source counts s_b and reference counts r_b per bucket,
+    the LARGEST subsample of `df` whose bucket distribution is
+    proportional to the reference keeps rate_b = (s_m * r_b) /
+    (r_m * s_b) of bucket b, where m = argmin_b s_b / r_b (the
+    reference-relative scarcest bucket, kept whole). Rates are emitted
+    as rate_micro = floor(1e6 * s_m * r_b / (r_m * s_b)) — EXACT
+    integer arithmetic in decimal(38,0) (counts up to 1e9 stay inside
+    38 digits), so the rate table replays bit-for-bit in SQL. Buckets
+    absent from the reference get rate 0 (dropped); buckets absent
+    from the source appear nowhere (unreachable reference mass — the
+    report makes it visible as a missing row). The floor division is
+    Spark's decimal `div` (exact integral quotient, = DuckDB's `//`)
+    — NOT floor(a/b) over decimal division, whose 6-dp rounding can
+    lift 3.9999999 to 4.0 before the floor.
+
+    Returns (bucket, n_src, n_ref, rate_micro). Two group-sized
+    aggregations + a one-row argmin; nothing corpus-sized shuffles.
+    The argmin tie-breaks on the smallest bucket value (engine-stable:
+    the ratio is the same IEEE double on both engines).
+    """
+    rb = ref_bucket_col or bucket_col
+    src = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_src")
+    )
+    ref = reference.groupBy(F.col(rb).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    both = src.join(ref, ["bucket"], "left")
+    present = both.filter(F.col("n_ref").isNotNull() & (F.col("n_ref") > 0))
+    argmin = present.agg(
+        F.min_by(
+            F.struct(
+                F.col("n_src").alias("s_m"), F.col("n_ref").alias("r_m")
+            ),
+            F.struct(
+                (F.col("n_src").cast("double") / F.col("n_ref").cast("double")).alias(
+                    "ratio"
+                ),
+                F.col("bucket"),
+            ),
+        ).alias("__m")
+    ).select(F.col("__m.s_m").alias("__s_m"), F.col("__m.r_m").alias("__r_m"))
+    # decimal(14,0) factors keep every product inside precision 38, so
+    # nothing rounds; `div` is the exact integral quotient (= SQL //)
+    d14 = "decimal(14,0)"
+    with_m = (
+        both.crossJoin(
+            F.broadcast(
+                argmin.select(
+                    F.col("__s_m").alias("n_src_m"),
+                    F.col("__r_m").alias("n_ref_m"),
+                )
+            )
+        )
+        .withColumn(
+            "__num",
+            F.lit(1_000_000).cast("decimal(7,0)")
+            * F.col("n_src_m").cast(d14)
+            * F.col("n_ref").cast(d14),
+        )
+        .withColumn(
+            "__den", F.col("n_ref_m").cast(d14) * F.col("n_src").cast(d14)
+        )
+    )
+    rate = F.expr("__num div __den")
+    return with_m.select(
+        "bucket",
+        "n_src",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.when(F.col("n_ref").isNull() | (F.col("n_ref") <= 0), F.lit(0))
+        .otherwise(F.least(F.lit(1_000_000).cast("long"), rate))
+        .alias("rate_micro"),
+    )
+
+
+def distribution_match_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    reference: DataFrame,
+    ref_bucket_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """The largest content-keyed subsample of `df` whose `bucket_col`
+    distribution is proportional to `reference`'s — rates from
+    `distribution_match_rates`, membership by the module's standard
+    hash_bucket(key, seed) < rate_micro rule (reproducible on any
+    engine/partitioning; nested in the rate). The rate table is
+    |buckets| rows — broadcast join, one corpus scan, no corpus
+    shuffle. NULL buckets are a real slice (null-safe join), matching
+    the adaptive-filter convention."""
+    rates = distribution_match_rates(df, bucket_col, reference, ref_bucket_col)
+    r = F.broadcast(
+        rates.select(F.col("bucket").alias("__mb"), "rate_micro")
+    )
+    joined = df.join(r, F.col(bucket_col).eqNullSafe(F.col("__mb")), "inner")
+    return (
+        joined.filter(hash_bucket(key_cols, seed) < F.col("rate_micro"))
+        .drop("__mb", "rate_micro")
+    )

@@ -4562,6 +4562,78 @@ TEXT_QUERIES["adaptive_floor_sketch"] = (
 )
 
 
+# ------------------------------------------ distribution matching
+def q_length_match_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution matching (operators/sampling.py:
+    distribution_match_rates/_sample): reshape the corpus's length-
+    bucket profile to a skewed 'curated reference' slice (long docs
+    from 3/7 of ids). Emits the rate table plus per-bucket kept
+    counts; rates are exact integer floor divisions (decimal `div` =
+    SQL `//`) and membership is the module's md5 hash_bucket rule, so
+    the oracle replays every kept row bit-for-bit. Buckets absent
+    from the reference must show rate 0 / kept 0."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates,
+        distribution_match_sample,
+    )
+
+    d = _docs(spark, sf).filter(F.col("n_chars").isNotNull())
+    src = d.withColumn("bucket", F.floor(F.col("n_chars") / 200))
+    ref = d.filter(
+        (F.col("doc_id") % 7 < 3) & (F.col("n_chars") >= 300)
+    ).withColumn("bucket", F.floor(F.col("n_chars") / 200))
+    rates = distribution_match_rates(src, "bucket", ref)
+    kept = distribution_match_sample(src, ["doc_id"], "bucket", ref, seed=9)
+    kc = kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("kept"))
+    return (
+        rates.join(kc, "bucket", "left")
+        .select(
+            "bucket",
+            "n_src",
+            "n_ref",
+            "rate_micro",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HB9 = hash_bucket_sql(["doc_id"], seed=9)
+SQL_LENGTH_MATCH_SAMPLE = f"""
+WITH d AS (SELECT doc_id, n_chars,
+        CAST(floor(n_chars / 200) AS BIGINT) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT bucket, count(*) AS n_ref FROM d
+      WHERE doc_id % 7 < 3 AND n_chars >= 300 GROUP BY bucket),
+s AS (SELECT bucket, count(*) AS n_src FROM d GROUP BY bucket),
+b AS (SELECT s.bucket, s.n_src, r.n_ref FROM s LEFT JOIN r USING (bucket)),
+m AS (SELECT n_src AS s_m, n_ref AS r_m FROM b
+      WHERE n_ref IS NOT NULL AND n_ref > 0
+      ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC, bucket ASC LIMIT 1),
+rates AS (SELECT bucket, n_src, coalesce(n_ref, 0) AS n_ref,
+    CASE WHEN n_ref IS NULL OR n_ref <= 0 THEN 0
+         ELSE least(1000000,
+           (1000000::HUGEINT * m.s_m * n_ref) // (m.r_m * n_src)) END
+      AS rate_micro
+  FROM b, m),
+kept AS (SELECT d.bucket, count(*) AS kept
+  FROM d JOIN rates USING (bucket)
+  WHERE {_HB9} < rates.rate_micro
+  GROUP BY d.bucket)
+SELECT rates.bucket, CAST(n_src AS BIGINT) AS n_src,
+  CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(rate_micro AS BIGINT) AS rate_micro,
+  CAST(coalesce(kept.kept, 0) AS BIGINT) AS kept
+FROM rates LEFT JOIN kept ON rates.bucket = kept.bucket
+ORDER BY rates.bucket
+"""
+
+TEXT_QUERIES["length_match_sample"] = (
+    q_length_match_sample,
+    SQL_LENGTH_MATCH_SAMPLE,
+)
+
+
 # ------------------------------------------ canonical-doc election
 def q_quality_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """One representative per near-dup cluster (operators/dedup.py:

@@ -3292,3 +3292,90 @@ def test_elect_canonical_null_quality_loses(spark):
     # scored member 2 beats the NULL-quality 1; an all-NULL cluster
     # falls back to the lowest id
     assert out == {2: 3, 7: 2}
+
+
+def test_distribution_match_rates_and_sample(spark):
+    """Rates reshape the kept set's bucket distribution to the
+    reference's: the argmin (reference-relative scarcest) bucket keeps
+    rate 1e6 (kept whole), ref-absent buckets get rate 0, and kept
+    bucket counts are within integer-floor slack of n_src * rate."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates,
+        distribution_match_sample,
+    )
+
+    # source: 1000 rows in bucket 0, 500 in 1, 200 in 2, 100 in 3
+    rows = (
+        [(i, 0) for i in range(1000)]
+        + [(1000 + i, 1) for i in range(500)]
+        + [(2000 + i, 2) for i in range(200)]
+        + [(3000 + i, 3) for i in range(100)]
+    )
+    src = spark.createDataFrame(rows, "doc_id long, bucket long")
+    # reference wants 1:1:2 over buckets 0,1,2 and nothing from 3
+    ref = spark.createDataFrame(
+        [(i, i % 3 if i % 3 < 2 else 2) for i in range(400)]
+        + [(500 + i, 2) for i in range(132)],
+        "rid long, bucket long",
+    )
+    rates = {
+        r["bucket"]: (r["n_src"], r["n_ref"], r["rate_micro"])
+        for r in distribution_match_rates(src, "bucket", ref).collect()
+    }
+    assert rates[3] == (100, 0, 0)  # absent from reference -> dropped
+    # scarcest bucket (min n_src/n_ref) keeps rate exactly 1e6
+    ratios = {
+        b: ns / nr for b, (ns, nr, _) in rates.items() if nr > 0
+    }
+    argmin_b = min(ratios, key=lambda b: (ratios[b], b))
+    assert rates[argmin_b][2] == 1_000_000
+    # exact rate formula: floor(1e6 * s_m * r_b / (r_m * s_b))
+    s_m, r_m, _ = rates[argmin_b]
+    for b, (s_b, r_b, rate) in rates.items():
+        if r_b > 0:
+            assert rate == min(
+                1_000_000, (1_000_000 * s_m * r_b) // (r_m * s_b)
+            ), b
+    kept = distribution_match_sample(src, ["doc_id"], "bucket", ref, seed=4)
+    from collections import Counter
+
+    got = Counter(r["bucket"] for r in kept.collect())
+    assert got.get(3, 0) == 0
+    # kept counts track n_src * rate within sampling noise of the md5
+    # bucket rule (binomial-ish; wide slack keeps the test stable)
+    for b, (s_b, r_b, rate) in rates.items():
+        if r_b > 0:
+            expect = s_b * rate / 1_000_000
+            assert abs(got.get(b, 0) - expect) <= max(10, 0.25 * expect), b
+
+
+def test_distribution_match_sample_nested_in_seeded_rule(spark):
+    """Membership is the standard hash rule: the kept set for a
+    SHRUNKEN reference subset (lower rates) is a subset of the kept
+    set at the full reference (nested samples, same seed)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_sample,
+    )
+
+    src = spark.createDataFrame(
+        [(i, i % 4) for i in range(2000)], "doc_id long, bucket long"
+    )
+    ref_full = spark.createDataFrame(
+        [(i, i % 4) for i in range(400)], "rid long, bucket long"
+    )
+    # same shape -> uniform rates; a half-weight bucket-3 reference
+    # lowers ONLY bucket 3's rate
+    ref_skew = ref_full.filter((F.col("bucket") != 3) | (F.col("rid") < 200))
+    full = {
+        r["doc_id"]
+        for r in distribution_match_sample(
+            src, ["doc_id"], "bucket", ref_full, seed=4
+        ).collect()
+    }
+    skew = {
+        r["doc_id"]
+        for r in distribution_match_sample(
+            src, ["doc_id"], "bucket", ref_skew, seed=4
+        ).collect()
+    }
+    assert skew <= full
