@@ -814,3 +814,88 @@ def test_roc_auc_fuzz_vs_pair_counting(spark, rows):
         ties = sum(1 for p in pos for n in neg if p == n)
         want = (wins + 0.5 * ties) / (len(pos) * len(neg))
         assert r["auc_micro"] == round(want * 1_000_000)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    a=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    b=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 100)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    ),
+    k0=st.integers(1, 100),
+)
+def test_rrf_fuse_fuzz_vs_naive(spark, a, b, k0):
+    """Distributed RRF == a naive Python re-implementation (rank by
+    score desc with id-asc ties, sum of exact integer contributions)
+    for arbitrary two-system score tables."""
+    from gcp_data_pipeline_fyp_spark.operators.rerank import rrf_fuse
+
+    fa = spark.createDataFrame(
+        [(i, float(s)) for i, s in a], "doc_id long, score double"
+    )
+    fb = spark.createDataFrame(
+        [(i, float(s)) for i, s in b], "doc_id long, score double"
+    )
+    got = {
+        r["doc_id"]: (r["n_systems"], r["rrf_nano"])
+        for r in rrf_fuse(
+            [("a", fa, "score"), ("b", fb, "score")], ["doc_id"], k0=k0
+        ).collect()
+    }
+
+    def naive_ranks(rows):
+        order = sorted(rows, key=lambda t: (-t[1], t[0]))
+        return {i: r + 1 for r, (i, _) in enumerate(order)}
+
+    want: dict[int, list[int]] = {}
+    for rows in (a, b):
+        for i, rank in naive_ranks(rows).items():
+            want.setdefault(i, []).append(10**9 // (k0 + rank))
+    assert got == {i: (len(cs), sum(cs)) for i, cs in want.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    src=st.lists(st.integers(0, 5), min_size=1, max_size=120),
+    ref=st.lists(st.integers(0, 5), min_size=1, max_size=60),
+)
+def test_distribution_match_rates_fuzz_vs_fractions(spark, src, ref):
+    """Rate table == the exact rational formula floor(1e6*s_m*r_b /
+    (r_m*s_b)) computed with Python integers, for arbitrary bucket
+    multisets; the argmin bucket (ties -> smallest bucket) keeps rate
+    exactly 1e6 whenever source and reference overlap."""
+    from collections import Counter
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates,
+    )
+
+    sdf = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(src)], "doc_id long, bucket long"
+    )
+    rdf = spark.createDataFrame(
+        [(i, b) for i, b in enumerate(ref)], "rid long, bucket long"
+    )
+    got = {
+        r["bucket"]: (r["n_src"], r["n_ref"], r["rate_micro"])
+        for r in distribution_match_rates(sdf, "bucket", rdf).collect()
+    }
+    s_c, r_c = Counter(src), Counter(ref)
+    overlap = [b for b in s_c if r_c.get(b, 0) > 0]
+    if not overlap:
+        assert all(rate == 0 for _, _, rate in got.values())
+        return
+    m = min(overlap, key=lambda b: (s_c[b] / r_c[b], b))
+    for b, n in s_c.items():
+        r_b = r_c.get(b, 0)
+        want = (
+            0
+            if r_b == 0
+            else min(1_000_000, (1_000_000 * s_c[m] * r_b) // (r_c[m] * n))
+        )
+        assert got[b] == (n, r_b, want), b
+    assert got[m][2] == 1_000_000
