@@ -172,7 +172,10 @@ def rrf_fuse(
     carries `id_cols` (the candidate identity, e.g. ["query_id",
     "corpus_id"] or just ["doc_id"]) plus its own score column —
     BM25 scores, cosine micros, recency priors, anything: RRF never
-    compares scores across systems, only ranks within one.
+    compares scores across systems, only ranks within one. Each
+    system's frame must hold ONE row per id (the natural shape of a
+    retrieval output); duplicate ids would rank separately and both
+    contribute, inflating n_systems.
     `query_cols` (subset of id_cols, empty for a single implicit
     query) partitions the per-system rank.
 
@@ -200,6 +203,8 @@ def rrf_fuse(
         raise ValueError("query_cols must be a subset of id_cols")
     tie_cols = [c for c in ids if c not in qcols]
     weights_micro = weights_micro or {}
+    if any(int(w) < 0 for w in weights_micro.values()):
+        raise ValueError("weights_micro must be non-negative")
     parts = []
     for name, frame, score_col in systems:
         w_micro = int(weights_micro.get(name, 1_000_000))
