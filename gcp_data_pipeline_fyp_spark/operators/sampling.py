@@ -484,10 +484,19 @@ def distribution_match_rates(
     src = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_src")
     )
-    ref = reference.groupBy(F.col(rb).alias("bucket")).agg(
+    ref = reference.groupBy(F.col(rb).alias("__rb")).agg(
         F.count(F.lit(1)).alias("n_ref")
     )
-    both = src.join(ref, ["bucket"], "left")
+    # null-safe: a NULL bucket is a real slice on BOTH sides (the
+    # adaptive-filter convention; a plain equi-join would zero-rate
+    # every NULL-bucket row even when the reference holds them).
+    # Tie-break nit: if the NULL bucket ties another bucket EXACTLY on
+    # the double ratio, Spark's min_by sorts NULL first while SQL
+    # ORDER BY defaults NULLS LAST — certify with non-NULL buckets or
+    # pin the oracle's NULLS ordering if that corner ever matters.
+    both = src.join(
+        ref, F.col("bucket").eqNullSafe(F.col("__rb")), "left"
+    ).drop("__rb")
     present = both.filter(F.col("n_ref").isNotNull() & (F.col("n_ref") > 0))
     argmin = present.agg(
         F.min_by(

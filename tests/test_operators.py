@@ -3379,3 +3379,25 @@ def test_distribution_match_sample_nested_in_seeded_rule(spark):
         ).collect()
     }
     assert skew <= full
+
+
+def test_distribution_match_null_bucket_is_real_slice(spark):
+    """A NULL bucket present in BOTH source and reference gets a real
+    rate (null-safe join), not a silent 0."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates,
+    )
+
+    src = spark.createDataFrame(
+        [(i, None if i % 2 else 1) for i in range(100)],
+        "doc_id long, bucket long",
+    )
+    ref = spark.createDataFrame(
+        [(i, None if i % 2 else 1) for i in range(40)],
+        "rid long, bucket long",
+    )
+    rates = {
+        r["bucket"]: r["rate_micro"]
+        for r in distribution_match_rates(src, "bucket", ref).collect()
+    }
+    assert rates[None] == 1_000_000 and rates[1] == 1_000_000
