@@ -362,6 +362,135 @@ def threshold_sweep(
     )
 
 
+def midrank_normalize(
+    df: DataFrame,
+    score_col: str,
+    out_col: str = "pct_micro",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """`df` + `out_col`: the midrank CDF of `score_col` in micro units
+    — pct = (2*C(v) + c(v)) / (2n) = P(X < v) + P(X = v)/2, where
+    C(v) counts rows strictly below v and c(v) the ties at v (the
+    percentile-rank-with-half-credit-ties convention: symmetric, a
+    lone value sits at 0.5, every scorer's mean pct is exactly 0.5
+    regardless of tie structure). This is the scale-free
+    normalization that makes heterogeneous quality scorers comparable
+    (a FastText logit and a length prior land on the same (0,1) rank
+    axis) — the per-scorer step of ensemble quality filtering; AUC is
+    the mean of this quantity over positives measured against the
+    negatives-only distribution.
+
+    No global row sort: distinct-score collapse, then the two-level
+    range-bucket prefix count (`roc_auc`'s discipline) over the
+    distinct-value frame; rows get their pct back through a hash join
+    on the score VALUE (one corpus shuffle keyed by value — skew on
+    a heavy tie value is bounded by the join being value->1 row).
+    Exact integers until the single micro6 division. NULL/NaN scores
+    -> NULL pct (excluded from n, the roc_auc row universe).
+    """
+    v = F.col(score_col).cast("double")
+    valid = df.filter(F.col(score_col).isNotNull() & ~F.isnan(v))
+    vc = valid.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
+
+    mm = vc.agg(F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax"))
+    span = F.col("__vmax") - F.col("__vmin")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("__v") - F.col("__vmin")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = vc.crossJoin(F.broadcast(mm)).select(
+        "__v", "__c", bucket.alias("__b")
+    )
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.coalesce(F.sum("__c").over(w_intra), F.lit(0))
+    totals = bucketed.groupBy("__b").agg(F.sum("__c").alias("__bt"))
+    w_bucket = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off")
+    )
+    n_tot = vc.agg(F.sum("__c").alias("__n"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "__v",
+            micro6(
+                (F.lit(2) * (F.col("__off") + intra) + F.col("__c")).cast(
+                    "double"
+                )
+                / (F.lit(2) * F.col("__n")).cast("double")
+            ).alias(out_col),
+        )
+    )
+    joined = df.join(ranked, v.eqNullSafe(F.col("__v")), "left")
+    return joined.select(
+        *[df[c] for c in df.columns],
+        F.when(
+            F.col(score_col).isNotNull() & ~F.isnan(v), F.col(out_col)
+        ).alias(out_col),
+    )
+
+
+def blend_scores(
+    df: DataFrame,
+    weights_micro: dict[str, int],
+    out_col: str = "blend_micro",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Ensemble quality score: midrank-normalize each scorer column
+    and emit their weighted mean (micro units) — the multi-classifier
+    blend corpus curation uses when no single quality signal is
+    trusted alone. Rows where EVERY scorer is NULL/NaN get NULL;
+    otherwise NULL scorers drop out of that row's weighted mean
+    (their weight is excluded), so one scorer's coverage gap doesn't
+    zero a document's blended quality.
+
+    Cost: one distinct-value pass + one value-keyed join per scorer
+    (midrank_normalize), then pure column math.
+    """
+    if not weights_micro:
+        raise ValueError("weights_micro must be non-empty")
+    if any(int(w) < 0 for w in weights_micro.values()):
+        raise ValueError("weights_micro must be non-negative")
+    out = df
+    pct_cols = {}
+    for i, col in enumerate(weights_micro):
+        pc = f"__pct_{i}"
+        out = midrank_normalize(out, col, out_col=pc, n_buckets=n_buckets)
+        pct_cols[col] = pc
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for col, w in weights_micro.items():
+        pc = F.col(pct_cols[col])
+        num = num + F.coalesce(
+            F.when(pc.isNotNull(), F.lit(int(w)).cast("long") * pc),
+            F.lit(0),
+        )
+        den = den + F.coalesce(
+            F.when(pc.isNotNull(), F.lit(int(w)).cast("long")), F.lit(0)
+        )
+    blend = F.when(
+        den > 0, F.round(num.cast("double") / den.cast("double")).cast("bigint")
+    )
+    return out.select(
+        *[c for c in out.columns if c not in set(pct_cols.values())],
+        blend.alias(out_col),
+    )
+
+
 def roc_auc_by_group(
     df: DataFrame,
     score_col: str,

@@ -3517,6 +3517,64 @@ FROM c
 ANALYTICS_QUERIES["threshold_sweep"] = (q_threshold_sweep, SQL_THRESHOLD_SWEEP)
 
 
+def q_rank_blend_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Ensemble quality blending (operators/evalmetrics.py:
+    blend_scores): two heterogeneous scorers (the continuous `value`
+    and a synthetic integer-lattice scorer) midrank-normalized onto
+    the same [0,1] rank axis and combined 1:3 — the multi-classifier
+    blend corpus curation applies when no single quality signal is
+    trusted alone. Per-row output over the full events table; the
+    oracle replays each scorer's midrank CDF with rank()/tie-count
+    windows and the exact weighted mean."""
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        blend_scores,
+    )
+
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.col("value").cast("double").alias("v1"),
+        (F.col("event_id") % 97).cast("double").alias("v2"),
+    )
+    out = blend_scores(ev, {"v1": 1_000_000, "v2": 3_000_000})
+    return out.select("event_id", "blend_micro")
+
+
+_SQL_MIDRANK = micro6_sql(
+    "CAST(2 * (rk - 1) + c AS DOUBLE) / CAST(2 * n AS DOUBLE)"
+)
+SQL_RANK_BLEND_SCORES = f"""
+WITH e AS (SELECT event_id, CAST(value AS DOUBLE) AS v1,
+        CAST(event_id % 97 AS DOUBLE) AS v2 FROM events),
+a AS (SELECT event_id, v1 FROM e
+      WHERE v1 IS NOT NULL AND NOT isnan(v1)),
+ar AS (SELECT event_id, rank() OVER (ORDER BY v1) AS rk,
+        count(*) OVER (PARTITION BY v1) AS c,
+        count(*) OVER () AS n FROM a),
+ap AS (SELECT event_id, {_SQL_MIDRANK} AS p1 FROM ar),
+b AS (SELECT event_id, v2 FROM e
+      WHERE v2 IS NOT NULL AND NOT isnan(v2)),
+br AS (SELECT event_id, rank() OVER (ORDER BY v2) AS rk,
+        count(*) OVER (PARTITION BY v2) AS c,
+        count(*) OVER () AS n FROM b),
+bp AS (SELECT event_id, {_SQL_MIDRANK} AS p2 FROM br)
+SELECT e.event_id,
+  CAST(CASE WHEN (CASE WHEN p1 IS NOT NULL THEN 1000000 ELSE 0 END
+              + CASE WHEN p2 IS NOT NULL THEN 3000000 ELSE 0 END) > 0
+    THEN round(CAST(coalesce(1000000 * p1, 0)
+                  + coalesce(3000000 * p2, 0) AS DOUBLE)
+             / CAST(CASE WHEN p1 IS NOT NULL THEN 1000000 ELSE 0 END
+                  + CASE WHEN p2 IS NOT NULL THEN 3000000 ELSE 0 END
+               AS DOUBLE))
+  END AS BIGINT) AS blend_micro
+FROM e LEFT JOIN ap USING (event_id) LEFT JOIN bp USING (event_id)
+"""
+
+ANALYTICS_QUERIES["rank_blend_scores"] = (
+    q_rank_blend_scores,
+    SQL_RANK_BLEND_SCORES,
+)
+
+
 def q_auc_by_slice(spark: SparkSession, sf: str) -> DataFrame:
     """Per-slice AUC (operators/evalmetrics.py:roc_auc_by_group):
     does `value` separate purchases WITHIN each day-of-month slice — the

@@ -265,3 +265,94 @@ def test_threshold_sweep_excludes_nan_null_and_validates(spark):
     assert not math.isnan(out["tp"])
     with _pytest.raises(ValueError):
         threshold_sweep(df, "score", "label", [])
+
+
+def test_midrank_normalize_known_values(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        midrank_normalize,
+    )
+
+    # values 10,20,20,30: midrank pct = (2C+c+1)/(2n)
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0)], "id long, s double"
+    )
+    got = {
+        r["id"]: r["pct_micro"]
+        for r in midrank_normalize(df, "s").collect()
+    }
+    assert got[1] == round((0 + 1) / 8 * 1e6)            # 125000
+    assert got[2] == got[3] == round((2 + 2) / 8 * 1e6)  # 500000
+    assert got[4] == round((6 + 1) / 8 * 1e6)            # 875000
+
+
+def test_midrank_normalize_null_nan_pct_null(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        midrank_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, float("nan"))], "id long, s double"
+    )
+    got = {
+        r["id"]: r["pct_micro"]
+        for r in midrank_normalize(df, "s").collect()
+    }
+    assert got[2] is None and got[3] is None
+    assert got[1] == 500_000  # single valid value sits at the midpoint
+
+
+def test_blend_scores_weighting_and_coverage_gap(spark):
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        blend_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 1.0, 10.0),
+            (2, 2.0, 20.0),
+            (3, 3.0, None),   # scorer b missing: blend = pct_a alone
+            (4, None, None),  # all missing: NULL
+        ],
+        "id long, a double, b double",
+    )
+    got = {
+        r["id"]: r["blend_micro"]
+        for r in blend_scores(df, {"a": 1_000_000, "b": 3_000_000}).collect()
+    }
+    # pct_a over {1,2,3}: 1->1/6, 2->3/6, 3->5/6 ; pct_b over {10,20}: 1/4, 3/4
+    pa = {1: round(1e6 / 6), 2: 500_000, 3: round(5e6 * 1.0 / 6)}
+    pb = {1: 250_000, 2: 750_000}
+    assert got[1] == round((1 * pa[1] + 3 * pb[1]) / 4)
+    assert got[2] == round((1 * pa[2] + 3 * pb[2]) / 4)
+    assert got[3] == pa[3]  # b's weight excluded, not zeroed
+    assert got[4] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blend_scores(df, {})
+    with _pytest.raises(ValueError):
+        blend_scores(df, {"a": -1})
+
+
+def test_midrank_fuzz_vs_naive(spark):
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        midrank_normalize,
+    )
+
+    rnd = random.Random(31)
+    vals = [float(rnd.randint(0, 40)) for _ in range(300)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, s double"
+    )
+    got = {
+        r["id"]: r["pct_micro"]
+        for r in midrank_normalize(df, "s", n_buckets=8).collect()
+    }
+    n = len(vals)
+    for i, v in enumerate(vals):
+        below = sum(1 for x in vals if x < v)
+        ties = sum(1 for x in vals if x == v)
+        want = round((2 * below + ties) / (2 * n) * 1_000_000)
+        assert got[i] == want, (i, v)
