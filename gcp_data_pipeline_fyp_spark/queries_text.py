@@ -4634,6 +4634,100 @@ TEXT_QUERIES["length_match_sample"] = (
 )
 
 
+# -------------------------------------- blend -> adaptive floor
+def q_blend_floor_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The DEPLOY-prescribed composition, certified: two heterogeneous
+    quality signals (n_chars and type-token ratio) midrank-blended
+    1:1 (operators/evalmetrics.py:blend_scores), then the per-language
+    adaptive p25 floor applied to the BLEND
+    (operators/filters.py:adaptive_threshold_filter, exact mode on
+    integer micro scores — quarters of integers interpolate exactly
+    on both engines). Emits (lang, kept, n_docs, threshold_q4)."""
+    from gcp_data_pipeline_fyp_spark.functions.text import tokens
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        blend_scores,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.filters import (
+        adaptive_group_thresholds,
+        adaptive_threshold_filter,
+    )
+
+    d = _docs(spark, sf)
+    toks = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("s_len"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double")
+        ).alias("s_ttr"),
+    )
+    blended = blend_scores(
+        scored, {"s_len": 1_000_000, "s_ttr": 1_000_000}
+    )
+    th = adaptive_group_thresholds(blended, ["lang"], "blend_micro", q=0.25)
+    kept = adaptive_threshold_filter(blended, ["lang"], "blend_micro", q=0.25)
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("kept"))
+        .join(th.select("lang", "n", "threshold"), "lang")
+        .select(
+            "lang",
+            "kept",
+            F.col("n").alias("n_docs"),
+            (F.col("threshold") * 4).cast("bigint").alias("threshold_q4"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BLEND_FLOOR_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS s1,
+    CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE)
+      / CAST(len({_SQL_TOKS}) AS DOUBLE) AS s2
+  FROM documents),
+a AS (SELECT doc_id, s1 FROM base WHERE s1 IS NOT NULL AND NOT isnan(s1)),
+ar AS (SELECT doc_id, rank() OVER (ORDER BY s1) AS rk,
+        count(*) OVER (PARTITION BY s1) AS c, count(*) OVER () AS n FROM a),
+ap AS (SELECT doc_id,
+  {micro6_sql("CAST(2 * (rk - 1) + c AS DOUBLE) / CAST(2 * n AS DOUBLE)")}
+    AS p1 FROM ar),
+b AS (SELECT doc_id, s2 FROM base WHERE s2 IS NOT NULL AND NOT isnan(s2)),
+br AS (SELECT doc_id, rank() OVER (ORDER BY s2) AS rk,
+        count(*) OVER (PARTITION BY s2) AS c, count(*) OVER () AS n FROM b),
+bp AS (SELECT doc_id,
+  {micro6_sql("CAST(2 * (rk - 1) + c AS DOUBLE) / CAST(2 * n AS DOUBLE)")}
+    AS p2 FROM br),
+bl AS (
+  SELECT base.doc_id, base.lang,
+    CASE WHEN (CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END
+             + CASE WHEN p2 IS NOT NULL THEN 1 ELSE 0 END) > 0
+      THEN CAST(round(CAST(coalesce(1000000 * p1, 0)
+                         + coalesce(1000000 * p2, 0) AS DOUBLE)
+           / CAST((CASE WHEN p1 IS NOT NULL THEN 1000000 ELSE 0 END
+                 + CASE WHEN p2 IS NOT NULL THEN 1000000 ELSE 0 END)
+             AS DOUBLE)) AS BIGINT)
+    END AS blend_micro
+  FROM base LEFT JOIN ap USING (doc_id) LEFT JOIN bp USING (doc_id)),
+th AS (
+  SELECT lang, count(*) AS n_docs,
+    quantile_cont(CAST(blend_micro AS DOUBLE), 0.25) AS t
+  FROM bl WHERE blend_micro IS NOT NULL GROUP BY lang)
+SELECT bl.lang,
+  CAST(count(*) AS BIGINT) AS kept,
+  CAST(max(n_docs) AS BIGINT) AS n_docs,
+  CAST(max(t) * 4 AS BIGINT) AS threshold_q4
+FROM bl JOIN th ON bl.lang = th.lang
+WHERE CAST(bl.blend_micro AS DOUBLE) >= th.t
+GROUP BY bl.lang
+ORDER BY bl.lang
+"""
+
+TEXT_QUERIES["blend_floor_docs"] = (q_blend_floor_docs, SQL_BLEND_FLOOR_DOCS)
+
+
 # ------------------------------------------ canonical-doc election
 def q_quality_canonical_docs(spark: SparkSession, sf: str) -> DataFrame:
     """One representative per near-dup cluster (operators/dedup.py:
