@@ -719,6 +719,105 @@ def topk_overlap_report(
     )
 
 
+def ndcg_report(
+    truth: DataFrame,
+    candidate: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "corpus_id",
+    score_col: str = "cosine_micro",
+    k: int = 5,
+) -> DataFrame:
+    """nDCG@k of an approximate top-k against ground truth — the third
+    standard retrieval metric next to `topk_overlap_report`'s
+    recall/MRR: recall ignores ORDER inside the list, MRR sees only
+    the #1; nDCG grades every position. Graded relevance is linear by
+    truth rank (rel = k - truth_rank + 1, 0 for ids outside the truth
+    top-k); DCG = sum rel_i / log2(i+1) over candidate positions.
+
+    Determinism across engines: the per-position discounts
+    1/log2(i+1) are PLAN CONSTANTS computed once in Python and
+    embedded as double literals (engine-native log2/ln differ by ulps
+    between JVM and C, which micro rounding can amplify at
+    boundaries), each position's term rounds to integer micros
+    independently (order-independent integer sums; per-term error
+    <= 0.5e-6, immaterial for an eval metric), and IDCG comes from a
+    Python-precomputed prefix table keyed on n_truth. Output:
+    (query_col, n_truth, dcg_micro, idcg_micro, ndcg_micro). Both
+    lists re-rank internally by (score desc, id); inputs are
+    |queries| x k rows — every join tiny at any corpus scale.
+    """
+    import math
+
+    from gcp_data_pipeline_fyp_spark.queries_util import micro6
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+    def _half_up(x: float) -> int:
+        return math.floor(x + 0.5)
+
+    idcg_prefix = {}
+    acc = 0
+    for m in range(1, k + 1):
+        acc += _half_up((k - m + 1) * disc[m - 1] * 1_000_000)
+        idcg_prefix[m] = acc
+
+    wt = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    t = (
+        truth.select(query_col, id_col, score_col)
+        .withColumn("__rk_t", F.row_number().over(wt))
+        .filter(F.col("__rk_t") <= k)
+    )
+    c = (
+        candidate.select(query_col, id_col, score_col)
+        .withColumn("__rk_c", F.row_number().over(wt))
+        .filter(F.col("__rk_c") <= k)
+    )
+    joined = c.join(
+        t.select(
+            query_col, id_col, (F.lit(k) - F.col("__rk_t") + 1).alias("__rel")
+        ),
+        [query_col, id_col],
+        "left",
+    ).withColumn("__rel", F.coalesce("__rel", F.lit(0)))
+    term = None
+    for i, d in enumerate(disc, start=1):
+        val = F.round(
+            F.col("__rel").cast("double") * F.lit(d) * F.lit(1_000_000.0)
+        ).cast("long")
+        term = (
+            F.when(F.col("__rk_c") == i, val)
+            if term is None
+            else term.when(F.col("__rk_c") == i, val)
+        )
+    dcg = joined.groupBy(query_col).agg(F.sum(term).alias("dcg_micro"))
+    base = t.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_truth"))
+    idcg = None
+    for m, v in idcg_prefix.items():
+        idcg = (
+            F.when(F.col("n_truth") == m, F.lit(v).cast("long"))
+            if idcg is None
+            else idcg.when(F.col("n_truth") == m, F.lit(v).cast("long"))
+        )
+    return (
+        base.join(dcg, [query_col], "left")
+        .select(
+            query_col,
+            "n_truth",
+            F.coalesce("dcg_micro", F.lit(0).cast("long")).alias("dcg_micro"),
+            idcg.alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg_micro",
+            micro6(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double")
+            ),
+        )
+    )
+
+
 # ------------------------------------------- index-drift retrain trigger
 def ivf_retrain_decision(
     base: DataFrame,

@@ -1128,6 +1128,79 @@ ORDER BY base.query_id
 """
 
 
+def _sql_ndcg_eval(truth_sql: str, cand_sql: str, k: int = 5) -> str:
+    """Compose two certified rankings into the nDCG@k report SQL —
+    discounts and the IDCG prefix table are the SAME Python-computed
+    literals the operator embeds (operators/similarity.py:
+    ndcg_report), so both engines multiply identical doubles and sum
+    identical integers."""
+    import math
+
+    disc = [1.0 / math.log2(i + 1) for i in range(1, k + 1)]
+
+    def _half_up(x: float) -> int:
+        return math.floor(x + 0.5)
+
+    idcg_prefix = {}
+    acc = 0
+    for m in range(1, k + 1):
+        acc += _half_up((k - m + 1) * disc[m - 1] * 1_000_000)
+        idcg_prefix[m] = acc
+    d_case = " ".join(f"WHEN {i} THEN {disc[i - 1]!r}" for i in range(1, k + 1))
+    i_case = " ".join(f"WHEN {m} THEN {v}" for m, v in idcg_prefix.items())
+    return f"""
+WITH t0 AS (SELECT * FROM ({truth_sql}) x),
+c0_ AS (SELECT * FROM ({cand_sql}) y),
+t AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM t0),
+c AS (
+  SELECT query_id, corpus_id,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cosine_micro DESC, corpus_id) AS rk
+  FROM c0_),
+tk AS (SELECT * FROM t WHERE rk <= {k}),
+ck AS (SELECT * FROM c WHERE rk <= {k}),
+j AS (
+  SELECT ck.query_id, ck.rk,
+    coalesce({k} + 1 - tk.rk, 0) AS rel
+  FROM ck LEFT JOIN tk ON tk.query_id = ck.query_id
+                      AND tk.corpus_id = ck.corpus_id),
+dcg AS (
+  SELECT query_id,
+    CAST(sum(CAST(round(CAST(rel AS DOUBLE)
+      * (CASE rk {d_case} END) * 1000000.0) AS BIGINT)) AS BIGINT)
+      AS dcg_micro
+  FROM j GROUP BY 1),
+base AS (SELECT query_id, count(*) AS n_truth FROM tk GROUP BY 1)
+SELECT base.query_id,
+  CAST(n_truth AS BIGINT) AS n_truth,
+  CAST(coalesce(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+  CAST(CASE n_truth {i_case} END AS BIGINT) AS idcg_micro,
+  CAST(round((CAST(coalesce(dcg_micro, 0) AS DOUBLE)
+    / CAST(CASE n_truth {i_case} END AS DOUBLE)) * 1000000.0) AS BIGINT)
+    AS ndcg_micro
+FROM base LEFT JOIN dcg ON dcg.query_id = base.query_id
+ORDER BY base.query_id
+"""
+
+
+def q_ann_ivf_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """nDCG@5 of the IVF coarse index against brute-force ground truth
+    (operators/similarity.py:ndcg_report) — position-graded ranking
+    quality for the production pruning path, completing the metric
+    triple (recall, MRR, nDCG) every approximate family ships."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        ndcg_report,
+    )
+
+    truth = q_ann_cosine_topk(spark, sf)
+    cand = q_ann_ivf_topk(spark, sf)
+    return ndcg_report(truth, cand, k=5).orderBy("query_id")
+
+
 # --------------------- quantized-family recall evals vs brute (r9)
 def q_ann_pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     """Recall/MRR of the PQ/ADC top-k against brute-force ground truth
@@ -1173,6 +1246,13 @@ SQL_ANN_IVFPQ_RECALL_EVAL = _sql_topk_eval(
 VECTOR_QUERIES["ann_ivfpq_recall_eval"] = (
     q_ann_ivfpq_recall_eval,
     SQL_ANN_IVFPQ_RECALL_EVAL,
+)
+
+SQL_ANN_IVF_NDCG_EVAL = _sql_ndcg_eval(SQL_ANN_COSINE_TOPK, SQL_ANN_IVF_TOPK)
+
+VECTOR_QUERIES["ann_ivf_ndcg_eval"] = (
+    q_ann_ivf_ndcg_eval,
+    SQL_ANN_IVF_NDCG_EVAL,
 )
 
 

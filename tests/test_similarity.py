@@ -1190,3 +1190,65 @@ def test_jl_project_empty_and_explicit_dim(spark):
     )
     out = jl_project(df, "embedding", out_dim=2, seed=3, in_dim=4).first()
     assert len(out["embedding"]) == 2
+
+
+def test_ndcg_report_perfect_and_graded(spark):
+    """Candidate == truth -> nDCG exactly 1e6 per query; a candidate
+    with the truth's top-2 swapped scores strictly between the
+    reversed list and 1.0; a fully disjoint candidate scores 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import ndcg_report
+
+    truth = spark.createDataFrame(
+        [(1, 10 + i, 1_000_000 - i * 1000) for i in range(5)],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    # perfect
+    perfect = ndcg_report(truth, truth, k=5).first()
+    assert perfect["ndcg_micro"] == 1_000_000
+    assert perfect["dcg_micro"] == perfect["idcg_micro"]
+    # swap positions 1 and 2 in the candidate via scores
+    swapped = spark.createDataFrame(
+        [
+            (1, 11, 1_000_000),
+            (1, 10, 999_000),
+            (1, 12, 998_000),
+            (1, 13, 997_000),
+            (1, 14, 996_000),
+        ],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    s = ndcg_report(truth, swapped, k=5).first()
+    assert 0 < s["ndcg_micro"] < 1_000_000
+    # swapping adjacent top-2: DCG loses (5-4)*(1 - 1/log2(3)) weight
+    want = (
+        sum(
+            round((5 - i) * (1.0 / math.log2(i + 2)) * 1e6)
+            for i in range(5)
+        )
+    )
+    assert s["idcg_micro"] == want
+    # disjoint candidate
+    disjoint = truth.select(
+        "query_id",
+        (F.col("corpus_id") + 1000).alias("corpus_id"),
+        "cosine_micro",
+    )
+    d = ndcg_report(truth, disjoint, k=5).first()
+    assert d["dcg_micro"] == 0 and d["ndcg_micro"] == 0
+
+
+def test_ndcg_report_short_truth_uses_prefix_idcg(spark):
+    from gcp_data_pipeline_fyp_spark.operators.similarity import ndcg_report
+
+    truth = spark.createDataFrame(
+        [(1, 10, 1_000_000), (1, 11, 900_000)],
+        "query_id long, corpus_id long, cosine_micro long",
+    )
+    r = ndcg_report(truth, truth, k=5).first()
+    # n_truth=2 -> IDCG over the first 2 positions only; self-eval = 1.0
+    assert r["n_truth"] == 2
+    assert r["ndcg_micro"] == 1_000_000
