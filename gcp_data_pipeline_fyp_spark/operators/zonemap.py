@@ -200,6 +200,53 @@ def read_pruned(
     return df
 
 
+def dynamic_pruned_join(
+    wh: Warehouse,
+    table: str,
+    join_col: str,
+    build: DataFrame,
+    build_key: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Dynamic file pruning: the BUILD side's key bounds, computed at
+    plan-build time (one tiny aggregate + a bounded 1-row collect),
+    prune the probe TABLE's files through its zone map BEFORE any
+    parquet footer opens, then the exact equi join runs on the
+    surviving files — the Delta/Databricks "dynamic file pruning"
+    technique, composed from the engine's certified zonemap + join
+    pieces. When the probe table is range-laid-out on the join column
+    and the build side is selective, the scan itself shrinks by the
+    build side's key-range coverage — a layer BELOW the Bloom join's
+    row-level pruning (files never read vs rows dropped post-scan).
+
+    Only `inner` and `left_semi` are accepted: pruning drops probe
+    rows outside [min(build_key), max(build_key)], which is
+    result-invariant exactly for joins where unmatched probe rows
+    don't survive. An empty or all-NULL build side yields the typed
+    empty result (nothing can equi-match NULL). Result is row-equal
+    to the plain join (pruning is bounds-conservative; rows inside
+    the bounds that don't match still die in the exact join).
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            "dynamic_pruned_join supports inner and left_semi only — "
+            "pruning discards probe rows that an outer join would keep"
+        )
+    bounds = build.agg(
+        F.min(F.col(build_key)).alias("lo"), F.max(F.col(build_key)).alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is None:
+        probe = wh.read(table).limit(0)
+    else:
+        probe = read_pruned(wh, table, {join_col: (lo, hi)})
+    b = build.select(F.col(build_key).alias("__dpj_bk"))
+    if how == "left_semi":
+        b = b.distinct()
+    out = probe.join(b, probe[join_col] == F.col("__dpj_bk"), how)
+    return out.drop("__dpj_bk") if how == "inner" else out
+
+
 # ----------------------------------------- equality skipping (bucket index)
 def build_bucket_index(
     wh: Warehouse, table: str, col: str, n_buckets: int = 4096

@@ -1246,6 +1246,66 @@ MISC_QUERIES["zonemap_pruned_scan"] = (
 )
 
 
+def q_dynamic_pruned_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Dynamic file pruning end-to-end (operators/zonemap.py:
+    dynamic_pruned_join): events range-laid-out on user_id, a
+    selective build side covering a 15%-of-domain key band, and the
+    build side's MEASURED key bounds pruning the probe's files
+    through the zone map before the semi join. Bounds are domain
+    fractions (floored, same arithmetic in the oracle) so the probe
+    is non-trivial at every sf; the result is row-equal to the plain
+    semi join = the band filter. pytest separately pins that files
+    were actually skipped and that outer joins are rejected."""
+    import math
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        dynamic_pruned_join,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    ev = load(spark, sf, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    wh = Warehouse(spark, scratch_dir(spark, "dpj", sf))
+    wh.overwrite_range_layout(ev, "EVJ", ["user_id"], n_files=16)
+    build_zonemap(wh, "EVJ", ["user_id"])
+    d = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo = math.floor(d[0] + 0.30 * (d[1] - d[0]))
+    hi = math.floor(d[0] + 0.45 * (d[1] - d[0]))
+    build = (
+        ev.filter(F.col("user_id").between(lo, hi))
+        .select("user_id")
+        .distinct()
+    )
+    out = dynamic_pruned_join(
+        wh, "EVJ", "user_id", build, "user_id", how="left_semi"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
+SQL_DYNAMIC_PRUNED_JOIN = """
+WITH d AS (SELECT min(user_id) AS lo0, max(user_id) AS hi0 FROM events),
+b AS (SELECT CAST(floor(lo0 + 0.30 * (hi0 - lo0)) AS BIGINT) AS lo,
+             CAST(floor(lo0 + 0.45 * (hi0 - lo0)) AS BIGINT) AS hi FROM d)
+SELECT event_type, count(*) AS n,
+  cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+FROM events, b
+WHERE user_id BETWEEN b.lo AND b.hi
+GROUP BY event_type
+"""
+
+MISC_QUERIES["dynamic_pruned_join"] = (
+    q_dynamic_pruned_join,
+    SQL_DYNAMIC_PRUNED_JOIN,
+)
+
+
 def q_zonemap_zorder_box_scan(spark: SparkSession, sf: str) -> DataFrame:
     """2-D data skipping end-to-end: Z-order layout (sources/tables.py:
     zorder_value — bit-interleaved Morton key) + zone map answering a

@@ -205,3 +205,62 @@ def test_compact_rebuilds_zonemap(spark, wh):
     # an impossible interval prunes the single compacted file
     f2, _ = prune_files(wh, "EV", {"value": (1e15, 2e15)})
     assert f2 == []
+
+
+def test_dynamic_pruned_join_equals_plain_and_skips_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        dynamic_pruned_join,
+        prune_files,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    probe = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("tag")
+    )
+    wh.overwrite_range_layout(probe, "P", ["k"], n_files=8)
+    build_zonemap(wh, "P", ["k"])
+    # build side: a narrow band plus keys absent from the probe
+    build = spark.createDataFrame(
+        [(300,), (301,), (450,), (9999999,), (None,)], "bk: bigint"
+    )
+    got = dynamic_pruned_join(wh, "P", "k", build, "bk", how="left_semi")
+    want = probe.join(
+        build.select(F.col("bk")).distinct(),
+        probe["k"] == F.col("bk"),
+        "left_semi",
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    ) == [300, 301, 450]
+    # the zone map must actually skip files for the narrow band
+    files, total = prune_files(wh, "P", {"k": (300, 450)})
+    assert total == 8 and len(files) < total
+    # inner join multiplies per duplicate build rows, like the plain join
+    dup = spark.createDataFrame([(300,), (300,)], "bk: bigint")
+    inner = dynamic_pruned_join(wh, "P", "k", dup, "bk", how="inner")
+    assert [r["k"] for r in inner.collect()] == [300, 300]
+
+
+def test_dynamic_pruned_join_guards(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        build_zonemap,
+        dynamic_pruned_join,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    probe = spark.range(0, 100).select(F.col("id").alias("k"))
+    wh.overwrite_range_layout(probe, "P", ["k"], n_files=4)
+    build_zonemap(wh, "P", ["k"])
+    empty = spark.createDataFrame([(None,)], "bk: bigint")
+    out = dynamic_pruned_join(wh, "P", "k", empty, "bk", how="left_semi")
+    assert out.count() == 0  # all-NULL build -> typed empty
+    with _pytest.raises(ValueError, match="inner and left_semi"):
+        dynamic_pruned_join(wh, "P", "k", empty, "bk", how="left")
