@@ -154,6 +154,16 @@ HEADLINE = [
     # (BM25 chain + brute cosine + integer RRF windows in one plan)
     "bloom_decontaminate",
     "rrf_hybrid_search",
+    # round-10 session 3: ensemble blending (two midrank passes +
+    # value-keyed rejoins over 10^5 events — the heaviest new shape),
+    # the blend -> adaptive-floor composition over documents, nDCG
+    # eval (brute + IVF + graded report in one plan), and dynamic
+    # file pruning (range layout write + zonemap build + bounds +
+    # pruned semi join, all timed)
+    "rank_blend_scores",
+    "blend_floor_docs",
+    "ann_ivf_ndcg_eval",
+    "dynamic_pruned_join",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
