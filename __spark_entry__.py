@@ -33,13 +33,13 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-10 WINDOW, composition (9 + 6 + 6 + 2 + 27 = 50), in priority
+# ROUND-10 WINDOW, composition (10 + 6 + 6 + 2 + 26 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
 #   0. the 8 r10 births (bloom_decontaminate, adaptive_floor_sketch,
 #      rrf_hybrid_search, threshold_sweep, length_match_sample,
 #      rank_blend_scores, blend_floor_docs, ann_ivf_ndcg_eval,
-#      dynamic_pruned_join);
+#      dynamic_pruned_join, length_match_by_lang);
 #   1. the 6 probes whose code or oracle changed this round (bloom
 #      join type-cast fix + persist removal; MMR per-round checkpoint;
 #      classifier_auc oracle NaN/degenerate guards; host cap adaptive
@@ -49,9 +49,9 @@ _REGISTRIES = [
 #      r9 ask #1);
 #   3. the 2 probes whose code changed in r9 with driver rows still
 #      r8 (minhash_recall_eval, bitext_margin_pairs);
-#   4. the first 27 of the 50 r05-evidence rows, alphabetical
-#      (ann_pq_topk .. lsh_recall_report); the remaining 23
-#      (numeric_profile .. wow_growth) head the r11 window.
+#   4. the first 26 of the 50 r05-evidence rows, alphabetical
+#      (ann_pq_topk .. interval_attribution); the remaining 24
+#      (lsh_recall_report .. wow_growth) head the r11 window.
 _CHECK_FIRST = [
     # -- 0. new this round (r10)
     "bloom_decontaminate",
@@ -63,6 +63,7 @@ _CHECK_FIRST = [
     "blend_floor_docs",
     "ann_ivf_ndcg_eval",
     "dynamic_pruned_join",
+    "length_match_by_lang",
     # -- 1. code/oracle changed this round
     "bloom_semi_revenue",
     "bloom_anti_customers",
@@ -80,7 +81,7 @@ _CHECK_FIRST = [
     # -- 3. r9 code-changes whose driver rows are r8
     "minhash_recall_eval",
     "bitext_margin_pairs",
-    # -- 4. r05-evidence tail, alphabetical (27 of 50)
+    # -- 4. r05-evidence tail, alphabetical (26 of 50)
     "ann_pq_topk",
     "ann_sq8_topk",
     "bigram_logprob_score",
@@ -107,10 +108,10 @@ _CHECK_FIRST = [
     "hard_negatives",
     "heavy_hitter_tokens",
     "interval_attribution",
-    "lsh_recall_report",
     # next round (r11), in priority order: (0) any new r11 probes;
-    # (1) anything red in r10; (2) the remaining 23 r05-evidence rows
-    # (numeric_profile, outlier_events, pack_sequences, pagerank_sim_graph,
+    # (1) anything red in r10; (2) the remaining 24 r05-evidence rows
+    # (lsh_recall_report, numeric_profile, outlier_events,
+    # pack_sequences, pagerank_sim_graph,
     # quality_classifier_scores, quantile_rollup, repetition_metrics,
     # resample_ffill, retention_cohorts, rfm_segments, rolling_anomaly,
     # rollup_incremental, schema_contract, ship_lag_by_priority,

@@ -569,3 +569,134 @@ def distribution_match_sample(
         joined.filter(hash_bucket(key_cols, seed) < F.col("rate_micro"))
         .drop("__mb", "rate_micro")
     )
+
+
+def distribution_match_rates_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    bucket_col: str,
+    reference: DataFrame,
+    ref_bucket_col: str | None = None,
+) -> DataFrame:
+    """Per-GROUP distribution matching: every group (language, source)
+    matches its own reference slice independently — the shape a
+    multilingual reshaping job actually needs (matching the GLOBAL
+    length profile lets an over-long language hide inside an
+    under-long one; per-group, each slice is reshaped against its own
+    target). Same exact-integer rate algebra as
+    `distribution_match_rates`, with the argmin (the scarcest
+    reference-relative bucket, kept whole) computed PER GROUP.
+
+    Returns (group_cols..., bucket, n_src, n_ref, rate_micro).
+    Aggregations are (|groups| x |buckets|)-sized; the argmin table is
+    |groups| rows and broadcasts. Groups absent from the reference
+    rate 0 everywhere (dropped — same contract as ref-absent buckets).
+    NULL group keys and NULL buckets are real slices (null-safe
+    joins throughout).
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty; use distribution_match_rates"
+        )
+    rb = ref_bucket_col or bucket_col
+    g = list(group_cols)
+    src = df.groupBy(
+        *[F.col(c) for c in g], F.col(bucket_col).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_src"))
+    ref = reference.groupBy(
+        *[F.col(c).alias(f"__rg_{c}") for c in g], F.col(rb).alias("__rb")
+    ).agg(F.count(F.lit(1)).alias("n_ref"))
+    cond = F.col("bucket").eqNullSafe(F.col("__rb"))
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__rg_{c}"))
+    both = src.join(ref, cond, "left").drop(
+        "__rb", *[f"__rg_{c}" for c in g]
+    )
+    present = both.filter(F.col("n_ref").isNotNull() & (F.col("n_ref") > 0))
+    argmin = (
+        present.groupBy(*g)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("n_src").alias("s_m"), F.col("n_ref").alias("r_m")
+                ),
+                F.struct(
+                    (
+                        F.col("n_src").cast("double")
+                        / F.col("n_ref").cast("double")
+                    ).alias("ratio"),
+                    F.col("bucket"),
+                ),
+            ).alias("__m")
+        )
+        .select(
+            *[F.col(c).alias(f"__mg_{c}") for c in g],
+            F.col("__m.s_m").alias("n_src_m"),
+            F.col("__m.r_m").alias("n_ref_m"),
+        )
+    )
+    mcond = None
+    for c in g:
+        term = F.col(c).eqNullSafe(F.col(f"__mg_{c}"))
+        mcond = term if mcond is None else mcond & term
+    d14 = "decimal(14,0)"
+    with_m = (
+        both.join(F.broadcast(argmin), mcond, "left")
+        .withColumn(
+            "__num",
+            F.lit(1_000_000).cast("decimal(7,0)")
+            * F.col("n_src_m").cast(d14)
+            * F.col("n_ref").cast(d14),
+        )
+        .withColumn(
+            "__den", F.col("n_ref_m").cast(d14) * F.col("n_src").cast(d14)
+        )
+    )
+    rate = F.expr("__num div __den")
+    return with_m.select(
+        *g,
+        "bucket",
+        "n_src",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.when(
+            F.col("n_ref").isNull()
+            | (F.col("n_ref") <= 0)
+            | F.col("n_src_m").isNull(),
+            F.lit(0),
+        )
+        .otherwise(F.least(F.lit(1_000_000).cast("long"), rate))
+        .alias("rate_micro"),
+    )
+
+
+def distribution_match_sample_by_group(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    bucket_col: str,
+    reference: DataFrame,
+    ref_bucket_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group largest proportional subsample — rates from
+    `distribution_match_rates_by_group`, membership by the module's
+    hash rule. The rate table is (|groups| x |buckets|) rows —
+    broadcast join, one corpus scan, no corpus shuffle."""
+    rates = distribution_match_rates_by_group(
+        df, group_cols, bucket_col, reference, ref_bucket_col
+    )
+    g = list(group_cols)
+    r = F.broadcast(
+        rates.select(
+            *[F.col(c).alias(f"__mg_{c}") for c in g],
+            F.col("bucket").alias("__mb"),
+            "rate_micro",
+        )
+    )
+    cond = F.col(bucket_col).eqNullSafe(F.col("__mb"))
+    for c in g:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__mg_{c}"))
+    joined = df.join(r, cond, "inner")
+    return joined.filter(
+        hash_bucket(key_cols, seed) < F.col("rate_micro")
+    ).drop("__mb", "rate_micro", *[f"__mg_{c}" for c in g])

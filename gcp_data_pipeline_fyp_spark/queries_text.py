@@ -4634,6 +4634,84 @@ TEXT_QUERIES["length_match_sample"] = (
 )
 
 
+def q_length_match_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-GROUP distribution matching (operators/sampling.py:
+    distribution_match_rates_by_group/_sample_by_group): each language
+    reshapes its length-bucket profile against its OWN slice of the
+    skewed reference — the multilingual form of length_match_sample,
+    with the argmin bucket computed per language. Emits the per-
+    (lang, bucket) rate table plus kept counts."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates_by_group,
+        distribution_match_sample_by_group,
+    )
+
+    d = _docs(spark, sf).filter(F.col("n_chars").isNotNull())
+    src = d.withColumn("bucket", F.floor(F.col("n_chars") / 200))
+    ref = d.filter(
+        (F.col("doc_id") % 7 < 3) & (F.col("n_chars") >= 300)
+    ).withColumn("bucket", F.floor(F.col("n_chars") / 200))
+    rates = distribution_match_rates_by_group(src, ["lang"], "bucket", ref)
+    kept = distribution_match_sample_by_group(
+        src, ["doc_id"], ["lang"], "bucket", ref, seed=9
+    )
+    kc = kept.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("kept"))
+    return (
+        rates.join(kc, ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            "n_src",
+            "n_ref",
+            "rate_micro",
+            F.coalesce("kept", F.lit(0)).alias("kept"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+SQL_LENGTH_MATCH_BY_LANG = f"""
+WITH d AS (SELECT doc_id, lang, n_chars,
+        CAST(floor(n_chars / 200) AS BIGINT) AS bucket
+      FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT lang, bucket, count(*) AS n_ref FROM d
+      WHERE doc_id % 7 < 3 AND n_chars >= 300 GROUP BY lang, bucket),
+s AS (SELECT lang, bucket, count(*) AS n_src FROM d GROUP BY lang, bucket),
+b AS (SELECT s.lang, s.bucket, s.n_src, r.n_ref
+      FROM s LEFT JOIN r ON r.lang = s.lang AND r.bucket = s.bucket),
+m AS (SELECT lang, n_src AS s_m, n_ref AS r_m FROM (
+        SELECT lang, n_src, n_ref,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC, bucket ASC) AS rk
+        FROM b WHERE n_ref IS NOT NULL AND n_ref > 0) x
+      WHERE rk = 1),
+rates AS (SELECT b.lang, b.bucket, b.n_src,
+    coalesce(b.n_ref, 0) AS n_ref,
+    CASE WHEN b.n_ref IS NULL OR b.n_ref <= 0 OR m.s_m IS NULL THEN 0
+         ELSE least(1000000,
+           (1000000::HUGEINT * m.s_m * b.n_ref) // (m.r_m * b.n_src)) END
+      AS rate_micro
+  FROM b LEFT JOIN m ON m.lang = b.lang),
+kept AS (SELECT d.lang, d.bucket, count(*) AS kept
+  FROM d JOIN rates ON rates.lang = d.lang AND rates.bucket = d.bucket
+  WHERE {_HB9} < rates.rate_micro
+  GROUP BY d.lang, d.bucket)
+SELECT rates.lang, rates.bucket,
+  CAST(n_src AS BIGINT) AS n_src,
+  CAST(n_ref AS BIGINT) AS n_ref,
+  CAST(rate_micro AS BIGINT) AS rate_micro,
+  CAST(coalesce(kept.kept, 0) AS BIGINT) AS kept
+FROM rates LEFT JOIN kept ON kept.lang = rates.lang
+                         AND kept.bucket = rates.bucket
+ORDER BY rates.lang, rates.bucket
+"""
+
+TEXT_QUERIES["length_match_by_lang"] = (
+    q_length_match_by_lang,
+    SQL_LENGTH_MATCH_BY_LANG,
+)
+
+
 # -------------------------------------- blend -> adaptive floor
 def q_blend_floor_docs(spark: SparkSession, sf: str) -> DataFrame:
     """The DEPLOY-prescribed composition, certified: two heterogeneous

@@ -3401,3 +3401,54 @@ def test_distribution_match_null_bucket_is_real_slice(spark):
         for r in distribution_match_rates(src, "bucket", ref).collect()
     }
     assert rates[None] == 1_000_000 and rates[1] == 1_000_000
+
+
+def test_distribution_match_by_group_independent_slices(spark):
+    """Per-group matching: each group's argmin/rates are computed on
+    its OWN slice — a group with a perfectly matching reference keeps
+    everything, a group absent from the reference drops everything,
+    and a skewed group reshapes independently."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates_by_group,
+        distribution_match_sample_by_group,
+    )
+
+    src = spark.createDataFrame(
+        # g=en: 300 in bucket 0, 100 in bucket 1; g=de: 100/100; g=xx: 50
+        [(i, "en", 0) for i in range(300)]
+        + [(300 + i, "en", 1) for i in range(100)]
+        + [(1000 + i, "de", 0) for i in range(100)]
+        + [(1100 + i, "de", 1) for i in range(100)]
+        + [(2000 + i, "xx", 0) for i in range(50)],
+        "doc_id long, g string, bucket long",
+    )
+    ref = spark.createDataFrame(
+        # en target 1:1 ; de target already matches (1:1); nothing for xx
+        [(i, "en", i % 2) for i in range(100)]
+        + [(500 + i, "de", i % 2) for i in range(60)],
+        "rid long, g string, bucket long",
+    )
+    rates = {
+        (r["g"], r["bucket"]): r["rate_micro"]
+        for r in distribution_match_rates_by_group(
+            src, ["g"], "bucket", ref
+        ).collect()
+    }
+    # en: scarcest bucket is 1 (100 src / 50 ref); bucket 0 keeps
+    # (100*50)/(50*300) = 1/3
+    assert rates[("en", 1)] == 1_000_000
+    assert rates[("en", 0)] == (1_000_000 * 100 * 50) // (50 * 300)
+    # de matches already: both buckets kept whole
+    assert rates[("de", 0)] == rates[("de", 1)] == 1_000_000
+    # xx absent from reference: dropped
+    assert rates[("xx", 0)] == 0
+    kept = distribution_match_sample_by_group(
+        src, ["doc_id"], ["g"], "bucket", ref, seed=4
+    )
+    from collections import Counter
+
+    got = Counter((r["g"], r["bucket"]) for r in kept.collect())
+    assert got[("de", 0)] == 100 and got[("de", 1)] == 100
+    assert got.get(("xx", 0), 0) == 0
+    assert got[("en", 1)] == 100
+    assert abs(got[("en", 0)] - 100) <= 30  # 300 * 1/3, md5-rule noise
