@@ -36,7 +36,7 @@ _REGISTRIES = [
 # ROUND-10 WINDOW, composition (10 + 6 + 6 + 2 + 26 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
-#   0. the 8 r10 births (bloom_decontaminate, adaptive_floor_sketch,
+#   0. the 10 r10 births (bloom_decontaminate, adaptive_floor_sketch,
 #      rrf_hybrid_search, threshold_sweep, length_match_sample,
 #      rank_blend_scores, blend_floor_docs, ann_ivf_ndcg_eval,
 #      dynamic_pruned_join, length_match_by_lang);

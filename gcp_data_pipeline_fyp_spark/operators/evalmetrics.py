@@ -388,6 +388,11 @@ def midrank_normalize(
     Exact integers until the single micro6 division. NULL/NaN scores
     -> NULL pct (excluded from n, the roc_auc row universe).
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in df — the value "
+            "rejoin would make it ambiguous; drop/rename it first"
+        )
     v = F.col(score_col).cast("double")
     valid = df.filter(F.col(score_col).isNotNull() & ~F.isnan(v))
     vc = valid.groupBy(v.alias("__v")).agg(F.count(F.lit(1)).alias("__c"))
@@ -444,6 +449,20 @@ def midrank_normalize(
     )
 
 
+def _check_blend_args(
+    df: DataFrame, weights_micro: dict[str, int], out_col: str
+) -> None:
+    if not weights_micro:
+        raise ValueError("weights_micro must be non-empty")
+    if any(int(w) < 0 for w in weights_micro.values()):
+        raise ValueError("weights_micro must be non-negative")
+    if out_col in df.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in df — drop/rename "
+            "it first (the blend join would make it ambiguous)"
+        )
+
+
 def blend_scores(
     df: DataFrame,
     weights_micro: dict[str, int],
@@ -458,13 +477,165 @@ def blend_scores(
     (their weight is excluded), so one scorer's coverage gap doesn't
     zero a document's blended quality.
 
-    Cost: one distinct-value pass + one value-keyed join per scorer
-    (midrank_normalize), then pure column math.
+    Single fused pass, cost independent of the scorer count N (the
+    sequential twin below pays N corpus scans + N corpus rejoins):
+
+    1. ONE corpus aggregation onto the distinct scorer-value VECTOR
+       (groupBy over the N cast-double columns, carrying the vector's
+       multiplicity) — the only corpus-sized shuffle besides step 4;
+    2. melt the |vectors| frame (explode, N x |vectors| rows) and
+       re-aggregate per (scorer, value) with multiplicity weights —
+       exactly midrank_normalize's per-scorer (value, count) table,
+       all N of them from the one scan;
+    3. grouped two-level bucket midrank (the roc_auc discipline,
+       windows PARTITIONED BY scorer — parallel across scorers,
+       never a global row sort), then the per-vector weighted blend,
+       still |vectors|-sized;
+    4. ONE corpus rejoin on the vector key (null-safe equality per
+       column; Spark's NaN-equals-NaN join semantics make NaN rows
+       land on their own vector).
+
+    Blend math is bit-identical to the sequential form: same
+    (value, count) tables => same micro6 pcts, same round(num/den).
+    Values compare as CAST DOUBLES everywhere (so two raw longs that
+    collapse to one double collapse in both forms). Certified against
+    the sequential twin by differential test (test_evalmetrics) and
+    against ANSI SQL by the rank_blend_scores / blend_floor_docs
+    probes.
     """
-    if not weights_micro:
-        raise ValueError("weights_micro must be non-empty")
-    if any(int(w) < 0 for w in weights_micro.values()):
-        raise ValueError("weights_micro must be non-negative")
+    _check_blend_args(df, weights_micro, out_col)
+    scorers = list(weights_micro)
+    vcols = [f"__bv_{i}" for i in range(len(scorers))]
+    vecs = df.groupBy(
+        *[F.col(c).cast("double").alias(v) for c, v in zip(scorers, vcols)]
+    ).agg(F.count(F.lit(1)).alias("__vn"))
+    melted = vecs.select(
+        *vcols,
+        "__vn",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("__sc"),
+                        F.col(v).alias("__v"),
+                        F.lit(int(weights_micro[c]))
+                        .cast("long")
+                        .alias("__w"),
+                    )
+                    for i, (c, v) in enumerate(zip(scorers, vcols))
+                ]
+            )
+        ).alias("__m"),
+    ).select(*vcols, "__vn", "__m.__sc", "__m.__v", "__m.__w")
+    valid = F.col("__v").isNotNull() & ~F.isnan(F.col("__v"))
+    vc = (
+        melted.filter(valid)
+        .groupBy("__sc", "__v")
+        .agg(F.sum("__vn").alias("__c"))
+    )
+
+    mm = vc.groupBy("__sc").agg(
+        F.min("__v").alias("__vmin"), F.max("__v").alias("__vmax")
+    )
+    span = F.col("__vmax") - F.col("__vmin")
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("__v") - F.col("__vmin")) / span * n_buckets),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = vc.join(F.broadcast(mm), "__sc").select(
+        "__sc", "__v", "__c", bucket.alias("__b")
+    )
+    w_intra = (
+        Window.partitionBy("__sc", "__b")
+        .orderBy(F.col("__v").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    intra = F.coalesce(F.sum("__c").over(w_intra), F.lit(0))
+    totals = bucketed.groupBy("__sc", "__b").agg(F.sum("__c").alias("__bt"))
+    w_bucket = (
+        Window.partitionBy("__sc")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__sc",
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    n_tot = vc.groupBy("__sc").agg(F.sum("__c").alias("__n"))
+    ranked = (
+        bucketed.join(F.broadcast(offsets), ["__sc", "__b"])
+        .join(F.broadcast(n_tot), "__sc")
+        .select(
+            "__sc",
+            "__v",
+            micro6(
+                (F.lit(2) * (F.col("__off") + intra) + F.col("__c")).cast(
+                    "double"
+                )
+                / (F.lit(2) * F.col("__n")).cast("double")
+            ).alias("__pct"),
+        )
+    )
+
+    pv = melted.join(
+        ranked,
+        (melted["__sc"] == ranked["__sc"]) & (melted["__v"] == ranked["__v"]),
+        "left",
+    ).select(
+        *[melted[v] for v in vcols], melted["__vn"], melted["__w"], "__pct"
+    )
+    blendtab = pv.groupBy(*vcols).agg(
+        F.sum(
+            F.coalesce(
+                F.when(
+                    F.col("__pct").isNotNull(), F.col("__w") * F.col("__pct")
+                ),
+                F.lit(0).cast("long"),
+            )
+        ).alias("__num"),
+        F.sum(
+            F.coalesce(
+                F.when(F.col("__pct").isNotNull(), F.col("__w")),
+                F.lit(0).cast("long"),
+            )
+        ).alias("__den"),
+    )
+    cond = None
+    for c, v in zip(scorers, vcols):
+        term = df[c].cast("double").eqNullSafe(blendtab[v])
+        cond = term if cond is None else cond & term
+    blend = F.when(
+        F.col("__den") > 0,
+        F.round(
+            F.col("__num").cast("double") / F.col("__den").cast("double")
+        ).cast("bigint"),
+    )
+    # plain (not broadcast) join: blendtab is |distinct vectors| rows —
+    # bounded by the corpus, not by anything small
+    return df.join(blendtab, cond, "left").select(
+        *[df[c] for c in df.columns], blend.alias(out_col)
+    )
+
+
+def blend_scores_sequential(
+    df: DataFrame,
+    weights_micro: dict[str, int],
+    out_col: str = "blend_micro",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Reference form of `blend_scores`: one midrank_normalize pass
+    (distinct-collapse + corpus rejoin) PER scorer — N corpus scans.
+    Kept as the fused form's differential-test twin; prefer
+    `blend_scores` everywhere else."""
+    _check_blend_args(df, weights_micro, out_col)
     out = df
     pct_cols = {}
     for i, col in enumerate(weights_micro):

@@ -165,6 +165,8 @@ def rrf_fuse(
     k0: int = 60,
     weights_micro: dict[str, int] | None = None,
     topk: int | None = None,
+    unbounded_ok: bool = False,
+    unpartitioned_cap: int = 2_000_000,
 ) -> DataFrame:
     """Reciprocal rank fusion of retrieval outputs.
 
@@ -192,6 +194,15 @@ def rrf_fuse(
     pool-sized; per-query partitioning keeps the windows parallel. k0
     = 60 is the paper's constant; weights default to 1_000_000 (=1.0)
     per system.
+
+    Misuse guard: with EMPTY `query_cols` the per-system rank is ONE
+    window partition — a single reducer sorting the whole input. That
+    is exactly right for a single query's k-sized candidate list and
+    exactly wrong for a corpus, so each system is size-checked with a
+    cheap early-stop count (`limit(cap+1).count()`) and the call
+    raises past `unpartitioned_cap` rows. Pass `query_cols` (the
+    partitioned path has no cap and no check), or `unbounded_ok=True`
+    to assert the input is bounded by construction.
     """
     if not systems:
         raise ValueError("rrf_fuse requires at least one system")
@@ -205,6 +216,16 @@ def rrf_fuse(
     weights_micro = weights_micro or {}
     if any(int(w) < 0 for w in weights_micro.values()):
         raise ValueError("weights_micro must be non-negative")
+    if not qcols and not unbounded_ok:
+        for name, frame, _ in systems:
+            if frame.limit(unpartitioned_cap + 1).count() > unpartitioned_cap:
+                raise ValueError(
+                    f"rrf_fuse: system {name!r} exceeds "
+                    f"{unpartitioned_cap} rows with no query_cols — the "
+                    "unpartitioned rank window would sort it on one "
+                    "reducer; pass query_cols, or unbounded_ok=True if "
+                    "the input is bounded by construction"
+                )
     parts = []
     for name, frame, score_col in systems:
         w_micro = int(weights_micro.get(name, 1_000_000))

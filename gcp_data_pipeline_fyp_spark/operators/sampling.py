@@ -490,10 +490,12 @@ def distribution_match_rates(
     # null-safe: a NULL bucket is a real slice on BOTH sides (the
     # adaptive-filter convention; a plain equi-join would zero-rate
     # every NULL-bucket row even when the reference holds them).
-    # Tie-break nit: if the NULL bucket ties another bucket EXACTLY on
-    # the double ratio, Spark's min_by sorts NULL first while SQL
-    # ORDER BY defaults NULLS LAST — certify with non-NULL buckets or
-    # pin the oracle's NULLS ordering if that corner ever matters.
+    # Tie-break contract (tested: test_sampling NULL-tie case): equal
+    # double ratios resolve to the smallest NON-NULL bucket; the NULL
+    # bucket wins a tie only against nothing (it sorts last, matching
+    # SQL's default NULLS LAST — the explicit isNull discriminator
+    # below pins this, since bare struct ordering would sort the NULL
+    # field FIRST in Spark and diverge from the oracle).
     both = src.join(
         ref, F.col("bucket").eqNullSafe(F.col("__rb")), "left"
     ).drop("__rb")
@@ -507,6 +509,7 @@ def distribution_match_rates(
                 (F.col("n_src").cast("double") / F.col("n_ref").cast("double")).alias(
                     "ratio"
                 ),
+                F.col("bucket").isNull().alias("bnull"),
                 F.col("bucket"),
             ),
         ).alias("__m")
@@ -625,6 +628,7 @@ def distribution_match_rates_by_group(
                         F.col("n_src").cast("double")
                         / F.col("n_ref").cast("double")
                     ).alias("ratio"),
+                    F.col("bucket").isNull().alias("bnull"),
                     F.col("bucket"),
                 ),
             ).alias("__m")

@@ -13,10 +13,15 @@ the same design as Delta Lake / Iceberg data skipping:
   row per data file — row count plus min/max/null-count per column —
   under `<table>/_zonemap`. Underscore-prefixed, so root readers
   never see it as data (same convention as the `_v{N}` snapshots).
-- `read_pruned` evaluates interval predicates against the map,
-  collects the SURVIVING file list (driver-side, one small row per
-  file — exactly what Delta's log replay does), and reads only those
-  files. The predicate is re-applied to the rows, so pruning is
+- `read_pruned` evaluates interval predicates against the map IN
+  EXECUTORS (the map is a DataFrame; the census joins it
+  distributed), and the driver collects only the SURVIVING path list
+  — the minimum the reader needs. At a 1e6-file table the driver
+  never holds per-file stat rows, just |survivors| strings (plus the
+  os.walk census, which a real object store would replace with a
+  listing API; see tools/scale_probe.py's inflated-census row in
+  BASELINE.md).
+  The predicate is re-applied to the rows, so pruning is
   purely an I/O optimization and the result is byte-equal to a full
   scan + filter regardless of layout or map staleness.
 - Staleness is handled conservatively: data files NOT present in the
@@ -117,11 +122,22 @@ def refresh_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> int:
     if not os.path.exists(zp):
         build_zonemap(wh, table, cols)
         return len(_data_files(wh, table))
-    mapped = {
-        _norm(r[_FILE])
-        for r in wh.spark.read.format(wh.fmt).load(zp).select(_FILE).collect()
-    }
-    new = [f for f in _data_files(wh, table) if _norm(f) not in mapped]
+    # mapped files never need to reach the driver: census anti-join
+    # the map's path column and collect only the NEW paths
+    census = wh.spark.createDataFrame(
+        [(f,) for f in _data_files(wh, table)], f"{_FILE} string"
+    ).select(F.col(_FILE), _norm_expr(F.col(_FILE)).alias("__path"))
+    mapped = (
+        wh.spark.read.format(wh.fmt)
+        .load(zp)
+        .select(_norm_expr(F.col(_FILE)).alias("__path"))
+    )
+    new = sorted(
+        r[_FILE]
+        for r in census.join(mapped, "__path", "left_anti")
+        .select(_FILE)
+        .collect()
+    )
     if not new:
         return 0
     _stats_for_files(wh, table, new, cols).coalesce(1).write.mode(
@@ -139,6 +155,39 @@ def _norm(path: str) -> str:
     if ":" in path.split("/", 1)[0]:
         path = path.split(":", 1)[1]
     return "/" + path.lstrip("/")
+
+
+def _norm_expr(col) -> "F.Column":
+    """Spark-side mirror of `_norm` (scheme strip + single leading
+    slash) — keeps path comparison distributed."""
+    stripped = F.regexp_replace(col, r"^[A-Za-z][A-Za-z0-9+.\-]*:", "")
+    return F.concat(F.lit("/"), F.regexp_replace(stripped, r"^/+", ""))
+
+
+def _surviving_files(
+    wh: Warehouse, files: Sequence[str], verdicts: DataFrame
+) -> list[str]:
+    """Distributed census-vs-verdict merge: `verdicts` is one row per
+    MAPPED file (`_FILE` URI, boolean `__keep`); unmapped census files
+    always survive (conservative). Only the SURVIVING path list is
+    ever collected — at a 1e6-file table the driver holds
+    |survivors| strings, not |files| stat rows; the verdict
+    evaluation itself runs in executors."""
+    census = wh.spark.createDataFrame(
+        [(f,) for f in files], f"{_FILE} string"
+    ).select(_norm_expr(F.col(_FILE)).alias("__path"), F.col(_FILE))
+    v = verdicts.select(
+        _norm_expr(F.col(_FILE)).alias("__path"), F.col("__keep")
+    )
+    # duplicate map entries for one file (concurrent refresh) merge
+    # conservatively: keep if ANY entry keeps
+    v = v.groupBy("__path").agg(F.max("__keep").alias("__keep"))
+    kept = (
+        census.join(v, "__path", "left")
+        .filter(F.coalesce(F.col("__keep"), F.lit(True)))
+        .select(_FILE)
+    )
+    return sorted(r[_FILE] for r in kept.collect())
 
 
 def prune_files(
@@ -167,13 +216,8 @@ def prune_files(
             cond = cond & (F.col(f"{c}__max") >= F.lit(lo))
         if hi is not None:
             cond = cond & (F.col(f"{c}__min") <= F.lit(hi))
-    rows = zm.select(_FILE, cond.alias("__keep")).collect()
-    mapped = {_norm(r[_FILE]) for r in rows}
-    surviving = {_norm(r[_FILE]) for r in rows if r["__keep"]}
-    out = [
-        f for f in files if _norm(f) not in mapped or _norm(f) in surviving
-    ]
-    return out, len(files)
+    verdicts = zm.select(_FILE, cond.alias("__keep"))
+    return _surviving_files(wh, files, verdicts), len(files)
 
 
 def read_pruned(
@@ -232,6 +276,11 @@ def dynamic_pruned_join(
             "dynamic_pruned_join supports inner and left_semi only — "
             "pruning discards probe rows that an outer join would keep"
         )
+    # pin ONE materialization: the bounds collect and the join below
+    # would otherwise evaluate `build` twice — a nondeterministic /
+    # re-sampled build side could yield bounds that prune files whose
+    # rows the second evaluation then tries to match
+    build = build.localCheckpoint(eager=True)
     bounds = build.agg(
         F.min(F.col(build_key)).alias("lo"), F.max(F.col(build_key)).alias("hi")
     ).first()
@@ -298,22 +347,17 @@ def read_point_lookup(
         probe_buckets = {
             _bucket_of(v, n_buckets) for v in values
         }
-        rows = (
+        verdicts = (
             wh.spark.read.format(wh.fmt)
             .load(ixp)
             .groupBy(_FILE)
             .agg(
                 F.max(
                     F.col("bucket").isin(*probe_buckets)
-                ).alias("__hit")
+                ).alias("__keep")
             )
-            .collect()
         )
-        mapped = {_norm(r[_FILE]) for r in rows}
-        hit = {_norm(r[_FILE]) for r in rows if r["__hit"]}
-        files = [
-            f for f in files if _norm(f) not in mapped or _norm(f) in hit
-        ]
+        files = _surviving_files(wh, files, verdicts)
     if files:
         df = (
             wh.spark.read.format(wh.fmt)

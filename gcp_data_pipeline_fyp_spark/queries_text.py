@@ -927,6 +927,7 @@ def q_rrf_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
         id_cols=["doc_id"],
         k0=60,
         topk=10,
+        unbounded_ok=True,  # both inputs are top-20 by construction
     )
     return fused.select("doc_id", "n_systems", "rrf_nano", "rrf_rank")
 
@@ -982,6 +983,117 @@ FROM rk WHERE rrf_rank <= 10
 
 
 TEXT_QUERIES["rrf_hybrid_search"] = (q_rrf_hybrid_search, _sql_rrf_hybrid())
+
+
+def q_hybrid_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """The full hybrid retrieval pipeline as ONE certified composition
+    (DEPLOY's prescribed shape, no longer three separately-certified
+    stages): BM25 top-20 + dense top-20 -> reciprocal-rank fusion
+    (operators/rerank.py::rrf_fuse, top-10 pool) -> greedy MMR
+    diversity re-rank (mmr_rerank, lambda=0.7, k=5) with the dense
+    query-cosine as the relevance term. Every stage stays in the
+    exact integer micro/nano domain, so the 5-round greedy argmax and
+    both input rankings replay bit-for-bit in the oracle."""
+    from gcp_data_pipeline_fyp_spark.operators.rerank import (
+        mmr_rerank,
+        rrf_fuse,
+    )
+    from gcp_data_pipeline_fyp_spark.operators.search import bm25_topk
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    d = _docs(spark, sf)
+    lex = bm25_topk(d, "doc_id", "text", ["spark", "table", "join"], k=20)
+    e = load(spark, sf, "embeddings", spread=True)
+    qv = e.filter(F.col("vec_id") == 0)
+    corp = e.filter(F.col("vec_id") > 0)
+    vec = brute_force_topk(qv, corp, "vec_id", "embedding", k=20).select(
+        F.col("corpus_id").alias("doc_id"), "cosine_micro"
+    )
+    fused = rrf_fuse(
+        [("lex", lex, "score"), ("vec", vec, "cosine_micro")],
+        id_cols=["doc_id"],
+        k0=60,
+        topk=10,
+        unbounded_ok=True,  # both inputs are top-20 by construction
+    )
+    pool_vecs = corp.join(
+        F.broadcast(fused.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+        "left_semi",
+    )
+    cand = brute_force_topk(qv, pool_vecs, "vec_id", "embedding", k=10)
+    mmr = mmr_rerank(
+        cand, pool_vecs, "vec_id", "embedding", k=5, lambda_micro=700_000
+    )
+    return mmr.join(
+        fused, mmr["corpus_id"] == fused["doc_id"]
+    ).select("doc_id", "mmr_rank", "cosine_micro", "rrf_nano", "rrf_rank")
+
+
+def _sql_hybrid_rerank(k: int = 5, lambda_micro: int = 700_000) -> str:
+    """The rrf_hybrid oracle's WITH chain extended with the pool
+    cosine relevance, the pool pairwise-similarity matrix, and the
+    k-round unrolled greedy MMR (the _mmr_sql pattern, single
+    implicit query)."""
+    from gcp_data_pipeline_fyp_spark.queries_vectors import (
+        _pair_cos_sql,
+    )
+
+    base = _sql_rrf_hybrid().strip()
+    assert base.endswith("FROM rk WHERE rrf_rank <= 10")
+    chain = base[: base.rindex("SELECT doc_id")]
+    lam, inv = lambda_micro, 1_000_000 - lambda_micro
+    parts = [
+        chain.rstrip().rstrip(",")
+        + f""",
+pool AS (SELECT doc_id, rrf_nano, CAST(rrf_rank AS INT) AS rrf_rank
+         FROM rk WHERE rrf_rank <= 10),
+cand AS (SELECT corpus_id AS doc_id, {_MICRO_COS_T} AS cos_m
+         FROM pairs JOIN pool ON pairs.corpus_id = pool.doc_id),
+pv AS (SELECT c.corpus_id, c.cv FROM c JOIN pool ON c.corpus_id = pool.doc_id),
+csim AS (
+  SELECT a.corpus_id AS ca, b.corpus_id AS cb,
+    CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
+      AS sim_m
+  FROM pv a JOIN pv b ON a.corpus_id <> b.corpus_id),
+sel1 AS (
+  SELECT doc_id, cos_m, 1 AS mmr_rank FROM (
+    SELECT *, row_number() OVER (ORDER BY cos_m DESC, doc_id) AS rn
+    FROM cand) WHERE rn = 1),
+selall1 AS (SELECT * FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f""",
+rem{r} AS (
+  SELECT cand.* FROM cand WHERE NOT EXISTS (
+    SELECT 1 FROM selall{r-1} s WHERE s.doc_id = cand.doc_id)),
+sc{r} AS (
+  SELECT r.doc_id, r.cos_m, max(sim_m) AS msim
+  FROM rem{r} r
+  JOIN selall{r-1} s ON TRUE
+  JOIN csim ON ca = r.doc_id AND cb = s.doc_id
+  GROUP BY 1, 2),
+sel{r} AS (
+  SELECT doc_id, cos_m, {r} AS mmr_rank FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY ({lam} * cos_m - {inv} * msim) DESC, doc_id) AS rn
+    FROM sc{r}) WHERE rn = 1),
+selall{r} AS (SELECT * FROM selall{r-1} UNION ALL SELECT * FROM sel{r})""")
+    parts.append(f"""
+SELECT s.doc_id, CAST(s.mmr_rank AS INT) AS mmr_rank,
+       s.cos_m AS cosine_micro, pool.rrf_nano, pool.rrf_rank
+FROM selall{k} s JOIN pool USING (doc_id)""")
+    return "".join(parts)
+
+
+_MICRO_COS_T = "CAST(round((cosine) * 1000000.0) AS BIGINT)"
+
+TEXT_QUERIES["hybrid_rerank_topk"] = (
+    q_hybrid_rerank_topk,
+    _sql_hybrid_rerank(),
+)
 
 
 # ------------------------------------------------- TF-IDF top terms
@@ -4609,13 +4721,14 @@ s AS (SELECT bucket, count(*) AS n_src FROM d GROUP BY bucket),
 b AS (SELECT s.bucket, s.n_src, r.n_ref FROM s LEFT JOIN r USING (bucket)),
 m AS (SELECT n_src AS s_m, n_ref AS r_m FROM b
       WHERE n_ref IS NOT NULL AND n_ref > 0
-      ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC, bucket ASC LIMIT 1),
+      ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC,
+               (bucket IS NULL) ASC, bucket ASC LIMIT 1),
 rates AS (SELECT bucket, n_src, coalesce(n_ref, 0) AS n_ref,
-    CASE WHEN n_ref IS NULL OR n_ref <= 0 THEN 0
+    CASE WHEN n_ref IS NULL OR n_ref <= 0 OR m.s_m IS NULL THEN 0
          ELSE least(1000000,
            (1000000::HUGEINT * m.s_m * n_ref) // (m.r_m * n_src)) END
       AS rate_micro
-  FROM b, m),
+  FROM b LEFT JOIN m ON TRUE),
 kept AS (SELECT d.bucket, count(*) AS kept
   FROM d JOIN rates USING (bucket)
   WHERE {_HB9} < rates.rate_micro
@@ -4682,7 +4795,8 @@ b AS (SELECT s.lang, s.bucket, s.n_src, r.n_ref
 m AS (SELECT lang, n_src AS s_m, n_ref AS r_m FROM (
         SELECT lang, n_src, n_ref,
           row_number() OVER (PARTITION BY lang
-            ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC, bucket ASC) AS rk
+            ORDER BY CAST(n_src AS DOUBLE) / n_ref ASC,
+                     (bucket IS NULL) ASC, bucket ASC) AS rk
         FROM b WHERE n_ref IS NOT NULL AND n_ref > 0) x
       WHERE rk = 1),
 rates AS (SELECT b.lang, b.bucket, b.n_src,

@@ -334,6 +334,50 @@ def test_blend_scores_weighting_and_coverage_gap(spark):
         blend_scores(df, {"a": -1})
 
 
+def test_blend_scores_fused_vs_sequential_differential(spark):
+    """The fused single-pass blend is bit-identical to the sequential
+    N-midrank-pass form on a fixture with NULLs, NaNs, heavy ties,
+    duplicate rows, an int scorer, and a zero weight."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
+        blend_scores,
+        blend_scores_sequential,
+    )
+
+    rnd = random.Random(47)
+    rows = []
+    for i in range(500):
+        a = rnd.choice([None, float("nan")] + [float(x) for x in range(8)])
+        b = rnd.choice([None] + [float(x) / 3 for x in range(20)])
+        c = rnd.choice([None] + list(range(5)))  # int scorer
+        rows.append((i % 400, a, b, c))  # i%400 -> duplicate rows exist
+    df = spark.createDataFrame(
+        rows, "id long, a double, b double, c long"
+    )
+    w = {"a": 1_000_000, "b": 3_000_000, "c": 0}
+    # stringify: Python nan != nan would fail the comparison on keys
+    key = lambda r: tuple(  # noqa: E731
+        str(r[c]) for c in ("id", "a", "b", "c")
+    )
+    got = sorted(
+        ((key(r), r["blend_micro"]) for r in blend_scores(df, w).collect()),
+        key=lambda t: (str(t[0]),),
+    )
+    want = sorted(
+        (
+            (key(r), r["blend_micro"])
+            for r in blend_scores_sequential(df, w).collect()
+        ),
+        key=lambda t: (str(t[0]),),
+    )
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        blend_scores(df.withColumn("blend_micro", F.lit(1)), w)
+
+
 def test_midrank_fuzz_vs_naive(spark):
     import random
 

@@ -3403,6 +3403,72 @@ def test_distribution_match_null_bucket_is_real_slice(spark):
     assert rates[None] == 1_000_000 and rates[1] == 1_000_000
 
 
+def test_distribution_match_argmin_null_tie_break(spark):
+    """The argmin tie-break is a pinned contract: on an EXACT double-
+    ratio tie the smallest NON-NULL bucket wins (NULL sorts last —
+    matching SQL's default NULLS LAST; Spark's bare struct ordering
+    would sort the NULL field first, which is why the operator carries
+    an explicit isNull discriminator). Two layers:
+
+    1. the ordering primitive itself, differentially vs DuckDB's
+       `ORDER BY ratio, (bucket IS NULL), bucket LIMIT 1`;
+    2. the operator on a tied fixture — where the pick is provably
+       output-invariant (floor(k*a / k*b) == floor(a/b): a tied-ratio
+       argmin scales num and den by the same factor), asserted so the
+       invariance that makes layer 1 the only observable stays true.
+    """
+    import duckdb
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_rates,
+    )
+
+    rows = [(2.0, None, 4, 2), (2.0, 5, 2, 1), (3.0, 1, 9, 3)]
+    df = spark.createDataFrame(
+        rows, "ratio double, bucket int, n_src long, n_ref long"
+    )
+    pick = df.agg(
+        F.min_by(
+            F.col("bucket"),
+            F.struct(
+                F.col("ratio"),
+                F.col("bucket").isNull().alias("bnull"),
+                F.col("bucket"),
+            ),
+        ).alias("b")
+    ).first()["b"]
+    sql_pick = duckdb.sql(
+        "SELECT bucket FROM (VALUES (2.0, NULL), (2.0, 5), (3.0, 1))"
+        " t(ratio, bucket)"
+        " ORDER BY ratio, (bucket IS NULL), bucket LIMIT 1"
+    ).fetchone()[0]
+    assert pick == sql_pick == 5
+
+    # operator level: NULL bucket (4 src / 2 ref) ties bucket 5
+    # (2 src / 1 ref) at ratio 2.0 exactly -> identical rate table
+    # whichever the engine picks (both argmins are kept whole, and
+    # every other bucket's integral quotient is scale-invariant)
+    src = spark.createDataFrame(
+        [(i, None) for i in range(4)]
+        + [(10 + i, 5) for i in range(2)]
+        + [(20 + i, 7) for i in range(9)],
+        "doc_id long, bucket long",
+    )
+    ref = spark.createDataFrame(
+        [(i, None) for i in range(2)]
+        + [(10 + i, 5) for i in range(1)]
+        + [(20 + i, 7) for i in range(3)],
+        "rid long, bucket long",
+    )
+    rates = {
+        r["bucket"]: r["rate_micro"]
+        for r in distribution_match_rates(src, "bucket", ref).collect()
+    }
+    # bucket 7 ratio 3.0 > 2.0; rate = floor(1e6 * s_m * 3 / (r_m * 9))
+    # = 666666 for (s_m, r_m) = (2, 1) AND (4, 2)
+    assert rates == {None: 1_000_000, 5: 1_000_000, 7: 666_666}
+
+
 def test_distribution_match_by_group_independent_slices(spark):
     """Per-group matching: each group's argmin/rates are computed on
     its OWN slice — a group with a perfectly matching reference keeps

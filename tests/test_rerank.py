@@ -158,3 +158,20 @@ def test_rrf_validation(spark):
         rrf_fuse([("a", a, "score")], ["doc_id"], k0=0)
     with pytest.raises(ValueError):
         rrf_fuse([("a", a, "score")], ["doc_id"], query_cols=["nope"])
+
+
+def test_rrf_unpartitioned_cap_guard(spark):
+    """Empty query_cols = one window partition: inputs past the cap
+    raise (misuse fails loudly); unbounded_ok or query_cols lift it."""
+    a = _rank_df(spark, [(i, float(i)) for i in range(10)])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        rrf_fuse([("a", a, "score")], ["doc_id"], unpartitioned_cap=5)
+    assert (
+        rrf_fuse(
+            [("a", a, "score")],
+            ["doc_id"],
+            unpartitioned_cap=5,
+            unbounded_ok=True,
+        ).count()
+        == 10
+    )
