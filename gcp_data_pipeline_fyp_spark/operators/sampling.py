@@ -484,9 +484,21 @@ def distribution_match_rates(
     src = df.groupBy(F.col(bucket_col).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_src")
     )
-    ref = reference.groupBy(F.col(rb).alias("__rb")).agg(
+    ref = reference.groupBy(F.col(rb).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_ref")
     )
+    return match_rates_from_counts(src, ref)
+
+
+def match_rates_from_counts(src: DataFrame, ref: DataFrame) -> DataFrame:
+    """`distribution_match_rates` from PRE-AGGREGATED counts: `src` is
+    (bucket, n_src), `ref` is (bucket, n_ref) — the mergeable-state
+    entry point (streaming/ingest.py:stream_match_ingest folds a
+    persisted per-bucket count state through this every micro-batch).
+    Same exact integer algebra, NULL-bucket handling, and argmin
+    tie-break contract as the frame-level form, which delegates here.
+    """
+    ref = ref.select(F.col("bucket").alias("__rb"), "n_ref")
     # null-safe: a NULL bucket is a real slice on BOTH sides (the
     # adaptive-filter convention; a plain equi-join would zero-rate
     # every NULL-bucket row even when the reference holds them).

@@ -1411,3 +1411,159 @@ def stream_quality_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_match_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    key_cols: list[str],
+    bucket_col: str,
+    reference: DataFrame,
+    wh: Warehouse,
+    out_table: str,
+    state_table: str,
+    checkpoint_dir: str,
+    ref_bucket_col: str | None = None,
+    seed: int = 0,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming distribution matching: the batch reshaper
+    (operators/sampling.py:distribution_match_sample) as an ingest —
+    each micro-batch folds its per-bucket counts into a persisted
+    SOURCE-PROFILE state (mergeable: plain count sums), derives the
+    current keep rates from (cumulative profile, frozen reference
+    profile) through the exact integer algebra of
+    `match_rates_from_counts`, applies the module's md5 membership
+    rule to the batch's rows, and appends the keepers to `out_table`.
+
+    The reference profile is aggregated ONCE at wiring time and
+    pinned (localCheckpoint) — the target shape is a curated corpus,
+    not a moving stream.
+
+    RATE-DRIFT CAVEAT (inherent, documented not hidden): rates are
+    computed from the profile AS OF each batch, so early batches are
+    sampled under a less-informed profile than late ones — the
+    accumulated `out_table` is NOT bit-equal to re-running the batch
+    reshaper over the full history (that run would sample every row
+    under the FINAL rates). Because membership is the seeded hash
+    rule and rates only ever *reshape* monotone-ish profiles, each
+    row's keep decision is still deterministic given its batch's
+    profile; for an exact retrospective sample, run
+    `distribution_match_sample` over the accumulated raw corpus
+    instead. The nested-sample property holds per bucket between any
+    two batches whose rate moved monotonically (hash rule nesting) —
+    not globally.
+
+    Replay discipline is stream_rollup_ingest's: count sums fold
+    distributively but not idempotently, so (__stream_id,
+    __last_batch_id) ride the state's staging+swap; a replayed batch
+    skips the merge, and the keeper append is separately guarded by a
+    batch_id probe of `out_table` itself (a crash between append and
+    swap re-delivers into a no-op append, never duplicate rows; an
+    all-dropped batch re-appends nothing, harmlessly). A state table
+    from a different checkpoint lineage raises instead of silently
+    double-counting.
+
+    Scale: state is |buckets| rows; rates are |buckets| rows
+    (broadcast join onto the batch); per-batch work is one batch-
+    sized aggregation + one broadcast filter join — no history
+    rescans, nothing corpus-sized shuffles.
+    """
+    import json as _json
+    import os as _os
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        hash_bucket,
+        match_rates_from_counts,
+    )
+
+    rb = ref_bucket_col or bucket_col
+    ref_counts = (
+        reference.groupBy(F.col(rb).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+        .localCheckpoint(eager=True)
+    )
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _stream_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
+    def _batch_seen(table: str, batch_id: int) -> bool:
+        return wh.exists(table) and (
+            wh.read(table)
+            .filter(F.col("__batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sid = _stream_id()
+        bc = batch.groupBy(F.col(bucket_col).alias("bucket")).agg(
+            F.count(F.lit(1)).alias("n_src")
+        )
+        already_merged = False
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"match state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}: batch "
+                    "ids are not comparable across checkpoints. Drop the "
+                    "state table to rebuild it under this checkpoint, or "
+                    "restart from the original checkpoint directory."
+                )
+            already_merged = mark["m"] is not None and batch_id <= mark["m"]
+            if already_merged:
+                merged = prior.select("bucket", "n_src")
+            else:
+                merged = (
+                    prior.select("bucket", "n_src")
+                    .unionByName(bc)
+                    .groupBy("bucket")
+                    .agg(F.sum("n_src").alias("n_src"))
+                )
+        else:
+            merged = bc
+        rates = match_rates_from_counts(merged, ref_counts)
+        r = F.broadcast(
+            rates.select(F.col("bucket").alias("__mb"), "rate_micro")
+        )
+        kept = (
+            batch.join(r, F.col(bucket_col).eqNullSafe(F.col("__mb")), "inner")
+            .filter(hash_bucket(key_cols, seed) < F.col("rate_micro"))
+            .drop("__mb", "rate_micro")
+        )
+        if not _batch_seen(out_table, batch_id):
+            wh.append(
+                kept.withColumn("__batch_id", F.lit(batch_id).cast("long")),
+                out_table,
+            )
+        if not already_merged:
+            staging = f"{state_table}__match_staging"
+            wh.overwrite(
+                merged.withColumn("__stream_id", F.lit(sid)).withColumn(
+                    "__last_batch_id", F.lit(batch_id)
+                ),
+                staging,
+            )
+            wh.swap(staging, state_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

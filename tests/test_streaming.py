@@ -1462,3 +1462,86 @@ def test_stream_quality_monitor_matches_batch_and_replays_safely(
     run()
     assert wh.read("Q_STATE").agg(F.sum("n")).first()[0] == 120
     assert wh.read("Q_REPORT").count() == n_rep
+
+
+def test_stream_match_ingest_reshapes_and_replays_safely(spark, tmp_path):
+    """Streaming distribution matching: the persisted profile state
+    equals the batch groupBy over everything delivered; the LAST
+    batch's keepers equal the batch reshaper run at the full profile
+    (cumulative state == full source there); a from-scratch replay
+    refuses loudly; an original-checkpoint restart appends nothing."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        distribution_match_sample,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_match_ingest,
+    )
+
+    in_dir = tmp_path / "min"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "doc_id long, bucket long"
+    rows1 = [(i, 0) for i in range(40)] + [(100 + i, 1) for i in range(10)]
+    rows2 = [(200 + i, 0) for i in range(20)] + [
+        (300 + i, 1) for i in range(30)
+    ]
+    (in_dir / "f1.csv").write_text(
+        "doc_id,bucket\n" + "\n".join(f"{a},{b}" for a, b in rows1)
+    )
+    (in_dir / "f2.csv").write_text(
+        "doc_id,bucket\n" + "\n".join(f"{a},{b}" for a, b in rows2)
+    )
+    # reference wants 1:1 over buckets 0 and 1
+    ref = spark.createDataFrame(
+        [(i, i % 2) for i in range(20)], "rid long, bucket long"
+    )
+
+    def run(ckpt):
+        q = stream_match_ingest(
+            spark, str(in_dir), schema, ["doc_id"], "bucket", ref,
+            wh, "MATCHED", "MATCH_STATE", str(tmp_path / ckpt),
+            seed=7, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("mckpt")
+
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    # profile state == one-shot batch counts over both files
+    got_state = sorted(
+        (r.bucket, r.n_src)
+        for r in wh.read("MATCH_STATE").select("bucket", "n_src").collect()
+    )
+    assert got_state == [(0, 60), (1, 40)]
+
+    out = wh.read("MATCHED")
+    n_batches = out.select("__batch_id").distinct().count()
+    assert n_batches == 2
+    # last batch's keepers == the batch reshaper at the FULL profile,
+    # restricted to that batch's rows (cumulative state == full there)
+    last = out.filter(F.col("__batch_id") == 1)
+    batch2_ids = {a for a, _ in rows2}
+    expect_full = {
+        r.doc_id
+        for r in distribution_match_sample(
+            full, ["doc_id"], "bucket", ref, seed=7
+        ).collect()
+    }
+    assert {r.doc_id for r in last.collect()} == expect_full & batch2_ids
+    total_rows = out.count()
+
+    # from-scratch replay: new checkpoint renumbers batch ids -> raise
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="not comparable"):
+        run("mckpt2")
+    assert wh.read("MATCHED").count() == total_rows
+
+    # original checkpoint restart: nothing new, no duplicate appends
+    run("mckpt")
+    assert wh.read("MATCHED").count() == total_rows
+    assert sorted(
+        (r.bucket, r.n_src)
+        for r in wh.read("MATCH_STATE").select("bucket", "n_src").collect()
+    ) == got_state
