@@ -33,6 +33,99 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
+# ROUND-11 WINDOW, composition (1 + 9 + 24 + 16 = 50), in priority
+# order — births outrank code-changes outrank re-certs, because a
+# probe with NO driver row is the worst evidence class:
+#   0. the 1 r11 birth (hybrid_rerank_topk — BM25 + dense -> RRF ->
+#      MMR as one certified composition);
+#   1. the 9 probes whose code or oracle changed this round:
+#      rank_blend_scores + blend_floor_docs (fused single-pass
+#      multi-scorer midrank), length_match_sample +
+#      length_match_by_lang (argmin NULL tie-break pin; sample oracle
+#      LEFT JOIN ON TRUE), rrf_hybrid_search (unpartitioned-cap
+#      guard), and the 4 zonemap consumers (zonemap_pruned_scan,
+#      dynamic_pruned_join, zonemap_zorder_box_scan,
+#      bucket_index_lookup — distributed census prune + build-side
+#      localCheckpoint);
+#   2. nothing red in r10 (all 50 green);
+#   3. the 24 r05-evidence rows (lsh_recall_report .. wow_growth —
+#      VERDICT r10 ask #1: after this window the oldest driver
+#      evidence anywhere is r6);
+#   4. the first 16 of the 50 r06-evidence rows, alphabetical
+#      (ann_ivfpq_rerank_topk .. dedup_exact_rows); the remaining 34
+#      head the r12 window — the rotation is now pure steady-state.
+_CHECK_FIRST = [
+    # -- 0. new this round (r11)
+    "hybrid_rerank_topk",
+    # -- 1. code/oracle changed this round
+    "rank_blend_scores",
+    "blend_floor_docs",
+    "length_match_sample",
+    "length_match_by_lang",
+    "rrf_hybrid_search",
+    "zonemap_pruned_scan",
+    "dynamic_pruned_join",
+    "zonemap_zorder_box_scan",
+    "bucket_index_lookup",
+    # -- 3. the r05-evidence tail (VERDICT r10 ask #1)
+    "lsh_recall_report",
+    "numeric_profile",
+    "outlier_events",
+    "pack_sequences",
+    "pagerank_sim_graph",
+    "quality_classifier_scores",
+    "quantile_rollup",
+    "repetition_metrics",
+    "resample_ffill",
+    "retention_cohorts",
+    "rfm_segments",
+    "rolling_anomaly",
+    "rollup_incremental",
+    "schema_contract",
+    "ship_lag_by_priority",
+    "split_leakage_report",
+    "sql_interface",
+    "star_schema_fact",
+    "stratified_sample",
+    "tfidf_top_terms",
+    "token_budget_sample",
+    "train_val_test_split",
+    "unigram_logprob_score",
+    "wow_growth",
+    # -- 4. r06-evidence tail, alphabetical (16 of 50)
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk",
+    "ann_pq_topk_sampled",
+    "anti_join_dedup",
+    "boilerplate_docs",
+    "brand_revenue",
+    "canonical_docs",
+    "clean_text_docs",
+    "corpus_prep",
+    "corpus_prep_full",
+    "cube_type_day",
+    "customer_distribution",
+    "customer_order_stats",
+    "date_dim",
+    "dedup_exact_rows",
+    # next round (r12), in priority order: (0) any new r12 probes;
+    # (1) anything red in r11; (2) the remaining 34 r06-evidence rows
+    # (dedup_exact_stats, dedupe_corpus, dormant_rich_customers,
+    # dup_clusters, event_id_hash, gopher_filter, kcore_docs,
+    # large_orders, mad_outlier_events, merge_upsert,
+    # merge_upsert_partitioned, minhash_lsh_pairs, ods_typed_banding,
+    # order_priority_count, order_value_ranks, paragraph_dedup,
+    # part_metrics_unpivot, place_parse, pricing_summary,
+    # quality_gate_accepted, quality_gate_rejected,
+    # region_nation_revenue, returnflag_correlation, rollup_type_day,
+    # running_customer_spend, sessionize_events, source_capped_sample,
+    # stg_null_coerce, surrogate_keys, surrogate_keys_incremental,
+    # top_revenue_orders, top_suppliers, triangle_counts, tz_convert);
+    # (3) the r07-green tail on rotation, alphabetical.
+]
+
+# ---- retired r10 window (kept for the audit trail) ----------------
 # ROUND-10 WINDOW, composition (10 + 6 + 6 + 2 + 26 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
@@ -52,7 +145,7 @@ _REGISTRIES = [
 #   4. the first 26 of the 50 r05-evidence rows, alphabetical
 #      (ann_pq_topk .. interval_attribution); the remaining 24
 #      (lsh_recall_report .. wow_growth) head the r11 window.
-_CHECK_FIRST = [
+_R10_WINDOW = [
     # -- 0. new this round (r10)
     "bloom_decontaminate",
     "adaptive_floor_sketch",

@@ -164,6 +164,14 @@ HEADLINE = [
     "blend_floor_docs",
     "ann_ivf_ndcg_eval",
     "dynamic_pruned_join",
+    # round-11: the full hybrid pipeline as one timed plan (BM25 +
+    # dense -> RRF pool -> 5-round greedy MMR over the pool) — the
+    # end-to-end composition the three pieces above certify
+    # separately. NOTE: rank_blend_scores / blend_floor_docs re-pin
+    # this round — blend_scores is now the fused single-pass form
+    # (one corpus aggregation onto the scorer-value vector + one
+    # rejoin, N-independent) instead of one midrank pass per scorer.
+    "hybrid_rerank_topk",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
