@@ -987,3 +987,105 @@ def elect_canonical(
         clustered["cluster_id"],
         F.col("n_members"),
     )
+
+
+# ------------------------------------------------ semantic dedup (SemDeDup)
+def semdedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 16,
+    threshold_micro: int = 700_000,
+    refine_iters: int = 1,
+    train_sample_frac: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning — cluster the embedding space, then inside
+    each cluster drop every item whose cosine to an EARLIER-ranked
+    member reaches `threshold_micro`. Exact dedup catches bytes,
+    MinHash catches token overlap; this catches paraphrases and
+    re-encodings that share no surface form at all.
+
+    Determinism contract (the oracle-replayable rendering of the
+    paper's "keep one per duplicate group"): members rank within
+    their cluster by cosine-to-centroid ASC (ties id ASC) — the
+    LOWEST-centroid-similarity member of a duplicate neighborhood is
+    kept, the paper's keep choice — and an item is dropped iff ANY
+    earlier-ranked cluster member (kept or dropped) is a near-dup.
+    This prefix-greedy rule over-drops chains a~b~c where a!~c
+    relative to a connected-components grouping (conservative: MORE
+    pruning, never a kept duplicate pair at the threshold), and in
+    exchange is a single window + one cluster-bounded self-join — no
+    iterative fixpoint, bit-replayable in SQL (`semdedup_docs` probe).
+
+    Clustering is the engine's deterministic IVF fit (smallest-id
+    seeds + decimal-exact Lloyd means — similarity.py:
+    fit_ivf_centroids), so the whole operator is partitioning-
+    invariant. Scale: the pairwise stage is per-cluster O(c^2/2);
+    size `n_centroids ~ n / target_cluster_size` (SemDeDup used 50k
+    clusters for LAION-440M) and fit on `train_sample_frac` — the
+    window and self-join then both key on centroid_id, parallel
+    across clusters, nothing corpus-wide shuffles more than once.
+
+    Returns one row per input: (id_col, centroid_id, sem_rank,
+    cent_cos_micro, keep).
+    """
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        _assign,
+        fit_ivf_centroids,
+    )
+
+    if not (0 <= threshold_micro <= 1_000_000):
+        raise ValueError("threshold_micro must be in [0, 1_000_000]")
+    c = emb.select(
+        F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
+    )
+    cent = fit_ivf_centroids(c, n_centroids, refine_iters, train_sample_frac)
+    assigned = _assign(c, cent)
+    scored = assigned.join(F.broadcast(cent), "centroid_id").select(
+        "corpus_id",
+        "centroid_id",
+        "__cv",
+        micro6(cosine(F.col("__cv"), F.col("__centroid"))).alias(
+            "cent_cos_micro"
+        ),
+    )
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("cent_cos_micro").asc(), F.col("corpus_id").asc()
+    )
+    ranked = scored.withColumn("sem_rank", F.row_number().over(w))
+    a = ranked.select(
+        F.col("corpus_id"),
+        F.col("centroid_id"),
+        F.col("__cv"),
+        F.col("sem_rank"),
+    )
+    b = ranked.select(
+        F.col("corpus_id").alias("__b_id"),
+        F.col("centroid_id").alias("__b_cent"),
+        F.col("__cv").alias("__b_cv"),
+        F.col("sem_rank").alias("__b_rank"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (a["centroid_id"] == b["__b_cent"])
+            & (b["__b_rank"] < a["sem_rank"]),
+        )
+        .filter(
+            micro6(cosine(F.col("__cv"), F.col("__b_cv")))
+            >= F.lit(int(threshold_micro))
+        )
+        .select(F.col("corpus_id").alias("__drop_id"))
+        .distinct()
+    )
+    out = ranked.join(
+        dropped, ranked["corpus_id"] == dropped["__drop_id"], "left"
+    )
+    return out.select(
+        F.col("corpus_id").alias(id_col),
+        "centroid_id",
+        "sem_rank",
+        "cent_cos_micro",
+        F.col("__drop_id").isNull().alias("keep"),
+    )
