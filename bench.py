@@ -172,6 +172,10 @@ HEADLINE = [
     # (one corpus aggregation onto the scorer-value vector + one
     # rejoin, N-independent) instead of one midrank pass per scorer.
     "hybrid_rerank_topk",
+    # round-11 session 2: semantic near-dup pruning (deterministic
+    # IVF fit + cluster-rank window + cluster-bounded pairwise
+    # self-join + the prefix-greedy verdict join, one timed plan)
+    "semdedup_docs",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

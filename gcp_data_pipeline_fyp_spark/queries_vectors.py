@@ -1715,3 +1715,65 @@ FROM selall{k}""")
 SQL_MMR_RERANK_TOPK = _mmr_sql(k=3, n_cand=8, lambda_micro=700_000)
 
 VECTOR_QUERIES["mmr_rerank_topk"] = (q_mmr_rerank_topk, SQL_MMR_RERANK_TOPK)
+
+
+# ------------------------------------------------- semantic dedup (SemDeDup)
+def q_semdedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic near-dup pruning (operators/dedup.py:semdedup — the
+    SemDeDup prefix-greedy variant on the deterministic IVF fit): the
+    embeddings table unioned with exact copies of every 5th vector
+    (shifted ids) so the probe certifies BOTH drop mechanisms — the
+    cos=1.0 duplicates (must drop, their originals rank earlier on
+    the id tie) and the organic same-neighborhood tail at the 0.35
+    threshold. Emits one row per input with cluster, rank, centroid
+    cosine, and the keep verdict; the oracle replays the fit, the
+    rank, and the prefix-greedy EXISTS rule."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    e = _emb(spark, sf)
+    corpus = e.select("vec_id", "embedding").unionByName(
+        e.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+        )
+    )
+    out = semdedup(
+        corpus, "vec_id", "embedding", n_centroids=16,
+        threshold_micro=350_000,
+    )
+    return out.select(
+        "vec_id", "centroid_id", "sem_rank", "cent_cos_micro", "keep"
+    )
+
+
+def _sql_semdedup(threshold_micro: int = 350_000) -> str:
+    corpus_sql = (
+        "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+        " FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 10000, embedding::DOUBLE[]"
+        " FROM embeddings WHERE vec_id % 5 = 0"
+    )
+    return f"""
+WITH {_ivf_ctes(corpus_sql, n_centroids=16)},
+cs AS (
+  SELECT a.corpus_id, a.centroid_id, a.cv,
+    CAST(round(({_pair_cos_sql("a.cv", "i.centroid")}) * 1000000.0) AS BIGINT)
+      AS cent_cos_micro
+  FROM assigned a JOIN cent i USING (centroid_id)),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY centroid_id
+    ORDER BY cent_cos_micro ASC, corpus_id ASC) AS sem_rank
+  FROM cs),
+drp AS (
+  SELECT DISTINCT a.corpus_id FROM rk a JOIN rk b
+  ON a.centroid_id = b.centroid_id AND b.sem_rank < a.sem_rank
+  WHERE CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
+    >= {threshold_micro})
+SELECT rk.corpus_id AS vec_id, CAST(rk.centroid_id AS INT) AS centroid_id,
+  CAST(rk.sem_rank AS INT) AS sem_rank, rk.cent_cos_micro,
+  (drp.corpus_id IS NULL) AS keep
+FROM rk LEFT JOIN drp ON rk.corpus_id = drp.corpus_id
+"""
+
+
+VECTOR_QUERIES["semdedup_docs"] = (q_semdedup_docs, _sql_semdedup())

@@ -3518,3 +3518,82 @@ def test_distribution_match_by_group_independent_slices(spark):
     assert got.get(("xx", 0), 0) == 0
     assert got[("en", 1)] == 100
     assert abs(got[("en", 0)] - 100) <= 30  # 300 * 1/3, md5-rule noise
+
+
+def test_semdedup_matches_naive_and_drops_exact_dups(spark):
+    """semdedup == a NumPy mirror of its own contract (deterministic
+    IVF fit: smallest-id seeds + Lloyd means + max-dot assignment;
+    rank by centroid-cosine asc, id tiebreak; prefix-greedy drop) on
+    seeded random vectors with planted exact duplicates — and every
+    planted duplicate is dropped while its earlier-ranked original
+    survives the pair."""
+    import random
+
+    import numpy as np
+
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    rnd = random.Random(13)
+    dim, n = 4, 30
+    vecs = {i: [rnd.gauss(0, 1) for _ in range(dim)] for i in range(n)}
+    for src, dup in ((3, 100), (7, 101), (12, 102)):
+        vecs[dup] = list(vecs[src])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    thr = 800_000
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["sem_rank"], r["keep"])
+        for r in semdedup(
+            df, "vec_id", "embedding", n_centroids=2, threshold_micro=thr
+        ).collect()
+    }
+
+    # ---- NumPy mirror of the operator's documented contract
+    ids = sorted(vecs)
+    X = {i: np.array(vecs[i], dtype=np.float64) for i in ids}
+    cent = {k + 1: X[ids[k]].copy() for k in range(2)}  # smallest-id seeds
+
+    def assign(cs):
+        out = {}
+        for i in ids:
+            best = max(
+                sorted(cs), key=lambda c: (float(X[i] @ cs[c]), -c)
+            )
+            out[i] = best
+        return out
+
+    asg = assign(cent)  # one refine iteration: assign to seeds, mean
+    cent = {
+        c: np.mean([X[i] for i in ids if asg[i] == c], axis=0)
+        for c in cent
+    }
+    asg = assign(cent)  # final assignment against refined centroids
+
+    def cosm(a, b):
+        return round(
+            float(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b)) * 1e6
+        )
+
+    want = {}
+    for c in cent:
+        members = sorted(
+            (i for i in ids if asg[i] == c),
+            key=lambda i: (cosm(X[i], cent[c]), i),
+        )
+        for rank, i in enumerate(members, 1):
+            dropped = any(
+                cosm(X[i], X[j]) >= thr for j in members[: rank - 1]
+            )
+            want[i] = (c, rank, not dropped)
+    assert got == want
+
+    # planted exact duplicates: dropped, originals kept
+    for src, dup in ((3, 100), (7, 101), (12, 102)):
+        assert got[dup][2] is False, dup
+        assert got[src][2] is True, src
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(df, "vec_id", "embedding", threshold_micro=2_000_000)
