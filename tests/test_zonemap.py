@@ -264,3 +264,30 @@ def test_dynamic_pruned_join_guards(spark, tmp_path):
     assert out.count() == 0  # all-NULL build -> typed empty
     with _pytest.raises(ValueError, match="inner and left_semi"):
         dynamic_pruned_join(wh, "P", "k", empty, "bk", how="left")
+
+
+def test_norm_expr_mirrors_python_norm(spark):
+    """The census join compares paths normalized Spark-side
+    (_norm_expr) against entries normalized driver-side historically
+    (_norm) — the two must agree on every path shape the file source
+    emits, or mapped files silently read as unmapped (conservative
+    but defeats the prune)."""
+    from gcp_data_pipeline_fyp_spark.operators.zonemap import (
+        _norm,
+        _norm_expr,
+    )
+
+    paths = [
+        "file:/tmp/wh/EV/part-0.parquet",
+        "file:///tmp/wh/EV/part-0.parquet",
+        "/tmp/wh/EV/part-0.parquet",
+        "hdfs://nn:8020/warehouse/t/part-1.parquet",
+        "s3a://bucket/prefix/part-2.parquet",
+        "/tmp/odd:colon/part-3.parquet",
+    ]
+    df = spark.createDataFrame([(p,) for p in paths], "p string")
+    got = [
+        r["n"]
+        for r in df.select(_norm_expr(F.col("p")).alias("n")).collect()
+    ]
+    assert got == [_norm(p) for p in paths]

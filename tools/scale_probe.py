@@ -477,6 +477,22 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         t["bloom_decontaminate"] = round(time.perf_counter() - t0, 2)
 
+        # round-11: semantic dedup under the DEPLOY sizing rule —
+        # n_centroids grows with the corpus so clusters stay
+        # ~constant-size and the per-cluster O(c^2/2) pairwise stage
+        # stays bounded (fixed centroids would grow clusters linearly
+        # and the join quadratically). The id-shifted copies are
+        # exact duplicates of the base vectors, so this is also the
+        # dup-heavy worst case: every copy must drop.
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+        semdedup(
+            emb, "vec_id", "embedding",
+            n_centroids=16 * copies, threshold_micro=350_000,
+        ).write.mode("overwrite").format("noop").save()
+        t["semdedup"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
