@@ -148,6 +148,53 @@ def main() -> None:
 
     lk_raw = shuffle_write_bytes(spark, leak_raw_ngrams)
     lk_dig = shuffle_write_bytes(spark, leak_digest)
+
+    # ensemble blend: fused single-pass vs sequential per-scorer form
+    # over the SAME events frame — the fused shape's shuffle-stage
+    # count must stay ~flat as scorers are added (one vector groupBy +
+    # one rejoin), while the sequential form adds a distinct-collapse
+    # + a corpus rejoin PER scorer
+    from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (  # noqa: E402
+        blend_scores,
+        blend_scores_sequential,
+    )
+
+    ev = load(spark, SF_DIR, "events")
+    scorers = {
+        "value": 1_000_000,
+        "s2": 1_000_000,
+        "s3": 1_000_000,
+        "s4": 1_000_000,
+    }
+    scored = ev.select(
+        "event_id",
+        "value",
+        (F.col("value") * 3.7 - F.col("user_id") % 11).alias("s2"),
+        (F.col("event_id") % 1009).cast("double").alias("s3"),
+        F.log1p(F.abs(F.col("value"))).alias("s4"),
+    )
+
+    def _stages_and_bytes(run):
+        before = {s["stageId"] for s in _stages(spark)}
+        run()
+        new = [s for s in _stages(spark) if s["stageId"] not in before]
+        shuf = [s for s in new if s.get("shuffleWriteBytes", 0) > 0]
+        return len(shuf), sum(s["shuffleWriteBytes"] for s in shuf)
+
+    blend_rows = {}
+    for n in (2, 4):
+        w = dict(list(scorers.items())[:n])
+        for name, fn in (("fused", blend_scores), ("seq", blend_scores_sequential)):
+            stages, byts = _stages_and_bytes(
+                lambda: fn(scored, w).write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
+            blend_rows[f"{name}_n{n}"] = {
+                "shuffle_stages": stages,
+                "shuffle_bytes": byts,
+            }
+
     print(
         json.dumps(
             {
@@ -161,6 +208,7 @@ def main() -> None:
                 "leakage_raw_ngram_key": lk_raw,
                 "leakage_digest_key": lk_dig,
                 "leak_ratio": round(lk_raw / lk_dig, 2) if lk_dig else None,
+                "blend": blend_rows,
                 "sf_dir": SF_DIR,
             }
         )
