@@ -1050,8 +1050,15 @@ def semdedup(
             "cent_cos_micro"
         ),
     )
+    # asc_NULLS_LAST, explicitly: a zero-norm vector's centroid cosine
+    # is NULL (try_divide), Spark's bare asc sorts NULL first while
+    # SQL ORDER BY defaults NULLS LAST — the same engine-divergence
+    # class the distribution-match argmin pins (it would silently
+    # shift every rank in the affected cluster). Zero vectors also
+    # have NULL pairwise cosines, so they are never dropped and never
+    # drop others — they rank last and pass through.
     w = Window.partitionBy("centroid_id").orderBy(
-        F.col("cent_cos_micro").asc(), F.col("corpus_id").asc()
+        F.col("cent_cos_micro").asc_nulls_last(), F.col("corpus_id").asc()
     )
     ranked = scored.withColumn("sem_rank", F.row_number().over(w))
     a = ranked.select(

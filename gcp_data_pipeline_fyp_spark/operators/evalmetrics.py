@@ -589,9 +589,7 @@ def blend_scores(
         ranked,
         (melted["__sc"] == ranked["__sc"]) & (melted["__v"] == ranked["__v"]),
         "left",
-    ).select(
-        *[melted[v] for v in vcols], melted["__vn"], melted["__w"], "__pct"
-    )
+    ).select(*[melted[v] for v in vcols], melted["__w"], "__pct")
     blendtab = pv.groupBy(*vcols).agg(
         F.sum(
             F.coalesce(

@@ -932,7 +932,11 @@ def q_rrf_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
     return fused.select("doc_id", "n_systems", "rrf_nano", "rrf_rank")
 
 
-def _sql_rrf_hybrid() -> str:
+def _sql_rrf_hybrid_chain() -> str:
+    """The rrf_hybrid WITH chain up to (and including) the ranked
+    fusion CTE `rk` — shared verbatim by the standalone
+    rrf_hybrid_search oracle and the hybrid_rerank_topk composition,
+    which extends it with the MMR stages."""
     from gcp_data_pipeline_fyp_spark.queries_vectors import (
         _MICRO_COS,
         _SQL_COS,
@@ -976,10 +980,17 @@ f AS (SELECT doc_id, count(*) AS n_systems,
         CAST(sum(contrib) AS BIGINT) AS rrf_nano
       FROM u GROUP BY doc_id),
 rk AS (SELECT *, row_number() OVER
-        (ORDER BY rrf_nano DESC, doc_id ASC) AS rrf_rank FROM f)
+        (ORDER BY rrf_nano DESC, doc_id ASC) AS rrf_rank FROM f)"""
+
+
+def _sql_rrf_hybrid() -> str:
+    return (
+        _sql_rrf_hybrid_chain()
+        + """
 SELECT doc_id, n_systems, rrf_nano, CAST(rrf_rank AS INT) AS rrf_rank
 FROM rk WHERE rrf_rank <= 10
 """
+    )
 
 
 TEXT_QUERIES["rrf_hybrid_search"] = (q_rrf_hybrid_search, _sql_rrf_hybrid())
@@ -1033,20 +1044,18 @@ def q_hybrid_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _sql_hybrid_rerank(k: int = 5, lambda_micro: int = 700_000) -> str:
-    """The rrf_hybrid oracle's WITH chain extended with the pool
-    cosine relevance, the pool pairwise-similarity matrix, and the
-    k-round unrolled greedy MMR (the _mmr_sql pattern, single
+    """The rrf_hybrid oracle's WITH chain (shared via
+    `_sql_rrf_hybrid_chain`, no string surgery) extended with the
+    pool cosine relevance, the pool pairwise-similarity matrix, and
+    the k-round unrolled greedy MMR (the _mmr_sql pattern, single
     implicit query)."""
     from gcp_data_pipeline_fyp_spark.queries_vectors import (
         _pair_cos_sql,
     )
 
-    base = _sql_rrf_hybrid().strip()
-    assert base.endswith("FROM rk WHERE rrf_rank <= 10")
-    chain = base[: base.rindex("SELECT doc_id")]
     lam, inv = lambda_micro, 1_000_000 - lambda_micro
     parts = [
-        chain.rstrip().rstrip(",")
+        _sql_rrf_hybrid_chain()
         + f""",
 pool AS (SELECT doc_id, rrf_nano, CAST(rrf_rank AS INT) AS rrf_rank
          FROM rk WHERE rrf_rank <= 10),

@@ -3597,3 +3597,33 @@ def test_semdedup_matches_naive_and_drops_exact_dups(spark):
 
     with _pytest.raises(ValueError):
         semdedup(df, "vec_id", "embedding", threshold_micro=2_000_000)
+
+
+def test_semdedup_zero_vector_ranks_last_and_passes_through(spark):
+    """A zero-norm vector has NULL centroid cosine and NULL pairwise
+    cosines: it must rank LAST in its cluster (explicit NULLS LAST —
+    Spark's bare asc would put it first and silently shift every rank
+    in the cluster vs the SQL oracle) and pass through kept (NULL
+    similarity never reaches a threshold)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 0.0]),  # zero vector
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["sem_rank"], r["keep"], r["cent_cos_micro"])
+        for r in semdedup(
+            df, "vec_id", "embedding", n_centroids=1,
+            threshold_micro=950_000,
+        ).collect()
+    }
+    assert got[2][2] is None          # NULL centroid cosine
+    assert got[2][0] == 3             # ranks last, not first
+    assert got[2][1] is True          # passes through kept
+    # the near-dup pair still resolves: one of 0/1 drops
+    assert {got[0][1], got[1][1]} == {True, False}
