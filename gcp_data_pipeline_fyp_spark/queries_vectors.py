@@ -1745,14 +1745,10 @@ def q_semdedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_semdedup(threshold_micro: int = 350_000) -> str:
-    corpus_sql = (
-        "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
-        " FROM embeddings"
-        " UNION ALL"
-        " SELECT vec_id + 10000, embedding::DOUBLE[]"
-        " FROM embeddings WHERE vec_id % 5 = 0"
-    )
+def _semdedup_chain(corpus_sql: str, threshold_micro: int) -> str:
+    """The semdedup WITH chain (fit + assign + centroid-cosine rank +
+    prefix-greedy drop set) over any corpus CTE — shared by the
+    per-row semdedup_docs oracle and the recall-eval aggregation."""
     return f"""
 WITH {_ivf_ctes(corpus_sql, n_centroids=16)},
 cs AS (
@@ -1768,7 +1764,18 @@ drp AS (
   SELECT DISTINCT a.corpus_id FROM rk a JOIN rk b
   ON a.centroid_id = b.centroid_id AND b.sem_rank < a.sem_rank
   WHERE CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
-    >= {threshold_micro})
+    >= {threshold_micro})"""
+
+
+def _sql_semdedup(threshold_micro: int = 350_000) -> str:
+    corpus_sql = (
+        "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+        " FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 10000, embedding::DOUBLE[]"
+        " FROM embeddings WHERE vec_id % 5 = 0"
+    )
+    return f"""{_semdedup_chain(corpus_sql, threshold_micro)}
 SELECT rk.corpus_id AS vec_id, CAST(rk.centroid_id AS INT) AS centroid_id,
   CAST(rk.sem_rank AS INT) AS sem_rank, rk.cent_cos_micro,
   (drp.corpus_id IS NULL) AS keep
@@ -1777,3 +1784,110 @@ FROM rk LEFT JOIN drp ON rk.corpus_id = drp.corpus_id
 
 
 VECTOR_QUERIES["semdedup_docs"] = (q_semdedup_docs, _sql_semdedup())
+
+
+def q_semdedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured detection quality for semdedup — the quality row every
+    approximate family here ships (minhash_recall_eval's sibling).
+    Each vector gets ONE planted near-dup at a graded perturbation
+    (alternating +/-eps per component, eps = 0.02 x (vec_id%5 + 1)):
+    level 1 sits at cos ~0.99 (must detect, modulo the IVF
+    cluster-straddle blind spot the n_same_cluster column makes
+    visible), levels 3-5 fall below the 0.9 threshold (undetectable
+    BY DESIGN — the row proves the threshold is a real boundary, not
+    that everything drops). Emits per level: planted pairs, pairs
+    that landed in the same cluster, detected pairs (either member
+    dropped; organic pairs are silent at this threshold — corpus max
+    organic cosine is ~0.47), and exact integer recall."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    e = _emb(spark, sf)
+    base = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eps = ((F.col("vec_id") % 5 + 1).cast("double") * F.lit(0.02))
+    pert = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x
+            + eps * F.when(i % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0)),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    out = semdedup(
+        corpus, "vec_id", "embedding", n_centroids=16,
+        threshold_micro=900_000,
+    )
+    o = out.filter(F.col("vec_id") < 10_000).select(
+        F.col("vec_id").alias("orig_id"),
+        F.col("centroid_id").alias("o_cent"),
+        F.col("keep").alias("o_keep"),
+    )
+    c = out.filter(F.col("vec_id") >= 10_000).select(
+        (F.col("vec_id") - 10_000).alias("orig_id"),
+        F.col("centroid_id").alias("c_cent"),
+        F.col("keep").alias("c_keep"),
+    )
+    j = o.join(c, "orig_id").select(
+        (F.col("orig_id") % 5 + 1).cast("int").alias("eps_level"),
+        (F.col("o_cent") == F.col("c_cent")).cast("long").alias("same_c"),
+        (~(F.col("o_keep") & F.col("c_keep"))).cast("long").alias("det"),
+    )
+    return (
+        j.groupBy("eps_level")
+        .agg(
+            F.count(F.lit(1)).alias("n_planted"),
+            F.sum("same_c").alias("n_same_cluster"),
+            F.sum("det").alias("n_detected"),
+        )
+        .select(
+            "eps_level",
+            "n_planted",
+            "n_same_cluster",
+            "n_detected",
+            F.expr("(1000000 * n_detected) div n_planted").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("eps_level")
+    )
+
+
+def _sql_semdedup_recall(threshold_micro: int = 900_000) -> str:
+    corpus_sql = (
+        "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
+        " FROM embeddings"
+        " UNION ALL"
+        " SELECT vec_id + 10000,"
+        " list_transform(generate_series(1, 64), i__ -> v[i__]"
+        "   + (CAST(vec_id % 5 + 1 AS DOUBLE) * 0.02)"
+        "     * (CASE WHEN i__ % 2 = 1 THEN 1.0 ELSE -1.0 END))"
+        " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
+    return f"""{_semdedup_chain(corpus_sql, threshold_micro)},
+ver AS (
+  SELECT rk.corpus_id, rk.centroid_id, (drp.corpus_id IS NULL) AS keep
+  FROM rk LEFT JOIN drp ON rk.corpus_id = drp.corpus_id),
+o AS (SELECT corpus_id AS orig_id, centroid_id AS o_cent, keep AS o_keep
+      FROM ver WHERE corpus_id < 10000),
+cc AS (SELECT corpus_id - 10000 AS orig_id, centroid_id AS c_cent,
+              keep AS c_keep
+       FROM ver WHERE corpus_id >= 10000),
+j AS (
+  SELECT CAST(o.orig_id % 5 + 1 AS INT) AS eps_level,
+    CAST(o_cent = c_cent AS BIGINT) AS same_c,
+    CAST(NOT (o_keep AND c_keep) AS BIGINT) AS det
+  FROM o JOIN cc ON o.orig_id = cc.orig_id)
+SELECT eps_level, count(*) AS n_planted,
+  CAST(sum(same_c) AS BIGINT) AS n_same_cluster,
+  CAST(sum(det) AS BIGINT) AS n_detected,
+  (1000000 * CAST(sum(det) AS BIGINT)) // count(*) AS recall_micro
+FROM j GROUP BY eps_level ORDER BY eps_level
+"""
+
+
+VECTOR_QUERIES["semdedup_recall_eval"] = (
+    q_semdedup_recall_eval,
+    _sql_semdedup_recall(),
+)
