@@ -33,15 +33,16 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-11 WINDOW, composition (3 + 9 + 24 + 14 = 50), in priority
+# ROUND-11 WINDOW, composition (4 + 9 + 24 + 13 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
-#   0. the 3 r11 births (hybrid_rerank_topk — BM25 + dense -> RRF ->
+#   0. the 4 r11 births (hybrid_rerank_topk — BM25 + dense -> RRF ->
 #      MMR as one certified composition; semdedup_docs — SemDeDup
 #      semantic near-dup pruning on the deterministic IVF fit;
 #      semdedup_recall_eval — its measured detection-quality row,
 #      eps-graded planted near-dups incl. the cluster-straddle
-#      blind spot);
+#      blind spot; semdedup_recall_multiprobe — the n_assign=2
+#      mitigation, measured: L1 recall 0.73 -> 0.96);
 #   1. the 9 probes whose code or oracle changed this round:
 #      rank_blend_scores + blend_floor_docs (fused single-pass
 #      multi-scorer midrank), length_match_sample +
@@ -55,14 +56,15 @@ _REGISTRIES = [
 #   3. the 24 r05-evidence rows (lsh_recall_report .. wow_growth —
 #      VERDICT r10 ask #1: after this window the oldest driver
 #      evidence anywhere is r6);
-#   4. the first 14 of the 50 r06-evidence rows, alphabetical
-#      (ann_ivfpq_rerank_topk .. customer_order_stats); the remaining
-#      36 head the r12 window — the rotation is now pure steady-state.
+#   4. the first 13 of the 50 r06-evidence rows, alphabetical
+#      (ann_ivfpq_rerank_topk .. customer_distribution); the remaining
+#      37 head the r12 window — the rotation is now pure steady-state.
 _CHECK_FIRST = [
     # -- 0. new this round (r11)
     "hybrid_rerank_topk",
     "semdedup_docs",
     "semdedup_recall_eval",
+    "semdedup_recall_multiprobe",
     # -- 1. code/oracle changed this round
     "rank_blend_scores",
     "blend_floor_docs",
@@ -112,11 +114,10 @@ _CHECK_FIRST = [
     "corpus_prep_full",
     "cube_type_day",
     "customer_distribution",
-    "customer_order_stats",
     # next round (r12), in priority order: (0) any new r12 probes;
-    # (1) anything red in r11; (2) the remaining 36 r06-evidence rows
-    # (date_dim, dedup_exact_rows, dedup_exact_stats, dedupe_corpus,
-    # dormant_rich_customers,
+    # (1) anything red in r11; (2) the remaining 37 r06-evidence rows
+    # (customer_order_stats, date_dim, dedup_exact_rows,
+    # dedup_exact_stats, dedupe_corpus, dormant_rich_customers,
     # dup_clusters, event_id_hash, gopher_filter, kcore_docs,
     # large_orders, mad_outlier_events, merge_upsert,
     # merge_upsert_partitioned, minhash_lsh_pairs, ods_typed_banding,

@@ -998,6 +998,7 @@ def semdedup(
     threshold_micro: int = 700_000,
     refine_iters: int = 1,
     train_sample_frac: float | None = None,
+    n_assign: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning — cluster the embedding space, then inside
@@ -1027,21 +1028,52 @@ def semdedup(
     window and self-join then both key on centroid_id, parallel
     across clusters, nothing corpus-wide shuffles more than once.
 
+    `n_assign` > 1 posts every vector to its top-n_assign centroids
+    for the pairwise stage only (primary assignment keeps the rank
+    and the output's centroid_id) — the nprobe idea applied to dedup.
+    It shrinks the cluster-straddle blind spot the
+    `semdedup_recall_eval` probe measures, at ~n_assign^2 the
+    pairwise comparisons; keep decisions are monotone in n_assign
+    (more shared clusters can only ADD drop edges, never remove one).
+
     Returns one row per input: (id_col, centroid_id, sem_rank,
     cent_cos_micro, keep).
     """
     from gcp_data_pipeline_fyp_spark.operators.similarity import (
-        _assign,
+        dot,
         fit_ivf_centroids,
     )
 
     if not (0 <= threshold_micro <= 1_000_000):
         raise ValueError("threshold_micro must be in [0, 1_000_000]")
+    if n_assign < 1:
+        raise ValueError("n_assign must be >= 1")
     c = emb.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
     cent = fit_ivf_centroids(c, n_centroids, refine_iters, train_sample_frac)
-    assigned = _assign(c, cent)
+    # multi-assignment (the IVF nprobe idea applied to dedup): every
+    # vector posts to its top-n_assign centroids for the PAIRWISE
+    # stage, shrinking the cluster-straddle blind spot measured by
+    # semdedup_recall_eval; rank/output stay on the PRIMARY (top-1)
+    # assignment so n_assign only ever ADDS comparisons
+    wa = Window.partitionBy("corpus_id").orderBy(
+        F.col("__score").desc(), F.col("centroid_id")
+    )
+    multi = (
+        c.crossJoin(F.broadcast(cent))
+        .select(
+            "corpus_id",
+            "__cv",
+            "centroid_id",
+            dot(F.col("__cv"), F.col("__centroid")).alias("__score"),
+        )
+        .withColumn("__arn", F.row_number().over(wa))
+        .filter(F.col("__arn") <= n_assign)
+    )
+    assigned = multi.filter(F.col("__arn") == 1).select(
+        "corpus_id", "__cv", "centroid_id"
+    )
     scored = assigned.join(F.broadcast(cent), "centroid_id").select(
         "corpus_id",
         "centroid_id",
@@ -1061,24 +1093,46 @@ def semdedup(
         F.col("cent_cos_micro").asc_nulls_last(), F.col("corpus_id").asc()
     )
     ranked = scored.withColumn("sem_rank", F.row_number().over(w))
+    # the prefix order for the drop rule is (cent_cos_micro NULLS
+    # LAST, id) — globally deterministic, and WITHIN one cluster it is
+    # exactly the sem_rank order, so at n_assign=1 the rule below is
+    # byte-identical to "earlier sem_rank in the shared cluster"
     a = ranked.select(
-        F.col("corpus_id"),
-        F.col("centroid_id"),
-        F.col("__cv"),
-        F.col("sem_rank"),
+        F.col("corpus_id"), F.col("__cv"), F.col("cent_cos_micro")
     )
     b = ranked.select(
         F.col("corpus_id").alias("__b_id"),
-        F.col("centroid_id").alias("__b_cent"),
         F.col("__cv").alias("__b_cv"),
-        F.col("sem_rank").alias("__b_rank"),
+        F.col("cent_cos_micro").alias("__b_cc"),
+    )
+    shared = (
+        multi.select("corpus_id", "centroid_id")
+        .join(
+            multi.select(
+                F.col("corpus_id").alias("__b_id"),
+                F.col("centroid_id").alias("__b_cent"),
+            ),
+            (F.col("centroid_id") == F.col("__b_cent"))
+            & (F.col("corpus_id") != F.col("__b_id")),
+        )
+        .select("corpus_id", "__b_id")
+        .distinct()
+    )
+    earlier = (
+        F.col("__b_cc") < F.col("cent_cos_micro")
+    ) | (
+        (F.col("__b_cc") == F.col("cent_cos_micro"))
+        & (F.col("__b_id") < F.col("corpus_id"))
+    ) | (
+        # NULLS LAST: a non-NULL b precedes a NULL-cent_cos a; the
+        # both-NULL corner is unreachable past the cosine filter
+        # (NULL-cent vectors have NULL pairwise cosines)
+        F.col("__b_cc").isNotNull() & F.col("cent_cos_micro").isNull()
     )
     dropped = (
-        a.join(
-            b,
-            (a["centroid_id"] == b["__b_cent"])
-            & (b["__b_rank"] < a["sem_rank"]),
-        )
+        shared.join(a, "corpus_id")
+        .join(b, "__b_id")
+        .filter(earlier)
         .filter(
             micro6(cosine(F.col("__cv"), F.col("__b_cv")))
             >= F.lit(int(threshold_micro))

@@ -1745,12 +1745,26 @@ def q_semdedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _semdedup_chain(corpus_sql: str, threshold_micro: int) -> str:
-    """The semdedup WITH chain (fit + assign + centroid-cosine rank +
-    prefix-greedy drop set) over any corpus CTE — shared by the
-    per-row semdedup_docs oracle and the recall-eval aggregation."""
+def _semdedup_chain(
+    corpus_sql: str, threshold_micro: int, n_assign: int = 1
+) -> str:
+    """The semdedup WITH chain (fit + multi-assignment + primary
+    centroid-cosine rank + prefix-greedy drop set over shared probe
+    clusters) over any corpus CTE — shared by the per-row
+    semdedup_docs oracle and both recall-eval aggregations. The drop
+    order is (cent_cos_micro NULLS LAST, id): within one cluster that
+    IS the sem_rank order, so at n_assign=1 it is byte-equal to the
+    "earlier sem_rank in the shared cluster" rule."""
     return f"""
 WITH {_ivf_ctes(corpus_sql, n_centroids=16)},
+multi AS (
+  SELECT corpus_id, centroid_id FROM (
+    SELECT c.corpus_id, i.centroid_id, row_number() OVER (
+      PARTITION BY c.corpus_id ORDER BY
+        list_sum(list_transform(generate_series(1, 64),
+                 j__ -> c.cv[j__] * i.centroid[j__])) DESC,
+        i.centroid_id) AS rn
+    FROM c0 c CROSS JOIN cent i) s WHERE rn <= {n_assign}),
 cs AS (
   SELECT a.corpus_id, a.centroid_id, a.cv,
     CAST(round(({_pair_cos_sql("a.cv", "i.centroid")}) * 1000000.0) AS BIGINT)
@@ -1760,10 +1774,19 @@ rk AS (
   SELECT *, row_number() OVER (PARTITION BY centroid_id
     ORDER BY cent_cos_micro ASC, corpus_id ASC) AS sem_rank
   FROM cs),
+shared AS (
+  SELECT DISTINCT ma.corpus_id AS a_id, mb.corpus_id AS b_id
+  FROM multi ma JOIN multi mb ON ma.centroid_id = mb.centroid_id
+   AND ma.corpus_id <> mb.corpus_id),
 drp AS (
-  SELECT DISTINCT a.corpus_id FROM rk a JOIN rk b
-  ON a.centroid_id = b.centroid_id AND b.sem_rank < a.sem_rank
-  WHERE CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
+  SELECT DISTINCT a.corpus_id FROM shared s
+  JOIN cs a ON a.corpus_id = s.a_id
+  JOIN cs b ON b.corpus_id = s.b_id
+  WHERE (b.cent_cos_micro < a.cent_cos_micro
+     OR (b.cent_cos_micro = a.cent_cos_micro
+         AND b.corpus_id < a.corpus_id)
+     OR (b.cent_cos_micro IS NOT NULL AND a.cent_cos_micro IS NULL))
+    AND CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
     >= {threshold_micro})"""
 
 
@@ -1799,6 +1822,10 @@ def q_semdedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     that landed in the same cluster, detected pairs (either member
     dropped; organic pairs are silent at this threshold — corpus max
     organic cosine is ~0.47), and exact integer recall."""
+    return _recall_eval(spark, sf, n_assign=1)
+
+
+def _recall_eval(spark: SparkSession, sf: str, n_assign: int) -> DataFrame:
     from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
 
     e = _emb(spark, sf)
@@ -1817,7 +1844,7 @@ def q_semdedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     corpus = base.unionByName(pert)
     out = semdedup(
         corpus, "vec_id", "embedding", n_centroids=16,
-        threshold_micro=900_000,
+        threshold_micro=900_000, n_assign=n_assign,
     )
     o = out.filter(F.col("vec_id") < 10_000).select(
         F.col("vec_id").alias("orig_id"),
@@ -1854,7 +1881,9 @@ def q_semdedup_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _sql_semdedup_recall(threshold_micro: int = 900_000) -> str:
+def _sql_semdedup_recall(
+    threshold_micro: int = 900_000, n_assign: int = 1
+) -> str:
     corpus_sql = (
         "SELECT vec_id AS corpus_id, embedding::DOUBLE[] AS cv"
         " FROM embeddings"
@@ -1865,7 +1894,7 @@ def _sql_semdedup_recall(threshold_micro: int = 900_000) -> str:
         "     * (CASE WHEN i__ % 2 = 1 THEN 1.0 ELSE -1.0 END))"
         " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
     )
-    return f"""{_semdedup_chain(corpus_sql, threshold_micro)},
+    return f"""{_semdedup_chain(corpus_sql, threshold_micro, n_assign)},
 ver AS (
   SELECT rk.corpus_id, rk.centroid_id, (drp.corpus_id IS NULL) AS keep
   FROM rk LEFT JOIN drp ON rk.corpus_id = drp.corpus_id),
@@ -1890,4 +1919,23 @@ FROM j GROUP BY eps_level ORDER BY eps_level
 VECTOR_QUERIES["semdedup_recall_eval"] = (
     q_semdedup_recall_eval,
     _sql_semdedup_recall(),
+)
+
+
+def q_semdedup_recall_multiprobe(spark: SparkSession, sf: str) -> DataFrame:
+    """The measured MITIGATION for the blind spot
+    semdedup_recall_eval exposes: the identical planted-near-dup
+    grid, run with n_assign=2 (every vector posts to its top-2
+    centroids for the pairwise stage) — the straddle-lost pairs whose
+    second-choice clusters touch are now compared, so detected must
+    rise toward the same-cluster-plus-adjacent ceiling while
+    below-threshold levels stay 0. Blind spot found by measurement
+    (the recall_eval row) -> mitigation implemented (n_assign) ->
+    improvement measured and certified (this probe)."""
+    return _recall_eval(spark, sf, n_assign=2)
+
+
+VECTOR_QUERIES["semdedup_recall_multiprobe"] = (
+    q_semdedup_recall_multiprobe,
+    _sql_semdedup_recall(n_assign=2),
 )

@@ -3627,3 +3627,47 @@ def test_semdedup_zero_vector_ranks_last_and_passes_through(spark):
     assert got[2][1] is True          # passes through kept
     # the near-dup pair still resolves: one of 0/1 drops
     assert {got[0][1], got[1][1]} == {True, False}
+
+
+def test_semdedup_multiassign_monotone_and_reduces_to_single(spark):
+    """n_assign only ADDS drop edges: the n_assign=2 keep set is a
+    subset of the n_assign=1 keep set, and ranks/clusters (primary
+    assignment) are identical between the two."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    rnd = random.Random(29)
+    rows = [
+        (i, [rnd.gauss(0, 1) for _ in range(4)]) for i in range(40)
+    ]
+    # plant near-dups as tiny perturbations of existing vectors so
+    # some pairs straddle a centroid boundary
+    rows += [
+        (100 + i, [x + 0.05 for x in v]) for i, v in rows[:10]
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def run(n_assign):
+        return {
+            r["vec_id"]: (r["centroid_id"], r["sem_rank"], r["keep"])
+            for r in semdedup(
+                df, "vec_id", "embedding", n_centroids=4,
+                threshold_micro=900_000, n_assign=n_assign,
+            ).collect()
+        }
+
+    one, two = run(1), run(2)
+    assert set(one) == set(two)
+    for vid in one:
+        assert one[vid][:2] == two[vid][:2], vid  # primary rank stable
+        if one[vid][2] is False:
+            assert two[vid][2] is False, vid  # drops are monotone
+    # and the widened probe actually catches something extra or equal
+    kept1 = sum(1 for v in one.values() if v[2])
+    kept2 = sum(1 for v in two.values() if v[2])
+    assert kept2 <= kept1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        semdedup(df, "vec_id", "embedding", n_assign=0)
