@@ -176,6 +176,12 @@ HEADLINE = [
     # IVF fit + cluster-rank window + cluster-bounded pairwise
     # self-join + the prefix-greedy verdict join, one timed plan)
     "semdedup_docs",
+    # round-11 session 4: DSIR importance-weighted selection — two
+    # hashed-ngram profile fits (B-key aggregates), broadcast
+    # log-ratio join over the exploded corpus features, decimal
+    # per-doc sums, Gumbel top-k (TakeOrderedAndProject); timed as
+    # the full select-from-scratch plan
+    "dsir_sample_docs",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for

@@ -1,0 +1,283 @@
+"""DSIR — Data Selection with Importance Resampling (public method:
+Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", NeurIPS; arXiv:2302.03169).
+
+Given a large RAW corpus and a small TARGET corpus (the distribution
+you want pretraining data to look like — e.g. curated wiki/books),
+DSIR scores every raw document with an importance weight
+
+    log w(x) = sum_f  c_f(x) * [ log p_target(f) - log p_raw(f) ]
+
+over HASHED N-GRAM features f (unigrams + bigrams hashed into B
+buckets — the paper's 10k-bucket bag-of-hashed-ngrams model, add-one
+smoothed), then samples k documents without replacement with
+probability proportional to exp(log w) via Gumbel top-k. Documents
+that "look like" the target under the n-gram model are upweighted;
+the hash trick keeps both fitted distributions at a constant B
+doubles regardless of corpus vocabulary.
+
+Scale shape (the reason this is DSIR and not a classifier pass):
+- Fitting each profile is one explode -> groupBy(bucket) with B
+  distinct keys — map-side partial aggregation collapses the shuffle
+  to ~B rows per task regardless of corpus size.
+- The per-bucket log-ratio table has exactly B rows (default 4096,
+  paper 10k) — ALWAYS broadcastable; scoring is a broadcast hash
+  join on the exploded features plus a partially-aggregated
+  groupBy(doc_id), so the only corpus-sized shuffle carries one
+  (doc_id, partial-sum) pair per doc per task.
+- Gumbel top-k is orderBy(key desc).limit(k) — Spark plans
+  TakeOrderedAndProject (per-partition heap of k, driver merge of
+  k * partitions), never a global sort.
+
+Determinism contract (same as the A-ES sampler this module's Gumbel
+draw mirrors, operators/sampling.py:weighted_sample_wor): every hash
+is md5 over length-prefixed key tokens, u is (h60+1)/(2^60+1) so ln
+is finite, per-doc sums go through decimal(18,6) so partial-agg
+order cannot move the result, and ties break on (h, id) — the same
+sample on any engine, partitioning, or run.
+
+No reference analog (the reference is an earthquake ELT pipeline);
+this is part of the beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.functions.text import tokens
+from gcp_data_pipeline_fyp_spark.queries_util import roundn
+
+#: default feature-space width; the paper uses 10k, 4096 keeps the
+#: broadcast table trivially small while leaving hash collisions rare
+#: at test vocabulary sizes. Collisions are part of the model (both
+#: profiles collide identically), not an error source.
+DEFAULT_BUCKETS = 4096
+
+
+def _coalesce_toks(toks: Column) -> Column:
+    return F.coalesce(toks, F.array().cast("array<string>"))
+
+
+def feature_buckets(
+    text_col: Column | str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> Column:
+    """array<bigint> of hashed n-gram feature buckets for one text:
+    one entry per unigram occurrence plus (optionally) one per bigram
+    occurrence — occurrences, not distinct features, because the DSIR
+    weight multiplies the log-ratio by the occurrence count c_f(x).
+
+    bucket(f) = first-8-hex-chars of md5(f) as int, mod n_buckets —
+    the engine's standard cross-engine hash (functions/text.py
+    minhash base hash uses the identical chain).
+    """
+    toks = _coalesce_toks(tokens(text_col))
+    feats = toks
+    if bigrams:
+        # positions 1..size-1 (1-based element_at), guarded because
+        # F.sequence(1, 0) would DESCEND rather than be empty
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bg = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+        feats = F.concat(toks, bg)
+    return F.transform(
+        feats,
+        lambda f: F.conv(F.substring(F.md5(f), 1, 8), 16, 10).cast("long")
+        % n_buckets,
+    )
+
+
+def bucket_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(bucket, c) occurrence counts of the hashed n-gram features
+    over `df` — the fitted bag-of-hashed-ngrams distribution, at most
+    `n_buckets` rows (absent buckets are implicitly 0 and add-one
+    smoothed downstream). One explode + one B-key groupBy; map-side
+    combine collapses the shuffle to ~B rows per task.
+    """
+    return (
+        df.select(
+            F.explode(
+                feature_buckets(text_col, n_buckets, bigrams)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def dsir_log_ratios(
+    raw_profile: DataFrame,
+    target_profile: DataFrame,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table (<= n_buckets rows):
+
+        lr(b) = ln((t_b + 1) / (T + B)) - ln((r_b + 1) / (R + B))
+
+    add-one smoothed over the full B-bucket space, so buckets unseen
+    in either profile still get a finite ratio. Emitted only for
+    buckets present in at least one profile, which keeps the table
+    sparse; in the default setting (raw profile fitted on the corpus
+    being scored) every scored feature occurrence hits the table by
+    construction. When scoring a DIFFERENT frame against frozen
+    profiles, occurrences in buckets absent from both profiles are
+    skipped (weight-neutral) rather than charged the both-absent
+    constant ln((R+B)/(T+B)) — documented contract, matching the SQL
+    replay.
+
+    Both inputs are B-bounded aggregates; the totals are one-row
+    aggregates cross-joined in (scalar broadcast), and the output is
+    always broadcastable by construction.
+    """
+    r = raw_profile.select(
+        F.col("bucket"), F.col("c").alias("rc")
+    )
+    t = target_profile.select(
+        F.col("bucket"), F.col("c").alias("tc")
+    )
+    rt = r.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("rtot"))
+    tt = t.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("ttot"))
+    joined = (
+        r.join(t, "bucket", "full_outer")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(tt))
+    )
+    lr = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+        / (F.col("ttot") + F.lit(float(n_buckets)))
+    ) - F.log(
+        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+        / (F.col("rtot") + F.lit(float(n_buckets)))
+    )
+    return joined.select("bucket", lr.alias("lr"))
+
+
+def dsir_logweights(
+    df: DataFrame,
+    id_col: str,
+    target: DataFrame,
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    raw: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    Returns one row per `df` row: (id_col, logw, n_feats) where
+    logw = sum over the doc's feature OCCURRENCES of the per-bucket
+    log-ratio (roundn-6 double, order-independent via a decimal(18,6)
+    sum) and n_feats is the occurrence count. Docs with no features
+    (NULL/empty text) keep logw = 0.0, n_feats = 0 — importance
+    weight 1 under an empty feature vector.
+
+    `raw` defaults to `df` itself (fit the raw profile on the corpus
+    being scored — the paper's setting); pass it explicitly to score
+    a stream or a different slice against a frozen pair of profiles.
+    Contract: one row per id in `df` (duplicate ids would duplicate
+    output rows — same contract as rrf_fuse).
+
+    Plan: two profile fits (B-key aggregates), one broadcast join of
+    the exploded corpus features against the <=B-row ratio table,
+    one partially-aggregated groupBy(id). Nothing corpus-sized
+    shuffles except the per-doc partial sums.
+    """
+    tcol = target_text_col or text_col
+    raw_prof = bucket_profile(
+        raw if raw is not None else df, text_col, n_buckets, bigrams
+    )
+    tgt_prof = bucket_profile(target, tcol, n_buckets, bigrams)
+    ratios = dsir_log_ratios(raw_prof, tgt_prof, n_buckets)
+
+    feats = df.select(
+        F.col(id_col),
+        F.explode(feature_buckets(text_col, n_buckets, bigrams)).alias(
+            "bucket"
+        ),
+    )
+    # decimal(18,6) per-term cast -> exact, order-independent sum
+    # (the engine's standard float-agg pin, queries_util module doc)
+    scored = (
+        feats.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("lr").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("__lw"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+    )
+    keys = df.select(id_col)
+    return keys.join(scored, id_col, "left").select(
+        id_col,
+        roundn(F.coalesce(F.col("__lw"), F.lit(0.0)), 6).alias("logw"),
+        F.coalesce(F.col("n_feats"), F.lit(0)).alias("n_feats"),
+    )
+
+
+def gumbel_key(
+    id_cols: Sequence[Column], logw: Column, seed: int = 0
+) -> tuple[Column, Column]:
+    """(key, h) where key = logw + Gumbel(0,1) drawn deterministically
+    from the keyed md5: u = (h60+1)/(2^60+1) in (0,1), g = -ln(-ln u).
+    Taking the k LARGEST keys samples k items without replacement with
+    P proportional to exp(logw) — the Gumbel-top-k trick (public:
+    Kool et al. 2019), the softmax-weighted sibling of the A-ES
+    sampler in operators/sampling.py.
+    """
+    def _tok(c: Column) -> Column:
+        s = c.cast("string")
+        return F.when(s.isNull(), F.lit("-1:")).otherwise(
+            F.concat(F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    joined = F.concat(F.lit(f"{seed}|"), *[_tok(c) for c in id_cols])
+    h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+    u = (h + F.lit(1.0)) / F.lit(1152921504606846977.0)
+    g = -F.log(-F.log(u))
+    return logw + g, h
+
+
+def dsir_sample(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    logw_col: str = "logw",
+    seed: int = 0,
+) -> DataFrame:
+    """Sample exactly k rows (all rows if fewer) from a DSIR-weighted
+    frame, P proportional to exp(logw), without replacement —
+    Gumbel top-k over the deterministic per-row draw. Ties on the
+    double key break on (h, id): the same k rows on any engine or
+    partitioning.
+
+    orderBy(desc).limit(k) plans TakeOrderedAndProject — per-partition
+    heaps of k, never a global sort; safe at any corpus size for the
+    k values selection jobs use.
+    """
+    key, h = gumbel_key([F.col(id_col)], F.col(logw_col), seed)
+    ranked = weights.select(
+        *weights.columns, key.alias("__gk"), h.alias("__gh")
+    )
+    return (
+        ranked.orderBy(
+            F.col("__gk").desc(), F.col("__gh").asc(), F.col(id_col).asc()
+        )
+        .limit(k)
+        .drop("__gk", "__gh")
+    )

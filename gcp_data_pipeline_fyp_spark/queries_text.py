@@ -4979,3 +4979,171 @@ TEXT_QUERIES["quality_canonical_docs"] = (
     q_quality_canonical_docs,
     SQL_QUALITY_CANONICAL_DOCS,
 )
+
+
+# ------------------------------------------ DSIR importance resampling
+# (operators/dsir.py — Xie et al. 2023, hashed-ngram importance
+# weights + Gumbel top-k selection; target = the English slice of the
+# corpus, raw = the whole corpus). The oracle replays the full chain:
+# identical md5 bucket hash, identical smoothed log-ratio expression,
+# decimal(18,6) order-independent per-doc sums, identical Gumbel draw.
+_DSIR_B = 4096
+_SQL_DSIR_FEATS = (
+    "list_concat(toks, list_transform("
+    "generate_series(1, greatest(len(toks) - 1, 0)), "
+    "i -> concat_ws(' ', toks[i], toks[i+1])))"
+)
+# shared chain: dsirw(doc_id, logw, n_feats) — raw profile on the
+# whole corpus, target profile on the lang='en' slice
+_SQL_DSIR_WEIGHTS = f"""
+rtoks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ttoks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+          WHERE lang = 'en'),
+rfeat AS (SELECT doc_id, {_SQL_DSIR_FEATS} AS feats FROM rtoks),
+tfeat AS (SELECT doc_id, {_SQL_DSIR_FEATS} AS feats FROM ttoks),
+rexp AS (SELECT doc_id, unnest(feats) AS f FROM rfeat),
+texp AS (SELECT doc_id, unnest(feats) AS f FROM tfeat),
+rb AS (SELECT doc_id,
+         cast(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_B}
+           AS bucket
+       FROM rexp),
+tb AS (SELECT doc_id,
+         cast(concat('0x', substr(md5(f), 1, 8)) AS BIGINT) % {_DSIR_B}
+           AS bucket
+       FROM texp),
+rprof AS (SELECT bucket, count(*) AS rc FROM rb GROUP BY bucket),
+tprof AS (SELECT bucket, count(*) AS tc FROM tb GROUP BY bucket),
+rtot AS (SELECT coalesce(sum(rc), 0) AS rtot FROM rprof),
+ttot AS (SELECT coalesce(sum(tc), 0) AS ttot FROM tprof),
+lrt AS (SELECT bucket,
+          ln((coalesce(tc, 0) + 1.0) / (ttot + {_DSIR_B}.0))
+          - ln((coalesce(rc, 0) + 1.0) / (rtot + {_DSIR_B}.0)) AS lr
+        FROM rprof FULL OUTER JOIN tprof USING (bucket)
+        CROSS JOIN rtot CROSS JOIN ttot),
+dterms AS (SELECT rb.doc_id, lrt.lr FROM rb LEFT JOIN lrt USING (bucket)),
+dagg AS (SELECT doc_id,
+           cast(sum(cast(lr AS decimal(18,6))) AS double) AS lw,
+           count(*) AS nf
+         FROM dterms GROUP BY doc_id),
+dsirw AS (SELECT d.doc_id,
+            ((round((coalesce(dagg.lw, 0.0)) * 1000000.0) / 1000000.0) + 0.0)
+              AS logw,
+            cast(coalesce(dagg.nf, 0) AS BIGINT) AS n_feats
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN dagg USING (doc_id))
+"""
+
+
+def _dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared probe chain: DSIR log-weights for the whole corpus with
+    target = the English slice (operators/dsir.py:dsir_logweights)."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import dsir_logweights
+
+    d = _docs(spark, sf)
+    return dsir_logweights(
+        d, "doc_id", d.filter(F.col("lang") == "en"), n_buckets=_DSIR_B
+    )
+
+
+def q_dsir_logweights(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023): hashed
+    unigram+bigram bag features (md5 % 4096), add-one-smoothed
+    target/raw log-ratio per bucket (a <=4096-row broadcast table),
+    per-doc occurrence-weighted sum through decimal(18,6). English
+    docs should score high, others low — certified value-for-value
+    against the full SQL replay."""
+    w = _dsir_weights(spark, sf)
+    return w.select(
+        "doc_id", micro6("logw").alias("logw_micro"), "n_feats"
+    )
+
+
+SQL_DSIR_LOGWEIGHTS = f"""
+WITH {_SQL_DSIR_WEIGHTS}
+SELECT doc_id, {micro6_sql("logw")} AS logw_micro, n_feats FROM dsirw
+"""
+
+TEXT_QUERIES["dsir_logweights"] = (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS)
+
+
+# Gumbel top-k selection over the weights — seed 7, k 50. The oracle
+# replays the exact keyed-md5 draw and tie order.
+_DSIR_K, _DSIR_SEED = 50, 7
+_SQL_DSIR_SELECTED = f"""
+gk AS (SELECT doc_id, logw,
+         cast(concat('0x', substr(md5(concat('{_DSIR_SEED}|',
+           CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':',
+           CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+       FROM dsirw),
+sel AS (SELECT doc_id, logw,
+          logw + (-ln(-ln((h + 1.0) / 1152921504606846977.0))) AS gkey, h
+        FROM gk
+        ORDER BY gkey DESC, h ASC, doc_id ASC LIMIT {_DSIR_K})
+"""
+
+
+def q_dsir_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR selection: Gumbel top-k (k=50) over the importance
+    weights — samples without replacement with P proportional to
+    exp(logw), deterministically from the keyed md5 draw
+    (operators/dsir.py:dsir_sample). TakeOrderedAndProject, never a
+    global sort."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import dsir_sample
+
+    w = _dsir_weights(spark, sf)
+    s = dsir_sample(w, "doc_id", _DSIR_K, seed=_DSIR_SEED)
+    d = _docs(spark, sf).select("doc_id", "lang", "source")
+    return s.join(d, "doc_id").select(
+        "doc_id", "lang", "source", micro6("logw").alias("logw_micro")
+    )
+
+
+SQL_DSIR_SAMPLE_DOCS = f"""
+WITH {_SQL_DSIR_WEIGHTS},
+{_SQL_DSIR_SELECTED}
+SELECT s.doc_id, d.lang, d.source, {micro6_sql("s.logw")} AS logw_micro
+FROM sel s JOIN documents d USING (doc_id)
+"""
+
+TEXT_QUERIES["dsir_sample_docs"] = (q_dsir_sample_docs, SQL_DSIR_SAMPLE_DOCS)
+
+
+def q_dsir_selection_shift(spark: SparkSession, sf: str) -> DataFrame:
+    """The DSIR quality row: per-language corpus count vs selected
+    count — certifies the selection SHIFTS the mix toward the target
+    (English share of the k=50 sample far above its corpus share).
+    Same measured-evidence discipline as minhash_recall_eval /
+    semdedup_recall_eval: the operator's effect, not just its rows."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import dsir_sample
+
+    d = _docs(spark, sf)
+    w = _dsir_weights(spark, sf)
+    s = dsir_sample(w, "doc_id", _DSIR_K, seed=_DSIR_SEED)
+    raw = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    sel = (
+        s.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sel"))
+    )
+    return raw.join(sel, "lang", "left").select(
+        "lang",
+        "n_raw",
+        F.coalesce(F.col("n_sel"), F.lit(0)).alias("n_sel"),
+    )
+
+
+SQL_DSIR_SELECTION_SHIFT = f"""
+WITH {_SQL_DSIR_WEIGHTS},
+{_SQL_DSIR_SELECTED},
+raw AS (SELECT lang, count(*) AS n_raw FROM documents GROUP BY lang),
+selc AS (SELECT d.lang, count(*) AS n_sel
+         FROM sel s JOIN documents d USING (doc_id) GROUP BY d.lang)
+SELECT raw.lang, raw.n_raw,
+       cast(coalesce(selc.n_sel, 0) AS BIGINT) AS n_sel
+FROM raw LEFT JOIN selc USING (lang)
+"""
+
+TEXT_QUERIES["dsir_selection_shift"] = (
+    q_dsir_selection_shift,
+    SQL_DSIR_SELECTION_SHIFT,
+)

@@ -1,0 +1,157 @@
+"""DSIR importance resampling (operators/dsir.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_data_pipeline_fyp_spark.operators.dsir import (
+    bucket_profile,
+    dsir_log_ratios,
+    dsir_logweights,
+    dsir_sample,
+    feature_buckets,
+)
+
+B = 256
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id bigint, text string")
+
+
+def test_feature_buckets_counts_and_range(spark):
+    df = spark.range(1).select(
+        feature_buckets(F.lit("a b c d"), n_buckets=B).alias("f")
+    )
+    feats = df.first()["f"]
+    # 4 unigrams + 3 bigrams, every bucket in [0, B)
+    assert len(feats) == 7
+    assert all(0 <= b < B for b in feats)
+    # unigram-only: no bigram features
+    df1 = spark.range(1).select(
+        feature_buckets(F.lit("a b c d"), n_buckets=B, bigrams=False).alias("f")
+    )
+    assert len(df1.first()["f"]) == 4
+
+
+def test_feature_buckets_degenerate_text(spark):
+    out = spark.createDataFrame(
+        [(1, None), (2, "solo")], "id bigint, text string"
+    ).select("id", feature_buckets("text", n_buckets=B).alias("f"))
+    rows = {r["id"]: r["f"] for r in out.collect()}
+    assert rows[1] == []  # NULL text -> no features
+    assert len(rows[2]) == 1  # one token, no bigram
+
+
+def test_logweights_favor_target_vocab(spark):
+    # target vocabulary {x y}; raw corpus mixes {x y} docs and {p q} docs
+    raw = _docs(
+        spark,
+        [(1, "x y x y"), (2, "p q p q"), (3, "x y y x"), (4, "q p q p")],
+    )
+    target = _docs(spark, [(10, "x y x y x y")])
+    w = {
+        r["id"]: r["logw"]
+        for r in dsir_logweights(raw, "id", target, n_buckets=B).collect()
+    }
+    # only the ORDERING is contractual: add-one smoothing over B
+    # buckets shifts every absolute weight by a corpus-size constant
+    # (Gumbel top-k is shift-invariant, so selection only sees the
+    # differences); target-vocab docs must outweigh off-target ones
+    assert w[1] > w[2] and w[3] > w[4]
+    assert min(w[1], w[3]) > max(w[2], w[4])
+
+
+def test_logweights_empty_text_weight_one(spark):
+    raw = _docs(spark, [(1, "x y"), (2, None)])
+    target = _docs(spark, [(10, "x y")])
+    rows = {
+        r["id"]: r
+        for r in dsir_logweights(raw, "id", target, n_buckets=B).collect()
+    }
+    assert rows[2]["logw"] == 0.0 and rows[2]["n_feats"] == 0
+    assert rows[1]["n_feats"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_log_ratios_match_closed_form(spark):
+    # one raw doc "a", one target doc "a a a": hand-check the
+    # smoothing against a Python replay of the SAME hash (collisions
+    # — 'a' and 'a a' CAN share a bucket mod B — are part of the
+    # model, so the expectation is computed per-bucket, not per-gram)
+    import hashlib
+    from collections import Counter
+
+    raw = _docs(spark, [(1, "a")])
+    target = _docs(spark, [(2, "a a a")])
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+
+    r_cnt = Counter([bucket("a")])  # raw feats: 1 unigram
+    # target feats: 3 unigrams 'a' + 2 bigrams 'a a'
+    t_cnt = Counter(
+        [bucket("a")] * 3 + [bucket("a a")] * 2
+    )
+    rtot, ttot = sum(r_cnt.values()), sum(t_cnt.values())
+    expected = {
+        b: math.log((t_cnt.get(b, 0) + 1.0) / (ttot + B))
+        - math.log((r_cnt.get(b, 0) + 1.0) / (rtot + B))
+        for b in set(r_cnt) | set(t_cnt)
+    }
+    rp = bucket_profile(raw, "text", n_buckets=B)
+    tp = bucket_profile(target, "text", n_buckets=B)
+    by_bucket = {
+        r["bucket"]: r["lr"]
+        for r in dsir_log_ratios(rp, tp, n_buckets=B).collect()
+    }
+    assert set(by_bucket) == set(expected)
+    for b, v in expected.items():
+        assert by_bucket[b] == pytest.approx(v, abs=1e-12)
+
+
+def test_sample_deterministic_and_partition_invariant(spark):
+    raw = _docs(spark, [(i, f"tok{i % 7} tok{i % 3}") for i in range(40)])
+    target = _docs(spark, [(100, "tok1 tok1 tok2")])
+    w = dsir_logweights(raw, "id", target, n_buckets=B)
+    a = sorted(r["id"] for r in dsir_sample(w, "id", 10, seed=3).collect())
+    b = sorted(
+        r["id"]
+        for r in dsir_sample(w.repartition(7), "id", 10, seed=3).collect()
+    )
+    assert a == b and len(a) == 10
+    c = sorted(r["id"] for r in dsir_sample(w, "id", 10, seed=4).collect())
+    assert a != c  # a different seed draws a different sample
+
+
+def test_sample_k_exceeds_n_returns_all(spark):
+    raw = _docs(spark, [(1, "x"), (2, "y")])
+    target = _docs(spark, [(9, "x")])
+    w = dsir_logweights(raw, "id", target, n_buckets=B)
+    assert dsir_sample(w, "id", 10).count() == 2
+
+
+def test_sample_respects_weights(spark):
+    # one doc overwhelmingly target-like: it must be in every sample.
+    # (The target-like doc is SHORT — DSIR weights sum per occurrence,
+    # so a long doc would also dominate the raw profile and push its
+    # own vocabulary's log-ratio down; the short form isolates the
+    # target-affinity effect being asserted.)
+    rows = [(i, "junk%d filler%d" % (i, i)) for i in range(1, 30)]
+    rows.append((0, "x y"))
+    raw = _docs(spark, rows)
+    target = _docs(spark, [(99, "x y " * 30)])
+    w = dsir_logweights(raw, "id", target, n_buckets=B)
+    for seed in range(5):
+        ids = {r["id"] for r in dsir_sample(w, "id", 3, seed=seed).collect()}
+        assert 0 in ids
+
+
+def test_sample_plans_take_ordered(spark):
+    raw = _docs(spark, [(i, f"t{i}") for i in range(20)])
+    target = _docs(spark, [(99, "t1")])
+    w = dsir_logweights(raw, "id", target, n_buckets=B)
+    plan = dsir_sample(w, "id", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # never a global sort
