@@ -493,6 +493,26 @@ def main() -> None:
         ).write.mode("overwrite").format("noop").save()
         t["semdedup"] = round(time.perf_counter() - t0, 2)
 
+        # round-11 session 4: DSIR selection end-to-end (two hashed-
+        # ngram profile fits + broadcast ratio join + per-doc decimal
+        # sums + Gumbel top-k). Expected scan-bound near-linear: the
+        # profile shuffles are B-key regardless of copies, the ratio
+        # table is broadcast, and the only corpus-sized shuffle is the
+        # partially-aggregated per-doc sum.
+        t0 = time.perf_counter()
+        from gcp_data_pipeline_fyp_spark.operators.dsir import (
+            dsir_logweights,
+            dsir_sample,
+        )
+
+        w = dsir_logweights(
+            docs, "doc_id", docs.filter(F.col("lang") == "en")
+        )
+        dsir_sample(w, "doc_id", 50).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        t["dsir_select"] = round(time.perf_counter() - t0, 2)
+
         results[f"{copies}x"] = t
 
     # detection quality at probe scale (1x corpus, the certified sf),
