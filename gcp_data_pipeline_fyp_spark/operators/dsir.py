@@ -203,7 +203,24 @@ def dsir_logweights(
     )
     tgt_prof = bucket_profile(target, tcol, n_buckets, bigrams)
     ratios = dsir_log_ratios(raw_prof, tgt_prof, n_buckets)
+    return score_against_ratios(
+        df, id_col, ratios, text_col, n_buckets, bigrams
+    )
 
+
+def score_against_ratios(
+    df: DataFrame,
+    id_col: str,
+    ratios: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Score `df` against an already-fitted (bucket, lr) ratio table —
+    the scoring half of `dsir_logweights`, split out so a streaming
+    ingest (or any frozen-profile consumer) pays only the batch-sized
+    explode + broadcast join + partially-aggregated per-doc sum.
+    Same output contract: (id_col, logw roundn-6, n_feats)."""
     feats = df.select(
         F.col(id_col),
         F.explode(feature_buckets(text_col, n_buckets, bigrams)).alias(

@@ -1567,3 +1567,153 @@ def stream_match_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dsir_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema_ddl: str,
+    id_col: str,
+    text_col: str,
+    target: DataFrame,
+    min_logw: float,
+    wh: Warehouse,
+    out_table: str,
+    state_table: str,
+    checkpoint_dir: str,
+    target_text_col: str | None = None,
+    n_buckets: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming DSIR selection (operators/dsir.py as an ingest): each
+    micro-batch folds its hashed-ngram bucket counts into a persisted
+    RAW-PROFILE state (mergeable: plain count sums, <= n_buckets
+    rows), derives the current target/raw log-ratio table from
+    (cumulative raw profile, frozen target profile), scores the
+    batch's docs with the module's exact scoring half
+    (`score_against_ratios` — the same decimal-pinned chain the batch
+    probes certify), and appends docs with logw >= `min_logw` to
+    `out_table` (with their logw/n_feats columns for downstream
+    resampling).
+
+    The TARGET profile is aggregated once at wiring time and pinned
+    (localCheckpoint) — the target is a curated corpus, not a stream.
+
+    WEIGHT-DRIFT CAVEAT (inherent, documented not hidden): log-ratios
+    are computed from the raw profile AS OF each batch, so early
+    batches are gated under a less-informed raw profile than late
+    ones — the accumulated `out_table` is NOT bit-equal to re-running
+    `dsir_logweights` + a threshold over the full history. As the
+    cumulative profile converges (bucket frequencies are ratios of
+    monotone counts), per-batch weights converge to the batch
+    equivalent; for an exact retrospective selection, score the
+    accumulated raw corpus with the batch operator instead. A
+    threshold gate is used rather than top-k because k-of-stream is
+    not computable online without history rescans.
+
+    Replay discipline is stream_match_ingest's: count sums fold
+    distributively but not idempotently, so (__stream_id,
+    __last_batch_id) ride the state's staging+swap; a replayed batch
+    skips the merge, and the keeper append is separately guarded by a
+    batch_id probe of `out_table` itself. A state table from a
+    different checkpoint lineage raises instead of silently
+    double-counting.
+
+    Scale: state is <= n_buckets rows; the ratio table is broadcast
+    by construction; per-batch work is one batch-sized explode +
+    broadcast join + partially-aggregated per-doc sum — no history
+    rescans, nothing corpus-sized shuffles.
+    """
+    import json as _json
+    import os as _os
+
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        DEFAULT_BUCKETS,
+        bucket_profile,
+        dsir_log_ratios,
+        score_against_ratios,
+    )
+
+    nb = n_buckets or DEFAULT_BUCKETS
+    tgt_prof = bucket_profile(
+        target, target_text_col or text_col, nb
+    ).localCheckpoint(eager=True)
+
+    raw = spark.readStream.schema(schema_ddl).option("header", True)
+    if max_files_per_trigger is not None:
+        raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
+    feed = raw.csv(input_dir)
+
+    def _stream_id() -> str:
+        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+            return _json.load(fh)["id"]
+
+    def _batch_seen(table: str, batch_id: int) -> bool:
+        return wh.exists(table) and (
+            wh.read(table)
+            .filter(F.col("__batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _fold(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        sid = _stream_id()
+        bc = bucket_profile(batch, text_col, nb)
+        already_merged = False
+        if wh.exists(state_table):
+            prior = wh.read(state_table)
+            mark = prior.select(
+                F.max("__stream_id").alias("sid"),
+                F.max("__last_batch_id").alias("m"),
+            ).first()
+            if mark["sid"] is not None and mark["sid"] != sid:
+                raise ValueError(
+                    f"dsir state {state_table!r} was built by stream "
+                    f"{mark['sid']} but this checkpoint is {sid}: batch "
+                    "ids are not comparable across checkpoints. Drop the "
+                    "state table to rebuild it under this checkpoint, or "
+                    "restart from the original checkpoint directory."
+                )
+            already_merged = mark["m"] is not None and batch_id <= mark["m"]
+            if already_merged:
+                merged = prior.select("bucket", "c")
+            else:
+                merged = (
+                    prior.select("bucket", "c")
+                    .unionByName(bc)
+                    .groupBy("bucket")
+                    .agg(F.sum("c").alias("c"))
+                )
+        else:
+            merged = bc
+        ratios = dsir_log_ratios(merged, tgt_prof, nb)
+        w = score_against_ratios(batch, id_col, ratios, text_col, nb)
+        kept = batch.join(
+            w.filter(F.col("logw") >= F.lit(float(min_logw))),
+            id_col,
+            "inner",
+        )
+        if not _batch_seen(out_table, batch_id):
+            wh.append(
+                kept.withColumn("__batch_id", F.lit(batch_id).cast("long")),
+                out_table,
+            )
+        if not already_merged:
+            staging = f"{state_table}__dsir_staging"
+            wh.overwrite(
+                merged.withColumn("__stream_id", F.lit(sid)).withColumn(
+                    "__last_batch_id", F.lit(batch_id)
+                ),
+                staging,
+            )
+            wh.swap(staging, state_table)
+
+    return (
+        feed.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

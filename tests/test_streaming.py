@@ -1545,3 +1545,102 @@ def test_stream_match_ingest_reshapes_and_replays_safely(spark, tmp_path):
         (r.bucket, r.n_src)
         for r in wh.read("MATCH_STATE").select("bucket", "n_src").collect()
     ) == got_state
+
+
+def test_stream_dsir_ingest_scores_and_replays_safely(spark, tmp_path):
+    """Streaming DSIR: the persisted raw-profile state equals the
+    batch bucket_profile over everything delivered; the LAST batch's
+    keepers equal dsir_logweights + threshold at the full raw profile
+    (cumulative state == full corpus there); a from-scratch replay
+    refuses loudly; an original-checkpoint restart appends nothing."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        bucket_profile,
+        dsir_logweights,
+    )
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_dsir_ingest,
+    )
+
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    schema = "doc_id long, text string"
+    rows1 = [(i, "alpha beta gamma") for i in range(5)] + [
+        (10 + i, "junk1 junk2 junk3") for i in range(5)
+    ]
+    rows2 = [(20 + i, "alpha beta beta") for i in range(5)] + [
+        (30 + i, "junk4 junk5 junk6") for i in range(5)
+    ]
+    (in_dir / "f1.csv").write_text(
+        "doc_id,text\n" + "\n".join(f"{a},{b}" for a, b in rows1)
+    )
+    (in_dir / "f2.csv").write_text(
+        "doc_id,text\n" + "\n".join(f"{a},{b}" for a, b in rows2)
+    )
+    target = spark.createDataFrame(
+        [(100, "alpha beta alpha beta gamma")], "tid long, text string"
+    )
+
+    # threshold between the two weight populations AT THE FULL
+    # PROFILE (the parity point the test checks at batch 2)
+    full = spark.createDataFrame(rows1 + rows2, schema)
+    w_full = {
+        r["doc_id"]: r["logw"]
+        for r in dsir_logweights(full, "doc_id", target).collect()
+    }
+    lo = max(v for k, v in w_full.items() if k >= 30)  # junk docs
+    hi = min(v for k, v in w_full.items() if 20 <= k < 30)  # target-like
+    assert lo < hi
+    thresh = (lo + hi) / 2.0
+
+    def run(ckpt):
+        q = stream_dsir_ingest(
+            spark, str(in_dir), schema, "doc_id", "text", target, thresh,
+            wh, "DSIR_KEPT", "DSIR_STATE", str(tmp_path / ckpt),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run("dckpt")
+
+    # profile state == one-shot bucket_profile over both files
+    got_state = sorted(
+        (r.bucket, r.c)
+        for r in wh.read("DSIR_STATE").select("bucket", "c").collect()
+    )
+    want_state = sorted(
+        (r.bucket, r.c) for r in bucket_profile(full, "text").collect()
+    )
+    assert got_state == want_state
+
+    out = wh.read("DSIR_KEPT")
+    assert out.select("__batch_id").distinct().count() == 2
+    # last batch's keepers == batch operator at the FULL raw profile,
+    # restricted to that batch's rows (cumulative state == full there)
+    last_ids = {
+        r.doc_id for r in out.filter(F.col("__batch_id") == 1).collect()
+    }
+    batch2_ids = {a for a, _ in rows2}
+    expect = {
+        k for k, v in w_full.items() if v >= thresh and k in batch2_ids
+    }
+    assert last_ids == expect
+    # the kept rows carry their scores for downstream resampling
+    assert {"logw", "n_feats"} <= set(out.columns)
+    total_rows = out.count()
+
+    # from-scratch replay: new checkpoint renumbers batch ids -> raise
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="not comparable"):
+        run("dckpt2")
+    assert wh.read("DSIR_KEPT").count() == total_rows
+
+    # original checkpoint restart: nothing new, no duplicate appends
+    run("dckpt")
+    assert wh.read("DSIR_KEPT").count() == total_rows
+    assert sorted(
+        (r.bucket, r.c)
+        for r in wh.read("DSIR_STATE").select("bucket", "c").collect()
+    ) == got_state
