@@ -298,3 +298,103 @@ def dsir_sample(
         .limit(k)
         .drop("__gk", "__gh")
     )
+
+
+def dsir_budget_select(
+    weights: DataFrame,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    logw_col: str = "logw",
+    seed: int = 0,
+    n_buckets: int = DEFAULT_BUCKETS,
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """Budget-constrained DSIR selection: keep the Gumbel-top PREFIX
+    of the corpus whose running `weight_col` total (tokens, chars,
+    bytes) stays within `budget` — the practical form of selection
+    jobs, which are specified as TOKEN BUDGETS ("50 B tokens like
+    wikipedia"), not row counts. Rows are ordered by the same
+    deterministic Gumbel key as `dsir_sample` (so the selection is
+    the importance sample), and the selection is NESTED: raising the
+    budget only appends rows, because the order is a pure function of
+    (seed, logw, id).
+
+    No global sort (the textbook trap — a global running sum over the
+    corpus is one reducer holding everything): the Gumbel key is
+    range-bucketed between its exact min/max (`roc_auc`'s two-level
+    discipline — deterministic, unlike sampled quantiles), the
+    running sum is intra-bucket (parallel per bucket) plus the
+    bucket's offset from an n_buckets-row prefix table (the only
+    single-partition window, bounded by n_buckets regardless of
+    corpus size). Bucketing is order-preserving on the key, so the
+    result equals the naive global window exactly (differential-
+    tested).
+
+    NULL/negative weights count 0 toward the budget but remain
+    selectable (a doc with no token count should not silently vanish
+    from the sample; filter upstream if it should). Returns the
+    input columns + inclusive `out_col`.
+    """
+    if out_col in weights.columns:
+        raise ValueError(
+            f"out_col {out_col!r} already exists in weights — drop or "
+            "rename it before selection."
+        )
+    key, h = gumbel_key([F.col(id_col)], F.col(logw_col), seed)
+    wgt = F.greatest(
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    keyed = weights.select(
+        *weights.columns,
+        key.alias("__gk"),
+        h.alias("__gh"),
+        wgt.alias("__w"),
+    )
+    mm = keyed.agg(
+        F.min("__gk").alias("__kmin"), F.max("__gk").alias("__kmax")
+    )
+    span = F.col("__kmax") - F.col("__kmin")
+    # DESC range bucket: the highest key lands in bucket 0
+    bucket = (
+        F.when(
+            span > 0,
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(
+                    (F.col("__kmax") - F.col("__gk")) / span * n_buckets
+                ),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    bucketed = keyed.crossJoin(F.broadcast(mm)).select(
+        *keyed.columns, bucket.alias("__b")
+    )
+    from pyspark.sql import Window
+
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy(
+            F.col("__gk").desc(), F.col("__gh").asc(), F.col(id_col).asc()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    intra = F.sum("__w").over(w_intra)  # inclusive
+    totals = bucketed.groupBy("__b").agg(F.sum("__w").alias("__bt"))
+    w_bucket = Window.orderBy(F.col("__b").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    out_cols = weights.columns
+    return (
+        bucketed.join(F.broadcast(offsets), "__b")
+        .select(
+            *out_cols, (F.col("__off") + intra).alias(out_col)
+        )
+        .filter(F.col(out_col) <= F.lit(int(budget)))
+    )

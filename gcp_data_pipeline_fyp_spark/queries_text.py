@@ -5147,3 +5147,57 @@ TEXT_QUERIES["dsir_selection_shift"] = (
     q_dsir_selection_shift,
     SQL_DSIR_SELECTION_SHIFT,
 )
+
+
+# Budget-constrained DSIR selection: keep the Gumbel-top prefix whose
+# running n_chars total stays within the budget — selection jobs are
+# specified as token/char BUDGETS, not row counts. The operator is the
+# two-level no-global-sort prefix; the oracle is the plain global
+# window (bit-equal by order-preserving bucketing).
+_DSIR_BUDGET = 15_000
+
+
+def q_dsir_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """operators/dsir.py:dsir_budget_select — nested, deterministic
+    budget prefix in Gumbel-importance order (same keyed draw as
+    dsir_sample_docs, seed 7), charged by n_chars."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+    )
+
+    d = _docs(spark, sf)
+    w = _dsir_weights(spark, sf).join(
+        d.select("doc_id", "n_chars"), "doc_id"
+    )
+    out = dsir_budget_select(
+        w, "doc_id", "n_chars", _DSIR_BUDGET,
+        seed=_DSIR_SEED, out_col="cum_chars",
+    )
+    return out.select(
+        "doc_id", micro6("logw").alias("logw_micro"), "n_chars", "cum_chars"
+    )
+
+
+SQL_DSIR_BUDGET_DOCS = f"""
+WITH {_SQL_DSIR_WEIGHTS},
+wj AS (SELECT w.doc_id, w.logw, d.n_chars
+       FROM dsirw w JOIN documents d USING (doc_id)),
+gk2 AS (SELECT doc_id, logw, n_chars,
+          cast(concat('0x', substr(md5(concat('{_DSIR_SEED}|',
+            CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), ':',
+            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+        FROM wj),
+ck AS (SELECT doc_id, logw, n_chars, h,
+         logw + (-ln(-ln((h + 1.0) / 1152921504606846977.0))) AS gkey
+       FROM gk2),
+cm AS (SELECT doc_id, logw, n_chars,
+         cast(sum(greatest(coalesce(n_chars, 0), 0)) OVER (
+           ORDER BY gkey DESC, h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_chars
+       FROM ck)
+SELECT doc_id, {micro6_sql("logw")} AS logw_micro, n_chars, cum_chars
+FROM cm WHERE cum_chars <= {_DSIR_BUDGET}
+"""
+
+TEXT_QUERIES["dsir_budget_docs"] = (q_dsir_budget_docs, SQL_DSIR_BUDGET_DOCS)

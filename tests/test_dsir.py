@@ -155,3 +155,101 @@ def test_sample_plans_take_ordered(spark):
     w = dsir_logweights(raw, "id", target, n_buckets=B)
     plan = dsir_sample(w, "id", 5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def _budget_naive(spark, weights, id_col, weight_col, budget, seed):
+    """Oracle form: plain global window over the same key chain."""
+    from pyspark.sql import Window
+
+    from gcp_data_pipeline_fyp_spark.operators.dsir import gumbel_key
+
+    key, h = gumbel_key([F.col(id_col)], F.col("logw"), seed)
+    w = Window.orderBy(
+        key.desc(), h.asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(
+        F.greatest(
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+        )
+    ).over(w)
+    return (
+        weights.withColumn("cum_weight", cum)
+        .filter(F.col("cum_weight") <= budget)
+    )
+
+
+def _weights_fixture(spark, n=60):
+    raw = _docs(
+        spark,
+        [(i, f"tok{i % 11} tok{i % 5} tok{i % 3}") for i in range(n)],
+    )
+    target = _docs(spark, [(999, "tok1 tok2 tok1 tok3")])
+    from gcp_data_pipeline_fyp_spark.operators.dsir import dsir_logweights
+
+    w = dsir_logweights(raw, "id", target, n_buckets=B)
+    return w.withColumn("nw", (F.col("id") % 7 + 1).cast("long"))
+
+
+def test_budget_select_matches_naive_global_window(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+    )
+
+    w = _weights_fixture(spark)
+    got = {
+        (r["id"], r["cum_weight"])
+        for r in dsir_budget_select(
+            w, "id", "nw", 60, seed=5, n_buckets=8
+        ).collect()
+    }
+    want = {
+        (r["id"], r["cum_weight"])
+        for r in _budget_naive(spark, w, "id", "nw", 60, 5).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_budget_select_nested_and_partition_invariant(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+    )
+
+    w = _weights_fixture(spark)
+    small = {r["id"] for r in dsir_budget_select(w, "id", "nw", 40).collect()}
+    big = {r["id"] for r in dsir_budget_select(w, "id", "nw", 90).collect()}
+    assert small < big  # raising the budget only appends
+    re = {
+        r["id"]
+        for r in dsir_budget_select(
+            w.repartition(13), "id", "nw", 40
+        ).collect()
+    }
+    assert re == small
+
+
+def test_budget_select_null_weight_counts_zero(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+    )
+
+    w = _weights_fixture(spark).withColumn(
+        "nw", F.when(F.col("id") % 2 == 0, F.col("nw"))
+    )
+    out = dsir_budget_select(w, "id", "nw", 20).collect()
+    # NULL-weight rows stay selectable and add 0 to the running total
+    ids = {r["id"] for r in out}
+    assert any(i % 2 == 1 for i in ids)
+    naive = {
+        r["id"] for r in _budget_naive(spark, w, "id", "nw", 20, 0).collect()
+    }
+    assert ids == naive
+
+
+def test_budget_select_out_col_collision_raises(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+    )
+
+    w = _weights_fixture(spark).withColumn("cum_weight", F.lit(1))
+    with pytest.raises(ValueError, match="cum_weight"):
+        dsir_budget_select(w, "id", "nw", 10)
