@@ -716,3 +716,112 @@ def distribution_match_sample_by_group(
     return joined.filter(
         hash_bucket(key_cols, seed) < F.col("rate_micro")
     ).drop("__mb", "rate_micro", *[f"__mg_{c}" for c in g])
+
+
+# ------------------------------------------- UniMax budget allocation
+def unimax_alloc(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: str,
+    total_budget: int,
+    max_epochs: int = 1,
+) -> DataFrame:
+    """UniMax language-balanced budget allocation (public method:
+    Chung et al. 2023, "UniMax: Fairer and More Effective Language
+    Sampling for Large-Scale Multilingual Pretraining", ICLR;
+    arXiv:2304.09151): split `total_budget` tokens as UNIFORMLY as
+    possible across strata (languages/sources), except no stratum may
+    be sampled past `max_epochs` passes over its own data — the epoch
+    cap that stops head languages from starving tails without letting
+    tails repeat into memorization.
+
+    Water-filling, exact integer closed form. With per-stratum
+    capacity cap_s = max_epochs * W_s (W_s = the stratum's token
+    total) sorted ascending with cumulative-before sums cum_s and
+    remaining-strata counts m_s:
+
+        capped_s  :=  cap_s * m_s <= B - cum_s        (monotone: once
+                      false in ascending order it stays false, because
+                      later capacities are >= this one)
+        tau       :=  (B - sum of capped capacities) div n_uncapped
+        alloc_s   :=  cap_s if capped_s else tau
+
+    Capped strata (below the water level) absorb their full capacity;
+    the remainder splits evenly as the integer water level tau
+    (div, so the result replays bit-for-bit in SQL; at most
+    n_uncapped - 1 tokens of B stay unallocated to rounding, and
+    tau < cap_s holds for every uncapped stratum by the flag's own
+    inequality). A naive prefix form alloc_s = min(cap_s,
+    (B - cum_cap_before) div m) is WRONG past the first uncapped
+    stratum — it subtracts full capacities where only the water-level
+    allocs were spent — hence the flag + single-tau form.
+
+    Returns (stratum, weight_total, capacity, alloc) — feed the alloc
+    column to `token_budget_mix` as its per-stratum budgets (the
+    composition site). NULL strata allocate like any other stratum
+    (their rows are a real slice of the corpus); NULL weights count 0.
+    Non-positive budget/epochs are configuration bugs, rejected
+    eagerly.
+
+    Scale: one stratum-key aggregation over the corpus (map-side
+    combined), then every window runs over the |strata|-row table —
+    zero driver-bounded work; the single-partition windows hold
+    |strata| rows (languages/sources: hundreds at most).
+    """
+    if int(total_budget) <= 0 or int(max_epochs) <= 0:
+        raise ValueError(
+            "unimax_alloc: total_budget and max_epochs must be > 0; got "
+            f"{total_budget!r}, {max_epochs!r}"
+        )
+    B = int(total_budget)
+    wsum = df.groupBy(stratum_col).agg(
+        F.coalesce(
+            F.sum(F.col(weight_col).cast("long")), F.lit(0)
+        ).alias("weight_total")
+    )
+    cap = (F.lit(int(max_epochs)) * F.col("weight_total")).alias("capacity")
+    sized = wsum.select(stratum_col, "weight_total", cap)
+    # ascending capacity; ties break on the stratum for determinism
+    w = Window.orderBy(
+        F.col("capacity").asc(), F.col(stratum_col).asc_nulls_first()
+    )
+    cum_before = F.coalesce(
+        F.sum("capacity").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n = F.count(F.lit(1)).over(full)
+    m = n - F.row_number().over(w) + 1
+    flagged = sized.select(
+        stratum_col,
+        "weight_total",
+        "capacity",
+        (F.col("capacity") * m <= F.lit(B) - cum_before).alias("__capped"),
+    )
+    w2full = Window.orderBy(
+        F.col("capacity").asc(), F.col(stratum_col).asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    capped_sum = F.coalesce(
+        F.sum(F.when(F.col("__capped"), F.col("capacity"))).over(w2full),
+        F.lit(0),
+    )
+    n_uncapped = F.sum(
+        F.when(F.col("__capped"), 0).otherwise(1)
+    ).over(w2full)
+    # nullif: with every stratum capped the otherwise-branch is
+    # never taken, but ANSI mode must still never see div 0
+    tau = F.expr(f"({B} - __capped_sum) div nullif(__n_uncapped, 0)")
+    staged = flagged.select(
+        stratum_col,
+        "weight_total",
+        "capacity",
+        "__capped",
+        capped_sum.alias("__capped_sum"),
+        n_uncapped.alias("__n_uncapped"),
+    )
+    alloc = F.when(F.col("__capped"), F.col("capacity")).otherwise(tau)
+    return staged.select(
+        stratum_col, "weight_total", "capacity", alloc.alias("alloc")
+    )

@@ -5201,3 +5201,55 @@ FROM cm WHERE cum_chars <= {_DSIR_BUDGET}
 """
 
 TEXT_QUERIES["dsir_budget_docs"] = (q_dsir_budget_docs, SQL_DSIR_BUDGET_DOCS)
+
+
+# ---------------------------------------- UniMax budget allocation
+# (operators/sampling.py:unimax_alloc — Chung et al. 2023 water-fill:
+# as-uniform-as-possible per-language budgets under an epoch cap).
+_UNIMAX_B, _UNIMAX_E = 100_000, 1
+
+
+def q_unimax_alloc_report(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax allocation over the documents corpus: strata = lang,
+    weights = n_chars, budget 100k chars, epoch cap 1. Tail languages
+    below the water level absorb their full capacity; the rest split
+    the remainder evenly at the integer water level — exact integer
+    algebra, bit-replayed by the oracle."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    d = _docs(spark, sf)
+    return unimax_alloc(d, "lang", "n_chars", _UNIMAX_B, _UNIMAX_E)
+
+
+SQL_UNIMAX_ALLOC = f"""
+WITH wsum AS (SELECT lang,
+                cast(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_total
+              FROM documents GROUP BY lang),
+sized AS (SELECT lang, weight_total,
+            cast({_UNIMAX_E} * weight_total AS BIGINT) AS capacity
+          FROM wsum),
+ordered AS (SELECT lang, weight_total, capacity,
+    coalesce(sum(capacity) OVER (
+      ORDER BY capacity ASC, lang ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb,
+    count(*) OVER () AS n,
+    row_number() OVER (
+      ORDER BY capacity ASC, lang ASC NULLS FIRST) AS rn
+  FROM sized),
+flagged AS (SELECT lang, weight_total, capacity,
+    capacity * (n - rn + 1) <= {_UNIMAX_B} - cumb AS capped
+  FROM ordered),
+tot AS (SELECT
+    coalesce(sum(CASE WHEN capped THEN capacity END), 0) AS csum,
+    sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nun
+  FROM flagged)
+SELECT lang, weight_total, capacity,
+  cast(CASE WHEN capped THEN capacity
+       ELSE ({_UNIMAX_B} - csum) // nullif(nun, 0) END AS BIGINT) AS alloc
+FROM flagged CROSS JOIN tot
+"""
+
+TEXT_QUERIES["unimax_alloc_report"] = (
+    q_unimax_alloc_report,
+    SQL_UNIMAX_ALLOC,
+)

@@ -3671,3 +3671,102 @@ def test_semdedup_multiassign_monotone_and_reduces_to_single(spark):
 
     with _pytest.raises(ValueError):
         semdedup(df, "vec_id", "embedding", n_assign=0)
+
+
+def _unimax_spec(caps: dict, budget: int) -> dict:
+    """Python replay of the documented water-fill algebra (flag +
+    single integer tau), independent of the Spark implementation."""
+    order = sorted(caps.items(), key=lambda kv: (kv[1], str(kv[0])))
+    n = len(order)
+    cum = 0
+    capped = {}
+    for i, (k, c) in enumerate(order):
+        capped[k] = c * (n - i) <= budget - cum
+        cum += c
+    csum = sum(c for k, c in caps.items() if capped[k])
+    nun = sum(1 for k in caps if not capped[k])
+    tau = (budget - csum) // nun if nun else None
+    return {k: (c if capped[k] else tau) for k, c in caps.items()}
+
+
+def test_unimax_alloc_matches_spec_randomized(spark):
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    rng = random.Random(0)
+    for trial in range(6):
+        n_strata = rng.randint(1, 8)
+        rows = []
+        for s in range(n_strata):
+            for _ in range(rng.randint(1, 5)):
+                rows.append((f"s{s}", rng.randint(0, 40)))
+        budget = rng.randint(1, 300)
+        epochs = rng.randint(1, 3)
+        df = spark.createDataFrame(rows, "lang string, w long")
+        got = {
+            r["lang"]: (r["capacity"], r["alloc"])
+            for r in unimax_alloc(df, "lang", "w", budget, epochs).collect()
+        }
+        caps = {}
+        for s, w in rows:
+            caps[s] = caps.get(s, 0) + w
+        caps = {k: epochs * v for k, v in caps.items()}
+        want = _unimax_spec(caps, budget)
+        assert {k: v[0] for k, v in got.items()} == caps, trial
+        assert {k: v[1] for k, v in got.items()} == want, trial
+        # invariants: never past capacity, never past budget
+        assert all(v[1] <= v[0] for v in got.values())
+        assert sum(v[1] for v in got.values()) <= budget
+
+
+def test_unimax_alloc_null_stratum_and_weights(spark):
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    df = spark.createDataFrame(
+        [(None, 10), (None, None), ("a", 30)], "lang string, w long"
+    )
+    got = {
+        r["lang"]: r["alloc"]
+        for r in unimax_alloc(df, "lang", "w", 20).collect()
+    }
+    # NULL stratum allocates like any other; NULL weight counts 0
+    assert set(got) == {None, "a"} and got[None] == 10 and got["a"] == 10
+
+
+def test_unimax_alloc_rejects_bad_config(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    df = spark.createDataFrame([("a", 1)], "lang string, w long")
+    with pytest.raises(ValueError, match="must be > 0"):
+        unimax_alloc(df, "lang", "w", 0)
+    with pytest.raises(ValueError, match="must be > 0"):
+        unimax_alloc(df, "lang", "w", 10, max_epochs=0)
+
+
+def test_unimax_alloc_feeds_token_budget_mix(spark):
+    """The composition site: alloc -> per-stratum budgets for
+    token_budget_mix (strata with alloc 0 are dropped by the mix's
+    own stated filter)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_mix,
+        unimax_alloc,
+    )
+
+    rows = [(i, "a" if i < 40 else "b", 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    alloc = {
+        r["lang"]: r["alloc"]
+        for r in unimax_alloc(df, "lang", "w", 150, 2).collect()
+    }
+    # a: cap 400, b: cap 100 -> b capped? 100*1 <= 150-? order asc: b(100),a(400)
+    # b: 100*2=200 > 150 -> uncapped; tau = 150//2 = 75 each
+    assert alloc == {"a": 75, "b": 75}
+    out = token_budget_mix(df, "doc_id", "w", "lang", alloc, seed=1)
+    per = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(F.sum("w").alias("t")).collect()
+    }
+    assert all(per[s] <= alloc[s] for s in per)
