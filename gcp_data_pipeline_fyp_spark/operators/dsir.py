@@ -287,6 +287,12 @@ def dsir_sample(
     heaps of k, never a global sort; safe at any corpus size for the
     k values selection jobs use.
     """
+    clash = {"__gk", "__gh"} & set(weights.columns)
+    if clash:
+        raise ValueError(
+            f"dsir_sample: reserved internal columns {sorted(clash)} "
+            "already exist in weights — drop or rename them."
+        )
     key, h = gumbel_key([F.col(id_col)], F.col(logw_col), seed)
     ranked = weights.select(
         *weights.columns, key.alias("__gk"), h.alias("__gh")
@@ -336,10 +342,12 @@ def dsir_budget_select(
     from the sample; filter upstream if it should). Returns the
     input columns + inclusive `out_col`.
     """
-    if out_col in weights.columns:
+    clash = ({out_col, "__gk", "__gh", "__w", "__b"} & set(weights.columns))
+    if clash:
         raise ValueError(
-            f"out_col {out_col!r} already exists in weights — drop or "
-            "rename it before selection."
+            f"dsir_budget_select: column(s) {sorted(clash)} already exist "
+            "in weights (out_col or reserved internals) — drop or rename "
+            "them before selection."
         )
     key, h = gumbel_key([F.col(id_col)], F.col(logw_col), seed)
     wgt = F.greatest(

@@ -773,6 +773,11 @@ def unimax_alloc(
             "unimax_alloc: total_budget and max_epochs must be > 0; got "
             f"{total_budget!r}, {max_epochs!r}"
         )
+    if stratum_col in ("weight_total", "capacity", "alloc"):
+        raise ValueError(
+            f"unimax_alloc: stratum_col {stratum_col!r} collides with an "
+            "output column name — rename it first."
+        )
     B = int(total_budget)
     wsum = df.groupBy(stratum_col).agg(
         F.coalesce(

@@ -253,3 +253,16 @@ def test_budget_select_out_col_collision_raises(spark):
     w = _weights_fixture(spark).withColumn("cum_weight", F.lit(1))
     with pytest.raises(ValueError, match="cum_weight"):
         dsir_budget_select(w, "id", "nw", 10)
+
+
+def test_reserved_internal_columns_raise(spark):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_budget_select,
+        dsir_sample,
+    )
+
+    w = _weights_fixture(spark).withColumn("__gk", F.lit(1))
+    with pytest.raises(ValueError, match="__gk"):
+        dsir_sample(w, "id", 3)
+    with pytest.raises(ValueError, match="__gk"):
+        dsir_budget_select(w, "id", "nw", 10)

@@ -3770,3 +3770,13 @@ def test_unimax_alloc_feeds_token_budget_mix(spark):
         for r in out.groupBy("lang").agg(F.sum("w").alias("t")).collect()
     }
     assert all(per[s] <= alloc[s] for s in per)
+
+
+def test_unimax_alloc_output_name_collision_raises(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    df = spark.createDataFrame([("a", 1)], "capacity string, w long")
+    with pytest.raises(ValueError, match="collides"):
+        unimax_alloc(df, "capacity", "w", 10)
