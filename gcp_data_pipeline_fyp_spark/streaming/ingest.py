@@ -1639,6 +1639,16 @@ def stream_dsir_ingest(
         target, target_text_col or text_col, nb
     ).localCheckpoint(eager=True)
 
+    # the keeper append carries the score columns; a feed that already
+    # has them would write duplicate column names into out_table
+    feed_cols = {f.split()[0].strip() for f in schema_ddl.split(",")}
+    clash = {"logw", "n_feats"} & feed_cols
+    if clash:
+        raise ValueError(
+            f"stream_dsir_ingest: feed schema already has {sorted(clash)} "
+            "— rename those columns; the ingest appends its own."
+        )
+
     raw = spark.readStream.schema(schema_ddl).option("header", True)
     if max_files_per_trigger is not None:
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1644,3 +1644,20 @@ def test_stream_dsir_ingest_scores_and_replays_safely(spark, tmp_path):
         (r.bucket, r.c)
         for r in wh.read("DSIR_STATE").select("bucket", "c").collect()
     ) == got_state
+
+
+def test_stream_dsir_ingest_rejects_score_column_clash(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.streaming.ingest import (
+        stream_dsir_ingest,
+    )
+
+    target = spark.createDataFrame([(1, "x")], "tid long, text string")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    import pytest
+
+    with pytest.raises(ValueError, match="logw"):
+        stream_dsir_ingest(
+            spark, str(tmp_path), "doc_id long, text string, logw double",
+            "doc_id", "text", target, 0.0, wh, "OUT", "STATE",
+            str(tmp_path / "ck"),
+        )
