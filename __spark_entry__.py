@@ -33,10 +33,10 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-11 WINDOW, composition (9 + 9 + 24 + 8 = 50), in priority
+# ROUND-11 WINDOW, composition (10 + 9 + 24 + 7 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
-#   0. the 9 r11 births (hybrid_rerank_topk — BM25 + dense -> RRF ->
+#   0. the 10 r11 births (hybrid_rerank_topk — BM25 + dense -> RRF ->
 #      MMR as one certified composition; semdedup_docs — SemDeDup
 #      semantic near-dup pruning on the deterministic IVF fit;
 #      semdedup_recall_eval — its measured detection-quality row,
@@ -51,7 +51,9 @@ _REGISTRIES = [
 #      no-global-sort Gumbel-order prefix charged by n_chars; and
 #      unimax_alloc_report — UniMax water-fill budget allocation,
 #      Chung et al. 2023, exact integer flag+tau closed form, the
-#      mixed capped/uncapped branch exercised at sf0.01);
+#      mixed capped/uncapped branch exercised at sf0.01; and
+#      unimax_mix_docs — the allocation CONSUMED by token_budget_mix
+#      as one certified allocate-then-enforce chain);
 #   1. the 9 probes whose code or oracle changed this round:
 #      rank_blend_scores + blend_floor_docs (fused single-pass
 #      multi-scorer midrank), length_match_sample +
@@ -65,9 +67,9 @@ _REGISTRIES = [
 #   3. the 24 r05-evidence rows (lsh_recall_report .. wow_growth —
 #      VERDICT r10 ask #1: after this window the oldest driver
 #      evidence anywhere is r6);
-#   4. the first 8 of the 50 r06-evidence rows, alphabetical
-#      (ann_ivfpq_rerank_topk .. canonical_docs); the remaining
-#      42 head the r12 window — the rotation is now pure steady-state.
+#   4. the first 7 of the 50 r06-evidence rows, alphabetical
+#      (ann_ivfpq_rerank_topk .. brand_revenue); the remaining
+#      43 head the r12 window — the rotation is now pure steady-state.
 _CHECK_FIRST = [
     # -- 0. new this round (r11)
     "hybrid_rerank_topk",
@@ -79,6 +81,7 @@ _CHECK_FIRST = [
     "dsir_selection_shift",
     "dsir_budget_docs",
     "unimax_alloc_report",
+    "unimax_mix_docs",
     # -- 1. code/oracle changed this round
     "rank_blend_scores",
     "blend_floor_docs",
@@ -114,7 +117,7 @@ _CHECK_FIRST = [
     "train_val_test_split",
     "unigram_logprob_score",
     "wow_growth",
-    # -- 4. r06-evidence tail, alphabetical (8 of 50)
+    # -- 4. r06-evidence tail, alphabetical (7 of 50)
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
@@ -122,11 +125,10 @@ _CHECK_FIRST = [
     "anti_join_dedup",
     "boilerplate_docs",
     "brand_revenue",
-    "canonical_docs",
     # next round (r12), in priority order: (0) any new r12 probes;
-    # (1) anything red in r11; (2) the remaining 42 r06-evidence rows
-    # (clean_text_docs, corpus_prep, corpus_prep_full, cube_type_day,
-    # customer_distribution,
+    # (1) anything red in r11; (2) the remaining 43 r06-evidence rows
+    # (canonical_docs, clean_text_docs, corpus_prep, corpus_prep_full,
+    # cube_type_day, customer_distribution,
     # customer_order_stats, date_dim, dedup_exact_rows,
     # dedup_exact_stats, dedupe_corpus, dormant_rich_customers,
     # dup_clusters, event_id_hash, gopher_filter, kcore_docs,

@@ -5221,8 +5221,9 @@ def q_unimax_alloc_report(spark: SparkSession, sf: str) -> DataFrame:
     return unimax_alloc(d, "lang", "n_chars", _UNIMAX_B, _UNIMAX_E)
 
 
-SQL_UNIMAX_ALLOC = f"""
-WITH wsum AS (SELECT lang,
+# shared water-fill chain: af(lang, weight_total, capacity, alloc)
+_SQL_UNIMAX_CHAIN = f"""
+wsum AS (SELECT lang,
                 cast(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_total
               FROM documents GROUP BY lang),
 sized AS (SELECT lang, weight_total,
@@ -5242,14 +5243,67 @@ flagged AS (SELECT lang, weight_total, capacity,
 tot AS (SELECT
     coalesce(sum(CASE WHEN capped THEN capacity END), 0) AS csum,
     sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nun
-  FROM flagged)
-SELECT lang, weight_total, capacity,
+  FROM flagged),
+af AS (SELECT lang, weight_total, capacity,
   cast(CASE WHEN capped THEN capacity
        ELSE ({_UNIMAX_B} - csum) // nullif(nun, 0) END AS BIGINT) AS alloc
-FROM flagged CROSS JOIN tot
+FROM flagged CROSS JOIN tot)
+"""
+
+SQL_UNIMAX_ALLOC = f"""
+WITH {_SQL_UNIMAX_CHAIN}
+SELECT lang, weight_total, capacity, alloc FROM af
 """
 
 TEXT_QUERIES["unimax_alloc_report"] = (
     q_unimax_alloc_report,
     SQL_UNIMAX_ALLOC,
 )
+
+
+def q_unimax_mix_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The allocation CONSUMED: unimax_alloc's per-language budgets
+    feed token_budget_mix, so "allocate fairly under an epoch cap,
+    then enforce as budgeted prefixes" is one certified chain. The
+    alloc collect is |strata| rows (languages — bounded by
+    construction, the same class as a broadcast dim); the mix itself
+    is the two-level-prefix operator, nothing corpus-sized sorts."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_mix,
+        unimax_alloc,
+    )
+
+    d = _docs(spark, sf)
+    budgets = {
+        r["lang"]: int(r["alloc"])
+        for r in unimax_alloc(
+            d, "lang", "n_chars", _UNIMAX_B, _UNIMAX_E
+        ).collect()
+        if r["alloc"] > 0
+    }
+    out = token_budget_mix(
+        d.select("doc_id", "lang", "n_chars"),
+        "doc_id", "n_chars", "lang", budgets, seed=3,
+    )
+    return out.select("doc_id", "lang", "n_chars", "cum_weight")
+
+
+SQL_UNIMAX_MIX_DOCS = f"""
+WITH {_SQL_UNIMAX_CHAIN},
+t AS (SELECT doc_id, lang, n_chars,
+  coalesce(n_chars, 0) AS w,
+  cast(concat('0x', substr(md5('3_' || cast(doc_id AS varchar)), 1, 15))
+    AS bigint) AS k
+  FROM documents
+  WHERE lang IN (SELECT lang FROM af WHERE alloc > 0)),
+s AS (SELECT doc_id, lang, n_chars,
+  cast(sum(w) OVER (PARTITION BY lang ORDER BY k, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+    AS cum_weight
+  FROM t)
+SELECT s.doc_id, s.lang, s.n_chars, s.cum_weight
+FROM s JOIN af USING (lang)
+WHERE s.cum_weight <= af.alloc
+"""
+
+TEXT_QUERIES["unimax_mix_docs"] = (q_unimax_mix_docs, SQL_UNIMAX_MIX_DOCS)
