@@ -33,7 +33,7 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-11 WINDOW, composition (10 + 9 + 24 + 7 = 50), in priority
+# ROUND-11 WINDOW, composition (10 + 10 + 24 + 6 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
 #   0. the 10 r11 births (hybrid_rerank_topk — BM25 + dense -> RRF ->
@@ -54,22 +54,23 @@ _REGISTRIES = [
 #      mixed capped/uncapped branch exercised at sf0.01; and
 #      unimax_mix_docs — the allocation CONSUMED by token_budget_mix
 #      as one certified allocate-then-enforce chain);
-#   1. the 9 probes whose code or oracle changed this round:
+#   1. the 10 probes whose code or oracle changed this round:
 #      rank_blend_scores + blend_floor_docs (fused single-pass
 #      multi-scorer midrank), length_match_sample +
 #      length_match_by_lang (argmin NULL tie-break pin; sample oracle
 #      LEFT JOIN ON TRUE), rrf_hybrid_search (unpartitioned-cap
-#      guard), and the 4 zonemap consumers (zonemap_pruned_scan,
+#      guard), the 4 zonemap consumers (zonemap_pruned_scan,
 #      dynamic_pruned_join, zonemap_zorder_box_scan,
 #      bucket_index_lookup — distributed census prune + build-side
-#      localCheckpoint);
+#      localCheckpoint), and token_budget_mix (session-4 review fix:
+#      eager NULL-budget-key raise);
 #   2. nothing red in r10 (all 50 green);
 #   3. the 24 r05-evidence rows (lsh_recall_report .. wow_growth —
 #      VERDICT r10 ask #1: after this window the oldest driver
 #      evidence anywhere is r6);
-#   4. the first 7 of the 50 r06-evidence rows, alphabetical
-#      (ann_ivfpq_rerank_topk .. brand_revenue); the remaining
-#      43 head the r12 window — the rotation is now pure steady-state.
+#   4. the first 6 of the 50 r06-evidence rows, alphabetical
+#      (ann_ivfpq_rerank_topk .. boilerplate_docs); the remaining
+#      44 head the r12 window — the rotation is now pure steady-state.
 _CHECK_FIRST = [
     # -- 0. new this round (r11)
     "hybrid_rerank_topk",
@@ -92,6 +93,7 @@ _CHECK_FIRST = [
     "dynamic_pruned_join",
     "zonemap_zorder_box_scan",
     "bucket_index_lookup",
+    "token_budget_mix",
     # -- 3. the r05-evidence tail (VERDICT r10 ask #1)
     "lsh_recall_report",
     "numeric_profile",
@@ -117,18 +119,17 @@ _CHECK_FIRST = [
     "train_val_test_split",
     "unigram_logprob_score",
     "wow_growth",
-    # -- 4. r06-evidence tail, alphabetical (7 of 50)
+    # -- 4. r06-evidence tail, alphabetical (6 of 50)
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_topk",
     "ann_pq_topk_sampled",
     "anti_join_dedup",
     "boilerplate_docs",
-    "brand_revenue",
     # next round (r12), in priority order: (0) any new r12 probes;
-    # (1) anything red in r11; (2) the remaining 43 r06-evidence rows
-    # (canonical_docs, clean_text_docs, corpus_prep, corpus_prep_full,
-    # cube_type_day, customer_distribution,
+    # (1) anything red in r11; (2) the remaining 44 r06-evidence rows
+    # (brand_revenue, canonical_docs, clean_text_docs, corpus_prep,
+    # corpus_prep_full, cube_type_day, customer_distribution,
     # customer_order_stats, date_dim, dedup_exact_rows,
     # dedup_exact_stats, dedupe_corpus, dormant_rich_customers,
     # dup_clusters, event_id_hash, gopher_filter, kcore_docs,

@@ -47,7 +47,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from gcp_data_pipeline_fyp_spark.functions.text import tokens
+from gcp_data_pipeline_fyp_spark.functions.text import (
+    _coalesce_toks,
+    tokens,
+)
+from gcp_data_pipeline_fyp_spark.operators.sampling import _key_token
 from gcp_data_pipeline_fyp_spark.queries_util import roundn
 
 #: default feature-space width; the paper uses 10k, 4096 keeps the
@@ -55,10 +59,6 @@ from gcp_data_pipeline_fyp_spark.queries_util import roundn
 #: at test vocabulary sizes. Collisions are part of the model (both
 #: profiles collide identically), not an error source.
 DEFAULT_BUCKETS = 4096
-
-
-def _coalesce_toks(toks: Column) -> Column:
-    return F.coalesce(toks, F.array().cast("array<string>"))
 
 
 def feature_buckets(
@@ -257,13 +257,10 @@ def gumbel_key(
     Kool et al. 2019), the softmax-weighted sibling of the A-ES
     sampler in operators/sampling.py.
     """
-    def _tok(c: Column) -> Column:
-        s = c.cast("string")
-        return F.when(s.isNull(), F.lit("-1:")).otherwise(
-            F.concat(F.length(s).cast("string"), F.lit(":"), s)
-        )
-
-    joined = F.concat(F.lit(f"{seed}|"), *[_tok(c) for c in id_cols])
+    # the SAME length-prefixed encoding + h60 chain weighted_sample_wor
+    # owns (operators/sampling.py) — imported, not duplicated, so the
+    # cross-operator determinism/nesting guarantees share one source
+    joined = F.concat(F.lit(f"{seed}|"), *[_key_token(c) for c in id_cols])
     h = F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
     u = (h + F.lit(1.0)) / F.lit(1152921504606846977.0)
     g = -F.log(-F.log(u))

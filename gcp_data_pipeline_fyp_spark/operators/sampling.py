@@ -173,6 +173,13 @@ def token_budget_mix(
     here (a silent default would skew the mix); non-positive budgets
     are configuration bugs, rejected eagerly; NULL weights count 0.
     """
+    if None in budgets:
+        raise ValueError(
+            "token_budget_mix: a NULL stratum cannot be keyed through "
+            "the budgets dict (isin/create_map never match NULL keys — "
+            "it would be dropped silently). Relabel NULL strata "
+            "upstream (e.g. coalesce to a sentinel) first."
+        )
     bad = {s: b for s, b in budgets.items() if not int(b) > 0}
     if bad:
         raise ValueError(
@@ -758,10 +765,14 @@ def unimax_alloc(
 
     Returns (stratum, weight_total, capacity, alloc) — feed the alloc
     column to `token_budget_mix` as its per-stratum budgets (the
-    composition site). NULL strata allocate like any other stratum
-    (their rows are a real slice of the corpus); NULL weights count 0.
-    Non-positive budget/epochs are configuration bugs, rejected
-    eagerly.
+    composition site), but relabel NULL strata first: a dict cannot
+    key NULL through isin/create_map, and token_budget_mix rejects a
+    None budget key eagerly for exactly that reason. NULL strata
+    allocate like any other stratum HERE (their rows are a real slice
+    of the corpus); NULL and negative weights count 0 (negative token
+    counts are corruption, and a negative capacity would inflate
+    later water-fill shares past the budget). Non-positive
+    budget/epochs are configuration bugs, rejected eagerly.
 
     Scale: one stratum-key aggregation over the corpus (map-side
     combined), then every window runs over the |strata|-row table —
@@ -779,10 +790,15 @@ def unimax_alloc(
             "output column name — rename it first."
         )
     B = int(total_budget)
+    # negative per-row weights are data corruption, and a negative
+    # CAPACITY corrupts the water-fill (an early capped stratum with
+    # alloc < 0 inflates every later share past the budget) — clamp
+    # per-row like dsir_budget_select does
+    wrow = F.greatest(
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+    )
     wsum = df.groupBy(stratum_col).agg(
-        F.coalesce(
-            F.sum(F.col(weight_col).cast("long")), F.lit(0)
-        ).alias("weight_total")
+        F.coalesce(F.sum(wrow), F.lit(0)).alias("weight_total")
     )
     cap = (F.lit(int(max_epochs)) * F.col("weight_total")).alias("capacity")
     sized = wsum.select(stratum_col, "weight_total", cap)

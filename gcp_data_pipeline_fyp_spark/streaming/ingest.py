@@ -35,6 +35,35 @@ from gcp_data_pipeline_fyp_spark.operators.merge import (
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
 
 
+def checkpoint_stream_id(checkpoint_dir: str) -> str:
+    """The stream's identity from its checkpoint metadata — the key
+    every replay-guarded ingest stamps into its state so a state
+    table from a DIFFERENT checkpoint lineage (whose batch ids are
+    not comparable) raises instead of silently double-counting.
+    Shared helper: the per-ingest copies of this logic had started
+    to drift."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
+        return _json.load(fh)["id"]
+
+
+def batch_already_appended(wh: Warehouse, table: str, batch_id: int) -> bool:
+    """True if `table` already carries rows stamped with `batch_id` —
+    the idempotent-append probe used by every foreachBatch ingest
+    whose output rides a plain append (a crash between append and
+    state swap re-delivers the batch; the probe turns the re-append
+    into a no-op)."""
+    return wh.exists(table) and (
+        wh.read(table)
+        .filter(F.col("__batch_id") == batch_id)
+        .limit(1)
+        .count()
+        > 0
+    )
+
+
 def stream_ingest_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -1470,9 +1499,6 @@ def stream_match_ingest(
     sized aggregation + one broadcast filter join — no history
     rescans, nothing corpus-sized shuffles.
     """
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.sampling import (
         hash_bucket,
         match_rates_from_counts,
@@ -1490,18 +1516,8 @@ def stream_match_ingest(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
-    def _stream_id() -> str:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
-
-    def _batch_seen(table: str, batch_id: int) -> bool:
-        return wh.exists(table) and (
-            wh.read(table)
-            .filter(F.col("__batch_id") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
+    _batch_seen = lambda t, b: batch_already_appended(wh, t, b)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1624,9 +1640,6 @@ def stream_dsir_ingest(
     broadcast join + partially-aggregated per-doc sum — no history
     rescans, nothing corpus-sized shuffles.
     """
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.dsir import (
         DEFAULT_BUCKETS,
         bucket_profile,
@@ -1640,8 +1653,12 @@ def stream_dsir_ingest(
     ).localCheckpoint(eager=True)
 
     # the keeper append carries the score columns; a feed that already
-    # has them would write duplicate column names into out_table
-    feed_cols = {f.split()[0].strip() for f in schema_ddl.split(",")}
+    # has them would write duplicate column names into out_table.
+    # Spark column resolution is case-INsensitive by default, so the
+    # check is too ('Logw' clashes with 'logw')
+    feed_cols = {
+        f.split()[0].strip().lower() for f in schema_ddl.split(",")
+    }
     clash = {"logw", "n_feats"} & feed_cols
     if clash:
         raise ValueError(
@@ -1654,18 +1671,8 @@ def stream_dsir_ingest(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
-    def _stream_id() -> str:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
-
-    def _batch_seen(table: str, batch_id: int) -> bool:
-        return wh.exists(table) and (
-            wh.read(table)
-            .filter(F.col("__batch_id") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
+    _batch_seen = lambda t, b: batch_already_appended(wh, t, b)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():

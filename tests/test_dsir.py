@@ -266,3 +266,40 @@ def test_reserved_internal_columns_raise(spark):
         dsir_sample(w, "id", 3)
     with pytest.raises(ValueError, match="__gk"):
         dsir_budget_select(w, "id", "nw", 10)
+
+
+def test_score_against_frozen_profiles_skips_unknown_buckets(spark):
+    """The frozen-profile branch (dsir_log_ratios docstring): scoring
+    a frame whose features are absent from BOTH profiles must count
+    the occurrence in n_feats but contribute 0 weight — the left-join
+    NULL lr path, previously uncovered by any probe or test."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        bucket_profile,
+        dsir_log_ratios,
+        score_against_ratios,
+    )
+
+    raw = _docs(spark, [(1, "known")])
+    target = _docs(spark, [(2, "known known")])
+    ratios = dsir_log_ratios(
+        bucket_profile(raw, "text", n_buckets=B),
+        bucket_profile(target, "text", n_buckets=B),
+        n_buckets=B,
+    )
+    # 'zzz_unseen' is in neither profile (distinct md5 bucket from
+    # 'known' with overwhelming probability at B=256; the mixed doc
+    # pins that an unseen occurrence neither drops the row nor
+    # poisons the decimal sum)
+    frame = _docs(
+        spark, [(10, "known"), (11, "zzz_unseen"), (12, "known zzz_unseen")]
+    )
+    rows = {
+        r["id"]: r
+        for r in score_against_ratios(
+            frame, "id", ratios, n_buckets=B
+        ).collect()
+    }
+    assert rows[11]["logw"] == 0.0 and rows[11]["n_feats"] == 1
+    # doc 12: 2 unigrams + 1 bigram = 3 occurrences, only 'known' scores
+    assert rows[12]["n_feats"] == 3
+    assert rows[12]["logw"] == pytest.approx(rows[10]["logw"], abs=1e-9)

@@ -3780,3 +3780,33 @@ def test_unimax_alloc_output_name_collision_raises(spark):
     df = spark.createDataFrame([("a", 1)], "capacity string, w long")
     with pytest.raises(ValueError, match="collides"):
         unimax_alloc(df, "capacity", "w", 10)
+
+
+def test_unimax_alloc_clamps_negative_weights(spark):
+    """A negative capacity would corrupt the water-fill (an early
+    capped stratum with alloc < 0 inflates every later share past
+    the budget) — negative per-row weights count 0."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import unimax_alloc
+
+    df = spark.createDataFrame(
+        [("a", -50), ("b", 100)], "lang string, w long"
+    )
+    got = {
+        r["lang"]: (r["capacity"], r["alloc"])
+        for r in unimax_alloc(df, "lang", "w", 60).collect()
+    }
+    assert got["a"] == (0, 0)
+    assert got["b"] == (100, 60)
+    assert sum(v[1] for v in got.values()) <= 60
+
+
+def test_token_budget_mix_rejects_null_stratum_key(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        token_budget_mix,
+    )
+
+    df = spark.createDataFrame([(1, None, 5)], "doc_id long, lang string, w long")
+    with pytest.raises(ValueError, match="NULL stratum"):
+        token_budget_mix(df, "doc_id", "w", "lang", {None: 10, "a": 5})

@@ -1656,8 +1656,9 @@ def test_stream_dsir_ingest_rejects_score_column_clash(spark, tmp_path):
     import pytest
 
     with pytest.raises(ValueError, match="logw"):
+        # case-insensitive like Spark's own column resolution
         stream_dsir_ingest(
-            spark, str(tmp_path), "doc_id long, text string, logw double",
+            spark, str(tmp_path), "doc_id long, text string, Logw double",
             "doc_id", "text", target, 0.0, wh, "OUT", "STATE",
             str(tmp_path / "ck"),
         )
