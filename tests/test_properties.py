@@ -7,7 +7,7 @@ import datetime
 
 import duckdb
 import pandas as pd
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from gcp_data_pipeline_fyp_spark.functions.text import minhash_params
 from gcp_data_pipeline_fyp_spark.operators.similarity import make_hyperplanes
@@ -428,8 +428,11 @@ def test_classifier_fuzz_vs_python_reference(spark, rows):
         rp = (pos[b] + 1.0) / (tp + float(B))
         rn = (neg[b] + 1.0) / (tn + float(B))
         val = (rp - rn) / (rp + rn)
+        # engine: F.round(w * 1000.0, 0) — HALF_UP on the product
+        # double's shortest repr; an inner Python round(val, 3) here
+        # banker's-rounds exact half-millis the other way
         w_milli[b] = int(
-            (Decimal(repr(round(val, 3))) * 1000).to_integral_value(ROUND_HALF_UP)
+            Decimal(repr(val * 1000.0)).to_integral_value(ROUND_HALF_UP)
         )
     for i, (t, _l) in enumerate(rows):
         fs = feats(t)
@@ -437,7 +440,13 @@ def test_classifier_fuzz_vs_python_reference(spark, rows):
             assert got[i] == (0, None, "empty")
             continue
         s = sum(w_milli.get(bucket(f), 0) for f in fs)
-        micro = int(Decimal(repr(round(s * 1000.0 / len(fs)))).to_integral_value())
+        # engine: F.round(sum_w * 1000.0 / n_features) — same HALF_UP
+        # discipline, no banker's round() on a micro surface
+        micro = int(
+            Decimal(repr(s * 1000.0 / len(fs))).to_integral_value(
+                ROUND_HALF_UP
+            )
+        )
         assert got[i][0] == len(fs)
         assert got[i][1] == micro, (t, got[i], micro)
         assert got[i][2] == ("keep" if micro > 0 else "drop")
@@ -789,6 +798,20 @@ def test_bloom_never_false_negative_fuzz(spark, keys, probes, k):
 
 
 @settings(max_examples=10, deadline=None)
+@example(
+    # Pinned regression: AUC = 85/128 = 0.6640625 exactly, so the
+    # micro product is exactly 664062.5 — the engine's HALF_UP
+    # (micro6, queries_util.py) emits 664063 while Python's banker's
+    # round() says 664062. 4 pos / 16 neg, wins=42 ties=1.
+    rows=(
+        [(15, True)] * 3
+        + [(10, True)]
+        + [(0, False)] * 9
+        + [(12, False)]
+        + [(20, False)] * 5
+        + [(10, False)]
+    ),
+)
 @given(
     rows=st.lists(
         st.tuples(st.integers(0, 1000), st.booleans()),
@@ -798,7 +821,15 @@ def test_bloom_never_false_negative_fuzz(spark, keys, probes, k):
 )
 def test_roc_auc_fuzz_vs_pair_counting(spark, rows):
     """Distributed rank-sum AUC == naive pair counting with half-credit
-    ties, on arbitrary integer score multisets."""
+    ties, on arbitrary integer score multisets.
+
+    The expectation mirrors the engine's emission exactly: the same
+    IEEE quotient-then-product double, then HALF_UP (half away from
+    zero) on its shortest repr — NEVER Python's banker's round(),
+    which diverges at exact half-micro values (the pinned 85/128
+    example)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     from gcp_data_pipeline_fyp_spark.operators.evalmetrics import roc_auc
 
     df = spark.createDataFrame(
@@ -812,8 +843,16 @@ def test_roc_auc_fuzz_vs_pair_counting(spark, rows):
     else:
         wins = sum(1 for p in pos for n in neg if p > n)
         ties = sum(1 for p in pos for n in neg if p == n)
-        want = (wins + 0.5 * ties) / (len(pos) * len(neg))
-        assert r["auc_micro"] == round(want * 1_000_000)
+        # engine: num = 2*S_pos - P(P+1) = 2*wins + ties (exact int
+        # as double), den = 2PN (exact), one correctly-rounded
+        # division, *1e6 product, HALF_UP — replay the identical ops
+        num = 2 * wins + ties
+        den = 2 * len(pos) * len(neg)
+        prod = (num / den) * 1_000_000.0
+        want_micro = int(
+            Decimal(repr(prod)).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+        assert r["auc_micro"] == want_micro
 
 
 @settings(max_examples=10, deadline=None)
