@@ -49,15 +49,34 @@ def checkpoint_stream_id(checkpoint_dir: str) -> str:
         return _json.load(fh)["id"]
 
 
-def batch_already_appended(wh: Warehouse, table: str, batch_id: int) -> bool:
+def batch_already_appended(
+    wh: Warehouse, table: str, batch_id: int, col: str = "__batch_id"
+) -> bool:
     """True if `table` already carries rows stamped with `batch_id` —
     the idempotent-append probe used by every foreachBatch ingest
     whose output rides a plain append (a crash between append and
     state swap re-delivers the batch; the probe turns the re-append
-    into a no-op)."""
+    into a no-op). `col` names the stamp column: newer ingests stamp
+    `__batch_id`; the validated/scored report tables predate the
+    convention and stamp `batch_id`.
+
+    COMMIT-PROTOCOL ASSUMPTION (documented, not hidden): the probe
+    treats ANY committed row with `batch_id` as "the whole batch
+    landed". That holds under Spark's default Hadoop commit protocol
+    (FileOutputCommitter v1, job-level commit: task files surface in
+    the destination only at job commit, so a crash mid-WRITE leaves
+    zero visible rows and the replay re-appends cleanly). What it
+    does NOT cover is a crash inside the job-commit rename loop
+    itself — a window of sequential renames in which some files are
+    visible and some are not; a replay would then skip the re-append
+    and silently drop the unrenamed files' rows. On a real object
+    store, use a committer with atomic job commit (or a table format
+    with a transaction log) and this probe is exact; do not run these
+    ingests with FileOutputCommitter v2 (task-level visibility),
+    which widens that window to the whole write."""
     return wh.exists(table) and (
         wh.read(table)
-        .filter(F.col("__batch_id") == batch_id)
+        .filter(F.col(col) == batch_id)
         .limit(1)
         .count()
         > 0
@@ -217,13 +236,7 @@ def stream_validated_ingest(
             # crash window between the two appends that duplicates
             # dead-letter rows on replay.
             def _batch_seen(t: str) -> bool:
-                return wh.exists(t) and (
-                    wh.read(t)
-                    .filter(SF.col("batch_id") == batch_id)
-                    .limit(1)
-                    .count()
-                    > 0
-                )
+                return batch_already_appended(wh, t, batch_id, col="batch_id")
 
             already_logged = _batch_seen(report_table)
             clean = batch
@@ -405,10 +418,8 @@ def stream_scored_ingest(
     )
 
     def _batch_seen(table: str, batch_id: int) -> bool:
-        return wh.exists(table) and (
-            wh.read(table).filter(F.col("batch_id") == batch_id).limit(1).count()
-            > 0
-        )
+        return batch_already_appended(wh, table, batch_id, col="batch_id")
+
     raw = (
         spark.readStream.schema(schema_ddl)
         .option("header", True)
@@ -833,9 +844,6 @@ def stream_rollup_ingest(
     that arrived after the old high-water mark. That case raises
     instead: rebuild the state table with the new checkpoint, or
     keep the original checkpoint directory."""
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.rollup import (
         merge_states,
         rollup_state,
@@ -846,14 +854,7 @@ def stream_rollup_ingest(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
-    def _stream_id() -> str:
-        # Spark persists the query id in <checkpoint>/metadata at
-        # stream start (before the first batch), stable across
-        # restarts of the SAME checkpoint; a recreated checkpoint
-        # gets a fresh id — exactly the lineage boundary the batch-id
-        # guard must not cross
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -999,9 +1000,6 @@ def stream_drift_monitor(
     count), then profile-sized joins; state and report are
     |groups|-sized. The base corpus is never re-read.
     """
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.profile import (
         bin_against_profile,
         psi_from_profile,
@@ -1012,9 +1010,7 @@ def stream_drift_monitor(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
-    def _stream_id() -> str:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1116,9 +1112,6 @@ def stream_retrain_monitor(
     delimited-string vector column from CSV feeds; pass None when the
     stream already carries array<double> (parquet feeds).
     """
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.similarity import _assign
 
     cent = wh.read(f"{index_name}__centroids").select(
@@ -1143,9 +1136,7 @@ def stream_retrain_monitor(
         spark, input_dir, schema_ddl, vec_sep, max_files_per_trigger
     )
 
-    def _stream_id() -> str:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1307,13 +1298,7 @@ def stream_index_ingest(
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        if wh.exists(ledger_table) and (
-            wh.read(ledger_table)
-            .filter(F.col("batch_id") == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        ):
+        if batch_already_appended(wh, ledger_table, batch_id, col="batch_id"):
             return
         vecs = batch.select(
             F.col(id_col).alias("__vid"),
@@ -1377,9 +1362,6 @@ def stream_quality_monitor(
     tightened by n_bins; the batch-side exact `roc_auc` is the
     certification-grade reading when a full snapshot is worth a scan.
     """
-    import json as _json
-    import os as _os
-
     from gcp_data_pipeline_fyp_spark.operators.evalmetrics import (
         calibration_state,
         merge_calibration_states,
@@ -1391,9 +1373,7 @@ def stream_quality_monitor(
         raw = raw.option("maxFilesPerTrigger", max_files_per_trigger)
     feed = raw.csv(input_dir)
 
-    def _stream_id() -> str:
-        with open(_os.path.join(checkpoint_dir, "metadata")) as fh:
-            return _json.load(fh)["id"]
+    _stream_id = lambda: checkpoint_stream_id(checkpoint_dir)  # noqa: E731
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -1655,9 +1635,14 @@ def stream_dsir_ingest(
     # the keeper append carries the score columns; a feed that already
     # has them would write duplicate column names into out_table.
     # Spark column resolution is case-INsensitive by default, so the
-    # check is too ('Logw' clashes with 'logw')
+    # check is too ('Logw' clashes with 'logw'). Parsed with Spark's
+    # own DDL parser — a hand-rolled comma split misses backtick-
+    # quoted names and mangles complex types with embedded commas
+    # (map<string,int>), silently skipping a real collision
+    from pyspark.sql.types import StructType
+
     feed_cols = {
-        f.split()[0].strip().lower() for f in schema_ddl.split(",")
+        f.lower() for f in StructType.fromDDL(schema_ddl).fieldNames()
     }
     clash = {"logw", "n_feats"} & feed_cols
     if clash:
