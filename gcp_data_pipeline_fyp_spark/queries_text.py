@@ -5066,6 +5066,37 @@ SELECT doc_id, {micro6_sql("logw")} AS logw_micro, n_feats FROM dsirw
 TEXT_QUERIES["dsir_logweights"] = (q_dsir_logweights, SQL_DSIR_LOGWEIGHTS)
 
 
+def q_dsir_indexed(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED-profile path (build_dsir_profiles +
+    dsir_logweights_indexed): fit both profiles once into the
+    warehouse with their hashing meta, then score against the stored
+    pair — certifying index-path == direct-path against the same
+    full SQL replay as `dsir_logweights`. This is the steady-state
+    shape at 100 TB: the measured per-run split is 5.9 s fit vs
+    2.1 s frozen-profile scoring at sf0.1 (BASELINE.md), and the fit
+    is exactly what the index amortizes away (the same
+    build-once/reuse discipline as build_ivf_index /
+    build_lsh_index / build_digest_index)."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        build_dsir_profiles,
+        dsir_logweights_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    d = _docs(spark, sf)
+    wh = Warehouse(spark, scratch_dir(spark, "dsiridx", sf))
+    build_dsir_profiles(
+        wh, d, d.filter(F.col("lang") == "en"), "DSIDX", n_buckets=_DSIR_B
+    )
+    w = dsir_logweights_indexed(wh, d, "doc_id", "DSIDX")
+    return w.select(
+        "doc_id", micro6("logw").alias("logw_micro"), "n_feats"
+    )
+
+
+TEXT_QUERIES["dsir_indexed"] = (q_dsir_indexed, SQL_DSIR_LOGWEIGHTS)
+
+
 # Gumbel top-k selection over the weights — seed 7, k 50. The oracle
 # replays the exact keyed-md5 draw and tie order.
 _DSIR_K, _DSIR_SEED = 50, 7
@@ -5076,7 +5107,8 @@ gk AS (SELECT doc_id, logw,
            CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
        FROM dsirw),
 sel AS (SELECT doc_id, logw,
-          logw + (-ln(-ln((h + 1.0) / 1152921504606846977.0))) AS gkey, h
+          logw + (-ln(-ln(least((h + 1.0) / 1152921504606846977.0,
+                               0.9999999999999999)))) AS gkey, h
         FROM gk
         ORDER BY gkey DESC, h ASC, doc_id ASC LIMIT {_DSIR_K})
 """
@@ -5188,7 +5220,8 @@ gk2 AS (SELECT doc_id, logw, n_chars,
             CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
         FROM wj),
 ck AS (SELECT doc_id, logw, n_chars, h,
-         logw + (-ln(-ln((h + 1.0) / 1152921504606846977.0))) AS gkey
+         logw + (-ln(-ln(least((h + 1.0) / 1152921504606846977.0,
+                              0.9999999999999999)))) AS gkey
        FROM gk2),
 cm AS (SELECT doc_id, logw, n_chars,
          cast(sum(greatest(coalesce(n_chars, 0), 0)) OVER (
@@ -5221,13 +5254,16 @@ def q_unimax_alloc_report(spark: SparkSession, sf: str) -> DataFrame:
     return unimax_alloc(d, "lang", "n_chars", _UNIMAX_B, _UNIMAX_E)
 
 
-# shared water-fill chain: af(lang, weight_total, capacity, alloc)
-_SQL_UNIMAX_CHAIN = f"""
+# shared water-fill chain: af(lang, weight_total, capacity, alloc),
+# parameterized on (budget, epoch cap) so the epochs>1 probe replays
+# the same algebra at its own setting
+def _sql_unimax_chain(budget: int, epochs: int) -> str:
+    return f"""
 wsum AS (SELECT lang,
                 cast(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_total
               FROM documents GROUP BY lang),
 sized AS (SELECT lang, weight_total,
-            cast({_UNIMAX_E} * weight_total AS BIGINT) AS capacity
+            cast({epochs} * weight_total AS BIGINT) AS capacity
           FROM wsum),
 ordered AS (SELECT lang, weight_total, capacity,
     coalesce(sum(capacity) OVER (
@@ -5238,7 +5274,7 @@ ordered AS (SELECT lang, weight_total, capacity,
       ORDER BY capacity ASC, lang ASC NULLS FIRST) AS rn
   FROM sized),
 flagged AS (SELECT lang, weight_total, capacity,
-    capacity * (n - rn + 1) <= {_UNIMAX_B} - cumb AS capped
+    capacity * (n - rn + 1) <= {budget} - cumb AS capped
   FROM ordered),
 tot AS (SELECT
     coalesce(sum(CASE WHEN capped THEN capacity END), 0) AS csum,
@@ -5246,9 +5282,12 @@ tot AS (SELECT
   FROM flagged),
 af AS (SELECT lang, weight_total, capacity,
   cast(CASE WHEN capped THEN capacity
-       ELSE ({_UNIMAX_B} - csum) // nullif(nun, 0) END AS BIGINT) AS alloc
+       ELSE ({budget} - csum) // nullif(nun, 0) END AS BIGINT) AS alloc
 FROM flagged CROSS JOIN tot)
 """
+
+
+_SQL_UNIMAX_CHAIN = _sql_unimax_chain(_UNIMAX_B, _UNIMAX_E)
 
 SQL_UNIMAX_ALLOC = f"""
 WITH {_SQL_UNIMAX_CHAIN}
@@ -5307,3 +5346,69 @@ WHERE s.cum_weight <= af.alloc
 """
 
 TEXT_QUERIES["unimax_mix_docs"] = (q_unimax_mix_docs, SQL_UNIMAX_MIX_DOCS)
+
+
+# epochs>1 made real: budget far above the one-epoch water level so
+# tail languages' allocs EXCEED their token totals. At sf0.01 every
+# stratum caps at 2W (two complete epochs); at sf0.1 the water level
+# tau = 240k sits between W and 2W for all non-en languages (PARTIAL
+# second epochs) — both branches of the epoch expansion certify
+# across the driver's gates.
+_UNIMAX_B2, _UNIMAX_E2 = 1_200_000, 2
+
+
+def q_unimax_epoch_mix_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax with max_epochs=2 END-TO-END: the water-fill allocation
+    feeds `unimax_epoch_mix` (operators/sampling.py), which expands
+    each stratum into ceil(alloc/W) epochs — complete passes below
+    the last, the final epoch a budgeted prefix in its own per-epoch
+    md5 order — so tail strata EMIT REPEATED DOCS up to the epoch cap
+    (Chung et al. 2023 §3: the point of UniMax). Deterministic and
+    nested; the oracle replays allocation, epoch expansion, and
+    per-epoch prefix exactly."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        unimax_alloc,
+        unimax_epoch_mix,
+    )
+
+    d = _docs(spark, sf)
+    alloc = unimax_alloc(d, "lang", "n_chars", _UNIMAX_B2, _UNIMAX_E2)
+    out = unimax_epoch_mix(
+        d.select("doc_id", "lang", "n_chars"),
+        "doc_id",
+        "n_chars",
+        "lang",
+        alloc,
+        seed=3,
+    )
+    return out.select("doc_id", "lang", "n_chars", "epoch", "cum_weight")
+
+
+SQL_UNIMAX_EPOCH_MIX_DOCS = f"""
+WITH {_sql_unimax_chain(_UNIMAX_B2, _UNIMAX_E2)},
+ep AS (SELECT lang, weight_total AS W, alloc,
+         unnest(generate_series(cast(1 AS BIGINT),
+           (alloc + weight_total - 1) // weight_total)) AS epoch
+       FROM af WHERE alloc > 0 AND weight_total > 0),
+epb AS (SELECT lang, epoch,
+          least(W, alloc - (epoch - 1) * W) AS bud
+        FROM ep),
+t AS (SELECT d.doc_id, d.lang, d.n_chars, e.epoch, e.bud,
+        greatest(coalesce(d.n_chars, 0), 0) AS w,
+        cast(concat('0x', substr(md5(concat('3_',
+          cast(e.epoch AS VARCHAR), '_',
+          cast(d.doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS k
+      FROM documents d JOIN epb e USING (lang)),
+s AS (SELECT doc_id, lang, n_chars, epoch, bud,
+        cast(sum(w) OVER (PARTITION BY lang, epoch ORDER BY k, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_weight
+      FROM t)
+SELECT doc_id, lang, n_chars, epoch, cum_weight
+FROM s WHERE cum_weight <= bud
+"""
+
+TEXT_QUERIES["unimax_epoch_mix_docs"] = (
+    q_unimax_epoch_mix_docs,
+    SQL_UNIMAX_EPOCH_MIX_DOCS,
+)

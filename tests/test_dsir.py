@@ -303,3 +303,122 @@ def test_score_against_frozen_profiles_skips_unknown_buckets(spark):
     # doc 12: 2 unigrams + 1 bigram = 3 occurrences, only 'known' scores
     assert rows[12]["n_feats"] == 3
     assert rows[12]["logw"] == pytest.approx(rows[10]["logw"], abs=1e-9)
+
+
+def test_logweights_empty_string_scores_one_feature(spark):
+    """Documented contract (ADVICE r11): only NULL text is
+    weight-neutral; an empty/whitespace-only STRING carries one
+    empty-string token (F.split of trimmed "" -> [""]) and scores the
+    md5("") bucket's ratio with n_feats = 1 — cross-engine consistent
+    (the SQL oracles tokenize identically)."""
+    raw = _docs(spark, [(1, "x y"), (2, ""), (3, "   "), (4, None)])
+    target = _docs(spark, [(10, "x y")])
+    rows = {
+        r["id"]: r
+        for r in dsir_logweights(raw, "id", target, n_buckets=B).collect()
+    }
+    assert rows[4]["logw"] == 0.0 and rows[4]["n_feats"] == 0
+    assert rows[2]["n_feats"] == 1 and rows[3]["n_feats"] == 1
+    assert rows[2]["logw"] == rows[3]["logw"] != 0.0
+
+
+def test_gumbel_key_clamped_below_one(spark):
+    """The (h+1)/(2^60+1) double rounds to exactly 1.0 for h near
+    2^60-1, where -ln(-ln u) is NULL in Spark — the clamp pins u to
+    1 - 2^-53 so the key stays finite (ADVICE r11). Forced through
+    the expression directly (the md5 preimage of a near-max h is
+    unknown)."""
+    from pyspark.sql import Row
+
+    from gcp_data_pipeline_fyp_spark.operators.dsir import gumbel_key
+
+    # replicate the key chain on a literal near-max h: u unclamped
+    # would round to 1.0 -> NULL
+    h = (1 << 60) - 1
+    u_raw = (h + 1.0) / 1152921504606846977.0
+    assert u_raw == 1.0  # the divergence the clamp closes
+    key, _h = gumbel_key([F.lit("x")], F.lit(0.0))
+    # structural check on real data: no NULL keys over a corpus
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    k, hh = gumbel_key([F.col("k")], F.lit(0.0))
+    out = df.select(k.alias("key"))
+    assert out.filter(F.col("key").isNull()).count() == 0
+    # and the clamped expression is finite even at u = 1.0 exactly
+    forced = spark.range(1).select(
+        (-F.log(-F.log(F.least(F.lit(u_raw), F.lit(0.9999999999999999)))))
+        .alias("g")
+    )
+    assert forced.first()["g"] is not None
+
+
+def test_persisted_profiles_match_direct_path(spark, tmp_path):
+    """dsir_logweights_indexed over build_dsir_profiles == the direct
+    dsir_logweights on the same (raw, target) — byte-identical
+    (logw, n_feats) per doc; the index path just skips the refit."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        build_dsir_profiles,
+        dsir_logweights_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    raw = _docs(
+        spark,
+        [(1, "x y x"), (2, "p q"), (3, "x y y"), (4, "q p q"), (5, None)],
+    )
+    target = _docs(spark, [(10, "x y x y")])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_dsir_profiles(wh, raw, target, "DS", n_buckets=B)
+    direct = {
+        (r["id"], r["logw"], r["n_feats"])
+        for r in dsir_logweights(raw, "id", target, n_buckets=B).collect()
+    }
+    indexed = {
+        (r["id"], r["logw"], r["n_feats"])
+        for r in dsir_logweights_indexed(wh, raw, "id", "DS").collect()
+    }
+    assert indexed == direct
+
+
+def test_fold_raw_profile_equals_full_refit(spark, tmp_path):
+    """Folding a batch into the persisted raw profile == refitting on
+    raw UNION batch (the distributive-merge property the streaming
+    form relies on), so indexed scoring after the fold == direct
+    scoring with raw=union."""
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        build_dsir_profiles,
+        dsir_logweights_indexed,
+        fold_dsir_raw_profile,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    base = _docs(spark, [(1, "x y"), (2, "p q p")])
+    batch = _docs(spark, [(3, "x x q"), (4, "y p")])
+    target = _docs(spark, [(10, "x y")])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_dsir_profiles(wh, base, target, "DS", n_buckets=B)
+    fold_dsir_raw_profile(wh, batch, "DS")
+    union = base.unionByName(batch)
+    direct = {
+        (r["id"], r["logw"], r["n_feats"])
+        for r in dsir_logweights(
+            batch, "id", target, n_buckets=B, raw=union
+        ).collect()
+    }
+    indexed = {
+        (r["id"], r["logw"], r["n_feats"])
+        for r in dsir_logweights_indexed(wh, batch, "id", "DS").collect()
+    }
+    assert indexed == direct
+
+
+def test_indexed_scoring_requires_meta(spark, tmp_path):
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        dsir_logweights_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="meta"):
+        dsir_logweights_indexed(
+            wh, _docs(spark, [(1, "x")]), "id", "NOPE"
+        )
