@@ -994,11 +994,12 @@ def semdedup(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    n_centroids: int = 16,
+    n_centroids: int | str = "auto",
     threshold_micro: int = 700_000,
     refine_iters: int = 1,
     train_sample_frac: float | None = None,
     n_assign: int = 1,
+    target_cluster_size: int = 1024,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning — cluster the embedding space, then inside
@@ -1022,11 +1023,20 @@ def semdedup(
     Clustering is the engine's deterministic IVF fit (smallest-id
     seeds + decimal-exact Lloyd means — similarity.py:
     fit_ivf_centroids), so the whole operator is partitioning-
-    invariant. Scale: the pairwise stage is per-cluster O(c^2/2);
-    size `n_centroids ~ n / target_cluster_size` (SemDeDup used 50k
-    clusters for LAION-440M) and fit on `train_sample_frac` — the
-    window and self-join then both key on centroid_id, parallel
-    across clusters, nothing corpus-wide shuffles more than once.
+    invariant. Scale: the pairwise stage is per-cluster O(c^2/2), so
+    the cluster count is THE scale valve — which is why the sizing
+    rule is the DEFAULT, not a docstring suggestion:
+    `n_centroids="auto"` sizes max(2, ceil(n / target_cluster_size))
+    (SemDeDup used 50k clusters for LAION-440M, ~9k docs/cluster —
+    the same constant-cluster-size discipline; the measured 16x scale
+    row in BASELINE.md stays ~flat-per-row only under it, and a FIXED
+    count is the round-8 bitext anti-lesson `auto_n_centroids`
+    records). Auto costs one corpus count; a pinned integer is only
+    taken when passed EXPLICITLY (certified probes pin 16 to match
+    their oracles' fixed fit). Pair with `train_sample_frac` for the
+    fit — the window and self-join then both key on centroid_id,
+    parallel across clusters, nothing corpus-wide shuffles more than
+    once.
 
     `n_assign` > 1 posts every vector to its top-n_assign centroids
     for the pairwise stage only (primary assignment keeps the rank
@@ -1051,6 +1061,16 @@ def semdedup(
     c = emb.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
+    if n_centroids == "auto":
+        import math
+
+        if int(target_cluster_size) < 1:
+            raise ValueError("target_cluster_size must be >= 1")
+        n_centroids = max(2, math.ceil(c.count() / int(target_cluster_size)))
+    elif not isinstance(n_centroids, int):
+        raise ValueError(
+            f"n_centroids must be an int or 'auto'; got {n_centroids!r}"
+        )
     cent = fit_ivf_centroids(c, n_centroids, refine_iters, train_sample_frac)
     # multi-assignment (the IVF nprobe idea applied to dedup): every
     # vector posts to its top-n_assign centroids for the PAIRWISE

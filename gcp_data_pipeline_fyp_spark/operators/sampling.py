@@ -846,3 +846,166 @@ def unimax_alloc(
     return staged.select(
         stratum_col, "weight_total", "capacity", alloc.alias("alloc")
     )
+
+
+def unimax_epoch_mix(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    strata_col: str,
+    allocs: DataFrame,
+    seed: int = 0,
+    n_buckets: int = 4096,
+    epoch_col: str = "epoch",
+    out_col: str = "cum_weight",
+) -> DataFrame:
+    """Epoch-expanded enforcement of a UniMax allocation — the
+    operator that makes `max_epochs > 1` REAL end-to-end (Chung et
+    al. 2023 §3: the epoch cap exists precisely so tail languages
+    REPEAT, up to the cap, instead of being starved; an allocation
+    whose alloc_s exceeds the stratum's token total W_s must emit
+    repeated documents, not silently truncate at one pass).
+
+    `allocs` is a (strata_col, alloc) frame — feed `unimax_alloc`'s
+    output directly (extra columns are ignored). Per stratum with
+    token total W_s (NULL/negative weights count 0, the same clamp
+    `unimax_alloc` fits with — the totals MUST agree or the epoch
+    boundaries misalign):
+
+        n_epochs_s = ceil(alloc_s / W_s)
+        epoch e in 1..n_epochs_s gets budget
+            bud_e = min(W_s, alloc_s - (e-1) * W_s)
+
+    so every epoch below the last is a COMPLETE pass (bud = W_s keeps
+    every row) and the final epoch is a budgeted PREFIX in that
+    epoch's own deterministic order: rows order inside (stratum,
+    epoch) by the md5-60-bit key of (seed, epoch, id) — a fresh
+    reshuffle per epoch, the same per-epoch keying discipline as
+    `epoch_shuffle_order`, so repeated passes do not repeat an order.
+    The output carries `epoch_col` for downstream per-epoch seeds.
+
+    Deterministic and NESTED like the rest of the family: the order
+    within every epoch is a pure function of (seed, epoch, id), so
+    raising a stratum's alloc only APPENDS rows — earlier epochs'
+    budgets are pinned at W_s and the final partial prefix grows
+    monotonically (completing into a full epoch before the next
+    begins).
+
+    Strata with alloc <= 0 or W_s <= 0 emit nothing (`unimax_alloc`
+    guarantees alloc <= max_epochs * W_s, so W_s = 0 forces
+    alloc = 0; a hand-built allocs frame with alloc > 0 over an
+    empty/zero-weight stratum has no finite epoch count and is
+    dropped with the filter stated here). Strata present in `df` but
+    absent from `allocs` are dropped (same contract as
+    token_budget_mix: a silent default would skew the mix).
+
+    Scale: the epoch plan is |strata| x max-epochs rows (broadcast by
+    construction); the expansion is a broadcast join that duplicates
+    each row n_epochs(stratum) times; the running totals are the
+    two-level no-global-sort prefix of `token_budget_mix` with the
+    epoch in the partition keys — intra-bucket windows parallel per
+    (stratum, epoch, bucket), offsets from a
+    |strata|·epochs·n_buckets-row broadcast table. Nothing
+    corpus-sized sorts in one partition.
+    """
+    reserved = {epoch_col, out_col, "__key", "__b", "__off", "__W",
+                "__ne", "__bud", "__ew", "__bt"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"unimax_epoch_mix: column(s) {sorted(clash)} already exist "
+            "in df (epoch_col/out_col or reserved internals) — drop or "
+            "rename them first."
+        )
+    if "alloc" not in allocs.columns or strata_col not in allocs.columns:
+        raise ValueError(
+            f"unimax_epoch_mix: allocs must carry ({strata_col!r}, "
+            f"'alloc') — got {allocs.columns!r}. Feed unimax_alloc's "
+            "output (or a frame shaped like it)."
+        )
+    # the SAME per-row clamp unimax_alloc fits capacities with —
+    # totals and running sums must count identically or a "full"
+    # epoch would not consume exactly W_s
+    wrow = F.greatest(
+        F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+    )
+    totals = df.groupBy(strata_col).agg(
+        F.coalesce(F.sum(wrow), F.lit(0)).alias("__W")
+    )
+    plan = (
+        allocs.select(strata_col, F.col("alloc").cast("long").alias("alloc"))
+        .join(totals, strata_col, "inner")
+        .filter((F.col("alloc") > 0) & (F.col("__W") > 0))
+        .select(
+            strata_col,
+            "alloc",
+            "__W",
+            F.expr("(alloc + __W - 1) div __W").alias("__ne"),
+        )
+    )
+    epochs = plan.select(
+        strata_col,
+        "__W",
+        "alloc",
+        F.explode(F.sequence(F.lit(1).cast("long"), F.col("__ne"))).alias(
+            epoch_col
+        ),
+    ).select(
+        strata_col,
+        epoch_col,
+        F.least(
+            F.col("__W"),
+            F.col("alloc") - (F.col(epoch_col) - 1) * F.col("__W"),
+        ).alias("__bud"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.lit(int(seed)),
+                    F.col(epoch_col),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    span = (1 << 60) // n_buckets
+    expanded = (
+        df.join(F.broadcast(epochs), strata_col)
+        .withColumn("__ew", wrow)
+        .withColumn("__key", key)
+        .withColumn("__b", F.expr(f"__key div {span}"))
+    )
+    w_intra = (
+        Window.partitionBy(strata_col, epoch_col, "__b")
+        .orderBy(F.col("__key").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    btotals = expanded.groupBy(strata_col, epoch_col, "__b").agg(
+        F.sum("__ew").alias("__bt")
+    )
+    w_bucket = (
+        Window.partitionBy(strata_col, epoch_col)
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = btotals.select(
+        strata_col,
+        epoch_col,
+        "__b",
+        F.coalesce(F.sum("__bt").over(w_bucket), F.lit(0)).alias("__off"),
+    )
+    return (
+        expanded.join(F.broadcast(offsets), [strata_col, epoch_col, "__b"])
+        .withColumn(
+            out_col,
+            (F.col("__off") + F.sum("__ew").over(w_intra)).cast("long"),
+        )
+        .filter(F.col(out_col) <= F.col("__bud"))
+        .select(*df.columns, epoch_col, out_col)
+    )

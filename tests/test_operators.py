@@ -3599,6 +3599,44 @@ def test_semdedup_matches_naive_and_drops_exact_dups(spark):
         semdedup(df, "vec_id", "embedding", threshold_micro=2_000_000)
 
 
+def test_semdedup_auto_centroids_is_the_default(spark):
+    """The scale valve IS the default: n_centroids='auto' sizes
+    max(2, ceil(n / target_cluster_size)); a fixed count is only
+    reachable by passing an int EXPLICITLY (the bitext round-8
+    anti-lesson, now applied here too)."""
+    import inspect
+
+    import pytest as _pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+
+    assert (
+        inspect.signature(semdedup).parameters["n_centroids"].default
+        == "auto"
+    )
+    rows = [
+        (i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # 30 vectors / target 10 -> 3 clusters under auto
+    auto = semdedup(
+        df, "vec_id", "embedding", threshold_micro=999_999,
+        target_cluster_size=10,
+    )
+    n_clusters = auto.select("centroid_id").distinct().count()
+    assert n_clusters == 3
+    # explicit int still pins the fit (the certified-probe path)
+    fixed = semdedup(
+        df, "vec_id", "embedding", n_centroids=2, threshold_micro=999_999
+    )
+    assert fixed.select("centroid_id").distinct().count() == 2
+    # anything else is a loud config error, not a silent fallback
+    with _pytest.raises(ValueError, match="auto"):
+        semdedup(df, "vec_id", "embedding", n_centroids="sixteen")
+    with _pytest.raises(ValueError, match="target_cluster_size"):
+        semdedup(df, "vec_id", "embedding", target_cluster_size=0)
+
+
 def test_semdedup_zero_vector_ranks_last_and_passes_through(spark):
     """A zero-norm vector has NULL centroid cosine and NULL pairwise
     cosines: it must rank LAST in its cluster (explicit NULLS LAST —
@@ -3798,6 +3836,170 @@ def test_unimax_alloc_clamps_negative_weights(spark):
     assert got["a"] == (0, 0)
     assert got["b"] == (100, 60)
     assert sum(v[1] for v in got.values()) <= 60
+
+
+def _naive_epoch_mix(rows, allocs, seed):
+    """Python replay of the documented epoch-expansion contract:
+    n_epochs = ceil(alloc/W), epoch e budget = min(W, alloc-(e-1)W),
+    per-epoch order by (md5(seed_epoch_id) 60-bit, id), cum of
+    clamped weights, keep cum <= budget."""
+    import hashlib
+
+    W: dict = {}
+    for _i, s, w in rows:
+        W[s] = W.get(s, 0) + max(w or 0, 0)
+    out = []
+    for s, alloc in allocs.items():
+        ws = W.get(s, 0)
+        if alloc <= 0 or ws <= 0:
+            continue
+        ne = -(-alloc // ws)
+        for e in range(1, ne + 1):
+            bud = min(ws, alloc - (e - 1) * ws)
+
+            def key(i, _e=e):
+                h = hashlib.md5(f"{seed}_{_e}_{i}".encode()).hexdigest()
+                return int(h[:15], 16)
+
+            ordered = sorted(
+                (r for r in rows if r[1] == s),
+                key=lambda r: (key(r[0]), r[0]),
+            )
+            cum = 0
+            for i, _s, w in ordered:
+                cum += max(w or 0, 0)
+                if cum <= bud:
+                    out.append((i, s, w, e, cum))
+    return sorted(out)
+
+
+def test_unimax_epoch_mix_matches_naive(spark):
+    """Differential: the two-level distributed epoch expansion ==
+    the naive per-stratum replay — full second epoch (alloc = 2W),
+    partial second epoch (W < alloc < 2W), single partial epoch
+    (alloc < W), and a NULL-weight row counting 0."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        unimax_epoch_mix,
+    )
+
+    rows = (
+        [(i, "a", 5) for i in range(6)]  # W_a = 30
+        + [(100 + i, "b", 7) for i in range(4)]  # W_b = 28
+        + [(200 + i, "c", 3) for i in range(10)]  # W_c = 30
+        + [(300, "a", None)]  # NULL weight: counts 0, selectable
+    )
+    allocs = {"a": 60, "b": 45, "c": 10}  # 2 full / partial 2nd / <1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    adf = spark.createDataFrame(
+        list(allocs.items()), "lang string, alloc long"
+    )
+    got = sorted(
+        (r["doc_id"], r["lang"], r["w"], r["epoch"], r["cum_weight"])
+        for r in unimax_epoch_mix(
+            df, "doc_id", "w", "lang", adf, seed=3
+        ).collect()
+    )
+    assert got == _naive_epoch_mix(rows, allocs, 3)
+    # stratum a repeats: both epochs complete (alloc = 2W exactly)
+    by_epoch: dict = {}
+    for i, s, _w, e, _c in got:
+        by_epoch.setdefault((s, e), set()).add(i)
+    assert by_epoch[("a", 1)] == by_epoch[("a", 2)] == {
+        0, 1, 2, 3, 4, 5, 300
+    }
+    # stratum b epoch 2 is a strict prefix (45 - 28 = 17 budget)
+    assert by_epoch[("b", 2)] < by_epoch[("b", 1)]
+    assert ("c", 2) not in by_epoch and len(by_epoch[("c", 1)]) < 10
+
+
+def test_unimax_epoch_mix_from_alloc_chain(spark):
+    """The certified chain shape: unimax_alloc(max_epochs=2) over a
+    corpus with a dominant head feeds unimax_epoch_mix; the tail
+    stratum's alloc exceeds its W so it EMITS REPEATED DOCS — the
+    point of the epoch cap (Chung et al. 2023 §3)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        unimax_alloc,
+        unimax_epoch_mix,
+    )
+
+    rows = [(i, "tail", 10) for i in range(5)] + [
+        (100 + i, "head", 10) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    alloc = unimax_alloc(df, "lang", "w", 300, max_epochs=2)
+    a = {r["lang"]: r["alloc"] for r in alloc.collect()}
+    # tail capacity 100 <= 300 - 0 over 2 strata -> capped at 2W = 100;
+    # head gets the rest: tau = 200
+    assert a == {"tail": 100, "head": 200}
+    out = unimax_epoch_mix(df, "doc_id", "w", "lang", alloc, seed=0)
+    rows_out = [(r["doc_id"], r["epoch"]) for r in out.collect()]
+    tail_ids = [i for i, e in rows_out if i < 100]
+    assert sorted(tail_ids) == sorted(list(range(5)) * 2)  # repeated!
+    head_ids = [i for i, e in rows_out if i >= 100]
+    assert len(head_ids) == len(set(head_ids)) == 20  # 200/10, one pass
+    # epoch totals never exceed the alloc
+    assert sum(10 for _ in rows_out) <= 300
+
+
+def test_unimax_epoch_mix_nested_in_alloc(spark):
+    """Raising a stratum's alloc only APPENDS (doc_id, epoch) rows —
+    the nesting contract the whole sampling family carries."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        unimax_epoch_mix,
+    )
+
+    rows = [(i, "x", 4) for i in range(7)]  # W = 28
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+
+    def run(alloc):
+        adf = spark.createDataFrame(
+            [("x", alloc)], "lang string, alloc long"
+        )
+        return {
+            (r["doc_id"], r["epoch"])
+            for r in unimax_epoch_mix(
+                df, "doc_id", "w", "lang", adf, seed=1
+            ).collect()
+        }
+
+    prev: set = set()
+    for alloc in (6, 14, 28, 30, 41, 56):
+        cur = run(alloc)
+        assert prev <= cur, alloc
+        prev = cur
+    assert len(prev) == 14  # alloc 56 = 2W: both epochs complete
+
+
+def test_unimax_epoch_mix_guards(spark):
+    import pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.sampling import (
+        unimax_epoch_mix,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5)], "doc_id long, lang string, w long"
+    )
+    bad = spark.createDataFrame([("a", 5)], "lang string, budget long")
+    with pytest.raises(ValueError, match="alloc"):
+        unimax_epoch_mix(df, "doc_id", "w", "lang", bad)
+    clash = df.withColumn("epoch", df.w)
+    adf = spark.createDataFrame([("a", 5)], "lang string, alloc long")
+    with pytest.raises(ValueError, match="already exist"):
+        unimax_epoch_mix(clash, "doc_id", "w", "lang", adf)
+    # zero-weight stratum with a (hand-built) positive alloc has no
+    # finite epoch count: dropped, not an infinite loop
+    zdf = spark.createDataFrame(
+        [(1, "z", 0), (2, "a", 5)], "doc_id long, lang string, w long"
+    )
+    zadf = spark.createDataFrame(
+        [("z", 10), ("a", 5)], "lang string, alloc long"
+    )
+    got = {
+        r["doc_id"]
+        for r in unimax_epoch_mix(zdf, "doc_id", "w", "lang", zadf).collect()
+    }
+    assert got == {2}
 
 
 def test_token_budget_mix_rejects_null_stratum_key(spark):
