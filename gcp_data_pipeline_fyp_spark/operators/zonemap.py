@@ -16,11 +16,12 @@ the same design as Delta Lake / Iceberg data skipping:
 - `read_pruned` evaluates interval predicates against the map IN
   EXECUTORS (the map is a DataFrame; the census joins it
   distributed), and the driver collects only the SURVIVING path list
-  — the minimum the reader needs. At a 1e6-file table the driver
-  never holds per-file stat rows, just |survivors| strings (plus the
-  os.walk census, which a real object store would replace with a
-  listing API; see tools/scale_probe.py's inflated-census row in
-  BASELINE.md).
+  — the minimum the reader needs. The census itself is DISTRIBUTED
+  too (`_census_df`: the driver lists only the root's immediate
+  entries, executors walk the subtrees), so at a 1e6-file table the
+  driver holds |top-level dirs| + |survivors| strings — never
+  per-file stat rows and never the full path list (see
+  tools/scale_probe.py's inflated-census row in BASELINE.md).
   The predicate is re-applied to the rows, so pruning is
   purely an I/O optimization and the result is byte-equal to a full
   scan + filter regardless of layout or map staleness.
@@ -54,30 +55,90 @@ def _zonemap_path(wh: Warehouse, table: str) -> str:
     return os.path.join(wh.path(table), ZONEMAP_DIR)
 
 
-def _data_files(wh: Warehouse, table: str) -> list[str]:
-    """All data file paths of a table (skips _underscore/.hidden
-    entries, recurses into partition dirs)."""
-    out: list[str] = []
-    for root, dirs, files in os.walk(wh.path(table)):
-        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
-        out.extend(
-            os.path.join(root, f)
-            for f in files
-            if not f.startswith(("_", "."))
-            and not f.endswith((".crc", "_SUCCESS"))
+def _is_data_file(name: str) -> bool:
+    return not name.startswith(("_", ".")) and not name.endswith(
+        (".crc", "_SUCCESS")
+    )
+
+
+def _census_df(wh: Warehouse, table: str) -> DataFrame:
+    """DISTRIBUTED file census of a table: one (`__file` plain path)
+    row per data file, as a DataFrame that is never collected whole.
+
+    The driver lists only the table root's IMMEDIATE entries (one
+    listdir — bounded by the partition-value count, not the file
+    count); each subdirectory is then walked IN EXECUTORS
+    (`parallelize(subdirs).mapPartitions(walk)`), so at a 1e6-file
+    table the driver holds |top-level dirs| + |survivors| strings and
+    never the full path list. This is the shared-filesystem rendering
+    of a distributed listing; a real object store replaces the walk
+    with its prefix-sharded listing API (same shape: one task per
+    prefix), or the census becomes a log-maintained table a la
+    Delta/Iceberg. One of the few justified RDD uses in the engine:
+    per-partition imperative filesystem I/O with no relational form.
+
+    Underscore/.hidden entries are skipped at every level (zonemap /
+    bucket-index / snapshot sidecars live under `_` dirs by the
+    engine's own convention, matching Spark's reader behavior)."""
+    root = wh.path(table)
+    subdirs: list[str] = []
+    root_files: list[str] = []
+    for e in sorted(os.listdir(root)):
+        if e.startswith(("_", ".")):
+            continue
+        p = os.path.join(root, e)
+        if os.path.isdir(p):
+            subdirs.append(p)
+        elif _is_data_file(e):
+            root_files.append(p)
+    spark = wh.spark
+    out = spark.createDataFrame(
+        [(f,) for f in root_files], f"{_FILE} string"
+    )
+    if subdirs:
+        n_slices = min(
+            len(subdirs), max(spark.sparkContext.defaultParallelism, 1)
         )
-    return sorted(out)
+
+        def _walk(paths):
+            import os as _o
+
+            for p in paths:
+                for r, ds, fs in _o.walk(p):
+                    ds[:] = [d for d in ds if not d.startswith(("_", "."))]
+                    for f in fs:
+                        if _is_data_file(f):
+                            yield (_o.path.join(r, f),)
+
+        walked = spark.createDataFrame(
+            spark.sparkContext.parallelize(subdirs, n_slices).mapPartitions(
+                _walk
+            ),
+            f"{_FILE} string",
+        )
+        out = out.unionByName(walked)
+    return out
 
 
 def _stats_for_files(
-    wh: Warehouse, table: str, files: Sequence[str], cols: Sequence[str]
+    wh: Warehouse,
+    table: str,
+    files: Sequence[str] | None,
+    cols: Sequence[str],
 ) -> DataFrame:
-    """One projection-pruned scan -> one stats row per file."""
-    df = (
-        wh.spark.read.format(wh.fmt)
-        .option("basePath", wh.path(table))
-        .load(list(files))
-    )
+    """One projection-pruned scan -> one stats row per file. With
+    `files=None` the whole table root is scanned (the full-build
+    path — no per-file list ever reaches the driver; Spark's own
+    file index does the listing and `_metadata.file_path` names the
+    groups)."""
+    if files is None:
+        df = wh.read(table)
+    else:
+        df = (
+            wh.spark.read.format(wh.fmt)
+            .option("basePath", wh.path(table))
+            .load(list(files))
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"{c}__min"))
@@ -93,9 +154,9 @@ def _stats_for_files(
 
 
 def build_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> None:
-    """(Re)build the zone map for `table` over `cols`."""
-    files = _data_files(wh, table)
-    stats = _stats_for_files(wh, table, files, cols)
+    """(Re)build the zone map for `table` over `cols` — one scan of
+    the whole table root; no file list is materialized anywhere."""
+    stats = _stats_for_files(wh, table, None, cols)
     stats.coalesce(1).write.mode("overwrite").format(wh.fmt).save(
         _zonemap_path(wh, table)
     )
@@ -121,12 +182,13 @@ def refresh_zonemap(wh: Warehouse, table: str, cols: Sequence[str]) -> int:
     zp = _zonemap_path(wh, table)
     if not os.path.exists(zp):
         build_zonemap(wh, table, cols)
-        return len(_data_files(wh, table))
-    # mapped files never need to reach the driver: census anti-join
-    # the map's path column and collect only the NEW paths
-    census = wh.spark.createDataFrame(
-        [(f,) for f in _data_files(wh, table)], f"{_FILE} string"
-    ).select(F.col(_FILE), _norm_expr(F.col(_FILE)).alias("__path"))
+        return _census_df(wh, table).count()
+    # mapped files never need to reach the driver: the DISTRIBUTED
+    # census anti-joins the map's path column and collects only the
+    # NEW paths
+    census = _census_df(wh, table).select(
+        F.col(_FILE), _norm_expr(F.col(_FILE)).alias("__path")
+    )
     mapped = (
         wh.spark.read.format(wh.fmt)
         .load(zp)
@@ -165,17 +227,18 @@ def _norm_expr(col) -> "F.Column":
 
 
 def _surviving_files(
-    wh: Warehouse, files: Sequence[str], verdicts: DataFrame
+    wh: Warehouse, census: DataFrame, verdicts: DataFrame
 ) -> list[str]:
-    """Distributed census-vs-verdict merge: `verdicts` is one row per
-    MAPPED file (`_FILE` URI, boolean `__keep`); unmapped census files
-    always survive (conservative). Only the SURVIVING path list is
-    ever collected — at a 1e6-file table the driver holds
-    |survivors| strings, not |files| stat rows; the verdict
-    evaluation itself runs in executors."""
-    census = wh.spark.createDataFrame(
-        [(f,) for f in files], f"{_FILE} string"
-    ).select(_norm_expr(F.col(_FILE)).alias("__path"), F.col(_FILE))
+    """Distributed census-vs-verdict merge: `census` is the
+    distributed file listing (`_census_df`), `verdicts` one row per
+    MAPPED file (`_FILE` URI, boolean `__keep`); unmapped census
+    files always survive (conservative). Only the SURVIVING path list
+    is ever collected — at a 1e6-file table the driver holds
+    |survivors| strings, never |files| anything: the listing, the
+    verdict evaluation, and the merge all run in executors."""
+    census = census.select(
+        _norm_expr(F.col(_FILE)).alias("__path"), F.col(_FILE)
+    )
     v = verdicts.select(
         _norm_expr(F.col(_FILE)).alias("__path"), F.col("__keep")
     )
@@ -201,12 +264,17 @@ def prune_files(
     open. A mapped file survives only if every predicate's [lo, hi]
     overlaps the file's [min, max] (all-NULL columns never overlap).
     Unmapped files always survive (conservative). Returns
-    (surviving file paths, total data file count).
+    (surviving file paths, total data file count). The census and the
+    verdict join run distributed; only the survivors (and, in the
+    degenerate no-map case, the full path list — which is then also
+    the survivor list) reach the driver.
     """
-    files = _data_files(wh, table)
+    census = _census_df(wh, table)
     zp = _zonemap_path(wh, table)
     if not os.path.exists(zp):
+        files = sorted(r[_FILE] for r in census.collect())
         return files, len(files)
+    total = census.count()
     zm = wh.spark.read.format(wh.fmt).load(zp)
     cond = F.lit(True)
     for c, (lo, hi) in intervals.items():
@@ -217,7 +285,7 @@ def prune_files(
         if hi is not None:
             cond = cond & (F.col(f"{c}__min") <= F.lit(hi))
     verdicts = zm.select(_FILE, cond.alias("__keep"))
-    return _surviving_files(wh, files, verdicts), len(files)
+    return _surviving_files(wh, census, verdicts), total
 
 
 def read_pruned(
@@ -311,12 +379,7 @@ def build_bucket_index(
     maps (above) skip on RANGES of clustered columns; this skips on
     EQUALITY against any column, clustered or not. At most n_buckets
     rows per file, heavily dictionary-compressed."""
-    files = _data_files(wh, table)
-    df = (
-        wh.spark.read.format(wh.fmt)
-        .option("basePath", wh.path(table))
-        .load(files)
-    )
+    df = wh.read(table)  # whole-root scan: no file list materialized
     idx = (
         df.select(
             F.col("_metadata.file_path").alias(_FILE),
@@ -341,23 +404,22 @@ def read_point_lookup(
     values = list(values)
     if not values:
         return wh.read(table).limit(0)
-    files = _data_files(wh, table)
     ixp = os.path.join(wh.path(table), f"_bucketindex_{col}")
-    if os.path.exists(ixp):
-        probe_buckets = {
-            _bucket_of(v, n_buckets) for v in values
-        }
-        verdicts = (
-            wh.spark.read.format(wh.fmt)
-            .load(ixp)
-            .groupBy(_FILE)
-            .agg(
-                F.max(
-                    F.col("bucket").isin(*probe_buckets)
-                ).alias("__keep")
-            )
+    if not os.path.exists(ixp):
+        # no index: plain scan + filter, no file list anywhere
+        return wh.read(table).filter(F.col(col).isin(*values))
+    probe_buckets = {_bucket_of(v, n_buckets) for v in values}
+    verdicts = (
+        wh.spark.read.format(wh.fmt)
+        .load(ixp)
+        .groupBy(_FILE)
+        .agg(
+            F.max(
+                F.col("bucket").isin(*probe_buckets)
+            ).alias("__keep")
         )
-        files = _surviving_files(wh, files, verdicts)
+    )
+    files = _surviving_files(wh, _census_df(wh, table), verdicts)
     if files:
         df = (
             wh.spark.read.format(wh.fmt)
