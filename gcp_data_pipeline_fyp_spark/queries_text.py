@@ -2967,26 +2967,15 @@ TEXT_QUERIES["bigram_logprob_score"] = (q_bigram_logprob_score, SQL_BIGRAM_LOGPR
 
 
 # ---------------------- corpus prep v2: model-gated modern pipeline
-def q_corpus_prep_v2(
+def _corpus_prep_canon(
     spark: SparkSession,
     sf: str,
     checkpoint_dir: str | None = None,
     driver_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """The modern pretraining pipeline in one certified plan — the
-    model-based successor of `corpus_prep_full` (the DCLM/FineWeb
-    architecture, public method): distill the Gopher heuristics into a
-    hashed linear classifier (train on pseudo-labels, ONE bucket-sized
-    aggregation), gate the corpus on the MODEL's verdict, then
-    benchmark-decontaminate -> exact dedup -> MinHash-LSH near-dup
-    closure -> stable split. Every stage is the production operator;
-    the whole chain hash-matches one DuckDB statement that replays
-    training, scoring, banding, and the connectivity closure.
-
-    `checkpoint_dir` switches the closure's per-iteration lineage
-    truncation to reliable checkpoints (the 1000-executor setting, see
-    operators/iterate.py); results are hash-identical either way
-    (pinned by tests/test_operators.py)."""
+    """The shared classifier-gate -> decontaminate -> exact dedup ->
+    LSH-closure chain of corpus_prep_v2/v3, up to the canonical
+    (cluster-winner) doc set."""
     from gcp_data_pipeline_fyp_spark.functions.text import gopher_keep
     from gcp_data_pipeline_fyp_spark.operators.classifier import (
         bucketed_features,
@@ -2996,7 +2985,6 @@ def q_corpus_prep_v2(
     from gcp_data_pipeline_fyp_spark.operators.components import dup_clusters
     from gcp_data_pipeline_fyp_spark.operators.decontaminate import decontaminate
     from gcp_data_pipeline_fyp_spark.operators.dedup import exact_dedup
-    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
 
     d = _docs_with_neardups(spark, sf)
     labeled = d.withColumn("__lbl", gopher_keep(F.col("text")))
@@ -3023,15 +3011,39 @@ def q_corpus_prep_v2(
         driver_threshold=driver_threshold,
     )
     pairs.unpersist()
-    canon = labeled2.filter(F.col("doc_id") == F.col("cluster_id"))
+    return labeled2.filter(F.col("doc_id") == F.col("cluster_id"))
+
+
+def q_corpus_prep_v2(
+    spark: SparkSession,
+    sf: str,
+    checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """The modern pretraining pipeline in one certified plan — the
+    model-based successor of `corpus_prep_full` (the DCLM/FineWeb
+    architecture, public method): distill the Gopher heuristics into a
+    hashed linear classifier (train on pseudo-labels, ONE bucket-sized
+    aggregation), gate the corpus on the MODEL's verdict, then
+    benchmark-decontaminate -> exact dedup -> MinHash-LSH near-dup
+    closure -> stable split. Every stage is the production operator;
+    the whole chain hash-matches one DuckDB statement that replays
+    training, scoring, banding, and the connectivity closure.
+
+    `checkpoint_dir` switches the closure's per-iteration lineage
+    truncation to reliable checkpoints (the 1000-executor setting, see
+    operators/iterate.py); results are hash-identical either way
+    (pinned by tests/test_operators.py)."""
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    canon = _corpus_prep_canon(spark, sf, checkpoint_dir, driver_threshold)
     split = hash_split(
         canon, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
     )
     return split.select("doc_id", "lang", "split")
 
 
-SQL_CORPUS_PREP_V2 = f"""
-WITH RECURSIVE u AS ({_SQL_DOCS_WITH_NEARDUPS}),
+_SQL_CORPUS_PREP_CHAIN = f"""WITH RECURSIVE u AS ({_SQL_DOCS_WITH_NEARDUPS}),
 t0v AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM u),
 mv AS (SELECT doc_id, len(toks) AS n,
   cast(list_sum(list_transform(toks, t -> length(t))) AS double)
@@ -3094,15 +3106,79 @@ reach(v, l) AS (
 comp AS (SELECT v, min(l) AS component FROM reach GROUP BY v),
 canon AS (SELECT kept.doc_id, kept.lang FROM kept
   LEFT JOIN comp ON kept.doc_id = comp.v
-  WHERE coalesce(comp.component, kept.doc_id) = kept.doc_id)
-SELECT doc_id, lang,
+  WHERE coalesce(comp.component, kept.doc_id) = kept.doc_id)"""
+
+_SQL_SPLIT_TAIL = f"""SELECT doc_id, lang,
   CASE WHEN {_B7P} < 800000 THEN 'train'
        WHEN {_B7P} < 900000 THEN 'val'
-       ELSE 'test' END AS split
+       ELSE 'test' END AS split"""
+
+SQL_CORPUS_PREP_V2 = f"""
+{_SQL_CORPUS_PREP_CHAIN}
+{_SQL_SPLIT_TAIL}
 FROM canon
 """
 
 TEXT_QUERIES["corpus_prep_v2"] = (q_corpus_prep_v2, SQL_CORPUS_PREP_V2)
+
+
+def q_corpus_prep_v3(
+    spark: SparkSession,
+    sf: str,
+    checkpoint_dir: str | None = None,
+    driver_threshold: int = 1_000_000,
+) -> DataFrame:
+    """corpus_prep_v2 + the SEMANTIC member of the dedup spectrum:
+    classifier-gate -> decontaminate -> exact dedup -> MinHash-LSH
+    closure -> SemDeDup -> stable split. The semantic stage runs
+    post-LSH (surface dups are already collapsed, so it prunes only
+    paraphrase-level redundancy) and pre-split, cluster-keyed like
+    leakage_safe_split; canonical docs join the embeddings table on
+    doc_id and docs WITHOUT an embedding pass through kept
+    (conservative — a doc you cannot place in embedding space is not
+    evidence of redundancy). n_centroids pinned at 16 to match the
+    oracle's fixed fit (the operator's default is the auto sizing
+    rule)."""
+    from gcp_data_pipeline_fyp_spark.operators.dedup import semdedup
+    from gcp_data_pipeline_fyp_spark.operators.sampling import hash_split
+
+    canon = _corpus_prep_canon(
+        spark, sf, checkpoint_dir, driver_threshold
+    ).localCheckpoint(eager=False)
+    e = load(spark, sf, "embeddings", spread=True)
+    sem_in = canon.select("doc_id").join(
+        e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    sem = semdedup(
+        sem_in, "doc_id", "embedding", n_centroids=16,
+        threshold_micro=350_000,
+    )
+    drops = sem.filter(~F.col("keep")).select("doc_id")
+    fin = canon.join(drops, "doc_id", "left_anti")
+    split = hash_split(
+        fin, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    return split.select("doc_id", "lang", "split")
+
+
+from gcp_data_pipeline_fyp_spark.queries_vectors import _semdedup_ctes  # noqa: E402
+
+_SQL_SEM_CANON = (
+    "SELECT c.doc_id AS corpus_id, e.embedding::DOUBLE[] AS cv "
+    "FROM canon c JOIN embeddings e ON c.doc_id = e.vec_id"
+)
+
+SQL_CORPUS_PREP_V3 = f"""
+{_SQL_CORPUS_PREP_CHAIN},
+{_semdedup_ctes(_SQL_SEM_CANON, 350_000, prefix="sd")},
+fin AS (SELECT canon.doc_id, canon.lang FROM canon
+  LEFT JOIN sddrp ON canon.doc_id = sddrp.corpus_id
+  WHERE sddrp.corpus_id IS NULL)
+{_SQL_SPLIT_TAIL}
+FROM fin
+"""
+
+TEXT_QUERIES["corpus_prep_v3"] = (q_corpus_prep_v3, SQL_CORPUS_PREP_V3)
 
 
 # ------------------------------- length-bucketed batching (r6)

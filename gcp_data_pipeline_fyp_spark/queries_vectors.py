@@ -1745,49 +1745,63 @@ def q_semdedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _semdedup_chain(
-    corpus_sql: str, threshold_micro: int, n_assign: int = 1
+def _semdedup_ctes(
+    corpus_sql: str,
+    threshold_micro: int,
+    n_assign: int = 1,
+    prefix: str = "",
 ) -> str:
-    """The semdedup WITH chain (fit + multi-assignment + primary
+    """The semdedup CTE list (fit + multi-assignment + primary
     centroid-cosine rank + prefix-greedy drop set over shared probe
-    clusters) over any corpus CTE — shared by the per-row
-    semdedup_docs oracle and both recall-eval aggregations. The drop
-    order is (cent_cos_micro NULLS LAST, id): within one cluster that
-    IS the sem_rank order, so at n_assign=1 it is byte-equal to the
-    "earlier sem_rank in the shared cluster" rule."""
-    return f"""
-WITH {_ivf_ctes(corpus_sql, n_centroids=16)},
-multi AS (
+    clusters) over any corpus CTE, WITHOUT the leading WITH — so it
+    can embed into a larger statement (corpus_prep_v3's semantic
+    stage). `prefix` namespaces every CTE like `_ivf_ctes`'s own."""
+    p = prefix
+    return f"""{_ivf_ctes(corpus_sql, n_centroids=16, prefix=prefix)},
+{p}multi AS (
   SELECT corpus_id, centroid_id FROM (
     SELECT c.corpus_id, i.centroid_id, row_number() OVER (
       PARTITION BY c.corpus_id ORDER BY
         list_sum(list_transform(generate_series(1, 64),
                  j__ -> c.cv[j__] * i.centroid[j__])) DESC,
         i.centroid_id) AS rn
-    FROM c0 c CROSS JOIN cent i) s WHERE rn <= {n_assign}),
-cs AS (
+    FROM {p}c0 c CROSS JOIN {p}cent i) s WHERE rn <= {n_assign}),
+{p}cs AS (
   SELECT a.corpus_id, a.centroid_id, a.cv,
     CAST(round(({_pair_cos_sql("a.cv", "i.centroid")}) * 1000000.0) AS BIGINT)
       AS cent_cos_micro
-  FROM assigned a JOIN cent i USING (centroid_id)),
-rk AS (
+  FROM {p}assigned a JOIN {p}cent i USING (centroid_id)),
+{p}rk AS (
   SELECT *, row_number() OVER (PARTITION BY centroid_id
     ORDER BY cent_cos_micro ASC, corpus_id ASC) AS sem_rank
-  FROM cs),
-shared AS (
+  FROM {p}cs),
+{p}shared AS (
   SELECT DISTINCT ma.corpus_id AS a_id, mb.corpus_id AS b_id
-  FROM multi ma JOIN multi mb ON ma.centroid_id = mb.centroid_id
+  FROM {p}multi ma JOIN {p}multi mb ON ma.centroid_id = mb.centroid_id
    AND ma.corpus_id <> mb.corpus_id),
-drp AS (
-  SELECT DISTINCT a.corpus_id FROM shared s
-  JOIN cs a ON a.corpus_id = s.a_id
-  JOIN cs b ON b.corpus_id = s.b_id
+{p}drp AS (
+  SELECT DISTINCT a.corpus_id FROM {p}shared s
+  JOIN {p}cs a ON a.corpus_id = s.a_id
+  JOIN {p}cs b ON b.corpus_id = s.b_id
   WHERE (b.cent_cos_micro < a.cent_cos_micro
      OR (b.cent_cos_micro = a.cent_cos_micro
          AND b.corpus_id < a.corpus_id)
      OR (b.cent_cos_micro IS NOT NULL AND a.cent_cos_micro IS NULL))
     AND CAST(round(({_pair_cos_sql("a.cv", "b.cv")}) * 1000000.0) AS BIGINT)
     >= {threshold_micro})"""
+
+
+def _semdedup_chain(
+    corpus_sql: str, threshold_micro: int, n_assign: int = 1
+) -> str:
+    """The semdedup WITH chain — `_semdedup_ctes` with the leading
+    WITH, shared by the per-row semdedup_docs oracle and both
+    recall-eval aggregations. The drop order is (cent_cos_micro NULLS
+    LAST, id): within one cluster that IS the sem_rank order, so at
+    n_assign=1 it is byte-equal to the "earlier sem_rank in the
+    shared cluster" rule."""
+    return f"""
+WITH {_semdedup_ctes(corpus_sql, threshold_micro, n_assign)}"""
 
 
 def _sql_semdedup(threshold_micro: int = 350_000) -> str:
