@@ -33,6 +33,100 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
+# ROUND-12 WINDOW, composition (3 + 11 + 36 = 50), in priority order —
+# births outrank code-changes outrank re-certs (a probe with NO driver
+# row is the worst evidence class; a probe whose CODE changed must
+# re-certify the changed code):
+#   0. the 3 r12 births (unimax_epoch_mix_docs — UniMax max_epochs=2
+#      made real end-to-end: epoch expansion with tail strata emitting
+#      REPEATED docs, full second epochs at sf0.01 / partial at sf0.1;
+#      dsir_indexed — the persisted-profile DSIR path certifying
+#      index-path == direct-path; corpus_prep_v3 — the composed
+#      pipeline with the SemDeDup stage post-LSH/pre-split);
+#   1. the 11 probes whose code changed this round: the DSIR Gumbel
+#      consumers (dsir_sample_docs, dsir_budget_docs,
+#      dsir_selection_shift — u clamped below 1.0 in engine + both
+#      oracles), the 4 zonemap consumers (zonemap_pruned_scan,
+#      dynamic_pruned_join, zonemap_zorder_box_scan,
+#      bucket_index_lookup — census listing distributed), the 3
+#      semdedup probes (semdedup_docs, semdedup_recall_eval,
+#      semdedup_recall_multiprobe — n_centroids='auto' default; the
+#      probes still pin 16 explicitly), and corpus_prep_v2 (chain
+#      extracted into the shared _corpus_prep_canon helper; oracle
+#      byte-identical);
+#   2. nothing red in r11 (all 50 green);
+#   3. the first 36 of the 44 r06-evidence rows, alphabetical
+#      (brand_revenue .. sessionize_events). The remaining 8
+#      (source_capped_sample, stg_null_coerce, surrogate_keys,
+#      surrogate_keys_incremental, top_revenue_orders, top_suppliers,
+#      triangle_counts, tz_convert) head the r13 window — the birth +
+#      code-change load this round displaced them under the stated
+#      priority; compensating control: the builder's full-registry
+#      mirror sweep (tools/check_correctness.py) is green at both SFs
+#      including all 8.
+_CHECK_FIRST = [
+    # -- 0. new this round (r12)
+    "unimax_epoch_mix_docs",
+    "dsir_indexed",
+    "corpus_prep_v3",
+    # -- 1. code changed this round
+    "dsir_sample_docs",
+    "dsir_budget_docs",
+    "dsir_selection_shift",
+    "zonemap_pruned_scan",
+    "dynamic_pruned_join",
+    "zonemap_zorder_box_scan",
+    "bucket_index_lookup",
+    "semdedup_docs",
+    "semdedup_recall_eval",
+    "semdedup_recall_multiprobe",
+    "corpus_prep_v2",
+    # -- 3. the r06-evidence tail, alphabetical (36 of 44)
+    "brand_revenue",
+    "canonical_docs",
+    "clean_text_docs",
+    "corpus_prep",
+    "corpus_prep_full",
+    "cube_type_day",
+    "customer_distribution",
+    "customer_order_stats",
+    "date_dim",
+    "dedup_exact_rows",
+    "dedup_exact_stats",
+    "dedupe_corpus",
+    "dormant_rich_customers",
+    "dup_clusters",
+    "event_id_hash",
+    "gopher_filter",
+    "kcore_docs",
+    "large_orders",
+    "mad_outlier_events",
+    "merge_upsert",
+    "merge_upsert_partitioned",
+    "minhash_lsh_pairs",
+    "ods_typed_banding",
+    "order_priority_count",
+    "order_value_ranks",
+    "paragraph_dedup",
+    "part_metrics_unpivot",
+    "place_parse",
+    "pricing_summary",
+    "quality_gate_accepted",
+    "quality_gate_rejected",
+    "region_nation_revenue",
+    "returnflag_correlation",
+    "rollup_type_day",
+    "running_customer_spend",
+    "sessionize_events",
+    # next round (r13), in priority order: (0) any new r13 probes;
+    # (1) anything red in r12; (2) the 8 displaced r06-evidence rows
+    # (source_capped_sample, stg_null_coerce, surrogate_keys,
+    # surrogate_keys_incremental, top_revenue_orders, top_suppliers,
+    # triangle_counts, tz_convert); (3) the r07-green tail on
+    # rotation, alphabetical.
+]
+
+# ---- retired r11 window (kept for the audit trail) ----------------
 # ROUND-11 WINDOW, composition (10 + 10 + 24 + 6 = 50), in priority
 # order — births outrank code-changes outrank re-certs, because a
 # probe with NO driver row is the worst evidence class:
@@ -71,7 +165,7 @@ _REGISTRIES = [
 #   4. the first 6 of the 50 r06-evidence rows, alphabetical
 #      (ann_ivfpq_rerank_topk .. boilerplate_docs); the remaining
 #      44 head the r12 window — the rotation is now pure steady-state.
-_CHECK_FIRST = [
+_R11_WINDOW = [
     # -- 0. new this round (r11)
     "hybrid_rerank_topk",
     "semdedup_docs",
