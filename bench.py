@@ -182,6 +182,17 @@ HEADLINE = [
     # per-doc sums, Gumbel top-k (TakeOrderedAndProject); timed as
     # the full select-from-scratch plan
     "dsir_sample_docs",
+    # round-12: UniMax epoch expansion (water-fill alloc + broadcast
+    # epoch plan + two-level per-(stratum, epoch) prefix, one timed
+    # plan with real repetition), the persisted-profile DSIR path
+    # (build-both-profiles + indexed scoring — the AMORTIZED build
+    # cost; the steady-state scoring half is the separate
+    # dsir_indexed_scoring leg below), and the composed pipeline
+    # with its new semantic stage (corpus_prep_v2 + embeddings join +
+    # SemDeDup + anti-join, one plan)
+    "unimax_epoch_mix_docs",
+    "dsir_indexed",
+    "corpus_prep_v3",
 ]
 
 # Machine-drift calibration: r01-measured seconds (sf0.1, 32 cpus) for
@@ -471,6 +482,40 @@ def _bench_text_index(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_dsir_indexed_scoring(spark, sf_dir: str, timings: dict) -> None:
+    """Steady-state DSIR: profiles built ONCE (untimed — that is what
+    the index amortizes), then the scoring half timed alone. This is
+    the number a daily selection batch pays at 100 TB; the headline
+    `dsir_indexed` leg times build+score (the cold path) for
+    comparison."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        build_dsir_profiles,
+        dsir_logweights_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    work = tempfile.mkdtemp(prefix="bench_dsir_")
+    try:
+        wh = Warehouse(spark, work)
+        d = load(spark, sf_dir, "documents")
+        build_dsir_profiles(
+            wh, d, d.filter(F.col("lang") == "en"), "DSB"
+        )
+        t0 = time.perf_counter()
+        dsir_logweights_indexed(wh, d, "doc_id", "DSB").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        timings["dsir_indexed_scoring"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _bench_zonemap(spark, sf_dir: str, timings: dict) -> None:
     """Zone-map micro-bench: one range-layout write + map build over
     the sf events table, then an interval query through the pruned
@@ -536,17 +581,42 @@ def main() -> None:
     _bench_streaming(spark, sf_dir, timings)
     _bench_text_index(spark, sf_dir, timings)
     _bench_zonemap(spark, sf_dir, timings)
+    _bench_dsir_indexed_scoring(spark, sf_dir, timings)
     total = round(sum(timings.values()), 3)
     # drift calibration: ratios vs pinned r01 numbers (only meaningful
-    # at the canonical sf0.1 / 32-cpu config the pins were taken at)
+    # at the canonical sf0.1 / 32-cpu config the pins were taken at).
+    # r12 protocol change: each calibration leg is re-run twice more
+    # at the end of the (warm) bench and the PER-LEG MEDIAN of the 3
+    # runs feeds the ratio — single-shot leg timings swing up to ~60%
+    # between warm repeats (measured), which made the 8-leg median
+    # too coarse to separate ambient host load from a real 1.3x
+    # per-leg regression (the r11-vs-r10 comparison could not
+    # distinguish them). Medians shrink per-leg noise; the MAD
+    # reported below is the honest residual error bar.
     detail: dict = {}
     drift_median = None
     value_normalized = None
     if sf == 0.1:
+        calib_times: dict[str, float] = {
+            q: [timings[q]] for q in R01_CALIBRATION if q in timings
+        }
+        for _rep in range(2):
+            for q in calib_times:
+                t0 = time.perf_counter()
+                qs[q](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                calib_times[q].append(time.perf_counter() - t0)
+        med = {
+            q: sorted(ts)[len(ts) // 2] for q, ts in calib_times.items()
+        }
+        detail["calibration_runs"] = {
+            q: [round(x, 3) for x in ts] for q, ts in calib_times.items()
+        }
         ratios = {
-            q: round(timings[q] / r01, 2)
+            q: round(med[q] / r01, 2)
             for q, r01 in R01_CALIBRATION.items()
-            if q in timings
+            if q in med
         }
         if ratios:
             s = sorted(ratios.values())
@@ -554,7 +624,26 @@ def main() -> None:
             drift_median = round(
                 s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2, 3
             )
-            detail["drift_vs_r01"] = {"ratios": ratios, "median": drift_median}
+            # dispersion (median absolute deviation of the ratios, as
+            # a fraction of the median): the error bar on every
+            # normalized number below. With the r01 8-leg set the MAD
+            # ran ~0.2 of the median — too coarse to call a 1.3x
+            # per-leg move a regression; the widened 16-leg set exists
+            # to shrink exactly this figure, and per-leg regression
+            # verdicts should only be made against moves OUTSIDE
+            # median * (1 +/- a few MADs).
+            dev = sorted(abs(r - drift_median) for r in s)
+            dmid = len(dev) // 2
+            mad = dev[dmid] if len(dev) % 2 else (dev[dmid - 1] + dev[dmid]) / 2
+            detail["drift_vs_r01"] = {
+                "ratios": ratios,
+                "median": drift_median,
+                "mad": round(mad, 3),
+                "mad_over_median": round(mad / drift_median, 3)
+                if drift_median > 0
+                else None,
+                "n_calibration": len(s),
+            }
             # drift-NORMALIZED numbers (seconds at r01 machine speed):
             # cross-round comparison without hand math — ambient host
             # load moves the whole calibration set together, so
