@@ -13,7 +13,9 @@ byte-for-byte (no xxhash/murmur, which other engines don't ship).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -77,7 +79,15 @@ def lang_id(text: Column | str) -> Column:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Distinct n-gram shingle strings; empty array when fewer than n
     tokens. NULL token arrays (NULL text) shingle to [] — matching the
-    SQL rendering where generate_series over a NULL bound is empty."""
+    SQL rendering where generate_series over a NULL bound is empty.
+
+    PERFORMANCE CONTRACT: pass a MATERIALIZED token-array column (a
+    projected `tokens(text)` — use `exploded_shingles` for the common
+    frame shape), not an inline `tokens(text)` expression. The
+    position lambda slices `toks` per position, and a lambda that
+    references an inline expression re-evaluates it per call (no CSE
+    across higher-order functions): inline tokenization makes this
+    O(tokens^2) splits per doc — measured 4-5x slower at sf0.1."""
     toks = _coalesce_toks(toks)
     count = F.size(toks) - F.lit(n - 1)
     # NB Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — a doc
@@ -90,6 +100,28 @@ def shingles(toks: Column, n: int = 3) -> Column:
             positions,
             lambda i: F.array_join(F.slice(toks, i, n), " "),
         )
+    )
+
+
+def exploded_shingles(
+    df: "DataFrame",
+    keep_cols: "Sequence[Column | str]",
+    text_col: Column | str,
+    n: int = 3,
+    out_col: str = "ngram",
+) -> "DataFrame":
+    """(keep_cols..., out_col) — one row per distinct n-gram shingle,
+    with the token array projected through a named column FIRST so
+    the shingle lambda slices a bound attribute instead of
+    re-tokenizing per position (the measured O(tokens^2) trap
+    documented on `shingles`). The shared frame-level shape every
+    shingle consumer (decontamination, contamination reports,
+    leakage audits) should go through."""
+    keeps = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    toks = tokens(text_col)
+    return df.select(*keeps, toks.alias("__sh_toks")).select(
+        *[F.col(c) for c in df.select(*keeps).columns],
+        F.explode(shingles(F.col("__sh_toks"), n)).alias(out_col),
     )
 
 

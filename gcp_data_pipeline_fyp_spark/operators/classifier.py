@@ -46,12 +46,13 @@ from gcp_data_pipeline_fyp_spark.functions.text import _coalesce_toks, tokens
 DEFAULT_BUCKETS = 1 << 18
 
 
-def ngram_features(text_col: Column | str, bigrams: bool = True) -> Column:
-    """array<string> of hashed-classifier features: non-empty whitespace
-    tokens plus (optionally) `left_right` joined bigrams. NULL text
-    featurizes like an empty document ([]), the engine-wide convention."""
-    t = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.filter(_coalesce_toks(tokens(t)), lambda x: x != "")
+def ngram_features_of_toks(toks: Column, bigrams: bool = True) -> Column:
+    """`ngram_features` over an ALREADY-MATERIALIZED filtered
+    token-array column — the bigram lambda's element_at calls
+    re-evaluate an inline token expression per position (no CSE
+    across higher-order functions; the measured O(tokens^2) trap,
+    same class as operators/dsir.py:feature_buckets_of_toks), so
+    frame-level consumers project the tokens first (`_feature_rows`)."""
     if not bigrams:
         return toks
     big = F.when(
@@ -64,6 +65,21 @@ def ngram_features(text_col: Column | str, bigrams: bool = True) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(toks, big)
+
+
+def _filtered_toks(text_col: Column | str) -> Column:
+    """Non-empty whitespace tokens; NULL text -> [] (engine convention)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(_coalesce_toks(tokens(t)), lambda x: x != "")
+
+
+def ngram_features(text_col: Column | str, bigrams: bool = True) -> Column:
+    """array<string> of hashed-classifier features: non-empty whitespace
+    tokens plus (optionally) `left_right` joined bigrams. NULL text
+    featurizes like an empty document ([]), the engine-wide convention.
+    Single-expression convenience form — frame-level consumers go
+    through `_feature_rows` (see `ngram_features_of_toks`)."""
+    return ngram_features_of_toks(_filtered_toks(text_col), bigrams)
 
 
 def feature_bucket(feat: Column, n_buckets: int, seed: int = 0) -> Column:
@@ -81,9 +97,17 @@ def _feature_rows(
     df: DataFrame, keep_cols: list[str], text_col: str, bigrams: bool
 ) -> DataFrame:
     """(keep_cols..., __feat) — one row per feature OCCURRENCE (multiset
-    counts, the fastText convention). Empty docs contribute no rows."""
+    counts, the fastText convention). Empty docs contribute no rows.
+    The filtered token array projects through a named column first —
+    the O(tokens^2) re-evaluation trap `ngram_features_of_toks`
+    documents."""
     return df.select(
-        *keep_cols, F.explode(ngram_features(text_col, bigrams)).alias("__feat")
+        *keep_cols, _filtered_toks(text_col).alias("__cls_toks")
+    ).select(
+        *keep_cols,
+        F.explode(
+            ngram_features_of_toks(F.col("__cls_toks"), bigrams)
+        ).alias("__feat"),
     )
 
 

@@ -26,15 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gcp_data_pipeline_fyp_spark.functions.text import shingles, tokens
+from gcp_data_pipeline_fyp_spark.functions.text import exploded_shingles
 
 
 def benchmark_ngrams(benchmark: DataFrame, text_col: str, n: int = 13) -> DataFrame:
     """Distinct token n-grams of the benchmark set (one `ngram` column)."""
-    return (
-        benchmark.select(F.explode(shingles(tokens(text_col), n)).alias("ngram"))
-        .distinct()
-    )
+    return exploded_shingles(benchmark, [], text_col, n).distinct()
 
 
 def contaminated_ids(
@@ -49,9 +46,7 @@ def contaminated_ids(
     grams = bench_grams
     if broadcast:
         grams = F.broadcast(grams)
-    exploded = corpus.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("ngram")
-    )
+    exploded = exploded_shingles(corpus, [id_col], text_col, n)
     return exploded.join(grams, "ngram", "left_semi").select(id_col).distinct()
 
 
@@ -116,9 +111,9 @@ def bloom_decontaminate(
     bench_digests = benchmark_ngrams(benchmark, bench_text_col, n).select(
         F.unhex(F.md5("ngram")).alias("__d")
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(shingles(tokens(text_col), n)).alias("ngram")
-    ).select(id_col, F.unhex(F.md5("ngram")).alias("__d"))
+    corpus_grams = exploded_shingles(corpus, [id_col], text_col, n).select(
+        id_col, F.unhex(F.md5("ngram")).alias("__d")
+    )
     bad = (
         bloom_semi_join(
             corpus_grams,
@@ -159,14 +154,12 @@ def contamination_report(
     set broadcasts; the corpus contributes one scan + shingle explode;
     the aggregation output is benchmark-sized.
     """
-    bench_grams = benchmark.select(
-        F.col(bench_id_col).alias("__bid"),
-        F.explode(shingles(tokens(bench_text_col), n)).alias("ngram"),
+    bench_grams = exploded_shingles(
+        benchmark, [F.col(bench_id_col).alias("__bid")], bench_text_col, n
     ).distinct()
     grams = F.broadcast(bench_grams) if broadcast else bench_grams
-    corpus_grams = corpus.select(
-        F.col(id_col).alias("__cid"),
-        F.explode(shingles(tokens(text_col), n)).alias("ngram"),
+    corpus_grams = exploded_shingles(
+        corpus, [F.col(id_col).alias("__cid")], text_col, n
     )
     hits = (
         corpus_grams.join(grams, "ngram")
@@ -228,10 +221,12 @@ def split_leakage_report(
     document set, anchored on the input ids, not the explode).
     """
     grams = (
-        df.select(
-            F.col(split_col).alias("__split"),
-            F.col(id_col).alias("__id"),
-            F.explode(shingles(tokens(text_col), n)).alias("__ng"),
+        exploded_shingles(
+            df,
+            [F.col(split_col).alias("__split"), F.col(id_col).alias("__id")],
+            text_col,
+            n,
+            out_col="__ng",
         )
         # empty-text docs tokenize to [''] (the whitespace-split
         # artifact), which at n=1 would emit a bogus '' gram shared by

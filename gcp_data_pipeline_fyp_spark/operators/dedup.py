@@ -161,11 +161,23 @@ def minhash_lsh_candidates(
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
-    sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
     # persist the signatures BEFORE banding: the band explode and the
     # self-join would otherwise each re-inline (and recompute) the full
-    # signature expression — signatures are the expensive part of LSH
-    sig_df = df.select(F.col(id_col), sig.alias("__sig")).persist()
+    # signature expression — signatures are the expensive part of LSH.
+    # The token array projects through its own boundary first: the
+    # shingle lambda slices it per position and would re-tokenize per
+    # slice if inlined (the measured O(tokens^2) trap, see
+    # functions/text.py:shingles)
+    sig_df = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            minhash_signature(
+                shingles(F.col("__toks"), shingle_n), num_hashes
+            ).alias("__sig"),
+        )
+        .persist()
+    )
     banded = sig_df.select(
         F.col(id_col),
         F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("b"),
@@ -217,7 +229,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for every intra-block pair (id_a < id_b)."""
     g = df.select(
-        *block_cols, F.col(id_col), shingles(tokens(text_col), n).alias("__grams")
+        *block_cols, F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        *block_cols,
+        F.col(id_col),
+        shingles(F.col("__toks"), n).alias("__grams"),
     )
     a, b = g.alias("a"), g.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -333,8 +349,11 @@ def dedupe_corpus(
         t.withColumnRenamed(id_col, "id_b").withColumnRenamed(text_col, "__tb"),
         "id_b",
     )
-    ga = F.array_distinct(shingles(tokens(F.col("__ta")), 3))
-    gb = F.array_distinct(shingles(tokens(F.col("__tb")), 3))
+    a = a.withColumn(
+        "__tta", tokens(F.col("__ta"))
+    ).withColumn("__ttb", tokens(F.col("__tb")))
+    ga = F.array_distinct(shingles(F.col("__tta"), 3))
+    gb = F.array_distinct(shingles(F.col("__ttb"), 3))
     jac = F.try_divide(
         F.size(F.array_intersect(ga, gb)).cast("double"),
         F.size(F.array_union(ga, gb)).cast("double"),
@@ -639,13 +658,31 @@ def _lsh_band_rows(
     shingle_n: int,
 ) -> DataFrame:
     """(id, band, sig) rows — the joinable form of a doc's LSH bands
-    (empty-signature rows for sub-shingle-width docs dropped)."""
+    (empty-signature rows for sub-shingle-width docs dropped).
+
+    The token array and the signature are each materialized through a
+    projection boundary before the next stage references them
+    positionally: `lsh_bands` slices the signature PER BAND and
+    `shingles` slices the tokens PER POSITION, and a lambda that
+    references an inline expression re-evaluates it per call (no CSE
+    across higher-order functions) — inlined, this chain recomputed
+    the full MinHash per band and the tokenizer per shingle position
+    (O(bands x tokens^2) per doc; measured 4x at sf0.1, same class as
+    the DSIR feature-explode fix)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(shingles(tokens(text_col), shingle_n), num_hashes)
     return (
-        df.select(
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
             F.col(id_col),
-            F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b"),
+            minhash_signature(
+                shingles(F.col("__toks"), shingle_n), num_hashes
+            ).alias("__sig"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                lsh_bands(F.col("__sig"), bands, rows_per_band)
+            ).alias("b"),
         )
         .select(
             id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig")

@@ -61,21 +61,21 @@ from gcp_data_pipeline_fyp_spark.queries_util import roundn
 DEFAULT_BUCKETS = 4096
 
 
-def feature_buckets(
-    text_col: Column | str,
+def feature_buckets_of_toks(
+    toks: Column,
     n_buckets: int = DEFAULT_BUCKETS,
     bigrams: bool = True,
 ) -> Column:
-    """array<bigint> of hashed n-gram feature buckets for one text:
-    one entry per unigram occurrence plus (optionally) one per bigram
-    occurrence — occurrences, not distinct features, because the DSIR
-    weight multiplies the log-ratio by the occurrence count c_f(x).
-
-    bucket(f) = first-8-hex-chars of md5(f) as int, mod n_buckets —
-    the engine's standard cross-engine hash (functions/text.py
-    minhash base hash uses the identical chain).
-    """
-    toks = _coalesce_toks(tokens(text_col))
+    """`feature_buckets` over an ALREADY-MATERIALIZED token-array
+    column. Performance-load-bearing split: when the token array is
+    inlined as `split(trim(text))` inside this expression tree, the
+    bigram lambda's element_at calls re-evaluate the split PER
+    POSITION (no common-subexpression elimination across higher-order
+    functions) — O(tokens^2) splits per doc, measured 7x slower at
+    sf0.1 (8.5 s -> 1.2 s for one profile fit). Callers that explode
+    over a frame should project the token array through a named
+    column first (`_exploded_buckets`); the values are identical
+    either way."""
     feats = toks
     if bigrams:
         # positions 1..size-1 (1-based element_at), guarded because
@@ -97,6 +97,53 @@ def feature_buckets(
     )
 
 
+def feature_buckets(
+    text_col: Column | str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> Column:
+    """array<bigint> of hashed n-gram feature buckets for one text:
+    one entry per unigram occurrence plus (optionally) one per bigram
+    occurrence — occurrences, not distinct features, because the DSIR
+    weight multiplies the log-ratio by the occurrence count c_f(x).
+
+    bucket(f) = first-8-hex-chars of md5(f) as int, mod n_buckets —
+    the engine's standard cross-engine hash (functions/text.py
+    minhash base hash uses the identical chain).
+
+    Single-expression convenience form — fine for one-off column use,
+    but frame-level consumers must go through `_exploded_buckets` (see
+    `feature_buckets_of_toks` for the measured O(tokens^2) trap this
+    form carries inside an explode)."""
+    return feature_buckets_of_toks(
+        _coalesce_toks(tokens(text_col)), n_buckets, bigrams
+    )
+
+
+def _exploded_buckets(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str,
+    n_buckets: int,
+    bigrams: bool,
+) -> DataFrame:
+    """(id_cols..., bucket) — one row per feature occurrence, with the
+    token array materialized through a projection boundary first so
+    the bigram lambda evaluates the tokenizer ONCE per doc (the 7x
+    measured difference documented on `feature_buckets_of_toks`)."""
+    toks = _coalesce_toks(tokens(text_col))
+    return df.select(
+        *[F.col(c) for c in id_cols], toks.alias("__dsir_toks")
+    ).select(
+        *[F.col(c) for c in id_cols],
+        F.explode(
+            feature_buckets_of_toks(
+                F.col("__dsir_toks"), n_buckets, bigrams
+            )
+        ).alias("bucket"),
+    )
+
+
 def bucket_profile(
     df: DataFrame,
     text_col: str = "text",
@@ -110,11 +157,7 @@ def bucket_profile(
     combine collapses the shuffle to ~B rows per task.
     """
     return (
-        df.select(
-            F.explode(
-                feature_buckets(text_col, n_buckets, bigrams)
-            ).alias("bucket")
-        )
+        _exploded_buckets(df, [], text_col, n_buckets, bigrams)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -225,12 +268,7 @@ def score_against_ratios(
     ingest (or any frozen-profile consumer) pays only the batch-sized
     explode + broadcast join + partially-aggregated per-doc sum.
     Same output contract: (id_col, logw roundn-6, n_feats)."""
-    feats = df.select(
-        F.col(id_col),
-        F.explode(feature_buckets(text_col, n_buckets, bigrams)).alias(
-            "bucket"
-        ),
-    )
+    feats = _exploded_buckets(df, [id_col], text_col, n_buckets, bigrams)
     # decimal(18,6) per-term cast -> exact, order-independent sum
     # (the engine's standard float-agg pin, queries_util module doc)
     scored = (

@@ -194,12 +194,15 @@ _NUM_HASHES, _BANDS = 8, 4
 
 def q_minhash_signature(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
-    sig = minhash_signature(shingles(tokens("text"), 3), _NUM_HASHES)
+    # token array projected first — the shingle lambda would otherwise
+    # re-tokenize per position (functions/text.py:shingles contract)
+    td = d.select("doc_id", tokens("text").alias("__toks"))
+    sig = minhash_signature(shingles(F.col("__toks"), 3), _NUM_HASHES)
     # degenerate docs (shorter than the shingle width / NULL text) have
     # an all-NULL signature: surface as NULL, matching DuckDB's
     # array_to_string semantics (Spark's array_join would give '')
     joined = F.array_join(sig.cast("array<string>"), "|")
-    return d.select(
+    return td.select(
         "doc_id", F.nullif(joined, F.lit("")).alias("signature")
     )
 
@@ -2494,16 +2497,17 @@ def q_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     d = _docs(spark, sf)
     base = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
+    from gcp_data_pipeline_fyp_spark.functions.text import (
+        exploded_shingles,
+    )
+
     base_digests = (
-        base.select(
-            F.explode(shingles(tokens("text"), 3)).alias("sh")
-        )
+        exploded_shingles(base, [], "text", 3, out_col="sh")
         .select(F.unhex(F.md5("sh")).alias("digest"))
         .distinct()
     )
-    batch_sh = batch.select(
-        "doc_id",
-        F.explode(shingles(tokens("text"), 3)).alias("sh"),
+    batch_sh = exploded_shingles(
+        batch, ["doc_id"], "text", 3, out_col="sh"
     ).select("doc_id", F.unhex(F.md5("sh")).alias("digest"))
     flagged = batch_sh.join(
         base_digests.withColumn("__seen", F.lit(1)), "digest", "left"
@@ -3953,11 +3957,14 @@ def q_doc_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
     from gcp_data_pipeline_fyp_spark.queries_util import micro6
 
     d = _docs(spark, sf)
-    toks = tokens("text")
-    return d.select(
+    # projected token array: ngram_repetition_frac's position lambda
+    # references the array per gram — inline tokens would re-split per
+    # position (the engine-wide higher-order-function trap)
+    td = d.select("doc_id", tokens("text").alias("__toks"))
+    return td.select(
         "doc_id",
-        micro6(ngram_repetition_frac(toks, 2)).alias("rep2_micro"),
-        micro6(ngram_repetition_frac(toks, 3)).alias("rep3_micro"),
+        micro6(ngram_repetition_frac(F.col("__toks"), 2)).alias("rep2_micro"),
+        micro6(ngram_repetition_frac(F.col("__toks"), 3)).alias("rep3_micro"),
     ).orderBy("doc_id")
 
 
