@@ -64,6 +64,19 @@ _REGISTRIES = [
 #      priority; compensating control: the builder's full-registry
 #      mirror sweep (tools/check_correctness.py) is green at both SFs
 #      including all 8.
+#
+# Late-round note: the token-array projection refactor (the measured
+# O(tokens^2) higher-order-lambda fix) also changed the PLANS (values
+# identical) of several shingle/feature consumers. In-window already:
+# the dsir/semdedup/corpus_prep_v2+v3 priority rows plus corpus_prep,
+# corpus_prep_full, minhash_lsh_pairs, dedupe_corpus, dup_clusters,
+# canonical_docs. Out-of-window changed-plan probes
+# (minhash_signature, decontaminate_corpus, contamination_report,
+# bloom_decontaminate, quality_classifier_scores,
+# split_leakage_report, incremental_neardup, doc_repetition_report,
+# quality_canonical_docs, substring-incremental) were each
+# mirror-verified green at sf0.01 after the refactor and queue for
+# the r13 window behind the 8 displaced rows.
 _CHECK_FIRST = [
     # -- 0. new this round (r12)
     "unimax_epoch_mix_docs",
