@@ -33,16 +33,19 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-12 WINDOW, composition (3 + 11 + 36 = 50), in priority order —
+# ROUND-12 WINDOW, composition (5 + 11 + 34 = 50), in priority order —
 # births outrank code-changes outrank re-certs (a probe with NO driver
 # row is the worst evidence class; a probe whose CODE changed must
 # re-certify the changed code):
-#   0. the 3 r12 births (unimax_epoch_mix_docs — UniMax max_epochs=2
+#   0. the 5 r12 births (unimax_epoch_mix_docs — UniMax max_epochs=2
 #      made real end-to-end: epoch expansion with tail strata emitting
 #      REPEATED docs, full second epochs at sf0.01 / partial at sf0.1;
 #      dsir_indexed — the persisted-profile DSIR path certifying
 #      index-path == direct-path; corpus_prep_v3 — the composed
-#      pipeline with the SemDeDup stage post-LSH/pre-split);
+#      pipeline with the SemDeDup stage post-LSH/pre-split;
+#      pii_scan_report + pii_redact_docs — the anonymization stage as
+#      pure codegen regex, planted-PII corpus, email-before-IP
+#      redaction order certified end-to-end);
 #   1. the 11 probes whose code changed this round: the DSIR Gumbel
 #      consumers (dsir_sample_docs, dsir_budget_docs,
 #      dsir_selection_shift — u clamped below 1.0 in engine + both
@@ -55,15 +58,14 @@ _REGISTRIES = [
 #      extracted into the shared _corpus_prep_canon helper; oracle
 #      byte-identical);
 #   2. nothing red in r11 (all 50 green);
-#   3. the first 36 of the 44 r06-evidence rows, alphabetical
-#      (brand_revenue .. sessionize_events). The remaining 8
-#      (source_capped_sample, stg_null_coerce, surrogate_keys,
-#      surrogate_keys_incremental, top_revenue_orders, top_suppliers,
-#      triangle_counts, tz_convert) head the r13 window — the birth +
+#   3. the first 34 of the 44 r06-evidence rows, alphabetical
+#      (brand_revenue .. rollup_type_day). The remaining 10
+#      (running_customer_spend .. tz_convert) head the r13 window —
+#      the birth +
 #      code-change load this round displaced them under the stated
 #      priority; compensating control: the builder's full-registry
 #      mirror sweep (tools/check_correctness.py) is green at both SFs
-#      including all 8.
+#      including all 10.
 #
 # Late-round note: the token-array projection refactor (the measured
 # O(tokens^2) higher-order-lambda fix) also changed the PLANS (values
@@ -71,17 +73,21 @@ _REGISTRIES = [
 # the dsir/semdedup/corpus_prep_v2+v3 priority rows plus corpus_prep,
 # corpus_prep_full, minhash_lsh_pairs, dedupe_corpus, dup_clusters,
 # canonical_docs. Out-of-window changed-plan probes
-# (minhash_signature, decontaminate_corpus, contamination_report,
-# bloom_decontaminate, quality_classifier_scores,
-# split_leakage_report, incremental_neardup, doc_repetition_report,
-# quality_canonical_docs, substring-incremental) were each
-# mirror-verified green at sf0.01 after the refactor and queue for
-# the r13 window behind the 8 displaced rows.
+# (minhash_signature, dsir_logweights, decontaminate_corpus,
+# contamination_report, bloom_decontaminate,
+# quality_classifier_scores, split_leakage_report,
+# incremental_neardup, doc_repetition_report, quality_canonical_docs,
+# substring-incremental) were each mirror-verified green at sf0.01
+# after the refactor — and the post-refactor FULL sweeps (275/275 at
+# both SFs) re-cover every probe — they queue for the r13 window
+# behind the displaced rows.
 _CHECK_FIRST = [
     # -- 0. new this round (r12)
     "unimax_epoch_mix_docs",
     "dsir_indexed",
     "corpus_prep_v3",
+    "pii_scan_report",
+    "pii_redact_docs",
     # -- 1. code changed this round
     "dsir_sample_docs",
     "dsir_budget_docs",
@@ -94,7 +100,7 @@ _CHECK_FIRST = [
     "semdedup_recall_eval",
     "semdedup_recall_multiprobe",
     "corpus_prep_v2",
-    # -- 3. the r06-evidence tail, alphabetical (36 of 44)
+    # -- 3. the r06-evidence tail, alphabetical (34 of 44)
     "brand_revenue",
     "canonical_docs",
     "clean_text_docs",
@@ -129,14 +135,14 @@ _CHECK_FIRST = [
     "region_nation_revenue",
     "returnflag_correlation",
     "rollup_type_day",
-    "running_customer_spend",
-    "sessionize_events",
     # next round (r13), in priority order: (0) any new r13 probes;
-    # (1) anything red in r12; (2) the 8 displaced r06-evidence rows
-    # (source_capped_sample, stg_null_coerce, surrogate_keys,
-    # surrogate_keys_incremental, top_revenue_orders, top_suppliers,
-    # triangle_counts, tz_convert); (3) the r07-green tail on
-    # rotation, alphabetical.
+    # (1) anything red in r12; (2) the 10 displaced r06-evidence rows
+    # (running_customer_spend, sessionize_events, source_capped_sample,
+    # stg_null_coerce, surrogate_keys, surrogate_keys_incremental,
+    # top_revenue_orders, top_suppliers, triangle_counts, tz_convert —
+    # the last two displaced by the late PII births); (3) the
+    # projection-refactor changed-plan probes listed in the note
+    # above; (4) the r07-green tail on rotation, alphabetical.
 ]
 
 # ---- retired r11 window (kept for the audit trail) ----------------

@@ -193,6 +193,10 @@ HEADLINE = [
     "unimax_epoch_mix_docs",
     "dsir_indexed",
     "corpus_prep_v3",
+    # r12 session 2: PII redaction — pure codegen regexp chain over
+    # the full documents scan (the anonymization stage's scan-speed
+    # cost at release time)
+    "pii_redact_docs",
 ]
 
 # Machine-drift calibration: reference seconds at r01 machine speed

@@ -5495,3 +5495,107 @@ TEXT_QUERIES["unimax_epoch_mix_docs"] = (
     q_unimax_epoch_mix_docs,
     SQL_UNIMAX_EPOCH_MIX_DOCS,
 )
+
+
+# ---------------------------------------------- PII detect + redact (r12)
+# The anonymization stage of public pretraining pipelines (FineWeb
+# anonymizes emails + IPs; CCNet/The Pile document the same classes),
+# as pure codegen regex ops (functions/pii.py). The synthetic corpus
+# carries no organic PII, so the probes PLANT it deterministically on
+# every 7th doc (the near-dup-plant discipline): one email whose
+# domain embeds a WORD-BOUNDED dotted quad (@1.2.3.4.org — the quad
+# is independently IP-matchable, exercising the load-bearing email-
+# before-IP redaction order) plus one bare IPv4.
+def _docs_with_pii(spark: SparkSession, sf: str) -> DataFrame:
+    d = _docs(spark, sf)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@1.2.3.4.org via 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0.1"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, planted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+_SQL_DOCS_WITH_PII = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN
+      text || ' contact u' || cast(doc_id AS VARCHAR)
+           || '@1.2.3.4.org via 10.'
+           || cast(doc_id % 200 AS VARCHAR) || '.0.1'
+    ELSE text END AS text
+  FROM documents
+"""
+
+
+def q_pii_scan_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-doc PII audit (functions/pii.py:pii_counts/has_pii): email
+    and IPv4 match counts + the gate flag, over the planted corpus —
+    the scan a release pipeline runs before deciding redact vs drop.
+    Pure regexp_extract_all column algebra; identical RE2-subset
+    pattern strings run in the oracle."""
+    from gcp_data_pipeline_fyp_spark.functions.pii import has_pii, pii_counts
+
+    d = _docs_with_pii(spark, sf)
+    c = pii_counts("text")
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_ipv4"].alias("n_ipv4"),
+        has_pii("text").alias("has_pii"),
+    )
+
+
+def _sql_pii_counts() -> dict[str, str]:
+    from gcp_data_pipeline_fyp_spark.functions.pii import pii_counts_sql
+
+    return pii_counts_sql("text")
+
+
+SQL_PII_SCAN_REPORT = f"""
+WITH u AS ({_SQL_DOCS_WITH_PII})
+SELECT doc_id,
+  {_sql_pii_counts()["n_emails"]} AS n_emails,
+  {_sql_pii_counts()["n_ipv4"]} AS n_ipv4,
+  ({_sql_pii_counts()["n_emails"]} > 0
+   OR {_sql_pii_counts()["n_ipv4"]} > 0) AS has_pii
+FROM u
+"""
+
+TEXT_QUERIES["pii_scan_report"] = (q_pii_scan_report, SQL_PII_SCAN_REPORT)
+
+
+def q_pii_redact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Redacted corpus (functions/pii.py:redact_pii): emails then IPs
+    replaced by fixed sentinel tokens — fixed, so redacted text stays
+    deterministic, hash-comparable, and dedup-stable. The planted
+    email embeds a dotted quad in its domain, so this probe certifies
+    the email-before-IP order end-to-end (IP-first would emit the
+    u<id>@h<IP>x.org composite leak). Emits the redacted text
+    verbatim; the driver's value hash compares it byte-for-byte."""
+    from gcp_data_pipeline_fyp_spark.functions.pii import redact_pii
+
+    d = _docs_with_pii(spark, sf)
+    return d.select("doc_id", redact_pii("text").alias("text_redacted"))
+
+
+def _sql_redact() -> str:
+    from gcp_data_pipeline_fyp_spark.functions.pii import redact_pii_sql
+
+    return redact_pii_sql("text")
+
+
+SQL_PII_REDACT_DOCS = f"""
+WITH u AS ({_SQL_DOCS_WITH_PII})
+SELECT doc_id, {_sql_redact()} AS text_redacted
+FROM u
+"""
+
+TEXT_QUERIES["pii_redact_docs"] = (q_pii_redact_docs, SQL_PII_REDACT_DOCS)
