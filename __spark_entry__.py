@@ -33,11 +33,11 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-12 WINDOW, composition (5 + 11 + 34 = 50), in priority order —
+# ROUND-12 WINDOW, composition (6 + 11 + 33 = 50), in priority order —
 # births outrank code-changes outrank re-certs (a probe with NO driver
 # row is the worst evidence class; a probe whose CODE changed must
 # re-certify the changed code):
-#   0. the 5 r12 births (unimax_epoch_mix_docs — UniMax max_epochs=2
+#   0. the 6 r12 births (unimax_epoch_mix_docs — UniMax max_epochs=2
 #      made real end-to-end: epoch expansion with tail strata emitting
 #      REPEATED docs, full second epochs at sf0.01 / partial at sf0.1;
 #      dsir_indexed — the persisted-profile DSIR path certifying
@@ -45,7 +45,9 @@ _REGISTRIES = [
 #      pipeline with the SemDeDup stage post-LSH/pre-split;
 #      pii_scan_report + pii_redact_docs — the anonymization stage as
 #      pure codegen regex, planted-PII corpus, email-before-IP
-#      redaction order certified end-to-end);
+#      redaction order certified end-to-end; chunk_docs — token-window
+#      split-to-context-length chunking with stable (doc, chunk_ix)
+#      keys, zero shuffles);
 #   1. the 11 probes whose code changed this round: the DSIR Gumbel
 #      consumers (dsir_sample_docs, dsir_budget_docs,
 #      dsir_selection_shift — u clamped below 1.0 in engine + both
@@ -58,14 +60,14 @@ _REGISTRIES = [
 #      extracted into the shared _corpus_prep_canon helper; oracle
 #      byte-identical);
 #   2. nothing red in r11 (all 50 green);
-#   3. the first 34 of the 44 r06-evidence rows, alphabetical
-#      (brand_revenue .. rollup_type_day). The remaining 10
+#   3. the first 33 of the 44 r06-evidence rows, alphabetical
+#      (brand_revenue .. returnflag_correlation). The remaining 11
 #      (running_customer_spend .. tz_convert) head the r13 window —
 #      the birth +
 #      code-change load this round displaced them under the stated
 #      priority; compensating control: the builder's full-registry
 #      mirror sweep (tools/check_correctness.py) is green at both SFs
-#      including all 10.
+#      including every displaced row.
 #
 # Late-round note: the token-array projection refactor (the measured
 # O(tokens^2) higher-order-lambda fix) also changed the PLANS (values
@@ -88,6 +90,7 @@ _CHECK_FIRST = [
     "corpus_prep_v3",
     "pii_scan_report",
     "pii_redact_docs",
+    "chunk_docs",
     # -- 1. code changed this round
     "dsir_sample_docs",
     "dsir_budget_docs",
@@ -134,13 +137,13 @@ _CHECK_FIRST = [
     "quality_gate_rejected",
     "region_nation_revenue",
     "returnflag_correlation",
-    "rollup_type_day",
     # next round (r13), in priority order: (0) any new r13 probes;
-    # (1) anything red in r12; (2) the 10 displaced r06-evidence rows
-    # (running_customer_spend, sessionize_events, source_capped_sample,
+    # (1) anything red in r12; (2) the 11 displaced r06-evidence rows
+    # (rollup_type_day, running_customer_spend, sessionize_events,
+    # source_capped_sample,
     # stg_null_coerce, surrogate_keys, surrogate_keys_incremental,
     # top_revenue_orders, top_suppliers, triangle_counts, tz_convert —
-    # the last two displaced by the late PII births); (3) the
+    # the last three displaced by the late PII/chunking births); (3) the
     # projection-refactor changed-plan probes listed in the note
     # above; (4) the r07-green tail on rotation, alphabetical.
 ]

@@ -195,8 +195,11 @@ HEADLINE = [
     "corpus_prep_v3",
     # r12 session 2: PII redaction — pure codegen regexp chain over
     # the full documents scan (the anonymization stage's scan-speed
-    # cost at release time)
+    # cost at release time) — and token-window chunking (posexplode
+    # over projected token slices, zero shuffles; the
+    # split-to-context-length stage)
     "pii_redact_docs",
+    "chunk_docs",
 ]
 
 # Machine-drift calibration: reference seconds at r01 machine speed

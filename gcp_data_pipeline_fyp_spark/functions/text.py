@@ -525,3 +525,79 @@ def ngram_repetition_frac(toks: Column, n: int) -> Column:
         - F.size(F.array_distinct(grams)).cast("double")
         / total.cast("double"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Token-window document chunking — the split-to-context-length
+    stage of pretraining/RAG pipelines (long documents become
+    overlapping `chunk_tokens`-token windows advancing by
+    `chunk_tokens - overlap_tokens`, so no boundary-straddling span
+    is lost to a hard cut; the overlap convention of every published
+    retrieval chunker).
+
+    One row per chunk: (id_col, chunk_ix 0-based, chunk_n_tokens,
+    out_col). Chunk text is the token slice re-joined with single
+    spaces — TOKEN-level chunking is whitespace-normalizing by
+    construction (the same contract as every token-derived surface
+    here); offsets into raw text would require byte-level windows.
+    The last chunk is the remainder (>= 1 token, <= chunk_tokens);
+    a doc of <= chunk_tokens tokens emits exactly one chunk equal to
+    its normalized text. NULL text emits ZERO rows (nothing to
+    chunk — anchor on the input frame to audit them); an
+    empty/whitespace-only string carries one empty-string token
+    (the F.split contract) and emits one empty chunk.
+
+    Deterministic and stable: (id, chunk_ix) is a pure function of
+    the document content and the chunking parameters — reprocessing
+    the corpus reproduces identical chunk keys, so downstream dedup /
+    splits / embeddings keyed on (id, chunk_ix) survive a rebuild.
+
+    Scale: pure column algebra on the projected token array (the
+    position lambda slices a bound attribute — the O(tokens^2)
+    higher-order-function trap documented on `shingles` applies and
+    is avoided here), one posexplode; no shuffle at all — chunking is
+    embarrassingly row-parallel.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1; got {chunk_tokens}")
+    if not 0 <= overlap_tokens < chunk_tokens:
+        raise ValueError(
+            f"overlap_tokens must be in [0, chunk_tokens); got "
+            f"{overlap_tokens} vs chunk_tokens={chunk_tokens} — a "
+            "stride of zero would chunk forever"
+        )
+    stride = chunk_tokens - overlap_tokens
+    t = df.select(F.col(id_col), tokens(text_col).alias("__ck_toks"))
+    n = F.size("__ck_toks")  # -1 for NULL arrays (split of NULL)
+    # number of windows: 1 + ceil(max(0, n - chunk_tokens) / stride);
+    # integer form avoids doubles entirely
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("int")
+    slices = t.filter(n >= 1).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(
+                    F.col("__ck_toks"),
+                    i * F.lit(stride) + 1,
+                    F.lit(chunk_tokens),
+                ),
+            )
+        ).alias("chunk_ix", "__ck"),
+    )
+    return slices.select(
+        F.col(id_col),
+        F.col("chunk_ix"),
+        F.size("__ck").alias("chunk_n_tokens"),
+        F.array_join("__ck", " ").alias(out_col),
+    )

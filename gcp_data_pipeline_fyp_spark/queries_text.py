@@ -5599,3 +5599,42 @@ FROM u
 """
 
 TEXT_QUERIES["pii_redact_docs"] = (q_pii_redact_docs, SQL_PII_REDACT_DOCS)
+
+
+# ---------------------------------------------- document chunking (r12)
+_CHUNK_T, _CHUNK_O = 32, 8  # chunk/overlap tokens; stride 24
+
+
+def q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (functions/text.py:chunk_documents): the
+    split-to-context-length stage — overlapping 32-token windows
+    advancing by 24, one row per (doc, chunk_ix) with the token count
+    and the whitespace-normalized chunk text. Stable keys ((doc_id,
+    chunk_ix) is a pure function of content + params), zero shuffles;
+    the oracle replays window count, slicing, and re-join exactly."""
+    from gcp_data_pipeline_fyp_spark.functions.text import chunk_documents
+
+    d = _docs(spark, sf)
+    return chunk_documents(
+        d, "doc_id", "text", chunk_tokens=_CHUNK_T, overlap_tokens=_CHUNK_O
+    )
+
+
+SQL_CHUNK_DOCS = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+v AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1),
+c AS (SELECT doc_id, toks,
+        unnest(generate_series(cast(0 AS BIGINT),
+          (greatest(n - {_CHUNK_T}, 0) + {_CHUNK_T - _CHUNK_O} - 1)
+            // {_CHUNK_T - _CHUNK_O})) AS chunk_ix
+      FROM v),
+s AS (SELECT doc_id, cast(chunk_ix AS INT) AS chunk_ix,
+        list_slice(toks, chunk_ix * {_CHUNK_T - _CHUNK_O} + 1,
+                   chunk_ix * {_CHUNK_T - _CHUNK_O} + {_CHUNK_T}) AS ck
+      FROM c)
+SELECT doc_id, chunk_ix, cast(len(ck) AS INT) AS chunk_n_tokens,
+       array_to_string(ck, ' ') AS chunk_text
+FROM s
+"""
+
+TEXT_QUERIES["chunk_docs"] = (q_chunk_docs, SQL_CHUNK_DOCS)

@@ -328,3 +328,70 @@ def test_canonicalize_url_fragment_query_is_fragment(spark):
         for r in df.select("url", canonicalize_url("url").alias("c")).collect()
     }
     assert got == cases
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Token-window chunking: overlap windows, remainder tail, the
+    single-chunk short doc, NULL text emitting zero rows, and the
+    empty-string one-empty-chunk contract."""
+    import pytest as _pytest
+
+    from gcp_data_pipeline_fyp_spark.functions.text import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+        (2, "a b c"),                               # short: 1 chunk
+        (3, None),                                  # NULL: 0 rows
+        (4, "   "),                                 # empty: 1 empty chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["chunk_ix"]): (r["chunk_n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=4, overlap_tokens=1
+        ).collect()
+    }
+    # doc 1: stride 3, windows at 0,3,6 over 10 tokens — the last
+    # window reaches the final token, so 3 chunks cover everything
+    assert got[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert got[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert got[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert (1, 3) not in got
+    assert got[(2, 0)] == (3, "a b c")
+    assert (2, 1) not in got
+    assert not any(k[0] == 3 for k in got)  # NULL -> zero rows
+    assert got[(4, 0)] == (1, "")
+    # coverage invariant: every token appears in some chunk, in order
+    alltoks = []
+    for ix in range(3):
+        toks = got[(1, ix)][1].split()
+        alltoks.extend(toks if ix == 0 else toks[1:])  # drop overlap
+    assert alltoks == [f"t{i}" for i in range(10)]
+    with _pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=0)
+    with _pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_documents_no_overlap_and_stability(spark):
+    from gcp_data_pipeline_fyp_spark.functions.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(str(i) for i in range(7)))], "doc_id long, text string"
+    )
+    got = {
+        r["chunk_ix"]: r["chunk_text"]
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=3, overlap_tokens=0
+        ).collect()
+    }
+    assert got == {0: "0 1 2", 1: "3 4 5", 2: "6"}
+    # stable keys: a repartitioned rebuild reproduces identical chunks
+    got2 = {
+        r["chunk_ix"]: r["chunk_text"]
+        for r in chunk_documents(
+            df.repartition(8), "doc_id", "text", chunk_tokens=3,
+            overlap_tokens=0,
+        ).collect()
+    }
+    assert got2 == got
