@@ -46,19 +46,54 @@ def _sq_dist(a, b) -> F.Column:
     )
 
 
-def _assign_nearest(points: DataFrame, cent: DataFrame) -> DataFrame:
-    """(id, __v, cluster_id): each point labeled with its nearest centroid."""
-    scored = points.crossJoin(F.broadcast(cent)).select(
-        "__id",
-        "__v",
-        "cluster_id",
-        _sq_dist(F.col("__v"), F.col("__centroid")).alias("__d"),
+def _argmin_cluster(vec, cents_col, cid_t: str):
+    """Per-row argmin over a broadcast (cluster_id-ascending) centroid
+    array — the shuffle-free form of the row_number window the
+    assignment passes used (guide §2.4). Semantics preserved exactly:
+    __d asc with Spark's default NULLS FIRST (a NULL distance wins),
+    ties break to the lower cluster_id (the array is id-ascending and
+    the fold keeps the incumbent on ties)."""
+    sc = F.transform(
+        cents_col,
+        lambda s: F.struct(
+            _sq_dist(vec, s["__centroid"]).alias("__d"),
+            s["cluster_id"].alias("cluster_id"),
+        ),
     )
-    w = Window.partitionBy("__id").orderBy(F.col("__d").asc(), F.col("cluster_id"))
+    return F.aggregate(
+        sc,
+        F.lit(None).cast(f"struct<__d:double,cluster_id:{cid_t}>"),
+        lambda acc, s: F.when(acc.isNull(), s)
+        .when(s["__d"].isNull() & acc["__d"].isNotNull(), s)
+        .when(
+            s["__d"].isNotNull()
+            & acc["__d"].isNotNull()
+            & (s["__d"] < acc["__d"]),
+            s,
+        )
+        .otherwise(acc),
+    )
+
+
+def _assign_nearest(points: DataFrame, cent: DataFrame) -> DataFrame:
+    """(id, __v, cluster_id): each point labeled with its nearest
+    centroid — a pure projection against the broadcast centroid array
+    (no crossJoin row explosion, no window shuffle; see
+    _argmin_cluster)."""
+    cid_t = dict(cent.dtypes)["cluster_id"]
+    carr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "__centroid"))
+        ).alias("__cents")
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "__v", "cluster_id")
+        points.crossJoin(F.broadcast(carr))
+        .select(
+            "__id", "__v",
+            _argmin_cluster(F.col("__v"), F.col("__cents"), cid_t).alias("__best"),
+        )
+        .filter(F.col("__best").isNotNull())
+        .select("__id", "__v", F.col("__best.cluster_id").alias("cluster_id"))
     )
 
 
@@ -151,21 +186,24 @@ def kmeans(
 def _assign_nearest_grouped(points: DataFrame, cent: DataFrame) -> DataFrame:
     """(group, id, __v, cluster_id): nearest centroid WITHIN the row's
     group — the grouped twin of `_assign_nearest` (same distance, same
-    lower-cluster-id tie break)."""
-    scored = points.join(F.broadcast(cent), "__g").select(
-        "__g",
-        "__id",
-        "__v",
-        "cluster_id",
-        _sq_dist(F.col("__v"), F.col("__centroid")).alias("__d"),
-    )
-    w = Window.partitionBy("__g", "__id").orderBy(
-        F.col("__d").asc(), F.col("cluster_id")
+    lower-cluster-id tie break), as a broadcast-join + per-row argmin
+    instead of a per-(group, id) window shuffle."""
+    cid_t = dict(cent.dtypes)["cluster_id"]
+    carr = cent.groupBy("__g").agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "__centroid"))
+        ).alias("__cents")
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__g", "__id", "__v", "cluster_id")
+        points.join(F.broadcast(carr), "__g")
+        .select(
+            "__g", "__id", "__v",
+            _argmin_cluster(F.col("__v"), F.col("__cents"), cid_t).alias("__best"),
+        )
+        .filter(F.col("__best").isNotNull())
+        .select(
+            "__g", "__id", "__v", F.col("__best.cluster_id").alias("cluster_id")
+        )
     )
 
 

@@ -1087,6 +1087,8 @@ def semdedup(
     cent_cos_micro, keep).
     """
     from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        _cent_array,
+        _topn_cent_struct,
         dot,
         fit_ivf_centroids,
     )
@@ -1114,20 +1116,30 @@ def semdedup(
     # stage, shrinking the cluster-straddle blind spot measured by
     # semdedup_recall_eval; rank/output stay on the PRIMARY (top-1)
     # assignment so n_assign only ever ADDS comparisons
-    wa = Window.partitionBy("corpus_id").orderBy(
-        F.col("__score").desc(), F.col("centroid_id")
-    )
+    # top-n_assign centroids per vector as a shuffle-free array fold
+    # (operators/similarity.py:_topn_cent_struct — same (score desc,
+    # centroid_id asc) order the old row_number window pinned), plus a
+    # lazy localCheckpoint: `multi` feeds the primary assignment AND
+    # both sides of the shared-cluster self-join below — without the
+    # barrier the subtree re-plans under all 5 consumers (measured:
+    # 190 Exchanges in the semdedup_docs physical plan before the
+    # r12 optimization pass, 18 after; values unchanged)
     multi = (
-        c.crossJoin(F.broadcast(cent))
+        c.crossJoin(F.broadcast(_cent_array(cent)))
         .select(
             "corpus_id",
             "__cv",
-            "centroid_id",
-            dot(F.col("__cv"), F.col("__centroid")).alias("__score"),
+            F.posexplode(
+                _topn_cent_struct(F.col("__cv"), F.col("__cents"), n_assign)
+            ).alias("__pos", "__p"),
         )
-        .withColumn("__arn", F.row_number().over(wa))
-        .filter(F.col("__arn") <= n_assign)
-    )
+        .select(
+            "corpus_id",
+            "__cv",
+            F.col("__p.centroid_id").alias("centroid_id"),
+            (F.col("__pos") + 1).alias("__arn"),
+        )
+    ).localCheckpoint(eager=False)
     assigned = multi.filter(F.col("__arn") == 1).select(
         "corpus_id", "__cv", "centroid_id"
     )
@@ -1149,7 +1161,11 @@ def semdedup(
     w = Window.partitionBy("centroid_id").orderBy(
         F.col("cent_cos_micro").asc_nulls_last(), F.col("corpus_id").asc()
     )
-    ranked = scored.withColumn("sem_rank", F.row_number().over(w))
+    # same rationale: `ranked` feeds both pair sides (a, b) and the
+    # final verdict join — one computation behind a lazy barrier
+    ranked = scored.withColumn(
+        "sem_rank", F.row_number().over(w)
+    ).localCheckpoint(eager=False)
     # the prefix order for the drop rule is (cent_cos_micro NULLS
     # LAST, id) — globally deterministic, and WITHIN one cluster it is
     # exactly the sem_rank order, so at n_assign=1 the rule below is

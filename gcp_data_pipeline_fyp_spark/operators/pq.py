@@ -43,7 +43,9 @@ from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec
 from gcp_data_pipeline_fyp_spark.functions.vectors import dot as vec_dot
 from gcp_data_pipeline_fyp_spark.operators.similarity import (
     _assign,
+    _cent_array,
     _topk_per_query,
+    _topn_cent_struct,
     _unit,
     fit_ivf_centroids,
 )
@@ -202,23 +204,49 @@ def _encode_on(
             ])
         ).alias("__e"),
     ).select("__id", F.col("__e.subspace").alias("subspace"), F.col("__e.__s").alias("__s"))
-    sq = F.aggregate(
-        F.zip_with(
-            F.col("__s"), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+    # shuffle-free nearest-centroid: per-subspace codebooks ride along
+    # as one broadcast array each and the argmin is a per-row fold —
+    # the old row_number window shuffled |corpus| x m x n_codes scored
+    # rows by (__id, subspace) (guide §2.4). Order semantics identical:
+    # __d asc NULLS FIRST, ties to the lower cluster_id.
+    def _sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    cid_t = dict(codebooks.dtypes)["cluster_id"]
+    carr = codebooks.groupBy("subspace").agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster_id", "centroid"))
+        ).alias("__books")
+    )
+    sc = F.transform(
+        F.col("__books"),
+        lambda s: F.struct(
+            _sqd(F.col("__s"), s["centroid"]).alias("__d"),
+            s["cluster_id"].alias("cluster_id"),
         ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
     )
-    scored = rows.join(F.broadcast(codebooks), "subspace").select(
-        "__id", "subspace", "cluster_id", sq.alias("__d")
-    )
-    w = Window.partitionBy("__id", "subspace").orderBy(
-        F.col("__d").asc(), F.col("cluster_id")
+    best = F.aggregate(
+        sc,
+        F.lit(None).cast(f"struct<__d:double,cluster_id:{cid_t}>"),
+        lambda acc, s: F.when(acc.isNull(), s)
+        .when(s["__d"].isNull() & acc["__d"].isNotNull(), s)
+        .when(
+            s["__d"].isNotNull()
+            & acc["__d"].isNotNull()
+            & (s["__d"] < acc["__d"]),
+            s,
+        )
+        .otherwise(acc),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("__id", "subspace", "cluster_id")
+        rows.join(F.broadcast(carr), "subspace")
+        .select("__id", "subspace", best.alias("__best"))
+        .filter(F.col("__best").isNotNull())
+        .select("__id", "subspace", F.col("__best.cluster_id").alias("cluster_id"))
     )
 
 
@@ -408,19 +436,12 @@ def _coarse_probes(qu: DataFrame, cent: DataFrame, nprobe: int) -> DataFrame:
     """Top-nprobe coarse centroids per query by dot product (ties to
     the lower centroid id — same rule as corpus assignment). |Q| x
     n_centroids scored rows, |Q| x nprobe out: always broadcastable."""
-    qc = qu.crossJoin(F.broadcast(cent)).select(
+    return qu.crossJoin(F.broadcast(_cent_array(cent))).select(
         "query_id",
-        "centroid_id",
-        vec_dot(F.col("__u"), F.col("__centroid")).alias("__score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("centroid_id")
-    )
-    return (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "centroid_id")
-    )
+        F.explode(
+            _topn_cent_struct(F.col("__u"), F.col("__cents"), nprobe)
+        ).alias("__p"),
+    ).select("query_id", F.col("__p.centroid_id").alias("centroid_id"))
 
 
 def _ivfpq_score_topk(
@@ -545,18 +566,15 @@ def _coarse_probes_scored(
 ) -> DataFrame:
     """`_coarse_probes` + the micro-unit coarse dot kept per probe —
     the first term of the residual ADC decomposition."""
-    qc = qu.crossJoin(F.broadcast(cent)).select(
+    return qu.crossJoin(F.broadcast(_cent_array(cent))).select(
         "query_id",
-        "centroid_id",
-        vec_dot(F.col("__u"), F.col("__centroid")).alias("__score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("centroid_id")
-    )
-    return (
-        qc.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "centroid_id", micro6(F.col("__score")).alias("__cm"))
+        F.explode(
+            _topn_cent_struct(F.col("__u"), F.col("__cents"), nprobe)
+        ).alias("__p"),
+    ).select(
+        "query_id",
+        F.col("__p.centroid_id").alias("centroid_id"),
+        micro6(F.col("__p.__score")).alias("__cm"),
     )
 
 

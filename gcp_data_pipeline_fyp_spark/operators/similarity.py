@@ -195,7 +195,16 @@ def fit_ivf_centroids(
     vector. Centroid quality needs vectors-per-centroid in the
     hundreds, not the full corpus; the assignment pass downstream
     still covers everything. Sampling is id-keyed (hash_bucket), so
-    the fit is reproducible on any partitioning."""
+    the fit is reproducible on any partitioning.
+
+    The returned (n_centroids-row, tiny) frame is lazily
+    localCheckpointed: every caller consumes the centroids at least
+    twice (corpus assignment + query probing), and without the
+    barrier the whole Lloyd subtree — including its full-corpus
+    assignment pass — re-plans under EVERY consumer (measured before
+    the fix: semdedup_docs carried 190 Exchange nodes / 42 parquet
+    scans in one physical plan). Values are unchanged: the fit is
+    deterministic, the barrier only pins where it computes."""
     if train_sample_frac is not None:
         from gcp_data_pipeline_fyp_spark.operators.sampling import hash_sample
 
@@ -234,7 +243,7 @@ def fit_ivf_centroids(
                 ).alias("__centroid")
             )
         )
-    return cent
+    return cent.localCheckpoint(eager=False)
 
 
 def ivf_topk(
@@ -257,18 +266,17 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
-    qc = q.crossJoin(F.broadcast(cent)).select(
+    # shuffle-free top-nprobe (see _topn_cent_struct): matters when the
+    # query side is corpus-sized (bitext mining runs every left row as
+    # a query) — the old row_number window shuffled |Q| x n_centroids
+    # rows carrying the query vectors
+    probes = q.crossJoin(F.broadcast(_cent_array(cent))).select(
         "query_id",
         "__qv",
-        "centroid_id",
-        dot(F.col("__qv"), F.col("__centroid")).alias("__score"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("centroid_id")
-    )
-    probes = qc.withColumn("__rn", F.row_number().over(wq)).filter(
-        F.col("__rn") <= nprobe
-    ).select("query_id", "__qv", "centroid_id")
+        F.explode(
+            _topn_cent_struct(F.col("__qv"), F.col("__cents"), nprobe)
+        ).alias("__p"),
+    ).select("query_id", "__qv", F.col("__p.centroid_id").alias("centroid_id"))
     pairs = probes.join(assigned, "centroid_id").select(
         "query_id",
         "corpus_id",
@@ -277,20 +285,99 @@ def ivf_topk(
     return _topk_per_query(pairs, k)
 
 
+def _cent_array(cent: DataFrame, id_col: str = "centroid_id", vec_col: str = "__centroid") -> DataFrame:
+    """The centroid set as ONE row holding an id-ascending array of
+    (id, vector) structs — the broadcastable operand of the
+    shuffle-free assignment below. array_sort on the struct orders by
+    its first field (the distinct id), so the array order is
+    deterministic on any partitioning."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col), F.col(vec_col)))
+        ).alias("__cents")
+    )
+
+
+def _topn_cent_struct(vec, cents_col, n: int):
+    """Top-`n` (score desc, centroid_id asc) prefix of the broadcast
+    centroid array for one row's vector — the shuffle-free form of the
+    per-row row_number window (same order, same NULLS LAST: a NULL
+    score sorts after every non-NULL one, ties break to the lower
+    centroid id)."""
+    sc = F.transform(
+        cents_col,
+        lambda s: F.struct(
+            dot(vec, s["__centroid"]).alias("__score"),
+            s["centroid_id"].alias("centroid_id"),
+        ),
+    )
+    return F.slice(
+        F.array_sort(
+            sc,
+            lambda a, b: F.when(
+                a["__score"].isNotNull() & b["__score"].isNull(), F.lit(-1)
+            )
+            .when(a["__score"].isNull() & b["__score"].isNotNull(), F.lit(1))
+            .when(a["__score"] > b["__score"], F.lit(-1))
+            .when(a["__score"] < b["__score"], F.lit(1))
+            .when(a["centroid_id"] < b["centroid_id"], F.lit(-1))
+            .otherwise(F.lit(1)),
+        ),
+        1,
+        n,
+    )
+
+
 def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
-    scored = c.crossJoin(F.broadcast(cent)).select(
+    """Nearest-centroid assignment as a pure projection — NO shuffle.
+
+    The previous form crossJoined every corpus row with the centroid
+    set (n_centroids rows per vector) and ranked with a row_number
+    window partitioned by corpus_id: a full-corpus exchange + two
+    sorts carrying the vector payload, repeated in every Lloyd
+    iteration and every index build (guide §2.4: remove shuffles
+    outright). Here the centroids ride along as one broadcast array
+    and the argmax is a per-row fold.
+
+    Semantics are IDENTICAL to the window form, including its corner
+    cases: ties on __score break to the lower centroid_id (the array
+    is id-ascending and the fold keeps the incumbent on ties), a NULL
+    score (NULL __cv) loses to any non-NULL score (desc = NULLS LAST),
+    and an all-NULL row takes the lowest centroid_id. An empty
+    centroid set yields zero assigned rows (the old crossJoin shape),
+    via the final isNotNull filter.
+    """
+    cid_t = dict(cent.dtypes)["centroid_id"]
+    scored = c.crossJoin(F.broadcast(_cent_array(cent))).select(
         "corpus_id",
         "__cv",
-        "centroid_id",
-        dot(F.col("__cv"), F.col("__centroid")).alias("__score"),
+        F.transform(
+            F.col("__cents"),
+            lambda s: F.struct(
+                dot(F.col("__cv"), s["__centroid"]).alias("__score"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
+        ).alias("__sc"),
     )
-    w = Window.partitionBy("corpus_id").orderBy(
-        F.col("__score").desc(), F.col("centroid_id")
+    best = F.aggregate(
+        F.col("__sc"),
+        F.lit(None).cast(f"struct<__score:double,centroid_id:{cid_t}>"),
+        lambda acc, s: F.when(acc.isNull(), s)
+        .when(s["__score"].isNotNull() & acc["__score"].isNull(), s)
+        .when(
+            s["__score"].isNotNull()
+            & acc["__score"].isNotNull()
+            & (s["__score"] > acc["__score"]),
+            s,
+        )
+        .otherwise(acc),
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("corpus_id", "__cv", "centroid_id")
+        scored.select("corpus_id", "__cv", best.alias("__best"))
+        .filter(F.col("__best").isNotNull())
+        .select(
+            "corpus_id", "__cv", F.col("__best.centroid_id").alias("centroid_id")
+        )
     )
 
 
@@ -941,7 +1028,10 @@ def bitext_margin_pairs(
         def topk(q: DataFrame, c: DataFrame) -> DataFrame:
             return brute_force_topk(q, c, id_col, vec_col, k=k)
 
-    fwd = topk(left, right)
+    # lazy barrier on fwd: it feeds BOTH the forward-mean aggregation
+    # and the scored join — without it the whole top-k chain (incl.
+    # the IVF fit + assignment) re-plans under each consumer
+    fwd = topk(left, right).localCheckpoint(eager=False)
     bwd = topk(right, left)
     fmean = fwd.groupBy("query_id").agg(
         (F.sum("cosine_micro") / F.count(F.lit(1))).alias("__fmean")

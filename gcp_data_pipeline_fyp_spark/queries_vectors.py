@@ -1422,12 +1422,15 @@ def q_bitext_ivf_agreement(spark: SparkSession, sf: str) -> DataFrame:
     left = e.filter(F.col("label") == 0)
     right = e.filter(F.col("label") == 1)
     kw = dict(k=4, margin_threshold_micro=1_020_000)
+    # lazy barriers: each pair set feeds the semi-join AND its own
+    # count — one computation per path instead of a re-planned chain
+    # per consumer (the fit/top-k subtrees are the expensive part)
     brute = bitext_margin_pairs(
         left, right, "vec_id", "embedding", n_centroids=None, **kw
-    ).select("query_id", "corpus_id")
+    ).select("query_id", "corpus_id").localCheckpoint(eager=False)
     ivf = bitext_margin_pairs(
         left, right, "vec_id", "embedding", n_centroids=8, nprobe=4, **kw
-    ).select("query_id", "corpus_id")
+    ).select("query_id", "corpus_id").localCheckpoint(eager=False)
     common = brute.join(ivf, ["query_id", "corpus_id"], "left_semi")
     agg = (
         brute.agg(F.count(F.lit(1)).alias("n_brute"))
