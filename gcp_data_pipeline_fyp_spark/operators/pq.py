@@ -217,10 +217,39 @@ def _encode_on(
         )
 
     cid_t = dict(codebooks.dtypes)["cluster_id"]
-    carr = codebooks.groupBy("subspace").agg(
+    # ONE row holding map<subspace, id-ascending books array>: a
+    # global collect (Exchange SinglePartition over m x n_codes rows)
+    # instead of a groupBy("subspace") — even a bounded
+    # hashpartitioning(subspace) exchange is banned from this path by
+    # tests/test_plans.py (the codes stream must never shuffle on the
+    # m-valued key, and the plan check is deliberately blunt). The
+    # O(m^2 x n_codes) map construction below runs once, on the single
+    # aggregated row, never per corpus row.
+    allb = codebooks.agg(
         F.array_sort(
-            F.collect_list(F.struct("cluster_id", "centroid"))
-        ).alias("__books")
+            F.collect_list(F.struct("subspace", "cluster_id", "centroid"))
+        ).alias("__all")
+    )
+    carr = allb.select(
+        F.map_from_entries(
+            F.transform(
+                F.array_distinct(
+                    F.transform("__all", lambda s: s["subspace"])
+                ),
+                lambda sub: F.struct(
+                    sub.alias("key"),
+                    # __all sorts by (subspace, cluster_id), so each
+                    # filtered slice is already cluster_id-ascending
+                    F.transform(
+                        F.filter("__all", lambda x: x["subspace"] == sub),
+                        lambda x: F.struct(
+                            x["cluster_id"].alias("cluster_id"),
+                            x["centroid"].alias("centroid"),
+                        ),
+                    ).alias("value"),
+                ),
+            )
+        ).alias("__books_map")
     )
     sc = F.transform(
         F.col("__books"),
@@ -242,8 +271,19 @@ def _encode_on(
         )
         .otherwise(acc),
     )
+    # element_at on a missing subspace yields NULL books -> NULL fold
+    # -> dropped by the isNotNull filter: same semantics as the old
+    # inner join against the codebook rows
     return (
-        rows.join(F.broadcast(carr), "subspace")
+        rows.crossJoin(F.broadcast(carr))
+        .select(
+            "__id",
+            "subspace",
+            "__s",
+            F.element_at(F.col("__books_map"), F.col("subspace")).alias(
+                "__books"
+            ),
+        )
         .select("__id", "subspace", best.alias("__best"))
         .filter(F.col("__best").isNotNull())
         .select("__id", "subspace", F.col("__best.cluster_id").alias("cluster_id"))

@@ -1031,7 +1031,10 @@ def q_hybrid_rerank_topk(spark: SparkSession, sf: str) -> DataFrame:
         k0=60,
         topk=10,
         unbounded_ok=True,  # both inputs are top-20 by construction
-    )
+    ).localCheckpoint(eager=False)
+    # lazy barrier: `fused` (10 rows) feeds the MMR pool semi-join AND
+    # the final rejoin — without it the whole BM25 + dense-retrieval +
+    # fusion chain re-plans (and recomputes) under both consumers
     pool_vecs = corp.join(
         F.broadcast(fused.select(F.col("doc_id").alias("vec_id"))),
         "vec_id",
