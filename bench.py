@@ -428,10 +428,16 @@ def _bench_streaming(spark, sf_dir: str, timings: dict) -> None:
         # batches to evaluate pending state timeouts. Poll progress and
         # stop once every input row has been processed — the measured
         # wall is the data processing, which is what the bench tracks.
+        # r12 measurement-precision fix (OPTIMIZATION_r12.md): the
+        # poll slept in 2 s awaitTermination slices, so the leg's wall
+        # overshot actual batch completion by up to 2 s of pure
+        # quantization (measured: batch done at 6.05 s, wall 8.11 s).
+        # Same methodology — poll until full input coverage — at
+        # 0.25 s granularity.
         seen_batches: set = set()
         processed = 0
         while time.perf_counter() - t0 < 300:
-            finished = q2.awaitTermination(2)
+            finished = q2.awaitTermination(0.25)
             for p in q2.recentProgress:
                 if p["batchId"] not in seen_batches:
                     seen_batches.add(p["batchId"])
