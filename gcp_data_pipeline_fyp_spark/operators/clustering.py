@@ -4,12 +4,16 @@ semantic near-dup.
 Lloyd's algorithm expressed as DataFrame ops — no MLlib dependency, so
 the operator composes with the rest of the engine's plans:
 
-- assignment: corpus × broadcast(centroids) scored per pair, per-row
-  argmin via a row_number window over the (tiny) centroid set;
+- assignment: a pure projection — the (tiny) centroid set rides along
+  as one broadcast array and the argmin is a per-row fold
+  (_argmin_cluster; no shuffle);
 - update: posexplode the assigned vectors to (cluster, dim_pos, x) and
   average per (cluster, pos) — a corpus-sized but narrow shuffle;
-- convergence: count of rows whose assignment changed — one scalar per
-  iteration (the A4 MAX-snapshot pattern, not a data collect);
+- convergence: the previous assignment rides the re-assignment
+  projection and an `observe` metric counts flips during the
+  materializing action itself — one scalar per iteration with NO join
+  and no extra job (the pre-r12 form shuffled the corpus twice per
+  iteration just for this check);
 - per-iteration materialization truncates the self-referential
   lineage, exactly like operators/components.py (executor-local by
   default; reliable `checkpoint_dir` for fault-exposed cluster runs —
@@ -30,7 +34,7 @@ elongated clusters that sign-buckets split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.vectors import as_double_vec, cosine
@@ -75,11 +79,15 @@ def _argmin_cluster(vec, cents_col, cid_t: str):
     )
 
 
-def _assign_nearest(points: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_nearest(
+    points: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(id, __v, cluster_id): each point labeled with its nearest
     centroid — a pure projection against the broadcast centroid array
     (no crossJoin row explosion, no window shuffle; see
-    _argmin_cluster)."""
+    _argmin_cluster). `carry` names extra point columns to pass
+    through unchanged (the Lloyd loops carry the previous assignment
+    so the convergence check needs no join — see `kmeans`)."""
     cid_t = dict(cent.dtypes)["cluster_id"]
     carr = cent.agg(
         F.array_sort(
@@ -89,11 +97,14 @@ def _assign_nearest(points: DataFrame, cent: DataFrame) -> DataFrame:
     return (
         points.crossJoin(F.broadcast(carr))
         .select(
-            "__id", "__v",
+            "__id", "__v", *carry,
             _argmin_cluster(F.col("__v"), F.col("__cents"), cid_t).alias("__best"),
         )
         .filter(F.col("__best").isNotNull())
-        .select("__id", "__v", F.col("__best.cluster_id").alias("cluster_id"))
+        .select(
+            "__id", "__v", *carry,
+            F.col("__best.cluster_id").alias("cluster_id"),
+        )
     )
 
 
@@ -166,14 +177,27 @@ def kmeans(
             )
         )
         cent = materialize(cent, checkpoint_dir)
-        new_assigned = materialize(_assign_nearest(pts, cent), checkpoint_dir)
-        changed = (
-            new_assigned.alias("n")
-            .join(assigned.alias("o"), "__id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
+        # convergence check fused into the assignment pass (guide
+        # §2.4): the previous cluster_id rides along the re-assignment
+        # projection and an `observe` metric counts flips during the
+        # SAME action that materializes it — the old form paid a
+        # corpus-sized join (2 exchanges + sorts) plus an extra job
+        # per iteration just to learn one scalar. `assigned` holds
+        # exactly the point set (same (__id, __v) rows as `pts` while
+        # any centroid exists), so re-assigning from it is identical.
+        obs = Observation()
+        cand = _assign_nearest(
+            assigned.withColumnRenamed("cluster_id", "__prev"),
+            cent,
+            carry=("__prev",),
+        ).observe(
+            obs,
+            F.count_if(F.col("cluster_id") != F.col("__prev")).alias(
+                "changed"
+            ),
         )
+        new_assigned = materialize(cand.drop("__prev"), checkpoint_dir)
+        changed = int(obs.get["changed"] or 0)
         assigned = new_assigned
         if changed == 0:
             break
@@ -183,11 +207,14 @@ def kmeans(
     )
 
 
-def _assign_nearest_grouped(points: DataFrame, cent: DataFrame) -> DataFrame:
+def _assign_nearest_grouped(
+    points: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """(group, id, __v, cluster_id): nearest centroid WITHIN the row's
     group — the grouped twin of `_assign_nearest` (same distance, same
     lower-cluster-id tie break), as a broadcast-join + per-row argmin
-    instead of a per-(group, id) window shuffle."""
+    instead of a per-(group, id) window shuffle. `carry` as in
+    `_assign_nearest`."""
     cid_t = dict(cent.dtypes)["cluster_id"]
     carr = cent.groupBy("__g").agg(
         F.array_sort(
@@ -197,12 +224,13 @@ def _assign_nearest_grouped(points: DataFrame, cent: DataFrame) -> DataFrame:
     return (
         points.join(F.broadcast(carr), "__g")
         .select(
-            "__g", "__id", "__v",
+            "__g", "__id", "__v", *carry,
             _argmin_cluster(F.col("__v"), F.col("__cents"), cid_t).alias("__best"),
         )
         .filter(F.col("__best").isNotNull())
         .select(
-            "__g", "__id", "__v", F.col("__best.cluster_id").alias("cluster_id")
+            "__g", "__id", "__v", *carry,
+            F.col("__best.cluster_id").alias("cluster_id"),
         )
     )
 
@@ -275,16 +303,21 @@ def kmeans_grouped(
             )
         )
         cent = materialize(cent, checkpoint_dir)
-        new_assigned = materialize(
-            _assign_nearest_grouped(pts, cent), checkpoint_dir
+        # fused convergence check — same rationale and equivalence
+        # argument as the ungrouped loop in `kmeans` above
+        obs = Observation()
+        cand = _assign_nearest_grouped(
+            assigned.withColumnRenamed("cluster_id", "__prev"),
+            cent,
+            carry=("__prev",),
+        ).observe(
+            obs,
+            F.count_if(F.col("cluster_id") != F.col("__prev")).alias(
+                "changed"
+            ),
         )
-        changed = (
-            new_assigned.alias("n")
-            .join(assigned.alias("o"), ["__g", "__id"])
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_assigned = materialize(cand.drop("__prev"), checkpoint_dir)
+        changed = int(obs.get["changed"] or 0)
         assigned = new_assigned
         if changed == 0:
             break
