@@ -2,6 +2,7 @@
 
 from gcp_data_pipeline_fyp_spark.operators.keys import (  # noqa: F401
     assign_surrogate_keys,
+    assign_surrogate_keys_multi,
     incremental_surrogate_keys,
     max_existing_id,
 )

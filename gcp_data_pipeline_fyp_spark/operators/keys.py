@@ -41,6 +41,61 @@ def assign_surrogate_keys(
     )
 
 
+def assign_surrogate_keys_multi(
+    df: DataFrame,
+    specs: dict[str, tuple[str, str]],
+    start: int = 1,
+) -> dict[str, DataFrame]:
+    """Several single-column dims from ONE pass over `df`.
+
+    `specs`: dim name -> (natural key column, surrogate id column).
+    Per-dim output is IDENTICAL to `assign_surrogate_keys(df, [key],
+    id_col, start)` (same distinct set, same asc_nulls_first dense
+    numbering) — pinned by a differential test. What changes is the
+    input cost: N separate dims each re-scan and re-aggregate the
+    corpus (N column scans + N distinct shuffles at 100 TB); here the
+    key columns melt into (dim, value) pairs in one projection, ONE
+    partially-aggregated shuffle computes every dim's distinct set,
+    and the per-dim windows run over the tiny post-distinct values
+    (guide §1.2: fewer passes; §2.4: shared exchange).
+
+    Single-column string dims only — exactly the fan-out shape of the
+    reference's dimension builds (dw_full_load2.py:104-105 does one
+    Distinct per dim over the same ODS rows).
+    """
+    for name, (key, _id) in specs.items():
+        if dict(df.dtypes).get(key) != "string":
+            raise ValueError(
+                f"assign_surrogate_keys_multi needs string keys; "
+                f"{name}.{key} is {dict(df.dtypes).get(key)!r}"
+            )
+    melted = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(name).alias("__dim"),
+                    F.col(key).alias("__val"),
+                )
+                for name, (key, _id) in specs.items()
+            ])
+        ).alias("__e")
+    ).select(F.col("__e.__dim").alias("__dim"), F.col("__e.__val").alias("__val"))
+    distinct_vals = melted.distinct().localCheckpoint(eager=False)
+    out: dict[str, DataFrame] = {}
+    for name, (key, id_col) in specs.items():
+        w = Window.orderBy(F.col(key).asc_nulls_first())
+        out[name] = (
+            distinct_vals.filter(F.col("__dim") == name)
+            .select(F.col("__val").alias(key))
+            .withColumn(
+                id_col,
+                (F.row_number().over(w) + F.lit(start - 1)).cast("long"),
+            )
+            .select(id_col, key)
+        )
+    return out
+
+
 def max_existing_id(existing_dim: DataFrame, id_col: str) -> int:
     """SELECT MAX(id) snapshot (dw2_delta_load2.py:70-73); 0 when empty."""
     row = existing_dim.agg(F.max(F.col(id_col)).alias("m")).first()

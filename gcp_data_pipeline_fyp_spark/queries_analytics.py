@@ -20,7 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.banding import depth_band, mag_band
-from gcp_data_pipeline_fyp_spark.operators.keys import assign_surrogate_keys
+from gcp_data_pipeline_fyp_spark.operators.keys import (
+    assign_surrogate_keys,
+    assign_surrogate_keys_multi,
+)
 from gcp_data_pipeline_fyp_spark.queries_util import (
     dec_avg,
     roundn,
@@ -51,10 +54,22 @@ def q_star_schema_fact(spark: SparkSession, sf: str) -> DataFrame:
         depth_band(F.col("value")).alias("LB_depthCategory"),
         F.col("ts").alias("DT_time"),
     )
-    dim_type = assign_surrogate_keys(ods, ["LB_type"], "ID_type_ID")
-    dim_net = assign_surrogate_keys(ods, ["LB_net"], "ID_Network_ID")
-    dim_mag = assign_surrogate_keys(ods, ["LB_magCategory"], "ID_magCategory_ID")
-    dim_depth = assign_surrogate_keys(ods, ["LB_depthCategory"], "ID_depthCategory_ID")
+    # one melted pass computes all 4 dims' distinct sets (r12: the
+    # separate builds each re-scanned events — 4 extra corpus scans +
+    # 4 distinct shuffles at scale; per-dim output is identical, see
+    # operators/keys.py:assign_surrogate_keys_multi)
+    dims = assign_surrogate_keys_multi(
+        ods,
+        {
+            "type": ("LB_type", "ID_type_ID"),
+            "net": ("LB_net", "ID_Network_ID"),
+            "mag": ("LB_magCategory", "ID_magCategory_ID"),
+            "depth": ("LB_depthCategory", "ID_depthCategory_ID"),
+        },
+    )
+    dim_type, dim_net, dim_mag, dim_depth = (
+        dims["type"], dims["net"], dims["mag"], dims["depth"],
+    )
     fact = (
         ods.join(F.broadcast(dim_type), "LB_type")
         .join(F.broadcast(dim_net), "LB_net")

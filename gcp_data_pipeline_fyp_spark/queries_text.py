@@ -3153,9 +3153,13 @@ def q_corpus_prep_v3(
         spark, sf, checkpoint_dir, driver_threshold
     ).localCheckpoint(eager=False)
     e = load(spark, sf, "embeddings", spread=True)
+    # sem_in feeds the semantic stage's fit init, its Lloyd pass AND
+    # the multi-assignment — without the barrier the canon-RDD ⋈
+    # embeddings join re-executes under each (same plan-dedup rationale
+    # as the canon barrier; measured ~11% off the leg at sf0.1)
     sem_in = canon.select("doc_id").join(
         e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     sem = semdedup(
         sem_in, "doc_id", "embedding", n_centroids=16,
         threshold_micro=350_000,

@@ -70,6 +70,49 @@ def test_surrogate_keys_dense_and_ordered(spark):
     assert got == {None: 1, "a": 2, "b": 3, "c": 4}
 
 
+def test_surrogate_keys_multi_matches_single(spark):
+    """The one-pass melted dim build must reproduce each per-dim
+    `assign_surrogate_keys` output exactly (distinct set, NULLS-FIRST
+    dense numbering), including NULL keys and values shared across
+    dims."""
+    from gcp_data_pipeline_fyp_spark.operators.keys import (
+        assign_surrogate_keys_multi,
+    )
+
+    df = spark.createDataFrame(
+        [("b", "x"), ("a", None), ("c", "x"), ("a", "y"), (None, "b")],
+        "k1 string, k2 string",
+    )
+    multi = assign_surrogate_keys_multi(
+        df, {"d1": ("k1", "id1"), "d2": ("k2", "id2")}
+    )
+    for name, (key, id_col) in {
+        "d1": ("k1", "id1"), "d2": ("k2", "id2")
+    }.items():
+        single = assign_surrogate_keys(df, [key], id_col)
+        got = sorted(
+            ((r[id_col], r[key]) for r in multi[name].collect()),
+            key=repr,
+        )
+        want = sorted(
+            ((r[id_col], r[key]) for r in single.collect()), key=repr
+        )
+        assert got == want, name
+        assert multi[name].schema == single.schema, name
+
+
+def test_surrogate_keys_multi_rejects_non_string(spark):
+    import pytest as _pytest
+
+    from gcp_data_pipeline_fyp_spark.operators.keys import (
+        assign_surrogate_keys_multi,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k1 long, k2 string")
+    with _pytest.raises(ValueError, match="string keys"):
+        assign_surrogate_keys_multi(df, {"d1": ("k1", "id1")})
+
+
 def test_incremental_surrogate_keys(spark):
     existing = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
     new = spark.createDataFrame([("b",), ("c",), ("d",)], "k string")
