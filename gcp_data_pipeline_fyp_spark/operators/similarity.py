@@ -256,8 +256,22 @@ def ivf_topk(
     nprobe: int = 4,
     refine_iters: int = 1,
     train_sample_frac: float | None = None,
+    broadcast_probes: bool = True,
 ) -> DataFrame:
-    """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank."""
+    """IVF: partition corpus by nearest centroid, probe nprobe lists, exact rerank.
+
+    `broadcast_probes` (default True): the probe set is |Q| x nprobe
+    rows; broadcasting it makes the probes ⋈ assigned-corpus join a
+    BroadcastHashJoin with the CORPUS as the streamed side — the
+    corpus is never shuffled. Left to the planner, the explode over
+    the crossJoin defeats size estimation and the join falls back to
+    SortMergeJoin, which shuffles the whole corpus by centroid_id — a
+    key with only n_centroids distinct values, i.e. the corpus
+    funneled into n_centroids partitions (guide §2.5: synthetic keys
+    with too few distinct values; §3.1: broadcast the side that
+    fits). Pass False when the QUERY side is itself corpus-sized
+    (bitext mining), where n_centroids is auto-sized ~sqrt(n) so the
+    centroid-keyed shuffle stays spread."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
@@ -277,7 +291,8 @@ def ivf_topk(
             _topn_cent_struct(F.col("__qv"), F.col("__cents"), nprobe)
         ).alias("__p"),
     ).select("query_id", "__qv", F.col("__p.centroid_id").alias("centroid_id"))
-    pairs = probes.join(assigned, "centroid_id").select(
+    probes_j = F.broadcast(probes) if broadcast_probes else probes
+    pairs = probes_j.join(assigned, "centroid_id").select(
         "query_id",
         "corpus_id",
         micro6(cosine(F.col("__qv"), F.col("__cv"))).alias("cosine_micro"),
@@ -512,9 +527,12 @@ def ivf_topk_indexed(
             F.col("codes").alias("__qc"),
             F.col("maxu").alias("__qm"),
         )
+        # broadcast the (query-batch-sized) probe side: the window over
+        # the crossJoin defeats size estimation and the planner would
+        # otherwise SortMergeJoin — shuffling the probed postings by a
+        # key with only nprobe-or-so distinct values (guide §3.1)
         pairs = (
-            probes.select("query_id", "centroid_id")
-            .join(qq, "query_id")
+            F.broadcast(probes.select("query_id", "centroid_id").join(qq, "query_id"))
             .join(postings, "centroid_id")
             .select(
                 "query_id",
@@ -527,7 +545,7 @@ def ivf_topk_indexed(
             )
         )
     else:
-        pairs = probes.join(postings, "centroid_id").select(
+        pairs = F.broadcast(probes).join(postings, "centroid_id").select(
             "query_id",
             "corpus_id",
             micro6(cosine(F.col("__qv"), F.col("vec"))).alias("cosine_micro"),
@@ -1020,9 +1038,14 @@ def bitext_margin_pairs(
         n_centroids = auto_n_centroids(max(left.count(), right.count()))
     if n_centroids is not None:
         def topk(q: DataFrame, c: DataFrame) -> DataFrame:
+            # broadcast_probes=False: the query side here is a full
+            # corpus (every left row probes), so the probe set is NOT
+            # broadcastable at scale; n_centroids is auto-sized
+            # ~sqrt(n), which keeps the centroid-keyed shuffle spread
             return ivf_topk(
                 q, c, id_col, vec_col, k=k,
                 n_centroids=n_centroids, nprobe=nprobe,
+                broadcast_probes=False,
             )
     else:
         def topk(q: DataFrame, c: DataFrame) -> DataFrame:
