@@ -230,6 +230,25 @@ R01_CALIBRATION = {
     "sessionize_events": 0.364,
     "text_quality": 0.338,
     "simhash": 0.223,
+    # r12 session-2 widening (the VERDICT r11 ask: 8 legs gave the
+    # drift median a 0.03-0.17 MAD/median band depending on window —
+    # too coarse to call a 1.3x per-leg move). 7 more stable,
+    # shape-diverse, untouched-plan legs (agg rollup, sketch
+    # percentile, token explode+agg, two-level prefix shuffle, regex
+    # scan). Pins = per-leg MEDIAN over THREE separate 5-rep warm
+    # sessions, each divided by ITS OWN session's pinned-8-leg drift
+    # (sessions measured drift 1.56-1.72, MAD/med 0.042-0.054; per-leg
+    # pin spread across the three sessions <= ~12%). The candidate
+    # dedup_exact_stats was measured and EXCLUDED (0.48-0.65 spread —
+    # too volatile to pin). Old 8-leg drift numbers remain comparable:
+    # the median over 15 shifts only within the pinned-8 MAD band.
+    "measure_totals_by_type": 0.177,
+    "rollup_type_day": 0.256,
+    "heavy_hitter_tokens": 0.781,
+    "quantile_rollup": 0.749,
+    "bpe_pair_counts": 0.623,
+    "epoch_shuffle_order": 0.831,
+    "url_host_stats": 0.648,
 }
 
 # audit trail: the original single-first-pass pins (protocol retired
@@ -609,43 +628,56 @@ def main() -> None:
     qs = entry_mod.queries()
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
+    # drift calibration (only meaningful at the canonical sf0.1 /
+    # 32-cpu config the pins were taken at): ratios vs pinned r01
+    # numbers. r12 protocol, second revision — THREE warm calibration
+    # sweeps INTERLEAVED through the run (after ~1/3, ~2/3 and all of
+    # the headline legs), per-leg MEDIAN feeding the ratio:
+    # - med-of-3 because single warm repeats swing up to ~60%
+    #   (measured), which made the 8-leg single-shot median too coarse
+    #   to separate ambient host load from a real 1.3x regression;
+    # - INTERLEAVED because an end-of-run-only calibration measures
+    #   the wrong window: a measured mid-run steal burst inflated a
+    #   block of legs ~3x while the end-of-run calibration saw a calm
+    #   1.48 drift, normalizing the total to nonsense. Sampling the
+    #   ambient at three points across the run makes the drift
+    #   represent the load the headline legs actually experienced.
+    # The MAD reported below is the honest residual error bar.
+    calibrate = sf == 0.1
+    calib_times: dict[str, list] = (
+        {q: [] for q in R01_CALIBRATION} if calibrate else {}
+    )
+
+    def _calibration_sweep() -> None:
+        for q in calib_times:
+            t0 = time.perf_counter()
+            qs[q](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            calib_times[q].append(time.perf_counter() - t0)
+
     # warm the JVM + parquet footers with one cheap action
     qs["measure_total_events"](spark, sf_dir).collect()
-    for name in HEADLINE:
+    sweep_after = {len(HEADLINE) // 3, (2 * len(HEADLINE)) // 3}
+    for i, name in enumerate(HEADLINE):
         fn = qs[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if calibrate and i in sweep_after:
+            _calibration_sweep()
     _bench_pipeline(spark, sf_dir, timings)
     _bench_streaming(spark, sf_dir, timings)
     _bench_text_index(spark, sf_dir, timings)
     _bench_zonemap(spark, sf_dir, timings)
     _bench_dsir_indexed_scoring(spark, sf_dir, timings)
+    if calibrate:
+        _calibration_sweep()
     total = round(sum(timings.values()), 3)
-    # drift calibration: ratios vs pinned r01 numbers (only meaningful
-    # at the canonical sf0.1 / 32-cpu config the pins were taken at).
-    # r12 protocol change: each calibration leg is re-run twice more
-    # at the end of the (warm) bench and the PER-LEG MEDIAN of the 3
-    # runs feeds the ratio — single-shot leg timings swing up to ~60%
-    # between warm repeats (measured), which made the 8-leg median
-    # too coarse to separate ambient host load from a real 1.3x
-    # per-leg regression (the r11-vs-r10 comparison could not
-    # distinguish them). Medians shrink per-leg noise; the MAD
-    # reported below is the honest residual error bar.
     detail: dict = {}
     drift_median = None
     value_normalized = None
-    if sf == 0.1:
-        calib_times: dict[str, float] = {
-            q: [timings[q]] for q in R01_CALIBRATION if q in timings
-        }
-        for _rep in range(2):
-            for q in calib_times:
-                t0 = time.perf_counter()
-                qs[q](spark, sf_dir).write.mode("overwrite").format(
-                    "noop"
-                ).save()
-                calib_times[q].append(time.perf_counter() - t0)
+    if calibrate:
         med = {
             q: sorted(ts)[len(ts) // 2] for q, ts in calib_times.items()
         }
@@ -667,10 +699,10 @@ def main() -> None:
             # a fraction of the median): the error bar on every
             # normalized number below. With the r01 8-leg set the MAD
             # ran ~0.2 of the median — too coarse to call a 1.3x
-            # per-leg move a regression; the widened 16-leg set exists
-            # to shrink exactly this figure, and per-leg regression
-            # verdicts should only be made against moves OUTSIDE
-            # median * (1 +/- a few MADs).
+            # per-leg move a regression; the 15-leg set (r12 widening
+            # above) exists to shrink exactly this figure, and
+            # per-leg regression verdicts should only be made against
+            # moves OUTSIDE median * (1 +/- a few MADs).
             dev = sorted(abs(r - drift_median) for r in s)
             dmid = len(dev) // 2
             mad = dev[dmid] if len(dev) % 2 else (dev[dmid - 1] + dev[dmid]) / 2
