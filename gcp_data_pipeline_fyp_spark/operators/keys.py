@@ -45,6 +45,7 @@ def assign_surrogate_keys_multi(
     df: DataFrame,
     specs: dict[str, tuple[str, str]],
     start: int = 1,
+    barrier: bool = True,
 ) -> dict[str, DataFrame]:
     """Several single-column dims from ONE pass over `df`.
 
@@ -62,6 +63,12 @@ def assign_surrogate_keys_multi(
     Single-column string dims only — exactly the fan-out shape of the
     reference's dimension builds (dw_full_load2.py:104-105 does one
     Distinct per dim over the same ODS rows).
+
+    `barrier` (default True) lazily localCheckpoints the shared
+    distinct set so the melt computes once under the N dim consumers;
+    False keeps the raw plan visible — used by the plan test that
+    pins the melt's column pruning (the barrier hides the subtree
+    behind a Scan ExistingRDD).
     """
     for name, (key, _id) in specs.items():
         if dict(df.dtypes).get(key) != "string":
@@ -80,7 +87,9 @@ def assign_surrogate_keys_multi(
             ])
         ).alias("__e")
     ).select(F.col("__e.__dim").alias("__dim"), F.col("__e.__val").alias("__val"))
-    distinct_vals = melted.distinct().localCheckpoint(eager=False)
+    distinct_vals = melted.distinct()
+    if barrier:
+        distinct_vals = distinct_vals.localCheckpoint(eager=False)
     out: dict[str, DataFrame] = {}
     for name, (key, id_col) in specs.items():
         w = Window.orderBy(F.col(key).asc_nulls_first())

@@ -100,17 +100,58 @@ def test_cdc_snapshot_single_shuffle(spark):
 
 
 def test_star_fact_dim_scans_column_pruned(spark):
-    """Each dim build's scan must prune to its single source column —
-    on columnar storage the 4 dim passes together then cost about one
-    extra column-read of the fact input, not 4 table scans. Guards
-    against a refactor that widens a dim scan back to the full row."""
+    """r12 melted-dims invariant (assign_surrogate_keys_multi): the 4
+    dim builds share ONE melted distinct pass behind a lazy barrier,
+    so the final plan scans parquet exactly once (the fact side) and
+    each dim window reads the tiny shared ExistingRDD — the pre-r12
+    form paid 4 extra per-dim parquet scans. Guards against a refactor
+    that reintroduces per-dim scans."""
     import re
 
     p = _plan(spark, "star_schema_fact")
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
-    assert len(schemas) == 5  # 4 dim scans + the fact scan
-    narrow = [s for s in schemas if s.count(":") == 1]
-    assert len(narrow) == 4, schemas
+    assert len(schemas) == 1, schemas  # only the fact side reads parquet
+    # 4 dim windows over the shared melt (detail-section headers only:
+    # formatted explain prints each node in the tree AND its detail)
+    assert len(re.findall(r"\(\d+\) Scan ExistingRDD", p)) == 4
+
+
+def test_surrogate_multi_melt_prunes_columns(spark, tmp_path):
+    """The melted distinct pass itself must prune its scan to the dim
+    key columns (the whole point of the one-pass build: N dims cost
+    one read of their source columns, never the full row). Checked
+    with barrier=False so the melt subtree stays visible in the
+    plan."""
+    import io as _io
+    import contextlib as _ctx
+    import re
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.keys import (
+        assign_surrogate_keys_multi,
+    )
+
+    path = str(tmp_path / "wide")
+    spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("k1"),
+        (F.col("id") % 5).cast("string").alias("k2"),
+        F.lit("payload").alias("fat1"),
+        F.rand(7).alias("fat2"),
+    ).write.mode("overwrite").parquet(path)
+    wide = spark.read.parquet(path)
+    dims = assign_surrogate_keys_multi(
+        wide, {"d1": ("k1", "id1"), "d2": ("k2", "id2")}, barrier=False
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        dims["d1"].explain("formatted")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", buf.getvalue())
+    assert schemas, buf.getvalue()
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"k1", "k2"}, s
 
 
 def test_expectations_single_scan_regardless_of_rule_count(spark):
