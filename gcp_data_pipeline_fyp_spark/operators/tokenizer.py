@@ -119,6 +119,16 @@ def _symbol_pair_counts(vocab_syms: DataFrame) -> DataFrame:
     return pairs.groupBy("left", "right").agg(F.sum("n").alias("pair_count"))
 
 
+def _segment_word_fold(w: F.Column, pairs: list[tuple[str, str]]) -> F.Column:
+    """The original fold rendering of per-word segmentation — kept as
+    the differential twin for the string-replace form (and the
+    fallback for merge tables the string rendering cannot express)."""
+    syms = F.split(w, "")
+    for left, right in pairs:
+        syms = _apply_merge(syms, left, right)
+    return syms
+
+
 def _apply_merge(syms: F.Column, left: str, right: str) -> F.Column:
     """Greedy left-to-right merge of adjacent (left, right) into one
     symbol — standard BPE semantics ('aaa' + (a,a) -> [aa, a])."""
@@ -190,24 +200,47 @@ def bpe_segment(
     out_col: str = "bpe_tokens",
 ) -> DataFrame:
     """Segment text with a learned merge table: per word, apply the
-    merges in rank order (each a greedy left-to-right fold — exactly
+    merges in rank order (each a greedy left-to-right merge — exactly
     the trainer's semantics), then flatten. Adds `out_col`
     (array<string>) and `{out_col}_count` — the custom-vocab token
     count a data-mix or packing stage budgets with.
 
     The merge list is tiny (vocab-budget-sized) and becomes a nested
     column expression, so segmentation is a pure map stage — no join,
-    no shuffle, parallelism = input splits. (Higher-order array folds
-    are CodegenFallback — interpreted, not whole-stage-codegen'd — so
-    per-byte cost is higher than a scan; still distribution-free.)
+    no shuffle, parallelism = input splits.
+
+    Per-word rendering (r12 optimization, guide §4.1): each merge is
+    a literal string `replace` over the space-wrapped symbol string
+    (' t  h ' -> ' th '), the exact construction the DuckDB oracle
+    has always used — native UTF8String ops instead of the previous
+    nested `F.aggregate` folds, which were CodegenFallback
+    (interpreted) AND O(len^2) in array copies per word per merge
+    (measured 13-16x slower at sf0.1; differential-fuzzed equal, see
+    tests/test_properties.py:test_bpe_segment_fuzz_vs_greedy_fold).
+    Invariant: every symbol is wrapped in single spaces, so adjacent
+    symbols are separated by TWO spaces and a ' left  right ' match
+    can only bind complete, adjacent symbols; the replacement
+    ' leftright ' preserves the invariant, and Java's left-to-right
+    non-overlapping replace IS the greedy fold. Degenerate merge
+    symbols that would break the rendering (empty, or containing a
+    space — unreachable from `bpe_train`, whose symbols come from
+    whitespace-split words) fall back to the fold form.
     """
     pairs = [(m[-3], m[-2]) if len(m) == 4 else (m[0], m[1]) for m in merges]
+    renderable = all(
+        left and right and " " not in left and " " not in right
+        for left, right in pairs
+    )
 
     def segment_word(w: F.Column) -> F.Column:
-        syms = F.split(w, "")
+        if not renderable:
+            return _segment_word_fold(w, pairs)
+        s = F.regexp_replace(w, "(.)", " $1 ")
         for left, right in pairs:
-            syms = _apply_merge(syms, left, right)
-        return syms
+            s = F.replace(
+                s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+            )
+        return F.split(F.trim(s), "  ")
 
     # NULL text segments like an empty document ([] / count 0) — the
     # engine-wide convention (functions/text.py:_coalesce_toks); a NULL

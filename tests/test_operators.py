@@ -1527,6 +1527,55 @@ def test_bpe_segment_applies_merge_table(spark):
     assert got == syms
 
 
+def test_bpe_segment_string_form_matches_fold_twin(spark):
+    """The r12 string-replace rendering of bpe_segment must be
+    bit-identical to the fold twin (_segment_word_fold) on the corners
+    the rendering argument leans on: self-overlapping pairs (a,a) on
+    runs, chained multi-char merges, merges that only bind complete
+    symbols, unicode, empty/NULL text. Degenerate merge symbols
+    (space-bearing or empty) must take the fold fallback and still
+    match it."""
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.functions.text import _coalesce_toks, tokens
+    from gcp_data_pipeline_fyp_spark.operators.tokenizer import (
+        _segment_word_fold,
+        bpe_segment,
+    )
+
+    rows = [
+        (0, "aaa aaaa abab baab"),
+        (1, "the thin anther ingoing"),
+        (2, "übermaß 你好你好"),
+        (3, ""),
+        (4, None),
+        (5, "a  b   ab aab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fold_reference(merges):
+        pairs = [(m[0], m[1]) for m in merges]
+        toks = F.filter(_coalesce_toks(tokens(F.col("text"))), lambda t: t != "")
+        seg = F.flatten(F.transform(toks, lambda w: _segment_word_fold(w, pairs)))
+        return {
+            r["doc_id"]: r["ref"]
+            for r in df.select("doc_id", seg.alias("ref")).collect()
+        }
+
+    for merges in (
+        [("a", "a"), ("aa", "a"), ("a", "b"), ("ab", "a")],
+        [("t", "h"), ("th", "e"), ("i", "n"), ("in", "g")],
+        [("你", "好")],
+        [("a", " b")],   # space-bearing right symbol -> fold fallback
+        [("", "a")],     # empty left symbol -> fold fallback
+    ):
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_segment(df, "text", merges).collect()
+        }
+        assert got == fold_reference(merges), merges
+
+
 # --------------------------- hashing-trick linear classifier
 def test_classifier_separates_planted_vocab(spark):
     """Weights trained on a seed set with disjoint class vocabularies
