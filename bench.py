@@ -202,6 +202,25 @@ HEADLINE = [
     "chunk_docs",
 ]
 
+# The non-HEADLINE legs main() adds, in execution order. HEADLINE +
+# AUX_LEGS is the exact key order of the emitted timing maps — and of
+# the final line's `qv` values array (see format_output_lines), which
+# is how the driver's tail capture recovers per-leg seconds now that
+# the named map has outgrown the 2000-char window.
+AUX_LEGS = [
+    "pipeline_full_load",
+    "pipeline_delta_load",
+    "streaming_validated_ingest",
+    "streaming_sessionize",
+    "streaming_drift_monitor",
+    "text_index_build",
+    "text_index_query",
+    "zonemap_build",
+    "zonemap_pruned_query",
+    "zonemap_full_scan_query",
+    "dsir_indexed_scoring",
+]
+
 # Machine-drift calibration: reference seconds at r01 machine speed
 # (sf0.1, 32 cpus) for headline queries whose PLANS are unchanged
 # since round 1. Every bench run reports current/pin ratios over this
@@ -761,15 +780,31 @@ def format_output_lines(
 ) -> list:
     """Driver-facing stdout lines; the FINAL one must stay inside the
     driver's ~2000-char tail-capture window (the r5 defect: one fat
-    line overflowed it and BENCH_r05 parsed as null). Unit-tested in
+    line overflowed it and BENCH_r05 parsed as null — the driver
+    parses the final line FROM the 2000-char tail, so a final line
+    longer than the window is unrecoverable). Unit-tested in
     tests/test_bench_output.py.
 
-    Map priority when both per-query maps can't fit one line (r9):
-    the drift-NORMALIZED map stays in the parsed final line — it is
-    the cross-round regression signal the judge reads (raw seconds on
-    a noisy host made r8's diffs misleading) — and the raw map moves
-    to its own earlier `BENCH_QUERIES:` line plus BENCH_DETAIL.json;
-    raw = normalized * drift_median, so nothing is lost."""
+    r13 priority inversion (VERDICT r12 item 2 — the driver's
+    per-query comparison went blind at 78+ legs): the RAW per-query
+    map is the driver's regression signal, so it is the LAST field
+    demoted off the final line; the drift-normalized map (cross-round
+    detail, recoverable as raw / drift_median) demotes FIRST and
+    survives in BENCH_DETAIL.json + its own earlier stdout line.
+
+    At the current 85+ legs the raw map cannot fit the final line AT
+    ALL: the leg names alone cost ~1800 chars with JSON punctuation,
+    so names + values + required fields exceed the 2000-char capture
+    no matter the precision (measured r13; renaming legs is forbidden
+    by the bench contract). When the map is demoted, the final line
+    instead carries `qv` — the SAME raw seconds as a values-only
+    array in the map's exact key order (HEADLINE then the aux legs in
+    execution order, == the key order of the adjacent BENCH_QUERIES
+    line and of BENCH_DETAIL.json's "queries") — which fits at any
+    realistic leg count, so a tail capture of the final line alone
+    still recovers every leg's raw seconds. The full named map is
+    printed IMMEDIATELY before the final line so the window keeps the
+    longest possible suffix of it for eyeball cross-checks."""
     lines = []
     out = {
         "metric": "headline_queries_total_wall",
@@ -790,23 +825,24 @@ def format_output_lines(
     compact = {"separators": (",", ":")}
     line = json.dumps(out, **compact)
     if len(line) > 1900 and "queries_normalized" in out:
-        lines.append("BENCH_QUERIES: " + json.dumps(timings, **compact))
-        out.pop("queries")
+        lines.append(
+            "BENCH_QUERIES_NORMALIZED: "
+            + json.dumps(out.pop("queries_normalized"), **compact)
+        )
         line = json.dumps(out, **compact)
     if len(line) > 1900:
-        # stay inside the driver's tail window no matter how many
-        # queries the headline set grows to: drop per-query detail from
-        # the final line (it survives in BENCH_DETAIL.json + the
-        # earlier stdout lines)
-        if "queries_normalized" in out:
-            lines.append(
-                "BENCH_QUERIES_NORMALIZED: "
-                + json.dumps(out.pop("queries_normalized"), **compact)
-            )
-        if "queries" in out:
-            lines.append(
-                "BENCH_QUERIES: " + json.dumps(out.pop("queries"), **compact)
-            )
+        lines.append(
+            "BENCH_QUERIES: " + json.dumps(out.pop("queries"), **compact)
+        )
+        out["qv"] = [round(v, 2) for v in timings.values()]
+        out["detail_file"] = "BENCH_DETAIL.json"
+        line = json.dumps(out, **compact)
+    if len(line) > 1900:
+        # backstop for a far larger future leg count: qv goes to its
+        # own line too; the final line stays small and parseable
+        lines.append(
+            "BENCH_QV: " + json.dumps(out.pop("qv"), **compact)
+        )
         line = json.dumps(out, **compact)
     lines.append(line)
     return lines

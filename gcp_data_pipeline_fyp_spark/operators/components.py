@@ -36,7 +36,7 @@ out a hash collision.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -158,6 +158,24 @@ def connected_components(
         .distinct(),
         checkpoint_dir,
     )
+    # per-round fixpoint probe: (count, order-independent hash sum)
+    # over the edge set. r13 (guide §2.4, the kmeans Observation trick
+    # from r12): the signature rides the SAME action that materializes
+    # the round via an `observe` metric — previously each round paid a
+    # separate aggregate job (and startup paid a count + an aggregate),
+    # i.e. one extra full pass of job latency per round. Observation
+    # delivers on localCheckpoint and reliable checkpoint (verified on
+    # Spark 4.1.2 in r12). On a signature match the exact subtract
+    # check still runs ONCE to rule out a hash collision.
+    def _sig_metrics():
+        return (
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(
+                F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")
+            ).alias("__h"),
+        )
+
+    obs0 = Observation()
     cur = (
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -165,29 +183,20 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, *_sig_metrics())
     )
     cur = materialize(cur, checkpoint_dir)
-    n_edges = cur.count()
+    n_edges = obs0.get["__n"]
     if n_edges <= driver_threshold:
         return _driver_components(nodes, cur)
-    prev_sig = tuple(
-        cur.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
-        ).first()
-    )
+    prev_sig = (obs0.get["__n"], obs0.get["__h"])
     for _ in range(max_iter):
-        nxt = materialize(_small_star(_large_star(cur)), checkpoint_dir)
-        # cheap per-round fixpoint probe: (count, order-independent hash
-        # sum) over the materialized edge set — one aggregate job instead
-        # of a subtract shuffle every round. On a signature match the
-        # exact subtract check runs ONCE to rule out a hash collision.
-        sig = tuple(
-            nxt.agg(
-                F.count(F.lit(1)),
-                F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")),
-            ).first()
+        obs = Observation()
+        nxt = materialize(
+            _small_star(_large_star(cur)).observe(obs, *_sig_metrics()),
+            checkpoint_dir,
         )
+        sig = (obs.get["__n"], obs.get["__h"])
         stable = sig == prev_sig and nxt.subtract(cur).limit(1).count() == 0
         cur, prev_sig = nxt, sig
         if stable:

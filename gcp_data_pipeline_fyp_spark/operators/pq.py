@@ -527,7 +527,7 @@ def ivfpq_topk(
     """
     cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
     cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
-    assigned = _assign(cu, cent).select("corpus_id", "centroid_id")
+    assigned = _assign(cu, cent, n_centroids).select("corpus_id", "centroid_id")
     books = fit_pq_codebooks(
         corpus, id_col, vec_col, m, n_codes, iters, dim, checkpoint_dir,
         train_sample_frac,
@@ -580,7 +580,7 @@ def ivfpq_residual_topk(
     every engine) and are deliberately NOT re-normalized."""
     cu = _unit6_side(corpus, id_col, vec_col, "corpus_id", "__cv")
     cent = fit_ivf_centroids(cu, n_centroids, refine_iters, train_sample_frac)
-    assigned = _assign(cu, cent)  # (corpus_id, __cv, centroid_id)
+    assigned = _assign(cu, cent, n_centroids)  # (corpus_id, __cv, centroid_id)
     res = assigned.join(F.broadcast(cent), "centroid_id").select(
         F.col("corpus_id").alias("__id"),
         F.zip_with(
@@ -683,7 +683,7 @@ def build_ivfpq_index(
     stored_cent = wh.read(f"{name}__centroids").select(
         "centroid_id", F.col("centroid").alias("__centroid")
     )
-    assigned = _assign(cu, stored_cent)
+    assigned = _assign(cu, stored_cent, n_centroids)
     if residual:
         res = assigned.join(F.broadcast(stored_cent), "centroid_id").select(
             F.col("corpus_id").alias("__id"),

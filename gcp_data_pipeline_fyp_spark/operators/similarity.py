@@ -218,7 +218,7 @@ def fit_ivf_centroids(
         )
     )
     for _ in range(refine_iters):
-        assigned = _assign(c, cent)
+        assigned = _assign(c, cent, n_centroids)
         cent = (
             assigned.select(
                 "centroid_id", F.posexplode("__cv").alias("__pos", "__x")
@@ -276,7 +276,7 @@ def ivf_topk(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
     cent = fit_ivf_centroids(c, n_centroids, refine_iters, train_sample_frac)
-    assigned = _assign(c, cent)
+    assigned = _assign(c, cent, n_centroids)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("__qv")
     )
@@ -343,7 +343,56 @@ def _topn_cent_struct(vec, cents_col, n: int):
     )
 
 
-def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
+# Ceiling for the broadcast-array fold in _assign: the whole codebook
+# rides in ONE row (n_centroids x dim doubles — 4096 x 128 is ~4 MB;
+# 1M auto-sized centroids at 100 TB would be hundreds of MB against
+# the 2 GB single-row limit) and the per-row fold is an unpruned
+# O(n_centroids x dim) scan. Above this, _assign falls back to the
+# shuffle form (VERDICT r12 item 6): broadcast the centroid ROWS
+# (normal broadcast relation, no single-row cap), explode via the
+# nested-loop join, and argmax per corpus row with a partial
+# AGGREGATION — each row's n_centroids scored copies collapse
+# map-side, so the exchange carries ONE row per corpus row.
+_ASSIGN_FOLD_MAX_CENTROIDS = 4096
+
+_NUMERIC_CID_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _assign_agg(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """The large-n_centroids assignment: explode + max-struct argmax.
+
+    Same semantics as the fold (differential-pinned in
+    tests/test_assign_equivalence.py): Spark struct ordering compares
+    fields left-to-right with NULL smallest, so a NULL score loses to
+    any non-NULL one, ties on score fall through to max(-centroid_id)
+    = the LOWEST centroid id, and an empty centroid set yields zero
+    rows (the crossJoin produces none)."""
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "corpus_id",
+        "__cv",
+        "centroid_id",
+        dot(F.col("__cv"), F.col("__centroid")).alias("__score"),
+    )
+    best = scored.groupBy("corpus_id").agg(
+        F.max(
+            F.struct(
+                F.col("__score"),
+                (-F.col("centroid_id")).alias("__negid"),
+                F.col("centroid_id"),
+                F.col("__cv"),
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "corpus_id",
+        F.col("__b.__cv").alias("__cv"),
+        F.col("__b.centroid_id").alias("centroid_id"),
+    )
+
+
+def _assign(
+    c: DataFrame, cent: DataFrame, n_centroids: int | None = None
+) -> DataFrame:
     """Nearest-centroid assignment as a pure projection — NO shuffle.
 
     The previous form crossJoined every corpus row with the centroid
@@ -359,9 +408,21 @@ def _assign(c: DataFrame, cent: DataFrame) -> DataFrame:
     is id-ascending and the fold keeps the incumbent on ties), a NULL
     score (NULL __cv) loses to any non-NULL score (desc = NULLS LAST),
     and an all-NULL row takes the lowest centroid_id. An empty
-    centroid set yields zero assigned rows (the old crossJoin shape),
+    centroid set yields zero rows (the old crossJoin shape),
     via the final isNotNull filter.
-    """
+
+    `n_centroids` (callers that size the codebook pass it through):
+    above `_ASSIGN_FOLD_MAX_CENTROIDS` the fold's single-row codebook
+    and unpruned per-row scan stop being the right trade and the
+    assignment auto-falls back to `_assign_agg` (shuffle form). With
+    `n_centroids=None` the fold is used — every auto-sized caller in
+    the engine passes the count."""
+    if (
+        n_centroids is not None
+        and n_centroids > _ASSIGN_FOLD_MAX_CENTROIDS
+        and dict(cent.dtypes)["centroid_id"] in _NUMERIC_CID_TYPES
+    ):
+        return _assign_agg(c, cent)
     cid_t = dict(cent.dtypes)["centroid_id"]
     scored = c.crossJoin(F.broadcast(_cent_array(cent))).select(
         "corpus_id",
@@ -437,7 +498,7 @@ def build_ivf_index(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
     cent = fit_ivf_centroids(c, n_centroids, refine_iters)
-    assigned = _assign(c, cent)
+    assigned = _assign(c, cent, n_centroids)
     wh.overwrite(
         cent.select("centroid_id", F.col("__centroid").alias("centroid")),
         f"{name}__centroids",
@@ -572,7 +633,11 @@ def append_ivf_index(
     An append is batch-sized
     (one broadcast-assign pass + a partitioned append that touches only
     the centroid directories present in the batch), and queries see the
-    new vectors immediately. Drift is handled by periodically
+    new vectors immediately. The stored-index paths (this append + the
+    drift monitor below) assign with the broadcast-array fold and so
+    inherit its `_ASSIGN_FOLD_MAX_CENTROIDS` ceiling — an index BUILT
+    with more centroids than that should thread its build-time
+    n_centroids through `_assign` (build_ivf_index already does). Drift is handled by periodically
     rebuilding with `build_ivf_index` (same cadence discipline as
     compaction) — incremental Lloyd updates would make the index
     depend on ingest order, breaking rerun determinism.
@@ -962,10 +1027,10 @@ def ivf_retrain_decision(
         F.col(id_col).alias("corpus_id"), as_double_vec(vec_col).alias("__cv")
     )
     cent = fit_ivf_centroids(b, n_centroids, refine_iters, train_sample_frac)
-    ab = _assign(b, cent).select(
+    ab = _assign(b, cent, n_centroids).select(
         F.lit("all").alias("__scope"), "centroid_id"
     )
-    ac = _assign(cur, cent).select(
+    ac = _assign(cur, cent, n_centroids).select(
         F.lit("all").alias("__scope"), "centroid_id"
     )
     psi = psi_categorical(ab, ac, "centroid_id", ["__scope"])

@@ -235,7 +235,14 @@ def bpe_segment(
     def segment_word(w: F.Column) -> F.Column:
         if not renderable:
             return _segment_word_fold(w, pairs)
-        s = F.regexp_replace(w, "(.)", " $1 ")
+        # (?s) so Java's `.` also matches the Unicode line terminators
+        # U+2028/U+2029/U+0085, which survive the \s+ word split (Java
+        # non-Unicode \s excludes them) — without DOTALL such a char
+        # stays un-wrapped, breaking the double-space invariant and
+        # diverging from the fold twin / trainer semantics / the RE2
+        # oracle (whose `.` excludes only \n, and \n cannot appear
+        # inside a word — both engines' \s splits it out). ADVICE r12.
+        s = F.regexp_replace(w, "(?s)(.)", " $1 ")
         for left, right in pairs:
             s = F.replace(
                 s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")

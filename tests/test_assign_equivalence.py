@@ -229,3 +229,56 @@ def test_encode_on_matches_window_twin(spark):
     )
     new = _encode_on(v, books, m=2, dim=4)
     assert sorted(map(tuple, new.collect())) == sorted(map(tuple, old.collect()))
+
+
+def test_assign_agg_fallback_matches_fold(spark):
+    """r13 (VERDICT r12 item 6): above _ASSIGN_FOLD_MAX_CENTROIDS the
+    assignment auto-falls back from the broadcast-array fold to the
+    explode + max-struct aggregation. The two forms must be
+    bit-identical on every corner the fold pins: score ties (duplicate
+    centroids -> lower id), NULL vectors (lowest id), negative-best
+    rows, empty centroid set (zero rows)."""
+    from gcp_data_pipeline_fyp_spark.operators.similarity import (
+        _ASSIGN_FOLD_MAX_CENTROIDS,
+        _assign_agg,
+    )
+
+    pts, cent = _mk_points(spark), _mk_cent(spark)
+    fold = _assign(pts, cent).orderBy("corpus_id").collect()
+    agg = _assign_agg(pts, cent).orderBy("corpus_id").collect()
+    assert [tuple(r) for r in fold] == [tuple(r) for r in agg]
+    # forcing the threshold routes through the agg form (same rows)
+    forced = _assign(
+        pts, cent, n_centroids=_ASSIGN_FOLD_MAX_CENTROIDS + 1
+    ).orderBy("corpus_id").collect()
+    assert [tuple(r) for r in forced] == [tuple(r) for r in fold]
+    # empty centroid set: zero rows in both forms
+    empty = cent.filter("centroid_id < 0")
+    assert _assign_agg(pts, empty).count() == 0
+    assert _assign(pts, empty, n_centroids=10**6).count() == 0
+
+
+def test_assign_agg_fallback_matches_fold_dense(spark):
+    """Dense randomized differential: 40 points x 33 centroids with
+    planted exact ties — fold and agg must agree row-for-row."""
+    import random
+
+    from gcp_data_pipeline_fyp_spark.operators.similarity import _assign_agg
+
+    rng = random.Random(13)
+    cents = [
+        (i, [rng.choice([-1.0, -0.5, 0.0, 0.5, 1.0]) for _ in range(4)])
+        for i in range(33)
+    ]
+    cents[7] = (7, cents[3][1])  # planted duplicate -> tie on score
+    pts = [
+        (i, [rng.choice([-1.0, 0.0, 1.0, 2.0]) for _ in range(4)])
+        for i in range(40)
+    ] + [(100, None), (101, [0.0, 0.0, 0.0, 0.0])]
+    pdf = spark.createDataFrame(pts, "corpus_id long, __cv array<double>")
+    cdf = spark.createDataFrame(
+        cents, "centroid_id int, __centroid array<double>"
+    )
+    fold = {r["corpus_id"]: r["centroid_id"] for r in _assign(pdf, cdf).collect()}
+    agg = {r["corpus_id"]: r["centroid_id"] for r in _assign_agg(pdf, cdf).collect()}
+    assert fold == agg

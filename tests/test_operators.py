@@ -1550,6 +1550,17 @@ def test_bpe_segment_string_form_matches_fold_twin(spark):
         (3, ""),
         (4, None),
         (5, "a  b   ab aab"),
+        # Java-regex edge characters INSIDE words (ADVICE r12): the
+        # Unicode line terminators U+2028/U+2029/U+0085 and NBSP
+        # survive the \s+ word split (Java non-Unicode \s excludes
+        # them); without (?s) the string rendering's `.` skipped them,
+        # breaking the double-space invariant and diverging from the
+        # fold. Pinned differentially here.
+        (6, "a\u2028b ab\u2028 \u2028ab"),
+        (7, "a\u2029b a\u0085b a\u00a0b"),
+        (8, "th\u2028e \u0085the the\u2029"),
+        # supplementary-plane char (surrogate pair in UTF-16) inside a word
+        (9, "a\U0001f600b \U0001f600\U0001f600"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
 

@@ -536,3 +536,48 @@ def test_registry_sample_has_no_cartesian_or_row_udf(spark):
         )
         assert "CartesianProduct" not in plan, name
         assert "BatchEvalPython" not in plan, name
+
+
+# r13 (VERDICT r12 item 9): the 15 drift-calibration legs' pins
+# (bench.py R01_CALIBRATION) are only valid while their PLANS are
+# unchanged — a plan change silently corrupts every normalized
+# number. One signature invariant per leg: the operator-type
+# histogram of the formatted plan at sf0.001. Any intentional plan
+# change to a calibration leg must re-base the bench pin in the same
+# session (record it in BASELINE.md) and update the histogram here.
+CALIBRATION_PLAN_PINS = {
+    "bpe_pair_counts": {"AdaptiveSparkPlan": 1, "Exchange": 3, "Filter": 1, "Generate": 2, "HashAggregate": 4, "Project": 1, "Scan": 1, "TakeOrderedAndProject": 1},
+    "epoch_shuffle_order": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1, "BroadcastHashJoin": 1, "Exchange": 5, "Filter": 2, "HashAggregate": 2, "Project": 6, "Scan": 2, "Sort": 2, "Window": 2},
+    "heavy_hitter_tokens": {"AdaptiveSparkPlan": 1, "Exchange": 2, "Filter": 2, "Generate": 1, "HashAggregate": 2, "Scan": 1},
+    "measure_totals_by_type": {"AdaptiveSparkPlan": 1, "Exchange": 1, "HashAggregate": 2, "Scan": 1},
+    "order_priority_count": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 1, "BroadcastHashJoin": 1, "Exchange": 1, "Filter": 2, "HashAggregate": 2, "Project": 3, "Scan": 2},
+    "pricing_summary": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Filter": 1, "HashAggregate": 2, "Project": 1, "Scan": 1},
+    "quantile_rollup": {"AdaptiveSparkPlan": 1, "Exchange": 3, "Filter": 2, "HashAggregate": 8, "Project": 4, "Scan": 2, "Sort": 1, "Union": 1, "Window": 2},
+    "region_nation_revenue": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 4, "BroadcastHashJoin": 4, "Exchange": 1, "Filter": 5, "HashAggregate": 2, "Project": 4, "Scan": 5},
+    "rollup_type_day": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Expand": 1, "HashAggregate": 2, "Project": 1, "Scan": 1},
+    "running_customer_spend": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Project": 2, "Scan": 1, "Sort": 1, "Window": 1},
+    "sessionize_events": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Project": 3, "Scan": 1, "Sort": 1, "Window": 2},
+    "simhash": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Project": 1, "Scan": 1},
+    "text_quality": {"AdaptiveSparkPlan": 1, "Exchange": 1, "Project": 1, "Scan": 1},
+    "top_revenue_orders": {"AdaptiveSparkPlan": 1, "BroadcastExchange": 2, "BroadcastHashJoin": 2, "Exchange": 1, "Filter": 3, "HashAggregate": 2, "Project": 5, "Scan": 3, "TakeOrderedAndProject": 1},
+    "url_host_stats": {"AdaptiveSparkPlan": 1, "Exchange": 4, "HashAggregate": 4, "Project": 2, "Scan": 1, "Sort": 1},
+}
+
+
+def _plan_signature(spark, name: str) -> dict:
+    import re
+    from collections import Counter
+
+    sig = Counter()
+    for m in re.finditer(r"^\(\d+\) ([A-Za-z]+)", _plan(spark, name), re.M):
+        sig[m.group(1)] += 1
+    return dict(sig)
+
+
+@pytest.mark.parametrize("leg", sorted(CALIBRATION_PLAN_PINS))
+def test_calibration_leg_plan_pinned(spark, leg):
+    assert _plan_signature(spark, leg) == CALIBRATION_PLAN_PINS[leg], (
+        f"calibration leg '{leg}' changed plan shape: its bench.py "
+        "R01_CALIBRATION pin must be re-based in the same session "
+        "(BASELINE.md) before this histogram is updated"
+    )

@@ -335,7 +335,13 @@ def test_bpe_pair_counts_fuzz_vs_counter(spark, texts):
 @settings(max_examples=10, deadline=None)
 @given(
     texts=st.lists(
-        st.text(alphabet="ab c", min_size=0, max_size=20), max_size=5
+        # U+2028 / U+2029 / U+0085 inside words: Java's non-Unicode \s does
+        # NOT split them, and before the r13 (?s) fix the string
+        # rendering's `.` skipped them — the divergence class ADVICE
+        # r12 flagged. The reference below splits with Java's \s
+        # semantics so the engine's word boundaries are reproduced.
+        st.text(alphabet="ab c\u2028\u2029\u0085\u00a0", min_size=0, max_size=20),
+        max_size=5,
     ),
     merges=st.lists(
         st.tuples(
@@ -350,6 +356,8 @@ def test_bpe_segment_fuzz_vs_greedy_fold(spark, texts, merges):
     fold for ANY merge table — including self-overlapping pairs like
     (a, a) and chained products like (a, b) then (ab, a) — the exact
     semantics the DuckDB replace-chain oracle also reproduces."""
+    import re as _re
+
     from gcp_data_pipeline_fyp_spark.operators.tokenizer import bpe_segment
 
     if not texts:
@@ -375,7 +383,10 @@ def test_bpe_segment_fuzz_vs_greedy_fold(spark, texts, merges):
         return syms
 
     for i, t in enumerate(texts):
-        want = [s for w in t.split() if w for s in fold(w)]
+        # mirror the engine's tokens(): Spark trim strips ' ' only;
+        # Java \s is [ \t\n\x0B\f\r] — NOT the Unicode terminators
+        words = _re.split("[ \t\n\x0b\f\r]+", t.strip(" "))
+        want = [s for w in words if w for s in fold(w)]
         assert got[i] == want, (t, merges, got[i], want)
 
 
