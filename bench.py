@@ -219,6 +219,7 @@ AUX_LEGS = [
     "zonemap_pruned_query",
     "zonemap_full_scan_query",
     "dsir_indexed_scoring",
+    "incremental_neardup_steady",
 ]
 
 # Machine-drift calibration: reference seconds at r01 machine speed
@@ -593,6 +594,55 @@ def _bench_dsir_indexed_scoring(spark, sf_dir: str, timings: dict) -> None:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bench_incremental_neardup_steady(
+    spark, sf_dir: str, timings: dict
+) -> None:
+    """Steady-state incremental near-dup: the LSH band index over the
+    base corpus (90% of documents) is built ONCE, untimed — that is
+    what the index amortizes — then the daily-batch half alone is
+    timed: sign the 10% batch, join the persisted (band, sig) table,
+    pair batch-vs-batch. This is the number a daily ingest pays at
+    100 TB; the headline `incremental_neardup` leg times build+fold
+    (the cold path) for comparison. Added r13 (VERDICT r12 item 8:
+    the steady-state claim had no committed probe row)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.dedup import (
+        build_lsh_index,
+        incremental_neardup_indexed,
+    )
+    from gcp_data_pipeline_fyp_spark.queries_util import load
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    work = tempfile.mkdtemp(prefix="bench_ndup_")
+    try:
+        wh = Warehouse(spark, work)
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        base = d.filter(F.col("doc_id") % 10 != 0)
+        fresh = d.filter(F.col("doc_id") % 10 == 0)
+        # planted near-copies of base docs so the timed join produces a
+        # non-degenerate pair set (same construction as the headline leg)
+        plants = (
+            base.filter(F.col("doc_id") % 50 == 1)
+            .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zq zr zs")))
+        )
+        batch = fresh.unionByName(plants)
+        build_lsh_index(wh, base, "doc_id", "text", "NDUP")
+        t0 = time.perf_counter()
+        incremental_neardup_indexed(
+            wh, batch, "doc_id", "text", "NDUP", update_index=False
+        ).write.mode("overwrite").format("noop").save()
+        timings["incremental_neardup_steady"] = round(
+            time.perf_counter() - t0, 3
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _bench_zonemap(spark, sf_dir: str, timings: dict) -> None:
     """Zone-map micro-bench: one range-layout write + map build over
     the sf events table, then an interval query through the pruned
@@ -690,6 +740,7 @@ def main() -> None:
     _bench_text_index(spark, sf_dir, timings)
     _bench_zonemap(spark, sf_dir, timings)
     _bench_dsir_indexed_scoring(spark, sf_dir, timings)
+    _bench_incremental_neardup_steady(spark, sf_dir, timings)
     if calibrate:
         _calibration_sweep()
     total = round(sum(timings.values()), 3)

@@ -181,12 +181,21 @@ def build_text_index(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
+    # REBALANCE by the partition column (guide §6, r13): without it
+    # every aggregation task writes one file into EVERY bucket dir it
+    # holds rows for — up to shuffle_partitions x n_buckets tiny files
+    # (2048 at 32 cores / 64 buckets, 4x an 8-core run's count for the
+    # same data). Rebalancing aligns write partitions with bucket dirs
+    # and AQE sizes them by bytes: one file per bucket locally, ~64 MB
+    # files per bucket at corpus scale.
     wh.overwrite(
-        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)),
+        tf.withColumn(
+            "term_bucket", _term_bucket(F.col("term"), n_buckets)
+        ).hint("rebalance", "term_bucket"),
         f"{name}__postings",
         partition_cols=["term_bucket"],
     )
-    wh.overwrite(dl, f"{name}__doclen")
+    wh.overwrite(dl.hint("rebalance"), f"{name}__doclen")
     wh.overwrite(_text_stats(dl, n_buckets), f"{name}__stats")
 
 
@@ -214,13 +223,19 @@ def append_text_index(
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
+    # same bucket-aligned REBALANCE as build_text_index: an append's
+    # file count follows batch bytes, not cores x buckets
     wh.append(
-        tf.withColumn("term_bucket", _term_bucket(F.col("term"), n_buckets)),
+        tf.withColumn(
+            "term_bucket", _term_bucket(F.col("term"), n_buckets)
+        ).hint("rebalance", "term_bucket"),
         f"{name}__postings",
         partition_cols=["term_bucket"],
     )
-    wh.append(base.select("doc_id", F.size("__toks").alias("dl")),
-              f"{name}__doclen")
+    wh.append(
+        base.select("doc_id", F.size("__toks").alias("dl")).hint("rebalance"),
+        f"{name}__doclen",
+    )
     wh.overwrite(
         _text_stats(wh.read(f"{name}__doclen"), n_buckets),
         f"{name}__stats",

@@ -50,6 +50,7 @@ def stage_dw_delta(
     job_id: str,
     data_source: str,
     run_ts: _dt.datetime,
+    clamp_writes: bool = False,
 ) -> dict[str, DataFrame]:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -105,6 +106,12 @@ def stage_dw_delta(
     merged = merge_upsert_partitioned(
         base_fact, staged_fact.select(*base_fact.columns), ["ID_Event"], FACT_PARTITION_COL
     )
+    # clamp_writes (guide §6, plans/pipeline.py): the merge output's
+    # partition count otherwise inherits spark.sql.shuffle.partitions
+    # (cores-sized) — rebalance by the partition column so the staged
+    # months land data-sized files
+    if clamp_writes:
+        merged = merged.hint("rebalance", FACT_PARTITION_COL)
     # parquet has no in-place MERGE: land the affected partitions in a
     # staging table first (the reference's staging-table lifecycle, S12),
     # then promote each partition directory by rename — untouched

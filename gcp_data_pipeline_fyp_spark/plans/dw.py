@@ -156,6 +156,7 @@ def stage_dw_full(
     job_id: str,
     data_source: str,
     run_ts: _dt.datetime,
+    clamp_writes: bool = False,
 ) -> dict[str, DataFrame]:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -189,6 +190,12 @@ def stage_dw_full(
             }
         )
     )
+    # clamp_writes (guide §6, plans/pipeline.py): without it the fact's
+    # partitionBy(month) write lands one file per CACHED-ODS partition
+    # per month (cores-sized); rebalancing by the partition column
+    # gives data-sized files per month directory at any scale
+    if clamp_writes:
+        fact = fact.hint("rebalance", FACT_PARTITION_COL)
     wh.overwrite(fact, "T_FACT_Events", partition_cols=[FACT_PARTITION_COL])
     ods.unpersist()
     out = dict(dims)

@@ -19,6 +19,7 @@ def stage_geo(
     wh: Warehouse,
     mode: str,
     table: str = "T_ODS_earthquake",
+    clamp_writes: bool = False,
 ) -> DataFrame:
     lookup = build_states_lookup(states)
     parsed = parse_place(ods.drop("LB_Region", "LB_Country"), lookup)
@@ -26,9 +27,14 @@ def stage_geo(
     # mid-row, ods_full_load2.py:116-117)
     cols = ods.columns
     parsed = parsed.select(*cols)
+    # clamp_writes: REBALANCE on small inputs so the table's file count
+    # follows data size, not the per-core split count (plans/pipeline.py)
     if mode == "full" or not wh.exists(table):
-        wh.overwrite(parsed, table)
+        wh.overwrite(
+            parsed.hint("rebalance") if clamp_writes else parsed, table
+        )
     else:
         existing_ids = wh.read(table).select("ID_Event")
-        wh.append(parsed.join(existing_ids, "ID_Event", "left_anti"), table)
+        fresh = parsed.join(existing_ids, "ID_Event", "left_anti")
+        wh.append(fresh.hint("rebalance") if clamp_writes else fresh, table)
     return wh.read(table)

@@ -81,14 +81,19 @@ def stage_ods(
     data_source: str,
     run_ts: _dt.datetime,
     table: str = "ODS_earthquake",
+    clamp_writes: bool = False,
 ) -> DataFrame:
     projected = ods_projection(staged, job_id, data_source, run_ts)
+    # clamp_writes: REBALANCE on small inputs so the table's file count
+    # follows data size, not the per-core split count (plans/pipeline.py)
     if mode == "full" or not wh.exists(table):
-        wh.overwrite(projected, table)
+        wh.overwrite(
+            projected.hint("rebalance") if clamp_writes else projected, table
+        )
     else:
         existing_ids = wh.read(table).select("ID_Event")
         fresh = projected.dropDuplicates(["ID_Event"]).join(
             existing_ids, "ID_Event", "left_anti"
         )
-        wh.append(fresh, table)
+        wh.append(fresh.hint("rebalance") if clamp_writes else fresh, table)
     return wh.read(table)

@@ -63,18 +63,30 @@ def run_pipeline(
     # parse feeds every downstream stage. For inputs >= cores*128 MB
     # the clamp leaves the default in place.
     prior_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    clamp_writes = False
     try:
         file_bytes = os.path.getsize(raw_path)
         cores = spark.sparkContext.defaultParallelism
         split = min(max(file_bytes // max(cores, 1), 1 << 20), 128 << 20)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+        # write clamp (guide §6, r13): with a small input the parse
+        # fans to ~`cores` splits, and every stage table then lands
+        # one TINY file per core (a 32-core run writes 4x the files
+        # of an 8-core run of the same data — measured as real
+        # inverse scaling of the pipeline legs). Below cores x 64 MB
+        # the stage writes carry a REBALANCE hint so AQE sizes write
+        # partitions by BYTES (file count follows data, not cores).
+        # Above it the parse splits are already file-sized and the
+        # hint would add a full-data shuffle to a 100 TB load for
+        # nothing — behavior unchanged there.
+        clamp_writes = file_bytes < cores * (64 << 20)
     except OSError:
         pass
 
     try:
         return _run_pipeline_stages(
             spark, raw_path, states, wh, mode, job_id, data_source, run_ts,
-            warehouse_root, archive,
+            warehouse_root, archive, clamp_writes,
         )
     finally:
         # restore the session-wide split size — leaving a CSV-sized
@@ -97,34 +109,50 @@ def _run_pipeline_stages(
     run_ts: _dt.datetime,
     warehouse_root: str,
     archive: bool,
+    clamp_writes: bool = False,
 ) -> dict[str, DataFrame]:
     raw = read_raw_csv(spark, raw_path)
     staged = stage_staging(
-        raw, wh, mode, job_id, data_source, run_ts, rejected_root=warehouse_root
+        raw, wh, mode, job_id, data_source, run_ts,
+        rejected_root=warehouse_root, clamp_writes=clamp_writes,
     )
     if mode == "full":
-        ods = stage_ods(staged, wh, mode, job_id, data_source, run_ts)
-        t_ods = stage_geo(ods, states, wh, mode)
-        tables = stage_dw_full(t_ods, wh, job_id, data_source, run_ts)
+        ods = stage_ods(
+            staged, wh, mode, job_id, data_source, run_ts,
+            clamp_writes=clamp_writes,
+        )
+        t_ods = stage_geo(ods, states, wh, mode, clamp_writes=clamp_writes)
+        tables = stage_dw_full(
+            t_ods, wh, job_id, data_source, run_ts, clamp_writes=clamp_writes
+        )
     else:
         before_ids = None
         ods_table = "ODS_earthquake"
         if wh.exists(ods_table):
             before_ids = wh.read(ods_table).select("ID_Event")
-        ods = stage_ods(staged, wh, mode, job_id, data_source, run_ts)
+        ods = stage_ods(
+            staged, wh, mode, job_id, data_source, run_ts,
+            clamp_writes=clamp_writes,
+        )
         # only newly-landed ODS rows flow into geo + dw (delta scope)
         new_ods = ods if before_ids is None else ods.join(
             before_ids, "ID_Event", "left_anti"
         )
-        stage_geo(new_ods, states, wh, mode)
+        stage_geo(new_ods, states, wh, mode, clamp_writes=clamp_writes)
         t_ods = wh.read("T_ODS_earthquake")
         new_t_ods = t_ods if before_ids is None else t_ods.join(
             before_ids, "ID_Event", "left_anti"
         )
         if wh.exists("T_FACT_Events"):
-            tables = stage_dw_delta(new_t_ods, wh, job_id, data_source, run_ts)
+            tables = stage_dw_delta(
+                new_t_ods, wh, job_id, data_source, run_ts,
+                clamp_writes=clamp_writes,
+            )
         else:
-            tables = stage_dw_full(t_ods, wh, job_id, data_source, run_ts)
+            tables = stage_dw_full(
+                t_ods, wh, job_id, data_source, run_ts,
+                clamp_writes=clamp_writes,
+            )
     if archive:
         archive_file(raw_path, warehouse_root, mode)
     return tables

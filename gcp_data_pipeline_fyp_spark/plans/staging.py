@@ -33,6 +33,7 @@ def stage_staging(
     run_ts: _dt.datetime,
     rejected_root: str | None = None,
     table: str = "T_STG_earthquake",
+    clamp_writes: bool = False,
 ) -> DataFrame:
     """raw (22 string cols + original_csv_line) -> staging table; returns accepted."""
     coerced = raw.select(
@@ -53,8 +54,11 @@ def stage_staging(
         }
     )
     # staging is a transient landing table: truncate-write in both modes
-    # (stg_full_load.py:132-136 and its delta twin both WRITE_TRUNCATE)
-    wh.overwrite(staged, table)
+    # (stg_full_load.py:132-136 and its delta twin both WRITE_TRUNCATE).
+    # clamp_writes (guide §6, set by run_pipeline for small inputs):
+    # REBALANCE so the file count follows data size, not the parse's
+    # per-core split count — see plans/pipeline.py.
+    wh.overwrite(staged.hint("rebalance") if clamp_writes else staged, table)
     if rejected_root is not None:
         write_rejected(rejected.select("original_csv_line"), rejected_root, job_id)
     coerced.unpersist()

@@ -142,7 +142,18 @@ def _merge_into(
     event_id_cols: list[str],
     partition_col: str | None,
 ) -> None:
-    """MERGE one (already in-batch-deduplicated) micro-batch into `table`."""
+    """MERGE one (already in-batch-deduplicated) micro-batch into `table`.
+
+    Every write below carries a REBALANCE hint (guide §6 / §2.2): the
+    merge output's partition count otherwise inherits
+    `spark.sql.shuffle.partitions` (sized to CORES), so each batch of a
+    32-core run wrote 4x the files of an 8-core run for identical data
+    — measured r13 as genuine inverse scaling of this leg (32-core
+    1.97x slower; dropping the partition count recovered ~90% of it).
+    REBALANCE makes AQE size the write partitions by bytes
+    (advisoryPartitionSizeInBytes), so file count follows DATA SIZE at
+    any scale: one file per small micro-batch locally, ~64 MB files on
+    a fact-scale partition-scoped merge — never one file per core."""
     part_cols = [partition_col] if partition_col else None
     staging = f"{table}__staging"
     if wh.exists(table):
@@ -154,14 +165,18 @@ def _merge_into(
             merged = merge_upsert_partitioned(
                 base, batch.select(*base.columns), event_id_cols, partition_col
             )
-            wh.overwrite(merged, staging, partition_cols=part_cols)
+            wh.overwrite(
+                merged.hint("rebalance", partition_col),
+                staging,
+                partition_cols=part_cols,
+            )
             wh.swap_partitions(staging, table, partition_col)
         else:
             merged = merge_upsert(base, batch.select(*base.columns), event_id_cols)
-            wh.overwrite(merged, staging)
+            wh.overwrite(merged.hint("rebalance"), staging)
             wh.swap(staging, table)
     else:
-        wh.overwrite(batch, table, partition_cols=part_cols)
+        wh.overwrite(batch.hint("rebalance"), table, partition_cols=part_cols)
 
 
 def stream_validated_ingest(
@@ -247,10 +262,17 @@ def stream_validated_ingest(
                 if quarantine_table is not None and not _batch_seen(
                     quarantine_table
                 ):
+                    # rebalance: dead-letter appends are a (usually
+                    # tiny) filtered slice of the batch — without the
+                    # clamp each append lands one file PER PARTITION
+                    # of the batch (cores-sized), decaying the
+                    # quarantine into core-count x batches files
                     wh.append(
-                        batch.filter(violated).withColumn(
+                        batch.filter(violated)
+                        .withColumn(
                             "batch_id", SF.lit(batch_id).cast("long")
-                        ),
+                        )
+                        .hint("rebalance"),
                         quarantine_table,
                     )
                 clean = batch.filter(~violated)

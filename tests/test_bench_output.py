@@ -48,6 +48,7 @@ def test_aux_legs_constant_matches_mains_emission():
             bench._bench_text_index,
             bench._bench_zonemap,
             bench._bench_dsir_indexed_scoring,
+            bench._bench_incremental_neardup_steady,
         )
     )
     for leg in bench.AUX_LEGS:

@@ -16,6 +16,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DIM = 8
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # E2E module: full tier only (pytest -m "")
+
+
 def _run_cli(*argv):
     return subprocess.run(
         [sys.executable, "-m", "gcp_data_pipeline_fyp_spark", *argv],

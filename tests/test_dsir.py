@@ -209,6 +209,7 @@ def test_budget_select_matches_naive_global_window(spark):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_budget_select_nested_and_partition_invariant(spark):
     from gcp_data_pipeline_fyp_spark.operators.dsir import (
         dsir_budget_select,

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.functions.geo import build_states_lookup, parse_place
@@ -1067,6 +1068,7 @@ def test_exact_substring_filter_keeps_null_text_docs(spark):
 
 
 # ------------------- persisted digest index (indexed incremental dedup)
+@pytest.mark.slow
 def test_digest_index_three_batch_parity(spark, tmp_path):
     """Three daily batches through the persisted index == re-running
     plain incremental_exact_dedup against the accumulated corpus."""
@@ -1175,6 +1177,7 @@ def test_lsh_index_incremental_parity_with_full_rerun(spark, tmp_path):
 
 
 # -------------------- reliable checkpoint path (operators/iterate.py)
+@pytest.mark.slow
 def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
     """`checkpoint_dir` switches the per-iteration lineage truncation
     from executor-local blocks to reliable checkpoints (the 100 TB
@@ -1232,6 +1235,7 @@ def test_iterative_ops_reliable_checkpoint_matches_local(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_corpus_prep_v2_reliable_checkpoint_e2e(spark, tmp_path):
     """The COMPOSED flagship pipeline (classifier gate -> decontaminate
     -> exact dedup -> LSH closure -> split) must stay hash-identical
@@ -1744,6 +1748,7 @@ def test_event_transitions_ignores_null_event_type(spark, tmp_path):
     assert got == {("A", "B"): 2}
 
 
+@pytest.mark.slow
 def test_kmeans_grouped_matches_per_group_kmeans(spark):
     """The joint grouped Lloyd's loop must return EXACTLY the per-group
     `kmeans` results (init, decimal means, tie breaks, early-stop all
@@ -3005,6 +3010,7 @@ def test_interleave_by_source_stride_invariant(spark):
             interleave_by_source(df, "id", "src", bad)
 
 
+@pytest.mark.slow
 def test_minhash_recall_eval_sensitivity(spark):
     """The eval is a real instrument: the production 8x4 config on a
     planted-dup corpus reports high recall; a crippled 1-band config
@@ -3270,6 +3276,7 @@ def test_winnow_short_doc_emits_nothing(spark):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_incremental_components_equals_full_recompute(spark, tmp_path):
     """Folding a batch into the persisted star labeling must equal the
     closure over ALL pairs (spanning-star invariance), including
@@ -4044,6 +4051,7 @@ def test_unimax_epoch_mix_from_alloc_chain(spark):
     assert sum(10 for _ in rows_out) <= 300
 
 
+@pytest.mark.slow
 def test_unimax_epoch_mix_nested_in_alloc(spark):
     """Raising a stratum's alloc only APPENDS (doc_id, epoch) rows —
     the nesting contract the whole sampling family carries."""

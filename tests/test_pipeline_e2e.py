@@ -20,6 +20,9 @@ COLS = (
 )
 
 
+pytestmark = pytest.mark.slow  # E2E module: full tier only (pytest -m "")
+
+
 def _row(t, lat, lon, depth, mag, typ="earthquake", place="10km NE of Anza, CA"):
     return ",".join(
         [t, str(lat), str(lon), str(depth), str(mag), "ml", "50", "45.0", "0.5",

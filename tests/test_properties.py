@@ -13,6 +13,7 @@ from gcp_data_pipeline_fyp_spark.functions.text import minhash_params
 from gcp_data_pipeline_fyp_spark.operators.similarity import make_hyperplanes
 from gcp_data_pipeline_fyp_spark.sources.files import archive_date_from_filename
 from gcp_data_pipeline_fyp_spark.plans.pipeline import branch_for_filename, choose_mode
+import pytest
 
 
 @given(st.integers(min_value=1, max_value=64))
@@ -130,6 +131,7 @@ def test_cdc_snapshot_fuzz(spark, rows):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_rollup_merge_fuzz_equals_rebuild(spark, rows):
     """merge_states over ANY split of the data == one-shot rollup."""
     from gcp_data_pipeline_fyp_spark.operators.rollup import (
@@ -158,6 +160,7 @@ def test_rollup_merge_fuzz_equals_rebuild(spark, rows):
         max_size=14,
     )
 )
+@pytest.mark.slow
 def test_connected_components_fuzz_vs_union_find(spark, edges):
     """Star-contraction CC == classic union-find on arbitrary small
     graphs — self-loops INCLUDED (a node whose only edge is a self-loop
@@ -398,6 +401,7 @@ def test_bpe_segment_fuzz_vs_greedy_fold(spark, texts, merges):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_classifier_fuzz_vs_python_reference(spark, rows):
     """Trained weights and scores must match a from-scratch Python
     reimplementation (hashlib md5 buckets, Counter training, integer
@@ -684,6 +688,7 @@ def test_scd2_snapshot_fuzz_vs_reference(spark, rows):
         max_size=12,
     )
 )
+@pytest.mark.slow
 def test_fuzzy_pairs_fuzz_complete_vs_bruteforce(spark, texts):
     """Deletion-1 blocking completeness fuzz: on random short strings
     (tiny alphabet -> dense distance-1 neighborhoods, duplicates
@@ -791,6 +796,7 @@ def test_gini_ungrouped_matches_naive_for_any_values(spark, vals):
     probes=st.lists(st.integers(-(2**40), 2**40), max_size=30),
     k=st.integers(1, 9),
 )
+@pytest.mark.slow
 def test_bloom_never_false_negative_fuzz(spark, keys, probes, k):
     """Every inserted key passes the bloom regardless of key values,
     bit width, or probe count — the zero-false-negative guarantee the
@@ -830,6 +836,7 @@ def test_bloom_never_false_negative_fuzz(spark, keys, probes, k):
         max_size=60,
     ),
 )
+@pytest.mark.slow
 def test_roc_auc_fuzz_vs_pair_counting(spark, rows):
     """Distributed rank-sum AUC == naive pair counting with half-credit
     ties, on arbitrary integer score multisets.
@@ -913,6 +920,7 @@ def test_rrf_fuse_fuzz_vs_naive(spark, a, b, k0):
     src=st.lists(st.integers(0, 5), min_size=1, max_size=120),
     ref=st.lists(st.integers(0, 5), min_size=1, max_size=60),
 )
+@pytest.mark.slow
 def test_distribution_match_rates_fuzz_vs_fractions(spark, src, ref):
     """Rate table == the exact rational formula floor(1e6*s_m*r_b /
     (r_m*s_b)) computed with Python integers, for arbitrary bucket

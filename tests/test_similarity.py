@@ -6,6 +6,8 @@ import random
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from gcp_data_pipeline_fyp_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
@@ -236,6 +238,7 @@ def test_semantic_neardup_kmeans_finds_planted_copies(spark):
     assert planted <= pairs
 
 
+@pytest.mark.slow
 def test_ivf_index_persist_matches_direct_and_prunes(spark, tmp_path):
     from gcp_data_pipeline_fyp_spark.operators.similarity import (
         build_ivf_index,
@@ -260,6 +263,7 @@ def test_ivf_index_persist_matches_direct_and_prunes(spark, tmp_path):
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan, plan
 
 
+@pytest.mark.slow
 def test_ivf_sampled_training_recall(spark):
     """The 100 TB centroid-fit path: training on a ~30% content-keyed
     sample must keep recall at the pinned bar — the assignment pass
@@ -283,6 +287,7 @@ def test_ivf_sampled_training_recall(spark):
     )
 
 
+@pytest.mark.slow
 def test_append_ivf_index_matches_full_rebuild(spark, tmp_path):
     """Appending a batch to a persisted IVF index == rebuilding the
     postings against the SAME centroids: queries return identical
@@ -363,6 +368,7 @@ def test_sq8_codes_bounded_and_zero_vectors_dropped(spark):
         assert max(abs(c) for c in r["codes"]) == 127
 
 
+@pytest.mark.slow
 def test_ivf_sq8_index_recall_and_layout(spark, tmp_path):
     """IVF-SQ8 composition: quantized postings (codes + maxu, no raw
     vector — the 8x-smaller 100 TB index layout) must keep recall vs
@@ -421,6 +427,7 @@ def test_ivf_sq8_index_recall_and_layout(spark, tmp_path):
     assert "PartitionFilters: [centroid_id" in plan or "centroid_id IN" in plan
 
 
+@pytest.mark.slow
 def test_pq_recall_and_determinism(spark):
     """PQ/ADC with 4 subspaces x 8 codes on clustered vectors. PQ is a
     candidate-generation stage, so the published metric is recall@R:
@@ -455,6 +462,7 @@ def test_pq_recall_and_determinism(spark):
     assert sorted(map(key, rows)) == sorted(map(key, again))
 
 
+@pytest.mark.slow
 def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
     """The persisted PQ index must return exactly what the direct
     train+encode+score path returns (encoding against final centroids
@@ -500,6 +508,7 @@ def test_pq_index_persist_matches_direct_and_appends(spark, tmp_path):
 
 
 # --------------------------------------------------- IVF-PQ (r6)
+@pytest.mark.slow
 def test_ivfpq_matches_pq_at_full_probe(spark):
     """With nprobe == n_centroids the coarse quantizer prunes nothing,
     so IVF-PQ must return EXACTLY the plain PQ/ADC result — list
@@ -520,6 +529,7 @@ def test_ivfpq_matches_pq_at_full_probe(spark):
     assert sorted(map(key, plain.collect())) == sorted(map(key, full.collect()))
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_determinism(spark):
     """Pruned IVF-PQ (nprobe=4 of 8 lists) keeps the true nearest
     neighbor inside the ADC top-10 on clustered vectors (recall@10 bar
@@ -553,6 +563,7 @@ def test_ivfpq_recall_and_determinism(spark):
     assert sorted(map(key, rows)) == sorted(map(key, again))
 
 
+@pytest.mark.slow
 def test_ivfpq_index_persist_matches_direct_and_layout(spark, tmp_path):
     """The persisted IVF-PQ index returns exactly what the one-shot
     path returns, the codes table is laid out as centroid_id=*
@@ -641,6 +652,7 @@ def test_pq_sampled_training_deterministic(spark):
     assert sorted(map(key, rows)) == sorted(map(key, again))
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_recall_and_determinism(spark):
     """Residual-encoded IVF-PQ (codes quantize u - coarse_centroid):
     the same recall@10 bar as the non-residual path on clustered
@@ -673,6 +685,7 @@ def test_ivfpq_residual_recall_and_determinism(spark):
     assert sorted(map(key, rows)) == sorted(map(key, again))
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_scores_closer_to_exact(spark):
     """The point of residual encoding: at the SAME bit budget the ADC
     score of the true nearest neighbor sits closer to its exact cosine
@@ -707,6 +720,7 @@ def test_ivfpq_residual_scores_closer_to_exact(spark):
     assert err_resid < err_plain, (err_resid, err_plain)
 
 
+@pytest.mark.slow
 def test_ivfpq_residual_index_self_describing(spark, tmp_path):
     """A residual-built IVF-PQ index must (a) return exactly what the
     one-shot residual path returns, (b) carry its interpretation in
@@ -755,6 +769,7 @@ def test_ivfpq_residual_index_self_describing(spark, tmp_path):
     assert scores[9000] == max(scores.values())
 
 
+@pytest.mark.slow
 def test_rerank_exact_recovers_brute_force(spark):
     """Re-ranking a candidate set that CONTAINS the true top-k must
     return exactly the brute-force answer (scores included) — and the
@@ -831,6 +846,7 @@ def test_ivfpq_indexed_query_prunes_code_partitions(spark, tmp_path):
     assert "dynamicpruning" in plan, plan[:2000]
 
 
+@pytest.mark.slow
 def test_ivfpq_index_delete_partition_scoped_and_idempotent(spark, tmp_path):
     """Right-to-be-forgotten on the persisted IVF-PQ index: deleted
     ids vanish from queries, untouched partitions keep their files
@@ -1055,6 +1071,7 @@ def test_bitext_margin_mining_semantics(spark):
         assert 90 + j not in got, (90 + j, got.get(90 + j))
 
 
+@pytest.mark.slow
 def test_bitext_auto_centroid_sizing(spark):
     """The default n_centroids='auto' resolves to ceil(sqrt(max side))
     (the FAISS sizing rule, floor 2) and mines exactly the pairs the

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
@@ -921,6 +922,7 @@ def test_stream_validated_ingest_maintains_zonemap(spark, tmp_path):
     assert total > 0 and files == []
 
 
+@pytest.mark.slow
 def test_stream_drift_monitor_matches_batch_psi_and_replays_safely(
     spark, tmp_path
 ):
@@ -996,6 +998,7 @@ def test_stream_drift_monitor_matches_batch_psi_and_replays_safely(
     assert wh.read("DRIFT_REPORT").count() == n_rep
 
 
+@pytest.mark.slow
 def test_stream_retrain_monitor_decides_and_replays_safely(spark, tmp_path):
     """Streaming retrain trigger: batches matching the index's
     training distribution keep retrain=False; after a collapsed
@@ -1090,6 +1093,7 @@ def test_stream_retrain_monitor_decides_and_replays_safely(spark, tmp_path):
     assert rep2[-1]["n_base"] == 240  # frozen training mass, not 960
 
 
+@pytest.mark.slow
 def test_stream_index_ingest_appends_replays_and_heals(spark, tmp_path):
     """Streaming IVF ingest: streamed vectors become queryable through
     the persisted index; a restart on the same checkpoint skips
@@ -1234,6 +1238,7 @@ def test_stream_index_ingest_parquet_feed(spark, tmp_path):
     assert wh.read("ix__postings").count() == base + 30
 
 
+@pytest.mark.slow
 def test_stream_neardup_ingest_suppresses_near_copies(spark, tmp_path):
     """Streaming NEAR-dup gate: exact re-deliveries drop via the digest
     index, near-copies of indexed docs drop via the band index,
@@ -1304,6 +1309,7 @@ def test_stream_neardup_ingest_suppresses_near_copies(spark, tmp_path):
     assert got2 == {12, 21}
 
 
+@pytest.mark.slow
 def test_stream_neardup_ingest_full_replay_is_noop(spark, tmp_path):
     """Checkpoint loss + full feed replay: the digest index (the replay
     ledger) drops every already-ingested row BEFORE band matching, so
@@ -1547,6 +1553,7 @@ def test_stream_match_ingest_reshapes_and_replays_safely(spark, tmp_path):
     ) == got_state
 
 
+@pytest.mark.slow
 def test_stream_dsir_ingest_scores_and_replays_safely(spark, tmp_path):
     """Streaming DSIR: the persisted raw-profile state equals the
     batch bucket_profile over everything delivered; the LAST batch's

@@ -3,6 +3,7 @@ equivalence with the batch window-function query."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from gcp_data_pipeline_fyp_spark.streaming.sessionize import sessionize_stream
@@ -19,6 +20,9 @@ ROWS_B2 = [
     (5, "2024-01-01 12:05:00", 7),   # continues session 2 ACROSS batches
     (6, "2024-01-01 15:00:00", 8),   # user 8 new session
 ]
+
+
+pytestmark = pytest.mark.slow  # E2E module: full tier only (pytest -m "")
 
 
 def _write(path, rows):

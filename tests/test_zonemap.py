@@ -33,6 +33,7 @@ def _ids(df):
     return sorted(r["event_id"] for r in df.select("event_id").collect())
 
 
+@pytest.mark.slow
 def test_zonemap_prunes_files_and_matches_full_scan(spark, wh):
     files, total = prune_files(wh, "EV", {"value": (100.0, 200.0)})
     assert total == 8
@@ -44,6 +45,7 @@ def test_zonemap_prunes_files_and_matches_full_scan(spark, wh):
     assert _ids(got)  # non-trivial interval
 
 
+@pytest.mark.slow
 def test_unmapped_appends_are_read_conservatively(spark, wh):
     before = read_pruned(wh, "EV", {"value": (100.0, 200.0)}).count()
     extra = (
@@ -88,6 +90,7 @@ def test_open_ended_and_conjunctive_intervals(spark, wh):
     assert _ids(got) == _ids(exp)
 
 
+@pytest.mark.slow
 def test_zonemap_on_partitioned_table(spark, tmp_path):
     w = Warehouse(spark, str(tmp_path / "whp"))
     ev = spark.read.parquet(f"{SF}/events.parquet").select(
@@ -104,6 +107,7 @@ def test_zonemap_on_partitioned_table(spark, tmp_path):
     assert "p_day" in got.columns
 
 
+@pytest.mark.slow
 def test_zorder_zonemap_box_pruning_beats_range_layout(spark, tmp_path):
     """The 2-D claim: for a box predicate on (value, user_id), a
     Z-order layout + zone map skips strictly more files than a 1-D
@@ -142,6 +146,7 @@ def test_zorder_zonemap_box_pruning_beats_range_layout(spark, tmp_path):
     assert _ids(read_pruned(w, "EVR", box)) == _ids(exp)
 
 
+@pytest.mark.slow
 def test_bucket_index_point_lookup_prunes_and_matches(spark, tmp_path):
     """Equality skipping: layout clustered by value leaves event_id
     scattered (zone map reads everything), but the per-file bucket
@@ -185,6 +190,7 @@ def test_bucket_index_point_lookup_prunes_and_matches(spark, tmp_path):
     assert empty.count() == 0 and empty.columns == got2.columns
 
 
+@pytest.mark.slow
 def test_compact_rebuilds_zonemap(spark, wh):
     """Compaction swaps the table directory (the map dies with it);
     compact() re-derives the stat columns from the old map and
@@ -207,6 +213,7 @@ def test_compact_rebuilds_zonemap(spark, wh):
     assert f2 == []
 
 
+@pytest.mark.slow
 def test_dynamic_pruned_join_equals_plain_and_skips_files(spark, tmp_path):
     from pyspark.sql import functions as F
 
