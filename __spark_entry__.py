@@ -33,6 +33,93 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
+# ROUND-13 WINDOW, composition (14 + 11 + 11 + 14 = 50), in priority
+# order — code-changes outrank displaced re-certs outrank the refactor
+# queue outrank stalest-evidence rotation (no r13 births: this is an
+# optimization round; the one new bench leg, incremental_neardup_steady,
+# is a bench AUX leg, not a queries() entry):
+#   1. the 14 probes whose QUERY-PATH code changed this round:
+#      bpe_segment_counts (the (?s) Unicode-line-terminator fix,
+#      ADVICE r12); the 5 connected-components consumers (fixpoint
+#      signature now rides the materializing action as an Observation
+#      metric — quality_canonical_docs, canonical_docs, dup_clusters,
+#      dedupe_corpus, incremental_components); and the 8 _assign-guard
+#      consumers (n_centroids threaded through ivf/pq callers for the
+#      large-codebook fallback — ann_ivf_topk, ann_ivf_ndcg_eval,
+#      ann_ivfpq_topk, ann_ivfpq_residual_topk, ann_ivfpq_rerank_topk,
+#      ivf_retrain_decision, bitext_margin_pairs,
+#      bitext_ivf_agreement);
+#   2. the 11 r06-evidence rows the r12 window displaced (the debt the
+#      r12 note scheduled first for this round);
+#   3. the 11 projection-refactor changed-plan probes queued by the
+#      r12 note (quality_canonical_docs already rides section 1; the
+#      note's "substring-incremental" resolves to
+#      substring_filtered_docs + incremental_dedup);
+#   4. the 14 alphabetically-first rows whose newest driver evidence
+#      is r07 (stalest-evidence rotation; 43 such rows remain, the
+#      rest queue for r14).
+_CHECK_FIRST = [
+    # -- 1. code changed this round (r13)
+    "bpe_segment_counts",
+    "quality_canonical_docs",
+    "canonical_docs",
+    "dup_clusters",
+    "dedupe_corpus",
+    "incremental_components",
+    "ann_ivf_topk",
+    "ann_ivf_ndcg_eval",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_rerank_topk",
+    "ivf_retrain_decision",
+    "bitext_margin_pairs",
+    "bitext_ivf_agreement",
+    # -- 2. the r06-evidence rows displaced by the r12 window
+    "rollup_type_day",
+    "running_customer_spend",
+    "sessionize_events",
+    "source_capped_sample",
+    "stg_null_coerce",
+    "surrogate_keys",
+    "surrogate_keys_incremental",
+    "top_revenue_orders",
+    "top_suppliers",
+    "triangle_counts",
+    "tz_convert",
+    # -- 3. the r12 projection-refactor changed-plan queue
+    "minhash_signature",
+    "dsir_logweights",
+    "decontaminate_corpus",
+    "contamination_report",
+    "bloom_decontaminate",
+    "quality_classifier_scores",
+    "split_leakage_report",
+    "incremental_neardup",
+    "doc_repetition_report",
+    "substring_filtered_docs",
+    "incremental_dedup",
+    # -- 4. stalest driver evidence (r07), alphabetical (14 of 43)
+    "ab_test_purchases",
+    "ann_lsh_eval",
+    "benford_prices",
+    "classifier_reliability",
+    "cms_join_size",
+    "cms_token_counts",
+    "cusum_changepoints",
+    "embedding_drift",
+    "event_sequence_patterns",
+    "excess_ship_suppliers",
+    "important_parts",
+    "interpolated_daily",
+    "kanon_released_docs",
+    "kanon_report",
+    # next round (r14), in priority order: (0) any new probes;
+    # (1) anything red in r13; (2) code-changed probes; (3) the
+    # remaining 29 r07-evidence rows, alphabetical
+    # (kmv_distinct_users .. winsorized_values).
+]
+
+# ---- retired r12 window (kept for the audit trail) ----------------
 # ROUND-12 WINDOW, composition (6 + 11 + 33 = 50), in priority order —
 # births outrank code-changes outrank re-certs (a probe with NO driver
 # row is the worst evidence class; a probe whose CODE changed must
@@ -83,7 +170,7 @@ _REGISTRIES = [
 # after the refactor — and the post-refactor FULL sweeps (275/275 at
 # both SFs) re-cover every probe — they queue for the r13 window
 # behind the displaced rows.
-_CHECK_FIRST = [
+_R12_WINDOW = [
     # -- 0. new this round (r12)
     "unimax_epoch_mix_docs",
     "dsir_indexed",
