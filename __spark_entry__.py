@@ -33,12 +33,12 @@ _REGISTRIES = [
 # to the back and re-certify on a rolling cadence. Rotate this list
 # each round.
 #
-# ROUND-13 WINDOW, composition (14 + 11 + 11 + 14 = 50), in priority
+# ROUND-13 WINDOW, composition (15 + 11 + 11 + 13 = 50), in priority
 # order — code-changes outrank displaced re-certs outrank the refactor
 # queue outrank stalest-evidence rotation (no r13 births: this is an
 # optimization round; the one new bench leg, incremental_neardup_steady,
 # is a bench AUX leg, not a queries() entry):
-#   1. the 14 probes whose QUERY-PATH code changed this round:
+#   1. the 15 probes whose QUERY-PATH code changed this round:
 #      bpe_segment_counts (the (?s) Unicode-line-terminator fix,
 #      ADVICE r12); the 5 connected-components consumers (fixpoint
 #      signature now rides the materializing action as an Observation
@@ -48,14 +48,15 @@ _REGISTRIES = [
 #      large-codebook fallback — ann_ivf_topk, ann_ivf_ndcg_eval,
 #      ann_ivfpq_topk, ann_ivfpq_residual_topk, ann_ivfpq_rerank_topk,
 #      ivf_retrain_decision, bitext_margin_pairs,
-#      bitext_ivf_agreement);
+#      bitext_ivf_agreement; plus dsir_indexed — the fused
+#      single-pass profile build, target as a predicate);
 #   2. the 11 r06-evidence rows the r12 window displaced (the debt the
 #      r12 note scheduled first for this round);
 #   3. the 11 projection-refactor changed-plan probes queued by the
 #      r12 note (quality_canonical_docs already rides section 1; the
 #      note's "substring-incremental" resolves to
 #      substring_filtered_docs + incremental_dedup);
-#   4. the 14 alphabetically-first rows whose newest driver evidence
+#   4. the 13 alphabetically-first rows whose newest driver evidence
 #      is r07 (stalest-evidence rotation; 43 such rows remain, the
 #      rest queue for r14).
 _CHECK_FIRST = [
@@ -74,6 +75,7 @@ _CHECK_FIRST = [
     "ivf_retrain_decision",
     "bitext_margin_pairs",
     "bitext_ivf_agreement",
+    "dsir_indexed",
     # -- 2. the r06-evidence rows displaced by the r12 window
     "rollup_type_day",
     "running_customer_spend",
@@ -98,7 +100,7 @@ _CHECK_FIRST = [
     "doc_repetition_report",
     "substring_filtered_docs",
     "incremental_dedup",
-    # -- 4. stalest driver evidence (r07), alphabetical (14 of 43)
+    # -- 4. stalest driver evidence (r07), alphabetical (13 of 43)
     "ab_test_purchases",
     "ann_lsh_eval",
     "benford_prices",
@@ -112,11 +114,10 @@ _CHECK_FIRST = [
     "important_parts",
     "interpolated_daily",
     "kanon_released_docs",
-    "kanon_report",
     # next round (r14), in priority order: (0) any new probes;
     # (1) anything red in r13; (2) code-changed probes; (3) the
-    # remaining 29 r07-evidence rows, alphabetical
-    # (kmv_distinct_users .. winsorized_values).
+    # remaining 30 r07-evidence rows, alphabetical
+    # (kanon_report .. winsorized_values).
 ]
 
 # ---- retired r12 window (kept for the audit trail) ----------------

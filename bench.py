@@ -583,7 +583,7 @@ def _bench_dsir_indexed_scoring(spark, sf_dir: str, timings: dict) -> None:
         wh = Warehouse(spark, work)
         d = load(spark, sf_dir, "documents")
         build_dsir_profiles(
-            wh, d, d.filter(F.col("lang") == "en"), "DSB"
+            wh, d, None, "DSB", target_filter=F.col("lang") == "en"
         )
         t0 = time.perf_counter()
         dsir_logweights_indexed(wh, d, "doc_id", "DSB").write.mode(

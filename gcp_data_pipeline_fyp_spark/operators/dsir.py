@@ -485,12 +485,13 @@ def _dsir_meta_checked(wh, name: str) -> tuple[int, bool]:
 def build_dsir_profiles(
     wh,
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     name: str,
     text_col: str = "text",
     target_text_col: str | None = None,
     n_buckets: int = DEFAULT_BUCKETS,
     bigrams: bool = True,
+    target_filter: Column | None = None,
 ) -> None:
     """Fit and persist both DSIR profiles + their hashing meta:
     `{name}__raw_profile` / `{name}__target_profile` (each (bucket, c),
@@ -501,18 +502,60 @@ def build_dsir_profiles(
     caller argument).
 
     The profiles are tiny (<= B rows each) — the build cost is the
-    two corpus scans, amortized across every subsequent scoring batch
-    exactly like the IVF/LSH/digest builds."""
-    wh.overwrite(
-        bucket_profile(raw, text_col, n_buckets, bigrams),
-        f"{name}__raw_profile",
-    )
-    wh.overwrite(
-        bucket_profile(
-            target, target_text_col or text_col, n_buckets, bigrams
-        ),
-        f"{name}__target_profile",
-    )
+    corpus scans, amortized across every subsequent scoring batch
+    exactly like the IVF/LSH/digest builds.
+
+    `target_filter` (r13, guide §2.3 aggregate-before-shuffle /
+    §1.2 pass-count): when the target IS a predicate over `raw` — the
+    standard DSIR setup ("the in-domain slice of the corpus") — pass
+    the predicate instead of a second frame and BOTH profiles come out
+    of ONE tokenize+explode+aggregate pass (a conditional count rides
+    the same map-side combine), instead of tokenizing and exploding
+    the target rows a second time. Bit-identical profiles by
+    construction: count(*) per bucket is the raw profile, the
+    count-where-predicate per bucket (rows with 0 dropped, matching
+    the separate-fit output exactly) is the target profile. Exactly
+    one of `target` / `target_filter` must be given; the two-frame
+    form remains for targets that are not a slice of `raw`."""
+    if (target is None) == (target_filter is None):
+        raise ValueError(
+            "build_dsir_profiles: pass exactly one of target / target_filter"
+        )
+    if target_filter is not None:
+        flagged = raw.withColumn(
+            "__is_target", F.coalesce(target_filter, F.lit(False))
+        )
+        prof = (
+            _exploded_buckets(
+                flagged, ["__is_target"], text_col, n_buckets, bigrams
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("c"),
+                F.count_if(F.col("__is_target")).alias("__ct"),
+            )
+            # two tiny writes consume this; the barrier keeps the
+            # corpus-sized explode from running once per consumer
+            .localCheckpoint(eager=False)
+        )
+        wh.overwrite(prof.select("bucket", "c"), f"{name}__raw_profile")
+        wh.overwrite(
+            prof.filter(F.col("__ct") > 0).select(
+                "bucket", F.col("__ct").alias("c")
+            ),
+            f"{name}__target_profile",
+        )
+    else:
+        wh.overwrite(
+            bucket_profile(raw, text_col, n_buckets, bigrams),
+            f"{name}__raw_profile",
+        )
+        wh.overwrite(
+            bucket_profile(
+                target, target_text_col or text_col, n_buckets, bigrams
+            ),
+            f"{name}__target_profile",
+        )
     wh.overwrite(
         raw.sparkSession.createDataFrame(
             [(int(n_buckets), bool(bigrams))],

@@ -5175,8 +5175,12 @@ def q_dsir_indexed(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _docs(spark, sf)
     wh = Warehouse(spark, scratch_dir(spark, "dsiridx", sf))
+    # r13: the target is a predicate over the corpus, so both profiles
+    # come out of ONE tokenize+explode+aggregate pass (bit-identical
+    # to the old two-frame fit; see build_dsir_profiles)
     build_dsir_profiles(
-        wh, d, d.filter(F.col("lang") == "en"), "DSIDX", n_buckets=_DSIR_B
+        wh, d, None, "DSIDX", n_buckets=_DSIR_B,
+        target_filter=F.col("lang") == "en",
     )
     w = dsir_logweights_indexed(wh, d, "doc_id", "DSIDX")
     return w.select(

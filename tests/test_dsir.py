@@ -423,3 +423,45 @@ def test_indexed_scoring_requires_meta(spark, tmp_path):
         dsir_logweights_indexed(
             wh, _docs(spark, [(1, "x")]), "id", "NOPE"
         )
+
+
+def test_fused_profile_build_matches_two_frame_fit(spark, tmp_path):
+    """r13: build_dsir_profiles(target_filter=...) — both profiles out
+    of ONE explode pass — must be bit-identical to the two-frame fit
+    on the same slice, including bucket sets (target buckets with zero
+    occurrences must NOT appear) and the meta row. Also pins the
+    exactly-one-of-target/target_filter contract."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from gcp_data_pipeline_fyp_spark.operators.dsir import (
+        build_dsir_profiles,
+    )
+    from gcp_data_pipeline_fyp_spark.sources.tables import Warehouse
+
+    rows = [
+        (0, "alpha beta gamma", "en"),
+        (1, "beta beta delta", "en"),
+        (2, "gamma delta epsilon", "fr"),
+        (3, None, "en"),
+        (4, "", "fr"),
+        (5, "alpha alpha alpha", None),  # NULL lang -> not target
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    B = 64
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    build_dsir_profiles(wh, d, d.filter(F.col("lang") == "en"), "TWO",
+                        n_buckets=B)
+    build_dsir_profiles(wh, d, None, "ONE", n_buckets=B,
+                        target_filter=F.col("lang") == "en")
+    for side in ("raw", "target"):
+        two = {r["bucket"]: r["c"]
+               for r in wh.read(f"TWO__{side}_profile").collect()}
+        one = {r["bucket"]: r["c"]
+               for r in wh.read(f"ONE__{side}_profile").collect()}
+        assert one == two, side
+    assert wh.read("ONE__meta").collect() == wh.read("TWO__meta").collect()
+    with _pt.raises(ValueError):
+        build_dsir_profiles(wh, d, d, "BAD", target_filter=F.lit(True))
+    with _pt.raises(ValueError):
+        build_dsir_profiles(wh, d, None, "BAD")
